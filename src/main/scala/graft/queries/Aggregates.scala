@@ -1,0 +1,210 @@
+package graft.queries
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Aggregations (SURVEY.md §2.6) — the reference's full declared enum
+  * (expression.rs:696-710): Sum, Max, Min, Avg, Count, CountDistinct,
+  * First, Last, Kurtosis, Skewness, StdDev, SumDistinct, Variance.
+  * Group-by execution panics in the reference (evaluation.rs:126); here
+  * it is Spark's native partial+final hash aggregate — map-side combine
+  * means the shuffle carries |groups|·|partitions| rows, not |rows|.
+  * Cube/rollup/grouping-sets (absent in the reference) are exposed too.
+  *
+  * First/Last are made deterministic via min_by/max_by over a unique
+  * ordering key — unordered first() is partition-order-dependent and can
+  * never be oracle-verified.
+  */
+object Aggregates extends QueryModule {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_agg_basic" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_extendedprice")), 2).as("sum_price"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"),
+          round(avg(col("l_extendedprice")), 4).as("avg_price"),
+          count(lit(1)).as("n_rows"),
+          count(col("l_quantity")).as("n_qty"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    "q31_agg_distinct" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("nd_parts"),
+          countDistinct(col("l_suppkey"), col("l_partkey")).as("nd_ps"),
+          round(sum_distinct(col("l_quantity")), 2).as("sumd_qty"))
+        .orderBy(col("l_returnflag"))),
+
+    // first/last by explicit order — deterministic: ordkey is unique.
+    "q32_agg_first_last" -> ((s, d) =>
+      Tables.orders(s, d)
+        .withColumn("ordkey",
+          unix_timestamp(col("o_orderdate")) * lit(10000000L) + col("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          min_by(col("o_totalprice"), col("ordkey")).as("first_price"),
+          max_by(col("o_totalprice"), col("ordkey")).as("last_price"),
+          min(col("o_orderdate")).as("first_date"),
+          max(col("o_orderdate")).as("last_date"))
+        .orderBy(col("o_orderstatus"))),
+
+    // sample stddev/variance + population variants (Spark stddev =
+    // stddev_samp, matching DuckDB).
+    "q33_agg_stats" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(stddev(col("l_quantity")), 6).as("sd_samp"),
+          round(stddev_pop(col("l_quantity")), 6).as("sd_pop"),
+          round(variance(col("l_quantity")), 6).as("var_samp"),
+          round(var_pop(col("l_quantity")), 6).as("var_pop"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("cov_qp"))
+        .orderBy(col("l_returnflag"))),
+
+    // Spark skewness/kurtosis are population g1 / excess g2; the oracle
+    // spells out the moment formulas (DuckDB's builtins use the sample-
+    // adjusted estimators, so they are NOT name-compatible).
+    "q34_agg_skew_kurt" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(skewness(col("l_quantity")), 6).as("skew_qty"),
+          round(kurtosis(col("l_quantity")), 6).as("kurt_qty"))
+        .orderBy(col("l_returnflag"))),
+
+    // whole-frame aggregation, no grouping (the reference's per-column
+    // kernels, functions/aggregate.rs).
+    "q35_agg_global" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .agg(
+          round(sum(col("l_extendedprice")), 2).as("sum_price"),
+          min(col("l_shipdate")).as("min_ship"),
+          max(col("l_shipdate")).as("max_ship"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("n"),
+          countDistinct(col("l_orderkey")).as("nd_orders"))),
+
+    "q36_cube" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
+    "q37_rollup" -> ((s, d) =>
+      Tables.orders(s, d)
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)),
+
+    "q38_grouping_sets" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("gs_orders")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority, count(1) AS n
+          |FROM gs_orders
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+    }),
+
+    // sketches: HyperLogLog distinct + approximate percentiles — no
+    // bit-exact oracle exists (rows-only check); exact quantiles are
+    // pinned separately in q39b via percentile().
+    "q39_approx_sketch" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("acd_parts"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_approx"))
+        .orderBy(col("l_returnflag"))),
+
+    "q39b_percentile_exact" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"))
+        .orderBy(col("l_returnflag")))
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q30_agg_basic" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_extendedprice), 2) AS sum_price,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        |  round(avg(l_extendedprice), 4) AS avg_price,
+        |  count(*) AS n_rows, count(l_quantity) AS n_qty
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q31_agg_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS nd_parts,
+        |  count(DISTINCT (l_suppkey, l_partkey)) AS nd_ps,
+        |  round(sum(DISTINCT l_quantity), 2) AS sumd_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q32_agg_first_last" ->
+      """SELECT o_orderstatus,
+        |  arg_min(o_totalprice, epoch(o_orderdate) * 10000000 + o_orderkey) AS first_price,
+        |  arg_max(o_totalprice, epoch(o_orderdate) * 10000000 + o_orderkey) AS last_price,
+        |  min(o_orderdate) AS first_date, max(o_orderdate) AS last_date
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q33_agg_stats" ->
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_quantity), 6) AS sd_samp,
+        |  round(stddev_pop(l_quantity), 6) AS sd_pop,
+        |  round(var_samp(l_quantity), 6) AS var_samp,
+        |  round(var_pop(l_quantity), 6) AS var_pop,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+        |  round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qp
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q34_agg_skew_kurt" ->
+      """WITH m AS (SELECT l_returnflag AS g, avg(l_quantity) AS mu
+        |           FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag,
+        |  round((sum(pow(l_quantity - mu, 3)) / count(*))
+        |    / pow(sum(pow(l_quantity - mu, 2)) / count(*), 1.5), 6) AS skew_qty,
+        |  round((sum(pow(l_quantity - mu, 4)) / count(*))
+        |    / pow(sum(pow(l_quantity - mu, 2)) / count(*), 2) - 3, 6) AS kurt_qty
+        |FROM lineitem JOIN m ON l_returnflag = m.g
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q35_agg_global" ->
+      """SELECT round(sum(l_extendedprice), 2) AS sum_price,
+        |  min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS n, count(DISTINCT l_orderkey) AS nd_orders
+        |FROM lineitem""".stripMargin,
+
+    "q36_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q37_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q38_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q39b_percentile_exact" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  )
+}

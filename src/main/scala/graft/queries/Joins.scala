@@ -1,0 +1,194 @@
+package graft.queries
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Joins (SURVEY.md §2.4). The reference implements a single in-memory
+  * hash equi-join (functions/join.rs:139-215) with inner/left/right/full
+  * (expression.rs:335-340) and correct null-key exclusion; string keys and
+  * FULL OUTER are broken there (join.rs:187-205, :109-133). We implement
+  * correct SQL semantics on Spark's join machinery and let Catalyst pick
+  * broadcast-hash vs sort-merge; dimension tables are explicitly
+  * `broadcast()` so a 100 TB fact scan never shuffles for them.
+  * Semi/anti/cross/theta joins — absent in the reference — are exposed as
+  * first-class (the "missing join kinds" row of §2.4).
+  */
+object Joins extends QueryModule {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // inner equi-join chain, dims broadcast: fact shuffles 0 times for
+    // the dim lookups; single agg shuffle on the tiny group key.
+    "q20_join_inner" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d)
+      Tables.orders(s, d)
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"), "inner")
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"), "inner")
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"), "inner")
+        .groupBy(col("r_name"))
+        .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("r_name"))
+    }),
+
+    // left outer: every customer, with/without orders; null-safe counts.
+    "q21_join_left" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      Tables.customer(s, d)
+        .join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("total_spent"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "q22_join_right" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      o.join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"), "right")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // full outer with correct SQL semantics (the reference drops
+    // unmatched non-null keys, join.rs:109-133 — we do not).
+    "q23_join_full" -> ((s, d) => {
+      val big = Tables.orders(s, d).filter(col("o_totalprice") > 400000.0)
+        .select(col("o_custkey")).distinct()
+      val auto = Tables.customer(s, d).filter(col("c_mktsegment") === "AUTOMOBILE")
+        .select(col("c_custkey"), col("c_name"))
+      big.join(auto, col("o_custkey") === col("c_custkey"), "full_outer")
+        .select(col("o_custkey"), col("c_custkey"), col("c_name"))
+        .orderBy(col("o_custkey").asc_nulls_first, col("c_custkey").asc_nulls_first)
+    }),
+
+    // left semi = EXISTS; no right columns, no row multiplication.
+    "q24_join_semi" -> ((s, d) => {
+      val hi = Tables.orders(s, d).filter(col("o_totalprice") > 300000.0)
+      Tables.customer(s, d)
+        .join(hi, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // left anti = NOT EXISTS.
+    "q25_join_anti" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      Tables.customer(s, d)
+        .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "q26_join_cross" -> ((s, d) => {
+      val st = Tables.orders(s, d).select(col("o_orderstatus")).distinct()
+      Tables.region(s, d).crossJoin(broadcast(st))
+        .select(col("r_name"), col("o_orderstatus"))
+        .orderBy(col("r_name"), col("o_orderstatus"))
+    }),
+
+    // multi-column equi key (JoinCriteria Vec<(String,String)>,
+    // expression.rs:328-332).
+    "q27_join_multikey" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val a = li.select(col("l_orderkey").as("ak"), col("l_linenumber").as("al"), col("l_quantity"))
+      val b = li.select(col("l_orderkey").as("bk"), col("l_linenumber").as("bl"), col("l_extendedprice"))
+        .filter(col("l_extendedprice") > 30000.0)
+      a.join(b, col("ak") === col("bk") && col("al") === col("bl"), "inner")
+        .select(col("ak"), col("al"), col("l_quantity"), col("l_extendedprice"))
+        .orderBy(col("ak"), col("al"))
+    }),
+
+    // string join keys — silently broken in the reference
+    // (join.rs:187-205); correct here.
+    "q28_join_stringkey" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val stats = docs.groupBy(col("lang").as("lang2"))
+        .agg(count(lit(1)).as("lang_docs"), avg(col("n_chars")).as("lang_avg_chars"))
+      docs.join(broadcast(stats), col("lang") === col("lang2"), "inner")
+        .filter(col("n_chars") > col("lang_avg_chars") * 1.5)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("lang_docs"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // theta/range join (a non-equi conjunct on top of the equi key) —
+    // "missing join kinds" in the reference, native in Spark.
+    "q29_join_theta" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate"))
+      Tables.lineitem(s, d)
+        .join(o, col("l_orderkey") === col("o_orderkey")
+          && col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 100 DAYS"), "inner")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_late"), round(sum(col("l_extendedprice")), 2).as("late_value"))
+        .orderBy(col("l_returnflag"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q20_join_inner" ->
+      """SELECT r_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q21_join_left" ->
+      """SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
+        |  round(coalesce(sum(o_totalprice), 0.0), 2) AS total_spent
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin,
+
+    "q22_join_right" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+        |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "q23_join_full" ->
+      """WITH big AS (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 400000.0),
+        |  auto AS (SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+        |SELECT o_custkey, c_custkey, c_name
+        |FROM big FULL OUTER JOIN auto ON o_custkey = c_custkey
+        |ORDER BY o_custkey ASC NULLS FIRST, c_custkey ASC NULLS FIRST""".stripMargin,
+
+    "q24_join_semi" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q25_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q26_join_cross" ->
+      """SELECT r_name, o_orderstatus
+        |FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)
+        |ORDER BY r_name, o_orderstatus""".stripMargin,
+
+    "q27_join_multikey" ->
+      """SELECT a.l_orderkey AS ak, a.l_linenumber AS al, a.l_quantity, b.l_extendedprice
+        |FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_linenumber = b.l_linenumber
+        |WHERE b.l_extendedprice > 30000.0
+        |ORDER BY ak, al""".stripMargin,
+
+    "q28_join_stringkey" ->
+      """WITH stats AS (SELECT lang AS lang2, count(*) AS lang_docs,
+        |    avg(n_chars) AS lang_avg_chars FROM documents GROUP BY lang)
+        |SELECT doc_id, lang, n_chars, lang_docs
+        |FROM documents JOIN stats ON lang = lang2
+        |WHERE n_chars > lang_avg_chars * 1.5
+        |ORDER BY doc_id""".stripMargin,
+
+    "q29_join_theta" ->
+      """SELECT l_returnflag, count(*) AS n_late,
+        |  round(sum(l_extendedprice), 2) AS late_value
+        |FROM lineitem JOIN orders
+        |  ON l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 100 DAY
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  )
+}

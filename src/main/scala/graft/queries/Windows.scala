@@ -1,0 +1,124 @@
+package graft.queries
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window functions (SURVEY.md §2.7) — the reference declares the whole
+  * catalogue with zero implementation (functions/window.rs:1-11,
+  * src/window.rs:8-22 "sticking close to what Spark does" — its spec IS
+  * Spark's spec). All ranking/offset/frame forms here, plus event-time
+  * tumbling windows (`window()`) which subsume the reference's absent
+  * time handling.
+  *
+  * Partition keys are chosen for scale: l_suppkey / user_id give
+  * |keys| ≫ |executors| so the window shuffle balances; nothing
+  * partitions on a constant.
+  */
+object Windows extends QueryModule {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ranking family: rank/dense_rank/percent_rank/cume_dist share an
+    // order with real ties (quantity); row_number/ntile need a total
+    // order to be deterministic.
+    "q45_window_rank" -> ((s, d) => {
+      val byQty = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_quantity").desc)
+      val total = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_quantity").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+      Tables.lineitem(s, d)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .withColumn("rnk", rank().over(byQty))
+        .withColumn("drnk", dense_rank().over(byQty))
+        .withColumn("prnk", round(percent_rank().over(byQty), 6))
+        .withColumn("cdist", round(cume_dist().over(byQty), 6))
+        .withColumn("rn", row_number().over(total))
+        .withColumn("tile", ntile(4).over(total))
+        .filter(col("rn") <= 5)
+        .orderBy(col("l_suppkey"), col("rn"))
+    }),
+
+    "q46_window_lag_lead" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .withColumn("prev_value", lag(col("value"), 1).over(w))
+        .withColumn("next_value", lead(col("value"), 1).over(w))
+        .withColumn("delta", col("value") - lag(col("value"), 1).over(w))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // running aggregates over a rows frame + a 30-day range frame
+    // (epoch-seconds ordering so Spark's long-offset rangeBetween and
+    // DuckDB's numeric RANGE agree exactly).
+    "q47_window_frames" -> ((s, d) => {
+      val rows = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val range = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("epoch_s"))
+        .rangeBetween(-30L * 86400, 0)
+      Tables.orders(s, d)
+        .withColumn("epoch_s", unix_timestamp(col("o_orderdate")))
+        .withColumn("running_total", round(sum(col("o_totalprice")).over(rows), 2))
+        .withColumn("running_n", count(lit(1)).over(rows))
+        .withColumn("n_last_30d", count(lit(1)).over(range))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("running_total"), col("running_n"), col("n_last_30d"))
+        .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+    }),
+
+    // event-time tumbling window (batch window(); epoch-aligned in both
+    // engines for day widths).
+    "q48_window_time" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("v"))
+        .select(col("window.start").as("wstart"), col("event_type"), col("n"), col("v"))
+        .orderBy(col("wstart"), col("event_type")))
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q45_window_rank" ->
+      """SELECT * FROM (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+        |    rank() OVER wq AS rnk,
+        |    dense_rank() OVER wq AS drnk,
+        |    round(percent_rank() OVER wq, 6) AS prnk,
+        |    round(cume_dist() OVER wq, 6) AS cdist,
+        |    row_number() OVER wt AS rn,
+        |    ntile(4) OVER wt AS tile
+        |  FROM lineitem
+        |  WINDOW wq AS (PARTITION BY l_suppkey ORDER BY l_quantity DESC),
+        |    wt AS (PARTITION BY l_suppkey
+        |           ORDER BY l_quantity DESC, l_orderkey ASC, l_linenumber ASC))
+        |WHERE rn <= 5 ORDER BY l_suppkey, rn""".stripMargin,
+
+    "q46_window_lag_lead" ->
+      """SELECT user_id, event_id, ts, value,
+        |  lag(value, 1) OVER w AS prev_value,
+        |  lead(value, 1) OVER w AS next_value,
+        |  value - lag(value, 1) OVER w AS delta
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q47_window_frames" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  round(sum(o_totalprice) OVER wr, 2) AS running_total,
+        |  count(*) OVER wr AS running_n,
+        |  count(*) OVER wg AS n_last_30d
+        |FROM orders
+        |WINDOW wr AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  wg AS (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+        |    RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+
+    "q48_window_time" ->
+      """SELECT time_bucket(INTERVAL '1 day', ts) AS wstart, event_type,
+        |  count(*) AS n, round(sum(value), 4) AS v
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  )
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf = "/root/testdata/sf0.001"
+}
+
+/** Catalog-wide smoke: every declared query runs on sf0.001 and each
+  * oracle key points at a real query. Exact values are pinned per-module
+  * in the dedicated specs; cross-engine equivalence is the driver's
+  * DuckDB gate (tools/oracle_check.py locally).
+  */
+class QueryCatalogSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracle keys are a subset of query keys") {
+    val unknown = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(unknown.isEmpty, s"oracle SQL without a query: $unknown")
+  }
+
+  for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+    test(s"$name runs and returns rows") {
+      val df = fn(spark, sf)
+      assert(df.columns.nonEmpty)
+      assert(df.count() >= 0)
+    }
+  }
+
+  test("flagship q01 pins known sf0.001 aggregate") {
+    val rows = SparkEntry.queries("q01_pricing_summary")(spark, sf).collect()
+    assert(rows.length === 6) // 3 returnflags × 2 linestatus
+    val total = rows.map(_.getAs[Long]("count_order")).sum
+    assert(total === 3225L, s"unexpected total filtered rows $total")
+  }
+}
