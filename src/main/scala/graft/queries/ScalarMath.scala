@@ -1,0 +1,183 @@
+package graft.queries
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Math / trig / bitwise / conditional scalar functions (SURVEY.md §2.9).
+  * Covers the reference's implemented set (functions/scalar.rs: add,
+  * subtract, divide, multiply, abs, trig family, cbrt, ceil, floor,
+  * degrees/radians, exp/expm1, log/log10/log2, hypot, round, sqrt,
+  * signum) and the declared-stub catalogue (factorial, greatest/least,
+  * when/coalesce/nanvl, bitwise/shift ops). Cot/sec/csc have no Spark
+  * builtin → compositions (expression.rs:661-673).
+  *
+  * Exact ops (abs/ceil/floor/arithmetic/bitwise) are emitted raw —
+  * bit-identical across engines. Transcendentals (libm differs in the
+  * last ulp between JVM and DuckDB) are rounded to 6 decimals on both
+  * sides. Everything is whole-stage-codegen-friendly: pure
+  * `functions._` columns, no UDFs.
+  */
+object ScalarMath extends QueryModule {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_math" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") + col("l_tax")).as("f_add"),
+          (col("l_extendedprice") - col("l_discount")).as("f_sub"),
+          (col("l_quantity") * col("l_discount")).as("f_mul"),
+          (col("l_extendedprice") / col("l_quantity")).as("f_div"),
+          abs(col("l_discount") - lit(0.05)).as("f_abs"),
+          ceil(col("l_extendedprice") / 100).as("f_ceil"),
+          floor(col("l_extendedprice") / 100).as("f_floor"),
+          sqrt(col("l_quantity")).as("f_sqrt"),
+          round(exp(col("l_discount")), 6).as("f_exp"),
+          round(expm1(col("l_discount")), 6).as("f_expm1"),
+          round(log(col("l_extendedprice")), 6).as("f_ln"),
+          round(log10(col("l_extendedprice")), 6).as("f_log10"),
+          round(log2(col("l_quantity")), 6).as("f_log2"),
+          round(log(2.0, col("l_quantity")), 6).as("f_logb"),
+          round(cbrt(col("l_quantity")), 6).as("f_cbrt"),
+          round(hypot(col("l_quantity"), col("l_linenumber")), 6).as("f_hypot"),
+          round(pow(col("l_quantity"), lit(1.5)), 6).as("f_pow"),
+          signum(col("l_discount") - lit(0.05)).as("f_sign"),
+          factorial(col("l_linenumber")).as("f_factorial"),
+          greatest(col("l_quantity"), col("l_linenumber") * 10).as("f_greatest"),
+          least(col("l_quantity"), col("l_linenumber") * 10).as("f_least"),
+          pmod(col("l_orderkey"), lit(7L)).as("f_pmod"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    "q51_trig" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .withColumn("x", col("l_discount") * 10) // 0..1
+        .withColumn("y", col("l_quantity") / 50) // 0.02..1
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          round(sin(col("x")), 6).as("f_sin"),
+          round(cos(col("x")), 6).as("f_cos"),
+          round(tan(col("x")), 6).as("f_tan"),
+          round(asin(col("y")), 6).as("f_asin"),
+          round(acos(col("y")), 6).as("f_acos"),
+          round(atan(col("x")), 6).as("f_atan"),
+          round(atan2(col("y"), col("x") + 1), 6).as("f_atan2"),
+          round(sinh(col("x")), 6).as("f_sinh"),
+          round(cosh(col("x")), 6).as("f_cosh"),
+          round(tanh(col("x")), 6).as("f_tanh"),
+          round(degrees(col("x")), 6).as("f_degrees"),
+          round(radians(col("l_quantity")), 6).as("f_radians"),
+          // cot/sec/csc: reference plan IR names with no Spark builtin —
+          // compositions (SURVEY.md §2.9).
+          round(lit(1.0) / tan(col("x") + 1), 6).as("f_cot"),
+          round(lit(1.0) / cos(col("x")), 6).as("f_sec"),
+          round(lit(1.0) / sin(col("x") + 1), 6).as("f_csc"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    "q57_conditional" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .withColumn("d_null", nullif(col("l_discount"), lit(0.0)))
+        .withColumn("d_nan",
+          when(col("l_discount") === 0.0, lit(Double.NaN)).otherwise(col("l_discount")))
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          when(col("l_quantity") > 25, "big").otherwise("small").as("c_when"),
+          coalesce(col("d_null"), col("l_tax"), lit(-1.0)).as("c_coalesce"),
+          col("d_null").isNull.as("c_isnull"),
+          col("d_null").isNotNull.as("c_isnotnull"),
+          isnan(col("d_nan")).as("c_isnan"),
+          nanvl(col("d_nan"), lit(-1.0)).as("c_nanvl"),
+          nvl(col("d_null"), lit(9.9)).as("c_nvl"),
+          nvl2(col("d_null"), lit("has"), lit("none")).as("c_nvl2"),
+          col("d_nan").as("c_nan_raw"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    "q59_bitwise" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          shiftleft(col("l_linenumber"), 2).as("b_shl"),
+          shiftright(col("l_orderkey"), 2).as("b_shr"),
+          shiftrightunsigned(col("l_orderkey"), 2).as("b_shru"),
+          bitwise_not(col("l_linenumber")).as("b_not"),
+          (col("l_orderkey").bitwiseAND(255)).as("b_and"),
+          (col("l_linenumber").bitwiseOR(8)).as("b_or"),
+          (col("l_orderkey").bitwiseXOR(col("l_linenumber"))).as("b_xor"),
+          bit_count(col("l_orderkey")).as("b_popcnt"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")))
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q50_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_extendedprice + l_tax AS f_add,
+        |  l_extendedprice - l_discount AS f_sub,
+        |  l_quantity * l_discount AS f_mul,
+        |  l_extendedprice / l_quantity AS f_div,
+        |  abs(l_discount - 0.05) AS f_abs,
+        |  ceil(l_extendedprice / 100) AS f_ceil,
+        |  floor(l_extendedprice / 100) AS f_floor,
+        |  sqrt(l_quantity) AS f_sqrt,
+        |  round(exp(l_discount), 6) AS f_exp,
+        |  round(exp(l_discount) - 1, 6) AS f_expm1,
+        |  round(ln(l_extendedprice), 6) AS f_ln,
+        |  round(log10(l_extendedprice), 6) AS f_log10,
+        |  round(log2(l_quantity), 6) AS f_log2,
+        |  round(log(2.0, l_quantity), 6) AS f_logb,
+        |  round(cbrt(l_quantity), 6) AS f_cbrt,
+        |  round(sqrt(l_quantity * l_quantity + l_linenumber * l_linenumber), 6) AS f_hypot,
+        |  round(pow(l_quantity, 1.5), 6) AS f_pow,
+        |  sign(l_discount - 0.05) AS f_sign,
+        |  CAST(factorial(l_linenumber) AS BIGINT) AS f_factorial,
+        |  greatest(l_quantity, l_linenumber * 10) AS f_greatest,
+        |  least(l_quantity, l_linenumber * 10) AS f_least,
+        |  l_orderkey % 7 AS f_pmod
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q51_trig" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(sin(x), 6) AS f_sin, round(cos(x), 6) AS f_cos,
+        |  round(tan(x), 6) AS f_tan,
+        |  round(asin(y), 6) AS f_asin, round(acos(y), 6) AS f_acos,
+        |  round(atan(x), 6) AS f_atan,
+        |  round(atan2(y, x + 1), 6) AS f_atan2,
+        |  round((exp(x) - exp(-x)) / 2, 6) AS f_sinh,
+        |  round((exp(x) + exp(-x)) / 2, 6) AS f_cosh,
+        |  round((exp(x) - exp(-x)) / (exp(x) + exp(-x)), 6) AS f_tanh,
+        |  round(degrees(x), 6) AS f_degrees,
+        |  round(radians(l_quantity), 6) AS f_radians,
+        |  round(1.0 / tan(x + 1), 6) AS f_cot,
+        |  round(1.0 / cos(x), 6) AS f_sec,
+        |  round(1.0 / sin(x + 1), 6) AS f_csc
+        |FROM (SELECT *, l_discount * 10 AS x, l_quantity / 50 AS y FROM lineitem)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q57_conditional" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_quantity > 25 THEN 'big' ELSE 'small' END AS c_when,
+        |  coalesce(d_null, l_tax, -1.0) AS c_coalesce,
+        |  d_null IS NULL AS c_isnull,
+        |  d_null IS NOT NULL AS c_isnotnull,
+        |  isnan(d_nan) AS c_isnan,
+        |  CASE WHEN isnan(d_nan) THEN -1.0 ELSE d_nan END AS c_nanvl,
+        |  ifnull(d_null, 9.9) AS c_nvl,
+        |  CASE WHEN d_null IS NOT NULL THEN 'has' ELSE 'none' END AS c_nvl2,
+        |  d_nan AS c_nan_raw
+        |FROM (SELECT *, nullif(l_discount, 0.0) AS d_null,
+        |  CASE WHEN l_discount = 0.0 THEN 'nan'::DOUBLE ELSE l_discount END AS d_nan
+        |  FROM lineitem)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q59_bitwise" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_linenumber << 2 AS b_shl,
+        |  l_orderkey >> 2 AS b_shr,
+        |  l_orderkey >> 2 AS b_shru,
+        |  ~l_linenumber AS b_not,
+        |  l_orderkey & 255 AS b_and,
+        |  l_linenumber | 8 AS b_or,
+        |  xor(l_orderkey, l_linenumber) AS b_xor,
+        |  bit_count(l_orderkey) AS b_popcnt
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+  )
+}

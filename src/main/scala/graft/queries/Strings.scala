@@ -1,0 +1,176 @@
+package graft.queries
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+
+/** String / regex / hash / encode / JSON scalar functions (SURVEY.md §2.9).
+  * Reference-implemented: lower, ltrim, rtrim, trim, upper, substring
+  * (0-based there, 1-based here — we pin Spark semantics per §7.3).
+  * Declared stubs covered: concat, concat_ws, initcap, instr/locate,
+  * lpad/rpad, repeat, reverse, translate, replace, levenshtein,
+  * substring_index, split, regexp_extract, regexp_replace, md5, sha1,
+  * sha2, crc32, hash, base64/unbase64, hex/unhex, get_json_object,
+  * from_json, to_json, soundex, format_number.
+  *
+  * Murmur3 hash / xxhash64 / crc32 / sha1 / soundex / format_number have
+  * no DuckDB equivalent → grouped in q56 (rows-only check); everything
+  * else is oracle-verified.
+  */
+object Strings extends QueryModule {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q52_string" -> ((s, d) =>
+      Tables.part(s, d)
+        .withColumn("padded", concat(lit("  "), col("p_name"), lit("  ")))
+        .select(
+          col("p_partkey"),
+          upper(col("p_name")).as("s_upper"),
+          lower(col("p_type")).as("s_lower"),
+          trim(col("padded")).as("s_trim"),
+          ltrim(col("padded")).as("s_ltrim"),
+          rtrim(col("padded")).as("s_rtrim"),
+          trim(col("p_brand"), "Brand#").as("s_trimchars"),
+          substring(col("p_name"), 2, 3).as("s_substr"),
+          length(col("p_name")).as("s_len"),
+          concat(col("p_brand"), lit(":"), col("p_name")).as("s_concat"),
+          concat_ws("-", col("p_brand"), col("p_type"), col("p_name")).as("s_concat_ws"),
+          lpad(col("p_brand"), 12, "*").as("s_lpad"),
+          rpad(col("p_brand"), 12, "*").as("s_rpad"),
+          reverse(col("p_name")).as("s_reverse"),
+          repeat(col("p_brand"), 2).as("s_repeat"),
+          translate(col("p_name"), "aeiou", "AEIOU").as("s_translate"),
+          regexp_replace(col("p_name"), lit("widget"), lit("gadget")).as("s_replace"),
+          instr(col("p_name"), "widget").as("s_instr"),
+          substring(col("p_name"), 1, 4).as("s_left"),
+          substring(col("p_name"), -4, 4).as("s_right"),
+          ascii(col("p_name")).as("s_ascii"),
+          chr(ascii(col("p_name")) + 1).as("s_chr"),
+          initcap(col("p_name")).as("s_initcap"),
+          substring_index(col("p_name"), " ", 1).as("s_substr_idx"),
+          levenshtein(col("p_brand"), lit("Brand#13")).as("s_leven"),
+          col("p_name").startsWith("cold").as("s_starts"),
+          col("p_name").endsWith("bolt").as("s_ends"),
+          col("p_name").contains("wid").as("s_contains"))
+        .orderBy(col("p_partkey"))),
+
+    "q53_regex" -> ((s, d) =>
+      Tables.part(s, d)
+        .select(
+          col("p_partkey"),
+          regexp_extract(col("p_name"), "([a-z]+) ([a-z]+)", 2).as("r_extract"),
+          regexp_extract(col("p_brand"), "(\\d+)", 1).as("r_digits"),
+          regexp_replace(col("p_name"), "[aeiou]", "_").as("r_replace"),
+          col("p_name").rlike("^[cs]").as("r_rlike"),
+          regexp_extract_all(col("p_brand"), lit("\\d"), lit(0)).as("r_all"),
+          split(col("p_name"), " ").as("r_split"),
+          split(col("p_brand"), "#").getItem(1).as("r_split_item"))
+        .orderBy(col("p_partkey"))),
+
+    "q55_hash_encode" -> ((s, d) =>
+      Tables.customer(s, d)
+        .select(
+          col("c_custkey"),
+          md5(col("c_name").cast("binary")).as("h_md5"),
+          sha2(col("c_name").cast("binary"), 256).as("h_sha256"),
+          hex(col("c_name")).as("h_hex"),
+          unhex(hex(col("c_name"))).cast("string").as("h_unhex_rt"),
+          base64(col("c_name").cast("binary")).as("h_b64"),
+          unbase64(base64(col("c_name").cast("binary"))).cast("string").as("h_b64_rt"),
+          bin(col("c_custkey")).as("h_bin"))
+        .orderBy(col("c_custkey"))),
+
+    // Spark-specific digests/formatters with no DuckDB twin — rows-only.
+    "q56_hash_sketch" -> ((s, d) =>
+      Tables.customer(s, d)
+        .select(
+          col("c_custkey"),
+          hash(col("c_name")).as("h_murmur3"),
+          xxhash64(col("c_name")).as("h_xx64"),
+          crc32(col("c_name").cast("binary")).as("h_crc32"),
+          sha1(col("c_name").cast("binary")).as("h_sha1"),
+          soundex(col("c_mktsegment")).as("h_soundex"),
+          format_number(col("c_acctbal"), 2).as("h_fmtnum"),
+          format_string("cust-%d:%s", col("c_custkey"), col("c_mktsegment")).as("h_fmtstr"))
+        .orderBy(col("c_custkey"))),
+
+    "q58_json" -> ((s, d) => {
+      val schema = StructType(Seq(StructField("k", IntegerType)))
+      Tables.events(s, d)
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("j_k"),
+          from_json(col("props"), schema).getField("k").as("j_k2"),
+          to_json(struct(col("event_id").as("id"))).as("j_obj"),
+          isnotnull(get_json_object(col("props"), "$.missing")).as("j_missing"))
+        .orderBy(col("event_id"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q52_string" ->
+      """SELECT p_partkey,
+        |  upper(p_name) AS s_upper,
+        |  lower(p_type) AS s_lower,
+        |  trim(padded) AS s_trim,
+        |  ltrim(padded) AS s_ltrim,
+        |  rtrim(padded) AS s_rtrim,
+        |  trim(p_brand, 'Brand#') AS s_trimchars,
+        |  substring(p_name, 2, 3) AS s_substr,
+        |  length(p_name) AS s_len,
+        |  p_brand || ':' || p_name AS s_concat,
+        |  concat_ws('-', p_brand, p_type, p_name) AS s_concat_ws,
+        |  lpad(p_brand, 12, '*') AS s_lpad,
+        |  rpad(p_brand, 12, '*') AS s_rpad,
+        |  reverse(p_name) AS s_reverse,
+        |  repeat(p_brand, 2) AS s_repeat,
+        |  translate(p_name, 'aeiou', 'AEIOU') AS s_translate,
+        |  regexp_replace(p_name, 'widget', 'gadget', 'g') AS s_replace,
+        |  strpos(p_name, 'widget') AS s_instr,
+        |  p_name[1:4] AS s_left,
+        |  CASE WHEN length(p_name) >= 4
+        |    THEN p_name[-4:] ELSE p_name END AS s_right,
+        |  ascii(p_name) AS s_ascii,
+        |  chr(ascii(p_name) + 1) AS s_chr,
+        |  array_to_string(list_transform(str_split(p_name, ' '),
+        |    w -> upper(w[1:1]) || w[2:]), ' ') AS s_initcap,
+        |  split_part(p_name, ' ', 1) AS s_substr_idx,
+        |  levenshtein(p_brand, 'Brand#13') AS s_leven,
+        |  starts_with(p_name, 'cold') AS s_starts,
+        |  ends_with(p_name, 'bolt') AS s_ends,
+        |  contains(p_name, 'wid') AS s_contains
+        |FROM (SELECT *, '  ' || p_name || '  ' AS padded FROM part)
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q53_regex" ->
+      """SELECT p_partkey,
+        |  regexp_extract(p_name, '([a-z]+) ([a-z]+)', 2) AS r_extract,
+        |  regexp_extract(p_brand, '(\d+)', 1) AS r_digits,
+        |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS r_replace,
+        |  regexp_matches(p_name, '^[cs]') AS r_rlike,
+        |  regexp_extract_all(p_brand, '\d') AS r_all,
+        |  str_split(p_name, ' ') AS r_split,
+        |  split_part(p_brand, '#', 2) AS r_split_item
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q55_hash_encode" ->
+      """SELECT c_custkey,
+        |  md5(c_name) AS h_md5,
+        |  sha256(c_name) AS h_sha256,
+        |  hex(c_name) AS h_hex,
+        |  decode(unhex(hex(c_name))) AS h_unhex_rt,
+        |  to_base64(encode(c_name)) AS h_b64,
+        |  decode(from_base64(to_base64(encode(c_name)))) AS h_b64_rt,
+        |  bin(c_custkey) AS h_bin
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q58_json" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS j_k,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS j_k2,
+        |  to_json({'id': event_id}) AS j_obj,
+        |  json_extract_string(props, '$.missing') IS NOT NULL AS j_missing
+        |FROM events ORDER BY event_id""".stripMargin
+  )
+}
