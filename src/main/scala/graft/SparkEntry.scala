@@ -15,7 +15,9 @@ object SparkEntry {
     q.Relational,
     q.Joins,
     q.Aggregates,
-    q.Windows)
+    q.Windows,
+    q.ScalarMath,
+    q.Strings)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -25,14 +25,16 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark rejects by default
-    * ([PARQUET_TYPE_ILLEGAL]). Read nanos as long, then convert with exact
-    * integer division (ns epoch exceeds 2^53, so `/` via double would lose
-    * microseconds).
+    * ([PARQUET_TYPE_ILLEGAL]). Sessions must set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` at build time (see
+    * [[Session.builder]]) — the loader no longer mutates shared conf. The
+    * long nanos are converted with exact integer division (ns epoch
+    * exceeds 2^53, so `/` via double would lose microseconds); DuckDB
+    * reads the same column as µs TIMESTAMP, so both engines compare at
+    * identical precision.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(s: SparkSession, d: String): DataFrame =
     apply(s, d, "events").withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-  }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 }

@@ -40,11 +40,14 @@ object Aggregates extends QueryModule {
           round(sum_distinct(col("l_quantity")), 2).as("sumd_qty"))
         .orderBy(col("l_returnflag"))),
 
-    // first/last by explicit order — deterministic: ordkey is unique.
+    // first/last by explicit order — deterministic: ordkey is unique and
+    // exact-integer on both engines (epoch seconds ≤ ~9e8, orderkey < 1e9
+    // ⇒ key < 9.3e17 < Long.MaxValue; the oracle casts epoch() to BIGINT
+    // before multiplying so DuckDB never rounds in DOUBLE).
     "q32_agg_first_last" -> ((s, d) =>
       Tables.orders(s, d)
         .withColumn("ordkey",
-          unix_timestamp(col("o_orderdate")) * lit(10000000L) + col("o_orderkey"))
+          unix_timestamp(col("o_orderdate")) * lit(1000000000L) + col("o_orderkey"))
         .groupBy(col("o_orderstatus"))
         .agg(
           min_by(col("o_totalprice"), col("ordkey")).as("first_price"),
@@ -102,14 +105,15 @@ object Aggregates extends QueryModule {
         .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
         .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)),
 
-    "q38_grouping_sets" -> ((s, d) => {
-      Tables.orders(s, d).createOrReplaceTempView("gs_orders")
-      s.sql(
-        """SELECT o_orderstatus, o_orderpriority, count(1) AS n
-          |FROM gs_orders
-          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-          |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
-    }),
+    // native Dataset.groupingSets (Spark 4) — no temp view leaked into
+    // the shared session.
+    "q38_grouping_sets" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq.empty),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)),
 
     // sketches: HyperLogLog distinct + approximate percentiles — no
     // bit-exact oracle exists (rows-only check); exact quantiles are
@@ -150,8 +154,8 @@ object Aggregates extends QueryModule {
 
     "q32_agg_first_last" ->
       """SELECT o_orderstatus,
-        |  arg_min(o_totalprice, epoch(o_orderdate) * 10000000 + o_orderkey) AS first_price,
-        |  arg_max(o_totalprice, epoch(o_orderdate) * 10000000 + o_orderkey) AS last_price,
+        |  arg_min(o_totalprice, CAST(epoch(o_orderdate) AS BIGINT) * 1000000000 + o_orderkey) AS first_price,
+        |  arg_max(o_totalprice, CAST(epoch(o_orderdate) AS BIGINT) * 1000000000 + o_orderkey) AS last_price,
         |  min(o_orderdate) AS first_date, max(o_orderdate) AS last_date
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 

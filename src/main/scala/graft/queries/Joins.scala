@@ -33,22 +33,30 @@ object Joins extends QueryModule {
         .orderBy(col("r_name"))
     }),
 
-    // left outer: every customer, with/without orders; null-safe counts.
+    // left outer: every customer, with/without orders. Scale shape:
+    // pre-aggregate the fact by key FIRST (map-side partial agg shrinks
+    // the shuffle to |distinct custkeys|), then left-join the per-key
+    // rollup to customer — at 100 TB the orders side never broadcasts
+    // and must not be shuffled row-by-row through the join.
     "q21_join_left" -> ((s, d) => {
-      val o = Tables.orders(s, d)
+      val perCust = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(count(col("o_orderkey")).as("o_n"), sum(col("o_totalprice")).as("o_sum"))
       Tables.customer(s, d)
-        .join(o, col("c_custkey") === col("o_custkey"), "left")
-        .groupBy(col("c_custkey"), col("c_name"))
-        .agg(count(col("o_orderkey")).as("n_orders"),
-          round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("total_spent"))
+        .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"), col("c_name"),
+          coalesce(col("o_n"), lit(0L)).as("n_orders"),
+          round(coalesce(col("o_sum"), lit(0.0)), 2).as("total_spent"))
         .orderBy(col("c_custkey"))
     }),
 
+    // right outer, same aggregate-then-join shape as q21.
     "q22_join_right" -> ((s, d) => {
-      val o = Tables.orders(s, d)
-      o.join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"), "right")
-        .groupBy(col("c_custkey"))
-        .agg(count(col("o_orderkey")).as("n_orders"))
+      val perCust = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(count(col("o_orderkey")).as("o_n"))
+      perCust.join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"), "right")
+        .select(col("c_custkey"), coalesce(col("o_n"), lit(0L)).as("n_orders"))
         .orderBy(col("c_custkey"))
     }),
 
@@ -102,13 +110,15 @@ object Joins extends QueryModule {
     }),
 
     // string join keys — silently broken in the reference
-    // (join.rs:187-205); correct here.
+    // (join.rs:187-205); correct here. "n_chars > 1.5·avg" is evaluated in
+    // exact BIGINT arithmetic (2·n·count > 3·sum) so float summation-order
+    // ulp noise can never flip a boundary row between engines.
     "q28_join_stringkey" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val stats = docs.groupBy(col("lang").as("lang2"))
-        .agg(count(lit(1)).as("lang_docs"), avg(col("n_chars")).as("lang_avg_chars"))
+        .agg(count(lit(1)).as("lang_docs"), sum(col("n_chars")).as("lang_sum_chars"))
       docs.join(broadcast(stats), col("lang") === col("lang2"), "inner")
-        .filter(col("n_chars") > col("lang_avg_chars") * 1.5)
+        .filter(col("n_chars") * col("lang_docs") * 2 > col("lang_sum_chars") * 3)
         .select(col("doc_id"), col("lang"), col("n_chars"), col("lang_docs"))
         .orderBy(col("doc_id"))
     }),
@@ -178,10 +188,10 @@ object Joins extends QueryModule {
 
     "q28_join_stringkey" ->
       """WITH stats AS (SELECT lang AS lang2, count(*) AS lang_docs,
-        |    avg(n_chars) AS lang_avg_chars FROM documents GROUP BY lang)
+        |    sum(n_chars) AS lang_sum_chars FROM documents GROUP BY lang)
         |SELECT doc_id, lang, n_chars, lang_docs
         |FROM documents JOIN stats ON lang = lang2
-        |WHERE n_chars > lang_avg_chars * 1.5
+        |WHERE n_chars * lang_docs * 2 > lang_sum_chars * 3
         |ORDER BY doc_id""".stripMargin,
 
     "q29_join_theta" ->

@@ -88,8 +88,7 @@ object ScalarMath extends QueryModule {
           isnan(col("d_nan")).as("c_isnan"),
           nanvl(col("d_nan"), lit(-1.0)).as("c_nanvl"),
           nvl(col("d_null"), lit(9.9)).as("c_nvl"),
-          nvl2(col("d_null"), lit("has"), lit("none")).as("c_nvl2"),
-          col("d_nan").as("c_nan_raw"))
+          nvl2(col("d_null"), lit("has"), lit("none")).as("c_nvl2"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))),
 
     "q59_bitwise" -> ((s, d) =>
@@ -161,8 +160,7 @@ object ScalarMath extends QueryModule {
         |  isnan(d_nan) AS c_isnan,
         |  CASE WHEN isnan(d_nan) THEN -1.0 ELSE d_nan END AS c_nanvl,
         |  ifnull(d_null, 9.9) AS c_nvl,
-        |  CASE WHEN d_null IS NOT NULL THEN 'has' ELSE 'none' END AS c_nvl2,
-        |  d_nan AS c_nan_raw
+        |  CASE WHEN d_null IS NOT NULL THEN 'has' ELSE 'none' END AS c_nvl2
         |FROM (SELECT *, nullif(l_discount, 0.0) AS d_null,
         |  CASE WHEN l_discount = 0.0 THEN 'nan'::DOUBLE ELSE l_discount END AS d_nan
         |  FROM lineitem)
