@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.{queries => q}
+import graft.{ops => o}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Queries are contributed by the modules under graft.queries (relational
@@ -17,7 +18,11 @@ object SparkEntry {
     q.Aggregates,
     q.Windows,
     q.ScalarMath,
-    q.Strings)
+    q.Strings,
+    o.Dedup,
+    o.Similarity,
+    o.TextAnalysis,
+    o.Multimodal)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,208 @@
+package graft.ops
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines (builder brief
+  * "north star"; absent from the reference, which has no text ops at all —
+  * its closest surface is the scalar string kernels, scalar.rs:150-199).
+  *
+  * Scale design — nothing here is O(n²) over the corpus:
+  *   - exact dedup shuffles once on the content hash (map-side partial
+  *     count), never compares texts pairwise;
+  *   - MinHash/LSH generates candidates only within (band_id, band_hash)
+  *     buckets — expected bucket size is tiny and AQE skew-split handles
+  *     pathological buckets; the exact-Jaccard verify touches candidate
+  *     pairs only;
+  *   - the n-gram variant blocks on (lang, length-bucket ±1) before any
+  *     pairwise work;
+  *   - SimHash blocks on exact 16-bit signature chunks (pigeonhole: any
+  *     pair with Hamming distance ≤ 3 shares at least one of 4 chunks).
+  */
+object Dedup extends QueryModule {
+
+  /** MinHash parameters: 16 permutations in 4 bands of 4 rows. For
+    * Jaccard 0.95 the band-collision probability is 1-(1-0.95⁴)⁴ ≈ 0.999;
+    * at 0.5 it is ≈ 0.23 — survivors are re-checked with exact Jaccard,
+    * so false candidates cost time, never correctness.
+    */
+  private val NumPerm = 16
+  private val Bands = 4
+  private val Rows = NumPerm / Bands
+
+  /** doc_id + distinct 3-word shingle set (docs with ≥ 3 words). */
+  private def shingled(s: SparkSession, d: String): DataFrame = {
+    val w = Text.words(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"), w.as("words"))
+      .filter(size(col("words")) >= 3)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        Text.shingles3(col("words")).as("sh"))
+  }
+
+  /** 16-slot MinHash signature: sig[j] = min over shingles of
+    * xxhash64(shingle, j) — the seed column makes 16 independent hash
+    * families from one codegen'd hash function.
+    */
+  private def signature(sh: Column): Column =
+    array((0 until NumPerm).map { j =>
+      array_min(transform(sh, x => xxhash64(x, lit(j))))
+    }: _*)
+
+  /** Exact-Jaccard verification of candidate id pairs: joins the shingle
+    * sets back (shuffle on doc_id, candidate-sized input) and keeps pairs
+    * with Jaccard ≥ minJaccardPct/100, tested in exact integer arithmetic.
+    */
+  private def verifyPairs(cand: DataFrame, sh: DataFrame,
+                          minJaccardPct: Int): DataFrame = {
+    val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val (inter, uni) = Text.jaccardParts(col("sh_a"), col("sh_b"))
+    cand.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("inter", inter)
+      .withColumn("uni", uni)
+      .filter(col("inter") * 100 >= col("uni") * minJaccardPct)
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") / col("uni")).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact dedup: normalize → sha256 → keep lowest doc_id per hash.
+    // One shuffle on the 32-byte hash; count/row_number share the window.
+    "q60_dedup_exact" -> ((s, d) => {
+      val h = Window.partitionBy(col("content_hash"))
+      Tables.documents(s, d)
+        .withColumn("content_hash", sha2(Text.norm(col("text")).cast("binary"), 256))
+        .withColumn("rn", row_number().over(h.orderBy(col("doc_id"))))
+        .withColumn("n_copies", count(lit(1)).over(h))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("content_hash"), col("n_copies"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // MinHash + LSH near-dup pairs, exact-Jaccard-verified at ≥ 0.8.
+    // The oracle is the exact ≥ 0.8 pair set (O(n²) only in DuckDB at
+    // sf0.01): a green row proves the LSH stage had 100% recall on this
+    // corpus — the data's planted near-dups sit at J ≥ 0.95 where band
+    // recall is ≈ 0.999.
+    "q61_dedup_minhash" -> ((s, d) => {
+      val sh = shingled(s, d)
+      val sig = sh.select(col("doc_id"), signature(col("sh")).as("sig"))
+      val bands = sig.select(col("doc_id"), posexplode(
+        array((0 until Bands).map { bnd =>
+          xxhash64(slice(col("sig"), bnd * Rows + 1, Rows))
+        }: _*)).as(Seq("band_id", "band_hash")))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band_id") === col("y.band_id") &&
+            col("x.band_hash") === col("y.band_hash") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      verifyPairs(cand, sh.select(col("doc_id"), col("sh")), 80)
+    }),
+
+    // exact n-gram Jaccard near-dup with deterministic blocking: a pair
+    // is compared iff same lang and length buckets within ±1 (each doc
+    // emits bucket k and k+1 — two docs share a key iff |ka-kb| ≤ 1).
+    "q62_dedup_ngram" -> ((s, d) => {
+      val sh = shingled(s, d)
+      val keyed = sh.select(col("doc_id"), col("lang"),
+          explode(array((col("n_chars") / 256).cast("long"),
+            (col("n_chars") / 256).cast("long") + 1)).as("bkt"))
+      val cand = keyed.as("x").join(keyed.as("y"),
+          col("x.lang") === col("y.lang") && col("x.bkt") === col("y.bkt") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      verifyPairs(cand, sh.select(col("doc_id"), col("sh")), 50)
+    }),
+
+    // SimHash: 64-bit bit-majority signature over per-word hashes,
+    // computed per-row with higher-order aggregates (no shuffle), then
+    // near-dup pairs via 16-bit chunk blocking + Hamming ≤ 3.
+    // xxhash64 has no DuckDB twin → rows-only; properties pinned in
+    // DedupSpec.
+    "q63_dedup_simhash" -> ((s, d) => {
+      val sim = simhashed(s, d)
+      val chunks = sim.select(col("doc_id"), col("simhash"), posexplode(
+        array((0 until 4).map { c =>
+          shiftrightunsigned(col("simhash"), 16 * c).bitwiseAND(lit(0xFFFFL))
+        }: _*)).as(Seq("chunk_id", "chunk_val")))
+      chunks.as("x").join(chunks.as("y"),
+          col("x.chunk_id") === col("y.chunk_id") &&
+            col("x.chunk_val") === col("y.chunk_val") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 3)
+        .orderBy(col("doc_a"), col("doc_b"))
+    })
+  )
+
+  /** doc_id + 64-bit SimHash. Exposed for DedupSpec. */
+  def simhashed(s: SparkSession, d: String): DataFrame = {
+    val wh = transform(array_distinct(Text.words(col("text"))), w => xxhash64(w))
+    val bits = (0 until 64).map { i =>
+      val tally = aggregate(col("wh"), lit(0L), (acc, h) =>
+        acc + when(shiftrightunsigned(h, i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+      when(tally > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    Tables.documents(s, d)
+      .select(col("doc_id"), wh.as("wh"))
+      .select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
+  }
+
+  // DuckDB twins. Shared normalization SQL for the shingle CTE.
+  private val shingleCte =
+    """WITH w AS (SELECT doc_id, lang, n_chars,
+      |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS words
+      |  FROM documents),
+      |s AS (SELECT doc_id, lang, n_chars,
+      |    list_distinct(list_transform(range(1, len(words) - 1),
+      |      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh
+      |  FROM w WHERE len(words) >= 3)""".stripMargin
+
+  def oracle: Map[String, String] = Map(
+    "q60_dedup_exact" ->
+      """SELECT doc_id, lang, n_chars, content_hash, n_copies FROM (
+        |  SELECT doc_id, lang, n_chars, content_hash,
+        |    row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY content_hash) AS n_copies
+        |  FROM (SELECT doc_id, lang, n_chars,
+        |    sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash
+        |    FROM documents))
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // exact ≥0.8-Jaccard pair set — O(n²) is fine for the oracle engine
+    // at sf0.01; the Spark side must reproduce it through LSH.
+    "q61_dedup_minhash" -> (shingleCte +
+      """
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  len(list_intersect(a.sh, b.sh)) * 1.0
+        |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.sh, b.sh)) * 100
+        |  >= (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 80
+        |ORDER BY doc_a, doc_b""".stripMargin),
+
+    "q62_dedup_ngram" -> (shingleCte +
+      """,
+        |k AS (SELECT doc_id, lang, n_chars // 256 AS bkt FROM s
+        |  UNION ALL SELECT doc_id, lang, n_chars // 256 + 1 AS bkt FROM s),
+        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM k x JOIN k y ON x.lang = y.lang AND x.bkt = y.bkt
+        |    AND x.doc_id < y.doc_id)
+        |SELECT doc_a, doc_b,
+        |  len(list_intersect(a.sh, b.sh)) * 1.0
+        |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+        |FROM cand JOIN s a ON doc_a = a.doc_id JOIN s b ON doc_b = b.doc_id
+        |WHERE len(list_intersect(a.sh, b.sh)) * 100
+        |  >= (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 50
+        |ORDER BY doc_a, doc_b""".stripMargin)
+  )
+}

@@ -1,0 +1,133 @@
+package graft.ops
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the embeddings table (vec_id, embedding
+  * FLOAT[64], label) — builder-brief "north star"; no counterpart in the
+  * reference (its only array surface is functions/array.rs, no vector
+  * math).
+  *
+  * Numeric determinism: both engines cast FLOAT[] → DOUBLE[] (exact) and
+  * fold products left-to-right — Spark `aggregate(zip_with(...))` and
+  * DuckDB `list_dot_product` are both sequential left-assoc sums
+  * (verified bit-exact over all sf0.01 pairs), so cosine values compare
+  * bit-for-bit with no rounding and ranking can never diverge.
+  *
+  * Scale: the query set is the small side — broadcast it; the corpus is
+  * scanned once with no shuffle before the per-query top-k. The ANN
+  * variant replaces the corpus scan per query with LSH-bucketed candidate
+  * lookup (4 hash tables × 4 hyperplane bits), the standard
+  * recall/latency trade; at 100 TB bucket keys become the partition
+  * layout so a query touches only its buckets.
+  */
+object Similarity extends QueryModule {
+
+  private val TopK = 10
+  private val NumQueries = 5
+
+  /** Left-assoc sequential dot product of two DOUBLE arrays. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  private def dvec(c: Column): Column = c.cast("array<double>")
+
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Corpus × broadcast(queries) scored pairs (self-match excluded). */
+  private def scored(s: SparkSession, d: String): DataFrame = {
+    val corpus = Tables.embeddings(s, d)
+      .select(col("vec_id"), dvec(col("embedding")).as("emb"))
+    val queries = corpus.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
+    corpus.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("emb"), col("q_emb")).as("cos_sim"))
+  }
+
+  /** ANN parameters: `NumTables` hash tables × `Bits` hyperplane sign
+    * bits. Hyperplane component r(t,p,i) = ±1 from xxhash64(i, t*Bits+p)
+    * — fully deterministic, no stored model. 8×3 favors recall (a vector
+    * pair at angle θ collides in a table with (1-θ/π)³, across 8 tables
+    * ≈ certain for same-cluster pairs); candidate cost is bounded by the
+    * exact re-rank touching only bucket-mates.
+    */
+  private val NumTables = 8
+  private val Bits = 3
+
+  /** Bucket id of a vector in hash table t: Bits sign-bits packed. */
+  private def bucket(emb: Column, t: Int): Column =
+    (0 until Bits).map { p =>
+      val proj = aggregate(
+        zip_with(emb, sequence(lit(0), lit(63)), (x, i) =>
+          x * when(xxhash64(i, lit(t * Bits + p)).bitwiseAND(lit(1L)) === 1L, 1.0)
+            .otherwise(-1.0)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact brute-force cosine top-k: the correctness baseline every ANN
+    // variant is measured against.
+    "q70_cosine_topk" -> ((s, d) => {
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      scored(s, d)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TopK)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          col("rank"), col("cos_sim"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // LSH-bucketed ANN top-k: candidates = vectors sharing any of the 4
+    // table buckets with the query; exact cosine re-ranks candidates.
+    // xxhash64-derived hyperplanes have no DuckDB twin → rows-only;
+    // recall vs q70 is asserted in SimilaritySpec.
+    "q71_ann_lsh" -> ((s, d) => {
+      val corpus = Tables.embeddings(s, d)
+        .select(col("vec_id"), dvec(col("embedding")).as("emb"))
+      val bucketed = corpus.select(col("vec_id"), col("emb"), posexplode(
+        array((0 until NumTables).map(t => bucket(col("emb"), t)): _*))
+        .as(Seq("table_id", "bucket_id")))
+      val qb = bucketed.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
+          col("table_id"), col("bucket_id"))
+      val cand = bucketed.join(broadcast(qb), Seq("table_id", "bucket_id"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"), col("emb"), col("q_emb"))
+        .dropDuplicates("query_id", "vec_id")
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      cand.select(col("query_id"), col("vec_id"),
+          cosine(col("emb"), col("q_emb")).as("cos_sim"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TopK)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          col("rank"), col("cos_sim"))
+        .orderBy(col("query_id"), col("rank"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q70_cosine_topk" ->
+      """WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, emb AS q_emb FROM t WHERE vec_id < 5),
+        |scored AS (SELECT query_id, vec_id,
+        |    list_dot_product(emb, q_emb)
+        |      / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(q_emb, q_emb)))
+        |      AS cos_sim
+        |  FROM t CROSS JOIN q WHERE vec_id <> query_id),
+        |ranked AS (SELECT query_id, vec_id, cos_sim,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos_sim DESC, vec_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, vec_id AS neighbor_id, rank, cos_sim
+        |FROM ranked WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin
+  )
+}

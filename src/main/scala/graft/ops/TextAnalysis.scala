@@ -1,0 +1,162 @@
+package graft.ops
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (builder brief):
+  * token statistics, quality signals, n-gram-heuristic language ID, and
+  * document fingerprinting. All per-row expressions (zero shuffles before
+  * the final orderBy) and all exact-integer arithmetic until the last
+  * division, so every query is bit-exact against its DuckDB oracle.
+  */
+object TextAnalysis extends QueryModule {
+
+  /** Tiny per-language stopword profiles for the ID heuristic. Real
+    * pipelines use char-n-gram models; the operator shape (N profile
+    * scores → argmax with deterministic tie-break) is identical.
+    */
+  private val profiles = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "nicht", "ist", "ein"),
+    "es" -> Seq("el", "los", "las", "y", "que", "una", "por"),
+    "fr" -> Seq("le", "les", "et", "des", "une", "dans", "pour"))
+
+  private def inList(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // token counting + lexical stats: whitespace tokens, a BPE-ish regex
+    // token count (letters|digits|single other-char), type/token ratio.
+    "q64_token_stats" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("wrds", Text.words(col("text")))
+        .select(
+          col("doc_id"), col("lang"),
+          size(col("wrds")).cast("long").as("n_words"),
+          size(array_distinct(col("wrds"))).cast("long").as("n_distinct"),
+          (size(array_distinct(col("wrds"))).cast("double") / size(col("wrds")))
+            .as("ttr"),
+          aggregate(col("wrds"), lit(0L), (acc, w) => acc + length(w))
+            .as("word_chars"),
+          (aggregate(col("wrds"), lit(0L), (acc, w) => acc + length(w))
+            .cast("double") / size(col("wrds"))).as("avg_word_len"),
+          size(regexp_extract_all(col("text"),
+            lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+            .cast("long").as("n_tokens_re"))
+        .orderBy(col("doc_id"))),
+
+    // quality signals: stopword/digit/space ratios + a keep/drop flag
+    // decided in exact integer cross-multiplication (5·distinct ≥ words
+    // ⟺ TTR ≥ 0.2).
+    "q65_quality" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("wrds", Text.words(col("text")))
+        .withColumn("n_words", size(col("wrds")).cast("long"))
+        .withColumn("stop_hits",
+          expr(s"CAST(size(filter(wrds, w -> w IN ${inList(profiles.head._2)})) AS LONG)"))
+        .withColumn("digit_chars",
+          size(regexp_extract_all(col("text"), lit("[0-9]"), lit(0))).cast("long"))
+        .withColumn("space_chars",
+          size(regexp_extract_all(col("text"), lit(" "), lit(0))).cast("long"))
+        .select(
+          col("doc_id"), col("n_words"), col("stop_hits"),
+          (col("stop_hits").cast("double") / col("n_words")).as("stop_ratio"),
+          col("digit_chars"), col("space_chars"),
+          (col("n_words") >= 10 && col("n_words") <= 2000 &&
+            size(array_distinct(col("wrds"))).cast("long") * 5 >= col("n_words"))
+            .as("quality_ok"))
+        .orderBy(col("doc_id"))),
+
+    // language ID: stopword-profile hit counts → argmax with a fixed
+    // tie-break order (en > de > es > fr > und).
+    "q66_langid" -> ((s, d) => {
+      val hits = profiles.map { case (l, ws) =>
+        l -> expr(s"CAST(size(filter(wrds, w -> w IN ${inList(ws)})) AS LONG)")
+      }
+      val Seq(en, de, es, fr) = hits.map(_._2)
+      val best = greatest(en, de, es, fr)
+      Tables.documents(s, d)
+        .withColumn("wrds", Text.words(col("text")))
+        .select(
+          col("doc_id"), col("lang"),
+          en.as("en_hits"), de.as("de_hits"), es.as("es_hits"), fr.as("fr_hits"),
+          when(best === 0, "und")
+            .when(en === best, "en").when(de === best, "de")
+            .when(es === best, "es").otherwise("fr").as("pred_lang"))
+        .withColumn("is_correct", col("pred_lang") === col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // document fingerprints: an order-insensitive bag fingerprint (md5 of
+    // the sorted distinct vocabulary) and a prefix fingerprint (md5 of
+    // the first 8 words) — the cheap keys used to pre-cluster before
+    // pairwise dedup.
+    "q67_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("wrds", Text.words(col("text")))
+        .select(
+          col("doc_id"),
+          md5(concat_ws(" ", array_sort(array_distinct(col("wrds"))))
+            .cast("binary")).as("bag_fp"),
+          md5(concat_ws(" ", slice(col("wrds"), 1, 8)).cast("binary"))
+            .as("head_fp"),
+          size(array_distinct(col("wrds"))).cast("long").as("vocab_size"))
+        .orderBy(col("doc_id")))
+  )
+
+  private val wordsCte =
+    """WITH w AS (SELECT *,
+      |  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS wrds
+      |  FROM documents)""".stripMargin
+
+  def oracle: Map[String, String] = Map(
+    "q64_token_stats" -> (wordsCte +
+      """
+        |SELECT doc_id, lang,
+        |  len(wrds) AS n_words,
+        |  len(list_distinct(wrds)) AS n_distinct,
+        |  len(list_distinct(wrds)) * 1.0 / len(wrds) AS ttr,
+        |  CAST(list_sum(list_transform(wrds, w -> length(w))) AS BIGINT) AS word_chars,
+        |  CAST(list_sum(list_transform(wrds, w -> length(w))) AS BIGINT) * 1.0
+        |    / len(wrds) AS avg_word_len,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tokens_re
+        |FROM w ORDER BY doc_id""".stripMargin),
+
+    "q65_quality" -> (wordsCte +
+      s"""
+         |SELECT doc_id,
+         |  len(wrds) AS n_words,
+         |  len(list_filter(wrds, w -> w IN ${inList(profiles.head._2)})) AS stop_hits,
+         |  len(list_filter(wrds, w -> w IN ${inList(profiles.head._2)})) * 1.0
+         |    / len(wrds) AS stop_ratio,
+         |  len(regexp_extract_all(text, '[0-9]')) AS digit_chars,
+         |  len(regexp_extract_all(text, ' ')) AS space_chars,
+         |  len(wrds) >= 10 AND len(wrds) <= 2000
+         |    AND len(list_distinct(wrds)) * 5 >= len(wrds) AS quality_ok
+         |FROM w ORDER BY doc_id""".stripMargin),
+
+    "q66_langid" -> (wordsCte + s""",
+        |h AS (SELECT doc_id, lang,
+        |  ${profiles.map { case (l, ws) =>
+              s"len(list_filter(wrds, w -> w IN ${inList(ws)})) AS ${l}_hits"
+            }.mkString(",\n|  ")}
+        |  FROM w)
+        |SELECT doc_id, lang, en_hits, de_hits, es_hits, fr_hits,
+        |  CASE WHEN greatest(en_hits, de_hits, es_hits, fr_hits) = 0 THEN 'und'
+        |    WHEN en_hits = greatest(en_hits, de_hits, es_hits, fr_hits) THEN 'en'
+        |    WHEN de_hits = greatest(en_hits, de_hits, es_hits, fr_hits) THEN 'de'
+        |    WHEN es_hits = greatest(en_hits, de_hits, es_hits, fr_hits) THEN 'es'
+        |    ELSE 'fr' END AS pred_lang,
+        |  pred_lang = lang AS is_correct
+        |FROM h ORDER BY doc_id""".stripMargin),
+
+    "q67_fingerprint" -> (wordsCte +
+      """
+        |SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(wrds)), ' ')) AS bag_fp,
+        |  md5(array_to_string(wrds[1:8], ' ')) AS head_fp,
+        |  len(list_distinct(wrds)) AS vocab_size
+        |FROM w ORDER BY doc_id""".stripMargin)
+  )
+}

@@ -1,0 +1,95 @@
+package graft
+
+import graft.ops.{Dedup, Multimodal, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Properties for the LLM-pipeline operators whose hash-based internals
+  * (xxhash64) have no DuckDB oracle: MinHash/LSH recall, SimHash
+  * consistency, ANN recall, and the multimodal decode stub. Exact-oracle
+  * coverage for the rest of graft.ops lives in the driver's DuckDB gate.
+  */
+class OpsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("q61 MinHash/LSH finds exactly the brute-force >=0.8 Jaccard pairs") {
+    // brute-force exact pair set (O(n²) is fine at sf0.001).
+    val sh = Tables.documents(spark, sf)
+      .select(col("doc_id"), ops.Text.words(col("text")).as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), ops.Text.shingles3(col("w")).as("sh"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val (inter, uni) = ops.Text.jaccardParts(col("sh_a"), col("sh_b"))
+    val brute = a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+      .filter(inter * 100 >= uni * 80)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val lsh = Dedup.queries("q61_dedup_minhash")(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(lsh.subsetOf(brute), "LSH emitted a pair below the Jaccard threshold")
+    assert(brute.subsetOf(lsh), s"LSH missed ${brute -- lsh} (recall < 1 on planted dups)")
+  }
+
+  test("simhash per-row HOF implementation agrees with explode/groupBy") {
+    val hof = Dedup.simhashed(spark, sf)
+    // independent second implementation: explode words, 64 grouped sums.
+    val tokens = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        explode(array_distinct(ops.Text.words(col("text")))).as("w"))
+      .withColumn("h", xxhash64(col("w")))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftrightunsigned(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"t$i")
+    }
+    val alt = tokens.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(i =>
+          when(col(s"t$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash2"))
+    val joined = hof.join(alt, "doc_id")
+      .filter(col("simhash") =!= col("simhash2"))
+    assert(joined.count() === 0, "HOF and explode/groupBy simhash disagree")
+  }
+
+  test("q63 simhash pairs respect the Hamming bound and pair ordering") {
+    val rows = Dedup.queries("q63_dedup_simhash")(spark, sf).collect()
+    assert(rows.forall(r => r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b")))
+    assert(rows.forall(r => r.getAs[Int]("hamming") <= 3))
+  }
+
+  test("q71 ANN cosines are exact and recall@10 >= 0.5 vs brute force") {
+    val exact = Similarity.queries("q70_cosine_topk")(spark, sf).collect()
+    val ann = Similarity.queries("q71_ann_lsh")(spark, sf).collect()
+    val exactScores = exact.map(r =>
+      (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    // every ANN hit that is also a true top-k hit reports the identical
+    // cosine (same expression ⇒ bit-equal).
+    ann.foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      exactScores.get(k).foreach(c => assert(c === r.getDouble(3)))
+    }
+    val exactSet = exact.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val annSet = ann.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exactSet & annSet).size.toDouble / exactSet.size
+    assert(recall >= 0.5, s"ANN recall@10 = $recall")
+  }
+
+  test("multimodal decode stub: schema, determinism, distributed shape") {
+    val decoded = Multimodal.decodeStub(Multimodal.withPayload(spark, sf))
+    assert(decoded.schema === Multimodal.decodedSchema)
+    val rows = decoded.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val w = r.getAs[Int]("width"); val h = r.getAs[Int]("height")
+      assert(w >= 1 && w <= 256 && h >= 1 && h <= 256)
+      assert(r.getAs[Long]("n_pixels") === w.toLong * h)
+      val m = r.getAs[Double]("mean_byte")
+      assert(m >= 0.0 && m <= 255.0)
+    }
+    // deterministic: a second run produces identical rows.
+    val again = Multimodal.decodeStub(Multimodal.withPayload(spark, sf)).collect()
+    assert(rows.sortBy(_.getLong(0)).sameElements(again.sortBy(_.getLong(0))))
+  }
+}
