@@ -19,6 +19,8 @@ object SparkEntry {
     q.Windows,
     q.ScalarMath,
     q.Strings,
+    q.Arrays,
+    q.Temporal,
     o.Dedup,
     o.Similarity,
     o.TextAnalysis,

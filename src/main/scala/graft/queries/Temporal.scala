@@ -1,0 +1,111 @@
+package graft.queries
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Temporal functions (SURVEY.md §2.9 temporal rows) — the reference
+  * implements `hour` (scalar.rs:267) and declares ~25 date/time stubs
+  * (scalar.rs:205-215, 261-263, 331-344, 459-462, 490-494: date_add,
+  * date_trunc, datediff, year/month/quarter/minute/second,
+  * months_between, unix_timestamp, …). All are Spark builtins evaluated
+  * over orders.o_orderdate (dates) and events.ts (µs timestamps).
+  *
+  * Cross-engine pins: Spark dayofweek is 1=Sunday vs DuckDB 0=Sunday
+  * (+1 in the oracle); Spark months_between uses the 31-day-denominator
+  * rule, spelled out as a CASE in the oracle; epoch seconds are floored
+  * (not rounded) to match unix_timestamp's truncation.
+  */
+object Temporal extends QueryModule {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // calendar fields + date arithmetic over order dates.
+    "q40_temporal_date" -> ((s, d) =>
+      Tables.orders(s, d)
+        .withColumn("dt", to_date(col("o_orderdate")))
+        .select(
+          col("o_orderkey"),
+          col("dt"),
+          year(col("dt")).as("t_year"),
+          quarter(col("dt")).as("t_quarter"),
+          month(col("dt")).as("t_month"),
+          dayofmonth(col("dt")).as("t_day"),
+          dayofweek(col("dt")).as("t_dow"),
+          dayofyear(col("dt")).as("t_doy"),
+          weekofyear(col("dt")).as("t_week"),
+          date_add(col("dt"), 30).as("t_add30"),
+          date_sub(col("dt"), 7).as("t_sub7"),
+          add_months(col("dt"), 2).as("t_addm"),
+          datediff(lit("1998-01-01").cast("date"), col("dt")).as("t_diff"),
+          date_trunc("month", col("dt")).cast("date").as("t_trunc_m"),
+          trunc(col("dt"), "year").as("t_trunc_y"),
+          last_day(col("dt")).as("t_lastday"),
+          next_day(col("dt"), "Monday").as("t_nextmon"),
+          months_between(lit("1998-01-01").cast("date"), col("dt")).as("t_mb"),
+          make_date(year(col("dt")), month(col("dt")), dayofmonth(col("dt")))
+            .as("t_remake"),
+          date_format(col("dt"), "yyyy-MM-dd").as("t_fmt"))
+        .orderBy(col("o_orderkey"))),
+
+    // time-of-day fields + epoch round-trips over event timestamps.
+    "q41_temporal_time" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(
+          col("event_id"),
+          col("ts"),
+          hour(col("ts")).as("t_hour"),
+          minute(col("ts")).as("t_minute"),
+          second(col("ts")).as("t_second"),
+          unix_timestamp(col("ts")).as("t_epoch_s"),
+          timestamp_micros(unix_micros(col("ts"))).as("t_us_roundtrip"),
+          date_trunc("hour", col("ts")).as("t_trunc_h"),
+          date_trunc("minute", col("ts")).as("t_trunc_min"),
+          to_date(col("ts")).as("t_date"),
+          datediff(col("ts"), lit("2024-01-01").cast("date")).as("t_days_since"))
+        .orderBy(col("event_id")))
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q40_temporal_date" ->
+      """WITH t AS (SELECT o_orderkey, o_orderdate::DATE AS dt FROM orders)
+        |SELECT o_orderkey, dt,
+        |  year(dt) AS t_year,
+        |  quarter(dt) AS t_quarter,
+        |  month(dt) AS t_month,
+        |  day(dt) AS t_day,
+        |  dayofweek(dt) + 1 AS t_dow,
+        |  dayofyear(dt) AS t_doy,
+        |  weekofyear(dt) AS t_week,
+        |  dt + 30 AS t_add30,
+        |  dt - 7 AS t_sub7,
+        |  (dt + INTERVAL 2 MONTH)::DATE AS t_addm,
+        |  datediff('day', dt, DATE '1998-01-01') AS t_diff,
+        |  date_trunc('month', dt)::DATE AS t_trunc_m,
+        |  date_trunc('year', dt)::DATE AS t_trunc_y,
+        |  last_day(dt) AS t_lastday,
+        |  dt + CAST((1 - dayofweek(dt) + 6) % 7 + 1 AS INT) AS t_nextmon,
+        |  round((year(DATE '1998-01-01') - year(dt)) * 12
+        |      + (month(DATE '1998-01-01') - month(dt))
+        |      + CASE WHEN day(DATE '1998-01-01') = day(dt)
+        |               OR (DATE '1998-01-01' = last_day(DATE '1998-01-01')
+        |                   AND dt = last_day(dt))
+        |          THEN 0.0
+        |          ELSE (day(DATE '1998-01-01') - day(dt)) / 31.0 END, 8) AS t_mb,
+        |  make_date(year(dt), month(dt), day(dt)) AS t_remake,
+        |  strftime(dt, '%Y-%m-%d') AS t_fmt
+        |FROM t ORDER BY o_orderkey""".stripMargin,
+
+    "q41_temporal_time" ->
+      """SELECT event_id, ts,
+        |  hour(ts) AS t_hour,
+        |  minute(ts) AS t_minute,
+        |  CAST(floor(second(ts)) AS INT) AS t_second,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS t_epoch_s,
+        |  make_timestamp(epoch_us(ts)) AS t_us_roundtrip,
+        |  date_trunc('hour', ts) AS t_trunc_h,
+        |  date_trunc('minute', ts) AS t_trunc_min,
+        |  ts::DATE AS t_date,
+        |  datediff('day', DATE '2024-01-01', ts::DATE) AS t_days_since
+        |FROM events ORDER BY event_id""".stripMargin
+  )
+}
