@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.{queries => q}
 import graft.{ops => o}
+import graft.{sources => src}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Queries are contributed by the modules under graft.queries (relational
@@ -24,7 +25,8 @@ object SparkEntry {
     o.Dedup,
     o.Similarity,
     o.TextAnalysis,
-    o.Multimodal)
+    o.Multimodal,
+    src.IOQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,132 @@
+package graft.sources
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Source/sink round-trips (SURVEY.md §2.1) — the reference's ingestion
+  * surface: CSV read/write with header+delimiter options
+  * (dataframe.rs:349-389, 527-543; options expression.rs:372-378), JSON
+  * read (dataframe.rs:409-448), parquet write (dataframe.rs:545-560).
+  *
+  * Each query WRITES a real file set under target/tmp (partitioned
+  * output, the cluster-shaped path — no coalesce(1) driver funnel),
+  * READS it back through schema inference where the reference infers,
+  * and aggregates; the oracle computes the same aggregate from the
+  * original parquet, so any write/read corruption (quoting, delimiter,
+  * type inference, timestamp formats) breaks the hash match.
+  */
+object IOQueries extends QueryModule {
+
+  /** Per-sf scratch dir inside the repo tree (the sandbox forbids writes
+    * elsewhere); the sf tag keeps sf0.001 tests and sf0.01 verify runs
+    * from clobbering each other.
+    */
+  private def scratch(d: String, name: String): String =
+    s"target/tmp/io/${d.replaceAll("[^A-Za-z0-9.]", "_")}/$name"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // CSV round-trip: header + non-default delimiter + inferred schema.
+    "q80_csv_roundtrip" -> ((s, d) => {
+      val dir = scratch(d, "csv")
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity"), col("l_extendedprice"), col("l_shipdate"))
+        .write.mode("overwrite")
+        .option("header", "true").option("delimiter", "|")
+        .csv(dir)
+      s.read
+        .option("header", "true").option("delimiter", "|")
+        .option("inferSchema", "true")
+        .csv(dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("qty"),
+          round(sum(col("l_extendedprice")), 2).as("price"),
+          min(col("l_shipdate")).cast("date").as("min_ship"),
+          max(col("l_orderkey")).as("max_key"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // JSON-lines round-trip over the string-heavy documents table.
+    "q81_json_roundtrip" -> ((s, d) => {
+      val dir = scratch(d, "json")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+        .write.mode("overwrite").json(dir)
+      s.read.json(dir)
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("n_chars")).as("chars"),
+          sum(length(col("text"))).as("text_len"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy(col("lang"))
+    }),
+
+    // parquet write as a first-class verified operator (not just the
+    // Verify harness): transformed projection → parquet → read-back.
+    "q82_parquet_roundtrip" -> ((s, d) => {
+      val dir = scratch(d, "parquet")
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"), to_date(col("o_orderdate")).as("odate"))
+        .write.mode("overwrite").parquet(dir)
+      s.read.parquet(dir)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"),
+          min(col("odate")).as("first_date"),
+          max(col("odate")).as("last_date"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // custom DataSource V2 connector (see RangeSource): partitioned
+    // synthetic scan + filter + aggregate, oracle'd against DuckDB's
+    // range(). The sfDir is irrelevant to the source — row count is
+    // fixed so the oracle SQL stays static.
+    "q83_custom_source" -> ((s, _) =>
+      s.read.format("graft.sources.RangeSource")
+        .option("rows", "20000").option("slices", "8").load()
+        .filter(pmod(col("id"), lit(7L)) === 0)
+        .groupBy(col("id_mod"))
+        .agg(count(lit(1)).as("n"), sum(col("id")).as("id_sum"),
+          max(col("tag")).as("max_tag"))
+        .orderBy(col("id_mod")))
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q80_csv_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS qty,
+        |  round(sum(l_extendedprice), 2) AS price,
+        |  min(l_shipdate)::DATE AS min_ship,
+        |  max(l_orderkey) AS max_key
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q81_json_roundtrip" ->
+      """SELECT lang, count(*) AS n,
+        |  sum(n_chars) AS chars,
+        |  sum(length(text)) AS text_len,
+        |  min(doc_id) AS min_id,
+        |  max(doc_id) AS max_id
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q82_parquet_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  min(o_orderdate::DATE) AS first_date,
+        |  max(o_orderdate::DATE) AS last_date
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q83_custom_source" ->
+      """SELECT CAST(i % 97 AS INT) AS id_mod, count(*) AS n,
+        |  CAST(sum(i) AS BIGINT) AS id_sum,
+        |  max('r' || i) AS max_tag
+        |FROM range(20000) t(i) WHERE i % 7 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

@@ -1,0 +1,61 @@
+package graft
+
+import graft.sources.{Jdbc, RangeSource}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structural tests for the IO layer: JDBC option/partition plumbing
+  * (no database exists in the sandbox — predicates and options are
+  * pinned exactly) and the DataSource V2 range connector (partition
+  * fan-out + column pruning reach the physical scan).
+  */
+class SourcesSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("jdbc partition predicates tile the range with NULL absorption") {
+    val p = Jdbc.PartitionSpec("id", 0L, 100L, 4)
+    assert(Jdbc.partitionPredicates(p) === Seq(
+      "id < 25 OR id IS NULL",
+      "id >= 25 AND id < 50",
+      "id >= 50 AND id < 75",
+      "id >= 75"))
+    // single partition: full scan, no predicate games.
+    assert(Jdbc.partitionPredicates(Jdbc.PartitionSpec("id", 0, 10, 1)) === Seq("1=1"))
+    // more partitions than values: clamps to the value range.
+    assert(Jdbc.partitionPredicates(Jdbc.PartitionSpec("id", 0, 3, 8)).size === 3)
+  }
+
+  test("jdbc reader options carry table/query and partitioning through") {
+    val opts = Jdbc.readerOptions(
+      "jdbc:postgresql://db:5432/x", Left("public.t"), "u", "pw",
+      Some(Jdbc.PartitionSpec("id", 1, 1000001, 32)))
+    assert(opts("dbtable") === "public.t")
+    assert(opts("partitionColumn") === "id")
+    assert(opts("lowerBound") === "1")
+    assert(opts("upperBound") === "1000001")
+    assert(opts("numPartitions") === "32")
+    val q = Jdbc.readerOptions("jdbc:postgresql://db/x",
+      Right("SELECT a FROM t WHERE b > 0"), "u", "pw")
+    assert(q("query").startsWith("SELECT"))
+    assertThrows[IllegalArgumentException] {
+      Jdbc.readerOptions("jdbc:x", Right("SELECT 1"), "u", "pw",
+        Some(Jdbc.PartitionSpec("id", 0, 10, 2)))
+    }
+  }
+
+  test("range source: values, partition fan-out, column pruning") {
+    val df = spark.read.format("graft.sources.RangeSource")
+      .option("rows", "1000").option("slices", "8").load()
+    assert(df.schema === RangeSource.fullSchema)
+    assert(df.count() === 1000)
+    assert(df.rdd.getNumPartitions === 8)
+    val r = df.filter(col("id") === 123).collect().head
+    assert(r.getLong(0) === 123L)
+    assert(r.getInt(1) === (123 % 97))
+    assert(r.getString(2) === "r123")
+    // pruning: the physical BatchScan's output is just the id column.
+    val plan = df.select(sum(col("id"))).queryExecution.executedPlan.toString
+    assert(plan.contains("BatchScan graft_range(1000)[id#"),
+      s"expected pruned BatchScan output in:\n$plan")
+  }
+}
