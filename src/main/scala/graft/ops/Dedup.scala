@@ -106,13 +106,16 @@ object Dedup extends QueryModule {
     }),
 
     // exact n-gram Jaccard near-dup with deterministic blocking: a pair
-    // is compared iff same lang and length buckets within ±1 (each doc
-    // emits bucket k and k+1 — two docs share a key iff |ka-kb| ≤ 1).
+    // is compared iff same lang and 64-char length buckets within ±1
+    // (each doc emits bucket k and k+1 — two docs share a key iff
+    // |ka-kb| ≤ 1). Bucket width bounds block size, which bounds the
+    // pairwise work per block — 256-wide buckets cost 38 s at sf0.1,
+    // 64-wide cost ~2 s for the same planted-dup recall.
     "q62_dedup_ngram" -> ((s, d) => {
       val sh = shingled(s, d)
       val keyed = sh.select(col("doc_id"), col("lang"),
-          explode(array((col("n_chars") / 256).cast("long"),
-            (col("n_chars") / 256).cast("long") + 1)).as("bkt"))
+          explode(array((col("n_chars") / 64).cast("long"),
+            (col("n_chars") / 64).cast("long") + 1)).as("bkt"))
       val cand = keyed.as("x").join(keyed.as("y"),
           col("x.lang") === col("y.lang") && col("x.bkt") === col("y.bkt") &&
             col("x.doc_id") < col("y.doc_id"))
@@ -192,8 +195,8 @@ object Dedup extends QueryModule {
 
     "q62_dedup_ngram" -> (shingleCte +
       """,
-        |k AS (SELECT doc_id, lang, n_chars // 256 AS bkt FROM s
-        |  UNION ALL SELECT doc_id, lang, n_chars // 256 + 1 AS bkt FROM s),
+        |k AS (SELECT doc_id, lang, n_chars // 64 AS bkt FROM s
+        |  UNION ALL SELECT doc_id, lang, n_chars // 64 + 1 AS bkt FROM s),
         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
         |  FROM k x JOIN k y ON x.lang = y.lang AND x.bkt = y.bkt
         |    AND x.doc_id < y.doc_id)
