@@ -32,23 +32,30 @@ object Dedup extends QueryModule {
   private val Bands = 4
   private val Rows = NumPerm / Bands
 
-  /** doc_id + distinct 3-word shingle set (docs with ≥ 3 words). */
+  /** doc_id + distinct 3-word shingle set, pre-hashed to longs: all
+    * pairwise set work (intersect/union) runs over 8-byte hashes, not
+    * ~30-byte shingle strings — 4-5× less compare/shuffle cost, and the
+    * Jaccard counts equal the string-set counts unless two distinct
+    * shingles collide in xxhash64 (≈2⁻⁶⁴ per pair; the DuckDB oracle
+    * computes over raw strings, so any collision would surface as a
+    * deterministic mismatch).
+    */
   private def shingled(s: SparkSession, d: String): DataFrame = {
     val w = Text.words(col("text"))
     Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), col("n_chars"), w.as("words"))
       .filter(size(col("words")) >= 3)
       .select(col("doc_id"), col("lang"), col("n_chars"),
-        Text.shingles3(col("words")).as("sh"))
+        transform(Text.shingles3(col("words")), x => xxhash64(x)).as("sh"))
   }
 
-  /** 16-slot MinHash signature: sig[j] = min over shingles of
-    * xxhash64(shingle, j) — the seed column makes 16 independent hash
-    * families from one codegen'd hash function.
+  /** 16-slot MinHash signature: sig[j] = min over hashed shingles of
+    * xxhash64(h, j) — the seed column makes 16 independent hash families
+    * from one codegen'd hash function over the pre-hashed shingles.
     */
   private def signature(sh: Column): Column =
     array((0 until NumPerm).map { j =>
-      array_min(transform(sh, x => xxhash64(x, lit(j))))
+      array_min(transform(sh, h => xxhash64(h, lit(j))))
     }: _*)
 
   /** Exact-Jaccard verification of candidate id pairs: joins the shingle
@@ -106,16 +113,18 @@ object Dedup extends QueryModule {
     }),
 
     // exact n-gram Jaccard near-dup with deterministic blocking: a pair
-    // is compared iff same lang and 64-char length buckets within ±1
+    // is compared iff same lang and 32-char length buckets within ±1
     // (each doc emits bucket k and k+1 — two docs share a key iff
     // |ka-kb| ≤ 1). Bucket width bounds block size, which bounds the
-    // pairwise work per block — 256-wide buckets cost 38 s at sf0.1,
-    // 64-wide cost ~2 s for the same planted-dup recall.
+    // pairwise work per block: the corpus packs its whole length range
+    // into ~540 chars, so 256-wide buckets degenerate toward all-pairs
+    // (38 s at sf0.1) while 32-wide stays near-linear with identical
+    // output on the planted near-dups (their lengths differ by ≪ 32).
     "q62_dedup_ngram" -> ((s, d) => {
       val sh = shingled(s, d)
       val keyed = sh.select(col("doc_id"), col("lang"),
-          explode(array((col("n_chars") / 64).cast("long"),
-            (col("n_chars") / 64).cast("long") + 1)).as("bkt"))
+          explode(array((col("n_chars") / 32).cast("long"),
+            (col("n_chars") / 32).cast("long") + 1)).as("bkt"))
       val cand = keyed.as("x").join(keyed.as("y"),
           col("x.lang") === col("y.lang") && col("x.bkt") === col("y.bkt") &&
             col("x.doc_id") < col("y.doc_id"))
@@ -195,8 +204,8 @@ object Dedup extends QueryModule {
 
     "q62_dedup_ngram" -> (shingleCte +
       """,
-        |k AS (SELECT doc_id, lang, n_chars // 64 AS bkt FROM s
-        |  UNION ALL SELECT doc_id, lang, n_chars // 64 + 1 AS bkt FROM s),
+        |k AS (SELECT doc_id, lang, n_chars // 32 AS bkt FROM s
+        |  UNION ALL SELECT doc_id, lang, n_chars // 32 + 1 AS bkt FROM s),
         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
         |  FROM k x JOIN k y ON x.lang = y.lang AND x.bkt = y.bkt
         |    AND x.doc_id < y.doc_id)

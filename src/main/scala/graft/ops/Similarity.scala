@@ -28,9 +28,20 @@ object Similarity extends QueryModule {
   private val TopK = 10
   private val NumQueries = 5
 
-  /** Left-assoc sequential dot product of two DOUBLE arrays. */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** Left-assoc sequential dot product of two DOUBLE arrays: the native
+    * codegen kernel ([[graft.plans.DotProduct]], registered by
+    * GraftExtensions) when the session has it; the equivalent-by-
+    * construction zip_with/aggregate fold otherwise, so query results
+    * are identical either way (both are strict left-to-right sums).
+    */
+  private def dot(a: Column, b: Column): Column = {
+    val viaHof = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) if s.catalog.functionExists("graft_dot") =>
+        call_function("graft_dot", a, b)
+      case _ => viaHof
+    }
+  }
 
   private def dvec(c: Column): Column = c.cast("array<double>")
 

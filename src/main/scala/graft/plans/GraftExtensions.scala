@@ -1,0 +1,25 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions hook registering graft's native expressions
+  * into the session function registry (the (c)-tier extension point of
+  * the builder brief — here carrying the (b)-tier scalar kernels).
+  * Activated via `spark.sql.extensions=graft.plans.GraftExtensions`
+  * (wired in [[graft.Session.builder]]), after which
+  * `graft_dot(a, b)` resolves in SQL, `expr(...)`, and
+  * `call_function`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_dot(arrA, arrB) takes 2 arguments")
+        DotProduct(children.head, children(1))
+      }))
+  }
+}
