@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryModule, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Joins (SURVEY.md §2.4). The reference implements a single in-memory
@@ -123,6 +124,40 @@ object Joins extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // as-of join: each event matched to the customer's most recent order
+    // at-or-before the event time. Spark has no native ASOF; the naive
+    // range-join is O(|events|·|orders per key|). Scale-safe composition:
+    // union both sides tagged, one shuffle on the key, and a running
+    // `last(..., ignoreNulls)` over (time, side) carries the latest order
+    // attributes forward onto event rows — orders sort before events at
+    // equal timestamps, giving inclusive (>=) ASOF semantics. The right
+    // side is first deduped to one row per (key, time) so the match is
+    // deterministic in both engines (DuckDB oracles with native ASOF JOIN).
+    "q74_join_asof" -> ((s, d) => {
+      val od = Tables.orders(s, d)
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"),
+          max_by(col("o_totalprice"), col("o_orderkey")).as("o_totalprice"))
+      val left = Tables.events(s, d).select(
+        col("user_id").as("k"), col("ts").as("t"), col("event_id"),
+        lit(null).cast("long").as("r_orderkey"),
+        lit(null).cast("double").as("r_price"), lit(1).as("side"))
+      val right = od.select(
+        col("o_custkey").as("k"), col("o_orderdate").as("t"),
+        lit(null).cast("long").as("event_id"),
+        col("o_orderkey").as("r_orderkey"),
+        col("o_totalprice").as("r_price"), lit(0).as("side"))
+      val w = Window.partitionBy(col("k")).orderBy(col("t"), col("side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      left.unionByName(right)
+        .withColumn("a_orderkey", last(col("r_orderkey"), ignoreNulls = true).over(w))
+        .withColumn("a_price", last(col("r_price"), ignoreNulls = true).over(w))
+        .filter(col("side") === 1)
+        .select(col("event_id"), col("k").as("user_id"), col("t").as("ts"),
+          col("a_orderkey"), col("a_price"))
+        .orderBy(col("event_id"))
+    }),
+
     // theta/range join (a non-equi conjunct on top of the equi key) —
     // "missing join kinds" in the reference, native in Spark.
     "q29_join_theta" -> ((s, d) => {
@@ -193,6 +228,17 @@ object Joins extends QueryModule {
         |FROM documents JOIN stats ON lang = lang2
         |WHERE n_chars * lang_docs * 2 > lang_sum_chars * 3
         |ORDER BY doc_id""".stripMargin,
+
+    "q74_join_asof" ->
+      """WITH od AS (SELECT o_custkey, o_orderdate,
+        |    max(o_orderkey) AS o_orderkey,
+        |    arg_max(o_totalprice, o_orderkey) AS o_totalprice
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT event_id, user_id, ts,
+        |  od.o_orderkey AS a_orderkey, od.o_totalprice AS a_price
+        |FROM events ASOF LEFT JOIN od
+        |  ON user_id = od.o_custkey AND ts >= od.o_orderdate
+        |ORDER BY event_id""".stripMargin,
 
     "q29_join_theta" ->
       """SELECT l_returnflag, count(*) AS n_late,

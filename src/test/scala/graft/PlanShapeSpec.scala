@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape guards for the scale properties that correctness
+  * checks can't see: no unbounded cartesian products anywhere in the
+  * catalog, filters pushed into parquet scans, pre-aggregation kept
+  * below outer joins, and broadcast (not shuffle) feeding the
+  * similarity cross join. These are the plans we'd want at 1000
+  * executors; pinning them keeps a refactor from silently regressing
+  * into a shuffle-everything shape that still passes the oracle.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("no query plans a CartesianProduct") {
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val p = fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$name planned a cartesian:\n$p")
+    }
+  }
+
+  test("q01 pushes its predicates into the parquet scan") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull"), p)
+  }
+
+  test("q21/q22 aggregate the fact side below the join") {
+    for (q <- Seq("q21_join_left", "q22_join_right")) {
+      val p = plan(q)
+      val joinAt = p.linesIterator.indexWhere(_.contains("Join"))
+      val aggBelow = p.linesIterator.zipWithIndex.exists {
+        case (l, i) => i > joinAt && l.contains("HashAggregate")
+      }
+      assert(joinAt >= 0 && aggBelow,
+        s"$q should pre-aggregate orders below the join:\n$p")
+    }
+  }
+
+  test("q70 broadcasts the query vectors, never shuffles the corpus for them") {
+    val p = plan("q70_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("q74 as-of join is a single-shuffle union+window, not a range join") {
+    val p = plan("q74_join_asof")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join,"), s"as-of should not plan a join:\n$p")
+  }
+}
