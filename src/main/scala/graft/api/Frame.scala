@@ -1,0 +1,117 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataType
+
+/** User-facing facade mirroring the reference's DataFrame/LazyFrame
+  * surface (dataframe.rs, lazyframe.rs) so a reference user can switch
+  * by renaming imports: same method vocabulary, Spark semantics
+  * underneath (each method is a thin delegate — Catalyst still sees the
+  * full declarative plan, so nothing here costs optimization).
+  *
+  * Deliberate semantic upgrades over the reference, per SURVEY §7.3:
+  * typed predicates (not f64 casts), correct FULL OUTER and string-key
+  * joins, explicit nulls ordering in sort, 1-based substring. The
+  * eager/lazy split collapses: every Frame is lazy until an action.
+  */
+final class Frame private (val df: DataFrame) {
+
+  // §2.2 projections / column ops
+  def select(cols: String*): Frame = Frame(df.select(cols.map(col): _*))
+  def drop(cols: String*): Frame = Frame(df.drop(cols: _*))
+  def withColumn(name: String, c: Column): Frame = Frame(df.withColumn(name, c))
+  def withColumnRenamed(from: String, to: String): Frame =
+    Frame(df.withColumnRenamed(from, to))
+  /** Reference with_id (dataframe.rs:234-249): per-chunk stride ids →
+    * Spark's partition-stride `monotonically_increasing_id`.
+    */
+  def withId(name: String = "id"): Frame =
+    Frame(df.withColumn(name, monotonically_increasing_id()))
+  def cast(column: String, to: DataType): Frame =
+    Frame(df.withColumn(column, col(column).cast(to)))
+  def limit(n: Int): Frame = Frame(df.limit(n))
+
+  // §2.3 filters — typed Column predicates
+  def filter(cond: Column): Frame = Frame(df.filter(cond))
+
+  // §2.4 joins — JoinCriteria {join_type, criteria: Vec[(l, r)]}
+  def join(other: Frame, on: Seq[(String, String)], joinType: String = "inner"): Frame = {
+    val cond = on.map { case (l, r) => df(l) === other.df(r) }.reduce(_ && _)
+    Frame(df.join(other.df, cond, joinType))
+  }
+
+  // §2.5 sort — SortCriteria {column, descending} with explicit nulls order
+  def sort(criteria: (String, Boolean)*): Frame =
+    Frame(df.orderBy(criteria.map {
+      case (c, true) => col(c).desc_nulls_last
+      case (c, false) => col(c).asc_nulls_first
+    }: _*))
+
+  // §2.6 aggregations — reference aggregate(groups, {column -> [fns]})
+  def aggregate(groups: Seq[String], aggs: Seq[(String, String)]): Frame = {
+    val cols = aggs.map { case (c, fn) =>
+      expr(s"$fn($c)").as(s"${fn}_$c")
+    }
+    Frame(df.groupBy(groups.map(col): _*).agg(cols.head, cols.tail: _*))
+  }
+  def uniques(column: String): Frame = Frame(df.select(column).distinct())
+  /** Column::hist (table.rs:244-290): fixed-width numeric histogram;
+    * broadcast 1-row bounds, integer bucketing — no collect at any size.
+    */
+  def hist(column: String, buckets: Int): Frame = {
+    val bounds = df.agg(min(col(column)).as("lo"), max(col(column)).as("hi"))
+    Frame(df.crossJoin(broadcast(bounds))
+      .withColumn("bucket", least(floor(
+        (col(column) - col("lo")) / ((col("hi") - col("lo")) / buckets)),
+        lit(buckets - 1)).cast("int"))
+      .groupBy(col("bucket"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+      .orderBy(col("bucket")))
+  }
+
+  // §2.8 set ops
+  def union(other: Frame): Frame = Frame(df.union(other.df))
+  def unionDistinct(other: Frame): Frame = Frame(df.union(other.df).distinct())
+  def intersect(other: Frame): Frame = Frame(df.intersect(other.df))
+  def except(other: Frame): Frame = Frame(df.except(other.df))
+
+  // §2.2 display / actions
+  def show(n: Int = 20): Unit = df.show(n)
+  def display(n: Int = 20): Unit = show(n)
+  def count(): Long = df.count()
+
+  // §2.1 sinks
+  def toCsv(path: String, header: Boolean = true, delimiter: String = ","): Unit =
+    df.write.mode("overwrite")
+      .option("header", header.toString).option("delimiter", delimiter)
+      .csv(path)
+  def toJson(path: String): Unit = df.write.mode("overwrite").json(path)
+  def toParquet(path: String): Unit = df.write.mode("overwrite").parquet(path)
+}
+
+/** §2.1 sources (from_csv dataframe.rs:349-389, from_json :409-448,
+  * from_parquet :450-489; SQL reads delegate to [[graft.sources.Jdbc]]).
+  */
+object Frame {
+  def apply(df: DataFrame): Frame = new Frame(df)
+
+  def fromCsv(spark: SparkSession, path: String, header: Boolean = true,
+              delimiter: String = ",", inferSchema: Boolean = true): Frame =
+    Frame(spark.read
+      .option("header", header.toString)
+      .option("delimiter", delimiter)
+      .option("inferSchema", inferSchema.toString)
+      .csv(path))
+
+  def fromJson(spark: SparkSession, path: String): Frame =
+    Frame(spark.read.json(path))
+
+  def fromParquet(spark: SparkSession, path: String): Frame =
+    Frame(spark.read.parquet(path))
+
+  def fromSqlTable(spark: SparkSession, url: String, table: String,
+                   user: String, password: String): Frame =
+    Frame(graft.sources.Jdbc.read(spark,
+      graft.sources.Jdbc.readerOptions(url, Left(table), user, password)))
+}

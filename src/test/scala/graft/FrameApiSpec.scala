@@ -1,0 +1,91 @@
+package graft
+
+import graft.api.Frame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Exercises the reference-shaped Frame facade end-to-end: every method
+  * a reference user calls today, over the driver corpus, checked against
+  * the equivalent raw-Spark result.
+  */
+class FrameApiSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def orders = Frame(Tables.orders(spark, sf))
+  private def lineitem = Frame(Tables.lineitem(spark, sf))
+
+  test("projection chain: select/drop/withColumn/rename/cast/limit") {
+    val f = orders
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .withColumn("price_k", col("o_totalprice") / 1000)
+      .withColumnRenamed("o_custkey", "cust")
+      .cast("o_orderkey", LongType)
+      .drop("o_totalprice")
+      .limit(10)
+    assert(f.df.columns.toSeq === Seq("o_orderkey", "cust", "price_k"))
+    assert(f.count() === 10)
+  }
+
+  test("withId yields unique non-negative ids") {
+    val ids = orders.withId().df.select("id").collect().map(_.getLong(0))
+    assert(ids.distinct.length === ids.length)
+    assert(ids.forall(_ >= 0))
+  }
+
+  test("filter + sort match raw Spark") {
+    val viaApi = orders.filter(col("o_totalprice") > 300000)
+      .sort(("o_totalprice", true), ("o_orderkey", false))
+      .df.select("o_orderkey").collect().map(_.getLong(0)).toSeq
+    val raw = Tables.orders(spark, sf).filter(col("o_totalprice") > 300000)
+      .orderBy(col("o_totalprice").desc_nulls_last, col("o_orderkey").asc_nulls_first)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSeq
+    assert(viaApi === raw)
+  }
+
+  test("multi-key join with JoinCriteria pairs") {
+    val a = lineitem.select("l_orderkey", "l_linenumber", "l_quantity")
+    val b = lineitem.select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .withColumnRenamed("l_orderkey", "rk").withColumnRenamed("l_linenumber", "rl")
+    val j = a.join(b, Seq("l_orderkey" -> "rk", "l_linenumber" -> "rl"))
+    val li = Tables.lineitem(spark, sf)
+    val raw = li.select(col("l_orderkey").as("ak"), col("l_linenumber").as("al"))
+      .join(li.select(col("l_orderkey").as("rk"), col("l_linenumber").as("rl")),
+        col("ak") === col("rk") && col("al") === col("rl"))
+    assert(j.count() === raw.count())
+  }
+
+  test("aggregate(groups, col->fn pairs) derives reference-style names") {
+    val g = orders.aggregate(Seq("o_orderstatus"),
+      Seq("o_totalprice" -> "sum", "o_orderkey" -> "count"))
+    assert(g.df.columns.toSeq ===
+      Seq("o_orderstatus", "sum_o_totalprice", "count_o_orderkey"))
+    assert(g.count() > 0)
+  }
+
+  test("uniques and hist") {
+    assert(orders.uniques("o_orderstatus").count() === 3)
+    val h = orders.hist("o_totalprice", 10)
+    assert(h.df.columns.toSeq === Seq("bucket", "n"))
+    assert(h.df.agg(sum("n")).collect().head.getLong(0) === orders.count())
+  }
+
+  test("set ops compose") {
+    val hi = orders.filter(col("o_totalprice") > 300000).select("o_orderkey")
+    val lo = orders.filter(col("o_totalprice") <= 300000).select("o_orderkey")
+    assert(hi.union(lo).count() === orders.count())
+    assert(hi.intersect(lo).count() === 0)
+    assert(hi.except(lo).count() === hi.count())
+  }
+
+  test("csv/json/parquet sinks round-trip through the matching sources") {
+    val base = "target/tmp/frame_api"
+    val src = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    src.toCsv(s"$base/csv", header = true, delimiter = ";")
+    src.toJson(s"$base/json")
+    src.toParquet(s"$base/parquet")
+    assert(Frame.fromCsv(spark, s"$base/csv", delimiter = ";").count() === src.count())
+    assert(Frame.fromJson(spark, s"$base/json").count() === src.count())
+    assert(Frame.fromParquet(spark, s"$base/parquet").count() === src.count())
+  }
+}
