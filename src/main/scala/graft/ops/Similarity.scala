@@ -95,6 +95,31 @@ object Similarity extends QueryModule {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // IVF-style ANN: the label column is the precomputed coarse cell
+    // (as a vector store persists cluster assignments); a query probes
+    // only its own cell — at 100 TB the cell id is the partition key,
+    // so a probe touches 1/|cells| of the corpus. Exact cosine ranks
+    // within the cell; bit-exact doubles make this fully oracle-able,
+    // unlike the hash-based LSH variant below.
+    "q76_ann_ivf" -> ((s, d) => {
+      val corpus = Tables.embeddings(s, d)
+        .select(col("vec_id"), dvec(col("embedding")).as("emb"), col("label"))
+      val queries = corpus.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
+          col("label").as("q_label"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      corpus.join(broadcast(queries),
+          col("label") === col("q_label") && col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          cosine(col("emb"), col("q_emb")).as("cos_sim"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          col("rank"), col("cos_sim"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // LSH-bucketed ANN top-k: candidates = vectors sharing any of the 4
     // table buckets with the query; exact cosine re-ranks candidates.
     // xxhash64-derived hyperplanes have no DuckDB twin → rows-only;
@@ -125,6 +150,23 @@ object Similarity extends QueryModule {
   )
 
   def oracle: Map[String, String] = Map(
+    "q76_ann_ivf" ->
+      """WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, emb AS q_emb, label AS q_label
+        |  FROM t WHERE vec_id < 5),
+        |scored AS (SELECT query_id, vec_id,
+        |    list_dot_product(emb, q_emb)
+        |      / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(q_emb, q_emb)))
+        |      AS cos_sim
+        |  FROM t JOIN q ON label = q_label AND vec_id <> query_id),
+        |ranked AS (SELECT query_id, vec_id, cos_sim,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos_sim DESC, vec_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, vec_id AS neighbor_id, rank, cos_sim
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
     "q70_cosine_topk" ->
       """WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         |q AS (SELECT vec_id AS query_id, emb AS q_emb FROM t WHERE vec_id < 5),

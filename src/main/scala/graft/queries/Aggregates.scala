@@ -126,6 +126,22 @@ object Aggregates extends QueryModule {
           percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_approx"))
         .orderBy(col("l_returnflag"))),
 
+    // skew-safe two-stage aggregation: event_type has ~6 hot values, so
+    // a direct groupBy at cluster scale funnels each key through one
+    // reducer. Salting by a deterministic row attribute fans each hot
+    // key across 16 partial groups (map-side combine still applies),
+    // then the tiny (key × salt) rollup collapses to the final answer.
+    // Results equal the direct group-by (the oracle) — rounded to absorb
+    // the two-level vs one-level double summation order.
+    "q75_salted_agg" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("salt", pmod(col("event_id"), lit(16L)))
+        .groupBy(col("event_type"), col("salt"))
+        .agg(count(lit(1)).as("pn"), sum(col("value")).as("pv"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("pn")).as("n"), round(sum(col("pv")), 4).as("total"))
+        .orderBy(col("event_type"))),
+
     "q39b_percentile_exact" -> ((s, d) =>
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
@@ -204,6 +220,10 @@ object Aggregates extends QueryModule {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q75_salted_agg" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 4) AS total
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q39b_percentile_exact" ->
       """SELECT l_returnflag,
