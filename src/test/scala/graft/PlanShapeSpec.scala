@@ -50,4 +50,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("Window"), p)
     assert(!p.contains("Join,"), s"as-of should not plan a join:\n$p")
   }
+
+  test("scalar-heavy projections stay inside whole-stage codegen") {
+    import org.apache.spark.sql.execution.debug._
+    for (q <- Seq("q50_math", "q51_trig", "q57_conditional", "q59_bitwise")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      val physical = df.queryExecution.executedPlan
+      physical.execute().count() // finalize THIS plan's AQE stages
+      val cg = codegenString(physical)
+      assert(!cg.startsWith("Found 0 WholeStageCodegen"),
+        s"$q fell out of whole-stage codegen:\n${cg.take(400)}")
+    }
+  }
 }
