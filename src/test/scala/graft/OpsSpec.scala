@@ -76,6 +76,28 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"ANN recall@10 = $recall")
   }
 
+  test("CentroidAgg matches a single-threaded centroid within 1e-9") {
+    import spark.implicits._
+    val byLabel = Tables.embeddings(spark, sf)
+      .select(col("label"), col("embedding").cast("array<double>").as("emb"))
+      .as[(Int, Seq[Double])]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(ops.CentroidAgg.toColumn.name("centroid"))
+      .collect().toMap
+    // reference: driver-side exact mean per label (tiny at sf0.001).
+    val rows = Tables.embeddings(spark, sf)
+      .select(col("label"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
+    val expected = rows.groupBy(_._1).map { case (l, vs) =>
+      val dim = vs.head._2.length
+      l -> (0 until dim).map(i => vs.map(_._2(i)).sum / vs.length)
+    }
+    assert(byLabel.keySet === expected.keySet)
+    for ((l, c) <- expected; i <- c.indices)
+      assert(math.abs(byLabel(l)(i) - c(i)) < 1e-9, s"label $l dim $i")
+  }
+
   test("multimodal decode stub: schema, determinism, distributed shape") {
     val decoded = Multimodal.decodeStub(Multimodal.withPayload(spark, sf))
     assert(decoded.schema === Multimodal.decodedSchema)
