@@ -84,6 +84,23 @@ object IOQueries extends QueryModule {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // hive-style partitioned parquet write + partition-pruned read-back:
+    // the layout a 100 TB table actually uses — the filter on the
+    // partition column must prune directories at planning time
+    // (PartitionFilters in the scan, pinned by SourcesSpec), so the
+    // query reads 1/|partitions| of the data.
+    "q84_partitioned_write" -> ((s, d) => {
+      val dir = scratch(d, "partitioned")
+      Tables.orders(s, d)
+        .write.mode("overwrite").partitionBy("o_orderstatus").parquet(dir)
+      s.read.parquet(dir)
+        .filter(col("o_orderstatus") === "F")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // custom DataSource V2 connector (see RangeSource): partitioned
     // synthetic scan + filter + aggregate, oracle'd against DuckDB's
     // range(). The sfDir is irrelevant to the source — row count is
@@ -121,6 +138,12 @@ object IOQueries extends QueryModule {
         |  min(o_orderdate::DATE) AS first_date,
         |  max(o_orderdate::DATE) AS last_date
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q84_partitioned_write" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q83_custom_source" ->
       """SELECT CAST(i % 97 AS INT) AS id_mod, count(*) AS n,

@@ -43,6 +43,14 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("q84 read-back plan prunes partitions on the partition column") {
+    // run once so the partitioned layout exists, then inspect the scan.
+    val df = SparkEntry.queries("q84_partitioned_write")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(o_orderstatus"),
+      s"expected partition pruning in:\n$plan")
+  }
+
   test("range source: values, partition fan-out, column pruning") {
     val df = spark.read.format("graft.sources.RangeSource")
       .option("rows", "1000").option("slices", "8").load()
