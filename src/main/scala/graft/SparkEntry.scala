@@ -26,6 +26,7 @@ object SparkEntry {
     o.Similarity,
     o.TextAnalysis,
     o.Multimodal,
+    o.TopKPerKey,
     src.IOQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
