@@ -50,6 +50,8 @@ final class Frame private (val df: DataFrame) {
 
   // §2.6 aggregations — reference aggregate(groups, {column -> [fns]})
   def aggregate(groups: Seq[String], aggs: Seq[(String, String)]): Frame = {
+    require(aggs.nonEmpty,
+      "aggregate requires at least one (column, function) pair; use uniques/distinct for group keys alone")
     val cols = aggs.map { case (c, fn) =>
       expr(s"$fn($c)").as(s"${fn}_$c")
     }
@@ -58,13 +60,20 @@ final class Frame private (val df: DataFrame) {
   def uniques(column: String): Frame = Frame(df.select(column).distinct())
   /** Column::hist (table.rs:244-290): fixed-width numeric histogram;
     * broadcast 1-row bounds, integer bucketing — no collect at any size.
+    * NULL values are excluded (they have no bucket — and Spark's
+    * null-skipping `least` would otherwise silently dump them in the top
+    * bin); a constant column degenerates to a single bucket 0.
     */
   def hist(column: String, buckets: Int): Frame = {
     val bounds = df.agg(min(col(column)).as("lo"), max(col(column)).as("hi"))
-    Frame(df.crossJoin(broadcast(bounds))
-      .withColumn("bucket", least(floor(
-        (col(column) - col("lo")) / ((col("hi") - col("lo")) / buckets)),
-        lit(buckets - 1)).cast("int"))
+    Frame(df.filter(col(column).isNotNull)
+      .crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        when(col("hi") === col("lo"), lit(0))
+          .otherwise(least(floor(
+            (col(column) - col("lo")) / ((col("hi") - col("lo")) / buckets)),
+            lit(buckets - 1)))
+          .cast("int"))
       .groupBy(col("bucket"))
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
       .orderBy(col("bucket")))

@@ -20,9 +20,14 @@ object CentroidAgg extends Aggregator[Seq[Double], (Array[Double], Long), Seq[Do
 
   override def zero: (Array[Double], Long) = (Array.emptyDoubleArray, 0L)
 
+  /** Null/empty vectors carry no dimensional information and are
+    * ignored — so `sum.isEmpty ⟺ n == 0` is an invariant, which is what
+    * makes the empty-buffer branches in merge() count-correct.
+    */
   override def reduce(b: (Array[Double], Long), v: Seq[Double]): (Array[Double], Long) = {
     val (sum, n) = b
-    if (sum.isEmpty) (v.toArray, 1L)
+    if (v == null || v.isEmpty) b
+    else if (sum.isEmpty) (v.toArray, n + 1)
     else {
       var i = 0
       while (i < sum.length && i < v.length) { sum(i) += v(i); i += 1 }

@@ -150,8 +150,11 @@ object Dedup extends QueryModule {
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
           bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
-        .distinct()
+        // filter BEFORE distinct: the Hamming predicate is free per row,
+        // the distinct is a shuffle — dedupe only verified near-dups,
+        // not the whole candidate set.
         .filter(col("hamming") <= 3)
+        .distinct()
         .orderBy(col("doc_a"), col("doc_b"))
     })
   )

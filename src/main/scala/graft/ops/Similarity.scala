@@ -30,34 +30,46 @@ object Similarity extends QueryModule {
 
   /** Left-assoc sequential dot product of two DOUBLE arrays: the native
     * codegen kernel ([[graft.plans.DotProduct]], registered by
-    * GraftExtensions) when the session has it; the equivalent-by-
-    * construction zip_with/aggregate fold otherwise, so query results
-    * are identical either way (both are strict left-to-right sums).
+    * GraftExtensions) when the session has it; an equivalent
+    * zip_with/aggregate fold otherwise. Both paths dot the common
+    * prefix of unequal-length inputs (the HOF path slices first —
+    * zip_with's null padding would otherwise poison the fold to NULL),
+    * so results are identical either way.
     */
-  private def dot(a: Column, b: Column): Column = {
-    val viaHof = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  private def dot(a: Column, b: Column): Column =
     org.apache.spark.sql.SparkSession.getActiveSession match {
       case Some(s) if s.catalog.functionExists("graft_dot") =>
         call_function("graft_dot", a, b)
-      case _ => viaHof
+      case _ =>
+        val n = least(size(a), size(b))
+        aggregate(zip_with(slice(a, lit(1), n), slice(b, lit(1), n),
+          (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
     }
-  }
 
   private def dvec(c: Column): Column = c.cast("array<double>")
 
-  private def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  /** Corpus and query frames carry a precomputed `nrm`/`q_nrm` column —
+    * self-norms are per-vector, so computing them inside the pair loop
+    * would triple the fold work in the hot path. `sqrt(fold)` here and
+    * `dot/(nrm*q_nrm)` at the pair keep the exact IEEE op order of the
+    * inline form, so scores stay bit-identical to the DuckDB oracle.
+    */
+  private def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
+
+  private def pairCosine: Column =
+    dot(col("emb"), col("q_emb")) / (col("nrm") * col("q_nrm"))
 
   /** Corpus × broadcast(queries) scored pairs (self-match excluded). */
   private def scored(s: SparkSession, d: String): DataFrame = {
-    val corpus = Tables.embeddings(s, d)
-      .select(col("vec_id"), dvec(col("embedding")).as("emb"))
+    val corpus = withNorm(Tables.embeddings(s, d)
+      .select(col("vec_id"), dvec(col("embedding")).as("emb")))
     val queries = corpus.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"))
     corpus.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        cosine(col("emb"), col("q_emb")).as("cos_sim"))
+      .select(col("query_id"), col("vec_id"), pairCosine.as("cos_sim"))
   }
 
   /** ANN parameters: `NumTables` hash tables × `Bits` hyperplane sign
@@ -102,17 +114,16 @@ object Similarity extends QueryModule {
     // within the cell; bit-exact doubles make this fully oracle-able,
     // unlike the hash-based LSH variant below.
     "q76_ann_ivf" -> ((s, d) => {
-      val corpus = Tables.embeddings(s, d)
-        .select(col("vec_id"), dvec(col("embedding")).as("emb"), col("label"))
+      val corpus = withNorm(Tables.embeddings(s, d)
+        .select(col("vec_id"), dvec(col("embedding")).as("emb"), col("label")))
       val queries = corpus.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
-          col("label").as("q_label"))
+          col("nrm").as("q_nrm"), col("label").as("q_label"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cos_sim").desc, col("vec_id").asc)
       corpus.join(broadcast(queries),
           col("label") === col("q_label") && col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id"),
-          cosine(col("emb"), col("q_emb")).as("cos_sim"))
+        .select(col("query_id"), col("vec_id"), pairCosine.as("cos_sim"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -125,22 +136,22 @@ object Similarity extends QueryModule {
     // xxhash64-derived hyperplanes have no DuckDB twin → rows-only;
     // recall vs q70 is asserted in SimilaritySpec.
     "q71_ann_lsh" -> ((s, d) => {
-      val corpus = Tables.embeddings(s, d)
-        .select(col("vec_id"), dvec(col("embedding")).as("emb"))
-      val bucketed = corpus.select(col("vec_id"), col("emb"), posexplode(
+      val corpus = withNorm(Tables.embeddings(s, d)
+        .select(col("vec_id"), dvec(col("embedding")).as("emb")))
+      val bucketed = corpus.select(col("vec_id"), col("emb"), col("nrm"), posexplode(
         array((0 until NumTables).map(t => bucket(col("emb"), t)): _*))
         .as(Seq("table_id", "bucket_id")))
       val qb = bucketed.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
-          col("table_id"), col("bucket_id"))
+          col("nrm").as("q_nrm"), col("table_id"), col("bucket_id"))
       val cand = bucketed.join(broadcast(qb), Seq("table_id", "bucket_id"))
         .filter(col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id"), col("emb"), col("q_emb"))
+        .select(col("query_id"), col("vec_id"), col("emb"), col("nrm"),
+          col("q_emb"), col("q_nrm"))
         .dropDuplicates("query_id", "vec_id")
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cos_sim").desc, col("vec_id").asc)
-      cand.select(col("query_id"), col("vec_id"),
-          cosine(col("emb"), col("q_emb")).as("cos_sim"))
+      cand.select(col("query_id"), col("vec_id"), pairCosine.as("cos_sim"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= TopK)
         .select(col("query_id"), col("vec_id").as("neighbor_id"),

@@ -37,8 +37,8 @@ object Jdbc {
   def partitionPredicates(p: PartitionSpec): Seq[String] = {
     require(p.numPartitions >= 1, "numPartitions must be >= 1")
     require(p.upperBound > p.lowerBound, "upperBound must exceed lowerBound")
-    if (p.numPartitions == 1) return Seq("1=1")
     val n = math.min(p.numPartitions.toLong, p.upperBound - p.lowerBound).toInt
+    if (n == 1) return Seq("1=1")
     val stride = (p.upperBound - p.lowerBound) / n
     (0 until n).map { i =>
       val lo = p.lowerBound + i * stride

@@ -36,13 +36,17 @@ object Streams {
       .agg(count(lit(1)).as("n_events"))
       .select(col("window.start").as("wstart"), col("user_id"), col("n_events"))
 
-  /** Stream-to-stream style dedup: event_id replays within the
-    * watermark horizon are dropped.
+  /** Streaming dedup with BOUNDED state: event_id replays arriving
+    * within the watermark delay are dropped, and Spark evicts each key's
+    * state once the watermark passes it. Plain `dropDuplicates(id)`
+    * without the event-time column would keep every id forever (state
+    * grows unboundedly); `dropDuplicatesWithinWatermark` is the
+    * state-evicting form.
     */
   def dedupedEvents(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "10 minutes")
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
 
   final case class Ev(event_id: Long, ts: java.sql.Timestamp,
                       user_id: Long, event_type: String, value: Double)

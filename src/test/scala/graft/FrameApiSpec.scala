@@ -70,6 +70,16 @@ class FrameApiSpec extends AnyFunSuite {
     assert(h.df.agg(sum("n")).collect().head.getLong(0) === orders.count())
   }
 
+  test("hist handles constant columns and excludes nulls") {
+    import spark.implicits._
+    val const = Frame(Seq(42.0, 42.0, 42.0).toDF("x")).hist("x", 10).df.collect()
+    assert(const.length === 1 && const.head.getInt(0) === 0 &&
+      const.head.getLong(1) === 3L)
+    val withNulls = Frame(Seq(Some(1.0), None, Some(2.0), None).toDF("x"))
+      .hist("x", 4).df
+    assert(withNulls.agg(sum("n")).collect().head.getLong(0) === 2L)
+  }
+
   test("set ops compose") {
     val hi = orders.filter(col("o_totalprice") > 300000).select("o_orderkey")
     val lo = orders.filter(col("o_totalprice") <= 300000).select("o_orderkey")

@@ -98,6 +98,16 @@ class OpsSpec extends AnyFunSuite {
       assert(math.abs(byLabel(l)(i) - c(i)) < 1e-9, s"label $l dim $i")
   }
 
+  test("CentroidAgg ignores null/empty vectors without corrupting counts") {
+    val a = ops.CentroidAgg
+    val afterEmpty = a.reduce(a.reduce(a.zero, Seq.empty), Seq(4.0))
+    assert(afterEmpty._2 === 1L && afterEmpty._1.toSeq === Seq(4.0))
+    assert(a.reduce(a.reduce(a.zero, null), Seq(2.0))._2 === 1L)
+    val merged = a.merge(a.reduce(a.zero, Seq(2.0)), a.zero)
+    assert(merged._2 === 1L)
+    assert(a.finish(a.reduce(a.reduce(a.zero, Seq(1.0)), Seq(3.0))) === Seq(2.0))
+  }
+
   test("multimodal decode stub: schema, determinism, distributed shape") {
     val decoded = Multimodal.decodeStub(Multimodal.withPayload(spark, sf))
     assert(decoded.schema === Multimodal.decodedSchema)

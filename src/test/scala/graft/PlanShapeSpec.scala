@@ -48,7 +48,10 @@ class PlanShapeSpec extends AnyFunSuite {
   test("q74 as-of join is a single-shuffle union+window, not a range join") {
     val p = plan("q74_join_asof")
     assert(p.contains("Window"), p)
-    assert(!p.contains("Join,"), s"as-of should not plan a join:\n$p")
+    val joinNode =
+      "(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin|BroadcastNestedLoopJoin|CartesianProduct)".r
+    assert(joinNode.findFirstIn(p).isEmpty,
+      s"as-of should not plan a join (the dedup-side agg is fine):\n$p")
   }
 
   test("scalar-heavy projections stay inside whole-stage codegen") {

@@ -23,6 +23,9 @@ class SourcesSpec extends AnyFunSuite {
     assert(Jdbc.partitionPredicates(Jdbc.PartitionSpec("id", 0, 10, 1)) === Seq("1=1"))
     // more partitions than values: clamps to the value range.
     assert(Jdbc.partitionPredicates(Jdbc.PartitionSpec("id", 0, 3, 8)).size === 3)
+    // clamped all the way to ONE partition must also be the full scan —
+    // a ranged first clause here would silently drop rows >= lo+stride.
+    assert(Jdbc.partitionPredicates(Jdbc.PartitionSpec("id", 0, 1, 4)) === Seq("1=1"))
   }
 
   test("jdbc reader options carry table/query and partitioning through") {
