@@ -133,6 +133,36 @@ object Dedup extends QueryModule {
       verifyPairs(cand, sh.select(col("doc_id"), col("sh")), 50)
     }),
 
+    // embedding-cosine near-dup: pairs whose embedding cosine clears the
+    // threshold, candidates blocked by the label column (the precomputed
+    // IVF coarse cell, as in q76) — within-cell pairwise only, never
+    // corpus × corpus. At 100 TB the cell id is the partition key, so
+    // each cell's O(|cell|²) pair work is local to its partition and
+    // bounded by cell size (AQE skew-split covers pathological cells).
+    // The synthetic corpus plants no embedding-space duplicates (max
+    // within-cell cosine ≈ 0.47 at sf0.01), so the threshold 0.4 is set
+    // to exercise the path on a small non-empty pair set; scores are
+    // bit-exact vs the oracle (see Similarity's determinism note), so
+    // the boundary comparison cannot flip between engines.
+    "q68_dedup_embed" -> ((s, d) => {
+      val t = Similarity.withNorm(Tables.embeddings(s, d)
+        .select(col("vec_id"), Similarity.dvec(col("embedding")).as("emb"),
+          col("label")))
+      val a = t.select(col("label"), col("vec_id").as("vec_a"),
+        col("emb").as("emb_a"), col("nrm").as("nrm_a"))
+      val b = t.select(col("label"), col("vec_id").as("vec_b"),
+        col("emb").as("emb_b"), col("nrm").as("nrm_b"))
+      a.join(b, "label")
+        .filter(col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+          (Similarity.dot(col("emb_a"), col("emb_b"))
+            / (col("nrm_a") * col("nrm_b"))).as("cos_sim"))
+        .filter(col("cos_sim") >= 0.4)
+        // dedup decision: the lower id is the canonical survivor.
+        .withColumn("keep", col("vec_a"))
+        .orderBy(col("vec_a"), col("vec_b"))
+    }),
+
     // SimHash: 64-bit bit-majority signature over per-word hashes,
     // computed per-row with higher-order aggregates (no shuffle), then
     // near-dup pairs via 16-bit chunk blocking + Hamming ≤ 3.
@@ -204,6 +234,20 @@ object Dedup extends QueryModule {
         |WHERE len(list_intersect(a.sh, b.sh)) * 100
         |  >= (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 80
         |ORDER BY doc_a, doc_b""".stripMargin),
+
+    "q68_dedup_embed" ->
+      """WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label
+        |  FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  list_dot_product(a.emb, b.emb)
+        |    / (sqrt(list_dot_product(a.emb, a.emb))
+        |       * sqrt(list_dot_product(b.emb, b.emb))) AS cos_sim,
+        |  a.vec_id AS keep
+        |FROM t a JOIN t b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.emb, b.emb)
+        |    / (sqrt(list_dot_product(a.emb, a.emb))
+        |       * sqrt(list_dot_product(b.emb, b.emb))) >= 0.4
+        |ORDER BY vec_a, vec_b""".stripMargin,
 
     "q62_dedup_ngram" -> (shingleCte +
       """,

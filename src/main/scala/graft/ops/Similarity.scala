@@ -36,7 +36,7 @@ object Similarity extends QueryModule {
     * zip_with's null padding would otherwise poison the fold to NULL),
     * so results are identical either way.
     */
-  private def dot(a: Column, b: Column): Column =
+  private[ops] def dot(a: Column, b: Column): Column =
     org.apache.spark.sql.SparkSession.getActiveSession match {
       case Some(s) if s.catalog.functionExists("graft_dot") =>
         call_function("graft_dot", a, b)
@@ -46,7 +46,7 @@ object Similarity extends QueryModule {
           (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
     }
 
-  private def dvec(c: Column): Column = c.cast("array<double>")
+  private[ops] def dvec(c: Column): Column = c.cast("array<double>")
 
   /** Corpus and query frames carry a precomputed `nrm`/`q_nrm` column —
     * self-norms are per-vector, so computing them inside the pair loop
@@ -54,7 +54,7 @@ object Similarity extends QueryModule {
     * `dot/(nrm*q_nrm)` at the pair keep the exact IEEE op order of the
     * inline form, so scores stay bit-identical to the DuckDB oracle.
     */
-  private def withNorm(df: DataFrame): DataFrame =
+  private[ops] def withNorm(df: DataFrame): DataFrame =
     df.withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
 
   private def pairCosine: Column =
