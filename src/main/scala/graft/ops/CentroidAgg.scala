@@ -15,6 +15,11 @@ import org.apache.spark.sql.expressions.Aggregator
   * only up to ulp-level reordering noise, which is why this ships as a
   * library aggregator pinned by OpsSpec (tolerance compare vs a
   * single-threaded reference) rather than a hash-compared oracle query.
+  *
+  * Dimensionality contract: all non-empty input vectors must share one
+  * fixed dimension (the first non-empty vector seen fixes it); a ragged
+  * vector raises IllegalArgumentException rather than silently averaging
+  * a common prefix.
   */
 object CentroidAgg extends Aggregator[Seq[Double], (Array[Double], Long), Seq[Double]] {
 
@@ -29,8 +34,10 @@ object CentroidAgg extends Aggregator[Seq[Double], (Array[Double], Long), Seq[Do
     if (v == null || v.isEmpty) b
     else if (sum.isEmpty) (v.toArray, n + 1)
     else {
+      require(v.length == sum.length,
+        s"CentroidAgg: vector dimension ${v.length} != expected ${sum.length}")
       var i = 0
-      while (i < sum.length && i < v.length) { sum(i) += v(i); i += 1 }
+      while (i < sum.length) { sum(i) += v(i); i += 1 }
       (sum, n + 1)
     }
   }
@@ -39,8 +46,10 @@ object CentroidAgg extends Aggregator[Seq[Double], (Array[Double], Long), Seq[Do
     if (a._1.isEmpty) b
     else if (b._1.isEmpty) a
     else {
+      require(a._1.length == b._1.length,
+        s"CentroidAgg: partial dimensions differ (${a._1.length} vs ${b._1.length})")
       var i = 0
-      while (i < a._1.length && i < b._1.length) { a._1(i) += b._1(i); i += 1 }
+      while (i < a._1.length) { a._1(i) += b._1(i); i += 1 }
       (a._1, a._2 + b._2)
     }
 

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryModule, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Array / collection / map functions (SURVEY.md §2.10) — the reference's
@@ -14,9 +14,17 @@ import org.apache.spark.sql.functions._
   *
   * Cross-engine determinism: any operation whose result order is
   * unspecified in either engine (distinct, intersect, union, collect_*)
-  * is wrapped in an explicit sort on both sides.
+  * is wrapped in an explicit sort on both sides; every array-typed output
+  * is serialized to a '|'-joined string because the driver's pandas
+  * comparator cannot hash ndarray cells (and DuckDB's array_to_string of
+  * an empty list is NULL where Spark's array_join is '' — the oracle
+  * coalesces).
   */
 object Arrays extends QueryModule {
+
+  /** Serialize an array column (any element type) to a deterministic
+    * '|'-joined string for the cross-engine comparator. */
+  private def ser(c: Column): Column = array_join(c.cast("array<string>"), "|")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // per-row array kernels over words of p_name/p_type.
@@ -27,44 +35,44 @@ object Arrays extends QueryModule {
         .select(
           col("p_partkey"),
           array_contains(col("a"), "widget").as("k_contains"),
-          array_sort(array_distinct(concat(col("a"), col("b")))).as("k_distinct"),
-          array_sort(array_except(col("a"), col("b"))).as("k_except"),
-          array_sort(array_intersect(col("a"), col("b"))).as("k_intersect"),
+          ser(array_sort(array_distinct(concat(col("a"), col("b"))))).as("k_distinct"),
+          ser(array_sort(array_except(col("a"), col("b")))).as("k_except"),
+          ser(array_sort(array_intersect(col("a"), col("b")))).as("k_intersect"),
           array_max(col("a")).as("k_max"),
           array_min(col("a")).as("k_min"),
           array_position(col("a"), "bolt").cast("long").as("k_position"),
-          array_remove(col("a"), "cold").as("k_remove"),
-          array_repeat(col("p_brand"), 3).as("k_repeat"),
-          array_sort(col("a")).as("k_sort"),
-          array_sort(array_union(col("a"), col("b"))).as("k_union"),
+          ser(array_remove(col("a"), "cold")).as("k_remove"),
+          ser(array_repeat(col("p_brand"), 3)).as("k_repeat"),
+          ser(array_sort(col("a"))).as("k_sort"),
+          ser(array_sort(array_union(col("a"), col("b")))).as("k_union"),
           arrays_overlap(col("a"), col("b")).as("k_overlap"),
-          zip_with(col("a"), reverse(col("a")), (x, y) => concat_ws(":", x, y))
+          ser(zip_with(col("a"), reverse(col("a")), (x, y) => concat_ws(":", x, y)))
             .as("k_zip"),
-          flatten(array(col("a"), col("b"))).as("k_flatten"),
+          ser(flatten(array(col("a"), col("b")))).as("k_flatten"),
           array_join(col("a"), "-").as("k_join"),
-          slice(col("a"), 2, 2).as("k_slice"),
+          ser(slice(col("a"), 2, 2)).as("k_slice"),
           element_at(col("a"), 1).as("k_first"),
-          sequence(lit(1L), pmod(col("p_partkey"), lit(5L)) + 2).as("k_seq"),
+          ser(sequence(lit(1L), pmod(col("p_partkey"), lit(5L)) + 2)).as("k_seq"),
           size(col("a")).cast("long").as("k_size"),
-          reverse(col("a")).as("k_reverse"))
+          ser(reverse(col("a"))).as("k_reverse"))
         .orderBy(col("p_partkey"))),
 
     // group-level collection aggregates; collect order is shuffle-
-    // dependent, so results are sorted before comparison.
+    // dependent, so results are sorted before serialization.
     "q54b_array_agg" -> ((s, d) =>
       Tables.part(s, d)
         .groupBy(col("p_brand"))
         .agg(
-          array_sort(collect_list(col("p_type"))).as("k_collect"),
-          array_sort(collect_set(col("p_size").cast("long"))).as("k_set"),
-          array_sort(array_distinct(flatten(collect_list(split(col("p_name"), " ")))))
+          ser(array_sort(collect_list(col("p_type")))).as("k_collect"),
+          ser(array_sort(collect_set(col("p_size").cast("long")))).as("k_set"),
+          ser(array_sort(array_distinct(flatten(collect_list(split(col("p_name"), " "))))))
             .as("k_vocab"),
           count(lit(1)).as("n"))
         .orderBy(col("p_brand"))),
 
     // map construction / access / decomposition; maps are emitted as
-    // sorted "k=v" entry arrays — map column equality is not portable
-    // across engines, entry arrays are.
+    // sorted "k=v" entry strings — map column equality is not portable
+    // across engines, serialized entry lists are.
     "q54c_map" -> ((s, d) =>
       Tables.part(s, d)
         .withColumn("m", map_from_arrays(
@@ -74,15 +82,15 @@ object Arrays extends QueryModule {
           array(struct(lit("brand").as("k"), col("p_brand").as("v")))))
         .select(
           col("p_partkey"),
-          array_sort(map_keys(col("m"))).as("k_keys"),
-          array_sort(map_values(col("m"))).as("k_values"),
+          ser(array_sort(map_keys(col("m")))).as("k_keys"),
+          ser(array_sort(map_values(col("m")))).as("k_values"),
           element_at(col("m"), "size").as("k_get"),
-          array_sort(transform(map_entries(col("m")),
-            e => concat_ws("=", e.getField("key"), e.getField("value"))))
+          ser(array_sort(transform(map_entries(col("m")),
+            e => concat_ws("=", e.getField("key"), e.getField("value")))))
             .as("k_entries"),
-          array_sort(transform(map_entries(map_concat(col("m2"),
+          ser(array_sort(transform(map_entries(map_concat(col("m2"),
             map_from_arrays(array(lit("n")), array(col("p_size").cast("string"))))),
-            e => concat_ws("=", e.getField("key"), e.getField("value"))))
+            e => concat_ws("=", e.getField("key"), e.getField("value")))))
             .as("k_concat"),
           size(col("m")).cast("long").as("k_msize"))
         .orderBy(col("p_partkey")))
@@ -95,33 +103,33 @@ object Arrays extends QueryModule {
         |  FROM part)
         |SELECT p_partkey,
         |  list_contains(a, 'widget') AS k_contains,
-        |  list_sort(list_distinct(list_concat(a, b))) AS k_distinct,
-        |  list_sort(list_filter(list_distinct(a), x -> NOT list_contains(b, x))) AS k_except,
-        |  list_sort(list_intersect(a, b)) AS k_intersect,
+        |  coalesce(array_to_string(list_sort(list_distinct(list_concat(a, b))), '|'), '') AS k_distinct,
+        |  coalesce(array_to_string(list_sort(list_filter(list_distinct(a), x -> NOT list_contains(b, x))), '|'), '') AS k_except,
+        |  coalesce(array_to_string(list_sort(list_intersect(a, b)), '|'), '') AS k_intersect,
         |  list_max(a) AS k_max,
         |  list_min(a) AS k_min,
         |  CAST(list_position(a, 'bolt') AS BIGINT) AS k_position,
-        |  list_filter(a, x -> x <> 'cold') AS k_remove,
-        |  [p_brand, p_brand, p_brand] AS k_repeat,
-        |  list_sort(a) AS k_sort,
-        |  list_sort(list_distinct(list_concat(a, b))) AS k_union,
+        |  coalesce(array_to_string(list_filter(a, x -> x <> 'cold'), '|'), '') AS k_remove,
+        |  coalesce(array_to_string([p_brand, p_brand, p_brand], '|'), '') AS k_repeat,
+        |  coalesce(array_to_string(list_sort(a), '|'), '') AS k_sort,
+        |  coalesce(array_to_string(list_sort(list_distinct(list_concat(a, b))), '|'), '') AS k_union,
         |  len(list_intersect(a, b)) > 0 AS k_overlap,
-        |  list_transform(range(1, len(a) + 1),
-        |    i -> a[i] || ':' || a[len(a) + 1 - i]) AS k_zip,
-        |  flatten([a, b]) AS k_flatten,
+        |  coalesce(array_to_string(list_transform(range(1, len(a) + 1),
+        |    i -> a[i] || ':' || a[len(a) + 1 - i]), '|'), '') AS k_zip,
+        |  coalesce(array_to_string(flatten([a, b]), '|'), '') AS k_flatten,
         |  array_to_string(a, '-') AS k_join,
-        |  a[2:3] AS k_slice,
+        |  coalesce(array_to_string(a[2:3], '|'), '') AS k_slice,
         |  a[1] AS k_first,
-        |  range(1, p_partkey % 5 + 3) AS k_seq,
+        |  coalesce(array_to_string(range(1, p_partkey % 5 + 3), '|'), '') AS k_seq,
         |  CAST(len(a) AS BIGINT) AS k_size,
-        |  list_reverse(a) AS k_reverse
+        |  coalesce(array_to_string(list_reverse(a), '|'), '') AS k_reverse
         |FROM t ORDER BY p_partkey""".stripMargin,
 
     "q54b_array_agg" ->
       """SELECT p_brand,
-        |  list_sort(list(p_type)) AS k_collect,
-        |  list_sort(list_distinct(list(CAST(p_size AS BIGINT)))) AS k_set,
-        |  list_sort(list_distinct(flatten(list(string_split(p_name, ' '))))) AS k_vocab,
+        |  coalesce(array_to_string(list_sort(list(p_type)), '|'), '') AS k_collect,
+        |  coalesce(array_to_string(list_sort(list_distinct(list(CAST(p_size AS BIGINT)))), '|'), '') AS k_set,
+        |  coalesce(array_to_string(list_sort(list_distinct(flatten(list(string_split(p_name, ' '))))), '|'), '') AS k_vocab,
         |  count(*) AS n
         |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
@@ -131,13 +139,13 @@ object Arrays extends QueryModule {
         |    map(['brand', 'n'], [p_brand, CAST(p_size AS VARCHAR)]) AS mc
         |  FROM part)
         |SELECT p_partkey,
-        |  list_sort(map_keys(m)) AS k_keys,
-        |  list_sort(map_values(m)) AS k_values,
+        |  coalesce(array_to_string(list_sort(map_keys(m)), '|'), '') AS k_keys,
+        |  coalesce(array_to_string(list_sort(map_values(m)), '|'), '') AS k_values,
         |  m['size'][1] AS k_get,
-        |  list_sort(list_transform(map_entries(m),
-        |    e -> e.key || '=' || e.value)) AS k_entries,
-        |  list_sort(list_transform(map_entries(mc),
-        |    e -> e.key || '=' || e.value)) AS k_concat,
+        |  coalesce(array_to_string(list_sort(list_transform(map_entries(m),
+        |    e -> e.key || '=' || e.value)), '|'), '') AS k_entries,
+        |  coalesce(array_to_string(list_sort(list_transform(map_entries(mc),
+        |    e -> e.key || '=' || e.value)), '|'), '') AS k_concat,
         |  CAST(cardinality(m) AS BIGINT) AS k_msize
         |FROM t ORDER BY p_partkey""".stripMargin
   )

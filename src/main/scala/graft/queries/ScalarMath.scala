@@ -114,8 +114,8 @@ object ScalarMath extends QueryModule {
         |  l_quantity * l_discount AS f_mul,
         |  l_extendedprice / l_quantity AS f_div,
         |  abs(l_discount - 0.05) AS f_abs,
-        |  ceil(l_extendedprice / 100) AS f_ceil,
-        |  floor(l_extendedprice / 100) AS f_floor,
+        |  CAST(ceil(l_extendedprice / 100) AS BIGINT) AS f_ceil,
+        |  CAST(floor(l_extendedprice / 100) AS BIGINT) AS f_floor,
         |  sqrt(l_quantity) AS f_sqrt,
         |  round(exp(l_discount), 6) AS f_exp,
         |  round(exp(l_discount) - 1, 6) AS f_expm1,
@@ -126,7 +126,7 @@ object ScalarMath extends QueryModule {
         |  round(cbrt(l_quantity), 6) AS f_cbrt,
         |  round(sqrt(l_quantity * l_quantity + l_linenumber * l_linenumber), 6) AS f_hypot,
         |  round(pow(l_quantity, 1.5), 6) AS f_pow,
-        |  sign(l_discount - 0.05) AS f_sign,
+        |  CAST(sign(l_discount - 0.05) AS DOUBLE) AS f_sign,
         |  CAST(factorial(l_linenumber) AS BIGINT) AS f_factorial,
         |  greatest(l_quantity, l_linenumber * 10) AS f_greatest,
         |  least(l_quantity, l_linenumber * 10) AS f_least,

@@ -63,8 +63,10 @@ object Strings extends QueryModule {
           regexp_extract(col("p_brand"), "(\\d+)", 1).as("r_digits"),
           regexp_replace(col("p_name"), "[aeiou]", "_").as("r_replace"),
           col("p_name").rlike("^[cs]").as("r_rlike"),
-          regexp_extract_all(col("p_brand"), lit("\\d"), lit(0)).as("r_all"),
-          split(col("p_name"), " ").as("r_split"),
+          // arrays are serialized to '|'-joined strings: the driver's
+          // pandas comparator cannot hash ndarray cells.
+          array_join(regexp_extract_all(col("p_brand"), lit("\\d"), lit(0)), "|").as("r_all"),
+          array_join(split(col("p_name"), " "), "|").as("r_split"),
           split(col("p_brand"), "#").getItem(1).as("r_split_item"))
         .orderBy(col("p_partkey"))),
 
@@ -149,8 +151,8 @@ object Strings extends QueryModule {
         |  regexp_extract(p_brand, '(\d+)', 1) AS r_digits,
         |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS r_replace,
         |  regexp_matches(p_name, '^[cs]') AS r_rlike,
-        |  regexp_extract_all(p_brand, '\d') AS r_all,
-        |  str_split(p_name, ' ') AS r_split,
+        |  coalesce(array_to_string(regexp_extract_all(p_brand, '\d'), '|'), '') AS r_all,
+        |  coalesce(array_to_string(str_split(p_name, ' '), '|'), '') AS r_split,
         |  split_part(p_brand, '#', 2) AS r_split_item
         |FROM part ORDER BY p_partkey""".stripMargin,
 
@@ -169,7 +171,7 @@ object Strings extends QueryModule {
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS j_k,
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS j_k2,
-        |  to_json({'id': event_id}) AS j_obj,
+        |  CAST(to_json({'id': event_id}) AS VARCHAR) AS j_obj,
         |  json_extract_string(props, '$.missing') IS NOT NULL AS j_missing
         |FROM events ORDER BY event_id""".stripMargin
   )

@@ -126,8 +126,8 @@ object IOQueries extends QueryModule {
 
     "q81_json_roundtrip" ->
       """SELECT lang, count(*) AS n,
-        |  sum(n_chars) AS chars,
-        |  sum(length(text)) AS text_len,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars,
+        |  CAST(sum(length(text)) AS BIGINT) AS text_len,
         |  min(doc_id) AS min_id,
         |  max(doc_id) AS max_id
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,

@@ -108,6 +108,14 @@ class OpsSpec extends AnyFunSuite {
     assert(a.finish(a.reduce(a.reduce(a.zero, Seq(1.0)), Seq(3.0))) === Seq(2.0))
   }
 
+  test("CentroidAgg rejects ragged vector dimensions") {
+    val a = ops.CentroidAgg
+    val two = a.reduce(a.zero, Seq(1.0, 2.0))
+    intercept[IllegalArgumentException](a.reduce(two, Seq(1.0)))
+    intercept[IllegalArgumentException](
+      a.merge(a.reduce(a.zero, Seq(1.0, 2.0)), a.reduce(a.zero, Seq(1.0, 2.0, 3.0))))
+  }
+
   test("multimodal decode stub: schema, determinism, distributed shape") {
     val decoded = Multimodal.decodeStub(Multimodal.withPayload(spark, sf))
     assert(decoded.schema === Multimodal.decodedSchema)
