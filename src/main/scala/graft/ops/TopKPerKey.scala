@@ -86,7 +86,23 @@ object TopKPerKey extends QueryModule {
           col("l_quantity").as("measure"),
           (col("l_orderkey") * 100 + col("l_linenumber")).as("tie")),
         k = 5)
-        .orderBy(col("key"), col("rank")))
+        .orderBy(col("key"), col("rank"))),
+
+    // same semantics through the native Catalyst operator
+    // (plans/PerKeyTopK.scala: custom LogicalPlan → optimizer rule →
+    // strategy → partial/final physical heaps). The oracle is the
+    // identical row_number formulation, so a green row proves the
+    // whole custom-plan path end to end.
+    "q78_topk_native" -> ((s, d) =>
+      graft.plans.NativeTopK(
+        Tables.lineitem(s, d).select(
+          col("l_suppkey").as("key"),
+          col("l_quantity").as("measure"),
+          (col("l_orderkey") * 100 + col("l_linenumber")).as("tie")),
+        keyCols = Seq("key"),
+        orderBy = Seq(("measure", false), ("tie", true)),
+        k = 5)
+        .orderBy(col("key"), col("measure").desc, col("tie")))
   )
 
   def oracle: Map[String, String] = Map(
@@ -97,6 +113,15 @@ object TopKPerKey extends QueryModule {
         |    row_number() OVER (PARTITION BY l_suppkey
         |      ORDER BY l_quantity DESC, l_orderkey * 100 + l_linenumber ASC) AS rn
         |  FROM lineitem)
-        |WHERE rn <= 5 ORDER BY key, rank""".stripMargin
+        |WHERE rn <= 5 ORDER BY key, rank""".stripMargin,
+
+    "q78_topk_native" ->
+      """SELECT l_suppkey AS key, l_quantity AS measure,
+        |  l_orderkey * 100 + l_linenumber AS tie
+        |FROM (SELECT l_suppkey, l_quantity, l_orderkey, l_linenumber,
+        |    row_number() OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_quantity DESC, l_orderkey * 100 + l_linenumber ASC) AS rn
+        |  FROM lineitem)
+        |WHERE rn <= 5 ORDER BY key, measure DESC, tie""".stripMargin
   )
 }

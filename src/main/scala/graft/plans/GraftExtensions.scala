@@ -21,5 +21,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "graft_dot(arrA, arrB) takes 2 arguments")
         DotProduct(children.head, children(1))
       }))
+    // (c)-tier whole-operator extension: per-key top-k logical node,
+    // its key-filter commutation rule, and the partial/final planner
+    // strategy (see PerKeyTopK.scala).
+    ext.injectOptimizerRule(_ => PushFilterThroughPerKeyTopK)
+    ext.injectPlannerStrategy(_ => PerKeyTopKStrategy)
   }
 }
