@@ -27,6 +27,19 @@ object Arrays extends QueryModule {
   private def ser(c: Column): Column = array_join(c.cast("array<string>"), "|")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // generator surface (reference stubs explode scalar.rs:237, struct
+    // :427): posexplode fans each row out to one row per array element
+    // with its 1-based position — the building block the MinHash and
+    // frame-fan-out operators use. DuckDB reproduces it by unnesting a
+    // position-tagged struct list.
+    "q43_generators" -> ((s, d) =>
+      Tables.part(s, d)
+        .select(col("p_partkey"), posexplode(split(col("p_name"), " ")))
+        .toDF("p_partkey", "pos", "word")
+        .select(col("p_partkey"), (col("pos") + 1).cast("long").as("pos"),
+          col("word"))
+        .orderBy(col("p_partkey"), col("pos"))),
+
     // per-row array kernels over words of p_name/p_type.
     "q54_array_core" -> ((s, d) =>
       Tables.part(s, d)
@@ -97,6 +110,15 @@ object Arrays extends QueryModule {
   )
 
   def oracle: Map[String, String] = Map(
+    "q43_generators" ->
+      """WITH t AS (SELECT p_partkey, string_split(p_name, ' ') AS a FROM part)
+        |SELECT p_partkey, CAST(u['p'] AS BIGINT) AS pos, u['w'] AS word
+        |FROM (SELECT p_partkey,
+        |    unnest(list_transform(range(1, len(a) + 1),
+        |      i -> {'p': i, 'w': a[CAST(i AS INT)]})) AS u
+        |  FROM t)
+        |ORDER BY p_partkey, pos""".stripMargin,
+
     "q54_array_core" ->
       """WITH t AS (SELECT p_partkey, p_brand,
         |    string_split(p_name, ' ') AS a, string_split(p_type, ' ') AS b

@@ -74,6 +74,29 @@ object ScalarMath extends QueryModule {
           round(lit(1.0) / sin(col("x") + 1), 6).as("f_csc"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))),
 
+    // rounding-mode catalogue on ties constructed to be exact in binary
+    // (n + 0.5 is exactly representable): round is HALF_UP (ties away
+    // from zero on Spark's shortest-decimal repr), bround/rint are
+    // HALF_EVEN. DuckDB round is half-away-from-zero — identical to
+    // HALF_UP on these exact ties — and the HALF_EVEN columns get an
+    // explicit parity CASE in the oracle. Scale-rounding is exercised
+    // only where ties are exact (integer tens), never on .xx5 cent
+    // values whose shortest-decimal vs binary reprs disagree.
+    "q50b_round_modes" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .withColumn("x", col("l_quantity") + 0.5)
+        .select(
+          col("l_orderkey"), col("l_linenumber"), col("x"),
+          round(col("x")).as("r_up"),
+          round(-col("x")).as("r_up_neg"),
+          bround(col("x")).as("r_even"),
+          bround(-col("x")).as("r_even_neg"),
+          rint(col("x")).as("r_rint"),
+          rint(col("l_extendedprice")).as("r_rint_price"),
+          round(col("l_extendedprice"), -1).as("r_tens"),
+          round(col("l_extendedprice"), -2).as("r_hundreds"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
     "q57_conditional" -> ((s, d) =>
       Tables.lineitem(s, d)
         .withColumn("d_null", nullif(col("l_discount"), lit(0.0)))
@@ -150,6 +173,25 @@ object ScalarMath extends QueryModule {
         |  round(1.0 / sin(x + 1), 6) AS f_csc
         |FROM (SELECT *, l_discount * 10 AS x, l_quantity / 50 AS y FROM lineitem)
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q50b_round_modes" ->
+      """WITH t AS (SELECT *, l_quantity + 0.5 AS x FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, x,
+        |  round(x) AS r_up,
+        |  round(-x) AS r_up_neg,
+        |  CASE WHEN CAST(x - 0.5 AS BIGINT) % 2 = 0 THEN x - 0.5 ELSE x + 0.5 END
+        |    AS r_even,
+        |  -(CASE WHEN CAST(x - 0.5 AS BIGINT) % 2 = 0 THEN x - 0.5 ELSE x + 0.5 END)
+        |    AS r_even_neg,
+        |  CASE WHEN CAST(x - 0.5 AS BIGINT) % 2 = 0 THEN x - 0.5 ELSE x + 0.5 END
+        |    AS r_rint,
+        |  CASE WHEN l_extendedprice - floor(l_extendedprice) = 0.5
+        |    THEN (CASE WHEN CAST(floor(l_extendedprice) AS BIGINT) % 2 = 0
+        |          THEN floor(l_extendedprice) ELSE ceil(l_extendedprice) END)
+        |    ELSE round(l_extendedprice) END AS r_rint_price,
+        |  round(l_extendedprice, -1) AS r_tens,
+        |  round(l_extendedprice, -2) AS r_hundreds
+        |FROM t ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q57_conditional" ->
       """SELECT l_orderkey, l_linenumber,

@@ -55,6 +55,29 @@ object Strings extends QueryModule {
           col("p_name").contains("wid").as("s_contains"))
         .orderBy(col("p_partkey"))),
 
+    // base-conversion and formatting stragglers from the §2.9 stub
+    // catalogue (conv, format_number, format_string, overlay, elt,
+    // find_in_set, space, positional locate). DuckDB has no conv /
+    // format_number / find_in_set — the oracle composes them from
+    // to_hex/bin, printf + thousand-grouped format, and list_position.
+    "q52b_string_fmt" -> ((s, d) =>
+      Tables.part(s, d)
+        .select(
+          col("p_partkey"),
+          conv(col("p_partkey").cast("string"), 10, 16).as("f_conv16"),
+          conv(col("p_partkey").cast("string"), 10, 2).as("f_conv2"),
+          conv(conv(col("p_partkey").cast("string"), 10, 16), 16, 10).as("f_conv_rt"),
+          format_number(col("p_partkey") * 1000.5, 2).as("f_fmtnum"),
+          format_string("%s/%04d", col("p_brand"), col("p_partkey")).as("f_printf"),
+          overlay(col("p_name"), lit("XX"), lit(2), lit(3)).as("f_overlay"),
+          substring_index(col("p_name"), " ", -1).as("f_sidx_neg"),
+          concat(lit("a"), expr("space(3)"), lit("b")).as("f_space"),
+          elt(pmod(col("p_partkey"), lit(2L)) + 1, lit("first"), lit("second"))
+            .as("f_elt"),
+          expr("find_in_set(p_type, 'ECONOMY,SMALL,STANDARD')").as("f_find"),
+          locate("e", col("p_name"), 3).as("f_locate3"))
+        .orderBy(col("p_partkey"))),
+
     "q53_regex" -> ((s, d) =>
       Tables.part(s, d)
         .select(
@@ -144,6 +167,25 @@ object Strings extends QueryModule {
         |  contains(p_name, 'wid') AS s_contains
         |FROM (SELECT *, '  ' || p_name || '  ' AS padded FROM part)
         |ORDER BY p_partkey""".stripMargin,
+
+    "q52b_string_fmt" ->
+      """SELECT p_partkey,
+        |  to_hex(p_partkey) AS f_conv16,
+        |  bin(p_partkey) AS f_conv2,
+        |  CAST(p_partkey AS VARCHAR) AS f_conv_rt,
+        |  format('{:,}', CAST(split_part(printf('%.2f', p_partkey * 1000.5), '.', 1)
+        |      AS BIGINT)) || '.'
+        |    || split_part(printf('%.2f', p_partkey * 1000.5), '.', 2) AS f_fmtnum,
+        |  printf('%s/%04d', p_brand, p_partkey) AS f_printf,
+        |  substr(p_name, 1, 1) || 'XX' || substr(p_name, 5) AS f_overlay,
+        |  str_split(p_name, ' ')[-1] AS f_sidx_neg,
+        |  'a' || repeat(' ', 3) || 'b' AS f_space,
+        |  CASE WHEN p_partkey % 2 = 0 THEN 'first' ELSE 'second' END AS f_elt,
+        |  CAST(list_position(str_split('ECONOMY,SMALL,STANDARD', ','), p_type)
+        |    AS INT) AS f_find,
+        |  CAST(CASE WHEN strpos(substr(p_name, 3), 'e') = 0 THEN 0
+        |       ELSE strpos(substr(p_name, 3), 'e') + 2 END AS INT) AS f_locate3
+        |FROM part ORDER BY p_partkey""".stripMargin,
 
     "q53_regex" ->
       """SELECT p_partkey,

@@ -77,6 +77,24 @@ object Windows extends QueryModule {
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("v"))
         .select(col("window.start").as("wstart"), col("event_type"), col("n"), col("v"))
         .orderBy(col("wstart"), col("event_type")))
+,
+    // event-time session windows (gap-merged): Spark's session_window
+    // starts a new session when the next event is >= 30 min after the
+    // previous one (window end = last event + gap, end-exclusive). The
+    // oracle reproduces that with a lag/step-sum — the standard
+    // sessionization idiom. min/max aggregates keep the row exact
+    // (summation-order-free) for the hash gate.
+    "q49_session_window" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n_events"), col("min_value"), col("max_value"))
+        .orderBy(col("user_id"), col("session_start")))
   )
 
   def oracle: Map[String, String] = Map(
@@ -119,6 +137,27 @@ object Windows extends QueryModule {
     "q48_window_time" ->
       """SELECT time_bucket(INTERVAL '1 day', ts) AS wstart, event_type,
         |  count(*) AS n, round(sum(value), 4) AS v
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q49_session_window" ->
+      """WITH e AS (SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |           IS NULL
+        |         OR epoch(ts - lag(ts) OVER (PARTITION BY user_id
+        |              ORDER BY ts, event_id)) >= 1800
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |s AS (SELECT user_id, event_id, ts, value,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM e)
+        |SELECT user_id,
+        |  min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  count(*) AS n_events,
+        |  min(value) AS min_value,
+        |  max(value) AS max_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin
   )
 }
