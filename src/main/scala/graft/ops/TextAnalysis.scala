@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.{QueryModule, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines (builder brief):
@@ -88,6 +89,41 @@ object TextAnalysis extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // end-to-end training-data pipeline composition: quality gate →
+    // language ID → fingerprint dedup (keep lowest doc_id per bag
+    // fingerprint) → per-predicted-language corpus stats. One declarative
+    // plan, so Catalyst fuses the per-row stages into a single codegen'd
+    // pass before the one dedup shuffle and the final aggregation —
+    // the shape a 100 TB corpus clean actually runs.
+    "q69_pipeline" -> ((s, d) => {
+      val hits = profiles.map { case (l, ws) =>
+        l -> expr(s"CAST(size(filter(wrds, w -> w IN ${inList(ws)})) AS LONG)")
+      }
+      val Seq(en, de, es, fr) = hits.map(_._2)
+      val best = greatest(en, de, es, fr)
+      val staged = Tables.documents(s, d)
+        .withColumn("wrds", Text.words(col("text")))
+        .filter(size(col("wrds")) >= 10 && size(col("wrds")) <= 2000 &&
+          size(array_distinct(col("wrds"))).cast("long") * 5 >= size(col("wrds")))
+        .withColumn("pred_lang",
+          when(best === 0, "und")
+            .when(en === best, "en").when(de === best, "de")
+            .when(es === best, "es").otherwise("fr"))
+        .withColumn("bag_fp",
+          md5(concat_ws(" ", array_sort(array_distinct(col("wrds")))).cast("binary")))
+      val keepFirst = Window.partitionBy(col("bag_fp")).orderBy(col("doc_id"))
+      staged
+        .withColumn("rn", row_number().over(keepFirst))
+        .filter(col("rn") === 1)
+        .groupBy(col("pred_lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(col("wrds")).cast("long")).as("total_words"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy(col("pred_lang"))
+    }),
+
     // document fingerprints: an order-insensitive bag fingerprint (md5 of
     // the sorted distinct vocabulary) and a prefix fingerprint (md5 of
     // the first 8 words) — the cheap keys used to pre-cluster before
@@ -150,6 +186,31 @@ object TextAnalysis extends QueryModule {
         |    ELSE 'fr' END AS pred_lang,
         |  pred_lang = lang AS is_correct
         |FROM h ORDER BY doc_id""".stripMargin),
+
+    "q69_pipeline" -> (wordsCte + s""",
+        |qual AS (SELECT * FROM w
+        |  WHERE len(wrds) >= 10 AND len(wrds) <= 2000
+        |    AND len(list_distinct(wrds)) * 5 >= len(wrds)),
+        |pred AS (SELECT *,
+        |  ${profiles.map { case (l, ws) =>
+             s"len(list_filter(wrds, w -> w IN ${inList(ws)})) AS ${l}_hits"
+           }.mkString(",\n|  ")},
+        |  md5(array_to_string(list_sort(list_distinct(wrds)), ' ')) AS bag_fp
+        |  FROM qual),
+        |lang AS (SELECT *,
+        |  CASE WHEN greatest(en_hits, de_hits, es_hits, fr_hits) = 0 THEN 'und'
+        |    WHEN en_hits = greatest(en_hits, de_hits, es_hits, fr_hits) THEN 'en'
+        |    WHEN de_hits = greatest(en_hits, de_hits, es_hits, fr_hits) THEN 'de'
+        |    WHEN es_hits = greatest(en_hits, de_hits, es_hits, fr_hits) THEN 'es'
+        |    ELSE 'fr' END AS pred_lang
+        |  FROM pred),
+        |dedup AS (SELECT * FROM (SELECT *,
+        |    row_number() OVER (PARTITION BY bag_fp ORDER BY doc_id) AS rn
+        |  FROM lang) WHERE rn = 1)
+        |SELECT pred_lang, count(*) AS n_docs,
+        |  CAST(sum(len(wrds)) AS BIGINT) AS total_words,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM dedup GROUP BY pred_lang ORDER BY pred_lang""".stripMargin),
 
     "q67_fingerprint" -> (wordsCte +
       """

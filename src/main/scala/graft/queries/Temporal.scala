@@ -62,6 +62,23 @@ object Temporal extends QueryModule {
           date_trunc("minute", col("ts")).as("t_trunc_min"),
           to_date(col("ts")).as("t_date"),
           datediff(col("ts"), lit("2024-01-01").cast("date")).as("t_days_since"))
+        .orderBy(col("event_id"))),
+
+    // timezone conversions (reference stubs from_utc_timestamp
+    // scalar.rs:263, to_utc_timestamp :462): wall-clock shifts through
+    // IANA zones plus the from_unixtime seconds-format round-trip. Both
+    // engines resolve zones from the same IANA tzdb, so DST-straddling
+    // event timestamps convert identically.
+    "q42_temporal_tz" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(
+          col("event_id"),
+          from_utc_timestamp(col("ts"), "America/New_York").as("t_from_utc"),
+          to_utc_timestamp(col("ts"), "America/New_York").as("t_to_utc"),
+          from_utc_timestamp(col("ts"), "Asia/Tokyo").as("t_tokyo"),
+          hour(from_utc_timestamp(col("ts"), "America/New_York")).as("t_hour_ny"),
+          expr("convert_timezone('UTC', 'Europe/Paris', ts)").as("t_paris"),
+          from_unixtime(unix_timestamp(col("ts"))).as("t_fmt_unix"))
         .orderBy(col("event_id")))
   )
 
@@ -106,6 +123,16 @@ object Temporal extends QueryModule {
         |  date_trunc('minute', ts) AS t_trunc_min,
         |  ts::DATE AS t_date,
         |  datediff('day', DATE '2024-01-01', ts::DATE) AS t_days_since
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q42_temporal_tz" ->
+      """SELECT event_id,
+        |  ts AT TIME ZONE 'UTC' AT TIME ZONE 'America/New_York' AS t_from_utc,
+        |  ts AT TIME ZONE 'America/New_York' AT TIME ZONE 'UTC' AS t_to_utc,
+        |  ts AT TIME ZONE 'UTC' AT TIME ZONE 'Asia/Tokyo' AS t_tokyo,
+        |  hour(ts AT TIME ZONE 'UTC' AT TIME ZONE 'America/New_York') AS t_hour_ny,
+        |  ts AT TIME ZONE 'UTC' AT TIME ZONE 'Europe/Paris' AS t_paris,
+        |  strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS t_fmt_unix
         |FROM events ORDER BY event_id""".stripMargin
   )
 }
