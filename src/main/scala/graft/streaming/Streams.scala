@@ -73,6 +73,87 @@ object Streams {
       }
   }
 
+  /** Native streaming sessionization: session_window merges events
+    * closer than the gap; with a watermark, state for a session is
+    * evicted once the watermark passes its close — the managed-state
+    * twin of [[closedSessions]]. Append mode emits each session exactly
+    * once, when it can no longer grow.
+    */
+  def sessionWindowCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
+  final case class SessionAcc(start: Long, end: Long, n: Long)
+  final case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
+                                 session_end: java.sql.Timestamp, n_events: Long)
+
+  /** Hand-rolled sessionization via flatMapGroupsWithState with an
+    * EVENT-TIME timeout — the fully general keyed-state form for
+    * session logic session_window can't express (custom merge rules,
+    * emitting mid-session heartbeats, …). Sessions closed by an
+    * in-batch gap are emitted immediately; the still-open tail session
+    * is parked in state with a timeout at end+gap, so the watermark
+    * passing that point fires the timeout branch and emits it. State is
+    * one (start, end, n) triple per active user — bounded, and evicted
+    * on close.
+    */
+  def closedSessions(events: Dataset[Ev], gapMinutes: Int = 30): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionAcc, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (uid, _, state) if state.hasTimedOut =>
+          val s = state.get
+          state.remove()
+          Iterator(ClosedSession(uid, new java.sql.Timestamp(s.start),
+            new java.sql.Timestamp(s.end), s.n))
+        case (uid, evs, state) =>
+          var closed = List.empty[SessionAcc]
+          var cur = state.getOption.orNull
+          evs.map(_.ts.getTime).toArray.sorted.foreach { t =>
+            if (cur == null) cur = SessionAcc(t, t, 1)
+            else if (t - cur.end >= gapMs) { closed ::= cur; cur = SessionAcc(t, t, 1) }
+            else cur = SessionAcc(math.min(cur.start, t), math.max(cur.end, t), cur.n + 1)
+          }
+          val wm = state.getCurrentWatermarkMs()
+          if (cur != null && cur.end + gapMs <= wm) { closed ::= cur; cur = null }
+          if (cur != null) {
+            state.update(cur)
+            state.setTimeoutTimestamp(cur.end + gapMs)
+          } else state.remove()
+          closed.reverse.iterator.map(s =>
+            ClosedSession(uid, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.end), s.n))
+      }
+  }
+
+  /** Watermarked stream-stream interval join: each left event pairs
+    * with same-user right events from the preceding hour. The time
+    * bound plus both watermarks let Spark evict buffered rows once they
+    * can no longer match — without them a stream-stream join buffers
+    * forever. The same function joins two batch frames identically.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame): DataFrame = {
+    val l = left.withWatermark("ts", "10 minutes").alias("l")
+    val r = right.withWatermark("ts", "1 hour").alias("r")
+    l.join(r, expr(
+      """l.user_id = r.user_id AND
+        |r.ts BETWEEN l.ts - INTERVAL 1 HOUR AND l.ts AND
+        |l.event_id != r.event_id""".stripMargin))
+      .select(col("l.event_id").as("left_id"), col("r.event_id").as("right_id"),
+        col("l.user_id").as("user_id"),
+        col("l.ts").as("left_ts"), col("r.ts").as("right_ts"))
+  }
+
   /** Wire a streaming frame of events through `transform` into an
     * in-memory sink table named `sinkName`, complete/update handled by
     * the caller's OutputMode.

@@ -76,6 +76,73 @@ class StreamingSpec extends AnyFunSuite {
     assert(byUser(2L) === ((2L, 8.0)))
   }
 
+  test("session_window streaming: append emits finalized sessions") {
+    import spark.implicits._
+    val mem = MemoryStream[Ev](spark)
+    // user 1: session A (00:05, 00:10), then >30min gap, session B (01:30).
+    mem.addData(
+      Ev(1, ts(5), 1, "click", 1.0),
+      Ev(2, ts(10), 1, "click", 1.0),
+      Ev(3, ts(90), 1, "click", 1.0))
+    val q = Streams.sessionWindowCounts(mem.toDF()).writeStream
+      .format("memory").queryName("swin_sink").outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    // far-future event pushes the watermark past both sessions' close.
+    mem.addData(Ev(99, ts(600), 2, "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("swin_sink").collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Timestamp]("session_start"), r.getAs[Long]("n_events"))).toSet
+    assert(got.contains((1L, ts(5), 2L)), s"session A missing from $got")
+    assert(got.contains((1L, ts(90), 1L)), s"session B missing from $got")
+  }
+
+  test("flatMapGroupsWithState emits closed sessions on event-time timeout") {
+    import spark.implicits._
+    val mem = MemoryStream[Ev](spark)
+    mem.addData(
+      Ev(1, ts(5), 1, "click", 1.0),
+      Ev(2, ts(10), 1, "click", 1.0),
+      Ev(3, ts(90), 1, "click", 1.0), // in-batch gap closes session A at once
+      Ev(4, ts(90), 2, "click", 1.0))
+    val q = Streams.closedSessions(mem.toDS()).writeStream
+      .format("memory").queryName("closed_sink").outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    // watermark jump fires the event-time timeout for the open sessions.
+    mem.addData(Ev(99, ts(600), 3, "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("closed_sink").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Timestamp]("session_start"),
+        r.getAs[Timestamp]("session_end"), r.getAs[Long]("n_events"))).toSet
+    assert(got.contains((1L, ts(5), ts(10), 2L)), s"in-batch-closed session missing: $got")
+    assert(got.contains((1L, ts(90), ts(90), 1L)), s"timeout-closed session missing: $got")
+    assert(got.contains((2L, ts(90), ts(90), 1L)), s"user-2 session missing: $got")
+  }
+
+  test("stream-stream interval join equals the batch join") {
+    import spark.implicits._
+    val clicks = Seq(
+      Ev(1, ts(70), 2, "click", 1.0), // pairs with error 3 (5 min earlier)
+      Ev(2, ts(20), 1, "click", 1.0)) // pairs with error 5 (10 min earlier)
+    val errors = Seq(
+      Ev(3, ts(65), 2, "error", 1.0),
+      Ev(4, ts(135), 2, "error", 1.0), // after the click → no match
+      Ev(5, ts(10), 1, "error", 1.0))
+    val memC = MemoryStream[Ev](spark); memC.addData(clicks: _*)
+    val memE = MemoryStream[Ev](spark); memE.addData(errors: _*)
+    Streams.runToMemory(Streams.intervalJoin(memC.toDF(), memE.toDF()),
+      "join_sink", OutputMode.Append())
+    val streamed = spark.table("join_sink")
+      .orderBy("left_id", "right_id").collect().toSeq
+    val batch = Streams.intervalJoin(clicks.toDF(), errors.toDF())
+      .orderBy("left_id", "right_id").collect().toSeq
+    assert(streamed === batch)
+    assert(batch.map(r => (r.getAs[Long]("left_id"), r.getAs[Long]("right_id")))
+      === Seq((1L, 3L), (2L, 5L)))
+  }
+
   test("batch events table flows through the same windowed transform") {
     // unified API: the exact transform used on streams runs on the real
     // events table, matching q48-style totals.
