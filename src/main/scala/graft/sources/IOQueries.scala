@@ -113,6 +113,26 @@ object IOQueries extends QueryModule {
         .agg(count(lit(1)).as("n"), sum(col("id")).as("id_sum"),
           max(col("tag")).as("max_tag"))
         .orderBy(col("id_mod")))
+,
+    // custom DataSource V2 SINK round-trip (MemTableSource): write
+    // through the V2 batch-commit protocol (executor writers →
+    // driver-side atomic commit, overwrite = truncate), read back
+    // through its pruned scan, aggregate, oracle vs the parquet
+    // original — proving writer and reader agree byte-for-byte.
+    "q85_mem_sink_roundtrip" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderstatus"))
+        .write.format("graft.sources.MemTableSource")
+        .option("name", "q85_orders").mode("overwrite").save()
+      s.read.format("graft.sources.MemTableSource")
+        .option("name", "q85_orders").load()
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"),
+          count_distinct(col("o_custkey")).as("n_cust"))
+        .orderBy(col("o_orderstatus"))
+    })
   )
 
   def oracle: Map[String, String] = Map(
@@ -144,6 +164,12 @@ object IOQueries extends QueryModule {
         |  round(sum(o_totalprice), 2) AS total
         |FROM orders WHERE o_orderstatus = 'F'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q85_mem_sink_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  count(DISTINCT o_custkey) AS n_cust
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q83_custom_source" ->
       """SELECT CAST(i % 97 AS INT) AS id_mod, count(*) AS n,

@@ -69,4 +69,41 @@ class SourcesSpec extends AnyFunSuite {
     assert(plan.contains("BatchScan graft_range(1000)[id#"),
       s"expected pruned BatchScan output in:\n$plan")
   }
+
+  test("mem sink: overwrite truncates, append accumulates, read-back matches") {
+    import spark.implicits._
+    graft.sources.MemStore.drop("spec_t")
+    def write(rows: Seq[(Long, String)], mode: String): Unit =
+      rows.toDF("k", "v").write.format("graft.sources.MemTableSource")
+        .option("name", "spec_t").mode(mode).save()
+    def readBack() = spark.read.format("graft.sources.MemTableSource")
+      .option("name", "spec_t").load()
+
+    write(Seq((1L, "a"), (2L, "b")), "overwrite")
+    assert(readBack().orderBy("k").as[(Long, String)].collect().toSeq
+      === Seq((1L, "a"), (2L, "b")))
+    write(Seq((3L, "c")), "append")
+    assert(readBack().count() === 3)
+    write(Seq((9L, "z")), "overwrite")
+    assert(readBack().as[(Long, String)].collect().toSeq === Seq((9L, "z")))
+    graft.sources.MemStore.drop("spec_t")
+  }
+
+  test("mem sink survives multi-partition writes and prunes columns on read") {
+    import spark.implicits._
+    graft.sources.MemStore.drop("spec_big")
+    spark.range(0, 10000, 1, 8)
+      .select(col("id"), (col("id") % 7).as("m"), concat(lit("s"), col("id")).as("s"))
+      .write.format("graft.sources.MemTableSource")
+      .option("name", "spec_big").mode("overwrite").save()
+    val back = spark.read.format("graft.sources.MemTableSource")
+      .option("name", "spec_big").option("slices", "6").load()
+    assert(back.count() === 10000)
+    assert(back.rdd.getNumPartitions === 6)
+    assert(back.agg(sum("id")).as[Long].head() === (0L until 10000L).sum)
+    val plan = back.select(sum(col("m"))).queryExecution.executedPlan.toString
+    assert(plan.contains("BatchScan graft_mem(spec_big)[m#"),
+      s"expected pruned BatchScan output in:\n$plan")
+    graft.sources.MemStore.drop("spec_big")
+  }
 }
