@@ -131,6 +131,51 @@ object Similarity extends QueryModule {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // IVF with COMPUTED coarse cells + multi-probe: seeds are the
+    // min-vec_id vector per label (deterministic medoids — float
+    // centroid averages would be summation-order-noisy and break the
+    // oracle); every corpus vector is assigned to its nearest seed by
+    // an aggregated argmax (map-side partial: the 10× seed fan-out
+    // reduces to one row per vector before any shuffle), and a query
+    // probes its nprobe=2 nearest cells — the recall knob a real IVF
+    // index turns. Exact cosine reranks candidates; everything is
+    // bit-exact doubles, so the full index build + probe pipeline is
+    // oracle-checked, not just recall-asserted.
+    "q76b_ann_ivf_probe" -> ((s, d) => {
+      val corpus = withNorm(Tables.embeddings(s, d)
+        .select(col("vec_id"), dvec(col("embedding")).as("emb"), col("label")))
+      val seedW = Window.partitionBy(col("label")).orderBy(col("vec_id"))
+      val seeds = corpus
+        .withColumn("rn", row_number().over(seedW)).filter(col("rn") === 1)
+        .select(col("label").as("cell"), col("emb").as("c_emb"),
+          col("nrm").as("c_nrm"))
+      val seedSim = dot(col("emb"), col("c_emb")) / (col("nrm") * col("c_nrm"))
+      val cellOf = corpus.crossJoin(broadcast(seeds))
+        .select(col("vec_id"), col("cell"), seedSim.as("sim"))
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("cell"), struct(col("sim"), -col("cell"))).as("cell"))
+      val assigned = corpus.join(cellOf, "vec_id")
+      val qw = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("cell").asc)
+      val probes = corpus.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("emb"), col("nrm"))
+        .crossJoin(broadcast(seeds))
+        .select(col("query_id"), col("emb").as("q_emb"), col("nrm").as("q_nrm"),
+          col("cell"), seedSim.as("sim"))
+        .withColumn("qrn", row_number().over(qw)).filter(col("qrn") <= 2)
+        .select(col("query_id"), col("q_emb"), col("q_nrm"), col("cell"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      assigned.join(broadcast(probes), Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"), pairCosine.as("cos_sim"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          col("rank"), col("cos_sim"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // LSH-bucketed ANN top-k: candidates = vectors sharing any of the 4
     // table buckets with the query; exact cosine re-ranks candidates.
     // xxhash64-derived hyperplanes have no DuckDB twin → rows-only;
@@ -174,6 +219,43 @@ object Similarity extends QueryModule {
         |    row_number() OVER (PARTITION BY query_id
         |      ORDER BY cos_sim DESC, vec_id ASC) AS rank
         |  FROM scored)
+        |SELECT query_id, vec_id AS neighbor_id, rank, cos_sim
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "q76b_ann_ivf_probe" ->
+      """WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
+        |seeds AS (SELECT label AS cell, emb AS c_emb
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+        |    FROM t) WHERE rn = 1),
+        |scored_seeds AS (SELECT t.vec_id, s.cell,
+        |    list_dot_product(t.emb, s.c_emb)
+        |      / (sqrt(list_dot_product(t.emb, t.emb))
+        |         * sqrt(list_dot_product(s.c_emb, s.c_emb))) AS sim
+        |  FROM t CROSS JOIN seeds s),
+        |assigned AS (SELECT vec_id, cell
+        |  FROM (SELECT vec_id, cell,
+        |      row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY sim DESC, cell ASC) AS rn
+        |    FROM scored_seeds) WHERE rn = 1),
+        |probes AS (SELECT vec_id AS query_id, cell
+        |  FROM (SELECT vec_id, cell,
+        |      row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY sim DESC, cell ASC) AS rn
+        |    FROM scored_seeds WHERE vec_id < 5) WHERE rn <= 2),
+        |cand AS (SELECT p.query_id, c.vec_id,
+        |    list_dot_product(c.emb, q.emb)
+        |      / (sqrt(list_dot_product(c.emb, c.emb))
+        |         * sqrt(list_dot_product(q.emb, q.emb))) AS cos_sim
+        |  FROM t c
+        |  JOIN assigned a ON a.vec_id = c.vec_id
+        |  JOIN probes p ON p.cell = a.cell
+        |  JOIN t q ON q.vec_id = p.query_id
+        |  WHERE c.vec_id <> p.query_id),
+        |ranked AS (SELECT query_id, vec_id, cos_sim,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos_sim DESC, vec_id ASC) AS rank
+        |  FROM cand)
         |SELECT query_id, vec_id AS neighbor_id, rank, cos_sim
         |FROM ranked WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
