@@ -57,6 +57,13 @@ final class Frame private (val df: DataFrame) {
     }
     Frame(df.groupBy(groups.map(col): _*).agg(cols.head, cols.tail: _*))
   }
+  /** Per-key top-k through the native Catalyst operator
+    * ([[graft.plans.PerKeyTopKPlan]]): bounded heaps, k·|keys| rows
+    * across one shuffle — not a window sort.
+    */
+  def topK(keys: Seq[String], orderBy: Seq[(String, Boolean)], k: Int): Frame =
+    Frame(graft.plans.NativeTopK(df, keys, orderBy, k))
+
   def uniques(column: String): Frame = Frame(df.select(column).distinct())
   /** Column::hist (table.rs:244-290): fixed-width numeric histogram;
     * broadcast 1-row bounds, integer bucketing — no collect at any size.

@@ -88,6 +88,21 @@ class FrameApiSpec extends AnyFunSuite {
     assert(hi.except(lo).count() === hi.count())
   }
 
+  test("topK routes through the native per-key operator") {
+    import org.apache.spark.sql.expressions.Window
+    val f = lineitem.select("l_suppkey", "l_quantity", "l_orderkey")
+      .topK(Seq("l_suppkey"), Seq(("l_quantity", false), ("l_orderkey", true)), 3)
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_quantity").desc, col("l_orderkey"))
+    val expected = Tables.lineitem(spark, sf)
+      .select(col("l_suppkey"), col("l_quantity"), col("l_orderkey"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3).drop("rn")
+    assert(f.df.count() === expected.count())
+    assert(f.df.except(expected).count() === 0)
+    val plan = f.df.queryExecution.executedPlan.toString
+    assert(plan.contains("PerKeyTopK"), s"native operator missing from plan:\n$plan")
+  }
+
   test("csv/json/parquet sinks round-trip through the matching sources") {
     val base = "target/tmp/frame_api"
     val src = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
