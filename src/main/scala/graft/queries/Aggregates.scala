@@ -148,10 +148,45 @@ object Aggregates extends QueryModule {
         .agg(
           round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
           round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"))
-        .orderBy(col("l_returnflag")))
+        .orderBy(col("l_returnflag"))),
+
+    // pivot: long→wide with explicit value list (explicit values keep
+    // the plan a single pass — value discovery would add a collect) —
+    // the oracle is the FILTER-aggregate spelling pivot desugars to.
+    "q86_pivot" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(round(sum(col("l_quantity")), 2))
+        .orderBy(col("l_returnflag"))),
+
+    // unpivot (melt): wide→long, the inverse reshape; value columns
+    // share one type (cast to long) as unpivot requires.
+    "q87_unpivot" -> ((s, d) =>
+      Tables.part(s, d)
+        .select(col("p_partkey"),
+          col("p_size").cast("long").as("size_v"),
+          pmod(col("p_partkey"), lit(10L)).as("mod_v"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("size_v"), col("mod_v")), "metric", "value")
+        .orderBy(col("p_partkey"), col("metric")))
   )
 
   def oracle: Map[String, String] = Map(
+    "q86_pivot" ->
+      """SELECT l_returnflag,
+        |  round(sum(l_quantity) FILTER (l_linestatus = 'F'), 2) AS "F",
+        |  round(sum(l_quantity) FILTER (l_linestatus = 'O'), 2) AS "O"
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q87_unpivot" ->
+      """SELECT p_partkey, 'size_v' AS metric, CAST(p_size AS BIGINT) AS value
+        |FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'mod_v' AS metric, p_partkey % 10 AS value
+        |FROM part
+        |ORDER BY p_partkey, metric""".stripMargin,
+
     "q30_agg_basic" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_extendedprice), 2) AS sum_price,

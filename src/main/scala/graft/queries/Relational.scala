@@ -198,10 +198,36 @@ object Relational extends QueryModule {
           round(min(col("o_totalprice")), 2).as("bucket_min"),
           round(max(col("o_totalprice")), 2).as("bucket_max"))
         .orderBy(col("bucket"))
-    })
+    }),
+
+    // SQL entry point (reference §3.3: the SQL copy pipeline is its
+    // third front door): spark.sql over parquet.`path` — no temp view
+    // leaked into the shared session — with an uncorrelated scalar
+    // subquery and a correlated EXISTS, both of which Catalyst rewrites
+    // to joins (scalar → broadcast of the 1-row aggregate, EXISTS →
+    // left-semi). The threshold uses max/2, not avg: max is exact
+    // across engines where a parallel avg can differ in the last ulp
+    // and flip threshold-adjacent rows.
+    "q19_sql_subqueries" -> ((s, d) =>
+      s.sql(
+        s"""SELECT o.o_orderkey, o.o_totalprice
+           |FROM parquet.`$d/orders.parquet` o
+           |WHERE o.o_totalprice >
+           |    (SELECT max(o_totalprice) FROM parquet.`$d/orders.parquet`) / 2
+           |  AND EXISTS (SELECT 1 FROM parquet.`$d/lineitem.parquet` l
+           |    WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+           |ORDER BY o.o_orderkey""".stripMargin))
   )
 
   def oracle: Map[String, String] = Map(
+    "q19_sql_subqueries" ->
+      """SELECT o.o_orderkey, o.o_totalprice
+        |FROM orders o
+        |WHERE o.o_totalprice > (SELECT max(o_totalprice) FROM orders) / 2
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+        |ORDER BY o.o_orderkey""".stripMargin,
+
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
