@@ -154,6 +154,27 @@ object Streams {
         col("l.ts").as("left_ts"), col("r.ts").as("right_ts"))
   }
 
+  /** Streaming → batch-sink bridge: foreachBatch hands every micro-batch
+    * to a batch writer together with its batchId. Writing each batch to
+    * an id-keyed target with an atomic commit (here: overwrite of
+    * `<table>_b<batchId>` through the V2 MemTableSource, whose driver-side
+    * commit installs rows all-or-nothing) makes a replayed batch
+    * overwrite itself rather than duplicate — the standard recipe for
+    * effectively-exactly-once delivery into sinks with no native
+    * streaming support.
+    */
+  def foreachBatchToMem(df: DataFrame, table: String): Unit = {
+    val q = df.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.write.format("graft.sources.MemTableSource")
+          .option("name", s"${table}_b$batchId")
+          .mode("overwrite").save()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Wire a streaming frame of events through `transform` into an
     * in-memory sink table named `sinkName`, complete/update handled by
     * the caller's OutputMode.

@@ -70,6 +70,24 @@ class SourcesSpec extends AnyFunSuite {
       s"expected pruned BatchScan output in:\n$plan")
   }
 
+  test("range source columnar path: batches, ColumnarToRow boundary, parity") {
+    def read(columnar: Boolean) = spark.read.format("graft.sources.RangeSource")
+      .option("rows", "10000").option("slices", "3")
+      .option("columnar", columnar.toString).load()
+    val col_ = read(columnar = true)
+    val row_ = read(columnar = false)
+    assert(col_.orderBy("id").collect().toSeq === row_.orderBy("id").collect().toSeq)
+    val agg = col_.agg(sum(col("id")))
+    assert(agg.collect().head.getLong(0) === (0L until 10000L).sum)
+    // AQE-final plan: the vectorized scan feeds a ColumnarToRow boundary
+    // and column pruning reaches the columnar factory.
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"),
+      s"columnar scan should feed a ColumnarToRow boundary:\n$plan")
+    assert(plan.contains("BatchScan graft_range(10000)[id#"),
+      s"expected pruned columnar BatchScan in:\n$plan")
+  }
+
   test("mem sink: overwrite truncates, append accumulates, read-back matches") {
     import spark.implicits._
     graft.sources.MemStore.drop("spec_t")

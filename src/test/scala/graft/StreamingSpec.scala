@@ -143,6 +143,24 @@ class StreamingSpec extends AnyFunSuite {
       === Seq((1L, 3L), (2L, 5L)))
   }
 
+  test("foreachBatch writes idempotent per-batch tables through the V2 sink") {
+    import spark.implicits._
+    def batch0() = spark.read.format("graft.sources.MemTableSource")
+      .option("name", "fb_spec_b0").load()
+    val mem = MemoryStream[Ev](spark)
+    mem.addData(sample: _*)
+    Streams.foreachBatchToMem(mem.toDF(), "fb_spec")
+    assert(batch0().count() === sample.size)
+    // replay: a fresh checkpoint-free query reprocesses everything as
+    // batch 0 again — the id-keyed overwrite makes the replay IDEMPOTENT
+    // (still one copy) where a plain append sink would double the rows.
+    Streams.foreachBatchToMem(mem.toDF(), "fb_spec")
+    assert(batch0().count() === sample.size)
+    assert(batch0().select("event_id").orderBy("event_id").as[Long].collect().toSeq
+      === sample.map(_.event_id).sorted)
+    graft.sources.MemStore.drop("fb_spec_b0")
+  }
+
   test("batch events table flows through the same windowed transform") {
     // unified API: the exact transform used on streams runs on the real
     // events table, matching q48-style totals.
