@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryModule, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Relational core — scans, projections, column ops, filters, sorts,
@@ -200,6 +201,46 @@ object Relational extends QueryModule {
         .orderBy(col("bucket"))
     }),
 
+    // row slicing by offset (ref table.rs:200 slice(offset, length),
+    // dataframe limit :166): Spark 3.4's offset() — only meaningful
+    // under a total order, which also makes it deterministic.
+    "q88_slice_offset" -> ((s, d) =>
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+        .offset(100).limit(50)
+        .orderBy(col("c_custkey"))),
+
+    // take-by-index (ref table.rs:218 take(indices)): a row gather is
+    // order-dependent by definition, so positions come from row_number
+    // over the total order and the index set arrives as a join (no
+    // driver-side collect of indices). The single-partition window is
+    // inherent to global positions — real pipelines gather by KEY
+    // (a plain join) instead, which this desugars to.
+    "q89_take_indices" -> ((s, d) => {
+      val w = Window.orderBy(col("c_custkey"))
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"))
+        .withColumn("pos", row_number().over(w).cast("long") - 1)
+        .filter(pmod(col("pos"), lit(101L)) === 0)
+        .orderBy(col("pos"))
+    }),
+
+    // per-column null counts (ref table.rs:47 null_count): one pass,
+    // count_if per column — the profiling primitive behind schema
+    // inference and data-quality dashboards.
+    "q90_null_count" -> ((s, d) =>
+      Tables.orders(s, d)
+        .withColumn("maybe_price",
+          when(col("o_totalprice") > 150000, col("o_totalprice")))
+        .withColumn("maybe_clerk",
+          nullif(col("o_orderpriority"), lit("1-URGENT")))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count_if(col("maybe_price").isNull).as("nulls_price"),
+          count_if(col("maybe_clerk").isNull).as("nulls_clerk"),
+          count(col("maybe_price")).as("non_null_price"))),
+
     // SQL entry point (reference §3.3: the SQL copy pipeline is its
     // third front door): spark.sql over parquet.`path` — no temp view
     // leaked into the shared session — with an uncorrelated scalar
@@ -220,6 +261,25 @@ object Relational extends QueryModule {
   )
 
   def oracle: Map[String, String] = Map(
+    "q88_slice_offset" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |ORDER BY c_custkey LIMIT 50 OFFSET 100""".stripMargin,
+
+    "q89_take_indices" ->
+      """SELECT c_custkey, c_name, pos FROM (
+        |  SELECT c_custkey, c_name,
+        |    row_number() OVER (ORDER BY c_custkey) - 1 AS pos
+        |  FROM customer)
+        |WHERE pos % 101 = 0 ORDER BY pos""".stripMargin,
+
+    "q90_null_count" ->
+      """SELECT count(*) AS n_rows,
+        |  count(*) FILTER (o_totalprice <= 150000 OR o_totalprice IS NULL)
+        |    AS nulls_price,
+        |  count(*) FILTER (o_orderpriority = '1-URGENT') AS nulls_clerk,
+        |  count(*) FILTER (o_totalprice > 150000) AS non_null_price
+        |FROM orders""".stripMargin,
+
     "q19_sql_subqueries" ->
       """SELECT o.o_orderkey, o.o_totalprice
         |FROM orders o
