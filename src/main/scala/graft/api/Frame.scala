@@ -64,6 +64,18 @@ final class Frame private (val df: DataFrame) {
   def topK(keys: Seq[String], orderBy: Seq[(String, Boolean)], k: Int): Frame =
     Frame(graft.plans.NativeTopK(df, keys, orderBy, k))
 
+  /** Zero-extra-pass pipeline metrics: observe() attaches aggregate
+    * expressions to this node, computed as a side effect of whatever
+    * action later materializes the frame — row counts / null rates /
+    * value sums for a 100 TB run cost no second scan. Read the values
+    * from the returned Observation after an action completes.
+    */
+  def observed(name: String, metrics: (String, Column)*): (Frame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation(name)
+    val exprs = metrics.map { case (n, c) => c.as(n) }
+    (Frame(df.observe(obs, exprs.head, exprs.tail: _*)), obs)
+  }
+
   def uniques(column: String): Frame = Frame(df.select(column).distinct())
   /** Column::hist (table.rs:244-290): fixed-width numeric histogram;
     * broadcast 1-row bounds, integer bucketing — no collect at any size.

@@ -163,6 +163,54 @@ object Dedup extends QueryModule {
         .orderBy(col("vec_a"), col("vec_b"))
     }),
 
+    // near-dup CLUSTERING: pairwise matches only say "a~b"; production
+    // dedup needs the transitive closure (a~b, b~c ⟹ one cluster, keep
+    // one canonical doc). Connected components via min-label
+    // propagation — each iteration is one distributed join + min-agg
+    // (the Pregel/GraphX shape; iterations = cluster diameter, 1-3 for
+    // near-dup graphs), with persist() so lineage doesn't re-derive the
+    // edge set per round and only convergence COUNTS reach the driver,
+    // never rows. Edges are q62's blocked ≥0.5-Jaccard pairs; the
+    // oracle computes the same closure with a recursive CTE.
+    "q91_dedup_clusters" -> ((s, d) => {
+      val sh = shingled(s, d)
+      val keyed = sh.select(col("doc_id"), col("lang"),
+        explode(array((col("n_chars") / 32).cast("long"),
+          (col("n_chars") / 32).cast("long") + 1)).as("bkt"))
+      val cand = keyed.as("x").join(keyed.as("y"),
+          col("x.lang") === col("y.lang") && col("x.bkt") === col("y.bkt") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      val pairs = verifyPairs(cand, sh.select(col("doc_id"), col("sh")), 50)
+        .select(col("doc_a"), col("doc_b"))
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .persist()
+      var labels = edges.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("comp"))
+      var changed = 1L
+      while (changed > 0) {
+        val prop = labels.join(edges, col("id") === col("src"))
+          .select(col("dst").as("id"), col("comp"))
+          .union(labels)
+          .groupBy("id").agg(min("comp").as("comp"))
+          .persist()
+        changed = prop.as("n")
+          .join(labels.as("o"), col("n.id") === col("o.id"))
+          .filter(col("n.comp") =!= col("o.comp")).count()
+        labels.unpersist()
+        labels = prop
+      }
+      val out = labels
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy(col("comp"))))
+        .select(col("id").as("doc_id"), col("comp"), col("cluster_size"))
+        .orderBy(col("doc_id"))
+      edges.unpersist()
+      out
+    }),
+
     // SimHash: 64-bit bit-majority signature over per-word hashes,
     // computed per-row with higher-order aggregates (no shuffle), then
     // near-dup pairs via 16-bit chunk blocking + Hamming ≤ 3.
@@ -248,6 +296,37 @@ object Dedup extends QueryModule {
         |    / (sqrt(list_dot_product(a.emb, a.emb))
         |       * sqrt(list_dot_product(b.emb, b.emb))) >= 0.4
         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    // self-contained (not shingleCte) because the recursive member
+    // requires the WITH to be declared RECURSIVE.
+    "q91_dedup_clusters" -> (
+      """WITH RECURSIVE w AS (SELECT doc_id, lang, n_chars,
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS words
+        |  FROM documents),
+        |s AS (SELECT doc_id, lang, n_chars,
+        |    list_distinct(list_transform(range(1, len(words) - 1),
+        |      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh
+        |  FROM w WHERE len(words) >= 3),
+        |k AS (SELECT doc_id, lang, n_chars // 32 AS bkt FROM s
+        |  UNION ALL SELECT doc_id, lang, n_chars // 32 + 1 AS bkt FROM s),
+        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM k x JOIN k y ON x.lang = y.lang AND x.bkt = y.bkt
+        |    AND x.doc_id < y.doc_id),
+        |pairs AS (SELECT doc_a, doc_b
+        |  FROM cand JOIN s a ON doc_a = a.doc_id JOIN s b ON doc_b = b.doc_id
+        |  WHERE len(list_intersect(a.sh, b.sh)) * 100
+        |    >= (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 50),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |reach AS (
+        |  SELECT id, id AS r FROM nodes
+        |  UNION
+        |  SELECT reach.id, e.dst AS r FROM reach JOIN edges e ON reach.r = e.src),
+        |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+        |SELECT id AS doc_id, comp,
+        |  count(*) OVER (PARTITION BY comp) AS cluster_size
+        |FROM comp ORDER BY doc_id""".stripMargin),
 
     "q62_dedup_ngram" -> (shingleCte +
       """,

@@ -103,6 +103,19 @@ class FrameApiSpec extends AnyFunSuite {
     assert(plan.contains("PerKeyTopK"), s"native operator missing from plan:\n$plan")
   }
 
+  test("observed metrics are computed as a side effect of the action") {
+    val (f, obs) = orders.observed("order_stats",
+      "n" -> count(lit(1)),
+      "null_clerks" -> count_if(col("o_orderpriority").isNull),
+      "max_price" -> max(col("o_totalprice")))
+    val n = f.df.count() // the action that also evaluates the metrics
+    val m = obs.get
+    assert(m("n") === n)
+    assert(m("null_clerks") === 0L)
+    assert(m("max_price") === Tables.orders(spark, sf)
+      .agg(max(col("o_totalprice"))).collect().head.getDouble(0))
+  }
+
   test("csv/json/parquet sinks round-trip through the matching sources") {
     val base = "target/tmp/frame_api"
     val src = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
