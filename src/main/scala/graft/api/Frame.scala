@@ -76,6 +76,22 @@ final class Frame private (val df: DataFrame) {
     (Frame(df.observe(obs, exprs.head, exprs.tail: _*)), obs)
   }
 
+  /** Seeded Bernoulli sample: the inspection / train-dev-split
+    * primitive for corpora too large to materialize. Deterministic for
+    * a fixed (seed, partitioning) — each partition samples
+    * independently, no shuffle, no driver involvement.
+    */
+  def sample(fraction: Double, seed: Long): Frame =
+    Frame(df.sample(withReplacement = false, fraction, seed))
+
+  /** Stratified sample: per-stratum fractions (e.g. downsample the
+    * majority language, keep all of a rare one) — the class-balance
+    * tool for training-data curation.
+    */
+  def sampleStratified(keyCol: String, fractions: Map[Any, Double],
+                       seed: Long): Frame =
+    Frame(df.stat.sampleBy(keyCol, fractions, seed))
+
   def uniques(column: String): Frame = Frame(df.select(column).distinct())
   /** Column::hist (table.rs:244-290): fixed-width numeric histogram;
     * broadcast 1-row bounds, integer bucketing — no collect at any size.

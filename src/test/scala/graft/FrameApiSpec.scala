@@ -116,6 +116,26 @@ class FrameApiSpec extends AnyFunSuite {
       .agg(max(col("o_totalprice"))).collect().head.getDouble(0))
   }
 
+  test("seeded sampling is deterministic and proportional") {
+    val docs = Frame(Tables.documents(spark, sf))
+    val a = docs.sample(0.3, seed = 7).df.select("doc_id").collect().toSeq
+    val b = docs.sample(0.3, seed = 7).df.select("doc_id").collect().toSeq
+    assert(a === b) // same seed + partitioning ⇒ identical rows
+    val n = docs.count().toDouble
+    assert(a.size > n * 0.1 && a.size < n * 0.5, s"sample size ${a.size} of $n")
+    // stratified: drop every 'de' row, keep roughly all 'en'.
+    val strat = docs.sampleStratified("lang",
+      Map[Any, Double]("en" -> 1.0, "de" -> 0.0), seed = 7).df
+    assert(strat.filter(col("lang") === "de").count() === 0)
+    assert(strat.filter(col("lang") === "en").count() ===
+      Tables.documents(spark, sf).filter(col("lang") === "en").count())
+    // SQL front door: TABLESAMPLE parses and bounds the scan.
+    val ts = spark.sql(
+      s"SELECT count(*) AS n FROM parquet.`$sf/documents.parquet` TABLESAMPLE (50 PERCENT)")
+      .collect().head.getLong(0)
+    assert(ts > 0 && ts <= n)
+  }
+
   test("csv/json/parquet sinks round-trip through the matching sources") {
     val base = "target/tmp/frame_api"
     val src = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")

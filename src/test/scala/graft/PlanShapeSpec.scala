@@ -54,6 +54,28 @@ class PlanShapeSpec extends AnyFunSuite {
       s"as-of should not plan a join (the dedup-side agg is fine):\n$p")
   }
 
+  test("q69 dedup runs as WindowGroupLimit partial/final, one row per fp crosses") {
+    val p = plan("q69_pipeline")
+    assert("WindowGroupLimit.*Partial".r.findFirstIn(p).isDefined,
+      s"expected partial WindowGroupLimit below the dedup exchange:\n$p")
+    assert("WindowGroupLimit.*Final".r.findFirstIn(p).isDefined, p)
+    assert(p.contains("partial_count"), s"lang rollup lost map-side partials:\n$p")
+  }
+
+  test("q49 session windows pre-aggregate before the shuffle (MergingSessions)") {
+    val p = plan("q49_session_window")
+    assert(p.contains("MergingSessions"), s"expected MergingSessions plan:\n$p")
+    assert(p.contains("partial_count"),
+      s"session agg lost its partial (map-side) stage:\n$p")
+  }
+
+  test("q76b reduces the seed fan-out map-side and broadcasts seeds/probes") {
+    val p = plan("q76b_ann_ivf_probe")
+    assert(p.contains("partial_max_by"),
+      s"cell assignment must partial-aggregate before the shuffle:\n$p")
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
   test("scalar-heavy projections stay inside whole-stage codegen") {
     import org.apache.spark.sql.execution.debug._
     for (q <- Seq("q50_math", "q51_trig", "q57_conditional", "q59_bitwise")) {
