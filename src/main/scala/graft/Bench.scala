@@ -1,5 +1,9 @@
 package graft
 
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.GraftSparkBridge
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main. Per driver contract prints ONE JSON line:
@@ -12,9 +16,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - one untimed warmup pass first, so JVM/codegen warmup doesn't land
   *     on whichever query happens to run first (q22 paid ~4 s in r1);
   *   - failures are NOT swallowed: a failed query reports -1 s, is listed
-  *     in "failed", and the process exits non-zero.
+  *     in "failed", and the process exits non-zero;
+  *   - a task-metrics listener tallies shuffle WRITE bytes per query
+  *     (drained via the listener bus before each read), so the JSON also
+  *     reports "shuffle_mb" — the number that predicts 100 TB behavior
+  *     better than local seconds do.
   */
 object Bench {
+  private final class ShuffleTally extends SparkListener {
+    val bytes = new AtomicLong(0L)
+    override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+    }
+  }
+
   private def materialize(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
@@ -32,8 +48,13 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
+    val tally = new ShuffleTally
+    spark.sparkContext.addSparkListener(tally)
+
     var failed = List.empty[String]
     val results = names.map { name =>
+      GraftSparkBridge.flushListeners(spark.sparkContext)
+      tally.bytes.set(0L)
       val t0 = System.nanoTime()
       val ok =
         try { materialize(SparkEntry.queries(name)(spark, sfDir)); true }
@@ -42,13 +63,17 @@ object Bench {
           failed ::= name
           false
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      GraftSparkBridge.flushListeners(spark.sparkContext)
+      (name, sec, tally.bytes.get() / 1e6)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val sh = results.map { case (k, _, mb) => f""""$k":$mb%.2f""" }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":$sh,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
