@@ -83,6 +83,62 @@ object Arrays extends QueryModule {
           count(lit(1)).as("n"))
         .orderBy(col("p_brand"))),
 
+    // higher-order array functions (Spark-only depth beyond the
+    // reference's kernel list): exists/forall/filter (with and without
+    // index), transform with index, aggregate with a finish lambda,
+    // descending sort_array. Index base differs — Spark lambdas get
+    // 0-based i, DuckDB 1-based — pinned by the oracle's i-1.
+    "q54e_array_hof" -> ((s, d) =>
+      Tables.part(s, d)
+        .withColumn("a", split(col("p_name"), " "))
+        .select(
+          col("p_partkey"),
+          exists(col("a"), w => w.startsWith("b")).as("h_exists"),
+          forall(col("a"), w => length(w) > 2).as("h_forall"),
+          ser(filter(col("a"), w => length(w) >= 5)).as("h_filter"),
+          ser(filter(col("a"), (w, i) => pmod(i, lit(2)) === 0)).as("h_filter_idx"),
+          ser(transform(col("a"), w => upper(w))).as("h_upper"),
+          ser(transform(col("a"), (w, i) =>
+            concat_ws("_", i.cast("string"), w))).as("h_transform_idx"),
+          aggregate(col("a"), lit(0L), (acc, w) => acc + length(w),
+            acc => acc * 2).as("h_reduce_finish"),
+          ser(sort_array(col("a"), asc = false)).as("h_sort_desc"))
+        .orderBy(col("p_partkey"))),
+
+    // higher-order map functions: transform_keys/values, map_filter,
+    // map_zip_with over maps with known keys; results are emitted as
+    // sorted entry strings (maps aren't comparable cross-engine), and
+    // the oracle reconstructs the same entries directly from the base
+    // columns.
+    "q54d_map_hof" -> ((s, d) =>
+      Tables.part(s, d)
+        .withColumn("m", map_from_arrays(
+          array(lit("a"), lit("b")),
+          array(col("p_size").cast("long"), col("p_partkey"))))
+        .withColumn("m2", map_from_arrays(
+          array(lit("b"), lit("c")),
+          array(col("p_size").cast("long"), lit(5L))))
+        .select(
+          col("p_partkey"),
+          ser(array_sort(transform(
+            map_entries(transform_values(col("m"), (_, v) => v * 2)),
+            e => concat_ws("=", e.getField("key"), e.getField("value")))))
+            .as("h_tvals"),
+          ser(array_sort(transform(
+            map_entries(transform_keys(col("m"), (k, _) => upper(k))),
+            e => concat_ws("=", e.getField("key"), e.getField("value")))))
+            .as("h_tkeys"),
+          ser(array_sort(transform(
+            map_entries(map_filter(col("m"), (_, v) => v > 10)),
+            e => concat_ws("=", e.getField("key"), e.getField("value")))))
+            .as("h_mfilter"),
+          ser(array_sort(transform(
+            map_entries(map_zip_with(col("m"), col("m2"),
+              (_, v1, v2) => coalesce(v1, lit(0L)) + coalesce(v2, lit(0L)))),
+            e => concat_ws("=", e.getField("key"), e.getField("value")))))
+            .as("h_mzip"))
+        .orderBy(col("p_partkey"))),
+
     // map construction / access / decomposition; maps are emitted as
     // sorted "k=v" entry strings — map column equality is not portable
     // across engines, serialized entry lists are.
@@ -145,6 +201,44 @@ object Arrays extends QueryModule {
         |  coalesce(array_to_string(range(1, p_partkey % 5 + 3), '|'), '') AS k_seq,
         |  CAST(len(a) AS BIGINT) AS k_size,
         |  coalesce(array_to_string(list_reverse(a), '|'), '') AS k_reverse
+        |FROM t ORDER BY p_partkey""".stripMargin,
+
+    "q54e_array_hof" ->
+      """WITH t AS (SELECT p_partkey, string_split(p_name, ' ') AS a FROM part)
+        |SELECT p_partkey,
+        |  len(list_filter(a, w -> w LIKE 'b%')) > 0 AS h_exists,
+        |  len(list_filter(a, w -> NOT (length(w) > 2))) = 0 AS h_forall,
+        |  coalesce(array_to_string(list_filter(a, w -> length(w) >= 5), '|'), '')
+        |    AS h_filter,
+        |  coalesce(array_to_string(list_filter(a, (w, i) -> i % 2 = 1), '|'), '')
+        |    AS h_filter_idx,
+        |  coalesce(array_to_string(list_transform(a, w -> upper(w)), '|'), '')
+        |    AS h_upper,
+        |  coalesce(array_to_string(list_transform(a,
+        |    (w, i) -> CAST(i - 1 AS VARCHAR) || '_' || w), '|'), '')
+        |    AS h_transform_idx,
+        |  CAST(list_sum(list_transform(a, w -> length(w))) AS BIGINT) * 2
+        |    AS h_reduce_finish,
+        |  coalesce(array_to_string(list_reverse_sort(a), '|'), '') AS h_sort_desc
+        |FROM t ORDER BY p_partkey""".stripMargin,
+
+    "q54d_map_hof" ->
+      """WITH t AS (SELECT p_partkey, CAST(p_size AS BIGINT) AS ps FROM part)
+        |SELECT p_partkey,
+        |  array_to_string(list_sort(
+        |    ['a=' || CAST(ps * 2 AS VARCHAR),
+        |     'b=' || CAST(p_partkey * 2 AS VARCHAR)]), '|') AS h_tvals,
+        |  array_to_string(list_sort(
+        |    ['A=' || CAST(ps AS VARCHAR),
+        |     'B=' || CAST(p_partkey AS VARCHAR)]), '|') AS h_tkeys,
+        |  coalesce(array_to_string(list_sort(list_filter(
+        |    [CASE WHEN ps > 10 THEN 'a=' || CAST(ps AS VARCHAR) END,
+        |     CASE WHEN p_partkey > 10 THEN 'b=' || CAST(p_partkey AS VARCHAR) END],
+        |    x -> x IS NOT NULL)), '|'), '') AS h_mfilter,
+        |  array_to_string(list_sort(
+        |    ['a=' || CAST(ps AS VARCHAR),
+        |     'b=' || CAST(p_partkey + ps AS VARCHAR),
+        |     'c=5']), '|') AS h_mzip
         |FROM t ORDER BY p_partkey""".stripMargin,
 
     "q54b_array_agg" ->
