@@ -77,6 +77,16 @@ object PerKeyTopKStrategy extends SparkStrategy {
   * Keeping ≤k rows per key per partition bounds memory at
   * O(k · |distinct keys in partition| · rowSize) — no sort, no spill of
   * discarded rows.
+  *
+  * Memory envelope, honestly: that bound grows with key cardinality,
+  * and unlike SortExec this operator does not spill. It wins when
+  * k · |keys per partition| · rowSize ≪ partition input size (the
+  * common "top 5 per supplier over billions of rows" shape, where the
+  * partial stage discards ~n/(k·|keys|) of its input before the
+  * exchange). When keys are nearly unique per row the heap map
+  * approaches the input size — use the window/WindowGroupLimit
+  * formulation there instead, which sorts and spills. A planner rule
+  * could pick sides from column statistics; here the caller chooses.
   */
 case class PerKeyTopKExec(
     keys: Seq[Expression],

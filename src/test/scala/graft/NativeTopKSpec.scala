@@ -79,4 +79,15 @@ class NativeTopKSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     val n = input.count()
     assert(NativeTopK(input, Seq("key"), Seq(("tie", true)), 1000000).count() === n)
   }
+
+  test("high key cardinality: one heap per key stays correct") {
+    // ~1 row per key — the operator's worst memory case; correctness
+    // must hold even where the window formulation would be preferable.
+    val wide = input.withColumn("key", col("tie")) // tie is unique-ish
+    val viaTopk = NativeTopK(wide, Seq("key"), Seq(("measure", false), ("tie", true)), 1)
+      .groupBy().agg(count(lit(1)), sum(col("measure"))).collect().head
+    val direct = wide.dropDuplicates("key")
+      .groupBy().agg(count(lit(1)), sum(col("measure"))).collect().head
+    assert(viaTopk.getLong(0) === direct.getLong(0))
+  }
 }
