@@ -78,6 +78,27 @@ object Strings extends QueryModule {
           locate("e", col("p_name"), 3).as("f_locate3"))
         .orderBy(col("p_partkey"))),
 
+    // last §2.9 stragglers: split_part, str_to_map (emitted as sorted
+    // entries), mask (default X/x/n classes), the length triple, btrim.
+    "q52c_string_more" -> ((s, d) =>
+      Tables.part(s, d)
+        .withColumn("kv",
+          concat(lit("size:"), col("p_size").cast("string"),
+            lit(",key:"), col("p_partkey").cast("string")))
+        .select(
+          col("p_partkey"),
+          expr("split_part(p_name, ' ', 2)").as("m_split_part"),
+          array_join(array_sort(transform(
+            map_entries(expr("str_to_map(kv, ',', ':')")),
+            e => concat_ws("=", e.getField("key"), e.getField("value")))), "|")
+            .as("m_strmap"),
+          expr("mask(p_brand)").as("m_mask"),
+          char_length(col("p_name")).as("m_chars"),
+          octet_length(col("p_name")).as("m_octets"),
+          bit_length(col("p_name")).as("m_bits"),
+          expr("btrim(p_brand, 'B#0123456789')").as("m_btrim"))
+        .orderBy(col("p_partkey"))),
+
     "q53_regex" -> ((s, d) =>
       Tables.part(s, d)
         .select(
@@ -185,6 +206,20 @@ object Strings extends QueryModule {
         |    AS INT) AS f_find,
         |  CAST(CASE WHEN strpos(substr(p_name, 3), 'e') = 0 THEN 0
         |       ELSE strpos(substr(p_name, 3), 'e') + 2 END AS INT) AS f_locate3
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q52c_string_more" ->
+      """SELECT p_partkey,
+        |  split_part(p_name, ' ', 2) AS m_split_part,
+        |  array_to_string(list_sort(
+        |    ['key=' || CAST(p_partkey AS VARCHAR),
+        |     'size=' || CAST(p_size AS VARCHAR)]), '|') AS m_strmap,
+        |  regexp_replace(regexp_replace(regexp_replace(p_brand,
+        |    '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g') AS m_mask,
+        |  CAST(length(p_name) AS INT) AS m_chars,
+        |  CAST(strlen(p_name) AS INT) AS m_octets,
+        |  CAST(bit_length(p_name) AS INT) AS m_bits,
+        |  trim(p_brand, 'B#0123456789') AS m_btrim
         |FROM part ORDER BY p_partkey""".stripMargin,
 
     "q53_regex" ->
