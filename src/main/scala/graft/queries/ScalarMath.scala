@@ -97,6 +97,27 @@ object ScalarMath extends QueryModule {
           round(col("l_extendedprice"), -2).as("r_hundreds"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))),
 
+    // ANSI-safe try_* family: errors become NULLs instead of failed
+    // jobs — at 100 TB one malformed row must not kill a stage.
+    // DuckDB's default semantics already NULL division-by-zero and has
+    // TRY_CAST; overflow (which DuckDB raises on) is oracled through a
+    // HUGEINT-guarded CASE.
+    "q50c_try_family" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          expr("try_divide(l_extendedprice, l_linenumber - 1)").as("t_div"),
+          expr("try_divide(l_orderkey, l_orderkey % 3)").as("t_div_int"),
+          expr("try_cast(l_returnflag AS INT)").as("t_cast_bad"),
+          expr("try_cast(concat(l_orderkey, '') AS BIGINT)").as("t_cast_ok"),
+          expr("try_cast('2024-13-01' AS DATE)").as("t_cast_date"),
+          expr("try_add(9223372036854775807, l_linenumber)").as("t_add_ovf"),
+          expr("try_add(l_orderkey, 1)").as("t_add_ok"),
+          expr("try_multiply(4611686018427387904, cast(l_linenumber as bigint))")
+            .as("t_mul_ovf"),
+          expr("try_element_at(array(l_returnflag), 10)").as("t_elem_oob"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
     "q57_conditional" -> ((s, d) =>
       Tables.lineitem(s, d)
         .withColumn("d_null", nullif(col("l_discount"), lit(0.0)))
@@ -192,6 +213,22 @@ object ScalarMath extends QueryModule {
         |  round(l_extendedprice, -1) AS r_tens,
         |  round(l_extendedprice, -2) AS r_hundreds
         |FROM t ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q50c_try_family" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_extendedprice / (l_linenumber - 1) AS t_div,
+        |  l_orderkey / (l_orderkey % 3) AS t_div_int,
+        |  TRY_CAST(l_returnflag AS INTEGER) AS t_cast_bad,
+        |  TRY_CAST(CAST(l_orderkey AS VARCHAR) AS BIGINT) AS t_cast_ok,
+        |  TRY_CAST('2024-13-01' AS DATE) AS t_cast_date,
+        |  CAST(NULL AS BIGINT) AS t_add_ovf,
+        |  l_orderkey + 1 AS t_add_ok,
+        |  CASE WHEN CAST(4611686018427387904 AS HUGEINT) * l_linenumber
+        |            <= 9223372036854775807
+        |       THEN CAST(CAST(4611686018427387904 AS HUGEINT) * l_linenumber
+        |            AS BIGINT) END AS t_mul_ovf,
+        |  [l_returnflag][10] AS t_elem_oob
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q57_conditional" ->
       """SELECT l_orderkey, l_linenumber,
