@@ -76,6 +76,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange"), p)
   }
 
+  test("join-strategy hints steer the planner") {
+    import org.apache.spark.sql.functions.broadcast
+    val o = Tables.orders(spark, sf).select("o_orderkey", "o_custkey")
+    val c = Tables.customer(spark, sf).select("c_custkey", "c_name")
+    // broadcast() forces BHJ even where size stats would not.
+    val bhj = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .queryExecution.executedPlan.toString
+    assert(bhj.contains("BroadcastHashJoin"), bhj)
+    // merge hint forces a sort-merge join despite the broadcastable dim.
+    val smj = o.hint("merge").join(c, o("o_custkey") === c("c_custkey"))
+      .queryExecution.executedPlan.toString
+    assert(smj.contains("SortMergeJoin"), smj)
+    // shuffle_hash avoids the sort entirely.
+    val shj = o.hint("shuffle_hash").join(c, o("o_custkey") === c("c_custkey"))
+      .queryExecution.executedPlan.toString
+    assert(shj.contains("ShuffledHashJoin"), shj)
+  }
+
   test("scalar-heavy projections stay inside whole-stage codegen") {
     import org.apache.spark.sql.execution.debug._
     for (q <- Seq("q50_math", "q51_trig", "q57_conditional", "q59_bitwise")) {
