@@ -99,21 +99,30 @@ object ScalarMath extends QueryModule {
 
     // ANSI-safe try_* family: errors become NULLs instead of failed
     // jobs — at 100 TB one malformed row must not kill a stage.
+    // Failure rows are deliberately RARE (~1-14%): Spark's TryEval
+    // catches a thrown ArithmeticException/parse exception per failing
+    // row, and an every-row failure construction costs ~100× the happy
+    // path (an earlier draft overflowing on all 600k rows ran 60 s).
     // DuckDB's default semantics already NULL division-by-zero and has
-    // TRY_CAST; overflow (which DuckDB raises on) is oracled through a
-    // HUGEINT-guarded CASE.
+    // TRY_CAST; overflow (which DuckDB raises on) is oracled through
+    // HUGEINT arithmetic + TRY_CAST back to BIGINT.
     "q50c_try_family" -> ((s, d) =>
       Tables.lineitem(s, d)
         .select(
           col("l_orderkey"), col("l_linenumber"),
           expr("try_divide(l_extendedprice, l_linenumber - 1)").as("t_div"),
           expr("try_divide(l_orderkey, l_orderkey % 3)").as("t_div_int"),
-          expr("try_cast(l_returnflag AS INT)").as("t_cast_bad"),
+          // numeric for 99% of rows; 'x' suffix poisons orderkey%100=99.
+          expr("""try_cast(concat(l_orderkey % 100,
+            CASE WHEN l_orderkey % 100 = 99 THEN 'x' ELSE '' END) AS INT)""")
+            .as("t_cast_bad"),
           expr("try_cast(concat(l_orderkey, '') AS BIGINT)").as("t_cast_ok"),
           expr("try_cast('2024-13-01' AS DATE)").as("t_cast_date"),
-          expr("try_add(9223372036854775807, l_linenumber)").as("t_add_ovf"),
+          // max-98 + (0..99): overflows only at %100 = 99.
+          expr("try_add(9223372036854775709, l_orderkey % 100)").as("t_add_ovf"),
           expr("try_add(l_orderkey, 1)").as("t_add_ok"),
-          expr("try_multiply(4611686018427387904, cast(l_linenumber as bigint))")
+          // ~max/6 × (1..7): overflows only for linenumber 7.
+          expr("try_multiply(1537228672809129301, cast(l_linenumber as bigint))")
             .as("t_mul_ovf"),
           expr("try_element_at(array(l_returnflag), 10)").as("t_elem_oob"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))),
@@ -218,15 +227,16 @@ object ScalarMath extends QueryModule {
       """SELECT l_orderkey, l_linenumber,
         |  l_extendedprice / (l_linenumber - 1) AS t_div,
         |  l_orderkey / (l_orderkey % 3) AS t_div_int,
-        |  TRY_CAST(l_returnflag AS INTEGER) AS t_cast_bad,
+        |  TRY_CAST(CAST(l_orderkey % 100 AS VARCHAR)
+        |    || (CASE WHEN l_orderkey % 100 = 99 THEN 'x' ELSE '' END)
+        |    AS INTEGER) AS t_cast_bad,
         |  TRY_CAST(CAST(l_orderkey AS VARCHAR) AS BIGINT) AS t_cast_ok,
         |  TRY_CAST('2024-13-01' AS DATE) AS t_cast_date,
-        |  CAST(NULL AS BIGINT) AS t_add_ovf,
+        |  TRY_CAST(CAST(9223372036854775709 AS HUGEINT) + (l_orderkey % 100)
+        |    AS BIGINT) AS t_add_ovf,
         |  l_orderkey + 1 AS t_add_ok,
-        |  CASE WHEN CAST(4611686018427387904 AS HUGEINT) * l_linenumber
-        |            <= 9223372036854775807
-        |       THEN CAST(CAST(4611686018427387904 AS HUGEINT) * l_linenumber
-        |            AS BIGINT) END AS t_mul_ovf,
+        |  TRY_CAST(CAST(1537228672809129301 AS HUGEINT) * l_linenumber
+        |    AS BIGINT) AS t_mul_ovf,
         |  [l_returnflag][10] AS t_elem_oob
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
