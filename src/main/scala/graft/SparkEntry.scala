@@ -22,6 +22,7 @@ object SparkEntry {
     q.Strings,
     q.Arrays,
     q.Temporal,
+    q.Profile,
     o.Dedup,
     o.Similarity,
     o.TextAnalysis,

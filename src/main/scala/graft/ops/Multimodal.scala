@@ -77,6 +77,33 @@ object Multimodal extends QueryModule {
           col("meta.mime").as("mime"), col("meta.n_bytes").as("n_bytes"))
         .orderBy(col("doc_id"))),
 
+    // audio frame windows: the stub "PCM track" is the 64 hex chars of
+    // the payload digest read as samples (ascii - 80, so values are
+    // small signed ints). Frames are the classic windowed analysis
+    // shape — window 16, hop 8, 7 overlapping frames per doc — with
+    // per-frame energy (sum of squares) and peak, all computed inside
+    // codegen'd higher-order array functions (no UDF, no shuffle until
+    // the final order). A real PCM decoder slots in by replacing the
+    // sample expression; the doc × frame fan-out and windowing algebra
+    // are what a 100 TB audio pipeline actually exercises.
+    "q96_audio_frames" -> ((s, d) =>
+      withPayload(s, d)
+        .select(col("doc_id"), col("payload_hex"),
+          posexplode(sequence(lit(0), lit(6))).as(Seq("pos", "frame_idx")))
+        .select(
+          col("doc_id"),
+          col("frame_idx").cast("long").as("frame_idx"),
+          expr("""cast(aggregate(
+              transform(sequence(0, 15),
+                j -> (ascii(substr(payload_hex, frame_idx*8 + j + 1, 1)) - 80)
+                   * (ascii(substr(payload_hex, frame_idx*8 + j + 1, 1)) - 80)),
+              0L, (acc, x) -> acc + x) as bigint)""").as("energy"),
+          expr("""cast(array_max(
+              transform(sequence(0, 15),
+                j -> ascii(substr(payload_hex, frame_idx*8 + j + 1, 1)) - 80))
+            as bigint)""").as("peak"))
+        .orderBy(col("doc_id"), col("frame_idx"))),
+
     // frame sampling plan: every k-th "frame offset" into the payload —
     // the batch shape a video pipeline fans out on (doc × frame rows).
     "q73_multimodal_frames" -> ((s, d) =>
@@ -106,6 +133,19 @@ object Multimodal extends QueryModule {
         |  'image/fake' AS mime,
         |  CAST(octet_length(unhex(payload_hex)) AS BIGINT) AS n_bytes
         |FROM p ORDER BY doc_id""".stripMargin,
+
+    "q96_audio_frames" ->
+      """WITH p AS (SELECT doc_id,
+        |    sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS hex
+        |  FROM documents)
+        |SELECT doc_id, CAST(f.frame_idx AS BIGINT) AS frame_idx,
+        |  CAST(sum((ascii(substr(hex, f.frame_idx*8 + j.j + 1, 1)) - 80)
+        |         * (ascii(substr(hex, f.frame_idx*8 + j.j + 1, 1)) - 80))
+        |    AS BIGINT) AS energy,
+        |  CAST(max(ascii(substr(hex, f.frame_idx*8 + j.j + 1, 1)) - 80)
+        |    AS BIGINT) AS peak
+        |FROM p, range(0,7) f(frame_idx), range(0,16) j(j)
+        |GROUP BY doc_id, f.frame_idx ORDER BY doc_id, frame_idx""".stripMargin,
 
     "q73_multimodal_frames" ->
       """SELECT doc_id,

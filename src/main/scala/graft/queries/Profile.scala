@@ -1,0 +1,96 @@
+package graft.queries
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Column profiling + exact-decimal arithmetic.
+  *
+  * q92 is `Dataset.describe()`/`summary()` re-expressed as a verifiable
+  * query: one aggregation pass over the table computes
+  * count/mean/stddev/min/max for every profiled column (a single
+  * partial-agg → 1-row final, no per-column jobs), then `stack` pivots
+  * the row into the long form `describe` prints. The reference exposes
+  * per-column aggregates (aggregation.rs) but no profile surface; this
+  * is the shape its users compose by hand. Means/stddevs are rounded to
+  * 6 decimals to absorb parallel-summation order across engines.
+  *
+  * q94 covers the Decimal type (SURVEY §3 lists it as the one scalar
+  * type the reference never constructs): money math on DECIMAL(14,2)
+  * with exact (not float) sums, including the widened DECIMAL(29,4)
+  * product lattice of price × (1 - discount). Results are emitted as
+  * strings so both engines compare the exact decimal digits — no
+  * rounding anywhere. At 100 TB this is the difference between a ledger
+  * that balances and one that drifts: double sums lose cents at ~1e9
+  * rows, decimal sums cannot.
+  */
+object Profile extends QueryModule {
+
+  private val profiled =
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // describe/summary: single-pass stats for all columns, stacked long.
+    "q92_describe" -> ((s, d) => {
+      val aggs = profiled.zipWithIndex.flatMap { case (c, i) =>
+        Seq(
+          count(col(c)).as(s"c$i"),
+          round(avg(col(c)), 6).as(s"m$i"),
+          round(stddev(col(c)), 6).as(s"s$i"),
+          min(col(c)).as(s"lo$i"),
+          max(col(c)).as(s"hi$i"))
+      }
+      val stackArgs = profiled.zipWithIndex
+        .map { case (c, i) => s"'$c', c$i, m$i, s$i, lo$i, hi$i" }
+        .mkString(", ")
+      Tables.lineitem(s, d)
+        .agg(aggs.head, aggs.tail: _*)
+        .selectExpr(s"stack(${profiled.length}, $stackArgs)" +
+          " AS (col_name, cnt, mean, std, minv, maxv)")
+        .orderBy(col("col_name"))
+    }),
+
+    // exact decimal money math: cast-from-double is exact for the
+    // cent-valued corpus (shortest-decimal repr has 2 dp), sums stay in
+    // the decimal lattice end-to-end, output as exact digit strings.
+    "q94_decimal" -> ((s, d) => {
+      val price = col("l_extendedprice").cast("decimal(14,2)")
+      val disc = (lit(1) - col("l_discount")).cast("decimal(14,2)")
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(price).cast("string").as("sum_price"),
+          sum(price * disc).cast("decimal(38,4)").cast("string")
+            .as("sum_disc_price"),
+          min(price).cast("string").as("min_price"),
+          max(price).cast("string").as("max_price"))
+        .orderBy(col("l_returnflag"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q92_describe" -> {
+      val rows = profiled.map { c =>
+        s"""SELECT '$c' AS col_name, count($c) AS cnt,
+           |  round(avg($c), 6) AS mean, round(stddev_samp($c), 6) AS std,
+           |  min($c) AS minv, max($c) AS maxv FROM lineitem""".stripMargin
+      }
+      rows.mkString("WITH s AS (", "\nUNION ALL\n", ")\n") +
+        "SELECT * FROM s ORDER BY col_name"
+    },
+
+    "q94_decimal" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS VARCHAR)
+        |    AS sum_price,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))
+        |      * CAST(1 - l_discount AS DECIMAL(14,2))) AS DECIMAL(38,4))
+        |    AS VARCHAR) AS sum_disc_price,
+        |  CAST(min(CAST(l_extendedprice AS DECIMAL(14,2))) AS VARCHAR)
+        |    AS min_price,
+        |  CAST(max(CAST(l_extendedprice AS DECIMAL(14,2))) AS VARCHAR)
+        |    AS max_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  )
+}

@@ -114,6 +114,28 @@ object IOQueries extends QueryModule {
           max(col("tag")).as("max_tag"))
         .orderBy(col("id_mod")))
 ,
+    // range-partitioned + sorted parquet layout: repartitionByRange on
+    // the scan key, sortWithinPartitions, write. Each output file then
+    // covers a narrow contiguous key span, so a key-range predicate on
+    // the read-back prunes whole files/row-groups from parquet min/max
+    // stats — at 100 TB this (or bucketing) is what turns a full scan
+    // into a touch of a few files. The oracle recomputes the aggregate
+    // from the unsorted original, so the rewrite must be lossless.
+    "q95_range_layout" -> ((s, d) => {
+      val dir = scratch(d, "rangelayout")
+      Tables.lineitem(s, d)
+        .repartitionByRange(8, col("l_orderkey"))
+        .sortWithinPartitions(col("l_orderkey"), col("l_linenumber"))
+        .write.mode("overwrite").parquet(dir)
+      s.read.parquet(dir)
+        .filter(col("l_orderkey") < 1000L)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("qty"),
+          max(col("l_orderkey")).as("max_key"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // custom DataSource V2 SINK round-trip (MemTableSource): write
     // through the V2 batch-commit protocol (executor writers →
     // driver-side atomic commit, overwrite = truncate), read back
@@ -170,6 +192,13 @@ object IOQueries extends QueryModule {
         |  round(sum(o_totalprice), 2) AS total,
         |  count(DISTINCT o_custkey) AS n_cust
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q95_range_layout" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS qty,
+        |  max(l_orderkey) AS max_key
+        |FROM lineitem WHERE l_orderkey < 1000
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q83_custom_source" ->
       """SELECT CAST(i % 97 AS INT) AS id_mod, count(*) AS n,
