@@ -50,6 +50,31 @@ object Profile extends QueryModule {
         .orderBy(col("col_name"))
     }),
 
+    // contingency table (df.stat.crosstab): counts of every
+    // returnflag × linestatus combination, one pivoted row per flag.
+    // Single shuffle on the group key; the pivot columns ('F','O') are
+    // data values, so the oracle spells them as FILTER aggregates.
+    "q97_crosstab" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .stat.crosstab("l_returnflag", "l_linestatus")
+        .orderBy(col("l_returnflag_l_linestatus"))),
+
+    // unionByName with allowMissingColumns: schema-evolution union —
+    // two projections with different column sets align BY NAME (not
+    // position, unlike positional union/UNION ALL) and absent columns
+    // null-fill. The daily-partition backfill shape: yesterday's files
+    // lack today's new column.
+    "q98_union_byname" -> ((s, d) => {
+      val a = Tables.orders(s, d)
+        .filter(pmod(col("o_orderkey"), lit(10)) === 3)
+        .select(col("o_orderkey"), col("o_totalprice"), lit("a").as("src"))
+      val b = Tables.orders(s, d)
+        .filter(pmod(col("o_orderkey"), lit(10)) === 7)
+        .select(col("o_orderkey"), col("o_orderpriority"), lit("b").as("src"))
+      a.unionByName(b, allowMissingColumns = true)
+        .orderBy(col("o_orderkey"), col("src"))
+    }),
+
     // exact decimal money math: cast-from-double is exact for the
     // cent-valued corpus (shortest-decimal repr has 2 dp), sums stay in
     // the decimal lattice end-to-end, output as exact digit strings.
@@ -79,6 +104,23 @@ object Profile extends QueryModule {
       rows.mkString("WITH s AS (", "\nUNION ALL\n", ")\n") +
         "SELECT * FROM s ORDER BY col_name"
     },
+
+    "q97_crosstab" ->
+      """SELECT l_returnflag AS l_returnflag_l_linestatus,
+        |  count(*) FILTER (l_linestatus = 'F') AS F,
+        |  count(*) FILTER (l_linestatus = 'O') AS O
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag_l_linestatus""".stripMargin,
+
+    "q98_union_byname" ->
+      """SELECT * FROM (
+        |  SELECT o_orderkey, o_totalprice,
+        |    CAST(NULL AS VARCHAR) AS o_orderpriority, 'a' AS src
+        |  FROM orders WHERE o_orderkey % 10 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey, CAST(NULL AS DOUBLE), o_orderpriority, 'b'
+        |  FROM orders WHERE o_orderkey % 10 = 7)
+        |ORDER BY o_orderkey, src""".stripMargin,
 
     "q94_decimal" ->
       """SELECT l_returnflag, count(*) AS n,
