@@ -40,6 +40,29 @@ object Arrays extends QueryModule {
           col("word"))
         .orderBy(col("p_partkey"), col("pos"))),
 
+    // explode_outer: generator that PRESERVES empty-array rows as a
+    // single null-element row — positional explode drops them, which
+    // silently loses documents in a fan-out/aggregate round-trip. The
+    // oracle reproduces it as unnest ∪ the empty-list rows.
+    "q43b_generators_outer" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("l", expr(
+          "case when n_chars % 5 = 0 then array() " +
+            "else sequence(1, n_chars % 3 + 1) end"))
+        .select(col("doc_id"), explode_outer(col("l")).as("v"))
+        .select(col("doc_id"), col("v").cast("long").as("v"))
+        .orderBy(col("doc_id"), col("v").asc_nulls_first)),
+
+    // inline: explodes an array of structs into columns — the typed
+    // struct fan-out (key/value attribute rows per entity).
+    "q43c_inline" -> ((s, d) =>
+      Tables.nation(s, d)
+        .select(col("n_nationkey"), inline(array(
+          struct(lit("name").as("k"), col("n_name").as("v")),
+          struct(lit("region").as("k"),
+            col("n_regionkey").cast("string").as("v")))))
+        .orderBy(col("n_nationkey"), col("k"))),
+
     // per-row array kernels over words of p_name/p_type.
     "q54_array_core" -> ((s, d) =>
       Tables.part(s, d)
@@ -174,6 +197,23 @@ object Arrays extends QueryModule {
         |      i -> {'p': i, 'w': a[CAST(i AS INT)]})) AS u
         |  FROM t)
         |ORDER BY p_partkey, pos""".stripMargin,
+
+    "q43b_generators_outer" ->
+      """WITH base AS (SELECT doc_id,
+        |    CASE WHEN n_chars % 5 = 0 THEN []
+        |         ELSE range(1, n_chars % 3 + 2) END AS l
+        |  FROM documents)
+        |SELECT doc_id, CAST(v AS BIGINT) AS v
+        |FROM (SELECT doc_id, unnest(l) AS v FROM base)
+        |UNION ALL SELECT doc_id, NULL FROM base WHERE len(l) = 0
+        |ORDER BY doc_id, v NULLS FIRST""".stripMargin,
+
+    "q43c_inline" ->
+      """SELECT n_nationkey, k, v FROM (
+        |  SELECT n_nationkey, 'name' AS k, n_name AS v FROM nation
+        |  UNION ALL
+        |  SELECT n_nationkey, 'region', CAST(n_regionkey AS VARCHAR) FROM nation)
+        |ORDER BY n_nationkey, k""".stripMargin,
 
     "q54_array_core" ->
       """WITH t AS (SELECT p_partkey, p_brand,

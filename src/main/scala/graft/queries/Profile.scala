@@ -75,6 +75,25 @@ object Profile extends QueryModule {
         .orderBy(col("o_orderkey"), col("src"))
     }),
 
+    // DataFrameNaFunctions: fill / replace / drop — the null-repair
+    // pass every ingest pipeline runs. Nulls are constructed
+    // deterministically so both engines see identical null patterns;
+    // fill targets one column by name, replace rewrites a non-null
+    // value, drop removes rows null in the keyed column only.
+    "q99_na_functions" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(
+          col("o_orderkey"),
+          expr("nullif(o_orderstatus, 'O')").as("status_n"),
+          when(col("o_totalprice") < 150000, lit(null).cast("double"))
+            .otherwise(col("o_totalprice")).as("price_n"),
+          when(pmod(col("o_custkey"), lit(3)) === 0, lit(null).cast("long"))
+            .otherwise(col("o_custkey")).as("cust_n"))
+        .na.fill(Map("price_n" -> -1.0))
+        .na.replace("status_n", Map("F" -> "FINAL"))
+        .na.drop(Seq("cust_n"))
+        .orderBy(col("o_orderkey"))),
+
     // exact decimal money math: cast-from-double is exact for the
     // cent-valued corpus (shortest-decimal repr has 2 dp), sums stay in
     // the decimal lattice end-to-end, output as exact digit strings.
@@ -121,6 +140,21 @@ object Profile extends QueryModule {
         |  SELECT o_orderkey, CAST(NULL AS DOUBLE), o_orderpriority, 'b'
         |  FROM orders WHERE o_orderkey % 10 = 7)
         |ORDER BY o_orderkey, src""".stripMargin,
+
+    "q99_na_functions" ->
+      """WITH base AS (SELECT o_orderkey,
+        |    nullif(o_orderstatus, 'O') AS status_n,
+        |    CASE WHEN o_totalprice < 150000 THEN NULL
+        |         ELSE o_totalprice END AS price_n,
+        |    CASE WHEN o_custkey % 3 = 0 THEN NULL
+        |         ELSE o_custkey END AS cust_n
+        |  FROM orders)
+        |SELECT o_orderkey,
+        |  CASE WHEN status_n = 'F' THEN 'FINAL' ELSE status_n END AS status_n,
+        |  coalesce(price_n, -1.0) AS price_n,
+        |  cust_n
+        |FROM base WHERE cust_n IS NOT NULL
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q94_decimal" ->
       """SELECT l_returnflag, count(*) AS n,

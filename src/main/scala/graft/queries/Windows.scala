@@ -39,6 +39,26 @@ object Windows extends QueryModule {
         .orderBy(col("l_suppkey"), col("rn"))
     }),
 
+    // value-position family: nth_value (null until the frame holds n
+    // rows) and first/last_value with IGNORE NULLS skipping the
+    // deterministic null pattern — the gap-fill shape (carry the last
+    // observed reading forward past missing values).
+    "q45b_window_nth" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .withColumn("p",
+          when(pmod(col("o_custkey"), lit(3)) === 0, lit(null).cast("double"))
+            .otherwise(col("o_totalprice")))
+        .select(
+          col("o_orderkey"),
+          nth_value(col("o_totalprice"), 3).over(w).as("nv"),
+          first(col("p"), ignoreNulls = true).over(w).as("fv"),
+          last(col("p"), ignoreNulls = true).over(w).as("lv"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     "q46_window_lag_lead" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       Tables.events(s, d)
@@ -112,6 +132,17 @@ object Windows extends QueryModule {
         |    wt AS (PARTITION BY l_suppkey
         |           ORDER BY l_quantity DESC, l_orderkey ASC, l_linenumber ASC))
         |WHERE rn <= 5 ORDER BY l_suppkey, rn""".stripMargin,
+
+    "q45b_window_nth" ->
+      """SELECT o_orderkey,
+        |  nth_value(o_totalprice, 3) OVER w AS nv,
+        |  first_value(p IGNORE NULLS) OVER w AS fv,
+        |  last_value(p IGNORE NULLS) OVER w AS lv
+        |FROM (SELECT *, CASE WHEN o_custkey % 3 = 0 THEN NULL
+        |                     ELSE o_totalprice END AS p FROM orders)
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q46_window_lag_lead" ->
       """SELECT user_id, event_id, ts, value,
