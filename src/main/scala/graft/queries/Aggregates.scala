@@ -70,6 +70,38 @@ object Aggregates extends QueryModule {
           round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("cov_qp"))
         .orderBy(col("l_returnflag"))),
 
+    // remaining aggregate catalogue: boolean quantifiers, bitwise
+    // reductions, exact interpolated median, and the full linear-
+    // regression family (slope/intercept/r2/count/avgx/avgy/sxx/sxy) —
+    // all single-pass partial-aggregable, so the shuffle carries one
+    // moment tuple per group, not rows.
+    "q33b_agg_extras" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          bool_and(col("l_quantity") > 1).as("k_booland"),
+          bool_or(col("l_discount") === 0).as("k_boolor"),
+          bit_and(col("l_linenumber")).as("k_bitand"),
+          bit_or(col("l_linenumber")).as("k_bitor"),
+          bit_xor(col("l_linenumber")).as("k_bitxor"),
+          median(col("l_quantity")).as("k_median"),
+          round(regr_slope(col("l_extendedprice"), col("l_quantity")), 6)
+            .as("k_slope"),
+          round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 6)
+            .as("k_icept"),
+          round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6)
+            .as("k_r2"),
+          regr_count(col("l_extendedprice"), col("l_quantity")).as("k_rcount"),
+          round(regr_avgx(col("l_extendedprice"), col("l_quantity")), 6)
+            .as("k_avgx"),
+          round(regr_avgy(col("l_extendedprice"), col("l_quantity")), 6)
+            .as("k_avgy"),
+          round(regr_sxx(col("l_extendedprice"), col("l_quantity")), 2)
+            .as("k_sxx"),
+          round(regr_sxy(col("l_extendedprice"), col("l_quantity")), 2)
+            .as("k_sxy"))
+        .orderBy(col("l_returnflag"))),
+
     // Spark skewness/kurtosis are population g1 / excess g2; the oracle
     // spells out the moment formulas (DuckDB's builtins use the sample-
     // adjusted estimators, so they are NOT name-compatible).
@@ -218,6 +250,24 @@ object Aggregates extends QueryModule {
         |  round(var_pop(l_quantity), 6) AS var_pop,
         |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
         |  round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qp
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q33b_agg_extras" ->
+      """SELECT l_returnflag,
+        |  bool_and(l_quantity > 1) AS k_booland,
+        |  bool_or(l_discount = 0) AS k_boolor,
+        |  bit_and(l_linenumber) AS k_bitand,
+        |  bit_or(l_linenumber) AS k_bitor,
+        |  bit_xor(l_linenumber) AS k_bitxor,
+        |  median(l_quantity) AS k_median,
+        |  round(regr_slope(l_extendedprice, l_quantity), 6) AS k_slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 6) AS k_icept,
+        |  round(regr_r2(l_extendedprice, l_quantity), 6) AS k_r2,
+        |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS k_rcount,
+        |  round(regr_avgx(l_extendedprice, l_quantity), 6) AS k_avgx,
+        |  round(regr_avgy(l_extendedprice, l_quantity), 6) AS k_avgy,
+        |  round(regr_sxx(l_extendedprice, l_quantity), 2) AS k_sxx,
+        |  round(regr_sxy(l_extendedprice, l_quantity), 2) AS k_sxy
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q34_agg_skew_kurt" ->
