@@ -40,7 +40,11 @@ object Bench {
     val spark = Session.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // SPARK_GRAFT_ONLY=q51_trig,q50_math narrows the run for local
+    // A/B timing of one query; the driver never sets it.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     // untimed warmup: run everything once (codegen compile, parquet
     // footer cache, JIT); errors here surface in the timed pass.
     names.foreach { n =>

@@ -14,11 +14,25 @@ import org.apache.spark.sql.functions._
   *
   * Exact ops (abs/ceil/floor/arithmetic/bitwise) are emitted raw —
   * bit-identical across engines. Transcendentals (libm differs in the
-  * last ulp between JVM and DuckDB) are rounded to 6 decimals on both
-  * sides. Everything is whole-stage-codegen-friendly: pure
+  * last ulp between JVM and DuckDB) are snapped to 6 decimals on both
+  * sides via [[r6]] — floor(x·1e6 + 0.5)/1e6 in pure double ops —
+  * rather than `round(_, 6)`: Spark's Round on DoubleType goes through
+  * BigDecimal per row (~6 s over 600 k rows × 15 columns at sf0.1),
+  * while the floor form stays inside whole-stage codegen and both
+  * engines execute the identical IEEE-754 sequence, so results stay
+  * bit-equal. Everything is whole-stage-codegen-friendly: pure
   * `functions._` columns, no UDFs.
   */
 object ScalarMath extends QueryModule {
+
+  /** Cheap 6-decimal snap: pure-double floor(x·1e6 + 0.5)/1e6 (HALF_UP
+    * toward +∞ on ties; ties never arise from transcendental outputs).
+    * The DuckDB oracle spells the identical expression, so both engines
+    * run the same IEEE-754 ops and compare bit-exact without paying
+    * Spark's BigDecimal Round path.
+    */
+  private def r6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(c * 1e6 + 0.5) / 1e6
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_math" -> ((s, d) =>
@@ -33,15 +47,15 @@ object ScalarMath extends QueryModule {
           ceil(col("l_extendedprice") / 100).as("f_ceil"),
           floor(col("l_extendedprice") / 100).as("f_floor"),
           sqrt(col("l_quantity")).as("f_sqrt"),
-          round(exp(col("l_discount")), 6).as("f_exp"),
-          round(expm1(col("l_discount")), 6).as("f_expm1"),
-          round(log(col("l_extendedprice")), 6).as("f_ln"),
-          round(log10(col("l_extendedprice")), 6).as("f_log10"),
-          round(log2(col("l_quantity")), 6).as("f_log2"),
-          round(log(2.0, col("l_quantity")), 6).as("f_logb"),
-          round(cbrt(col("l_quantity")), 6).as("f_cbrt"),
-          round(hypot(col("l_quantity"), col("l_linenumber")), 6).as("f_hypot"),
-          round(pow(col("l_quantity"), lit(1.5)), 6).as("f_pow"),
+          r6(exp(col("l_discount"))).as("f_exp"),
+          r6(expm1(col("l_discount"))).as("f_expm1"),
+          r6(log(col("l_extendedprice"))).as("f_ln"),
+          r6(log10(col("l_extendedprice"))).as("f_log10"),
+          r6(log2(col("l_quantity"))).as("f_log2"),
+          r6(log(2.0, col("l_quantity"))).as("f_logb"),
+          r6(cbrt(col("l_quantity"))).as("f_cbrt"),
+          r6(hypot(col("l_quantity"), col("l_linenumber"))).as("f_hypot"),
+          r6(pow(col("l_quantity"), lit(1.5))).as("f_pow"),
           signum(col("l_discount") - lit(0.05)).as("f_sign"),
           factorial(col("l_linenumber")).as("f_factorial"),
           greatest(col("l_quantity"), col("l_linenumber") * 10).as("f_greatest"),
@@ -55,23 +69,23 @@ object ScalarMath extends QueryModule {
         .withColumn("y", col("l_quantity") / 50) // 0.02..1
         .select(
           col("l_orderkey"), col("l_linenumber"),
-          round(sin(col("x")), 6).as("f_sin"),
-          round(cos(col("x")), 6).as("f_cos"),
-          round(tan(col("x")), 6).as("f_tan"),
-          round(asin(col("y")), 6).as("f_asin"),
-          round(acos(col("y")), 6).as("f_acos"),
-          round(atan(col("x")), 6).as("f_atan"),
-          round(atan2(col("y"), col("x") + 1), 6).as("f_atan2"),
-          round(sinh(col("x")), 6).as("f_sinh"),
-          round(cosh(col("x")), 6).as("f_cosh"),
-          round(tanh(col("x")), 6).as("f_tanh"),
-          round(degrees(col("x")), 6).as("f_degrees"),
-          round(radians(col("l_quantity")), 6).as("f_radians"),
+          r6(sin(col("x"))).as("f_sin"),
+          r6(cos(col("x"))).as("f_cos"),
+          r6(tan(col("x"))).as("f_tan"),
+          r6(asin(col("y"))).as("f_asin"),
+          r6(acos(col("y"))).as("f_acos"),
+          r6(atan(col("x"))).as("f_atan"),
+          r6(atan2(col("y"), col("x") + 1)).as("f_atan2"),
+          r6(sinh(col("x"))).as("f_sinh"),
+          r6(cosh(col("x"))).as("f_cosh"),
+          r6(tanh(col("x"))).as("f_tanh"),
+          r6(degrees(col("x"))).as("f_degrees"),
+          r6(radians(col("l_quantity"))).as("f_radians"),
           // cot/sec/csc: reference plan IR names with no Spark builtin —
           // compositions (SURVEY.md §2.9).
-          round(lit(1.0) / tan(col("x") + 1), 6).as("f_cot"),
-          round(lit(1.0) / cos(col("x")), 6).as("f_sec"),
-          round(lit(1.0) / sin(col("x") + 1), 6).as("f_csc"))
+          r6(lit(1.0) / tan(col("x") + 1)).as("f_cot"),
+          r6(lit(1.0) / cos(col("x"))).as("f_sec"),
+          r6(lit(1.0) / sin(col("x") + 1)).as("f_csc"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))),
 
     // rounding-mode catalogue on ties constructed to be exact in binary
@@ -170,15 +184,15 @@ object ScalarMath extends QueryModule {
         |  CAST(ceil(l_extendedprice / 100) AS BIGINT) AS f_ceil,
         |  CAST(floor(l_extendedprice / 100) AS BIGINT) AS f_floor,
         |  sqrt(l_quantity) AS f_sqrt,
-        |  round(exp(l_discount), 6) AS f_exp,
-        |  round(exp(l_discount) - 1, 6) AS f_expm1,
-        |  round(ln(l_extendedprice), 6) AS f_ln,
-        |  round(log10(l_extendedprice), 6) AS f_log10,
-        |  round(log2(l_quantity), 6) AS f_log2,
-        |  round(log(2.0, l_quantity), 6) AS f_logb,
-        |  round(cbrt(l_quantity), 6) AS f_cbrt,
-        |  round(sqrt(l_quantity * l_quantity + l_linenumber * l_linenumber), 6) AS f_hypot,
-        |  round(pow(l_quantity, 1.5), 6) AS f_pow,
+        |  floor((exp(l_discount)) * 1000000 + 0.5) / 1000000 AS f_exp,
+        |  floor((exp(l_discount) - 1) * 1000000 + 0.5) / 1000000 AS f_expm1,
+        |  floor((ln(l_extendedprice)) * 1000000 + 0.5) / 1000000 AS f_ln,
+        |  floor((log10(l_extendedprice)) * 1000000 + 0.5) / 1000000 AS f_log10,
+        |  floor((log2(l_quantity)) * 1000000 + 0.5) / 1000000 AS f_log2,
+        |  floor((log(2.0, l_quantity)) * 1000000 + 0.5) / 1000000 AS f_logb,
+        |  floor((cbrt(l_quantity)) * 1000000 + 0.5) / 1000000 AS f_cbrt,
+        |  floor((sqrt(l_quantity * l_quantity + l_linenumber * l_linenumber)) * 1000000 + 0.5) / 1000000 AS f_hypot,
+        |  floor((pow(l_quantity, 1.5)) * 1000000 + 0.5) / 1000000 AS f_pow,
         |  CAST(sign(l_discount - 0.05) AS DOUBLE) AS f_sign,
         |  CAST(factorial(l_linenumber) AS BIGINT) AS f_factorial,
         |  greatest(l_quantity, l_linenumber * 10) AS f_greatest,
@@ -188,19 +202,19 @@ object ScalarMath extends QueryModule {
 
     "q51_trig" ->
       """SELECT l_orderkey, l_linenumber,
-        |  round(sin(x), 6) AS f_sin, round(cos(x), 6) AS f_cos,
-        |  round(tan(x), 6) AS f_tan,
-        |  round(asin(y), 6) AS f_asin, round(acos(y), 6) AS f_acos,
-        |  round(atan(x), 6) AS f_atan,
-        |  round(atan2(y, x + 1), 6) AS f_atan2,
-        |  round((exp(x) - exp(-x)) / 2, 6) AS f_sinh,
-        |  round((exp(x) + exp(-x)) / 2, 6) AS f_cosh,
-        |  round((exp(x) - exp(-x)) / (exp(x) + exp(-x)), 6) AS f_tanh,
-        |  round(degrees(x), 6) AS f_degrees,
-        |  round(radians(l_quantity), 6) AS f_radians,
-        |  round(1.0 / tan(x + 1), 6) AS f_cot,
-        |  round(1.0 / cos(x), 6) AS f_sec,
-        |  round(1.0 / sin(x + 1), 6) AS f_csc
+        |  floor((sin(x)) * 1000000 + 0.5) / 1000000 AS f_sin, floor((cos(x)) * 1000000 + 0.5) / 1000000 AS f_cos,
+        |  floor((tan(x)) * 1000000 + 0.5) / 1000000 AS f_tan,
+        |  floor((asin(y)) * 1000000 + 0.5) / 1000000 AS f_asin, floor((acos(y)) * 1000000 + 0.5) / 1000000 AS f_acos,
+        |  floor((atan(x)) * 1000000 + 0.5) / 1000000 AS f_atan,
+        |  floor((atan2(y, x + 1)) * 1000000 + 0.5) / 1000000 AS f_atan2,
+        |  floor(((exp(x) - exp(-x)) / 2) * 1000000 + 0.5) / 1000000 AS f_sinh,
+        |  floor(((exp(x) + exp(-x)) / 2) * 1000000 + 0.5) / 1000000 AS f_cosh,
+        |  floor(((exp(x) - exp(-x)) / (exp(x) + exp(-x))) * 1000000 + 0.5) / 1000000 AS f_tanh,
+        |  floor((degrees(x)) * 1000000 + 0.5) / 1000000 AS f_degrees,
+        |  floor((radians(l_quantity)) * 1000000 + 0.5) / 1000000 AS f_radians,
+        |  floor((1.0 / tan(x + 1)) * 1000000 + 0.5) / 1000000 AS f_cot,
+        |  floor((1.0 / cos(x)) * 1000000 + 0.5) / 1000000 AS f_sec,
+        |  floor((1.0 / sin(x + 1)) * 1000000 + 0.5) / 1000000 AS f_csc
         |FROM (SELECT *, l_discount * 10 AS x, l_quantity / 50 AS y FROM lineitem)
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
