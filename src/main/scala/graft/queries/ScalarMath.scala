@@ -131,12 +131,24 @@ object ScalarMath extends QueryModule {
             CASE WHEN l_orderkey % 100 = 99 THEN 'x' ELSE '' END) AS INT)""")
             .as("t_cast_bad"),
           expr("try_cast(concat(l_orderkey, '') AS BIGINT)").as("t_cast_ok"),
-          expr("try_cast('2024-13-01' AS DATE)").as("t_cast_date"),
-          // max-98 + (0..99): overflows only at %100 = 99.
-          expr("try_add(9223372036854775709, l_orderkey % 100)").as("t_add_ovf"),
+          // data-dependent month: 02..14, invalid (null) only for
+          // linenumber 7 — a CONSTANT bad date here would defeat the
+          // rare-failure rule: the try blocks constant folding, so the
+          // parse exception would be re-thrown for every row (~5 s/600k).
+          expr("""try_cast(concat('2024-',
+            lpad(cast(l_linenumber * 2 as string), 2, '0'), '-01') AS DATE)""")
+            .as("t_cast_date"),
+          // max-98 + (0..999): overflows only at %1000 ∈ {990..999}, 1%.
+          // Each overflow throws (addExact) and TryEval catches per row:
+          // at a 10% rate these two columns cost ~5 s over 600 k rows,
+          // at ~1% they are noise — overflow must be the exception, not
+          // a mode.
+          expr("try_add(9223372036854775709, l_orderkey % 1000 - 892)")
+            .as("t_add_ovf"),
           expr("try_add(l_orderkey, 1)").as("t_add_ok"),
-          // ~max/6 × (1..7): overflows only for linenumber 7.
-          expr("try_multiply(1537228672809129301, cast(l_linenumber as bigint))")
+          // ~max/6 × factor 7 only when %500 = 0 (0.2% of rows).
+          expr("""try_multiply(1537228672809129301,
+            cast(CASE WHEN l_orderkey % 500 = 0 THEN 7 ELSE 1 END as bigint))""")
             .as("t_mul_ovf"),
           expr("try_element_at(array(l_returnflag), 10)").as("t_elem_oob"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))),
@@ -245,11 +257,14 @@ object ScalarMath extends QueryModule {
         |    || (CASE WHEN l_orderkey % 100 = 99 THEN 'x' ELSE '' END)
         |    AS INTEGER) AS t_cast_bad,
         |  TRY_CAST(CAST(l_orderkey AS VARCHAR) AS BIGINT) AS t_cast_ok,
-        |  TRY_CAST('2024-13-01' AS DATE) AS t_cast_date,
-        |  TRY_CAST(CAST(9223372036854775709 AS HUGEINT) + (l_orderkey % 100)
-        |    AS BIGINT) AS t_add_ovf,
+        |  TRY_CAST(concat('2024-',
+        |    lpad(CAST(l_linenumber * 2 AS VARCHAR), 2, '0'), '-01') AS DATE)
+        |    AS t_cast_date,
+        |  TRY_CAST(CAST(9223372036854775709 AS HUGEINT)
+        |    + (l_orderkey % 1000 - 892) AS BIGINT) AS t_add_ovf,
         |  l_orderkey + 1 AS t_add_ok,
-        |  TRY_CAST(CAST(1537228672809129301 AS HUGEINT) * l_linenumber
+        |  TRY_CAST(CAST(1537228672809129301 AS HUGEINT)
+        |    * (CASE WHEN l_orderkey % 500 = 0 THEN 7 ELSE 1 END)
         |    AS BIGINT) AS t_mul_ovf,
         |  [l_returnflag][10] AS t_elem_oob
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
