@@ -114,6 +114,25 @@ object IOQueries extends QueryModule {
           max(col("tag")).as("max_tag"))
         .orderBy(col("id_mod")))
 ,
+    // ORC round-trip: the second columnar format Spark ships natively
+    // (beyond the reference's CSV/JSON/parquet surface) — same
+    // pushdown/pruning machinery, different encoding; the aggregate
+    // oracle proves the format conversion is lossless.
+    "q79_orc_roundtrip" -> ((s, d) => {
+      val dir = scratch(d, "orc")
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
+          col("l_extendedprice"))
+        .write.mode("overwrite").orc(dir)
+      s.read.orc(dir)
+        .filter(col("l_quantity") > 10)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice")), 2).as("price"),
+          max(col("l_orderkey")).as("max_key"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // range-partitioned + sorted parquet layout: repartitionByRange on
     // the scan key, sortWithinPartitions, write. Each output file then
     // covers a narrow contiguous key span, so a key-range predicate on
@@ -192,6 +211,13 @@ object IOQueries extends QueryModule {
         |  round(sum(o_totalprice), 2) AS total,
         |  count(DISTINCT o_custkey) AS n_cust
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q79_orc_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(sum(l_extendedprice), 2) AS price,
+        |  max(l_orderkey) AS max_key
+        |FROM lineitem WHERE l_quantity > 10
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q95_range_layout" ->
       """SELECT l_returnflag, count(*) AS n,
