@@ -94,6 +94,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(shj.contains("ShuffledHashJoin"), shj)
   }
 
+  test("q92 profiles every column in ONE table pass") {
+    // describe-style stats must not plan one scan per column: the whole
+    // point of the stacked single-aggregation form is that a 100 TB
+    // profile reads the table once.
+    val p = plan("q92_describe")
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"q92 should scan lineitem exactly once:\n$p")
+  }
+
   test("scalar-heavy projections stay inside whole-stage codegen") {
     import org.apache.spark.sql.execution.debug._
     for (q <- Seq("q50_math", "q51_trig", "q57_conditional", "q59_bitwise")) {
