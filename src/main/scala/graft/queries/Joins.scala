@@ -168,6 +168,36 @@ object Joins extends QueryModule {
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_late"), round(sum(col("l_extendedprice")), 2).as("late_value"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // banded interval self-join: "events within ±60 s of each other"
+    // with NO equi key is a cross join at face value — O(n²) rows, the
+    // one shape that cannot run at 100 TB. The banding trick makes it
+    // an EQUI join: bucket time into 60 s bins, explode the probe side
+    // to its bin and both neighbors (3×, constant), hash-join on the
+    // bin, and apply the exact ±60 s residual after. A pair lands in
+    // exactly one joined row (the build row's single bin), so no dedup
+    // pass is needed. Shuffle is 4×|events| rows on a high-cardinality
+    // integer key instead of |events|² pairs.
+    "q29b_join_banded" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("value"),
+          expr("unix_micros(ts) div 60000000").as("bin"))
+      val probe = ev.select(col("event_id").as("b_id"), col("ts").as("b_ts"),
+        col("value").as("b_value"),
+        explode(array(col("bin") - 1, col("bin"), col("bin") + 1)).as("b_bin"))
+      val near = ev.join(probe,
+          col("bin") === col("b_bin") &&
+            abs(unix_micros(col("ts")) - unix_micros(col("b_ts"))) <= 60000000L &&
+            col("event_id") =!= col("b_id"))
+        .groupBy(col("event_id"))
+        .agg(count(lit(1)).as("n_near"),
+          round(sum(col("b_value")), 4).as("v_near"))
+      ev.select(col("event_id")).join(near, Seq("event_id"), "left")
+        .select(col("event_id"),
+          coalesce(col("n_near"), lit(0L)).as("n_near"),
+          coalesce(col("v_near"), lit(0.0)).as("v_near"))
+        .orderBy(col("event_id"))
     })
   )
 
@@ -245,6 +275,20 @@ object Joins extends QueryModule {
         |  round(sum(l_extendedprice), 2) AS late_value
         |FROM lineitem JOIN orders
         |  ON l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 100 DAY
-        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q29b_join_banded" ->
+      """WITH n AS (
+        |  SELECT a.event_id AS id, count(*) AS n_near,
+        |    round(sum(b.value), 4) AS v_near
+        |  FROM events a JOIN events b
+        |    ON abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 60000000
+        |   AND a.event_id <> b.event_id
+        |  GROUP BY a.event_id)
+        |SELECT e.event_id,
+        |  CAST(coalesce(n.n_near, 0) AS BIGINT) AS n_near,
+        |  coalesce(n.v_near, 0.0) AS v_near
+        |FROM events e LEFT JOIN n ON e.event_id = n.id
+        |ORDER BY e.event_id""".stripMargin
   )
 }

@@ -94,6 +94,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(shj.contains("ShuffledHashJoin"), shj)
   }
 
+  test("q29b banded interval join plans as an equi join, not a nested loop") {
+    // the whole point of banding: the ±60 s predicate must ride as a
+    // residual on a hash/merge EQUI join over the bin key — a
+    // BroadcastNestedLoopJoin here means the O(n²) shape came back.
+    val p = plan("q29b_join_banded")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"banded join degraded to a nested loop:\n$p")
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r.findFirstIn(p).isDefined,
+      s"expected an equi join on the bin key:\n$p")
+  }
+
   test("q92 profiles every column in ONE table pass") {
     // describe-style stats must not plan one scan per column: the whole
     // point of the stacked single-aggregation form is that a 100 TB
