@@ -70,6 +70,23 @@ object Aggregates extends QueryModule {
           round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("cov_qp"))
         .orderBy(col("l_returnflag"))),
 
+    // EXACT distinct counting via bitmaps — the mergeable form: stage 1
+    // builds one 32k-bit bitmap per (group, key-bucket) with map-side
+    // combine, stage 2 sums popcounts. Only fixed-size bitmaps cross
+    // the shuffle (|groups|·|buckets| of them), never raw keys — the
+    // way to count distinct ids per segment at 100 TB without the
+    // count(DISTINCT) expand-and-reshuffle, and unlike HLL it is exact,
+    // so the oracle is plain count(DISTINCT).
+    "q31b_bitmap_distinct" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"),
+          expr("bitmap_bucket_number(l_orderkey)").as("bkt"))
+        .agg(expr("bitmap_construct_agg(bitmap_bit_position(l_orderkey))")
+          .as("bm"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(expr("bitmap_count(bm)")).as("n_distinct"))
+        .orderBy(col("l_returnflag"))),
+
     // remaining aggregate catalogue: boolean quantifiers, bitwise
     // reductions, exact interpolated median, and the full linear-
     // regression family (slope/intercept/r2/count/avgx/avgy/sxx/sxy) —
@@ -250,6 +267,11 @@ object Aggregates extends QueryModule {
         |  round(var_pop(l_quantity), 6) AS var_pop,
         |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
         |  round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qp
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q31b_bitmap_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_orderkey) AS n_distinct
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q33b_agg_extras" ->

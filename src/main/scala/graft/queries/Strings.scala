@@ -99,6 +99,27 @@ object Strings extends QueryModule {
           expr("btrim(p_brand, 'B#0123456789')").as("m_btrim"))
         .orderBy(col("p_partkey"))),
 
+    // URL function family over URLs CONSTRUCTED from columns, so the
+    // oracle emits the components directly instead of re-parsing;
+    // url_encode is exercised on a space-bearing value (the only
+    // non-identity charset in this corpus → '+').
+    "q52d_url" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("url", concat(lit("https://docs.example.com/"),
+          col("lang"), lit("/"), col("doc_id"),
+          lit("?src="), col("source")))
+        .withColumn("raw", concat(col("source"), lit(" "), col("lang")))
+        .select(
+          col("doc_id"),
+          expr("parse_url(url, 'HOST')").as("u_host"),
+          expr("parse_url(url, 'PATH')").as("u_path"),
+          expr("parse_url(url, 'QUERY')").as("u_query"),
+          expr("parse_url(url, 'QUERY', 'src')").as("u_src"),
+          expr("parse_url(url, 'PROTOCOL')").as("u_proto"),
+          expr("url_encode(raw)").as("u_enc"),
+          expr("url_decode(url_encode(raw))").as("u_roundtrip"))
+        .orderBy(col("doc_id"))),
+
     "q53_regex" -> ((s, d) =>
       Tables.part(s, d)
         .select(
@@ -155,6 +176,17 @@ object Strings extends QueryModule {
   )
 
   def oracle: Map[String, String] = Map(
+    "q52d_url" ->
+      """SELECT doc_id,
+        |  'docs.example.com' AS u_host,
+        |  '/' || lang || '/' || doc_id AS u_path,
+        |  'src=' || source AS u_query,
+        |  source AS u_src,
+        |  'https' AS u_proto,
+        |  replace(source || ' ' || lang, ' ', '+') AS u_enc,
+        |  source || ' ' || lang AS u_roundtrip
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "q52_string" ->
       """SELECT p_partkey,
         |  upper(p_name) AS s_upper,
