@@ -172,10 +172,62 @@ object Strings extends QueryModule {
           to_json(struct(col("event_id").as("id"))).as("j_obj"),
           isnotnull(get_json_object(col("props"), "$.missing")).as("j_missing"))
         .orderBy(col("event_id"))
-    })
+    }),
+
+    // XML parsing (from_xml/xpath, Spark 4): documents CONSTRUCTED from
+    // columns so the oracle emits the fields directly — the pattern for
+    // feeds that land as XML at ingest.
+    "q58b_xml" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("xml", concat(
+          lit("<doc><id>"), col("doc_id"), lit("</id><lang>"), col("lang"),
+          lit("</lang><n>"), col("n_chars"), lit("</n></doc>")))
+        .select(
+          col("doc_id"),
+          expr("from_xml(xml, 'id BIGINT, lang STRING, n BIGINT')")
+            .getField("lang").as("x_lang"),
+          expr("from_xml(xml, 'id BIGINT, lang STRING, n BIGINT')")
+            .getField("n").as("x_n"),
+          expr("xpath_string(xml, '/doc/lang')").as("x_xpath"),
+          expr("xpath_long(xml, '/doc/id')").as("x_id"))
+        .orderBy(col("doc_id"))),
+
+    // VARIANT (Spark 4 semi-structured type): parse_json → typed
+    // variant_get extraction — schema-on-read without a declared
+    // struct, the open-schema column shape for heterogeneous metadata
+    // at 100 TB. Constructed input, so the oracle emits fields.
+    "q58c_variant" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("vj", concat(
+          lit("{\"lang\":\""), col("lang"), lit("\",\"n\":"), col("n_chars"),
+          lit(",\"nested\":{\"src\":\""), col("source"), lit("\"}}")))
+        .select(
+          col("doc_id"),
+          expr("variant_get(parse_json(vj), '$.lang', 'string')").as("v_lang"),
+          expr("variant_get(parse_json(vj), '$.n', 'bigint')").as("v_n"),
+          expr("variant_get(parse_json(vj), '$.nested.src', 'string')")
+            .as("v_src"),
+          expr("variant_get(parse_json(vj), '$.absent', 'string')").as("v_absent"))
+        .orderBy(col("doc_id")))
   )
 
   def oracle: Map[String, String] = Map(
+    "q58b_xml" ->
+      """SELECT doc_id,
+        |  lang AS x_lang,
+        |  n_chars AS x_n,
+        |  lang AS x_xpath,
+        |  doc_id AS x_id
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q58c_variant" ->
+      """SELECT doc_id,
+        |  lang AS v_lang,
+        |  n_chars AS v_n,
+        |  source AS v_src,
+        |  CAST(NULL AS VARCHAR) AS v_absent
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "q52d_url" ->
       """SELECT doc_id,
         |  'docs.example.com' AS u_host,
