@@ -119,6 +119,45 @@ final class Frame private (val df: DataFrame) {
   def unionDistinct(other: Frame): Frame = Frame(df.union(other.df).distinct())
   def intersect(other: Frame): Frame = Frame(df.intersect(other.df))
   def except(other: Frame): Frame = Frame(df.except(other.df))
+  /** Schema-evolution union: align by NAME, null-fill absent columns
+    * (the backfill shape — yesterday's files lack today's new column).
+    */
+  def unionByName(other: Frame): Frame =
+    Frame(df.unionByName(other.df, allowMissingColumns = true))
+
+  /** Single-pass column profile (count/mean/stddev/min/max per column,
+    * long form) — the q92_describe shape: one aggregation job however
+    * many columns are profiled, never a scan per column.
+    */
+  def describe(columns: String*): Frame = {
+    val cs = if (columns.nonEmpty) columns else df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] =>
+        f.name
+    }.toSeq
+    val aggs = cs.zipWithIndex.flatMap { case (c, i) =>
+      Seq(org.apache.spark.sql.functions.count(col(c)).as(s"c$i"),
+        round(avg(col(c)), 6).as(s"m$i"),
+        round(stddev(col(c)), 6).as(s"s$i"),
+        min(col(c)).cast("double").as(s"lo$i"),
+        max(col(c)).cast("double").as(s"hi$i"))
+    }
+    val stackArgs = cs.zipWithIndex
+      .map { case (c, i) => s"'$c', c$i, m$i, s$i, lo$i, hi$i" }
+      .mkString(", ")
+    Frame(df.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${cs.length}, $stackArgs)" +
+        " AS (col_name, cnt, mean, std, minv, maxv)")
+      .orderBy(col("col_name")))
+  }
+
+  // null repair (q99_na_functions surface)
+  def fillNa(values: Map[String, Any]): Frame = Frame(df.na.fill(values))
+  def dropNa(subset: Seq[String]): Frame = Frame(df.na.drop(subset))
+  def replaceNa[T](column: String, replacement: Map[T, T]): Frame =
+    Frame(df.na.replace(column, replacement))
+
+  /** Contingency counts of two low-cardinality columns (q97_crosstab). */
+  def crosstab(c1: String, c2: String): Frame = Frame(df.stat.crosstab(c1, c2))
 
   // §2.2 display / actions
   def show(n: Int = 20): Unit = df.show(n)

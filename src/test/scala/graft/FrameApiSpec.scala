@@ -15,6 +15,42 @@ class FrameApiSpec extends AnyFunSuite {
   private def orders = Frame(Tables.orders(spark, sf))
   private def lineitem = Frame(Tables.lineitem(spark, sf))
 
+  test("describe profiles numeric columns in one pass, matching raw aggregates") {
+    val out = lineitem.describe("l_quantity", "l_discount").df.collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("l_discount", "l_quantity"))
+    val raw = Tables.lineitem(spark, sf)
+      .agg(count(col("l_quantity")), round(avg(col("l_quantity")), 6),
+        min(col("l_quantity")), max(col("l_quantity"))).collect()(0)
+    val q = out(1)
+    assert(q.getLong(1) == raw.getLong(0) && q.getDouble(2) == raw.getDouble(1)
+      && q.getDouble(4) == raw.getDouble(2) && q.getDouble(5) == raw.getDouble(3))
+    // default: every numeric column, still one job
+    assert(lineitem.describe().df.count() >= 5)
+  }
+
+  test("unionByName null-fills missing columns; na helpers repair them") {
+    val a = orders.select("o_orderkey", "o_totalprice")
+    val b = orders.select("o_orderkey", "o_orderpriority")
+    val u = a.unionByName(b)
+    assert(u.df.schema.fieldNames.toSet ==
+      Set("o_orderkey", "o_totalprice", "o_orderpriority"))
+    assert(u.count() == 2 * orders.count())
+    val filled = u.fillNa(Map("o_totalprice" -> -1.0))
+    assert(filled.df.filter(col("o_totalprice").isNull).count() == 0)
+    assert(u.dropNa(Seq("o_orderpriority")).count() == orders.count())
+    val replaced = Frame(orders.df.select(col("o_orderstatus")))
+      .replaceNa("o_orderstatus", Map("F" -> "FINAL"))
+    assert(replaced.df.filter(col("o_orderstatus") === "F").count() == 0)
+  }
+
+  test("crosstab matches groupBy counts") {
+    val ct = lineitem.crosstab("l_returnflag", "l_linestatus").df
+    val viaGroup = Tables.lineitem(spark, sf)
+      .filter(col("l_returnflag") === "A" && col("l_linestatus") === "F").count()
+    val row = ct.filter(col("l_returnflag_l_linestatus") === "A").collect()(0)
+    assert(row.getLong(ct.schema.fieldIndex("F")) == viaGroup)
+  }
+
   test("projection chain: select/drop/withColumn/rename/cast/limit") {
     val f = orders
       .select("o_orderkey", "o_custkey", "o_totalprice")

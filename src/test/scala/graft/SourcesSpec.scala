@@ -12,6 +12,30 @@ import org.scalatest.funsuite.AnyFunSuite
 class SourcesSpec extends AnyFunSuite {
   import SparkTestSession._
 
+  test("maxPartitionBytes governs scan split count (the 100 TB parallelism knob)") {
+    // one parquet file still splits into many input partitions when
+    // maxPartitionBytes shrinks — this is what sizes scan tasks to
+    // executor memory at real scale (brief: "size maxPartitionBytes so
+    // partitions fit in executor memory").
+    val conf = spark.conf
+    val key = "spark.sql.files.maxPartitionBytes"
+    val saved = conf.getOption(key)
+    def scanPartitions(): Int =
+      Tables.lineitem(spark, sf).rdd.getNumPartitions
+    try {
+      conf.set(key, "128MB")
+      val coarse = scanPartitions()
+      conf.set(key, "16KB")
+      val fine = scanPartitions()
+      assert(fine > coarse,
+        s"16KB split should yield more scan partitions ($fine vs $coarse)")
+      conf.set(key, "16KB")
+      assert(Tables.lineitem(spark, sf).count() ==
+        { conf.set(key, "128MB"); Tables.lineitem(spark, sf).count() },
+        "split granularity must not change results")
+    } finally saved.fold(conf.unset(key))(conf.set(key, _))
+  }
+
   test("jdbc partition predicates tile the range with NULL absorption") {
     val p = Jdbc.PartitionSpec("id", 0L, 100L, 4)
     assert(Jdbc.partitionPredicates(p) === Seq(

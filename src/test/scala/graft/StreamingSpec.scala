@@ -40,6 +40,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.map(_.getAs[Long]("n")).sum === sample.size)
   }
 
+  test("Trigger.AvailableNow drains the backlog and terminates") {
+    // the catch-up trigger for scheduled (not 24/7) pipelines: process
+    // everything available in bounded batches, then STOP — same results
+    // as continuous micro-batching, no long-lived cluster reservation.
+    import spark.implicits._
+    val mem = MemoryStream[Ev](spark)
+    mem.addData(sample: _*)
+    val q = Streams.windowedCounts(mem.toDF()).writeStream
+      .format("memory").queryName("avail_now_sink")
+      .outputMode(OutputMode.Complete())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(60000), "AvailableNow must self-terminate")
+    val streamed = spark.table("avail_now_sink")
+      .orderBy("wstart", "event_type").collect().toSeq
+    val batch = Streams.windowedCounts(sample.toDF())
+      .orderBy("wstart", "event_type").collect().toSeq
+    assert(streamed === batch)
+  }
+
   test("streaming dedup drops event_id replays") {
     import spark.implicits._
     val mem = MemoryStream[Ev](spark)
