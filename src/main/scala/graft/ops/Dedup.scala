@@ -46,7 +46,11 @@ object Dedup extends QueryModule {
       .select(col("doc_id"), col("lang"), col("n_chars"), w.as("words"))
       .filter(size(col("words")) >= 3)
       .select(col("doc_id"), col("lang"), col("n_chars"),
-        transform(Text.shingles3(col("words")), x => xxhash64(x)).as("sh"))
+        // sorted ONCE per document so pair verification can run the
+        // native merge-walk intersect (graft_sorted_intersect) instead
+        // of hashing per candidate pair; shingles3 is already distinct.
+        array_sort(transform(Text.shingles3(col("words")), x => xxhash64(x)))
+          .as("sh"))
   }
 
   /** 16-slot MinHash signature: sig[j] = min over hashed shingles of
@@ -66,7 +70,14 @@ object Dedup extends QueryModule {
                           minJaccardPct: Int): DataFrame = {
     val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    val (inter, uni) = Text.jaccardParts(col("sh_a"), col("sh_b"))
+    // native two-pointer intersect over the pre-sorted distinct hash
+    // sets (plans/SortedIntersect.scala): same count as
+    // size(array_intersect(...)) but zero per-pair allocation — the
+    // verify stage runs this once per CANDIDATE PAIR, which is the
+    // hot loop of every dedup query.
+    val inter = call_function("graft_sorted_intersect",
+      col("sh_a"), col("sh_b"))
+    val uni = size(col("sh_a")) + size(col("sh_b")) - inter
     cand.join(a, "doc_a").join(b, "doc_b")
       .withColumn("inter", inter)
       .withColumn("uni", uni)

@@ -21,6 +21,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "graft_dot(arrA, arrB) takes 2 arguments")
         DotProduct(children.head, children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_sorted_intersect"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName,
+        "graft_sorted_intersect"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "graft_sorted_intersect(arrA, arrB) takes 2 arguments")
+        SortedIntersectCount(children.head, children(1))
+      }))
     // (c)-tier whole-operator extension: per-key top-k logical node,
     // its key-filter commutation rule, and the partial/final planner
     // strategy (see PerKeyTopK.scala).

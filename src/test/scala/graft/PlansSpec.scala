@@ -15,6 +15,30 @@ class PlansSpec extends AnyFunSuite {
     assert(spark.catalog.functionExists("graft_dot"))
   }
 
+  test("graft_sorted_intersect equals size(array_intersect) on sorted distinct sets") {
+    import org.apache.spark.sql.functions._
+    assert(spark.catalog.functionExists("graft_sorted_intersect"))
+    // every cross pair of real shingle sets: kernel count == builtin count
+    val sh = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        array_sort(transform(
+          ops.Text.shingles3(ops.Text.words(col("text"))),
+          x => xxhash64(x))).as("sh"))
+      .limit(40)
+    val pairs = sh.as("a").crossJoin(sh.as("b"))
+      .select(
+        expr("graft_sorted_intersect(a.sh, b.sh)").as("fast"),
+        size(array_intersect(col("a.sh"), col("b.sh"))).as("ref"))
+    assert(pairs.filter(col("fast") =!= col("ref")).count() == 0)
+    // null propagation + empty sets
+    val r = spark.sql(
+      """SELECT graft_sorted_intersect(array(1L,2L,3L), array(2L,3L,9L)) AS c,
+        |  graft_sorted_intersect(array(1L,2L), CAST(array() AS ARRAY<BIGINT>)) AS e,
+        |  graft_sorted_intersect(CAST(NULL AS ARRAY<BIGINT>), array(1L)) AS n
+        |""".stripMargin).collect()(0)
+    assert(r.getInt(0) == 2 && r.getInt(1) == 0 && r.isNullAt(2))
+  }
+
   test("graft_dot equals the zip_with/aggregate fold bit-exactly") {
     val e = Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("a"))
