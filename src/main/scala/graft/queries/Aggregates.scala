@@ -119,6 +119,23 @@ object Aggregates extends QueryModule {
             .as("k_sxy"))
         .orderBy(col("l_returnflag"))),
 
+    // listagg (Spark 4 / ANSI): ordered DISTINCT group concatenation —
+    // deterministic only with WITHIN GROUP (ORDER BY), which both
+    // engines support. mode() runs over parity (odd linenumbers are 4
+    // of 7 values, structurally the majority at any SF) because mode
+    // over a column with near-tied frequencies is engine-arbitrary on
+    // ties — never oracle a tie-able mode.
+    "q33c_listagg_mode" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("listagg(DISTINCT l_linestatus, ',') WITHIN GROUP (ORDER BY l_linestatus)")
+            .as("k_listagg"),
+          expr("mode(l_linenumber % 2)").as("k_mode"),
+          expr("mode() WITHIN GROUP (ORDER BY l_linenumber % 2)")
+            .as("k_mode_wg"))
+        .orderBy(col("l_returnflag"))),
+
     // Spark skewness/kurtosis are population g1 / excess g2; the oracle
     // spells out the moment formulas (DuckDB's builtins use the sample-
     // adjusted estimators, so they are NOT name-compatible).
@@ -267,6 +284,14 @@ object Aggregates extends QueryModule {
         |  round(var_pop(l_quantity), 6) AS var_pop,
         |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
         |  round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qp
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q33c_listagg_mode" ->
+      """SELECT l_returnflag,
+        |  string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus)
+        |    AS k_listagg,
+        |  mode(l_linenumber % 2) AS k_mode,
+        |  mode(l_linenumber % 2) AS k_mode_wg
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q31b_bitmap_distinct" ->
