@@ -179,6 +179,42 @@ object Streams {
     * in-memory sink table named `sinkName`, complete/update handled by
     * the caller's OutputMode.
     */
+  final case class UserCount(user_id: Long, n: Long)
+
+  /** Spark 4 arbitrary-state API (`transformWithState`): the successor
+    * to mapGroupsWithState — typed state handles (value/list/map) with
+    * per-state TTL, timers, and schema evolution, backed by the RocksDB
+    * state store (required by the API; local heap state stops at a few
+    * GB per executor, RocksDB spills keyed state to disk, which is what
+    * unbounded-key streams need at 100 TB). This processor keeps one
+    * running per-user event counter.
+    */
+  final class RunningCountProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, UserCount] {
+    @transient private var count:
+      org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      count = getHandle.getValueState[Long]("count",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[UserCount] = {
+      val c = (if (count.exists()) count.get() else 0L) + rows.size
+      count.update(c)
+      Iterator.single(UserCount(key, c))
+    }
+  }
+
+  /** Per-user running counts through transformWithState. */
+  def runningCounts(events: Dataset[Ev]): Dataset[UserCount] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningCountProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   def runToMemory(transformed: DataFrame, sinkName: String,
                   mode: OutputMode): Unit = {
     val q = transformed.writeStream

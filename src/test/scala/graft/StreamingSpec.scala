@@ -40,6 +40,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.map(_.getAs[Long]("n")).sum === sample.size)
   }
 
+  test("transformWithState keeps typed per-key state across micro-batches") {
+    import spark.implicits._
+    val conf = spark.conf
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = conf.getOption(key)
+    try {
+      // the transformWithState API requires the RocksDB state store —
+      // the disk-spilling provider unbounded keyed state needs anyway.
+      conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val mem = MemoryStream[Ev](spark)
+      mem.addData(sample.take(3): _*)
+      val q = Streams.runningCounts(mem.toDS()).toDF().writeStream
+        .format("memory").queryName("tws_sink")
+        .outputMode(OutputMode.Update()).start()
+      q.processAllAvailable()
+      mem.addData(sample.drop(3): _*) // second batch: state must carry
+      q.processAllAvailable()
+      q.stop()
+      // last emitted count per user == total batch count per user
+      val last = spark.table("tws_sink")
+        .groupBy("user_id").agg(max("n").as("n"))
+        .orderBy("user_id").collect().toSeq
+      val batch = sample.toDF().groupBy("user_id")
+        .agg(count(lit(1)).as("n")).orderBy("user_id").collect().toSeq
+      assert(last === batch)
+    } finally saved.fold(conf.unset(key))(conf.set(key, _))
+  }
+
   test("Trigger.AvailableNow drains the backlog and terminates") {
     // the catch-up trigger for scheduled (not 24/7) pipelines: process
     // everything available in bounded batches, then STOP — same results
