@@ -251,14 +251,13 @@ object Dedup extends QueryModule {
   /** doc_id + 64-bit SimHash. Exposed for DedupSpec. */
   def simhashed(s: SparkSession, d: String): DataFrame = {
     val wh = transform(array_distinct(Text.words(col("text"))), w => xxhash64(w))
-    val bits = (0 until 64).map { i =>
-      val tally = aggregate(col("wh"), lit(0L), (acc, h) =>
-        acc + when(shiftrightunsigned(h, i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
-      when(tally > 0, lit(1L << i)).otherwise(lit(0L))
-    }
+    // native one-pass bit-majority kernel (plans/SimHash.scala): the
+    // 64-fold HOF formulation it replaces traverses the token-hash
+    // array 64 times per document; OpsSpec pins bit-equality between
+    // the kernel, that formulation, and the explode/groupBy one.
     Tables.documents(s, d)
       .select(col("doc_id"), wh.as("wh"))
-      .select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
+      .select(col("doc_id"), call_function("graft_simhash", col("wh")).as("simhash"))
   }
 
   // DuckDB twins. Shared normalization SQL for the shingle CTE.

@@ -30,6 +30,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_sorted_intersect(arrA, arrB) takes 2 arguments")
         SortedIntersectCount(children.head, children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_simhash(hashArray) takes 1 argument")
+        SimHash64(children.head)
+      }))
     // (c)-tier whole-operator extension: per-key top-k logical node,
     // its key-filter commutation rule, and the partial/final planner
     // strategy (see PerKeyTopK.scala).

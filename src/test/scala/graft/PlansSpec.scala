@@ -15,6 +15,31 @@ class PlansSpec extends AnyFunSuite {
     assert(spark.catalog.functionExists("graft_dot"))
   }
 
+  test("graft_simhash equals the 64-fold HOF bit-majority formulation") {
+    import org.apache.spark.sql.functions._
+    assert(spark.catalog.functionExists("graft_simhash"))
+    val wh = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        transform(array_distinct(ops.Text.words(col("text"))),
+          w => xxhash64(w)).as("wh"))
+    val bits = (0 until 64).map { i =>
+      val tally = aggregate(col("wh"), lit(0L), (acc, h) =>
+        acc + when(shiftrightunsigned(h, i).bitwiseAND(lit(1L)) === 1L, 1L)
+          .otherwise(-1L))
+      when(tally > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    val cmp = wh.select(
+      expr("graft_simhash(wh)").as("fast"),
+      bits.reduce(_ + _).as("ref"))
+    assert(cmp.filter(col("fast") =!= col("ref")).count() == 0)
+    // empty array → signature 0; null → null
+    val r = spark.sql(
+      """SELECT graft_simhash(CAST(array() AS ARRAY<BIGINT>)) AS e,
+        |  graft_simhash(CAST(NULL AS ARRAY<BIGINT>)) AS n""".stripMargin)
+      .collect()(0)
+    assert(r.getLong(0) == 0L && r.isNullAt(1))
+  }
+
   test("graft_sorted_intersect equals size(array_intersect) on sorted distinct sets") {
     import org.apache.spark.sql.functions._
     assert(spark.catalog.functionExists("graft_sorted_intersect"))
