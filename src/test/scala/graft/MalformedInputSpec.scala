@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Malformed-row handling at ingest: at 100 TB some rows WILL be
+  * garbage, and the parse-mode contract decides whether the pipeline
+  * quarantines them (PERMISSIVE + columnNameOfCorruptRecord), silently
+  * sheds them (DROPMALFORMED), or halts (FAILFAST). All three modes are
+  * pinned against the same file so an option regression can't silently
+  * change which rows survive.
+  */
+class MalformedInputSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private lazy val dir = {
+    val d = Paths.get("target/tmp/malformed")
+    Files.createDirectories(d)
+    val f = d.resolve("rows.csv")
+    Files.write(f, java.util.Arrays.asList(
+      "id,qty,price",
+      "1,10,5.50",
+      "2,notanumber,6.25", // qty unparseable
+      "3,30,7.75",
+      "4,40,oops"));       // price unparseable
+    d.toString
+  }
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("qty", IntegerType),
+    StructField("price", DoubleType),
+    StructField("_corrupt", StringType)))
+
+  test("PERMISSIVE quarantines bad rows into the corrupt-record column") {
+    val df = spark.read
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .schema(schema)
+      .csv(dir)
+      .cache()
+    assert(df.count() == 4, "PERMISSIVE keeps every row")
+    assert(df.filter(col("_corrupt").isNotNull).count() == 2)
+    // bad field is null, the rest of the row survives
+    val r2 = df.filter(col("id") === 2).collect()(0)
+    assert(r2.isNullAt(r2.fieldIndex("qty")) &&
+      r2.getDouble(r2.fieldIndex("price")) == 6.25)
+    df.unpersist()
+  }
+
+  test("DROPMALFORMED sheds exactly the bad rows — IF their columns are read") {
+    val df = spark.read
+      .option("header", "true")
+      .option("mode", "DROPMALFORMED")
+      .schema(StructType(schema.dropRight(1)))
+      .csv(dir)
+    // the subtlety worth pinning: with CSV column pruning, malformed-ness
+    // is judged only on the columns the query actually reads — an
+    // id-only projection parses nothing else and keeps all 4 rows.
+    assert(df.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L))
+    // a full-row read parses every field and drops the two bad rows.
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+  }
+
+  test("FAILFAST halts the job on the first bad row (full-row read)") {
+    val ex = intercept[org.apache.spark.SparkException] {
+      spark.read
+        .option("header", "true")
+        .option("mode", "FAILFAST")
+        .schema(StructType(schema.dropRight(1)))
+        .csv(dir)
+        .collect()
+    }
+    assert(ex.getMessage.contains("Malformed") || ex.getCause != null,
+      s"unexpected failure shape: ${ex.getMessage}")
+  }
+}
