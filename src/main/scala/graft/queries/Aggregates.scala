@@ -211,9 +211,14 @@ object Aggregates extends QueryModule {
     "q39b_percentile_exact" -> ((s, d) =>
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
-        .agg(
-          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"))
+        // ONE percentile(col, array(...)) call: the exact-percentile
+        // aggregate builds a value→count map per group; asking for both
+        // quantiles in one aggregate builds (and merges) that map once
+        // instead of once per quantile.
+        .agg(expr("percentile(l_extendedprice, array(0.5, 0.9))").as("ps"))
+        .select(col("l_returnflag"),
+          round(element_at(col("ps"), 1), 4).as("p50"),
+          round(element_at(col("ps"), 2), 4).as("p90"))
         .orderBy(col("l_returnflag"))),
 
     // pivot: long→wide with explicit value list (explicit values keep
