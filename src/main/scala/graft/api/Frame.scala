@@ -159,6 +159,22 @@ final class Frame private (val df: DataFrame) {
   /** Contingency counts of two low-cardinality columns (q97_crosstab). */
   def crosstab(c1: String, c2: String): Frame = Frame(df.stat.crosstab(c1, c2))
 
+  /** Greenwald-Khanna approximate quantiles: one pass, bounded error —
+    * the profiling quantile for tables where exact percentile's
+    * value-count map would not fit (returns to the driver: quantiles
+    * are a scalar summary, not a dataset).
+    */
+  def approxQuantile(column: String, probabilities: Seq[Double],
+                     relativeError: Double): Seq[Double] =
+    df.stat.approxQuantile(column, probabilities.toArray, relativeError).toSeq
+
+  /** Heavy hitters with support ≥ `support` (false positives possible,
+    * no false negatives — the skew-key detector: feed the result to a
+    * salting decision).
+    */
+  def freqItems(columns: Seq[String], support: Double): Frame =
+    Frame(df.stat.freqItems(columns.toArray, support))
+
   // §2.2 display / actions
   def show(n: Int = 20): Unit = df.show(n)
   def display(n: Int = 20): Unit = show(n)

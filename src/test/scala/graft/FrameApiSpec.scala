@@ -43,6 +43,23 @@ class FrameApiSpec extends AnyFunSuite {
     assert(replaced.df.filter(col("o_orderstatus") === "F").count() == 0)
   }
 
+  test("approxQuantile brackets the exact percentile; freqItems finds the hot key") {
+    val qs = lineitem.approxQuantile("l_extendedprice", Seq(0.5), 0.01)
+    val exact = Tables.lineitem(spark, sf)
+      .agg(expr("percentile(l_extendedprice, 0.5)")).collect()(0).getDouble(0)
+    // GK guarantee: rank error <= relativeError * n, so the returned
+    // value sits within the [0.49, 0.51] rank window of the sorted data
+    val lo = Tables.lineitem(spark, sf)
+      .agg(expr("percentile(l_extendedprice, 0.48)")).collect()(0).getDouble(0)
+    val hi = Tables.lineitem(spark, sf)
+      .agg(expr("percentile(l_extendedprice, 0.52)")).collect()(0).getDouble(0)
+    assert(qs.head >= lo && qs.head <= hi, s"${qs.head} not in [$lo, $hi] around $exact")
+    val hot = lineitem.freqItems(Seq("l_returnflag"), 0.2).df.collect()(0)
+      .getSeq[String](0).toSet
+    assert(Set("A", "N", "R").subsetOf(hot),
+      s"all three flags exceed 20% support, got $hot")
+  }
+
   test("crosstab matches groupBy counts") {
     val ct = lineitem.crosstab("l_returnflag", "l_linestatus").df
     val viaGroup = Tables.lineitem(spark, sf)
