@@ -78,13 +78,17 @@ object Dedup extends QueryModule {
     val inter = call_function("graft_sorted_intersect",
       col("sh_a"), col("sh_b"))
     val uni = size(col("sh_a")) + size(col("sh_b")) - inter
+    // NOTE: no orderBy here — q61/q62 sort their OUTPUT, but q91 feeds
+    // these pairs straight into symmetric edges + aggregation, where a
+    // total sort would be pure waste (EliminateSorts usually removes
+    // it, but an explicit non-sorted contract is cheaper than trusting
+    // the optimizer across refactors).
     cand.join(a, "doc_a").join(b, "doc_b")
       .withColumn("inter", inter)
       .withColumn("uni", uni)
       .filter(col("inter") * 100 >= col("uni") * minJaccardPct)
       .select(col("doc_a"), col("doc_b"),
         (col("inter").cast("double") / col("uni")).as("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -121,6 +125,7 @@ object Dedup extends QueryModule {
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .distinct()
       verifyPairs(cand, sh.select(col("doc_id"), col("sh")), 80)
+        .orderBy(col("doc_a"), col("doc_b"))
     }),
 
     // exact n-gram Jaccard near-dup with deterministic blocking: a pair
@@ -142,6 +147,7 @@ object Dedup extends QueryModule {
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .distinct()
       verifyPairs(cand, sh.select(col("doc_id"), col("sh")), 50)
+        .orderBy(col("doc_a"), col("doc_b"))
     }),
 
     // embedding-cosine near-dup: pairs whose embedding cosine clears the
