@@ -63,6 +63,24 @@ object Arrays extends QueryModule {
             col("n_regionkey").cast("string").as("v")))))
         .orderBy(col("n_nationkey"), col("k"))),
 
+    // array EDIT kernels (Spark 3.4/3.5 additions the reference's stub
+    // catalogue predates): append/prepend/insert-at/compact/flatten —
+    // the mutation vocabulary for building feature lists incrementally.
+    "q54f_array_edit" -> ((s, d) =>
+      Tables.part(s, d)
+        .withColumn("a", split(col("p_name"), " "))
+        .withColumn("b", split(col("p_type"), " "))
+        .select(
+          col("p_partkey"),
+          ser(array_append(col("a"), lit("zz"))).as("k_append"),
+          ser(array_prepend(col("a"), lit("aa"))).as("k_prepend"),
+          ser(array_insert(col("a"), lit(2), lit("mid"))).as("k_insert"),
+          ser(array_compact(transform(col("a"),
+            x => nullif(x, lit("widget"))))).as("k_compact"),
+          ser(flatten(array(col("a"), col("b")))).as("k_flatten"),
+          ser(slice(col("a"), 2, 2)).as("k_slice"))
+        .orderBy(col("p_partkey"))),
+
     // per-row array kernels over words of p_name/p_type.
     "q54_array_core" -> ((s, d) =>
       Tables.part(s, d)
@@ -214,6 +232,21 @@ object Arrays extends QueryModule {
         |  UNION ALL
         |  SELECT n_nationkey, 'region', CAST(n_regionkey AS VARCHAR) FROM nation)
         |ORDER BY n_nationkey, k""".stripMargin,
+
+    "q54f_array_edit" ->
+      """WITH t AS (SELECT p_partkey, string_split(p_name, ' ') AS a,
+        |    string_split(p_type, ' ') AS b FROM part)
+        |SELECT p_partkey,
+        |  coalesce(array_to_string(list_append(a, 'zz'), '|'), '') AS k_append,
+        |  coalesce(array_to_string(list_prepend('aa', a), '|'), '') AS k_prepend,
+        |  coalesce(array_to_string(a[1:1] || ['mid'] || a[2:], '|'), '')
+        |    AS k_insert,
+        |  coalesce(array_to_string(list_filter(
+        |    list_transform(a, x -> nullif(x, 'widget')),
+        |    x -> x IS NOT NULL), '|'), '') AS k_compact,
+        |  coalesce(array_to_string(flatten([a, b]), '|'), '') AS k_flatten,
+        |  coalesce(array_to_string(a[2:3], '|'), '') AS k_slice
+        |FROM t ORDER BY p_partkey""".stripMargin,
 
     "q54_array_core" ->
       """WITH t AS (SELECT p_partkey, p_brand,
