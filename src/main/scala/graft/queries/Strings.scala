@@ -177,19 +177,25 @@ object Strings extends QueryModule {
     // XML parsing (from_xml/xpath, Spark 4): documents CONSTRUCTED from
     // columns so the oracle emits the fields directly — the pattern for
     // feeds that land as XML at ingest.
+    // from_xml is parsed ONCE into a struct column and fields are
+    // extracted via getField — XmlToStructs is non-codegen (no
+    // subexpression elimination), so repeating the call would re-parse
+    // the DOM per reference. One xpath call stays for API coverage.
+    // CollapseProject keeps the multiply-referenced alias un-inlined
+    // because from_xml is not a cheap expression (guarded in
+    // PlanShapeSpec: exactly one from_xml in the optimized plan).
     "q58b_xml" -> ((s, d) =>
       Tables.documents(s, d)
         .withColumn("xml", concat(
           lit("<doc><id>"), col("doc_id"), lit("</id><lang>"), col("lang"),
           lit("</lang><n>"), col("n_chars"), lit("</n></doc>")))
+        .withColumn("x", expr("from_xml(xml, 'id BIGINT, lang STRING, n BIGINT')"))
         .select(
           col("doc_id"),
-          expr("from_xml(xml, 'id BIGINT, lang STRING, n BIGINT')")
-            .getField("lang").as("x_lang"),
-          expr("from_xml(xml, 'id BIGINT, lang STRING, n BIGINT')")
-            .getField("n").as("x_n"),
+          col("x").getField("lang").as("x_lang"),
+          col("x").getField("n").as("x_n"),
           expr("xpath_string(xml, '/doc/lang')").as("x_xpath"),
-          expr("xpath_long(xml, '/doc/id')").as("x_id"))
+          col("x").getField("id").as("x_id"))
         .orderBy(col("doc_id"))),
 
     // VARIANT (Spark 4 semi-structured type): parse_json → typed

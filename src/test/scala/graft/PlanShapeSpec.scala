@@ -105,6 +105,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected an equi join on the bin key:\n$p")
   }
 
+  test("q58b parses each XML document exactly once (plus one xpath)") {
+    // from_xml (XmlToStructs) is non-codegen, so Catalyst performs no
+    // subexpression elimination on it: every textual occurrence in the
+    // plan is a full per-row DOM parse. The query materializes the
+    // struct once and getFields from it; CollapseProject must keep the
+    // multiply-referenced alias un-inlined. Round-5 regression: 4
+    // parses per row made this one query 28% of the whole bench.
+    val p = SparkEntry.queries("q58b_xml")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    val parses = "from_xml".r.findAllIn(p).length
+    assert(parses == 1, s"expected exactly one from_xml, found $parses:\n$p")
+  }
+
   test("q92 profiles every column in ONE table pass") {
     // describe-style stats must not plan one scan per column: the whole
     // point of the stacked single-aggregation form is that a 100 TB
