@@ -28,7 +28,8 @@ object SparkEntry {
     o.TextAnalysis,
     o.Multimodal,
     o.TopKPerKey,
-    src.IOQueries)
+    src.IOQueries,
+    src.Jdbc)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

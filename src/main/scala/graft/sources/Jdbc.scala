@@ -1,6 +1,8 @@
 package graft.sources
 
+import graft.{QueryModule, Tables}
 import org.apache.spark.sql.{DataFrame, DataFrameReader, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** JDBC source/sink surface (SURVEY.md §2.1) mirroring the reference's
   * Postgres subsystem — its largest (~1,200 LoC): table read
@@ -17,11 +19,15 @@ import org.apache.spark.sql.{DataFrame, DataFrameReader, SaveMode, SparkSession}
   * database to re-scan n rows per page — the reference pays O(n²) total;
   * range predicates on an indexed column do not).
   *
-  * No database exists in this sandbox, so `read`/`write` are exercised
-  * structurally (JdbcSpec pins the generated predicates and options);
-  * against a live URL they are complete.
+  * Executed live against embedded Derby (on Spark's own classpath):
+  * q93 writes a table through the JDBC sink, reads it back through a
+  * stride-partitioned JDBC scan built from `partitionPredicates`, and
+  * oracle-verifies the round-trip against the parquet original.
+  * JdbcSpec additionally pins the generated predicates/options and that
+  * both partitioned-read paths (predicate array vs. Spark's
+  * lower/upper/num options) agree row-for-row.
   */
-object Jdbc {
+object Jdbc extends QueryModule {
 
   /** Partitioned-read spec: the same four knobs as the Spark JDBC source
     * (and the reference's iterator batch config, io/sql/postgres/mod.rs:14-22).
@@ -100,4 +106,57 @@ object Jdbc {
       .option("user", user).option("password", password)
       .mode(if (overwrite) SaveMode.Overwrite else SaveMode.Append)
       .save()
+
+  private val EmbeddedDriver = "org.apache.derby.jdbc.EmbeddedDriver"
+
+  /** In-memory embedded-Derby URL, one database per sf dir so the
+    * sf0.001 test runs and sf0.01 verify runs never share state.
+    * Derby's log goes under target/tmp (the sandbox forbids cwd spam).
+    */
+  def derbyUrl(d: String): String = {
+    System.setProperty("derby.system.home", "target/tmp/derby")
+    s"jdbc:derby:memory:graft_${d.replaceAll("[^A-Za-z0-9.]", "_")};create=true"
+  }
+
+  /** Stride-partitioned read executing `partitionPredicates` — each
+    * predicate becomes one Spark input partition fetching one key range
+    * over its own connection, the executor-parallel read shape that
+    * replaces the reference's OFFSET-paged single-connection iterator.
+    */
+  def readPartitioned(s: SparkSession, url: String, table: String,
+                      spec: PartitionSpec): DataFrame = {
+    val props = new java.util.Properties()
+    props.setProperty("driver", EmbeddedDriver)
+    s.read.jdbc(url, table, partitionPredicates(spec).toArray, props)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Live JDBC round-trip (the reference's Postgres read/write paths,
+    // reader.rs:57-116 + writer.rs:15-159, executed on embedded Derby):
+    // DataFrame -> JDBC sink (overwrite = DROP+CREATE) -> partitioned
+    // JDBC scan via the stride predicates -> oracle vs the parquet
+    // original, so any type-mapping or quoting corruption in either
+    // direction breaks the hash. Bounds are deliberately inexact
+    // (1..10k regardless of sf): the predicate set must still cover
+    // the whole table via its open-ended first/last clauses.
+    // NB the quoted partition column: Spark's JDBC writer quotes column
+    // names on CREATE TABLE (preserving lowercase), so an unquoted
+    // predicate column would case-fold to C_CUSTKEY and miss.
+    "q93_jdbc_roundtrip" -> ((s, d) => {
+      val url = derbyUrl(d)
+      write(Tables.customer(s, d), url, "graft_customer", "app", "app",
+        overwrite = true)
+      readPartitioned(s, url, "graft_customer",
+        PartitionSpec("\"c_custkey\"", 1L, 10001L, 8))
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_acctbal"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q93_jdbc_roundtrip" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin
+  )
 }
