@@ -56,24 +56,74 @@ private[sources] class RangeTable(rows: Long, slices: Int, columnar: Boolean)
     new RangeScanBuilder(rows, slices, columnar)
 }
 
+/** Pushdown surface matching the reference `DataSource` capability flags
+  * (io/datasource.rs:95-101: `supports_filtering` / `supports_limit` /
+  * column projection): id-range predicates narrow the generated interval
+  * at PLANNING time (the source never materializes skipped rows — the
+  * parquet-row-group-pruning analogue for a synthetic source), a pushed
+  * limit caps it, and both compose with column pruning. Range-exact
+  * filters are consumed (no residual re-evaluation); anything not a
+  * simple id range stays post-scan.
+  */
 private[sources] class RangeScanBuilder(rows: Long, slices: Int, columnar: Boolean)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters with SupportsPushDownLimit {
+  import org.apache.spark.sql.sources._
+
   private var required: StructType = RangeSource.fullSchema
+  private var lo: Long = 0L
+  private var hi: Long = rows
+  private var limit: Option[Int] = None
+  private var accepted: Array[Filter] = Array.empty
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new RangeScan(rows, slices, required, columnar)
+
+  private def long(v: Any): Option[Long] = v match {
+    case n: Number => Some(n.longValue())
+    case _ => None
+  }
+
+  // Exactly-applied filters return no residual; the scan emits only the
+  // narrowed interval so Spark need not re-check. IsNotNull is vacuous
+  // (every column is non-nullable).
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (taken, residual) = filters.partition {
+      case EqualTo("id", v) => long(v).exists { x => lo = math.max(lo, x); hi = math.min(hi, x + 1); true }
+      case GreaterThan("id", v) => long(v).exists { x => lo = math.max(lo, x + 1); true }
+      case GreaterThanOrEqual("id", v) => long(v).exists { x => lo = math.max(lo, x); true }
+      case LessThan("id", v) => long(v).exists { x => hi = math.min(hi, x); true }
+      case LessThanOrEqual("id", v) => long(v).exists { x => hi = math.min(hi, x + 1); true }
+      case IsNotNull(_) => true
+      case _ => false
+    }
+    accepted = taken
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = accepted
+
+  // Partial push (the default): the scan emits at most `n` rows but
+  // Spark keeps its global limit, which stays correct if slices > 1.
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+
+  override def build(): Scan =
+    new RangeScan(lo, limit.fold(hi)(n => math.min(hi, lo + n.toLong)), slices,
+      required, columnar)
 }
 
-private[sources] class RangeScan(rows: Long, slices: Int, required: StructType,
-                                 columnar: Boolean)
+private[sources] class RangeScan(lo: Long, hi: Long, slices: Int,
+                                 required: StructType, columnar: Boolean)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def description(): String = s"graft_range[$lo,$hi)"
   override def planInputPartitions(): Array[InputPartition] = {
     val n = math.max(1, slices)
-    val per = (rows + n - 1) / n
-    (0L until n).map { i =>
-      RangeSlice(i * per, math.min(rows, (i + 1) * per))
+    val span = math.max(0L, hi - lo)
+    val per = (span + n - 1) / math.max(1L, n.toLong)
+    if (span == 0L) Array.empty
+    else (0L until n).map { i =>
+      RangeSlice(lo + i * per, math.min(hi, lo + (i + 1) * per))
     }.filter(s => s.end > s.start).toArray[InputPartition]
   }
   override def createReaderFactory(): PartitionReaderFactory =

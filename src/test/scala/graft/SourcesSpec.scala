@@ -148,4 +148,64 @@ class SourcesSpec extends AnyFunSuite {
       s"expected pruned BatchScan output in:\n$plan")
     graft.sources.MemStore.drop("spec_big")
   }
+
+  test("range source pushes id-range filters and limit into the scan") {
+    def load() = spark.read.format("graft.sources.RangeSource")
+      .option("rows", "20000").option("slices", "8").load()
+
+    // conjunct range predicates narrow the generated interval at plan
+    // time: the scan description carries the residual-free range and the
+    // plan needs no Filter re-check for the pushed conjuncts.
+    val ranged = load().filter(col("id") >= 19990L && col("id") < 19995L)
+    val rplan = ranged.queryExecution.executedPlan.toString
+    assert(rplan.contains("graft_range[19990,19995)"),
+      s"expected narrowed scan range in:\n$rplan")
+    assert(ranged.count() === 5)
+    assert(ranged.agg(min("id"), max("id")).collect().head.toSeq
+      === Seq(19990L, 19994L))
+
+    // a pushed limit caps the interval; Spark keeps the global limit
+    // (partial push), so the result is still exactly n rows.
+    val limited = load().limit(7)
+    val lplan = limited.queryExecution.executedPlan.toString
+    assert(lplan.contains("graft_range[0,7)"),
+      s"expected limit-capped scan range in:\n$lplan")
+    assert(limited.count() === 7)
+
+    // non-range predicates stay post-scan and still evaluate correctly.
+    val residual = load().filter(pmod(col("id"), lit(7L)) === 0)
+    assert(residual.queryExecution.executedPlan.toString.contains("graft_range[0,20000)"))
+    assert(residual.count() === 2858)
+
+    // pushdown composes with the columnar read path.
+    val colRanged = spark.read.format("graft.sources.RangeSource")
+      .option("rows", "20000").option("slices", "8").option("columnar", "true")
+      .load().filter(col("id") >= 100L).limit(5)
+    assert(colRanged.collect().map(_.getLong(0)).toSeq === (100L to 104L))
+  }
+
+  test("live Derby JDBC: write, stride-partitioned read-back, both paths agree") {
+    val url = Jdbc.derbyUrl(sf + "/spec")
+    val cust = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    Jdbc.write(cust, url, "spec_customer", "app", "app", overwrite = true)
+    // overwrite must be DROP+CREATE, not append — write twice, count once.
+    Jdbc.write(cust, url, "spec_customer", "app", "app", overwrite = true)
+
+    val spec = Jdbc.PartitionSpec("\"c_custkey\"", 1L, 101L, 4)
+    val byPredicates = Jdbc.readPartitioned(spark, url, "spec_customer", spec)
+    // one input partition per stride predicate = one connection per range.
+    assert(byPredicates.rdd.getNumPartitions === 4)
+
+    val byOptions = Jdbc.read(spark,
+      Jdbc.readerOptions(url, Left("spec_customer"), "app", "app", Some(spec))
+        + ("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"))
+    assert(byOptions.rdd.getNumPartitions === 4)
+
+    val original = cust.orderBy("c_custkey").collect().toSeq
+    assert(byPredicates.orderBy("c_custkey").collect().toSeq === original,
+      "predicate-array round-trip must be lossless")
+    assert(byOptions.orderBy("c_custkey").collect().toSeq === original,
+      "stride-options round-trip must be lossless")
+  }
 }
