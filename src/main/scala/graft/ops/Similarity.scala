@@ -176,10 +176,14 @@ object Similarity extends QueryModule {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // LSH-bucketed ANN top-k: candidates = vectors sharing any of the 4
+    // LSH-bucketed ANN top-k: candidates = vectors sharing any of the 8
     // table buckets with the query; exact cosine re-ranks candidates.
-    // xxhash64-derived hyperplanes have no DuckDB twin → rows-only;
-    // recall vs q70 is asserted in SimilaritySpec.
+    // xxhash64-derived hyperplanes have no DuckDB twin → rows-only, so
+    // the query is SELF-VERIFYING instead: the exact top-k (q70's plan)
+    // is computed alongside and each output row carries its query's
+    // recall@k — the per-query quality metric a vector store would
+    // report, visible in the result rather than only in OpsSpec (which
+    // still pins recall >= 0.5 on the column).
     "q71_ann_lsh" -> ((s, d) => {
       val corpus = withNorm(Tables.embeddings(s, d)
         .select(col("vec_id"), dvec(col("embedding")).as("emb")))
@@ -196,11 +200,24 @@ object Similarity extends QueryModule {
         .dropDuplicates("query_id", "vec_id")
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cos_sim").desc, col("vec_id").asc)
-      cand.select(col("query_id"), col("vec_id"), pairCosine.as("cos_sim"))
+      val lshTop = cand
+        .select(col("query_id"), col("vec_id"), pairCosine.as("cos_sim"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= TopK)
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
           col("rank"), col("cos_sim"))
+      val exactTop = scored(s, d)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TopK)
+        .select(col("query_id").as("e_qid"), col("vec_id").as("e_vid"))
+      val perQuery = Window.partitionBy(col("query_id"))
+      lshTop
+        .join(exactTop, col("query_id") === col("e_qid")
+          && col("neighbor_id") === col("e_vid"), "left")
+        .withColumn("recall",
+          count(col("e_vid")).over(perQuery) / lit(TopK.toDouble))
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          col("cos_sim"), col("recall"))
         .orderBy(col("query_id"), col("rank"))
     })
   )

@@ -74,6 +74,18 @@ class OpsSpec extends AnyFunSuite {
     val annSet = ann.map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exactSet & annSet).size.toDouble / exactSet.size
     assert(recall >= 0.5, s"ANN recall@10 = $recall")
+    // the self-reported recall column must agree with the recomputation:
+    // per query, |lsh-topk ∩ exact-topk| / k.
+    val perQueryExact = exact.groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    ann.groupBy(_.getLong(0)).foreach { case (qid, rows) =>
+      val hits = rows.map(_.getLong(1)).toSet & perQueryExact(qid)
+      val expected = hits.size.toDouble / 10.0
+      rows.foreach { r =>
+        assert(r.getAs[Double]("recall") === expected,
+          s"query $qid self-reported recall ${r.getAs[Double]("recall")} != $expected")
+      }
+    }
   }
 
   test("CentroidAgg matches a single-threaded centroid within 1e-9") {
