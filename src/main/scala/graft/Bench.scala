@@ -71,26 +71,45 @@ object Bench {
       GraftSparkBridge.flushListeners(spark.sparkContext)
       (name, sec, tally.bytes.get() / 1e6)
     }
+    // Full detail first (one line, may exceed the driver's 2000-char
+    // stdout-tail capture; kept for humans + the repo bench log) ...
+    println(detailLine(results, failed, sfDir))
+    // ... then the driver-contract line LAST and COMPACT: the driver
+    // parses JSON out of the last ~2000 chars of stdout, so this line
+    // must fit there whole (BenchContractSpec pins this under a
+    // worst-case failure count). Slowest 32 queries + first 8 failures
+    // only; the full lists are in the detail line above.
+    println(compactLine(results, failed, sfDir))
+    spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
+  }
+
+  private def jsonList(names: Seq[String]): String =
+    names.map("\"" + _ + "\"").mkString("[", ",", "]")
+
+  private[graft] def detailLine(results: Seq[(String, Double, Double)],
+                                failed: List[String], sfDir: String): String = {
     val qs = results.map { case (k, v, _) => f""""$k":$v%.2f""" }
       .mkString("{", ",", "}")
     val sh = results.map { case (k, _, mb) => f""""$k":$mb%.2f""" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
+    s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":$sh,"failed":${jsonList(failed.sorted)},"sf":"$sfDir"}"""
+  }
+
+  private[graft] def compactLine(results: Seq[(String, Double, Double)],
+                                 failed: List[String], sfDir: String): String = {
+    val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
     val totalShuffleMb = results.map(_._3).sum
-    val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // Full detail first (one line, may exceed the driver's 2000-char
-    // stdout-tail capture; kept for humans + the repo bench log) ...
-    println(s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":$sh,"failed":$failedJson,"sf":"$sfDir"}""")
-    // ... then the driver-contract line LAST and COMPACT: the driver
-    // parses JSON out of the last ~2000 chars of stdout, so this line
-    // must fit there whole. Report the slowest queries only; the rest
-    // round to ~0 s and are in the detail line above.
-    val top = results.filter(_._2 >= 0).sortBy(-_._2).take(40).sortBy(_._1)
+    val top = results.filter(_._2 >= 0).sortBy(-_._2).take(32).sortBy(_._1)
     val topQs = top.map { case (k, v, _) => f""""$k":$v%.2f""" }
       .mkString("{", ",", "}")
     val omitted = results.length - top.length
-    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$topQs,"queries_run":${results.length},"queries_omitted_fast":$omitted,"shuffle_mb_total":$totalShuffleMb%.1f,"failed":$failedJson,"sf":"$sfDir"}""")
-    spark.stop()
-    if (failed.nonEmpty) sys.exit(1)
+    // failed is truncated here so a mass failure (long names × many
+    // queries) cannot push the line past the driver's stdout tail
+    // exactly when the failure status matters most; failed_count always
+    // carries the true total.
+    val failedShown = jsonList(failed.sorted.take(8))
+    f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$topQs,"queries_run":${results.length},"queries_omitted_fast":$omitted,"shuffle_mb_total":$totalShuffleMb%.1f,"failed":$failedShown,"failed_count":${failed.length},"sf":"$sfDir"}"""
   }
 }

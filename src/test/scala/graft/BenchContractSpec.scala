@@ -1,0 +1,49 @@
+package graft
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The driver reads BENCH output by parsing JSON out of the LAST ~2000
+  * characters of stdout (rounds 2-4 produced unparseable benches by
+  * overflowing that tail). This spec renders the compact contract line
+  * under worst-case conditions — max query count, long names, every
+  * query failed — and asserts it still fits a 2000-char tail whole and
+  * parses, failure lists capped but the true count preserved.
+  */
+class BenchContractSpec extends AnyFunSuite {
+
+  private val results = (1 to 118).map { i =>
+    (f"q$i%03d_some_very_long_query_name", 3.14159, 12.345)
+  }
+
+  test("compact contract line survives a 2000-char stdout tail, even all-failed") {
+    val failed = results.map(_._1).toList // worst case: mass failure
+    val line = Bench.compactLine(results, failed, "/root/testdata/sf0.1")
+    assert(line.length <= 1800, s"contract line too long: ${line.length} chars")
+
+    // simulate the driver: noisy stdout, contract line last, keep the tail.
+    val tail = ("log noise " * 500 + "\n" + line).takeRight(2000)
+    val start = tail.indexOf("{\"metric\":\"total\"")
+    assert(start >= 0, "contract line must start inside the tail")
+    val parsed = JsonMethods.parse(tail.substring(start))
+
+    assert((parsed \ "metric") === JString("total"))
+    assert((parsed \ "queries_run") === JInt(118))
+    assert((parsed \ "failed_count") === JInt(118))
+    val JArray(shown) = (parsed \ "failed"): @unchecked
+    assert(shown.length === 8, "failed list must be capped in the compact line")
+    val JObject(qs) = (parsed \ "queries"): @unchecked
+    assert(qs.length === 32, "slowest-32 cap")
+  }
+
+  test("detail line keeps the full failure list and every query") {
+    val failed = results.map(_._1).take(50).toList
+    val detail = Bench.detailLine(results, failed, "sfX")
+    val parsed = JsonMethods.parse(detail)
+    val JArray(f) = (parsed \ "failed"): @unchecked
+    assert(f.length === 50)
+    val JObject(qs) = (parsed \ "queries"): @unchecked
+    assert(qs.length === 118)
+  }
+}
