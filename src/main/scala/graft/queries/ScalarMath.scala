@@ -19,9 +19,13 @@ import org.apache.spark.sql.functions._
   * rather than `round(_, 6)`: Spark's Round on DoubleType goes through
   * BigDecimal per row (~6 s over 600 k rows × 15 columns at sf0.1),
   * while the floor form stays inside whole-stage codegen and both
-  * engines execute the identical IEEE-754 sequence, so results stay
-  * bit-equal. Everything is whole-stage-codegen-friendly: pure
-  * `functions._` columns, no UDFs.
+  * engines execute the identical IEEE-754 multiply/add/floor sequence.
+  * The transcendental INPUT itself (exp/sin/…) can differ by a last
+  * ulp between JVM and DuckDB libm, so the snap absorbs ulp noise
+  * everywhere except exactly at a snap boundary — the corpus is
+  * verified boundary-free by the oracle hash match (same inherent
+  * risk class as round(_, 6), not a regression). Everything is
+  * whole-stage-codegen-friendly: pure `functions._` columns, no UDFs.
   */
 object ScalarMath extends QueryModule {
 
@@ -138,7 +142,8 @@ object ScalarMath extends QueryModule {
           expr("""try_cast(concat('2024-',
             lpad(cast(l_linenumber * 2 as string), 2, '0'), '-01') AS DATE)""")
             .as("t_cast_date"),
-          // max-98 + (0..999): overflows only at %1000 ∈ {990..999}, 1%.
+          // max-98 + (-892..107): addend 98 lands exactly on Long.Max,
+          // so it overflows only at %1000 ∈ {991..999}, ~0.9%.
           // Each overflow throws (addExact) and TryEval catches per row:
           // at a 10% rate these two columns cost ~5 s over 600 k rows,
           // at ~1% they are noise — overflow must be the exception, not

@@ -56,4 +56,46 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(keys.intersect(none).count() == 0)
     assert(keys.except(none).count() == 3)
   }
+
+  test("XML/VARIANT parsers degrade to null on null or malformed input") {
+    // a 100 TB feed WILL contain truncated/garbage documents; the parse
+    // step must null them out (to be quarantined downstream), never
+    // throw and kill the stage. from_xml (PERMISSIVE default) and
+    // try_parse_json null out unparseable rows. The Hive-derived
+    // xpath_* family does NOT — it throws on malformed XML (pinned
+    // below), so on a dirty feed xpath must ride behind a from_xml
+    // validity guard (when() branches evaluate lazily per row).
+    import spark.implicits._
+    val docs = Seq(
+      ("ok", "<doc><id>7</id></doc>", """{"k":7}"""),
+      ("truncated", "<doc><id>7", """{"k":7"""),
+      ("garbage", "not xml at all", "not json"),
+      ("empty", "", ""),
+      ("nul", null, null)).toDF("tag", "xml", "js")
+    val xid = expr("from_xml(xml, 'id BIGINT')").getField("id")
+    val out = docs.select(
+      col("tag"),
+      xid.as("x_id"),
+      when(xid.isNotNull, expr("xpath_long(xml, '/doc/id')")).as("xp_id"),
+      expr("variant_get(try_parse_json(js), '$.k', 'bigint')").as("v_k"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)),
+         if (r.isNullAt(2)) None else Some(r.getLong(2)),
+         if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .toMap
+    assert(out("ok") === ((Some(7L), Some(7L), Some(7L))))
+    for (bad <- Seq("truncated", "garbage", "empty", "nul")) {
+      val (x, xp, v) = out(bad)
+      assert(x.isEmpty, s"$bad: from_xml should null out")
+      assert(xp.isEmpty, s"$bad: guarded xpath should null out")
+      assert(v.isEmpty, s"$bad: try_parse_json should null out")
+    }
+    // unguarded xpath on malformed XML kills the task — the reason the
+    // guard above (and q58b's from_xml-first shape) exists.
+    val ex = intercept[Exception] {
+      docs.select(expr("xpath_long(xml, '/doc/id')")).collect()
+    }
+    assert(ex.getMessage.contains("/doc/id"), ex.getMessage)
+  }
 }

@@ -66,4 +66,47 @@ class KernelPropertySpec extends AnyFunSuite {
       java.lang.Double.doubleToLongBits(row.getDouble(0)) ==
         java.lang.Double.doubleToLongBits(row.getDouble(1))))
   }
+
+  /** Force Catalyst's interpreted expression path (the doGenCode
+    * fallback every custom Expression must keep correct — it is what
+    * runs when codegen compilation fails or is disabled cluster-wide).
+    */
+  private def withInterpreted[T](f: => T): T = {
+    val conf = spark.conf
+    val saved = Seq("spark.sql.codegen.factoryMode", "spark.sql.codegen.wholeStage")
+      .map(k => k -> conf.getOption(k))
+    conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    conf.set("spark.sql.codegen.wholeStage", "false")
+    try f finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
+
+  test("interpreted fallback is bit-identical to codegen for all three kernels") {
+    import spark.implicits._
+    val r = rng
+    val rows = Seq.fill(64) {
+      val n = r.nextInt(40)
+      (List.fill(n)(r.nextGaussian()), List.fill(n)(r.nextGaussian()),
+        List.fill(n)(r.nextLong()).distinct.sorted,
+        List.fill(r.nextInt(40))(r.nextLong()).distinct.sorted)
+    } :+ ((List.empty[Double], List.empty[Double], List.empty[Long], List.empty[Long]))
+    val df = rows.toDF("a", "b", "sa", "sb")
+    def run() = df.select(
+        expr("graft_dot(a, b)"),
+        expr("graft_sorted_intersect(sa, sb)"),
+        expr("graft_simhash(sa)"))
+      .collect()
+      .map(row => (java.lang.Double.doubleToLongBits(row.getDouble(0)),
+        row.getInt(1), row.getLong(2)))
+      .toSeq
+    val codegen = run()
+    val interpreted = withInterpreted {
+      // the conf must actually bite: whole-stage spans disappear.
+      assert(!df.select(expr("graft_dot(a, b)"))
+        .queryExecution.executedPlan.toString.contains("WholeStageCodegen"))
+      run()
+    }
+    assert(codegen === interpreted)
+  }
 }

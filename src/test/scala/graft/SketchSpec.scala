@@ -39,4 +39,16 @@ class SketchSpec extends AnyFunSuite {
       assert(math.abs(est - exact).toDouble / exact < 0.05,
         s"$name estimate $est vs exact $exact outside 5%")
   }
+
+  test("rows-only queries are deterministic run-to-run (q39, q56)") {
+    // these two have no DuckDB twin (engine-specific sketch/digest
+    // internals), so the driver's check is rows-only; what CAN be
+    // pinned is that re-executing yields byte-identical results —
+    // estimates and digests are pure functions of the input.
+    for (q <- Seq("q39_approx_sketch", "q56_hash_sketch")) {
+      val run1 = SparkEntry.queries(q)(spark, sf).collect().toSeq
+      val run2 = SparkEntry.queries(q)(spark, sf).collect().toSeq
+      assert(run1 === run2, s"$q is not deterministic across runs")
+    }
+  }
 }
