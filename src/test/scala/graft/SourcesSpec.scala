@@ -208,4 +208,51 @@ class SourcesSpec extends AnyFunSuite {
     assert(byOptions.orderBy("c_custkey").collect().toSeq === original,
       "stride-options round-trip must be lossless")
   }
+
+  test("Derby JDBC round-trips the full scalar type lattice losslessly") {
+    // the reference's writer maps Arrow types to Postgres column types
+    // (writer.rs:15-159); the Spark equivalent is the dialect's type
+    // mapping, exercised here across boolean/short/int/long/float/
+    // double/decimal/date/timestamp/binary/string. Values must survive
+    // byte-for-byte; widened read-back types (e.g. SMALLINT) must cast
+    // back without loss.
+    import spark.implicits._
+    val url = Jdbc.derbyUrl(sf + "/types")
+    val df = spark.range(1, 51).select(
+      col("id"),
+      (col("id") % 2 === 0).as("b"),
+      col("id").cast("smallint").as("s"),
+      col("id").cast("int").as("i"),
+      (col("id") * 1000000007L).as("l"),
+      (col("id") / 4.0).cast("float").as("f"),
+      (col("id") / 8.0).as("d"),
+      (col("id").cast("decimal(10,0)") * lit(1.01).cast("decimal(4,2)"))
+        .cast("decimal(12,2)").as("dec"),
+      date_add(lit(java.sql.Date.valueOf("2024-01-01")), col("id").cast("int"))
+        .as("dt"),
+      expr("timestamp'2024-01-01 12:00:00' + make_interval(0,0,0,0,0,0, id + 0.123456)")
+        .as("ts"),
+      col("id").cast("string").cast("binary").as("bin"),
+      concat(lit("str"), col("id")).as("str"))
+    Jdbc.write(df, url, "spec_types", "app", "app", overwrite = true)
+    val back = Jdbc.read(spark,
+      Jdbc.readerOptions(url, Left("spec_types"), "app", "app")
+        + ("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"))
+
+    // exact logical types where the dialect has a 1:1 column type
+    val bt = back.schema.fields.map(f => f.name -> f.dataType).toMap
+    import org.apache.spark.sql.types._
+    assert(bt("b") === BooleanType)
+    assert(bt("dec") === DecimalType(12, 2))
+    assert(bt("dt") === DateType)
+    assert(bt("bin") === BinaryType)
+
+    def norm(x: org.apache.spark.sql.DataFrame) = x.select(
+        col("id").cast("long"), col("b"), col("s").cast("short"),
+        col("i").cast("int"), col("l").cast("long"), col("f").cast("float"),
+        col("d").cast("double"), col("dec").cast("decimal(12,2)"),
+        col("dt"), col("ts"), base64(col("bin")).as("bin"), col("str"))
+      .orderBy("id").collect().toSeq
+    assert(norm(back) === norm(df), "typed round-trip must be lossless")
+  }
 }
