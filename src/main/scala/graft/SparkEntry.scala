@@ -27,6 +27,7 @@ object SparkEntry {
     o.Similarity,
     o.TextAnalysis,
     o.Multimodal,
+    o.Curation,
     o.TopKPerKey,
     src.IOQueries,
     src.Jdbc)

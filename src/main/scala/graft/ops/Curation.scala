@@ -1,0 +1,220 @@
+package graft.ops
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for training-data pipelines (builder brief
+  * north stars, beyond the reference's surface): deterministic dataset
+  * splitting, sequence packing, benchmark decontamination, and PII
+  * redaction. Like the rest of graft.ops, everything is exact integer /
+  * identical-regex arithmetic so each query is bit-exact against its
+  * DuckDB oracle.
+  */
+object Curation extends QueryModule {
+
+  /** Tokens-per-context-window for sequence packing. */
+  private val Ctx = 2048L
+
+  /** Deterministic split bucket in [0, 100): an explicit affine hash of
+    * the stable doc id — NOT an engine hash function (murmur3/xxhash64
+    * differ per engine and per release; a training split must never
+    * move when the engine is upgraded). doc_id fits well under 2^33 at
+    * any realistic sf, so the product stays in BIGINT exactly.
+    */
+  private def splitBucket: org.apache.spark.sql.Column =
+    pmod(col("doc_id") * 1103515245L + 12345L, lit(100L))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // train/valid/test assignment: 90/5/5 by the affine hash bucket.
+    // Per-split stats verify both the partition function and that the
+    // assignment is total and disjoint (counts sum to the corpus).
+    "q100_hash_split" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("bkt", splitBucket)
+        .withColumn("split",
+          when(col("bkt") < 90, "train")
+            .when(col("bkt") < 95, "valid").otherwise("test"))
+        .groupBy(col("split"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("total_chars"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy(col("split"))),
+
+    // sequence packing (GPT-style concat-and-chunk): lay all documents
+    // end-to-end in doc_id order and cut into Ctx-token windows; each
+    // doc reports the chunk its first token lands in and its offset
+    // there. The global prefix-sum is computed DISTRIBUTED: coarse
+    // range buckets aggregate partial token sums (tiny frame), a
+    // bucket-level running offset is windowed over that frame and
+    // broadcast-joined back, and the per-doc cumsum is windowed WITHIN
+    // each bucket — no single-partition window over the corpus, the
+    // standard two-phase prefix sum at 100 TB.
+    "q101_seq_pack" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(Text.words(col("text"))).cast("long").as("n_tok"))
+        .withColumn("bkt", floor(col("doc_id") / 1000L).cast("long"))
+      val offsets = toks.groupBy(col("bkt"))
+        .agg(sum(col("n_tok")).as("bkt_tok"))
+        .withColumn("bkt_off",
+          coalesce(sum(col("bkt_tok")).over(
+            Window.orderBy(col("bkt"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("bkt"), col("bkt_off"))
+      val intra = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      toks.join(broadcast(offsets), "bkt")
+        .withColumn("start",
+          col("bkt_off") + coalesce(sum(col("n_tok")).over(intra), lit(0L)))
+        .select(
+          col("doc_id"), col("n_tok"),
+          floor(col("start") / Ctx.toDouble).cast("long").as("chunk_id"),
+          pmod(col("start"), lit(Ctx)).as("chunk_offset"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // benchmark decontamination: flag training documents whose 3-word
+    // shingles cover a benchmark item. The "benchmark" is snippets
+    // extracted from the corpus itself (first 52 words of every
+    // doc_id % 97 = 0 document) — the real contamination scenario,
+    // where eval text appears verbatim inside training documents, so
+    // the source doc (and any planted near-dup of it) is guaranteed to
+    // flag. The eval side is tiny BY NATURE (benchmarks are small), so
+    // its exploded shingle set broadcasts and the train corpus is
+    // scanned once with no pre-join shuffle; the flag is exact integer
+    // cross-multiplication (shared*5 >= snippet shingles ⟺ the train
+    // doc covers ≥20% of the benchmark item).
+    "q102_decontaminate" -> ((s, d) => {
+      // shingles ride as (w1,w2,w3) STRUCTS, not concatenated strings:
+      // words are space-split so triple equality ≡ concat equality
+      // (exact, no hash-collision gamble), but the corpus-side explode
+      // never allocates the ~|corpus words| concatenated strings — the
+      // join probe hashes the three word pointers directly.
+      def tri(w: org.apache.spark.sql.Column) = array_distinct(
+        transform(sequence(lit(1), size(w) - 2), i =>
+          struct(element_at(w, i).as("w1"), element_at(w, i + 1).as("w2"),
+            element_at(w, i + 2).as("w3"))))
+      val words = Tables.documents(s, d)
+        .withColumn("wrds", Text.words(col("text")))
+        .filter(size(col("wrds")) >= 3)
+      // explode_OUTER on both sides: plain explode triggers
+      // InferFiltersFromGenerate, whose inferred size()/isnotnull
+      // predicates push below the projection and re-expand the alias —
+      // re-running the whole normalize+shingle pipeline TWICE per
+      // corpus row inside an interpreted Filter (9 s instead of ~2 s
+      // at sf0.1). The arrays are provably non-empty (wrds >= 3), so
+      // outer semantics change nothing.
+      val train = words
+        .select(col("doc_id").as("train_doc"),
+          explode_outer(tri(col("wrds"))).as("shingle"))
+      val eval_ = words.filter(pmod(col("doc_id"), lit(97L)) === 0)
+        .select(col("doc_id").as("eval_doc"),
+          tri(slice(col("wrds"), 1, 52)).as("esh"))
+        .select(col("eval_doc"), size(col("esh")).cast("long").as("n_eval_sh"),
+          explode_outer(col("esh")).as("shingle"))
+      train.join(broadcast(eval_), "shingle")
+        .groupBy(col("train_doc"), col("eval_doc"), col("n_eval_sh"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 3)
+        .select(col("train_doc"), col("eval_doc"), col("n_shared"),
+          col("n_eval_sh"),
+          (col("n_shared") * 5 >= col("n_eval_sh")).as("contaminated"))
+        .orderBy(col("train_doc"), col("eval_doc"))
+    }),
+
+    // PII redaction: emails and phone numbers are injected
+    // deterministically (the synthetic corpus has none), then scrubbed
+    // with the same RE2-compatible patterns both engines support, and
+    // counted. Redaction must be idempotent and count-consistent:
+    // length shrinks by exactly what the matches release.
+    "q103_redact" -> ((s, d) => {
+      val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phonePat = "555-[0-9]{4}"
+      Tables.documents(s, d)
+        .withColumn("pii", concat(
+          lit("Contact user"), col("doc_id"),
+          lit("@mail.example.com or call 555-"),
+          lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0"),
+          lit(" now. "), col("text")))
+        .select(
+          col("doc_id"),
+          size(regexp_extract_all(col("pii"), lit(emailPat), lit(0)))
+            .cast("long").as("n_emails"),
+          size(regexp_extract_all(col("pii"), lit(phonePat), lit(0)))
+            .cast("long").as("n_phones"),
+          length(regexp_replace(regexp_replace(col("pii"), emailPat, "<EMAIL>"),
+            phonePat, "<PHONE>")).cast("long").as("redacted_len"),
+          substring(regexp_replace(regexp_replace(col("pii"), emailPat, "<EMAIL>"),
+            phonePat, "<PHONE>"), 1, 44).as("redacted_head"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q100_hash_split" ->
+      """WITH b AS (SELECT *, (doc_id * 1103515245 + 12345) % 100 AS bkt
+        |  FROM documents),
+        |s AS (SELECT *, CASE WHEN bkt < 90 THEN 'train'
+        |    WHEN bkt < 95 THEN 'valid' ELSE 'test' END AS split FROM b)
+        |SELECT split, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM s GROUP BY split ORDER BY split""".stripMargin,
+
+    "q101_seq_pack" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tok,
+        |    CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+        |  FROM t)
+        |SELECT doc_id, n_tok,
+        |  CAST(floor(start / 2048.0) AS BIGINT) AS chunk_id,
+        |  start % 2048 AS chunk_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q102_decontaminate" ->
+      """WITH w AS (SELECT doc_id,
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS wrds
+        |  FROM documents WHERE len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) >= 3),
+        |train AS (SELECT doc_id AS train_doc, unnest(list_distinct(
+        |    [wrds[i] || ' ' || wrds[i+1] || ' ' || wrds[i+2]
+        |     FOR i IN range(1, len(wrds) - 1)])) AS shingle
+        |  FROM w),
+        |esh AS (SELECT doc_id AS eval_doc, list_distinct(
+        |    [s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+        |     FOR i IN range(1, len(s) - 1)]) AS sh
+        |  FROM (SELECT doc_id, wrds[1:52] AS s FROM w WHERE doc_id % 97 = 0)),
+        |ev AS (SELECT eval_doc, CAST(len(sh) AS BIGINT) AS n_eval_sh,
+        |    unnest(sh) AS shingle FROM esh)
+        |SELECT train_doc, eval_doc, count(*) AS n_shared, n_eval_sh,
+        |  count(*) * 5 >= n_eval_sh AS contaminated
+        |FROM train JOIN ev USING (shingle)
+        |GROUP BY train_doc, eval_doc, n_eval_sh
+        |HAVING count(*) >= 3
+        |ORDER BY train_doc, eval_doc""".stripMargin,
+
+    "q103_redact" ->
+      """WITH p AS (SELECT doc_id,
+        |    'Contact user' || doc_id || '@mail.example.com or call 555-'
+        |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |      || ' now. ' || text AS pii
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(pii,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(pii, '555-[0-9]{4}')) AS BIGINT) AS n_phones,
+        |  CAST(length(regexp_replace(regexp_replace(pii,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '555-[0-9]{4}', '<PHONE>', 'g')) AS BIGINT) AS redacted_len,
+        |  substring(regexp_replace(regexp_replace(pii,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '555-[0-9]{4}', '<PHONE>', 'g'), 1, 44) AS redacted_head
+        |FROM p ORDER BY doc_id""".stripMargin
+  )
+}
