@@ -126,6 +126,47 @@ object Curation extends QueryModule {
         .orderBy(col("train_doc"), col("eval_doc"))
     }),
 
+    // weighted source mixing (epoch oversampling): each source gets an
+    // integer epoch weight (3× for the high-quality tier, 2× mid, 1×
+    // rest) plus a deterministic fractional half-epoch for the src1x
+    // tier via a second affine-hash coin — the standard training-mix
+    // knob, materialized as actual (doc, epoch) rows. Determinism over
+    // randomness for the same reason as q100: the mix must be
+    // reproducible run-to-run and engine-to-engine. explode_outer
+    // avoids the InferFiltersFromGenerate re-expansion (see q102);
+    // repeats >= 1 always, so no rows are lost.
+    "q104_weighted_mix" -> ((s, d) => {
+      val coin = pmod(col("doc_id") * 2654435761L + 101L, lit(100L))
+      val repeats =
+        when(col("source").isin("src0", "src1", "src2", "src3", "src4"), 3)
+          .when(col("source").isin("src5", "src6", "src7", "src8", "src9"), 2)
+          .otherwise(1) +
+        when(col("source").isin("src10", "src11", "src12", "src13", "src14")
+          && coin < 50, 1).otherwise(0)
+      Tables.documents(s, d)
+        .withColumn("n_epochs", repeats.cast("long"))
+        .select(col("doc_id"), col("source"), col("n_epochs"),
+          explode_outer(sequence(lit(1L), col("n_epochs"))).as("epoch"))
+        .orderBy(col("doc_id"), col("epoch"))
+    }),
+
+    // stratified rebalance: per-language keep rates (downsample the
+    // dominant language, keep the tail) decided by a second affine
+    // hash, so the sample is deterministic and disjoint from the q100
+    // split function. Emits the kept rows — the operator a mixing
+    // pipeline feeds into packing.
+    "q105_stratified_sample" -> ((s, d) => {
+      val bucket = pmod(col("doc_id") * 2654435761L + 7919L, lit(100L))
+      val rate = when(col("lang") === "en", 10)
+        .when(col("lang") === "de", 50).when(col("lang") === "es", 40)
+        .when(col("lang") === "fr", 30).otherwise(20)
+      Tables.documents(s, d)
+        .withColumn("bkt", bucket).withColumn("rate", rate.cast("long"))
+        .filter(col("bkt") < col("rate"))
+        .select(col("doc_id"), col("lang"), col("rate"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // PII redaction: emails and phone numbers are injected
     // deterministically (the synthetic corpus has none), then scrubbed
     // with the same RE2-compatible patterns both engines support, and
@@ -198,6 +239,31 @@ object Curation extends QueryModule {
         |GROUP BY train_doc, eval_doc, n_eval_sh
         |HAVING count(*) >= 3
         |ORDER BY train_doc, eval_doc""".stripMargin,
+
+    "q104_weighted_mix" ->
+      """WITH r AS (SELECT doc_id, source,
+        |    CAST(CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 3
+        |      WHEN source IN ('src5','src6','src7','src8','src9') THEN 2
+        |      ELSE 1 END
+        |    + CASE WHEN source IN ('src10','src11','src12','src13','src14')
+        |        AND (doc_id * 2654435761 + 101) % 100 < 50 THEN 1
+        |      ELSE 0 END AS BIGINT) AS n_epochs
+        |  FROM documents)
+        |SELECT doc_id, source, n_epochs,
+        |  unnest(range(1, n_epochs + 1)) AS epoch
+        |FROM r ORDER BY doc_id, epoch""".stripMargin,
+
+    "q105_stratified_sample" ->
+      """SELECT doc_id, lang,
+        |  CAST(CASE WHEN lang = 'en' THEN 10 WHEN lang = 'de' THEN 50
+        |    WHEN lang = 'es' THEN 40 WHEN lang = 'fr' THEN 30
+        |    ELSE 20 END AS BIGINT) AS rate,
+        |  n_chars
+        |FROM documents
+        |WHERE (doc_id * 2654435761 + 7919) % 100 <
+        |  CASE WHEN lang = 'en' THEN 10 WHEN lang = 'de' THEN 50
+        |    WHEN lang = 'es' THEN 40 WHEN lang = 'fr' THEN 30 ELSE 20 END
+        |ORDER BY doc_id""".stripMargin,
 
     "q103_redact" ->
       """WITH p AS (SELECT doc_id,

@@ -60,6 +60,38 @@ class CurationSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
   }
 
+  test("q104 mix repeats every doc 1-4 times per its tier, epochs contiguous") {
+    val rows = Curation.queries("q104_weighted_mix")(spark, sf).collect()
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.size === Tables.documents(spark, sf).count(),
+      "every doc must appear in the mix")
+    byDoc.foreach { case (id, rs) =>
+      val epochs = rs.map(_.getAs[Long]("epoch")).sorted
+      val n = rs.head.getAs[Long]("n_epochs")
+      assert(epochs === (1L to n), s"doc $id epochs not contiguous: ${epochs.toSeq}")
+      val src = rs.head.getAs[String]("source")
+      val tier =
+        if (Seq("src0", "src1", "src2", "src3", "src4").contains(src)) (3L, 3L)
+        else if (Seq("src5", "src6", "src7", "src8", "src9").contains(src)) (2L, 2L)
+        else if (Seq("src10", "src11", "src12", "src13", "src14").contains(src)) (1L, 2L)
+        else (1L, 1L)
+      assert(n >= tier._1 && n <= tier._2, s"doc $id ($src) repeated $n times")
+    }
+  }
+
+  test("q105 sample is deterministic and downsamples the dominant language") {
+    val df = Curation.queries("q105_stratified_sample")(spark, sf)
+    val a = df.collect().toSeq
+    assert(a === Curation.queries("q105_stratified_sample")(spark, sf)
+      .collect().toSeq, "sampling must be reproducible")
+    val keptEn = a.count(_.getAs[String]("lang") == "en")
+    val totalEn = Tables.documents(spark, sf)
+      .filter(col("lang") === "en").count()
+    assert(keptEn < totalEn / 4,
+      s"en must downsample hard: kept $keptEn of $totalEn")
+    assert(a.nonEmpty && a.size < Tables.documents(spark, sf).count())
+  }
+
   test("q103 redaction is complete: counts positive, head fully scrubbed") {
     val rows = Curation.queries("q103_redact")(spark, sf).collect()
     rows.foreach { r =>
