@@ -5,6 +5,7 @@ import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -67,7 +68,8 @@ private[sources] class RangeTable(rows: Long, slices: Int, columnar: Boolean)
   */
 private[sources] class RangeScanBuilder(rows: Long, slices: Int, columnar: Boolean)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters with SupportsPushDownLimit {
+    with SupportsPushDownFilters with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
   import org.apache.spark.sql.sources._
 
   private var required: StructType = RangeSource.fullSchema
@@ -106,9 +108,93 @@ private[sources] class RangeScanBuilder(rows: Long, slices: Int, columnar: Boole
   // Spark keeps its global limit, which stays correct if slices > 1.
   override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
 
-  override def build(): Scan =
-    new RangeScan(lo, limit.fold(hi)(n => math.min(hi, lo + n.toLong)), slices,
-      required, columnar)
+  // COMPLETE aggregate pushdown: over the (already filter-narrowed)
+  // interval [lo,hi), count(*)/count(id)/min(id)/max(id) have closed
+  // forms — the source answers them without materializing a single
+  // row, the metadata-only aggregate path parquet footers provide and
+  // the strongest of the reference's capability flags
+  // (io/datasource.rs:95-101). Grouped or non-id aggregates are
+  // declined and execute post-scan as usual.
+  private var aggResult: Option[Seq[Any]] = None
+  private var aggSchema: Option[StructType] = None
+
+  private def idRef(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+    e match {
+      case f: org.apache.spark.sql.connector.expressions.NamedReference =>
+        f.fieldNames.toSeq == Seq("id")
+      case _ => false
+    }
+
+  override def supportCompletePushDown(agg: aggregate.Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.forall {
+      case _: aggregate.CountStar => true
+      case c: aggregate.Count => idRef(c.column) // id is unique+non-null
+      case m: aggregate.Min => idRef(m.column)
+      case m: aggregate.Max => idRef(m.column)
+      case _ => false
+    }
+
+  override def pushAggregation(agg: aggregate.Aggregation): Boolean = {
+    if (!supportCompletePushDown(agg)) return false
+    val span = math.max(0L, hi - lo)
+    val (values, fields) = agg.aggregateExpressions.zipWithIndex.map {
+      case (_: aggregate.CountStar, i) =>
+        (span: Any) -> StructField(s"count_star_$i", LongType, nullable = false)
+      case (_: aggregate.Count, i) =>
+        (span: Any) -> StructField(s"count_id_$i", LongType, nullable = false)
+      case (_: aggregate.Min, i) =>
+        ((if (span == 0) null else lo): Any) ->
+          StructField(s"min_id_$i", LongType, nullable = true)
+      case (_: aggregate.Max, i) =>
+        ((if (span == 0) null else hi - 1): Any) ->
+          StructField(s"max_id_$i", LongType, nullable = true)
+      case (other, _) =>
+        throw new IllegalStateException(s"unreachable: $other")
+    }.toSeq.unzip
+    aggResult = Some(values)
+    aggSchema = Some(StructType(fields))
+    true
+  }
+
+  override def build(): Scan = aggResult match {
+    case Some(values) =>
+      new RangeAggScan(lo, hi, aggSchema.get, values)
+    case None =>
+      new RangeScan(lo, limit.fold(hi)(n => math.min(hi, lo + n.toLong)), slices,
+        required, columnar)
+  }
+}
+
+/** Single-row scan carrying a completely-pushed-down aggregate answer:
+  * no data partitions are planned beyond the one row, regardless of the
+  * logical row count.
+  */
+private[sources] class RangeAggScan(lo: Long, hi: Long, schema: StructType,
+                                    values: Seq[Any])
+    extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String = s"graft_range[$lo,$hi) agg=$values"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(RangeSlice(0, 1))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SingleRowFactory(values)
+}
+
+/** Emits exactly one row of precomputed values (the pushed-down
+  * aggregate answer). A named top-level class: factories are shipped to
+  * executors, so an anonymous inner class would drag the enclosing
+  * (non-serializable) Scan with it.
+  */
+private[sources] class SingleRowFactory(values: Seq[Any])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val r = !emitted; emitted = true; r }
+      override def get(): InternalRow = InternalRow.fromSeq(values)
+      override def close(): Unit = ()
+    }
 }
 
 private[sources] class RangeScan(lo: Long, hi: Long, slices: Int,

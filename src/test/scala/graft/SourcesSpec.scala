@@ -184,6 +184,35 @@ class SourcesSpec extends AnyFunSuite {
     assert(colRanged.collect().map(_.getLong(0)).toSeq === (100L to 104L))
   }
 
+  test("range source answers count/min/max in closed form (aggregate pushdown)") {
+    def load() = spark.read.format("graft.sources.RangeSource")
+      .option("rows", "1000000000").option("slices", "8").load()
+
+    // a BILLION logical rows: only a metadata-only answer returns fast.
+    // Composes with filter pushdown — the agg sees the narrowed range.
+    val t0 = System.nanoTime()
+    val r = load().filter(col("id") >= 100L && col("id") < 2000L)
+      .agg(count(lit(1)).as("n"), min(col("id")).as("mn"),
+        max(col("id")).as("mx"))
+    val plan = r.queryExecution.executedPlan.toString
+    assert(plan.contains("agg="), s"expected pushed aggregate scan in:\n$plan")
+    assert(r.collect().head.toSeq === Seq(1900L, 100L, 1999L))
+    assert((System.nanoTime() - t0) / 1e9 < 30.0,
+      "a metadata answer must not scan a billion rows")
+
+    // empty range: count 0, min/max null.
+    val e = load().filter(col("id") < 0L)
+      .agg(count(lit(1)), min(col("id")), max(col("id"))).collect().head
+    assert(e.getLong(0) === 0L && e.isNullAt(1) && e.isNullAt(2))
+
+    // grouped aggregates are declined and still compute correctly.
+    val g = spark.read.format("graft.sources.RangeSource")
+      .option("rows", "1000").option("slices", "4").load()
+      .groupBy(col("id_mod")).agg(count(lit(1)).as("n"))
+    assert(!g.queryExecution.executedPlan.toString.contains("agg="))
+    assert(g.count() === 97)
+  }
+
   test("live Derby JDBC: write, stride-partitioned read-back, both paths agree") {
     val url = Jdbc.derbyUrl(sf + "/spec")
     val cust = Tables.customer(spark, sf)
