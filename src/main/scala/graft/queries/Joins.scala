@@ -198,10 +198,61 @@ object Joins extends QueryModule {
           coalesce(col("n_near"), lit(0L)).as("n_near"),
           coalesce(col("v_near"), lit(0.0)).as("v_near"))
         .orderBy(col("event_id"))
+    }),
+
+    // MERGE-style upsert (snapshot maintenance): apply a change set
+    // (updates to existing keys + brand-new keys) onto a base snapshot
+    // in one pass — FULL OUTER join on the key, change side wins via
+    // coalesce, an `op` column records what happened to each row. One
+    // shuffle on the merge key; at 100 TB the change set is usually
+    // small enough to broadcast, but the shuffle-join shape here is the
+    // general case. (Neither engine has MERGE INTO over parquet; this
+    // is the declarative equivalent.)
+    "q106_merge_upsert" -> ((s, d) => {
+      val base = Tables.customer(s, d)
+        .select(col("c_custkey").as("k"), col("c_name").as("name"),
+          col("c_acctbal").as("bal"), col("c_mktsegment").as("seg"))
+      val updates = base.filter(pmod(col("k"), lit(7L)) === 0)
+        .select(col("k"), col("name"), (col("bal") + 100.0).as("bal"),
+          lit("UPDATED").as("seg"))
+      val inserts = base.filter(pmod(col("k"), lit(97L)) === 0)
+        .select((col("k") + 1000000L).as("k"),
+          concat(lit("new-"), col("k")).as("name"),
+          lit(0.0).as("bal"), lit("NEW").as("seg"))
+      val chg = updates.unionByName(inserts)
+        .select(col("k").as("ck"), col("name").as("cname"),
+          col("bal").as("cbal"), col("seg").as("cseg"))
+      base.join(chg, col("k") === col("ck"), "full_outer")
+        .select(
+          coalesce(col("k"), col("ck")).as("k"),
+          coalesce(col("cname"), col("name")).as("name"),
+          coalesce(col("cbal"), col("bal")).as("bal"),
+          coalesce(col("cseg"), col("seg")).as("seg"),
+          when(col("k").isNull, "insert")
+            .when(col("ck").isNull, "keep").otherwise("update").as("op"))
+        .orderBy(col("k"))
     })
   )
 
   def oracle: Map[String, String] = Map(
+    "q106_merge_upsert" ->
+      """WITH base AS (SELECT c_custkey AS k, c_name AS name,
+        |    c_acctbal AS bal, c_mktsegment AS seg FROM customer),
+        |chg AS (
+        |  SELECT k AS ck, name AS cname, bal + 100.0 AS cbal,
+        |    'UPDATED' AS cseg FROM base WHERE k % 7 = 0
+        |  UNION ALL
+        |  SELECT k + 1000000 AS ck, 'new-' || k AS cname, 0.0 AS cbal,
+        |    'NEW' AS cseg FROM base WHERE k % 97 = 0)
+        |SELECT coalesce(k, ck) AS k,
+        |  coalesce(cname, name) AS name,
+        |  coalesce(cbal, bal) AS bal,
+        |  coalesce(cseg, seg) AS seg,
+        |  CASE WHEN k IS NULL THEN 'insert'
+        |    WHEN ck IS NULL THEN 'keep' ELSE 'update' END AS op
+        |FROM base FULL OUTER JOIN chg ON k = ck
+        |ORDER BY k""".stripMargin,
+
     "q20_join_inner" ->
       """SELECT r_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
         |FROM orders
