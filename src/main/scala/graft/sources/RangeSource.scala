@@ -45,6 +45,12 @@ object RangeSource {
     StructField("id", LongType, nullable = false),
     StructField("id_mod", IntegerType, nullable = false),
     StructField("tag", StringType, nullable = false)))
+
+  /** Last runtime-filter narrowing applied to any RangeScan — runtime
+    * filtering happens between AQE stages with no plan-visible trace,
+    * so tests observe the effect here.
+    */
+  @volatile var lastRuntimeRange: Option[(Long, Long)] = None
 }
 
 private[sources] class RangeTable(rows: Long, slices: Int, columnar: Boolean)
@@ -197,19 +203,51 @@ private[sources] class SingleRowFactory(values: Seq[Any])
     }
 }
 
+/** Runtime (join-driven) filtering — the DSV2 analogue of dynamic
+  * partition pruning: when this scan feeds the large side of a join,
+  * Spark hands it the joinable `id` values BETWEEN AQE stages
+  * (`BatchScanExec.filteredPartitions` → `filter(...)` → re-plan), and
+  * the scan narrows its interval to [min, max+1] of that set before
+  * planning partitions. Returning a superset of the exact matches is
+  * allowed (the join still applies), so min/max narrowing is correct
+  * and prunes whole partitions — at 100 TB this is what keeps a
+  * dimension-filtered fact join from scanning the full fact.
+  */
 private[sources] class RangeScan(lo: Long, hi: Long, slices: Int,
                                  required: StructType, columnar: Boolean)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsRuntimeFiltering {
+  import org.apache.spark.sql.sources.{Filter, In}
+
+  private var rlo: Long = lo
+  private var rhi: Long = hi
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("id"))
+
+  override def filter(filters: Array[Filter]): Unit = {
+    filters.foreach {
+      case In("id", vs) =>
+        val longs = vs.collect { case n: Number => n.longValue() }
+        if (longs.isEmpty) rhi = rlo // join side produced no keys
+        else {
+          rlo = math.max(rlo, longs.min)
+          rhi = math.min(rhi, longs.max + 1)
+        }
+      case _ => () // superset semantics: ignoring a filter is safe
+    }
+    RangeSource.lastRuntimeRange = Some((rlo, rhi))
+  }
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String = s"graft_range[$lo,$hi)"
   override def planInputPartitions(): Array[InputPartition] = {
     val n = math.max(1, slices)
-    val span = math.max(0L, hi - lo)
+    val span = math.max(0L, rhi - rlo)
     val per = (span + n - 1) / math.max(1L, n.toLong)
     if (span == 0L) Array.empty
     else (0L until n).map { i =>
-      RangeSlice(lo + i * per, math.min(hi, lo + (i + 1) * per))
+      RangeSlice(rlo + i * per, math.min(rhi, rlo + (i + 1) * per))
     }.filter(s => s.end > s.start).toArray[InputPartition]
   }
   override def createReaderFactory(): PartitionReaderFactory =

@@ -213,6 +213,41 @@ class SourcesSpec extends AnyFunSuite {
     assert(g.count() === 97)
   }
 
+  test("range source narrows to the joined key range at RUNTIME (V2 dynamic pruning)") {
+    // dim must live on disk and be filtered on an INDEPENDENT column
+    // (a join-key filter constraint-propagates statically; a filtered
+    // LocalRelation constant-folds — same trap as DppSpec), and the
+    // filter must be a LITERAL comparison: a bare boolean column does
+    // not count as "likely selective", so PartitionPruning declines.
+    val dir = "target/tmp/rtfilter/dim"
+    spark.range(500, 520).select(col("id").as("id_key"),
+        (col("id") % 2).cast("int").as("cat"))
+      .write.mode("overwrite").parquet(dir)
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly",
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats")
+    val saved = keys.map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set(keys(0), "false")
+      conf.set(keys(1), "false")
+      sources.RangeSource.lastRuntimeRange = None
+      val fact = spark.read.format("graft.sources.RangeSource")
+        .option("rows", "1000000").option("slices", "8").load()
+      val dim = spark.read.parquet(dir).filter(col("cat") === 0)
+      val joined = fact.join(dim, col("id") === col("id_key"))
+        .agg(count(lit(1)).as("n"), min(col("id")).as("mn"), max(col("id")).as("mx"))
+        .collect().head
+      assert(joined.toSeq === Seq(10L, 500L, 518L))
+      val narrowed = sources.RangeSource.lastRuntimeRange
+      assert(narrowed.contains((500L, 519L)),
+        s"scan should narrow to the runtime key range, got $narrowed")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("live Derby JDBC: write, stride-partitioned read-back, both paths agree") {
     val url = Jdbc.derbyUrl(sf + "/spec")
     val cust = Tables.customer(spark, sf)
