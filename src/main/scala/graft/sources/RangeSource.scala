@@ -215,8 +215,25 @@ private[sources] class SingleRowFactory(values: Seq[Any])
   */
 private[sources] class RangeScan(lo: Long, hi: Long, slices: Int,
                                  required: StructType, columnar: Boolean)
-    extends Scan with Batch with SupportsRuntimeFiltering {
+    extends Scan with Batch with SupportsRuntimeFiltering
+    with SupportsReportStatistics {
   import org.apache.spark.sql.sources.{Filter, In}
+
+  /** Exact statistics from the (filter-narrowed) interval: without
+    * these, Spark assumes a V2 source is defaultSizeInBytes-huge and
+    * will never pick a stats-driven broadcast — with them, a small
+    * range joins as the build side with no broadcast() hint, the same
+    * planner treatment a parquet table with footer stats gets.
+    */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val span = math.max(0L, hi - lo)
+    // id(8) + id_mod(4) + tag(~8) bytes per row, scaled to the pruned schema.
+    private val rowBytes = math.max(8, required.fields.length * 7)
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(span * rowBytes)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(span)
+  }
 
   private var rlo: Long = lo
   private var rhi: Long = hi

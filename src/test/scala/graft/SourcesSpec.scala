@@ -213,6 +213,21 @@ class SourcesSpec extends AnyFunSuite {
     assert(g.count() === 97)
   }
 
+  test("range source reports statistics: a small range broadcasts unhinted") {
+    // no broadcast() hint anywhere: the planner must pick BHJ from the
+    // source's reported size alone (a stats-less V2 source defaults to
+    // defaultSizeInBytes-huge and would sort-merge here).
+    val small = spark.read.format("graft.sources.RangeSource")
+      .option("rows", "100").option("slices", "2").load()
+      .select(col("id"), col("tag"))
+    val fact = Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_quantity"))
+    val j = fact.join(small, col("l_orderkey") === col("id"))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"small stats-reporting source should broadcast:\n$plan")
+    assert(j.count() > 0)
+  }
+
   test("range source narrows to the joined key range at RUNTIME (V2 dynamic pruning)") {
     // dim must live on disk and be filtered on an INDEPENDENT column
     // (a join-key filter constraint-propagates statically; a filtered
