@@ -37,7 +37,8 @@ class RangeSource extends TableProvider {
     new RangeTable(
       properties.getOrDefault("rows", "1000").toLong,
       properties.getOrDefault("slices", "4").toInt,
-      properties.getOrDefault("columnar", "false").toBoolean)
+      properties.getOrDefault("columnar", "false").toBoolean,
+      properties.getOrDefault("keyGrouped", "false").toBoolean)
 }
 
 object RangeSource {
@@ -53,14 +54,83 @@ object RangeSource {
   @volatile var lastRuntimeRange: Option[(Long, Long)] = None
 }
 
-private[sources] class RangeTable(rows: Long, slices: Int, columnar: Boolean)
+private[sources] class RangeTable(rows: Long, slices: Int, columnar: Boolean,
+                                  keyGrouped: Boolean)
     extends Table with SupportsRead {
   override def name(): String = s"graft_range($rows)"
   override def schema(): StructType = RangeSource.fullSchema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new RangeScanBuilder(rows, slices, columnar)
+    if (keyGrouped) new KeyGroupedRangeScanBuilder(rows)
+    else new RangeScanBuilder(rows, slices, columnar)
+}
+
+/** Key-grouped layout (`option("keyGrouped", true)`): one input
+  * partition per `id_mod` value, each declaring its key via
+  * HasPartitionKey, with the scan reporting KeyGroupedPartitioning on
+  * the identity transform of id_mod. Under
+  * `spark.sql.sources.v2.bucketing.enabled` this is the
+  * storage-partitioned execution path: a groupBy(id_mod) plans NO
+  * exchange, and two key-grouped sources join on id_mod shuffle-free —
+  * the Spark-native form of the co-located layout a 100 TB table keeps
+  * on disk (Iceberg/bucketed tables report exactly this way).
+  */
+private[sources] class KeyGroupedRangeScanBuilder(rows: Long)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = RangeSource.fullSchema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new KeyGroupedRangeScan(rows, required)
+}
+
+private[sources] class KeyGroupedRangeScan(rows: Long, required: StructType)
+    extends Scan with Batch with SupportsReportPartitioning {
+  private val Mod = 97
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String = s"graft_range_keygrouped($rows)"
+
+  override def outputPartitioning(): partitioning.Partitioning =
+    new partitioning.KeyGroupedPartitioning(
+      Array(org.apache.spark.sql.connector.expressions.Expressions
+        .identity("id_mod")),
+      planInputPartitions().length)
+
+  override def planInputPartitions(): Array[InputPartition] =
+    (0 until Mod).filter(_ < rows)
+      .map(m => ModSlice(m, rows)).toArray[InputPartition]
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ModReaderFactory(required)
+}
+
+/** All ids in [0, rows) with id % 97 == mod; the partition key IS the
+  * id_mod value, which is what lets Spark line partitions up across
+  * two scans without a shuffle.
+  */
+private[sources] case class ModSlice(mod: Int, rows: Long)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = InternalRow(mod)
+}
+
+private[sources] class ModReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val s = partition.asInstanceOf[ModSlice]
+    new PartitionReader[InternalRow] {
+      private var cur = s.mod.toLong - 97L
+      override def next(): Boolean = { cur += 97L; cur < s.rows }
+      override def get(): InternalRow =
+        InternalRow.fromSeq(required.fields.toSeq.map(_.name match {
+          case "id" => cur
+          case "id_mod" => (cur % 97).toInt
+          case "tag" => UTF8String.fromString(s"r$cur")
+        }))
+      override def close(): Unit = ()
+    }
+  }
 }
 
 /** Pushdown surface matching the reference `DataSource` capability flags

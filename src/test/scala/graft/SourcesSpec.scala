@@ -213,6 +213,41 @@ class SourcesSpec extends AnyFunSuite {
     assert(g.count() === 97)
   }
 
+  test("key-grouped layout: group-by and self-join plan ZERO exchanges") {
+    // storage-partitioned execution: the scan reports
+    // KeyGroupedPartitioning(identity(id_mod)) with one HasPartitionKey
+    // partition per value, so under v2.bucketing Spark needs no shuffle
+    // for either the aggregation or the co-partitioned join — the
+    // execution shape a bucketed/Iceberg 100 TB table gets.
+    val conf = spark.conf
+    val key = "spark.sql.sources.v2.bucketing.enabled"
+    val saved = conf.getOption(key)
+    try {
+      conf.set(key, "true")
+      def kg() = spark.read.format("graft.sources.RangeSource")
+        .option("rows", "2000").option("keyGrouped", "true").load()
+
+      val agg = kg().groupBy(col("id_mod"))
+        .agg(count(lit(1)).as("n"), sum(col("id")).as("s"))
+      val aggRows = agg.collect()
+      assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"),
+        "key-grouped aggregation must not shuffle")
+      // parity with the plain range layout on the same logical table.
+      val plain = spark.read.format("graft.sources.RangeSource")
+        .option("rows", "2000").load()
+        .groupBy(col("id_mod")).agg(count(lit(1)).as("n"), sum(col("id")).as("s"))
+      assert(aggRows.sortBy(_.getInt(0)).toSeq
+        === plain.collect().sortBy(_.getInt(0)).toSeq)
+
+      val j = kg().select(col("id_mod"), col("id"))
+        .join(kg().select(col("id_mod").as("m2"), col("id").as("id2")),
+          col("id_mod") === col("m2"))
+      assert(j.count() === 41260L) // sum over mods of group-size^2
+      assert(!j.queryExecution.executedPlan.toString.contains("Exchange"),
+        "co-partitioned join must not shuffle")
+    } finally saved.fold(conf.unset(key))(conf.set(key, _))
+  }
+
   test("range source reports statistics: a small range broadcasts unhinted") {
     // no broadcast() hint anywhere: the planner must pick BHJ from the
     // source's reported size alone (a stats-less V2 source defaults to
