@@ -231,10 +231,93 @@ object Joins extends QueryModule {
           when(col("k").isNull, "insert")
             .when(col("ck").isNull, "keep").otherwise("update").as("op"))
         .orderBy(col("k"))
+    }),
+
+    // TPC-H Q3 shape (shipping priority): segment-filtered customers,
+    // in-flight orders, top revenue. The full analytics composite: two
+    // selective scans, dim broadcast, fact-fact equi-join, group-by,
+    // TakeOrderedAndProject for the top-k — every filter pushed, the
+    // 15k-row customer side broadcast so the lineitem scan never
+    // shuffles for it.
+    "q107_shipping_priority" -> ((s, d) => {
+      val cut = to_timestamp(lit("1996-06-01"))
+      val c = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val o = Tables.orders(s, d).filter(col("o_orderdate") < cut)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+      val l = Tables.lineitem(s, d).filter(col("l_shipdate") > cut)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+        .select(col("l_orderkey"), col("revenue"), col("o_orderdate"),
+          col("o_orderpriority"))
+    }),
+
+    // TPC-H Q5 shape (local supplier volume): the full star — region →
+    // nation → {customer, supplier} → orders → lineitem with the
+    // local-supplier constraint (customer and supplier share a
+    // nation). All four dimensions broadcast; the only shuffle is the
+    // lineitem⋈orders fact join and the tiny final aggregation.
+    "q108_local_volume" -> ((s, d) => {
+      val asianNations = Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val sup = Tables.supplier(s, d)
+        .join(broadcast(asianNations), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+      val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01"))
+          && col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+        .select(col("o_orderkey"), col("o_custkey"))
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"),
+          col("l_discount"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey")
+          && col("c_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
     })
   )
 
   def oracle: Map[String, String] = Map(
+    "q107_shipping_priority" ->
+      """SELECT l_orderkey,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  o_orderdate, o_orderpriority
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1996-06-01'
+        |  AND l_shipdate > TIMESTAMP '1996-06-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q108_local_volume" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+
     "q106_merge_upsert" ->
       """WITH base AS (SELECT c_custkey AS k, c_name AS name,
         |    c_acctbal AS bal, c_mktsegment AS seg FROM customer),
