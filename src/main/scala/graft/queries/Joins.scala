@@ -235,10 +235,13 @@ object Joins extends QueryModule {
 
     // TPC-H Q3 shape (shipping priority): segment-filtered customers,
     // in-flight orders, top revenue. The full analytics composite: two
-    // selective scans, dim broadcast, fact-fact equi-join, group-by,
-    // TakeOrderedAndProject for the top-k — every filter pushed, the
-    // 15k-row customer side broadcast so the lineitem scan never
-    // shuffles for it.
+    // selective scans, fact-fact equi-join, group-by,
+    // TakeOrderedAndProject for the top-k — every filter pushed. No
+    // broadcast hint on customer: it grows linearly with scale, so the
+    // join strategy is left to size stats + AQE, which pick a
+    // BroadcastHashJoin while the filtered side fits (PlanShapeSpec
+    // pins that) and fall back to a shuffle join at 100 TB where a
+    // forced broadcast would OOM the executors.
     "q107_shipping_priority" -> ((s, d) => {
       val cut = to_timestamp(lit("1996-06-01"))
       val c = Tables.customer(s, d)
@@ -249,7 +252,7 @@ object Joins extends QueryModule {
       val l = Tables.lineitem(s, d).filter(col("l_shipdate") > cut)
         .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
       l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
           .as("revenue"))
@@ -262,8 +265,12 @@ object Joins extends QueryModule {
     // TPC-H Q5 shape (local supplier volume): the full star — region →
     // nation → {customer, supplier} → orders → lineitem with the
     // local-supplier constraint (customer and supplier share a
-    // nation). All four dimensions broadcast; the only shuffle is the
-    // lineitem⋈orders fact join and the tiny final aggregation.
+    // nation). Only the genuinely bounded dimensions carry a broadcast
+    // hint (region ≤5 rows, nation ≤25 rows — fixed-cardinality in
+    // TPC-H at every scale factor). customer and supplier grow
+    // linearly, so their join strategy is left to size stats + AQE:
+    // broadcast while they fit (PlanShapeSpec pins that at test scale),
+    // shuffle at 100 TB where a forced broadcast is a driver OOM.
     "q108_local_volume" -> ((s, d) => {
       val asianNations = Tables.nation(s, d)
         .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
@@ -281,8 +288,8 @@ object Joins extends QueryModule {
         .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"),
           col("l_discount"))
         .join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey")
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey")
           && col("c_nationkey") === col("s_nationkey"))
         .groupBy(col("n_name"))
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)

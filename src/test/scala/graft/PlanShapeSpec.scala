@@ -94,6 +94,31 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(shj.contains("ShuffledHashJoin"), shj)
   }
 
+  test("q107/q108 broadcast growing tables by stats, never by hint") {
+    // customer and supplier grow linearly with scale factor: a
+    // hardcoded broadcast() on them is an executor OOM at 100 TB. The
+    // composites may hint only fixed-cardinality dims (region ≤5,
+    // nation ≤25 rows); for everything else the planner's size stats
+    // must pick BroadcastHashJoin on their own at test scale — proving
+    // the hint was redundant where it was safe and removable where it
+    // was not.
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    for (q <- Seq("q107_shipping_priority", "q108_local_volume")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      val hinted = df.queryExecution.analyzed.collect {
+        case h: ResolvedHint => h.child.toString
+      }
+      for (sub <- hinted; t <- Seq("customer", "supplier", "orders", "lineitem"))
+        assert(!sub.toLowerCase.contains(t),
+          s"$q hints linearly-growing table $t:\n$sub")
+      val p = df.queryExecution.executedPlan.toString
+      assert(
+        p.linesIterator.exists(l =>
+          l.contains("BroadcastHashJoin") && l.contains("c_custkey")),
+        s"$q: stats should pick an unhinted BHJ for customer at test scale:\n$p")
+    }
+  }
+
   test("q29b banded interval join plans as an equi join, not a nested loop") {
     // the whole point of banding: the ±60 s predicate must ride as a
     // residual on a hash/merge EQUI join over the bin key — a
