@@ -229,10 +229,19 @@ object Dedup extends QueryModule {
     }),
 
     // SimHash: 64-bit bit-majority signature over per-word hashes,
-    // computed per-row with higher-order aggregates (no shuffle), then
-    // near-dup pairs via 16-bit chunk blocking + Hamming ≤ 3.
-    // xxhash64 has no DuckDB twin → rows-only; properties pinned in
-    // DedupSpec.
+    // computed per-row with a native one-pass kernel (no shuffle), then
+    // near-dup pairs via 16-bit chunk blocking + Hamming ≤ 3. The word
+    // hash is an md5 prefix (wordHash below) rather than xxhash64
+    // precisely so the ENTIRE pipeline — fingerprints, chunk blocking,
+    // Hamming gate — is bit-reproducible in the DuckDB oracle: the
+    // green row pins every simhash bit cross-engine, the strongest
+    // check a sketch operator can get. (An exact-Jaccard oracle was
+    // measured and rejected: on this corpus's ~90-word documents the
+    // true ≥0.8-Jaccard pairs span Hamming 0-12, so NO simhash
+    // parameterization recalls them all — 64-bit simhash bit-majorities
+    // concentrate too weakly at that document length. Near-dup mining
+    // with recall guarantees is q61's MinHash-LSH; q63 is the
+    // fingerprint operator, verified as such.)
     "q63_dedup_simhash" -> ((s, d) => {
       val sim = simhashed(s, d)
       val chunks = sim.select(col("doc_id"), col("simhash"), posexplode(
@@ -254,9 +263,19 @@ object Dedup extends QueryModule {
     })
   )
 
+  /** 60-bit word hash from an md5 prefix: both engines share md5, so
+    * unlike xxhash64 this is oracle-reproducible (DuckDB parses the
+    * same 15 hex chars with a shift-add fold). 15 hex chars keep the
+    * value non-negative in a signed 64-bit lane on both sides; the
+    * simhash's top 4 bits then tally -|tokens| and stay 0, which the
+    * oracle mirrors by folding bits 0-59 only.
+    */
+  def wordHash(w: Column): Column =
+    conv(substring(md5(w), 1, 15), 16, 10).cast("long")
+
   /** doc_id + 64-bit SimHash. Exposed for DedupSpec. */
   def simhashed(s: SparkSession, d: String): DataFrame = {
-    val wh = transform(array_distinct(Text.words(col("text"))), w => xxhash64(w))
+    val wh = transform(array_distinct(Text.words(col("text"))), w => wordHash(w))
     // native one-pass bit-majority kernel (plans/SimHash.scala): the
     // 64-fold HOF formulation it replaces traverses the token-hash
     // array 64 times per document; OpsSpec pins bit-equality between
@@ -298,6 +317,37 @@ object Dedup extends QueryModule {
         |WHERE len(list_intersect(a.sh, b.sh)) * 100
         |  >= (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 80
         |ORDER BY doc_a, doc_b""".stripMargin),
+
+    // full bit-exact replica of the SimHash pipeline: md5-prefix word
+    // hashes (the same 15 hex chars Spark's conv() parses, folded with
+    // shift-adds), 60-bit bit-majority with the kernel's `tally > 0`
+    // tie rule, 16-bit chunk blocking, Hamming ≤ 3. A green row pins
+    // every fingerprint bit cross-engine.
+    "q63_dedup_simhash" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_distinct(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS words
+        |  FROM documents),
+        |h AS (SELECT doc_id, list_transform(words, w ->
+        |    list_sum(list_transform(range(1, 16), i ->
+        |      (strpos('0123456789abcdef', substr(md5(w), i, 1)) - 1)::BIGINT
+        |        << (4 * (15 - i))))::BIGINT) AS wh
+        |  FROM w),
+        |sim AS (SELECT doc_id,
+        |    list_sum(list_transform(range(0, 60), b ->
+        |      CASE WHEN list_sum(list_transform(wh, x ->
+        |          CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+        |        THEN 1::BIGINT << b ELSE 0::BIGINT END))::BIGINT AS simhash
+        |  FROM h),
+        |ck AS (SELECT doc_id, simhash, unnest([0, 1, 2, 3]) AS chunk_id FROM sim),
+        |chunks AS (SELECT doc_id, simhash, chunk_id,
+        |    (simhash >> (16 * chunk_id)) & 65535 AS chunk_val FROM ck),
+        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |    x.simhash AS ha, y.simhash AS hb
+        |  FROM chunks x JOIN chunks y ON x.chunk_id = y.chunk_id
+        |    AND x.chunk_val = y.chunk_val AND x.doc_id < y.doc_id)
+        |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+        |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q68_dedup_embed" ->
       """WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label

@@ -181,15 +181,28 @@ object Aggregates extends QueryModule {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)),
 
-    // sketches: HyperLogLog distinct + approximate percentiles — no
-    // bit-exact oracle exists (rows-only check); exact quantiles are
-    // pinned separately in q39b via percentile().
+    // sketches: HyperLogLog distinct + approximate percentiles,
+    // SELF-VERIFYING: the sketch estimates have no bit-exact DuckDB
+    // twin, so the query folds each estimate into a tolerance boolean
+    // against the exact value computed in the same aggregation — the
+    // oracle then emits (exact, TRUE, TRUE) and a green row proves the
+    // sketches landed inside tolerance. rsd=0.01 (1σ) against a 5%
+    // gate is a 5σ bound, and both sketches are deterministic
+    // (hash-based), so the row is stable, not flaky. Exact quantiles
+    // are additionally pinned in q39b via percentile().
     "q39_approx_sketch" -> ((s, d) =>
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(
-          approx_count_distinct(col("l_partkey")).as("acd_parts"),
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_approx"))
+          approx_count_distinct(col("l_partkey"), 0.01).as("acd_parts"),
+          count_distinct(col("l_partkey")).as("exact_parts"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_approx"),
+          expr("percentile(l_extendedprice, 0.5)").as("p50_exact"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("acd_parts") - col("exact_parts"))
+            <= col("exact_parts") * 0.05).as("acd_within_5pct"),
+          (abs(col("p50_approx") - col("p50_exact"))
+            <= abs(col("p50_exact")) * 0.05).as("p50_within_5pct"))
         .orderBy(col("l_returnflag"))),
 
     // skew-safe two-stage aggregation: event_type has ~6 hot values, so
@@ -244,6 +257,15 @@ object Aggregates extends QueryModule {
   )
 
   def oracle: Map[String, String] = Map(
+    // the sketch estimates are folded into tolerance booleans on the
+    // Spark side, so the exact engine's answer is (exact, TRUE, TRUE).
+    "q39_approx_sketch" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS exact_parts,
+        |  TRUE AS acd_within_5pct,
+        |  TRUE AS p50_within_5pct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "q86_pivot" ->
       """SELECT l_returnflag,
         |  round(sum(l_quantity) FILTER (l_linestatus = 'F'), 2) AS "F",

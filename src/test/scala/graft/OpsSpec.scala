@@ -38,7 +38,7 @@ class OpsSpec extends AnyFunSuite {
     val tokens = Tables.documents(spark, sf)
       .select(col("doc_id"),
         explode(array_distinct(ops.Text.words(col("text")))).as("w"))
-      .withColumn("h", xxhash64(col("w")))
+      .withColumn("h", ops.Dedup.wordHash(col("w")))
     val bitSums = (0 until 64).map { i =>
       sum(when(shiftrightunsigned(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1L)
         .otherwise(-1L)).as(s"t$i")
