@@ -56,20 +56,41 @@ object Bench {
     spark.sparkContext.addSparkListener(tally)
 
     var failed = List.empty[String]
+    // Queries whose first timed run exceeds this re-run twice more and
+    // report the median-of-3. Round-6 postmortem: q61 read 4.89 s on
+    // the shared driver run vs 2.06-2.11 s across 5 isolated runs of
+    // unchanged code — one GC pause or CPU-contention spike on a >2 s
+    // query is indistinguishable from a real regression in a
+    // single-shot number. Only the slow tier qualifies (~6 queries at
+    // sf0.1), so the extra runs cost ~2 bench-seconds per flagged query
+    // while making the regression diff trustworthy.
+    val MedianRerunSec = 2.0
     val results = names.map { name =>
       GraftSparkBridge.flushListeners(spark.sparkContext)
       tally.bytes.set(0L)
-      val t0 = System.nanoTime()
-      val ok =
-        try { materialize(SparkEntry.queries(name)(spark, sfDir)); true }
-        catch { case e: Throwable =>
+      def timedRun(): Double = {
+        val t0 = System.nanoTime()
+        materialize(SparkEntry.queries(name)(spark, sfDir))
+        (System.nanoTime() - t0) / 1e9
+      }
+      val (sec, shuffleMb) =
+        try {
+          val first = timedRun()
+          // capture shuffle bytes from the FIRST run only (re-runs
+          // would double/triple-count the tally).
+          GraftSparkBridge.flushListeners(spark.sparkContext)
+          val mb = tally.bytes.get() / 1e6
+          val s =
+            if (first <= MedianRerunSec) first
+            else Seq(first, timedRun(), timedRun()).sorted.apply(1)
+          (s, mb)
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           failed ::= name
-          false
+          GraftSparkBridge.flushListeners(spark.sparkContext)
+          (-1.0, tally.bytes.get() / 1e6)
         }
-      val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-      GraftSparkBridge.flushListeners(spark.sparkContext)
-      (name, sec, tally.bytes.get() / 1e6)
+      (name, sec, shuffleMb)
     }
     // Full detail first (one line, may exceed the driver's 2000-char
     // stdout-tail capture; kept for humans + the repo bench log) ...
