@@ -369,4 +369,57 @@ class SourcesSpec extends AnyFunSuite {
       .orderBy("id").collect().toSeq
     assert(norm(back) === norm(df), "typed round-trip must be lossless")
   }
+
+  test("PostgresDialect DDL type map matches the reference's Postgres writer") {
+    // The reference's SQL subsystem targets Postgres specifically; its
+    // writer maps Arrow types to PG column types at
+    // io/sql/postgres/writer.rs:62-159. No PG server exists in the
+    // sandbox (the live execution path is exercised on Derby above),
+    // so this pins the PG-specific half — Spark's PostgresDialect DDL
+    // types — against that table:
+    //   boolean→boolean, Int16→smallint, Int32→integer, Int64→bigint,
+    //   Float32→real (FLOAT4), Float64→double precision (FLOAT8),
+    //   Timestamp(tz)→timestamp with time zone, Timestamp→timestamp,
+    //   Date→date, Binary→bytea, Utf8→text.
+    // Divergences by design, Spark widening where the reference
+    // returns an error: Int8→SMALLINT (writer.rs errors on Int8),
+    // Decimal→NUMERIC(p,s) and Array→element[] (unsupported there).
+    // The reference's unsigned rows (UInt16/32/64→bigint,
+    // writer.rs:79-81; SURVEY §1.2) have no Spark twin: Catalyst has
+    // no unsigned types — they widen to the next signed type at READ
+    // time, so the writer can never see one.
+    import org.apache.spark.sql.execution.datasources.jdbc.JdbcUtils
+    import org.apache.spark.sql.jdbc.JdbcDialects
+    import org.apache.spark.sql.types._
+    val pg = JdbcDialects.get("jdbc:postgresql://localhost/db")
+    def ddl(t: DataType): String =
+      pg.getJDBCType(t).orElse(JdbcUtils.getCommonJDBCType(t))
+        .map(_.databaseTypeDefinition)
+        .getOrElse(fail(s"no PG mapping for $t"))
+    assert(ddl(BooleanType) === "BOOLEAN")
+    assert(ddl(ShortType) === "SMALLINT")
+    assert(ddl(IntegerType) === "INTEGER")
+    assert(ddl(LongType) === "BIGINT")
+    assert(ddl(FloatType) === "FLOAT4")   // PG alias: real
+    assert(ddl(DoubleType) === "FLOAT8")  // PG alias: double precision
+    assert(ddl(TimestampType) === "TIMESTAMP WITH TIME ZONE")
+    assert(ddl(TimestampNTZType) === "TIMESTAMP")
+    assert(ddl(DateType) === "DATE")
+    assert(ddl(BinaryType) === "BYTEA")
+    assert(ddl(StringType) === "TEXT")
+    // widenings/extensions beyond the reference
+    assert(ddl(ByteType) === "SMALLINT")
+    assert(ddl(DecimalType(12, 2)) === "NUMERIC(12,2)")
+    assert(ddl(ArrayType(LongType)) === "BIGINT[]")
+
+    // the CREATE TABLE the customer table would get on PG — column
+    // names quoted by the dialect, exactly what Jdbc.write emits.
+    val cust = Tables.customer(spark, sf).schema
+    val colsDdl = cust.fields
+      .map(f => s"${pg.quoteIdentifier(f.name)} ${ddl(f.dataType)}")
+      .mkString(", ")
+    assert(colsDdl ===
+      """"c_custkey" BIGINT, "c_name" TEXT, "c_nationkey" INTEGER, """ +
+        """"c_acctbal" FLOAT8, "c_mktsegment" TEXT""")
+  }
 }
