@@ -26,174 +26,221 @@ object Curation extends QueryModule {
   private def splitBucket: org.apache.spark.sql.Column =
     pmod(col("doc_id") * 1103515245L + 12345L, lit(100L))
 
+  /** Train/valid/test assignment: 90/5/5 by the affine hash bucket.
+    * Per-split stats verify both the partition function and that the
+    * assignment is total and disjoint (counts sum to the corpus).
+    */
+  private[graft] def hashSplit(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("bkt", splitBucket)
+      .withColumn("split",
+        when(col("bkt") < 90, "train")
+          .when(col("bkt") < 95, "valid").otherwise("test"))
+      .groupBy(col("split"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_chars"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("split"))
+
+  /** Sequence packing (GPT-style concat-and-chunk): lay all documents
+    * end-to-end in doc_id order and cut into Ctx-token windows; each
+    * doc reports the chunk its first token lands in and its offset
+    * there. The global prefix-sum is computed DISTRIBUTED, three
+    * levels, each 1000× coarser than the last:
+    *
+    *   1. per-doc token counts aggregate into 1000-doc buckets;
+    *   2. bucket sums aggregate into 1000-bucket SUPER-buckets, whose
+    *      running offset is the only unpartitioned window — over a
+    *      frame of corpus/10⁶ rows (CurationSpec pins that no
+    *      unpartitioned window ever sees doc- or bucket-level rows);
+    *   3. bucket offsets = super offset + a running sum windowed
+    *      WITHIN each super-bucket; per-doc starts = bucket offset + a
+    *      running sum windowed WITHIN each bucket.
+    *
+    * So no single-partition sort ever exceeds ~1000 rows per group and
+    * the top frame stays tiny past 10¹⁴ documents. The offset frames
+    * grow linearly with the corpus (corpus/10³ and corpus/10⁶ rows),
+    * so neither join carries a broadcast hint — stats/AQE broadcast
+    * them while they fit and fall back to a hash join on the bucket
+    * key, which co-partitions with the very window that follows.
+    */
+  private[graft] def seqPack(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"),
+        size(Text.words(col("text"))).cast("long").as("n_tok"))
+      .withColumn("bkt", floor(col("doc_id") / 1000L).cast("long"))
+    val bktSums = toks.groupBy(col("bkt"))
+      .agg(sum(col("n_tok")).as("bkt_tok"))
+      .withColumn("sbkt", floor(col("bkt") / 1000L).cast("long"))
+    val superOff = bktSums.groupBy(col("sbkt"))
+      .agg(sum(col("bkt_tok")).as("sb_tok"))
+      .withColumn("sb_off",
+        coalesce(sum(col("sb_tok")).over(
+          Window.orderBy(col("sbkt"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("sbkt"), col("sb_off"))
+    val offsets = bktSums.join(superOff, "sbkt")
+      .withColumn("bkt_off",
+        col("sb_off") + coalesce(sum(col("bkt_tok")).over(
+          Window.partitionBy(col("sbkt")).orderBy(col("bkt"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bkt"), col("bkt_off"))
+    val intra = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks.join(offsets, "bkt")
+      .withColumn("start",
+        col("bkt_off") + coalesce(sum(col("n_tok")).over(intra), lit(0L)))
+      .select(
+        col("doc_id"), col("n_tok"),
+        // integral DIV, not floor(x/2048.0): exact at any corpus size
+        // (the double form loses exactness past 2^53 total tokens);
+        // values agree with the oracle's floor form at every scale the
+        // oracle can run.
+        expr(s"start DIV $Ctx").as("chunk_id"),
+        pmod(col("start"), lit(Ctx)).as("chunk_offset"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Benchmark decontamination: flag training documents whose 3-word
+    * shingles cover a benchmark item. The "benchmark" is snippets
+    * extracted from the corpus itself (first 52 words of every
+    * doc_id % evalMod = 0 document) — the real contamination scenario,
+    * where eval text appears verbatim inside training documents, so
+    * the source doc (and any planted near-dup of it) is guaranteed to
+    * flag. The eval side is tiny BY NATURE (benchmarks are small —
+    * bounded, unlike the corpus), so its exploded shingle set carries
+    * the one justified broadcast hint in this module and the train
+    * corpus is scanned once with no pre-join shuffle, whatever the
+    * corpus size (CurationSpec pins both, across eval sizes); the flag
+    * is exact integer cross-multiplication (shared*5 >= snippet
+    * shingles ⟺ the train doc covers ≥20% of the benchmark item).
+    */
+  private[graft] def decontaminate(docs: DataFrame, evalMod: Long): DataFrame = {
+    // shingles ride as (w1,w2,w3) STRUCTS, not concatenated strings:
+    // words are space-split so triple equality ≡ concat equality
+    // (exact, no hash-collision gamble), but the corpus-side explode
+    // never allocates the ~|corpus words| concatenated strings — the
+    // join probe hashes the three word pointers directly.
+    def tri(w: org.apache.spark.sql.Column) = array_distinct(
+      transform(sequence(lit(1), size(w) - 2), i =>
+        struct(element_at(w, i).as("w1"), element_at(w, i + 1).as("w2"),
+          element_at(w, i + 2).as("w3"))))
+    val words = docs
+      .withColumn("wrds", Text.words(col("text")))
+      .filter(size(col("wrds")) >= 3)
+    // explode_OUTER on both sides: plain explode triggers
+    // InferFiltersFromGenerate, whose inferred size()/isnotnull
+    // predicates push below the projection and re-expand the alias —
+    // re-running the whole normalize+shingle pipeline TWICE per
+    // corpus row inside an interpreted Filter (9 s instead of ~2 s
+    // at sf0.1). The arrays are provably non-empty (wrds >= 3), so
+    // outer semantics change nothing.
+    val train = words
+      .select(col("doc_id").as("train_doc"),
+        explode_outer(tri(col("wrds"))).as("shingle"))
+    val eval_ = words.filter(pmod(col("doc_id"), lit(evalMod)) === 0)
+      .select(col("doc_id").as("eval_doc"),
+        tri(slice(col("wrds"), 1, 52)).as("esh"))
+      .select(col("eval_doc"), size(col("esh")).cast("long").as("n_eval_sh"),
+        explode_outer(col("esh")).as("shingle"))
+    train.join(broadcast(eval_), "shingle")
+      .groupBy(col("train_doc"), col("eval_doc"), col("n_eval_sh"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 3)
+      .select(col("train_doc"), col("eval_doc"), col("n_shared"),
+        col("n_eval_sh"),
+        (col("n_shared") * 5 >= col("n_eval_sh")).as("contaminated"))
+      .orderBy(col("train_doc"), col("eval_doc"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // train/valid/test assignment: 90/5/5 by the affine hash bucket.
-    // Per-split stats verify both the partition function and that the
-    // assignment is total and disjoint (counts sum to the corpus).
-    "q100_hash_split" -> ((s, d) =>
-      Tables.documents(s, d)
-        .withColumn("bkt", splitBucket)
-        .withColumn("split",
-          when(col("bkt") < 90, "train")
-            .when(col("bkt") < 95, "valid").otherwise("test"))
-        .groupBy(col("split"))
-        .agg(
-          count(lit(1)).as("n_docs"),
-          sum(col("n_chars")).cast("long").as("total_chars"),
-          min(col("doc_id")).as("first_doc"),
-          max(col("doc_id")).as("last_doc"))
-        .orderBy(col("split"))),
+    "q100_hash_split" -> ((s, d) => hashSplit(Tables.documents(s, d))),
 
-    // sequence packing (GPT-style concat-and-chunk): lay all documents
-    // end-to-end in doc_id order and cut into Ctx-token windows; each
-    // doc reports the chunk its first token lands in and its offset
-    // there. The global prefix-sum is computed DISTRIBUTED: coarse
-    // range buckets aggregate partial token sums (tiny frame), a
-    // bucket-level running offset is windowed over that frame and
-    // broadcast-joined back, and the per-doc cumsum is windowed WITHIN
-    // each bucket — no single-partition window over the corpus, the
-    // standard two-phase prefix sum at 100 TB.
-    "q101_seq_pack" -> ((s, d) => {
-      val toks = Tables.documents(s, d)
-        .select(col("doc_id"),
-          size(Text.words(col("text"))).cast("long").as("n_tok"))
-        .withColumn("bkt", floor(col("doc_id") / 1000L).cast("long"))
-      val offsets = toks.groupBy(col("bkt"))
-        .agg(sum(col("n_tok")).as("bkt_tok"))
-        .withColumn("bkt_off",
-          coalesce(sum(col("bkt_tok")).over(
-            Window.orderBy(col("bkt"))
-              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select(col("bkt"), col("bkt_off"))
-      val intra = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      toks.join(broadcast(offsets), "bkt")
-        .withColumn("start",
-          col("bkt_off") + coalesce(sum(col("n_tok")).over(intra), lit(0L)))
-        .select(
-          col("doc_id"), col("n_tok"),
-          floor(col("start") / Ctx.toDouble).cast("long").as("chunk_id"),
-          pmod(col("start"), lit(Ctx)).as("chunk_offset"))
-        .orderBy(col("doc_id"))
-    }),
+    "q101_seq_pack" -> ((s, d) => seqPack(Tables.documents(s, d))),
 
-    // benchmark decontamination: flag training documents whose 3-word
-    // shingles cover a benchmark item. The "benchmark" is snippets
-    // extracted from the corpus itself (first 52 words of every
-    // doc_id % 97 = 0 document) — the real contamination scenario,
-    // where eval text appears verbatim inside training documents, so
-    // the source doc (and any planted near-dup of it) is guaranteed to
-    // flag. The eval side is tiny BY NATURE (benchmarks are small), so
-    // its exploded shingle set broadcasts and the train corpus is
-    // scanned once with no pre-join shuffle; the flag is exact integer
-    // cross-multiplication (shared*5 >= snippet shingles ⟺ the train
-    // doc covers ≥20% of the benchmark item).
-    "q102_decontaminate" -> ((s, d) => {
-      // shingles ride as (w1,w2,w3) STRUCTS, not concatenated strings:
-      // words are space-split so triple equality ≡ concat equality
-      // (exact, no hash-collision gamble), but the corpus-side explode
-      // never allocates the ~|corpus words| concatenated strings — the
-      // join probe hashes the three word pointers directly.
-      def tri(w: org.apache.spark.sql.Column) = array_distinct(
-        transform(sequence(lit(1), size(w) - 2), i =>
-          struct(element_at(w, i).as("w1"), element_at(w, i + 1).as("w2"),
-            element_at(w, i + 2).as("w3"))))
-      val words = Tables.documents(s, d)
-        .withColumn("wrds", Text.words(col("text")))
-        .filter(size(col("wrds")) >= 3)
-      // explode_OUTER on both sides: plain explode triggers
-      // InferFiltersFromGenerate, whose inferred size()/isnotnull
-      // predicates push below the projection and re-expand the alias —
-      // re-running the whole normalize+shingle pipeline TWICE per
-      // corpus row inside an interpreted Filter (9 s instead of ~2 s
-      // at sf0.1). The arrays are provably non-empty (wrds >= 3), so
-      // outer semantics change nothing.
-      val train = words
-        .select(col("doc_id").as("train_doc"),
-          explode_outer(tri(col("wrds"))).as("shingle"))
-      val eval_ = words.filter(pmod(col("doc_id"), lit(97L)) === 0)
-        .select(col("doc_id").as("eval_doc"),
-          tri(slice(col("wrds"), 1, 52)).as("esh"))
-        .select(col("eval_doc"), size(col("esh")).cast("long").as("n_eval_sh"),
-          explode_outer(col("esh")).as("shingle"))
-      train.join(broadcast(eval_), "shingle")
-        .groupBy(col("train_doc"), col("eval_doc"), col("n_eval_sh"))
-        .agg(count(lit(1)).as("n_shared"))
-        .filter(col("n_shared") >= 3)
-        .select(col("train_doc"), col("eval_doc"), col("n_shared"),
-          col("n_eval_sh"),
-          (col("n_shared") * 5 >= col("n_eval_sh")).as("contaminated"))
-        .orderBy(col("train_doc"), col("eval_doc"))
-    }),
+    "q102_decontaminate" -> ((s, d) =>
+      decontaminate(Tables.documents(s, d), evalMod = 97L)),
 
-    // weighted source mixing (epoch oversampling): each source gets an
-    // integer epoch weight (3× for the high-quality tier, 2× mid, 1×
-    // rest) plus a deterministic fractional half-epoch for the src1x
-    // tier via a second affine-hash coin — the standard training-mix
-    // knob, materialized as actual (doc, epoch) rows. Determinism over
-    // randomness for the same reason as q100: the mix must be
-    // reproducible run-to-run and engine-to-engine. explode_outer
-    // avoids the InferFiltersFromGenerate re-expansion (see q102);
-    // repeats >= 1 always, so no rows are lost.
-    "q104_weighted_mix" -> ((s, d) => {
-      val coin = pmod(col("doc_id") * 2654435761L + 101L, lit(100L))
-      val repeats =
-        when(col("source").isin("src0", "src1", "src2", "src3", "src4"), 3)
-          .when(col("source").isin("src5", "src6", "src7", "src8", "src9"), 2)
-          .otherwise(1) +
-        when(col("source").isin("src10", "src11", "src12", "src13", "src14")
-          && coin < 50, 1).otherwise(0)
-      Tables.documents(s, d)
-        .withColumn("n_epochs", repeats.cast("long"))
-        .select(col("doc_id"), col("source"), col("n_epochs"),
-          explode_outer(sequence(lit(1L), col("n_epochs"))).as("epoch"))
-        .orderBy(col("doc_id"), col("epoch"))
-    }),
+    "q104_weighted_mix" -> ((s, d) => weightedMix(Tables.documents(s, d))),
 
-    // stratified rebalance: per-language keep rates (downsample the
-    // dominant language, keep the tail) decided by a second affine
-    // hash, so the sample is deterministic and disjoint from the q100
-    // split function. Emits the kept rows — the operator a mixing
-    // pipeline feeds into packing.
-    "q105_stratified_sample" -> ((s, d) => {
-      val bucket = pmod(col("doc_id") * 2654435761L + 7919L, lit(100L))
-      val rate = when(col("lang") === "en", 10)
-        .when(col("lang") === "de", 50).when(col("lang") === "es", 40)
-        .when(col("lang") === "fr", 30).otherwise(20)
-      Tables.documents(s, d)
-        .withColumn("bkt", bucket).withColumn("rate", rate.cast("long"))
-        .filter(col("bkt") < col("rate"))
-        .select(col("doc_id"), col("lang"), col("rate"), col("n_chars"))
-        .orderBy(col("doc_id"))
-    }),
+    "q105_stratified_sample" -> ((s, d) =>
+      stratifiedSample(Tables.documents(s, d))),
 
-    // PII redaction: emails and phone numbers are injected
-    // deterministically (the synthetic corpus has none), then scrubbed
-    // with the same RE2-compatible patterns both engines support, and
-    // counted. Redaction must be idempotent and count-consistent:
-    // length shrinks by exactly what the matches release.
-    "q103_redact" -> ((s, d) => {
-      val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-      val phonePat = "555-[0-9]{4}"
-      Tables.documents(s, d)
-        .withColumn("pii", concat(
-          lit("Contact user"), col("doc_id"),
-          lit("@mail.example.com or call 555-"),
-          lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0"),
-          lit(" now. "), col("text")))
-        .select(
-          col("doc_id"),
-          size(regexp_extract_all(col("pii"), lit(emailPat), lit(0)))
-            .cast("long").as("n_emails"),
-          size(regexp_extract_all(col("pii"), lit(phonePat), lit(0)))
-            .cast("long").as("n_phones"),
-          length(regexp_replace(regexp_replace(col("pii"), emailPat, "<EMAIL>"),
-            phonePat, "<PHONE>")).cast("long").as("redacted_len"),
-          substring(regexp_replace(regexp_replace(col("pii"), emailPat, "<EMAIL>"),
-            phonePat, "<PHONE>"), 1, 44).as("redacted_head"))
-        .orderBy(col("doc_id"))
-    })
+    "q103_redact" -> ((s, d) => redact(Tables.documents(s, d)))
   )
+
+  /** Weighted source mixing (epoch oversampling): each source gets an
+    * integer epoch weight (3× for the high-quality tier, 2× mid, 1×
+    * rest) plus a deterministic fractional half-epoch for the src1x
+    * tier via a second affine-hash coin — the standard training-mix
+    * knob, materialized as actual (doc, epoch) rows. Determinism over
+    * randomness for the same reason as q100: the mix must be
+    * reproducible run-to-run and engine-to-engine. explode_outer
+    * avoids the InferFiltersFromGenerate re-expansion (see
+    * [[decontaminate]]); repeats >= 1 always, so no rows are lost.
+    */
+  private[graft] def weightedMix(docs: DataFrame): DataFrame = {
+    val coin = pmod(col("doc_id") * 2654435761L + 101L, lit(100L))
+    val repeats =
+      when(col("source").isin("src0", "src1", "src2", "src3", "src4"), 3)
+        .when(col("source").isin("src5", "src6", "src7", "src8", "src9"), 2)
+        .otherwise(1) +
+      when(col("source").isin("src10", "src11", "src12", "src13", "src14")
+        && coin < 50, 1).otherwise(0)
+    docs
+      .withColumn("n_epochs", repeats.cast("long"))
+      .select(col("doc_id"), col("source"), col("n_epochs"),
+        explode_outer(sequence(lit(1L), col("n_epochs"))).as("epoch"))
+      .orderBy(col("doc_id"), col("epoch"))
+  }
+
+  /** Stratified rebalance: per-language keep rates (downsample the
+    * dominant language, keep the tail) decided by a second affine
+    * hash, so the sample is deterministic and disjoint from the q100
+    * split function. Emits the kept rows — the operator a mixing
+    * pipeline feeds into packing.
+    */
+  private[graft] def stratifiedSample(docs: DataFrame): DataFrame = {
+    val bucket = pmod(col("doc_id") * 2654435761L + 7919L, lit(100L))
+    val rate = when(col("lang") === "en", 10)
+      .when(col("lang") === "de", 50).when(col("lang") === "es", 40)
+      .when(col("lang") === "fr", 30).otherwise(20)
+    docs
+      .withColumn("bkt", bucket).withColumn("rate", rate.cast("long"))
+      .filter(col("bkt") < col("rate"))
+      .select(col("doc_id"), col("lang"), col("rate"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** PII redaction: emails and phone numbers are injected
+    * deterministically (the synthetic corpus has none), then scrubbed
+    * with the same RE2-compatible patterns both engines support, and
+    * counted. Redaction must be idempotent and count-consistent:
+    * length shrinks by exactly what the matches release.
+    */
+  private[graft] def redact(docs: DataFrame): DataFrame = {
+    val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phonePat = "555-[0-9]{4}"
+    docs
+      .withColumn("pii", concat(
+        lit("Contact user"), col("doc_id"),
+        lit("@mail.example.com or call 555-"),
+        lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0"),
+        lit(" now. "), col("text")))
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("pii"), lit(emailPat), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("pii"), lit(phonePat), lit(0)))
+          .cast("long").as("n_phones"),
+        length(regexp_replace(regexp_replace(col("pii"), emailPat, "<EMAIL>"),
+          phonePat, "<PHONE>")).cast("long").as("redacted_len"),
+        substring(regexp_replace(regexp_replace(col("pii"), emailPat, "<EMAIL>"),
+          phonePat, "<PHONE>"), 1, 44).as("redacted_head"))
+      .orderBy(col("doc_id"))
+  }
 
   def oracle: Map[String, String] = Map(
     "q100_hash_split" ->

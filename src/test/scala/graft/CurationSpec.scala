@@ -9,7 +9,8 @@ import org.scalatest.funsuite.AnyFunSuite
   * conservation laws, guaranteed contamination detection, and redaction
   * completeness — plus the broadcast shape of the decontamination join.
   */
-class CurationSpec extends AnyFunSuite {
+class CurationSpec extends AnyFunSuite
+    with org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {
   import SparkTestSession._
 
   test("q100 split is total, disjoint, and train-dominated") {
@@ -40,6 +41,53 @@ class CurationSpec extends AnyFunSuite {
     val lastStart = last.getAs[Long]("chunk_id") * 2048L +
       last.getAs[Long]("chunk_offset")
     assert(lastStart === rows.init.map(_.getAs[Long]("n_tok")).sum)
+  }
+
+  test("q101 runs no unpartitioned window over corpus-scaled rows") {
+    // the three-level prefix sum's contract: the ONLY window with an
+    // empty partition spec is the super-bucket running offset, whose
+    // input frame is corpus/10^6 rows — it must never see doc-level
+    // (doc_id) or bucket-level (bkt) rows, or a 100 TB corpus funnels
+    // through one partition's sort.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
+    val df = Curation.queries("q101_seq_pack")(spark, sf)
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LogicalWindow => w }
+    assert(wins.size === 3, s"expected the three prefix-sum levels, got: $wins")
+    val unpart = wins.filter(_.partitionSpec.isEmpty)
+    assert(unpart.size === 1, s"exactly one top-level window: $unpart")
+    val in = unpart.head.child.output.map(_.name)
+    assert(in.contains("sbkt") && !in.contains("doc_id") && !in.contains("bkt"),
+      s"top-level window must run over the super-bucket frame only, saw: $in")
+  }
+
+  test("q102 broadcasts the eval side at any eval size; train never reshuffles") {
+    // size independence: grow the eval set ~14x (every 7th doc instead
+    // of every 97th) and the plan must not change shape — eval is the
+    // build/broadcast side because benchmarks are bounded by nature,
+    // and the train corpus reaches the join straight from the scan
+    // with no shuffle, whatever the corpus size.
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    for (evalMod <- Seq(97L, 7L)) {
+      val df = Curation.decontaminate(Tables.documents(spark, sf), evalMod)
+      val plan = stripAQEPlan(df.queryExecution.executedPlan)
+      val bhj = collect(plan) { case b: BroadcastHashJoinExec => b }
+      assert(bhj.size === 1, s"evalMod=$evalMod: expected one BHJ:\n$plan")
+      val streamed = bhj.head.buildSide match {
+        case BuildLeft => bhj.head.right
+        case BuildRight => bhj.head.left
+      }
+      val build = bhj.head.buildSide match {
+        case BuildLeft => bhj.head.left
+        case BuildRight => bhj.head.right
+      }
+      assert(build.output.map(_.name).contains("eval_doc"),
+        s"evalMod=$evalMod: the EVAL side must be the broadcast side:\n$plan")
+      val shuffles = collect(streamed) { case e: ShuffleExchangeExec => e }
+      assert(shuffles.isEmpty,
+        s"evalMod=$evalMod: train side must not shuffle before the join:\n$plan")
+    }
   }
 
   test("q102 flags every benchmark item inside its own source document") {

@@ -57,6 +57,29 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(keys.except(none).count() == 3)
   }
 
+  test("curation operators pass an empty corpus through with schema intact") {
+    // a stratified filter or a day's delta over documents is routinely
+    // empty; the whole curation tier must pass it through — zero rows,
+    // schema identical to the populated run, no throw.
+    import graft.ops.Curation
+    val docs = Tables.documents(spark, sf)
+    val none = docs.filter(lit(false))
+    val ops: Seq[(String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)] =
+      Seq(
+        "hashSplit" -> (Curation.hashSplit(_)),
+        "seqPack" -> (Curation.seqPack(_)),
+        "decontaminate" -> (Curation.decontaminate(_, 97L)),
+        "weightedMix" -> (Curation.weightedMix(_)),
+        "stratifiedSample" -> (Curation.stratifiedSample(_)),
+        "redact" -> (Curation.redact(_)))
+    for ((name, op) <- ops) {
+      val out = op(none)
+      assert(out.count() === 0L, s"$name must yield zero rows on an empty corpus")
+      assert(out.schema === op(docs).schema,
+        s"$name schema must not depend on the data")
+    }
+  }
+
   test("XML/VARIANT parsers degrade to null on null or malformed input") {
     // a 100 TB feed WILL contain truncated/garbage documents; the parse
     // step must null them out (to be quarantined downstream), never
