@@ -6,7 +6,10 @@ Usage:
 
 <new> is either a driver BENCH_r{N}.json (uses its "parsed" object) or a
 file of raw Bench stdout lines (uses the last {"metric":"total"...} line).
-<baseline> defaults to tools/bench_r05_baseline.json. Exit code 1 if any
+<baseline> defaults to tools/bench_r06_baseline.json — the round-6 driver
+run (90.82 s / 128 queries, the operative baseline per the r6 verdict);
+tools/bench_r06_local.json holds the builder's clean local run of the
+same code for disambiguating machine noise. Exit code 1 if any
 query exceeds threshold x its baseline time (queries under 0.5 s in the
 baseline are skipped — they are pure noise at this scale).
 """
@@ -40,7 +43,7 @@ def main():
         if a.startswith("--threshold"):
             thr = float(a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1])
     new = load(args[0])
-    base = load(args[1] if len(args) > 1 else "tools/bench_r05_baseline.json")
+    base = load(args[1] if len(args) > 1 else "tools/bench_r06_baseline.json")
     nq, bq = new["queries"], base["queries"]
     flagged = []
     print(f"total: {base['value']:.2f} -> {new['value']:.2f} s "
