@@ -28,6 +28,7 @@ object SparkEntry {
     o.TextAnalysis,
     o.Multimodal,
     o.Curation,
+    o.CorpusSignals,
     o.TopKPerKey,
     src.IOQueries,
     src.Jdbc)

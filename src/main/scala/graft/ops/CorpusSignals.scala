@@ -1,0 +1,130 @@
+package graft.ops
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level text signals that genuinely need aggregation — unlike
+  * [[TextAnalysis]]'s per-row expressions, these shuffle, and the whole
+  * design question is WHAT they shuffle on: always per-document or
+  * per-term keys with map-side partial aggregation, never anything
+  * corpus-crossing.
+  *
+  *   - repetition signals (Gopher-style duplicate/top n-gram fractions,
+  *     the quality rule that drops boilerplate and degenerate text);
+  *   - TF-IDF term scoring with per-doc top-k (the classic relevance
+  *     primitive a curation pipeline uses for topical filtering).
+  *
+  * All counts are exact integers; the one transcendental (idf's ln) is
+  * 6-decimal-snapped on both engines (the [[graft.queries.ScalarMath]]
+  * r6 recipe), so every query is hash-exact against its DuckDB oracle.
+  */
+object CorpusSignals extends QueryModule {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Gopher-style repetition signals per document: the fraction of
+    // 2-gram occurrences that are duplicates, and the share of the
+    // single most frequent 2-gram (argmax with a deterministic
+    // tie-break: max count, then max gram string — one struct-max
+    // aggregate, no window). The keep flag is exact integer
+    // cross-multiplication (top*5 <= total ⟺ top-gram share ≤ 20%,
+    // Gopher's drop threshold). Scale shape: explode fans out to
+    // (doc, gram) pairs, both aggregations key on doc_id (map-side
+    // partials apply), so a 100 TB corpus shuffles two doc-keyed
+    // frames and nothing corpus-wide; explode_outer dodges the
+    // InferFiltersFromGenerate re-expansion (see Curation.decontaminate).
+    "q109_repetition" -> ((s, d) => {
+      val grams = Tables.documents(s, d)
+        .withColumn("wrds", Text.words(col("text")))
+        .filter(size(col("wrds")) >= 2)
+        .select(col("doc_id"), explode_outer(
+          transform(sequence(lit(1), size(col("wrds")) - 1), i =>
+            struct(element_at(col("wrds"), i).as("w1"),
+              element_at(col("wrds"), i + 1).as("w2")))).as("g"))
+      // count per (doc, gram) on the cheap struct key; the gram STRING
+      // materializes only for the per-doc distinct grams that survive
+      // the first aggregation, never per occurrence.
+      val cnt = grams.groupBy(col("doc_id"), col("g"))
+        .agg(count(lit(1)).as("c"))
+        .select(col("doc_id"), col("c"),
+          concat_ws(" ", col("g.w1"), col("g.w2")).as("gs"))
+      cnt.groupBy(col("doc_id"))
+        .agg(
+          sum(col("c")).as("n_grams"),
+          coalesce(sum(when(col("c") > 1, col("c"))), lit(0L))
+            .as("dup_gram_occ"),
+          max(struct(col("c").as("c"), col("gs").as("gs"))).as("top"))
+        .select(col("doc_id"), col("n_grams"), col("dup_gram_occ"),
+          col("top.gs").as("top_gram"), col("top.c").as("top_cnt"),
+          (col("top.c") * 5 <= col("n_grams")).as("low_repetition"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // distributed TF-IDF with per-doc top-3 terms: tf keys on
+    // (doc, term), df on term (both map-side combined; term skew on
+    // stopwords is AQE's skew-join case), the corpus size N rides as a
+    // one-row broadcast — the only broadcast hint, genuinely bounded.
+    // idf = ln((N+1)/(df+1)) is snapped to 6 decimals on both engines,
+    // so score = tf · idf6 is the same IEEE-754 product bit-for-bit;
+    // the per-doc top-3 is a row_number window that WindowGroupLimit
+    // evaluates partially below the doc_id exchange.
+    "q110_tfidf_topk" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val terms = docs.select(col("doc_id"),
+        explode_outer(Text.words(col("text"))).as("term"))
+      val tf = terms.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val idf6 = floor(log((col("n") + 1.0) / (col("df") + 1.0)) * 1e6
+        + 0.5) / 1e6
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term").asc)
+      tf.join(df, "term").crossJoin(broadcast(n))
+        .withColumn("score", col("tf") * idf6)
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk"), col("term"), col("tf"),
+          col("df"), col("score"))
+        .orderBy(col("doc_id"), col("rnk"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q109_repetition" ->
+      """WITH w AS (SELECT doc_id,
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS wrds
+        |  FROM documents
+        |  WHERE len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) >= 2),
+        |g AS (SELECT doc_id,
+        |    unnest([wrds[i] || ' ' || wrds[i+1] FOR i IN range(1, len(wrds))]) AS gram
+        |  FROM w),
+        |c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram),
+        |a AS (SELECT doc_id,
+        |    CAST(sum(c) AS BIGINT) AS n_grams,
+        |    CAST(coalesce(sum(c) FILTER (c > 1), 0) AS BIGINT) AS dup_gram_occ,
+        |    max({'c': c, 'gs': gram}) AS top
+        |  FROM c GROUP BY doc_id)
+        |SELECT doc_id, n_grams, dup_gram_occ,
+        |  struct_extract(top, 'gs') AS top_gram,
+        |  CAST(struct_extract(top, 'c') AS BIGINT) AS top_cnt,
+        |  struct_extract(top, 'c') * 5 <= n_grams AS low_repetition
+        |FROM a ORDER BY doc_id""".stripMargin,
+
+    "q110_tfidf_topk" ->
+      """WITH t AS (SELECT doc_id,
+        |    unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |s AS (SELECT doc_id, term, tf, df,
+        |    tf * (floor(ln((n + 1.0) / (df + 1.0)) * 1e6 + 0.5) / 1e6) AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, term ASC) AS rnk FROM s)
+        |SELECT doc_id, rnk, term, tf, df, score
+        |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
+  )
+}

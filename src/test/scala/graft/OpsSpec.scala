@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Dedup, Multimodal, Similarity}
+import graft.ops.{CorpusSignals, Dedup, Multimodal, Similarity}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -126,6 +126,54 @@ class OpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](a.reduce(two, Seq(1.0)))
     intercept[IllegalArgumentException](
       a.merge(a.reduce(a.zero, Seq(1.0, 2.0)), a.reduce(a.zero, Seq(1.0, 2.0, 3.0))))
+  }
+
+  test("q109 repetition signals match an independent in-memory recompute") {
+    val rows = CorpusSignals.queries("q109_repetition")(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "lower(trim(regexp_replace(text, '\\\\s+', ' '))) AS t")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("t")).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val w = docs(id).split(" ")
+      val grams = w.iterator.zip(w.iterator.drop(1)).map { case (a, b) => s"$a $b" }.toSeq
+      val counts = grams.groupBy(identity).view.mapValues(_.size.toLong)
+      assert(r.getAs[Long]("n_grams") === grams.size.toLong, s"doc $id n_grams")
+      assert(r.getAs[Long]("dup_gram_occ") ===
+        counts.values.filter(_ > 1).sum, s"doc $id dup occ")
+      // argmax with (count, gram) lexicographic tie-break, both max.
+      val (topG, topC) = counts.toSeq.map { case (g, c) => (c, g) }.max.swap
+      assert(r.getAs[String]("top_gram") === topG, s"doc $id top gram")
+      assert(r.getAs[Long]("top_cnt") === topC, s"doc $id top cnt")
+      assert(r.getAs[Boolean]("low_repetition") === (topC * 5 <= grams.size),
+        s"doc $id flag")
+    }
+  }
+
+  test("q110 tf-idf ranks are contiguous, scores non-increasing, idf sane") {
+    val rows = CorpusSignals.queries("q110_tfidf_topk")(spark, sf).collect()
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.size === Tables.documents(spark, sf).count(),
+      "every document gets ranked terms")
+    byDoc.foreach { case (id, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rnk"))
+      assert(sorted.map(_.getAs[Long]("rnk")).toSeq ===
+        (1L to sorted.length), s"doc $id ranks")
+      assert(sorted.length <= 3, s"doc $id emits more than top-3")
+      val scores = sorted.map(_.getAs[Double]("score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"doc $id scores increase down the ranking")
+    }
+    // a corpus-wide stopword must carry idf 0 up to the snap: df == N
+    // gives ln((N+1)/(N+1)) = 0, so its score is 0 and it can only
+    // surface when nothing rarer exists in the doc.
+    val n = Tables.documents(spark, sf).count()
+    rows.filter(_.getAs[Long]("df") === n)
+      .foreach(r => assert(r.getAs[Double]("score") === 0.0))
+    // rarer-than-stopword terms score positive.
+    assert(rows.exists(r => r.getAs[Long]("df") < n
+      && r.getAs[Double]("score") > 0.0))
   }
 
   test("multimodal decode stub: schema, determinism, distributed shape") {
