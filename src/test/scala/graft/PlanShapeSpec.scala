@@ -119,6 +119,29 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q109 argmax is a struct-max aggregate with partials, not a window") {
+    // the top-gram argmax must ride the same two-level hash aggregation
+    // as the counts (map-side partial_max below the doc_id exchange) —
+    // a window formulation would shuffle-and-sort every (doc, gram) row.
+    val p = plan("q109_repetition")
+    assert(!p.contains("Window"), s"q109 must not plan a window:\n$p")
+    assert(p.contains("partial_max"),
+      s"struct argmax lost its map-side partial:\n$p")
+    assert(p.contains("partial_count"),
+      s"gram counting lost its map-side partial:\n$p")
+  }
+
+  test("q110 top-k evaluates as WindowGroupLimit, df agg keeps partials") {
+    // the rnk <= 3 filter must push into the window as a group limit
+    // (bounded heap per partition), so only ~k rows per doc cross the
+    // final sort rather than every (doc, term) pair.
+    val p = plan("q110_tfidf_topk")
+    assert("WindowGroupLimit.*Partial".r.findFirstIn(p).isDefined,
+      s"q110 should plan a partial WindowGroupLimit below the exchange:\n$p")
+    assert(p.contains("partial_count"),
+      s"tf/df aggregation lost map-side partials:\n$p")
+  }
+
   test("q29b banded interval join plans as an equi join, not a nested loop") {
     // the whole point of banding: the ±60 s predicate must ride as a
     // residual on a hash/merge EQUI join over the bin key — a
