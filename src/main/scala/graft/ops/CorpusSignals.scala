@@ -61,6 +61,37 @@ object CorpusSignals extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // exact-substring duplication risk (the Lee et al. "Deduplicating
+    // Training Data" signal): fingerprint every 20-word window (md5 —
+    // the digest both engines share, so the oracle replicates it), and
+    // per document report how many of its windows also occur elsewhere
+    // in the corpus. The scale-critical choice: duplication is
+    // measured per WINDOW GROUP (groupBy fingerprint → occurrence
+    // count → join back), never per document PAIR — a boilerplate
+    // window shared by a million docs is one group row here but 10^12
+    // pairs in a pair formulation. Two shuffles on the window key +
+    // one on doc_id, all map-side combined; the high_overlap flag is
+    // exact integer cross-multiplication (dup*5 >= total ⟺ ≥20% of
+    // the doc is repeated corpus text).
+    "q111_dup_substrings" -> ((s, d) => {
+      val W = 20
+      val w = Tables.documents(s, d)
+        .withColumn("wrds", Text.words(col("text")))
+        .filter(size(col("wrds")) >= W)
+      val win = w.select(col("doc_id"), explode_outer(
+        transform(sequence(lit(1), size(col("wrds")) - (W - 1)), i =>
+          md5(concat_ws(" ", slice(col("wrds"), i, lit(W)))))).as("h"))
+      val occ = win.groupBy(col("h")).agg(count(lit(1)).as("occ"))
+      win.join(occ, "h")
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_windows"),
+          sum(when(col("occ") > 1, 1L).otherwise(0L)).as("n_dup_windows"))
+        .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
+          (col("n_dup_windows") * 5 >= col("n_windows")).as("high_overlap"))
+        .orderBy(col("doc_id"))
+    }),
+
     // distributed TF-IDF with per-doc top-3 terms: tf keys on
     // (doc, term), df on term (both map-side combined; term skew on
     // stopwords is AQE's skew-join case), the corpus size N rides as a
@@ -111,6 +142,22 @@ object CorpusSignals extends QueryModule {
         |  CAST(struct_extract(top, 'c') AS BIGINT) AS top_cnt,
         |  struct_extract(top, 'c') * 5 <= n_grams AS low_repetition
         |FROM a ORDER BY doc_id""".stripMargin,
+
+    "q111_dup_substrings" ->
+      """WITH w AS (SELECT doc_id,
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS wrds
+        |  FROM documents
+        |  WHERE len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) >= 20),
+        |win AS (SELECT doc_id,
+        |    unnest([md5(array_to_string(wrds[i:i+19], ' '))
+        |            FOR i IN range(1, len(wrds) - 18)]) AS h
+        |  FROM w),
+        |occ AS (SELECT h, count(*) AS occ FROM win GROUP BY h),
+        |j AS (SELECT doc_id, occ FROM win JOIN occ USING (h))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+        |  CAST(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+        |  sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) * 5 >= count(*) AS high_overlap
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q110_tfidf_topk" ->
       """WITH t AS (SELECT doc_id,

@@ -151,6 +151,32 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q111 dup-substring counts match an independent in-memory recompute") {
+    val rows = CorpusSignals.queries("q111_dup_substrings")(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "lower(trim(regexp_replace(text, '\\\\s+', ' '))) AS t")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("t").split(" "))
+    val wins = docs.collect { case (id, w) if w.length >= 20 =>
+      id -> w.sliding(20).map(_.mkString(" ")).toSeq
+    }
+    val corpusOcc = wins.flatMap(_._2).groupBy(identity).view.mapValues(_.size)
+    assert(rows.length === wins.length, "one row per >=20-word document")
+    val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    for ((id, ws) <- wins) {
+      val r = byId(id)
+      val dup = ws.count(corpusOcc(_) > 1).toLong
+      assert(r.getAs[Long]("n_windows") === ws.size.toLong, s"doc $id windows")
+      assert(r.getAs[Long]("n_dup_windows") === dup, s"doc $id dup windows")
+      assert(r.getAs[Boolean]("high_overlap") === (dup * 5 >= ws.size),
+        s"doc $id flag")
+    }
+    // the corpus's planted near-dups must be detected: some doc carries
+    // a duplicated run, and not all docs do.
+    assert(rows.exists(_.getAs[Long]("n_dup_windows") > 0),
+      "planted near-dups must share exact 20-word runs")
+    assert(rows.exists(_.getAs[Long]("n_dup_windows") === 0L))
+  }
+
   test("q110 tf-idf ranks are contiguous, scores non-increasing, idf sane") {
     val rows = CorpusSignals.queries("q110_tfidf_topk")(spark, sf).collect()
     val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
