@@ -13,6 +13,8 @@ import org.apache.spark.sql.functions._
   *
   *   - repetition signals (Gopher-style duplicate/top n-gram fractions,
   *     the quality rule that drops boilerplate and degenerate text);
+  *   - exact-substring duplication risk (Lee et al. 20-word window
+  *     fingerprints, counted per window group — never document pairs);
   *   - TF-IDF term scoring with per-doc top-k (the classic relevance
   *     primitive a curation pipeline uses for topical filtering).
   *
@@ -34,8 +36,16 @@ object CorpusSignals extends QueryModule {
     // partials apply), so a 100 TB corpus shuffles two doc-keyed
     // frames and nothing corpus-wide; explode_outer dodges the
     // InferFiltersFromGenerate re-expansion (see Curation.decontaminate).
-    "q109_repetition" -> ((s, d) => {
-      val grams = Tables.documents(s, d)
+    "q109_repetition" -> ((s, d) => repetition(Tables.documents(s, d))),
+
+    "q111_dup_substrings" -> ((s, d) => dupSubstrings(Tables.documents(s, d))),
+
+    "q110_tfidf_topk" -> ((s, d) => tfidfTopK(Tables.documents(s, d)))
+  )
+
+  /** See the `q109_repetition` entry comment above for semantics. */
+  private[graft] def repetition(docs: DataFrame): DataFrame = {
+      val grams = docs
         .withColumn("wrds", Text.words(col("text")))
         .filter(size(col("wrds")) >= 2)
         .select(col("doc_id"), explode_outer(
@@ -59,23 +69,24 @@ object CorpusSignals extends QueryModule {
           col("top.gs").as("top_gram"), col("top.c").as("top_cnt"),
           (col("top.c") * 5 <= col("n_grams")).as("low_repetition"))
         .orderBy(col("doc_id"))
-    }),
+  }
 
-    // exact-substring duplication risk (the Lee et al. "Deduplicating
-    // Training Data" signal): fingerprint every 20-word window (md5 —
-    // the digest both engines share, so the oracle replicates it), and
-    // per document report how many of its windows also occur elsewhere
-    // in the corpus. The scale-critical choice: duplication is
-    // measured per WINDOW GROUP (groupBy fingerprint → occurrence
-    // count → join back), never per document PAIR — a boilerplate
-    // window shared by a million docs is one group row here but 10^12
-    // pairs in a pair formulation. Two shuffles on the window key +
-    // one on doc_id, all map-side combined; the high_overlap flag is
-    // exact integer cross-multiplication (dup*5 >= total ⟺ ≥20% of
-    // the doc is repeated corpus text).
-    "q111_dup_substrings" -> ((s, d) => {
+  /** Exact-substring duplication risk (the Lee et al. "Deduplicating
+    * Training Data" signal): fingerprint every 20-word window (md5 —
+    * the digest both engines share, so the oracle replicates it), and
+    * per document report how many of its windows also occur elsewhere
+    * in the corpus. The scale-critical choice: duplication is
+    * measured per WINDOW GROUP (groupBy fingerprint → occurrence
+    * count → join back), never per document PAIR — a boilerplate
+    * window shared by a million docs is one group row here but 10^12
+    * pairs in a pair formulation. Two shuffles on the window key +
+    * one on doc_id, all map-side combined; the high_overlap flag is
+    * exact integer cross-multiplication (dup*5 >= total ⟺ ≥20% of
+    * the doc is repeated corpus text).
+    */
+  private[graft] def dupSubstrings(docs: DataFrame): DataFrame = {
       val W = 20
-      val w = Tables.documents(s, d)
+      val w = docs
         .withColumn("wrds", Text.words(col("text")))
         .filter(size(col("wrds")) >= W)
       val win = w.select(col("doc_id"), explode_outer(
@@ -90,18 +101,18 @@ object CorpusSignals extends QueryModule {
         .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
           (col("n_dup_windows") * 5 >= col("n_windows")).as("high_overlap"))
         .orderBy(col("doc_id"))
-    }),
+  }
 
-    // distributed TF-IDF with per-doc top-3 terms: tf keys on
-    // (doc, term), df on term (both map-side combined; term skew on
-    // stopwords is AQE's skew-join case), the corpus size N rides as a
-    // one-row broadcast — the only broadcast hint, genuinely bounded.
-    // idf = ln((N+1)/(df+1)) is snapped to 6 decimals on both engines,
-    // so score = tf · idf6 is the same IEEE-754 product bit-for-bit;
-    // the per-doc top-3 is a row_number window that WindowGroupLimit
-    // evaluates partially below the doc_id exchange.
-    "q110_tfidf_topk" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
+  /** Distributed TF-IDF with per-doc top-3 terms: tf keys on
+    * (doc, term), df on term (both map-side combined; term skew on
+    * stopwords is AQE's skew-join case), the corpus size N rides as a
+    * one-row broadcast — the only broadcast hint, genuinely bounded.
+    * idf = ln((N+1)/(df+1)) is snapped to 6 decimals on both engines,
+    * so score = tf · idf6 is the same IEEE-754 product bit-for-bit;
+    * the per-doc top-3 is a row_number window that WindowGroupLimit
+    * evaluates partially below the doc_id exchange.
+    */
+  private[graft] def tfidfTopK(docs: DataFrame): DataFrame = {
       val terms = docs.select(col("doc_id"),
         explode_outer(Text.words(col("text"))).as("term"))
       val tf = terms.groupBy(col("doc_id"), col("term"))
@@ -119,8 +130,7 @@ object CorpusSignals extends QueryModule {
         .select(col("doc_id"), col("rnk"), col("term"), col("tf"),
           col("df"), col("score"))
         .orderBy(col("doc_id"), col("rnk"))
-    })
-  )
+  }
 
   def oracle: Map[String, String] = Map(
     "q109_repetition" ->

@@ -61,7 +61,7 @@ class EmptyInputSpec extends AnyFunSuite {
     // a stratified filter or a day's delta over documents is routinely
     // empty; the whole curation tier must pass it through — zero rows,
     // schema identical to the populated run, no throw.
-    import graft.ops.Curation
+    import graft.ops.{Curation, CorpusSignals}
     val docs = Tables.documents(spark, sf)
     val none = docs.filter(lit(false))
     val ops: Seq[(String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)] =
@@ -71,7 +71,10 @@ class EmptyInputSpec extends AnyFunSuite {
         "decontaminate" -> (Curation.decontaminate(_, 97L)),
         "weightedMix" -> (Curation.weightedMix(_)),
         "stratifiedSample" -> (Curation.stratifiedSample(_)),
-        "redact" -> (Curation.redact(_)))
+        "redact" -> (Curation.redact(_)),
+        "repetition" -> (CorpusSignals.repetition(_)),
+        "dupSubstrings" -> (CorpusSignals.dupSubstrings(_)),
+        "tfidfTopK" -> (CorpusSignals.tfidfTopK(_)))
     for ((name, op) <- ops) {
       val out = op(none)
       assert(out.count() === 0L, s"$name must yield zero rows on an empty corpus")
