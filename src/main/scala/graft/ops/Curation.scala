@@ -219,8 +219,13 @@ object Curation extends QueryModule {
     * with the same RE2-compatible patterns both engines support, and
     * counted. Redaction must be idempotent and count-consistent:
     * length shrinks by exactly what the matches release.
+    *
+    * The transform itself is per-row and STATELESS, so the identical
+    * column expressions serve batch backfill and streaming ingest —
+    * `StreamingSpec` pins streaming==batch over micro-batches; only
+    * the batch query appends the oracle-contract sort.
     */
-  private[graft] def redact(docs: DataFrame): DataFrame = {
+  private[graft] def redactTransform(docs: DataFrame): DataFrame = {
     val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
     val phonePat = "555-[0-9]{4}"
     docs
@@ -239,8 +244,10 @@ object Curation extends QueryModule {
           phonePat, "<PHONE>")).cast("long").as("redacted_len"),
         substring(regexp_replace(regexp_replace(col("pii"), emailPat, "<EMAIL>"),
           phonePat, "<PHONE>"), 1, 44).as("redacted_head"))
-      .orderBy(col("doc_id"))
   }
+
+  private[graft] def redact(docs: DataFrame): DataFrame =
+    redactTransform(docs).orderBy(col("doc_id"))
 
   def oracle: Map[String, String] = Map(
     "q100_hash_split" ->
