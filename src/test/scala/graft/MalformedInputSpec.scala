@@ -79,4 +79,33 @@ class MalformedInputSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("Malformed") || ex.getCause != null,
       s"unexpected failure shape: ${ex.getMessage}")
   }
+
+  test("corpus signals shed null/empty-text documents, never crash") {
+    // a dirty feed will carry null and empty text; the word-level
+    // operators must drop those documents (size(null words) = -1 fails
+    // every >= threshold; null terms never match an inner-join key)
+    // rather than throw — and must keep every well-formed neighbor.
+    import graft.ops.CorpusSignals
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta alpha beta gamma", "en", "src0", 27L),
+      (2L, null.asInstanceOf[String], "en", "src0", 0L),
+      (3L, "", "en", "src0", 0L),
+      (4L, "   ", "en", "src0", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rep = CorpusSignals.repetition(docs).collect()
+    assert(rep.map(_.getAs[Long]("doc_id")).toSeq === Seq(1L),
+      "only the well-formed doc has 2-grams")
+    val dup = CorpusSignals.dupSubstrings(docs).collect()
+    assert(dup.isEmpty, "no doc reaches 20 words")
+    // tf-idf: null text yields a null term that the inner join sheds;
+    // empty/whitespace text normalizes to the '' term, which is a
+    // legitimate token and ranks — doc 1's real words must outrank
+    // nothing silently.
+    val tfidf = CorpusSignals.tfidfTopK(docs).collect()
+    assert(!tfidf.exists(_.getAs[Long]("doc_id") === 2L),
+      "null-text doc must be shed, not null-ranked")
+    assert(tfidf.count(_.getAs[Long]("doc_id") === 1L) === 3)
+    assert(tfidf.forall(_.getAs[String]("term") != null))
+  }
 }
