@@ -94,6 +94,36 @@ object Similarity extends QueryModule {
     }.reduce(_ + _)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // int8 embedding quantization — the memory-compression step a
+    // 100 TB ANN index needs (4x smaller vectors, SIMD-friendly):
+    // per-vector symmetric scale 127/max|x|, snapped to 6 decimals so
+    // both engines compute the identical IEEE-754 double (the ScalarMath
+    // r6 recipe), then q_i = floor(x_i·scale + 0.5). Everything is
+    // per-row HOFs (zero shuffles before the contract sort) and every
+    // emitted stat is an exact integer except the snapped scale itself;
+    // zero-vectors (unquantizable: amax = 0) are shed by the guard
+    // filter. Saturation count n_sat audits the clip rate — the number
+    // a deployment monitors to catch distribution drift.
+    "q112_quantize_int8" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          transform(col("embedding"), v => v.cast("double")).as("x"))
+        .withColumn("amax",
+          aggregate(col("x"), lit(0.0), (a, v) => greatest(a, abs(v))))
+        .filter(col("amax") > 0)
+        .withColumn("scale6",
+          floor(lit(127.0) / col("amax") * 1e6 + 0.5) / 1e6)
+        .select(col("vec_id"), col("scale6"),
+          transform(col("x"), v =>
+            floor(v * col("scale6") + 0.5).cast("long")).as("qs"))
+        .select(
+          col("vec_id"), col("scale6"),
+          aggregate(col("qs"), lit(0L), (a, v) => a + v).as("sum_q"),
+          array_min(col("qs")).as("min_q"),
+          array_max(col("qs")).as("max_q"),
+          size(filter(col("qs"), v => abs(v) >= 127)).cast("long").as("n_sat"))
+        .orderBy(col("vec_id"))),
+
     // exact brute-force cosine top-k: the correctness baseline every ANN
     // variant is measured against.
     "q70_cosine_topk" -> ((s, d) => {
@@ -223,6 +253,23 @@ object Similarity extends QueryModule {
   )
 
   def oracle: Map[String, String] = Map(
+    "q112_quantize_int8" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+        |  FROM embeddings),
+        |a AS (SELECT vec_id, x,
+        |    list_max(list_transform(x, v -> abs(v))) AS amax FROM e),
+        |s AS (SELECT vec_id, x,
+        |    floor(127.0 / amax * 1e6 + 0.5) / 1e6 AS scale6
+        |  FROM a WHERE amax > 0),
+        |q AS (SELECT vec_id, scale6,
+        |    list_transform(x, v -> CAST(floor(v * scale6 + 0.5) AS BIGINT)) AS qs
+        |  FROM s)
+        |SELECT vec_id, scale6, CAST(list_sum(qs) AS BIGINT) AS sum_q,
+        |  list_min(qs) AS min_q, list_max(qs) AS max_q,
+        |  CAST(len(list_filter(qs, v -> abs(v) >= 127)) AS BIGINT) AS n_sat
+        |FROM q ORDER BY vec_id""".stripMargin,
+
     "q76_ann_ivf" ->
       """WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
         |q AS (SELECT vec_id AS query_id, emb AS q_emb, label AS q_label

@@ -202,6 +202,34 @@ class OpsSpec extends AnyFunSuite {
       && r.getAs[Double]("score") > 0.0))
   }
 
+  test("q112 int8 quantization: range, exact stats, half-step error bound") {
+    val rows = Similarity.queries("q112_quantize_int8")(spark, sf).collect()
+    val embs = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+      .toMap
+    assert(rows.length === embs.size, "no zero-vectors in the corpus")
+    rows.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      val x = embs(id)
+      val scale = r.getAs[Double]("scale6")
+      val qs = x.map(v => math.floor(v * scale + 0.5).toLong)
+      // emitted stats equal the definitionally-recomputed quantization.
+      assert(r.getAs[Long]("sum_q") === qs.sum, s"vec $id sum")
+      assert(r.getAs[Long]("min_q") === qs.min, s"vec $id min")
+      assert(r.getAs[Long]("max_q") === qs.max, s"vec $id max")
+      assert(r.getAs[Long]("n_sat") === qs.count(q => math.abs(q) >= 127))
+      // int8 range: the snapped scale can overshoot 127/amax by <1e-6,
+      // which floor absorbs — quantized values stay in [-127, 127].
+      assert(qs.min >= -127L && qs.max <= 127L, s"vec $id out of int8 range")
+      // dequantization error is at most half a quantization step.
+      x.zip(qs).foreach { case (v, q) =>
+        assert(math.abs(v - q / scale) <= 0.5 / scale + 1e-12,
+          s"vec $id round-trip error exceeds half a step")
+      }
+    }
+  }
+
   test("multimodal decode stub: schema, determinism, distributed shape") {
     val decoded = Multimodal.decodeStub(Multimodal.withPayload(spark, sf))
     assert(decoded.schema === Multimodal.decodedSchema)
