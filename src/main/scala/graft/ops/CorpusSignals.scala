@@ -45,30 +45,30 @@ object CorpusSignals extends QueryModule {
 
   /** See the `q109_repetition` entry comment above for semantics. */
   private[graft] def repetition(docs: DataFrame): DataFrame = {
-      val grams = docs
-        .withColumn("wrds", Text.words(col("text")))
-        .filter(size(col("wrds")) >= 2)
-        .select(col("doc_id"), explode_outer(
-          transform(sequence(lit(1), size(col("wrds")) - 1), i =>
-            struct(element_at(col("wrds"), i).as("w1"),
-              element_at(col("wrds"), i + 1).as("w2")))).as("g"))
-      // count per (doc, gram) on the cheap struct key; the gram STRING
-      // materializes only for the per-doc distinct grams that survive
-      // the first aggregation, never per occurrence.
-      val cnt = grams.groupBy(col("doc_id"), col("g"))
-        .agg(count(lit(1)).as("c"))
-        .select(col("doc_id"), col("c"),
-          concat_ws(" ", col("g.w1"), col("g.w2")).as("gs"))
-      cnt.groupBy(col("doc_id"))
-        .agg(
-          sum(col("c")).as("n_grams"),
-          coalesce(sum(when(col("c") > 1, col("c"))), lit(0L))
-            .as("dup_gram_occ"),
-          max(struct(col("c").as("c"), col("gs").as("gs"))).as("top"))
-        .select(col("doc_id"), col("n_grams"), col("dup_gram_occ"),
-          col("top.gs").as("top_gram"), col("top.c").as("top_cnt"),
-          (col("top.c") * 5 <= col("n_grams")).as("low_repetition"))
-        .orderBy(col("doc_id"))
+    val grams = docs
+      .withColumn("wrds", Text.words(col("text")))
+      .filter(size(col("wrds")) >= 2)
+      .select(col("doc_id"), explode_outer(
+        transform(sequence(lit(1), size(col("wrds")) - 1), i =>
+          struct(element_at(col("wrds"), i).as("w1"),
+            element_at(col("wrds"), i + 1).as("w2")))).as("g"))
+    // count per (doc, gram) on the cheap struct key; the gram STRING
+    // materializes only for the per-doc distinct grams that survive
+    // the first aggregation, never per occurrence.
+    val cnt = grams.groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("doc_id"), col("c"),
+        concat_ws(" ", col("g.w1"), col("g.w2")).as("gs"))
+    cnt.groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_grams"),
+        coalesce(sum(when(col("c") > 1, col("c"))), lit(0L))
+          .as("dup_gram_occ"),
+        max(struct(col("c").as("c"), col("gs").as("gs"))).as("top"))
+      .select(col("doc_id"), col("n_grams"), col("dup_gram_occ"),
+        col("top.gs").as("top_gram"), col("top.c").as("top_cnt"),
+        (col("top.c") * 5 <= col("n_grams")).as("low_repetition"))
+      .orderBy(col("doc_id"))
   }
 
   /** Exact-substring duplication risk (the Lee et al. "Deduplicating
@@ -85,22 +85,22 @@ object CorpusSignals extends QueryModule {
     * the doc is repeated corpus text).
     */
   private[graft] def dupSubstrings(docs: DataFrame): DataFrame = {
-      val W = 20
-      val w = docs
-        .withColumn("wrds", Text.words(col("text")))
-        .filter(size(col("wrds")) >= W)
-      val win = w.select(col("doc_id"), explode_outer(
-        transform(sequence(lit(1), size(col("wrds")) - (W - 1)), i =>
-          md5(concat_ws(" ", slice(col("wrds"), i, lit(W)))))).as("h"))
-      val occ = win.groupBy(col("h")).agg(count(lit(1)).as("occ"))
-      win.join(occ, "h")
-        .groupBy(col("doc_id"))
-        .agg(
-          count(lit(1)).as("n_windows"),
-          sum(when(col("occ") > 1, 1L).otherwise(0L)).as("n_dup_windows"))
-        .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
-          (col("n_dup_windows") * 5 >= col("n_windows")).as("high_overlap"))
-        .orderBy(col("doc_id"))
+    val W = 20
+    val w = docs
+      .withColumn("wrds", Text.words(col("text")))
+      .filter(size(col("wrds")) >= W)
+    val win = w.select(col("doc_id"), explode_outer(
+      transform(sequence(lit(1), size(col("wrds")) - (W - 1)), i =>
+        md5(concat_ws(" ", slice(col("wrds"), i, lit(W)))))).as("h"))
+    val occ = win.groupBy(col("h")).agg(count(lit(1)).as("occ"))
+    win.join(occ, "h")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_windows"),
+        sum(when(col("occ") > 1, 1L).otherwise(0L)).as("n_dup_windows"))
+      .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
+        (col("n_dup_windows") * 5 >= col("n_windows")).as("high_overlap"))
+      .orderBy(col("doc_id"))
   }
 
   /** Distributed TF-IDF with per-doc top-3 terms: tf keys on
@@ -113,23 +113,23 @@ object CorpusSignals extends QueryModule {
     * evaluates partially below the doc_id exchange.
     */
   private[graft] def tfidfTopK(docs: DataFrame): DataFrame = {
-      val terms = docs.select(col("doc_id"),
-        explode_outer(Text.words(col("text"))).as("term"))
-      val tf = terms.groupBy(col("doc_id"), col("term"))
-        .agg(count(lit(1)).as("tf"))
-      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      val n = docs.agg(count(lit(1)).as("n"))
-      val idf6 = floor(log((col("n") + 1.0) / (col("df") + 1.0)) * 1e6
-        + 0.5) / 1e6
-      val w = Window.partitionBy(col("doc_id"))
-        .orderBy(col("score").desc, col("term").asc)
-      tf.join(df, "term").crossJoin(broadcast(n))
-        .withColumn("score", col("tf") * idf6)
-        .withColumn("rnk", row_number().over(w).cast("long"))
-        .filter(col("rnk") <= 3)
-        .select(col("doc_id"), col("rnk"), col("term"), col("tf"),
-          col("df"), col("score"))
-        .orderBy(col("doc_id"), col("rnk"))
+    val terms = docs.select(col("doc_id"),
+      explode_outer(Text.words(col("text"))).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val idf6 = floor(log((col("n") + 1.0) / (col("df") + 1.0)) * 1e6
+      + 0.5) / 1e6
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(df, "term").crossJoin(broadcast(n))
+      .withColumn("score", col("tf") * idf6)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("term"), col("tf"),
+        col("df"), col("score"))
+      .orderBy(col("doc_id"), col("rnk"))
   }
 
   def oracle: Map[String, String] = Map(
