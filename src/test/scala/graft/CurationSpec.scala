@@ -43,6 +43,29 @@ class CurationSpec extends AnyFunSuite
     assert(lastStart === rows.init.map(_.getAs[Long]("n_tok")).sum)
   }
 
+  test("q101 three-level prefix sum equals the naive single-window cumsum") {
+    // cross-implementation pin: the distributed decomposition (bucket +
+    // super-bucket partials, within-group windows) must reproduce the
+    // mathematically-obvious formulation — one unpartitioned running
+    // sum over the whole corpus — row for row. The naive form is the
+    // spec; the shipped form is the one that scales.
+    import org.apache.spark.sql.expressions.{Window => W}
+    val toks = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(graft.ops.Text.words(col("text"))).cast("long").as("n_tok"))
+    val naive = toks
+      .withColumn("start", coalesce(sum(col("n_tok")).over(
+        W.orderBy(col("doc_id"))
+          .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      .select(col("doc_id"), col("n_tok"),
+        expr("start DIV 2048").as("chunk_id"),
+        pmod(col("start"), lit(2048L)).as("chunk_offset"))
+      .orderBy(col("doc_id")).collect().toSeq
+    val shipped = Curation.queries("q101_seq_pack")(spark, sf)
+      .collect().toSeq
+    assert(shipped === naive)
+  }
+
   test("q101 runs no unpartitioned window over corpus-scaled rows") {
     // the three-level prefix sum's contract: the ONLY window with an
     // empty partition spec is the super-bucket running offset, whose
