@@ -1,0 +1,36 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Results must be independent of input split boundaries: the driver
+  * (or a production deployment) is free to change
+  * `spark.sql.files.maxPartitionBytes`, executor counts, or file
+  * layout, and a 100 TB job will see radically different partitionings
+  * run to run. A second session forces pathologically small splits
+  * (64 KB) and the exact-arithmetic flagship operators must return
+  * byte-identical rows. Only exact-integer / order-free queries are
+  * pinned — double SUM outputs legitimately vary in the last ulp with
+  * summation order, which is why the catalog rounds aggregate doubles
+  * (the oracle conventions), not why results may differ.
+  */
+class PartitionInvarianceSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private val pinned = Seq(
+    "q60_dedup_exact",     // sha256 keep-first
+    "q101_seq_pack",       // three-level distributed prefix sum
+    "q111_dup_substrings", // window-fingerprint group counts
+    "q112_quantize_int8")  // per-vector quantization (max is order-free)
+
+  test("exact operators are invariant to input split boundaries") {
+    val splitty = spark.newSession()
+    splitty.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+    splitty.conf.set("spark.sql.files.openCostInBytes", "0")
+    for (q <- pinned) {
+      val base = SparkEntry.queries(q)(spark, sf).collect().toSeq
+      val split = SparkEntry.queries(q)(splitty, sf).collect().toSeq
+      assert(split === base, s"$q result depends on input partitioning")
+      assert(base.nonEmpty, s"$q returned no rows at $sf")
+    }
+  }
+}
