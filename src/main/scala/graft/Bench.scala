@@ -34,6 +34,28 @@ object Bench {
   private def materialize(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  /** Queries whose first timed run lands in (2 s, 20 s) re-run twice
+    * more and report the median-of-3; everything else is single-shot.
+    *
+    * Lower bound (round-6 postmortem): q61 read 4.89 s on the shared
+    * driver run vs 2.06-2.11 s across 5 isolated runs of unchanged
+    * code — one GC pause or CPU-contention spike on a >2 s query is
+    * indistinguishable from a real regression in a single-shot number.
+    * Only the slow tier qualifies (~6 queries at sf0.1), so the extra
+    * runs cost ~2 bench-seconds per flagged query.
+    *
+    * Upper bound (round-7 postmortem): the median tier exists to
+    * absorb NOISE, but a first run past 20 s is never noise on this
+    * box (the legitimate slow tier tops out ~7 s) — it's a plan
+    * defect, and re-running it twice triples its damage: q39's 21 s
+    * pathology became ~3.5 min of bench wall time and poisoned heap/GC
+    * for neighboring queries. Runaways report the single honest number.
+    */
+  private[graft] val MedianRerunSec = 2.0
+  private[graft] val RunawayCapSec = 20.0
+  private[graft] def rerunsFor(firstSec: Double): Int =
+    if (firstSec <= MedianRerunSec || firstSec >= RunawayCapSec) 0 else 2
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -56,15 +78,6 @@ object Bench {
     spark.sparkContext.addSparkListener(tally)
 
     var failed = List.empty[String]
-    // Queries whose first timed run exceeds this re-run twice more and
-    // report the median-of-3. Round-6 postmortem: q61 read 4.89 s on
-    // the shared driver run vs 2.06-2.11 s across 5 isolated runs of
-    // unchanged code — one GC pause or CPU-contention spike on a >2 s
-    // query is indistinguishable from a real regression in a
-    // single-shot number. Only the slow tier qualifies (~6 queries at
-    // sf0.1), so the extra runs cost ~2 bench-seconds per flagged query
-    // while making the regression diff trustworthy.
-    val MedianRerunSec = 2.0
     val results = names.map { name =>
       GraftSparkBridge.flushListeners(spark.sparkContext)
       tally.bytes.set(0L)
@@ -81,7 +94,7 @@ object Bench {
           GraftSparkBridge.flushListeners(spark.sparkContext)
           val mb = tally.bytes.get() / 1e6
           val s =
-            if (first <= MedianRerunSec) first
+            if (rerunsFor(first) == 0) first
             else Seq(first, timedRun(), timedRun()).sorted.apply(1)
           (s, mb)
         } catch { case e: Throwable =>

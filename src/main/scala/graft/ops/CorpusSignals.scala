@@ -92,6 +92,13 @@ object CorpusSignals extends QueryModule {
     val win = w.select(col("doc_id"), explode_outer(
       transform(sequence(lit(1), size(col("wrds")) - (W - 1)), i =>
         md5(concat_ws(" ", slice(col("wrds"), i, lit(W)))))).as("h"))
+    // `win` feeds both the occurrence aggregate and the join probe, so
+    // the normalize→explode→md5 pipeline — the heaviest stage — runs
+    // twice per execution. Deliberate for this stateless catalog query
+    // (every entry must be a pure DataFrame of its inputs; the oracle
+    // recomputes identically). A production pipeline at corpus scale
+    // would persist/checkpoint the (doc_id, h) frame once here and
+    // join the aggregate back against the materialized copy.
     val occ = win.groupBy(col("h")).agg(count(lit(1)).as("occ"))
     win.join(occ, "h")
       .groupBy(col("doc_id"))
@@ -111,10 +118,18 @@ object CorpusSignals extends QueryModule {
     * so score = tf · idf6 is the same IEEE-754 product bit-for-bit;
     * the per-doc top-3 is a row_number window that WindowGroupLimit
     * evaluates partially below the doc_id exchange.
+    *
+    * Degenerate-doc shedding: empty/whitespace-only text normalizes to
+    * the single '' token — ranking that as a term would inflate df
+    * corpus-wide and give degenerate docs a meaningless top-term row,
+    * inconsistent with how null text sheds (null term, dropped by the
+    * inner join). The term filter drops both classes the same way;
+    * the oracle applies the identical predicate.
     */
   private[graft] def tfidfTopK(docs: DataFrame): DataFrame = {
     val terms = docs.select(col("doc_id"),
       explode_outer(Text.words(col("text"))).as("term"))
+      .filter(col("term") =!= "")
     val tf = terms.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -173,7 +188,8 @@ object CorpusSignals extends QueryModule {
       """WITH t AS (SELECT doc_id,
         |    unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS term
         |  FROM documents),
-        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+        |  WHERE term != '' GROUP BY doc_id, term),
         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
         |n AS (SELECT count(*) AS n FROM documents),
         |s AS (SELECT doc_id, term, tf, df,

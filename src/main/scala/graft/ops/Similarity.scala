@@ -62,9 +62,16 @@ object Similarity extends QueryModule {
 
   /** int8-quantized corpus: vec_id, the 6-decimal-snapped symmetric
     * scale 127/max|x| (identical IEEE-754 double in both engines), and
-    * the quantized vector q_i = floor(x_i·scale + 0.5) — shared by the
-    * quantization audit (q112) and the compressed ANN path (q113).
-    * Zero-vectors (amax = 0, unquantizable) are shed.
+    * the quantized vector q_i = clamp(floor(x_i·scale + 0.5), ±127) —
+    * shared by the quantization audit (q112) and the compressed ANN
+    * path (q113). Two guards make the int8 contract unconditional:
+    * zero-vectors (amax = 0) and vectors whose amax ≥ ~2.54e8 snaps
+    * scale6 to exactly 0 (an all-zero qs would give q113 a 0/0 NaN
+    * cosine with engine-divergent ordering) are shed; and for amax ≥
+    * ~1e6 the snapped scale can overshoot 127/amax by half a
+    * quantization step, so the ±127 clamp pins the boundary element
+    * back into int8 range. Neither case occurs in the test corpus —
+    * the guards exist so the contract holds on arbitrary input.
     */
   private def quantized(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
@@ -75,9 +82,11 @@ object Similarity extends QueryModule {
       .filter(col("amax") > 0)
       .withColumn("scale6",
         floor(lit(127.0) / col("amax") * 1e6 + 0.5) / 1e6)
+      .filter(col("scale6") > 0)
       .select(col("vec_id"), col("scale6"),
         transform(col("x"), v =>
-          floor(v * col("scale6") + 0.5).cast("long")).as("qs"))
+          greatest(lit(-127L), least(lit(127L),
+            floor(v * col("scale6") + 0.5).cast("long")))).as("qs"))
 
   /** Corpus × broadcast(queries) scored pairs (self-match excluded). */
   private def scored(s: SparkSession, d: String): DataFrame = {
@@ -301,8 +310,9 @@ object Similarity extends QueryModule {
         |    floor(127.0 / amax * 1e6 + 0.5) / 1e6 AS scale6
         |  FROM a WHERE amax > 0),
         |q AS (SELECT vec_id, scale6,
-        |    list_transform(x, v -> CAST(floor(v * scale6 + 0.5) AS BIGINT)) AS qs
-        |  FROM s)
+        |    list_transform(x, v -> greatest(-127, least(127,
+        |      CAST(floor(v * scale6 + 0.5) AS BIGINT)))) AS qs
+        |  FROM s WHERE scale6 > 0)
         |SELECT vec_id, scale6, CAST(list_sum(qs) AS BIGINT) AS sum_q,
         |  list_min(qs) AS min_q, list_max(qs) AS max_q,
         |  CAST(len(list_filter(qs, v -> abs(v) >= 127)) AS BIGINT) AS n_sat
@@ -322,8 +332,9 @@ object Similarity extends QueryModule {
         |    floor(127.0 / amax * 1e6 + 0.5) / 1e6 AS scale6
         |  FROM a WHERE amax > 0),
         |qz AS (SELECT vec_id,
-        |    list_transform(x, v -> CAST(floor(v * scale6 + 0.5) AS BIGINT)) AS qs
-        |  FROM s),
+        |    list_transform(x, v -> greatest(-127, least(127,
+        |      CAST(floor(v * scale6 + 0.5) AS BIGINT)))) AS qs
+        |  FROM s WHERE scale6 > 0),
         |n AS (SELECT vec_id, qs,
         |    CAST(list_sum(list_transform(qs, v -> v * v)) AS BIGINT) AS n2
         |  FROM qz),

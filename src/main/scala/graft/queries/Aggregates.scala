@@ -125,16 +125,27 @@ object Aggregates extends QueryModule {
     // of 7 values, structurally the majority at any SF) because mode
     // over a column with near-tied frequencies is engine-arbitrary on
     // ties — never oracle a tie-able mode.
-    "q33c_listagg_mode" -> ((s, d) =>
-      Tables.lineitem(s, d)
-        .groupBy(col("l_returnflag"))
+    // The DISTINCT listagg and the mode()s ride separate aggregations
+    // joined on the 3-row key: fused, the distinct rewrite would key
+    // the first phase on (l_returnflag, l_linestatus) and build mode
+    // buffers per distinct-key group. Harmless HERE (l_linestatus has
+    // 3 values), but the PlanShapeSpec sweep bans the fused shape
+    // catalog-wide because its cost is silently proportional to the
+    // distinct key's cardinality (q39's partkey made it an OOM shape).
+    "q33c_listagg_mode" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val la = li.groupBy(col("l_returnflag"))
         .agg(
           expr("listagg(DISTINCT l_linestatus, ',') WITHIN GROUP (ORDER BY l_linestatus)")
-            .as("k_listagg"),
+            .as("k_listagg"))
+      val modes = li.groupBy(col("l_returnflag"))
+        .agg(
           expr("mode(l_linenumber % 2)").as("k_mode"),
           expr("mode() WITHIN GROUP (ORDER BY l_linenumber % 2)")
             .as("k_mode_wg"))
-        .orderBy(col("l_returnflag"))),
+      la.join(modes, Seq("l_returnflag"))
+        .orderBy(col("l_returnflag"))
+    }),
 
     // Spark skewness/kurtosis are population g1 / excess g2; the oracle
     // spells out the moment formulas (DuckDB's builtins use the sample-
@@ -184,26 +195,41 @@ object Aggregates extends QueryModule {
     // sketches: HyperLogLog distinct + approximate percentiles,
     // SELF-VERIFYING: the sketch estimates have no bit-exact DuckDB
     // twin, so the query folds each estimate into a tolerance boolean
-    // against the exact value computed in the same aggregation — the
+    // against the exact value computed over the same table — the
     // oracle then emits (exact, TRUE, TRUE) and a green row proves the
     // sketches landed inside tolerance. rsd=0.01 (1σ) against a 5%
     // gate is a 5σ bound, and both sketches are deterministic
     // (hash-based), so the row is stable, not flaky. Exact quantiles
     // are additionally pinned in q39b via percentile().
-    "q39_approx_sketch" -> ((s, d) =>
-      Tables.lineitem(s, d)
-        .groupBy(col("l_returnflag"))
+    //
+    // SHAPE CONSTRAINT (round-7 postmortem, 37% of the whole bench):
+    // count_distinct must NOT share an .agg with the sketch/percentile
+    // aggregates. Spark's distinct-aggregate rewrite keys the first
+    // aggregation phase on (group key, distinct key) — so a fused form
+    // builds a 2^14-register HLL++, a QuantileSummaries, and an exact
+    // percentile map PER PARTKEY (~200k heavy object buffers shuffled
+    // and merged; an OOM at cluster scale, 70 s at sf0.1). Split into
+    // two 3-row aggregations joined on l_returnflag, each phase keys
+    // only on the 3-value group: the distinct leg carries counting
+    // buffers only, the sketch leg carries 3 of each object buffer.
+    // PlanShapeSpec sweeps the whole catalog for the fused shape.
+    "q39_approx_sketch" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val exact = li.groupBy(col("l_returnflag"))
+        .agg(count_distinct(col("l_partkey")).as("exact_parts"))
+      val sketch = li.groupBy(col("l_returnflag"))
         .agg(
           approx_count_distinct(col("l_partkey"), 0.01).as("acd_parts"),
-          count_distinct(col("l_partkey")).as("exact_parts"),
           percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_approx"),
           expr("percentile(l_extendedprice, 0.5)").as("p50_exact"))
+      exact.join(sketch, Seq("l_returnflag"))
         .select(col("l_returnflag"), col("exact_parts"),
           (abs(col("acd_parts") - col("exact_parts"))
             <= col("exact_parts") * 0.05).as("acd_within_5pct"),
           (abs(col("p50_approx") - col("p50_exact"))
             <= abs(col("p50_exact")) * 0.05).as("p50_within_5pct"))
-        .orderBy(col("l_returnflag"))),
+        .orderBy(col("l_returnflag"))
+    }),
 
     // skew-safe two-stage aggregation: event_type has ~6 hot values, so
     // a direct groupBy at cluster scale funnels each key through one

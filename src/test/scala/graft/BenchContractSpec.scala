@@ -37,6 +37,19 @@ class BenchContractSpec extends AnyFunSuite {
     assert(qs.length === 32, "slowest-32 cap")
   }
 
+  test("median re-runs cover only the noisy slow tier, never runaways") {
+    // fast tier: single shot (re-runs would double the bench for nothing)
+    assert(Bench.rerunsFor(0.5) === 0)
+    assert(Bench.rerunsFor(Bench.MedianRerunSec) === 0)
+    // slow tier: GC/contention noise is real here — median-of-3
+    assert(Bench.rerunsFor(3.0) === 2)
+    assert(Bench.rerunsFor(19.9) === 2)
+    // runaway: a first run this slow is a plan defect, not noise;
+    // re-running it triples its damage (q39 r7: 21 s became ~3.5 min)
+    assert(Bench.rerunsFor(Bench.RunawayCapSec) === 0)
+    assert(Bench.rerunsFor(70.0) === 0)
+  }
+
   test("detail line keeps the full failure list and every query") {
     val failed = results.map(_._1).take(50).toList
     val detail = Bench.detailLine(results, failed, "sfX")

@@ -142,6 +142,65 @@ class PlanShapeSpec extends AnyFunSuite {
       s"tf/df aggregation lost map-side partials:\n$p")
   }
 
+  test("no query fuses a distinct aggregate with object-buffer aggregates") {
+    // round-7 postmortem (q39, 37% of the whole bench): Spark's
+    // distinct-aggregate rewrite keys the FIRST aggregation phase on
+    // (group keys ++ distinct keys) — any TypedImperativeAggregate in
+    // the same Aggregate then builds its heavy object buffer once per
+    // DISTINCT-KEY group (~200k serialized HLL++/QuantileSummaries
+    // buffers at sf0.1; a straight OOM at cluster scale). The fix is
+    // always the same: split into two aggregations joined on the group
+    // key. Sweep every registered query's analyzed plan for the shape
+    // so the next occurrence fails at test time, not in the bench.
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, TypedImperativeAggregate}
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val aggs = fn(spark, sf).queryExecution.analyzed.collect {
+        case a: Aggregate => a
+      }
+      for (a <- aggs) {
+        val exprs = a.aggregateExpressions.flatMap(_.collect {
+          case ae: AggregateExpression => ae
+        })
+        val distinct = exprs.filter(_.isDistinct)
+        // a lone DISTINCT TypedImperative (e.g. listagg(DISTINCT x)) is
+        // fine: its partial phase is a pure dedup with no buffers, and
+        // the buffer builds only in the final phase keyed on the group.
+        // The pathology needs a NON-distinct object buffer riding the
+        // same Aggregate — that one gets built per distinct-key group.
+        val objectBuf = exprs.filter(ae => !ae.isDistinct &&
+          ae.aggregateFunction.isInstanceOf[TypedImperativeAggregate[_]])
+        assert(distinct.isEmpty || objectBuf.isEmpty,
+          s"$name fuses distinct aggregate(s) ${distinct.map(_.sql)} with " +
+            s"object-buffer aggregate(s) ${objectBuf.map(_.sql)} in one " +
+            s"Aggregate — the distinct rewrite will build the object " +
+            s"buffers per distinct-key group (q39 r7 pathology)")
+      }
+    }
+  }
+
+  test("q39 object-buffer aggregation stays keyed on l_returnflag alone") {
+    // the physical twin of the sweep above: after optimization no
+    // aggregate carrying TypedImperative buffers may group on anything
+    // beyond the 3-value l_returnflag (the r7 defect grouped them on
+    // (l_returnflag, l_partkey) — ~200k buffer groups).
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, TypedImperativeAggregate}
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val plan = SparkEntry.queries("q39_approx_sketch")(spark, sf)
+      .queryExecution.optimizedPlan
+    val heavy = plan.collect {
+      case a: Aggregate if a.aggregateExpressions.exists(_.collect {
+        case ae: AggregateExpression => ae
+      }.exists(_.aggregateFunction.isInstanceOf[TypedImperativeAggregate[_]]))
+        => a
+    }
+    assert(heavy.nonEmpty, s"q39 lost its sketch aggregation:\n$plan")
+    for (a <- heavy)
+      assert(a.groupingExpressions.size <= 1,
+        s"q39 object-buffer aggregate keyed on ${a.groupingExpressions} — " +
+          s"must group on l_returnflag only:\n$a")
+  }
+
   test("q29b banded interval join plans as an equi join, not a nested loop") {
     // the whole point of banding: the ±60 s predicate must ride as a
     // residual on a hash/merge EQUI join over the bin key — a
