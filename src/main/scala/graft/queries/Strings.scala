@@ -148,11 +148,21 @@ object Strings extends QueryModule {
           bin(col("c_custkey")).as("h_bin"))
         .orderBy(col("c_custkey"))),
 
-    // Spark-specific digests/formatters with no DuckDB twin — rows-only.
+    // Spark-specific digests/formatters (murmur3 seed-42, xxhash64,
+    // crc32, sha1, soundex, format_*) — DuckDB 1.0 implements none of
+    // them, so raw values cannot cross engines. SELF-VERIFYING (the
+    // q39/q63 recipe): every digest is still computed, then folded
+    // into a structural property both engines CAN agree on — range /
+    // hex-shape / soundex-shape predicates and exact or tolerance
+    // round-trips through the formatters — so the oracle emits
+    // constants and a green row proves each function ran per-row and
+    // produced well-formed output. Raw digest values are pinned
+    // against published/captured constants in SketchSpec, so a digest
+    // regression cannot hide behind the booleans.
     "q56_hash_sketch" -> ((s, d) =>
       Tables.customer(s, d)
         .select(
-          col("c_custkey"),
+          col("c_custkey"), col("c_name"), col("c_mktsegment"), col("c_acctbal"),
           hash(col("c_name")).as("h_murmur3"),
           xxhash64(col("c_name")).as("h_xx64"),
           crc32(col("c_name").cast("binary")).as("h_crc32"),
@@ -160,6 +170,21 @@ object Strings extends QueryModule {
           soundex(col("c_mktsegment")).as("h_soundex"),
           format_number(col("c_acctbal"), 2).as("h_fmtnum"),
           format_string("cust-%d:%s", col("c_custkey"), col("c_mktsegment")).as("h_fmtstr"))
+        .select(
+          col("c_custkey"),
+          (col("h_murmur3").isNotNull && col("h_xx64").isNotNull)
+            .as("digests_defined"),
+          col("h_crc32").between(0L, 4294967295L).as("crc32_in_range"),
+          col("h_sha1").rlike("^[0-9a-f]{40}$").as("sha1_hex40"),
+          col("h_soundex").rlike("^[A-Z][0-9]{3}$").as("soundex_shape"),
+          // c_acctbal is cents-valued, so the 2-decimal format is a
+          // near-exact round-trip; 0.0051 absorbs the formatter's
+          // HALF_EVEN boundary plus double-repr dust.
+          (abs(regexp_replace(col("h_fmtnum"), ",", "").cast("double")
+            - col("c_acctbal")) <= 0.0051).as("fmtnum_roundtrip"),
+          (col("h_fmtstr") === concat(lit("cust-"),
+            col("c_custkey").cast("string"), lit(":"), col("c_mktsegment")))
+            .as("fmtstr_exact"))
         .orderBy(col("c_custkey"))),
 
     "q58_json" -> ((s, d) => {
@@ -322,6 +347,19 @@ object Strings extends QueryModule {
         |  coalesce(array_to_string(str_split(p_name, ' '), '|'), '') AS r_split,
         |  split_part(p_brand, '#', 2) AS r_split_item
         |FROM part ORDER BY p_partkey""".stripMargin,
+
+    // the digest estimates are folded into structural booleans on the
+    // Spark side (none of these functions exist in DuckDB 1.0), so the
+    // exact engine's answer is all-TRUE per customer row.
+    "q56_hash_sketch" ->
+      """SELECT c_custkey,
+        |  TRUE AS digests_defined,
+        |  TRUE AS crc32_in_range,
+        |  TRUE AS sha1_hex40,
+        |  TRUE AS soundex_shape,
+        |  TRUE AS fmtnum_roundtrip,
+        |  TRUE AS fmtstr_exact
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "q55_hash_encode" ->
       """SELECT c_custkey,

@@ -19,6 +19,8 @@ class PartitionInvarianceSpec extends AnyFunSuite {
   private val pinned = Seq(
     "q60_dedup_exact",     // sha256 keep-first
     "q101_seq_pack",       // three-level distributed prefix sum
+    "q109_repetition",     // exact gram counts + struct-max argmax
+    "q110_tfidf_topk",     // exact tf/df; score = int · snapped idf
     "q111_dup_substrings", // window-fingerprint group counts
     "q112_quantize_int8")  // per-vector quantization (max is order-free)
 

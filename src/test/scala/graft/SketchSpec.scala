@@ -40,15 +40,42 @@ class SketchSpec extends AnyFunSuite {
         s"$name estimate $est vs exact $exact outside 5%")
   }
 
-  test("rows-only queries are deterministic run-to-run (q39, q56)") {
-    // these two have no DuckDB twin (engine-specific sketch/digest
-    // internals), so the driver's check is rows-only; what CAN be
-    // pinned is that re-executing yields byte-identical results —
-    // estimates and digests are pure functions of the input.
+  test("self-verifying sketch/digest queries are deterministic run-to-run") {
+    // q39/q56 fold engine-specific estimates and digests into
+    // oracle-reproducible booleans; what the booleans can't show is
+    // pinned here — re-executing yields byte-identical results,
+    // because estimates and digests are pure functions of the input.
     for (q <- Seq("q39_approx_sketch", "q56_hash_sketch")) {
       val run1 = SparkEntry.queries(q)(spark, sf).collect().toSeq
       val run2 = SparkEntry.queries(q)(spark, sf).collect().toSeq
       assert(run1 === run2, s"$q is not deterministic across runs")
     }
   }
+
+  test("q56's raw digest family matches pinned reference values") {
+    // q56's output is structural booleans, so a digest regression
+    // could hide behind them; the raw values are pinned here instead.
+    // sha1/crc32 are published algorithms (constants verified against
+    // Python hashlib/zlib); murmur3 and xxhash64 are Spark-seeded
+    // (seed 42) — their values were captured from Spark 4.1.2 and must
+    // never drift, since persisted fingerprints at 100 TB depend on
+    // re-runs hashing identically.
+    import org.apache.spark.sql.functions._
+    val r = spark.range(1).select(
+      hash(lit("graft")).as("m3"),
+      xxhash64(lit("graft")).as("xx"),
+      crc32(lit("graft").cast("binary")).as("crc"),
+      sha1(lit("graft").cast("binary")).as("sha"),
+      soundex(lit("graft")).as("sdx")).collect()(0)
+    assert(r.getAs[Long]("crc") === 31255620L)
+    assert(r.getAs[String]("sha") === "9c298007ec968fa5b8de22a5356f4bd8a865daf2")
+    assert(r.getAs[String]("sdx") === "G613")
+    assert((r.getAs[Int]("m3"), r.getAs[Long]("xx"))
+      === ((MURMUR3_GRAFT, XXHASH64_GRAFT)))
+  }
+
+  // Spark-specific hash constants for "graft" (seed 42), captured once
+  // from Spark 4.1.2.
+  private val MURMUR3_GRAFT: Int = -1930494102
+  private val XXHASH64_GRAFT: Long = -4815631219266125053L
 }
