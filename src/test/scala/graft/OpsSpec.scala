@@ -262,6 +262,52 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q112/q113 int8 guards hold on extreme-magnitude vectors") {
+    // the driver corpus never reaches the guard region (amax ~ O(1)),
+    // so the unconditional-contract guards are exercised here on a
+    // synthetic corpus: a vector with amax >= ~1e6 (the 6-decimal
+    // snapped scale overshoots 127/amax by >= half a quantization
+    // step, so the unclamped q would emit +128), one with amax >=
+    // ~2.54e8 (scale6 snaps to exactly 0 -- an all-zero qs whose n2=0
+    // would make q113's cosine 0/0 NaN), and a zero vector.
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-extreme-emb").toString
+    val dim = 64
+    def vec(f: Int => Float): Array[Float] = Array.tabulate(dim)(f)
+    Seq(
+      (0L, vec(i => 0.5f + 0.01f * i), 0),            // ordinary
+      (1L, vec(i => if (i == 0) 2.0e6f else 1.0f), 0), // clamp region
+      (2L, vec(_ => 3.0e8f), 0),                       // scale6 -> 0: shed
+      (3L, vec(_ => 0.0f), 0),                         // amax = 0: shed
+      (4L, vec(i => 1.0f - 0.01f * i), 0))             // ordinary
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    val q = Similarity.queries("q112_quantize_int8")(spark, dir).collect()
+    assert(q.map(_.getAs[Long]("vec_id")).toSeq === Seq(0L, 1L, 4L),
+      "zero and scale-underflow vectors must be shed")
+    q.foreach { r =>
+      assert(r.getAs[Long]("min_q") >= -127L && r.getAs[Long]("max_q") <= 127L,
+        s"vec ${r.getAs[Long]("vec_id")} outside int8 after clamp")
+    }
+    // the clamp actually fired for vec 1: its amax element lands
+    // exactly on the overshoot boundary (floor(128.5) = 128 -> 127),
+    // and the saturation audit counts it.
+    val v1 = q.find(_.getAs[Long]("vec_id") == 1L).get
+    assert(v1.getAs[Long]("max_q") === 127L)
+    assert(v1.getAs[Long]("n_sat") >= 1L)
+
+    val ann = Similarity.queries("q113_ann_int8")(spark, dir).collect()
+    assert(ann.nonEmpty, "surviving vectors must still rank")
+    ann.foreach { r =>
+      val c = r.getAs[Double]("cos_q")
+      assert(!c.isNaN && c >= -1.0 - 1e-12 && c <= 1.0 + 1e-12,
+        s"NaN/out-of-range cosine leaked through the guards: $c")
+      assert(Set(0L, 1L, 4L).contains(r.getAs[Long]("neighbor_id")))
+    }
+  }
+
   test("multimodal decode stub: schema, determinism, distributed shape") {
     val decoded = Multimodal.decodeStub(Multimodal.withPayload(spark, sf))
     assert(decoded.schema === Multimodal.decodedSchema)
