@@ -6,15 +6,34 @@ Usage:
 
 <new> is either a driver BENCH_r{N}.json (uses its "parsed" object) or a
 file of raw Bench stdout lines (uses the last {"metric":"total"...} line).
-<baseline> defaults to tools/bench_r06_baseline.json — the round-6 driver
-run (90.82 s / 128 queries, the operative baseline per the r6 verdict);
-tools/bench_r06_local.json holds the builder's clean local run of the
-same code for disambiguating machine noise. Exit code 1 if any
+<baseline> defaults to the newest repo-root BENCH_r{N}.json with N >= 8
+(per the r7 verdict, BENCH_r08 — the first driver run after the q39
+fused-aggregate fix — becomes the operative baseline; r7's 190.17 s run
+is dominated by that since-fixed defect and would mask regressions),
+falling back to tools/bench_r06_baseline.json (90.82 s / 128 queries)
+until a driver run of the fixed code exists.
+tools/bench_r0{6,8}_local.json hold the builder's clean local runs of
+the same code for disambiguating machine noise. Exit code 1 if any
 query exceeds threshold x its baseline time (queries under 0.5 s in the
 baseline are skipped — they are pure noise at this scale).
 """
+import glob
 import json
+import os
+import re
 import sys
+
+
+def default_baseline():
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rounds = {}
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(p))
+        if m and int(m.group(1)) >= 8:
+            rounds[int(m.group(1))] = p
+    if rounds:
+        return rounds[max(rounds)]
+    return os.path.join(here, "tools", "bench_r06_baseline.json")
 
 
 def load(path):
@@ -43,7 +62,9 @@ def main():
         if a.startswith("--threshold"):
             thr = float(a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1])
     new = load(args[0])
-    base = load(args[1] if len(args) > 1 else "tools/bench_r06_baseline.json")
+    base_path = args[1] if len(args) > 1 else default_baseline()
+    base = load(base_path)
+    print(f"baseline: {base_path}")
     nq, bq = new["queries"], base["queries"]
     flagged = []
     print(f"total: {base['value']:.2f} -> {new['value']:.2f} s "
