@@ -18,11 +18,15 @@ class PartitionInvarianceSpec extends AnyFunSuite {
 
   private val pinned = Seq(
     "q60_dedup_exact",     // sha256 keep-first
+    "q63_dedup_simhash",   // md5-derived fingerprint bits + Hamming gate
+    "q67_fingerprint",     // rolling-hash document fingerprints
+    "q100_hash_split",     // affine-hash train/valid/test split
     "q101_seq_pack",       // three-level distributed prefix sum
     "q109_repetition",     // exact gram counts + struct-max argmax
     "q110_tfidf_topk",     // exact tf/df; score = int · snapped idf
     "q111_dup_substrings", // window-fingerprint group counts
-    "q112_quantize_int8")  // per-vector quantization (max is order-free)
+    "q112_quantize_int8",  // per-vector quantization (max is order-free)
+    "q113_ann_int8")       // integer dots; rank ties broken on vec_id
 
   test("exact operators are invariant to input split boundaries") {
     val splitty = spark.newSession()
