@@ -270,15 +270,20 @@ object Similarity extends QueryModule {
       val qb = bucketed.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
           col("nrm").as("q_nrm"), col("table_id"), col("bucket_id"))
+      // cosine is computed BEFORE the candidate dedup: a pair colliding
+      // in k of the 8 tables recomputes the (codegen'd) dot product k
+      // times, but the dropDuplicates exchange then carries 24-byte
+      // (query, vec, cos) rows instead of ~1 KB rows with both
+      // embeddings — at cluster scale the shuffle, not the FLOPs, is
+      // the bottleneck. cos_sim is a pure function of the pair, so
+      // dedup keyed on (query_id, vec_id) is unaffected.
       val cand = bucketed.join(broadcast(qb), Seq("table_id", "bucket_id"))
         .filter(col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id"), col("emb"), col("nrm"),
-          col("q_emb"), col("q_nrm"))
+        .select(col("query_id"), col("vec_id"), pairCosine.as("cos_sim"))
         .dropDuplicates("query_id", "vec_id")
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cos_sim").desc, col("vec_id").asc)
       val lshTop = cand
-        .select(col("query_id"), col("vec_id"), pairCosine.as("cos_sim"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= TopK)
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
