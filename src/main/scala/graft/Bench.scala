@@ -56,6 +56,34 @@ object Bench {
   private[graft] def rerunsFor(firstSec: Double): Int =
     if (firstSec <= MedianRerunSec || firstSec >= RunawayCapSec) 0 else 2
 
+  /** In-band environment calibration (round-9 postmortem of the r8
+    * driver bench, which read 879.67 s for code that runs in ~117-122 s
+    * on a quiet box — sustained box contention, invisible in the JSON
+    * because nothing in it measured the box): a fixed, data-independent,
+    * CPU-bound probe — xxhash64 chain over a constant range, one codegen
+    * stage, no I/O, no shuffle beyond the 32→1 partial-agg collect —
+    * timed at bench start and end and reported as "calib_s":[a,b] in the
+    * contract line. On a quiet local[32] box it reads ~1 s (the clean
+    * value is pinned in tools/bench_diff.py CLEAN_CALIB_S); a
+    * contaminated run self-identifies with calib at 2-10x that, and
+    * bench_diff demotes its per-query flags to unconfirmed instead of
+    * false-flagging 30 clean plans.
+    */
+  private val CalibRows = 400000000L
+  private def calibrate(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    materialize(spark.range(0L, CalibRows, 1L, 32)
+      .selectExpr("bit_xor(xxhash64(id, id * 31, id * 131)) AS h"))
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Median of 3 probe runs — a single sample is itself one GC pause
+    * away from a false contamination signal. ~2.6 s total across both
+    * ends of a ~120 s bench.
+    */
+  private def calibSample(spark: SparkSession): Double =
+    Seq(calibrate(spark), calibrate(spark), calibrate(spark)).sorted.apply(1)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -67,6 +95,12 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
+    // untimed FULL-SIZE probe warmup — codegen compile alone is not
+    // enough, the hash loop needs a complete pass to reach C2-compiled
+    // steady state (a 1000-row warmup left the first timed sample 2x
+    // the second) — then the timed start-of-bench calibration sample.
+    calibrate(spark)
+    val calibStart = calibSample(spark)
     // untimed warmup: run everything once (codegen compile, parquet
     // footer cache, JIT); errors here surface in the timed pass.
     names.foreach { n =>
@@ -78,6 +112,7 @@ object Bench {
     spark.sparkContext.addSparkListener(tally)
 
     var failed = List.empty[String]
+    var runaway = List.empty[String]
     val results = names.map { name =>
       GraftSparkBridge.flushListeners(spark.sparkContext)
       tally.bytes.set(0L)
@@ -93,6 +128,11 @@ object Bench {
           // would double/triple-count the tally).
           GraftSparkBridge.flushListeners(spark.sparkContext)
           val mb = tally.bytes.get() / 1e6
+          // a first run past the cap reports single-shot (no median to
+          // disambiguate noise) — mark it untrusted in the JSON so
+          // bench_diff and reviewers demand an isolated A/B instead of
+          // reading it as a measured regression.
+          if (first >= RunawayCapSec) runaway ::= name
           val s =
             if (rerunsFor(first) == 0) first
             else Seq(first, timedRun(), timedRun()).sorted.apply(1)
@@ -105,15 +145,18 @@ object Bench {
         }
       (name, sec, shuffleMb)
     }
+    // end-of-bench calibration sample: contention that arrived mid-run
+    // shows as calib_s[1] >> calib_s[0].
+    val calib = (calibStart, calibSample(spark))
     // Full detail first (one line, may exceed the driver's 2000-char
     // stdout-tail capture; kept for humans + the repo bench log) ...
-    println(detailLine(results, failed, sfDir))
+    println(detailLine(results, failed, runaway, calib, sfDir))
     // ... then the driver-contract line LAST and COMPACT: the driver
     // parses JSON out of the last ~2000 chars of stdout, so this line
     // must fit there whole (BenchContractSpec pins this under a
     // worst-case failure count). Slowest 32 queries + first 8 failures
     // only; the full lists are in the detail line above.
-    println(compactLine(results, failed, sfDir))
+    println(compactLine(results, failed, runaway, calib, sfDir))
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
@@ -122,28 +165,36 @@ object Bench {
     names.map("\"" + _ + "\"").mkString("[", ",", "]")
 
   private[graft] def detailLine(results: Seq[(String, Double, Double)],
-                                failed: List[String], sfDir: String): String = {
+                                failed: List[String], runaway: List[String],
+                                calib: (Double, Double), sfDir: String): String = {
     val qs = results.map { case (k, v, _) => f""""$k":$v%.2f""" }
       .mkString("{", ",", "}")
     val sh = results.map { case (k, _, mb) => f""""$k":$mb%.2f""" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
-    s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":$sh,"failed":${jsonList(failed.sorted)},"sf":"$sfDir"}"""
+    s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":$sh,"failed":${jsonList(failed.sorted)},"runaway":${jsonList(runaway.sorted)},"calib_s":${calibJson(calib)},"sf":"$sfDir"}"""
   }
 
+  private def calibJson(calib: (Double, Double)): String =
+    f"[${calib._1}%.2f,${calib._2}%.2f]"
+
   private[graft] def compactLine(results: Seq[(String, Double, Double)],
-                                 failed: List[String], sfDir: String): String = {
+                                 failed: List[String], runaway: List[String],
+                                 calib: (Double, Double), sfDir: String): String = {
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
     val totalShuffleMb = results.map(_._3).sum
     val top = results.filter(_._2 >= 0).sortBy(-_._2).take(32).sortBy(_._1)
     val topQs = top.map { case (k, v, _) => f""""$k":$v%.2f""" }
       .mkString("{", ",", "}")
     val omitted = results.length - top.length
-    // failed is truncated here so a mass failure (long names × many
-    // queries) cannot push the line past the driver's stdout tail
-    // exactly when the failure status matters most; failed_count always
-    // carries the true total.
-    val failedShown = jsonList(failed.sorted.take(8))
-    f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$topQs,"queries_run":${results.length},"queries_omitted_fast":$omitted,"shuffle_mb_total":$totalShuffleMb%.1f,"failed":$failedShown,"failed_count":${failed.length},"sf":"$sfDir"}"""
+    // failed and runaway are truncated here so a mass failure (long
+    // names × many queries) cannot push the line past the driver's
+    // stdout tail exactly when the failure status matters most;
+    // *_count always carries the true total and the detail line the
+    // full lists. 5+5 name slots keep the worst case under the
+    // BenchContractSpec 1800-char budget.
+    val failedShown = jsonList(failed.sorted.take(5))
+    val runawayShown = jsonList(runaway.sorted.take(5))
+    f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$topQs,"queries_run":${results.length},"queries_omitted_fast":$omitted,"shuffle_mb_total":$totalShuffleMb%.1f,"failed":$failedShown,"failed_count":${failed.length},"runaway":$runawayShown,"runaway_count":${runaway.length},"calib_s":${calibJson(calib)},"sf":"$sfDir"}"""
   }
 }

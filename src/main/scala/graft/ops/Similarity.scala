@@ -101,23 +101,39 @@ object Similarity extends QueryModule {
   }
 
   /** ANN parameters: `NumTables` hash tables × `Bits` hyperplane sign
-    * bits. Hyperplane component r(t,p,i) = ±1 from xxhash64(i, t*Bits+p)
-    * — fully deterministic, no stored model. 8×3 favors recall (a vector
-    * pair at angle θ collides in a table with (1-θ/π)³, across 8 tables
-    * ≈ certain for same-cluster pairs); candidate cost is bounded by the
-    * exact re-rank touching only bucket-mates.
+    * bits. Hyperplane component r(k,i) = ±1 from the parity of the first
+    * hex nibble of md5("hp:k:i") (k = table*Bits + bit, i = dimension) —
+    * fully deterministic, no stored model, and — unlike the xxhash64
+    * derivation it replaced in round 9 — reproducible in DuckDB, which
+    * shares md5 but not xxhash64 (the q63 recipe), so bucket assignment,
+    * candidate generation, and the exact re-rank are all oracle-checked
+    * end-to-end. 8×3 favors recall (a vector pair at angle θ collides in
+    * a table with (1-θ/π)³, across 8 tables ≈ certain for same-cluster
+    * pairs; measured ≥0.8 per query at all three test scales); candidate
+    * cost is bounded by the exact re-rank touching only bucket-mates.
     */
   private val NumTables = 8
   private val Bits = 3
 
-  /** Bucket id of a vector in hash table t: Bits sign-bits packed. */
+  /** ±1.0 sign of hyperplane k in dimension i. Every input is a literal,
+    * so Catalyst's ConstantFolding collapses the md5/conv tree at
+    * optimization time — the 24×64 sign matrix costs nothing per row.
+    */
+  private def planeSign(k: Int, i: Int): Column =
+    when(conv(substring(md5(lit(s"hp:$k:$i")), 1, 1), 16, 10)
+      .cast("int") % 2 === 1, lit(1.0)).otherwise(lit(-1.0))
+
+  private def planeVec(k: Int): Column =
+    array((0 until 64).map(i => planeSign(k, i)): _*)
+
+  /** Bucket id of a vector in hash table t: Bits sign-bits packed. The
+    * projection reuses [[dot]] (left-assoc sequential fold), so it is
+    * bit-equal to DuckDB's list_dot_product against the same ±1 plane —
+    * the sign test `proj > 0` can never diverge cross-engine.
+    */
   private def bucket(emb: Column, t: Int): Column =
     (0 until Bits).map { p =>
-      val proj = aggregate(
-        zip_with(emb, sequence(lit(0), lit(63)), (x, i) =>
-          x * when(xxhash64(i, lit(t * Bits + p)).bitwiseAND(lit(1L)) === 1L, 1.0)
-            .otherwise(-1.0)),
-        lit(0.0), (acc, v) => acc + v)
+      val proj = dot(emb, planeVec(t * Bits + p))
       when(proj > 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
 
@@ -255,12 +271,14 @@ object Similarity extends QueryModule {
 
     // LSH-bucketed ANN top-k: candidates = vectors sharing any of the 8
     // table buckets with the query; exact cosine re-ranks candidates.
-    // xxhash64-derived hyperplanes have no DuckDB twin → rows-only, so
-    // the query is SELF-VERIFYING instead: the exact top-k (q70's plan)
-    // is computed alongside and each output row carries its query's
-    // recall@k — the per-query quality metric a vector store would
-    // report, visible in the result rather than only in OpsSpec (which
-    // still pins recall >= 0.5 on the column).
+    // md5-derived hyperplanes (planeSign above) make the WHOLE pipeline
+    // — bucket assignment, candidate generation, re-rank, recall —
+    // reproducible in the DuckDB oracle, so the row is hash-green, not
+    // rows-only. The query stays SELF-VERIFYING on top of that: the
+    // exact top-k (q70's plan) is computed alongside and each output
+    // row carries its query's recall@k — the per-query quality metric a
+    // vector store would report, visible in the result rather than only
+    // in OpsSpec (which still pins recall >= 0.5 on the column).
     "q71_ann_lsh" -> ((s, d) => {
       val corpus = withNorm(Tables.embeddings(s, d)
         .select(col("vec_id"), dvec(col("embedding")).as("emb")))
@@ -408,6 +426,57 @@ object Similarity extends QueryModule {
         |SELECT query_id, vec_id AS neighbor_id, rank, cos_sim
         |FROM ranked WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+
+    // the full LSH pipeline replayed: same md5-parity planes (strpos on
+    // the odd hex digits = Spark's conv(...)%2 parity), list_dot_product
+    // for the projections and cosines (bit-equal to the graft_dot fold),
+    // same candidate dedup, same top-k tie-break, same recall join.
+    "q71_ann_lsh" ->
+      """WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |planes AS (SELECT k, list_transform(range(0,64), i ->
+        |    CASE WHEN strpos('13579bdf', substring(md5('hp:' || k || ':' || i), 1, 1)) > 0
+        |      THEN 1.0 ELSE -1.0 END) AS sgn
+        |  FROM (SELECT unnest(range(0,24)) AS k)),
+        |proj AS (SELECT vec_id, k // 3 AS table_id, k % 3 AS p,
+        |    list_dot_product(emb, sgn) AS proj
+        |  FROM t CROSS JOIN planes),
+        |buckets AS (SELECT vec_id, table_id,
+        |    sum(CASE WHEN proj > 0 THEN 1 << p ELSE 0 END) AS bucket_id
+        |  FROM proj GROUP BY vec_id, table_id),
+        |qb AS (SELECT vec_id AS query_id, table_id, bucket_id
+        |  FROM buckets WHERE vec_id < 5),
+        |cand AS (SELECT DISTINCT q.query_id, b.vec_id
+        |  FROM buckets b JOIN qb q
+        |    ON b.table_id = q.table_id AND b.bucket_id = q.bucket_id
+        |  WHERE b.vec_id <> q.query_id),
+        |scored AS (SELECT c.query_id, c.vec_id,
+        |    list_dot_product(c1.emb, c2.emb)
+        |      / (sqrt(list_dot_product(c1.emb, c1.emb))
+        |         * sqrt(list_dot_product(c2.emb, c2.emb))) AS cos_sim
+        |  FROM cand c
+        |  JOIN t c1 ON c1.vec_id = c.vec_id
+        |  JOIN t c2 ON c2.vec_id = c.query_id),
+        |lshtop AS (SELECT query_id, vec_id AS neighbor_id, rank, cos_sim
+        |  FROM (SELECT query_id, vec_id, cos_sim,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY cos_sim DESC, vec_id ASC) AS rank FROM scored)
+        |  WHERE rank <= 10),
+        |ex_scored AS (SELECT q.vec_id AS query_id, c.vec_id,
+        |    list_dot_product(c.emb, q.emb)
+        |      / (sqrt(list_dot_product(c.emb, c.emb))
+        |         * sqrt(list_dot_product(q.emb, q.emb))) AS cos_sim
+        |  FROM t c CROSS JOIN (SELECT * FROM t WHERE vec_id < 5) q
+        |  WHERE c.vec_id <> q.vec_id),
+        |extop AS (SELECT query_id AS e_qid, vec_id AS e_vid
+        |  FROM (SELECT query_id, vec_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY cos_sim DESC, vec_id ASC) AS rank FROM ex_scored)
+        |  WHERE rank <= 10)
+        |SELECT l.query_id, l.neighbor_id, l.rank, l.cos_sim,
+        |  count(e.e_vid) OVER (PARTITION BY l.query_id) / 10.0 AS recall
+        |FROM lshtop l LEFT JOIN extop e
+        |  ON l.query_id = e.e_qid AND l.neighbor_id = e.e_vid
+        |ORDER BY l.query_id, l.rank""".stripMargin,
 
     "q70_cosine_topk" ->
       """WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),

@@ -18,8 +18,11 @@ class BenchContractSpec extends AnyFunSuite {
   }
 
   test("compact contract line survives a 2000-char stdout tail, even all-failed") {
-    val failed = results.map(_._1).toList // worst case: mass failure
-    val line = Bench.compactLine(results, failed, "/root/testdata/sf0.1")
+    // worst case: mass failure AND mass runaway (both lists capped)
+    val failed = results.map(_._1).toList
+    val runaway = results.map(_._1).toList
+    val line = Bench.compactLine(results, failed, runaway, (1.01, 9.87),
+      "/root/testdata/sf0.1")
     assert(line.length <= 1800, s"contract line too long: ${line.length} chars")
 
     // simulate the driver: noisy stdout, contract line last, keep the tail.
@@ -32,9 +35,17 @@ class BenchContractSpec extends AnyFunSuite {
     assert((parsed \ "queries_run") === JInt(118))
     assert((parsed \ "failed_count") === JInt(118))
     val JArray(shown) = (parsed \ "failed"): @unchecked
-    assert(shown.length === 8, "failed list must be capped in the compact line")
+    assert(shown.length === 5, "failed list must be capped in the compact line")
     val JObject(qs) = (parsed \ "queries"): @unchecked
     assert(qs.length === 32, "slowest-32 cap")
+    // round-9 ambient-detection fields: runaway marker (capped + true
+    // count) and the start/end calibration samples, parsed back exactly
+    // as tools/bench_diff.py reads them.
+    assert((parsed \ "runaway_count") === JInt(118))
+    val JArray(run) = (parsed \ "runaway"): @unchecked
+    assert(run.length === 5, "runaway list must be capped in the compact line")
+    val JArray(calib) = (parsed \ "calib_s"): @unchecked
+    assert(calib === List(JDouble(1.01), JDouble(9.87)))
   }
 
   test("median re-runs cover only the noisy slow tier, never runaways") {
@@ -52,11 +63,14 @@ class BenchContractSpec extends AnyFunSuite {
 
   test("detail line keeps the full failure list and every query") {
     val failed = results.map(_._1).take(50).toList
-    val detail = Bench.detailLine(results, failed, "sfX")
+    val detail = Bench.detailLine(results, failed, List("q9_run"),
+      (1.0, 1.1), "sfX")
     val parsed = JsonMethods.parse(detail)
     val JArray(f) = (parsed \ "failed"): @unchecked
     assert(f.length === 50)
     val JObject(qs) = (parsed \ "queries"): @unchecked
     assert(qs.length === 118)
+    val JArray(run) = (parsed \ "runaway"): @unchecked
+    assert(run === List(JString("q9_run")), "detail keeps the full runaway list")
   }
 }

@@ -3,19 +3,41 @@
 
 Usage:
   python3 tools/bench_diff.py <new> [<baseline>] [--threshold 1.5]
+  python3 tools/bench_diff.py --selftest
 
 <new> is either a driver BENCH_r{N}.json (uses its "parsed" object) or a
 file of raw Bench stdout lines (uses the last {"metric":"total"...} line).
-<baseline> defaults to the newest repo-root BENCH_r{N}.json with N >= 8
-(per the r7 verdict, BENCH_r08 — the first driver run after the q39
-fused-aggregate fix — becomes the operative baseline; r7's 190.17 s run
-is dominated by that since-fixed defect and would mask regressions),
-falling back to tools/bench_r06_baseline.json (90.82 s / 128 queries)
-until a driver run of the fixed code exists.
-tools/bench_r0{6,8}_local.json hold the builder's clean local runs of
-the same code for disambiguating machine noise. Exit code 1 if any
-query exceeds threshold x its baseline time (queries under 0.5 s in the
-baseline are skipped — they are pure noise at this scale).
+
+Baseline policy (round-9 rework — the r8 postmortem):
+  The operative baseline is the PINNED CLEAN RUN
+  (tools/bench_r08_local.json, 122.36 s / 133 queries — the builder's
+  isolated local run of the round-8 code; the judge's independent re-run
+  of the same commit read 116.99 s). Driver BENCH_r{N}.json files are
+  considered as baseline candidates ONLY if they pass a plausibility
+  gate: total <= SANITY_FACTOR x the pinned clean total. BENCH_r08.json
+  (879.67 s) fails that gate — it was measured under sustained box
+  contention (its shuffle bytes are identical to the clean run's, so the
+  plans were the same and only wall-clock differs) — and is refused,
+  falling back to the pinned run. The candidate file being diffed
+  (argv[1]) is never its own baseline (the old glob-newest default
+  self-compared and reported zero regressions by construction).
+
+Ambient-noise handling:
+  Bench.scala (round 9) times a fixed, data-independent CPU-bound
+  calibration probe at bench start and end and reports it as
+  "calib_s":[a,b]. When the new run carries it and its mean exceeds
+  AMBIENT_FACTOR x CLEAN_CALIB_S, the whole run is flagged as
+  ambient-contaminated: per-query ratios are also shown normalized by
+  the calibration ratio, and flags are labeled unconfirmed. Queries the
+  bench marked "runaway" (first run >= 20 s, single-shot, no median)
+  are labeled unconfirmed too — confirm either kind with
+  tools/ab_check.py before treating it as a plan defect.
+
+Exit code 1 if any CONFIRMED flag exceeds threshold x its baseline time
+(queries under 0.5 s in the baseline are skipped — pure noise at this
+scale); exit 2 if the only flags are unconfirmed (runaway/ambient) —
+non-zero so they can't be shrugged off, distinct so nobody "fixes" a
+clean plan before the A/B.
 """
 import glob
 import json
@@ -23,17 +45,17 @@ import os
 import re
 import sys
 
-
-def default_baseline():
-    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    rounds = {}
-    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
-        m = re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(p))
-        if m and int(m.group(1)) >= 8:
-            rounds[int(m.group(1))] = p
-    if rounds:
-        return rounds[max(rounds)]
-    return os.path.join(here, "tools", "bench_r06_baseline.json")
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PINNED_CLEAN = os.path.join(HERE, "tools", "bench_r08_local.json")
+FALLBACK = os.path.join(HERE, "tools", "bench_r06_baseline.json")
+SANITY_FACTOR = 2.0   # refuse baselines slower than this x the pinned run
+AMBIENT_FACTOR = 2.0  # calib slower than this x clean => contaminated run
+# Clean-box value of Bench.scala's calibration probe (local[32], measured
+# round 9: three runs read [0.47,0.42], [0.46,0.41] on the builder box —
+# the probe is a fixed 400M-row xxhash64 chain, median-of-3 per sample;
+# see tools/bench_notes_r09.md). Runs that don't carry calib_s (pre-r9
+# files) skip ambient detection.
+CLEAN_CALIB_S = 0.45
 
 
 def load(path):
@@ -43,7 +65,7 @@ def load(path):
         d = json.loads(text)
         if isinstance(d, dict) and "parsed" in d:
             return d["parsed"]
-        if isinstance(d, dict) and d.get("metric") == "total":
+        if isinstance(d, dict) and d.get("metric") in ("total", "total_detail"):
             return d
     except json.JSONDecodeError:
         pass
@@ -55,37 +77,157 @@ def load(path):
     return json.loads(lines[-1])
 
 
+def default_baseline(exclude_path=None, root=None, pinned=None, log=print):
+    """Newest sane driver bench, else the pinned clean run.
+
+    A driver BENCH_r{N}.json qualifies only if (a) it is not the file
+    being diffed and (b) its total passes the plausibility gate vs the
+    pinned clean run. Refusals are printed so baseline drift is visible,
+    never silent.
+    """
+    root = root or HERE
+    pinned = pinned or PINNED_CLEAN
+    try:
+        clean_total = load(pinned)["value"]
+    except (OSError, KeyError):
+        return FALLBACK
+    exclude = os.path.abspath(exclude_path) if exclude_path else None
+    rounds = {}
+    for p in glob.glob(os.path.join(root, "BENCH_r*.json")):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(p))
+        if m and int(m.group(1)) >= 8 and os.path.abspath(p) != exclude:
+            rounds[int(m.group(1))] = p
+    for n in sorted(rounds, reverse=True):
+        try:
+            total = load(rounds[n])["value"]
+        except SystemExit:
+            continue
+        if total <= SANITY_FACTOR * clean_total:
+            return rounds[n]
+        log(f"baseline candidate {os.path.basename(rounds[n])} refused: "
+            f"total {total:.2f}s > {SANITY_FACTOR}x pinned clean "
+            f"{clean_total:.2f}s (contaminated run; see README Performance)")
+    return pinned
+
+
+def ambient_ratio(run):
+    """Mean calibration time vs the known clean value; None if absent."""
+    calib = run.get("calib_s")
+    if not calib:
+        return None
+    return (sum(calib) / len(calib)) / CLEAN_CALIB_S
+
+
+def diff(new, base, thr, out=print):
+    nq, bq = new["queries"], base["queries"]
+    runaway = set(new.get("runaway", []))
+    amb = ambient_ratio(new)
+    contaminated = amb is not None and amb > AMBIENT_FACTOR
+    out(f"total: {base['value']:.2f} -> {new['value']:.2f} s "
+        f"({new['value'] / base['value']:.2f}x)")
+    if amb is not None:
+        out(f"calibration: {new['calib_s']} vs clean {CLEAN_CALIB_S:.2f}s "
+            f"= {amb:.2f}x ambient"
+            + (" — RUN IS CONTAMINATED; ratios below are also shown /calib;"
+               " flags are unconfirmed" if contaminated else " (clean)"))
+    confirmed, unconfirmed = [], []
+    out(f"{'query':30} {'base':>7} {'new':>7}  ratio")
+    for k in sorted(set(nq) & set(bq)):
+        if bq[k] < 0.5 or nq[k] < 0:
+            continue
+        r = nq[k] / bq[k]
+        flagged = r > thr
+        norm = f" ({r / amb:5.2f}x /calib)" if contaminated and flagged else ""
+        if flagged and (contaminated or k in runaway):
+            why = "runaway single-shot" if k in runaway else "ambient run"
+            unconfirmed.append(k)
+            mark = f"  <<< UNCONFIRMED ({why} — A/B with tools/ab_check.py){norm}"
+        elif flagged:
+            confirmed.append(k)
+            mark = "  <<< REGRESSION"
+        else:
+            mark = ""
+        out(f"{k:30} {bq[k]:7.2f} {nq[k]:7.2f} {r:6.2f}{mark}")
+    gone = sorted(set(bq) - set(nq))
+    if gone:
+        out(f"\nin baseline top-list but now below the report cutoff "
+            f"(improved or renamed): {', '.join(gone)}")
+    if confirmed:
+        out(f"\n{len(confirmed)} queries over {thr}x baseline: {confirmed}")
+    if unconfirmed:
+        out(f"{len(unconfirmed)} UNCONFIRMED flags (isolate with "
+            f"SPARK_GRAFT_ONLY / tools/ab_check.py): {unconfirmed}")
+    if not confirmed and not unconfirmed:
+        out(f"\nno query over {thr}x its baseline time")
+    return confirmed, unconfirmed
+
+
+def selftest():
+    """Pins the baseline-rejection paths (VERDICT r8 'what's wrong' #1)."""
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        pinned = os.path.join(d, "clean.json")
+        mk = lambda total, qs: {"metric": "total", "value": total,
+                                "unit": "sec", "queries": qs}
+        with open(pinned, "w") as f:
+            json.dump(mk(122.36, {"q1": 1.0}), f)
+        quiet = lambda *a, **k: None
+
+        # 1. contaminated newest driver bench is refused -> pinned clean.
+        with open(os.path.join(d, "BENCH_r08.json"), "w") as f:
+            json.dump({"parsed": mk(879.67, {"q1": 8.0})}, f)
+        got = default_baseline(root=d, pinned=pinned, log=quiet)
+        assert got == pinned, f"contaminated r08 adopted: {got}"
+
+        # 2. the file being diffed is never its own baseline.
+        new9 = os.path.join(d, "BENCH_r09.json")
+        with open(new9, "w") as f:
+            json.dump({"parsed": mk(130.0, {"q1": 1.1})}, f)
+        got = default_baseline(exclude_path=new9, root=d, pinned=pinned,
+                               log=quiet)
+        assert got == pinned, f"self-compare not excluded: {got}"
+
+        # 3. a sane driver bench (not the new file) IS adopted.
+        got = default_baseline(root=d, pinned=pinned, log=quiet)
+        assert got == new9, f"sane newest not adopted: {got}"
+
+        # 4. ambient-contaminated run: flags demoted to unconfirmed.
+        new = mk(300.0, {"q1": 3.0, "q2": 1.0})
+        new["calib_s"] = [2.5 * CLEAN_CALIB_S, 2.6 * CLEAN_CALIB_S]
+        base = mk(122.36, {"q1": 1.0, "q2": 1.0})
+        confirmed, unconfirmed = diff(new, base, 1.5, out=quiet)
+        assert confirmed == [] and unconfirmed == ["q1"], \
+            f"ambient demotion failed: {confirmed} {unconfirmed}"
+
+        # 5. clean calib + runaway marker: runaway flag is unconfirmed,
+        #    plain regression stays confirmed.
+        new = mk(300.0, {"q1": 25.0, "q2": 2.0})
+        new["calib_s"] = [CLEAN_CALIB_S, CLEAN_CALIB_S]
+        new["runaway"] = ["q1"]
+        confirmed, unconfirmed = diff(new, base, 1.5, out=quiet)
+        assert confirmed == ["q2"] and unconfirmed == ["q1"], \
+            f"runaway demotion failed: {confirmed} {unconfirmed}"
+    print("bench_diff selftest: 5/5 ok")
+
+
 def main():
+    if "--selftest" in sys.argv:
+        selftest()
+        return
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     thr = 1.5
     for a in sys.argv[1:]:
         if a.startswith("--threshold"):
             thr = float(a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1])
     new = load(args[0])
-    base_path = args[1] if len(args) > 1 else default_baseline()
+    base_path = args[1] if len(args) > 1 else default_baseline(args[0])
     base = load(base_path)
     print(f"baseline: {base_path}")
-    nq, bq = new["queries"], base["queries"]
-    flagged = []
-    print(f"total: {base['value']:.2f} -> {new['value']:.2f} s "
-          f"({new['value'] / base['value']:.2f}x)")
-    print(f"{'query':30} {'base':>7} {'new':>7}  ratio")
-    for k in sorted(set(nq) & set(bq)):
-        if bq[k] < 0.5:
-            continue
-        r = nq[k] / bq[k]
-        mark = "  <<< REGRESSION" if r > thr else ""
-        if r > thr:
-            flagged.append(k)
-        print(f"{k:30} {bq[k]:7.2f} {nq[k]:7.2f} {r:6.2f}{mark}")
-    gone = sorted(set(bq) - set(nq))
-    if gone:
-        print(f"\nin baseline top-list but now below the report cutoff "
-              f"(improved or renamed): {', '.join(gone)}")
-    if flagged:
-        print(f"\n{len(flagged)} queries over {thr}x baseline: {flagged}")
+    confirmed, unconfirmed = diff(new, base, thr)
+    if confirmed:
         sys.exit(1)
-    print(f"\nno query over {thr}x its baseline time")
+    if unconfirmed:
+        sys.exit(2)
 
 
 if __name__ == "__main__":
