@@ -203,20 +203,37 @@ object Aggregates extends QueryModule {
     // are additionally pinned in q39b via percentile().
     //
     // SHAPE CONSTRAINT (round-7 postmortem, 37% of the whole bench):
-    // count_distinct must NOT share an .agg with the sketch/percentile
-    // aggregates. Spark's distinct-aggregate rewrite keys the first
-    // aggregation phase on (group key, distinct key) — so a fused form
-    // builds a 2^14-register HLL++, a QuantileSummaries, and an exact
-    // percentile map PER PARTKEY (~200k heavy object buffers shuffled
-    // and merged; an OOM at cluster scale, 70 s at sf0.1). Split into
-    // two 3-row aggregations joined on l_returnflag, each phase keys
-    // only on the 3-value group: the distinct leg carries counting
-    // buffers only, the sketch leg carries 3 of each object buffer.
+    // the exact-distinct must NOT share an .agg with the sketch/
+    // percentile aggregates. Spark's distinct-aggregate rewrite keys
+    // the first aggregation phase on (group key, distinct key) — so a
+    // fused form builds a 2^14-register HLL++, a QuantileSummaries,
+    // and an exact percentile map PER PARTKEY (~200k heavy object
+    // buffers shuffled and merged; an OOM at cluster scale, 70 s at
+    // sf0.1). Split into two 3-row aggregations joined on
+    // l_returnflag, each phase keys only on a bounded group.
     // PlanShapeSpec sweeps the whole catalog for the fused shape.
+    //
+    // The exact leg uses the q31b bitmap form rather than
+    // count_distinct: the distinct rewrite shuffles every distinct
+    // (flag, partkey) PAIR, while the bitmap form shuffles one 4 KB
+    // bitmap per (flag, 32768-key bucket) — a 32768× row compression
+    // at 100 TB partkey cardinality. A fully-fused single-scan form
+    // was evaluated and rejected: bitmap_construct_agg only accepts
+    // positions 1..32768, so at scale the bucket number must be a
+    // group-by key (it can't sit in the sketch .agg keyed on the
+    // 3-value flag alone), and percentile/percentile_approx expose no
+    // SQL-level mergeable partial, so the percentile leg needs its own
+    // pass regardless. Two scans of a projected 3-column slice is the
+    // honest floor here.
     "q39_approx_sketch" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
-      val exact = li.groupBy(col("l_returnflag"))
-        .agg(count_distinct(col("l_partkey")).as("exact_parts"))
+      val exact = li
+        .groupBy(col("l_returnflag"),
+          expr("bitmap_bucket_number(l_partkey)").as("bkt"))
+        .agg(expr("bitmap_construct_agg(bitmap_bit_position(l_partkey))")
+          .as("bm"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(expr("bitmap_count(bm)")).as("exact_parts"))
       val sketch = li.groupBy(col("l_returnflag"))
         .agg(
           approx_count_distinct(col("l_partkey"), 0.01).as("acd_parts"),

@@ -201,6 +201,28 @@ class PlanShapeSpec extends AnyFunSuite {
           s"must group on l_returnflag only:\n$a")
   }
 
+  test("q39 exact-distinct leg shuffles bucket bitmaps, not distinct pairs") {
+    // round-9 shape: the exact leg is the two-level bitmap form — one
+    // 4 KB fixed-width bitmap per (flag, 32768-key bucket) crosses the
+    // exchange instead of every distinct (flag, partkey) pair (32768×
+    // shuffle-row compression at 100 TB partkey cardinality). A revert
+    // to count_distinct would reintroduce the distinct rewrite's
+    // O(distinct-keys) shuffle rows.
+    import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+    val qe = SparkEntry.queries("q39_approx_sketch")(spark, sf).queryExecution
+    val aggExprs = qe.analyzed.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+        a.aggregateExpressions.flatMap(_.collect {
+          case ae: AggregateExpression => ae
+        })
+    }.flatten
+    assert(!aggExprs.exists(_.isDistinct),
+      s"q39 regained a distinct aggregate: ${aggExprs.map(_.sql)}")
+    val p = qe.executedPlan.toString
+    assert(p.contains("bitmap_construct_agg"),
+      s"q39 exact leg lost the bitmap form:\n$p")
+  }
+
   test("q29b banded interval join plans as an equi join, not a nested loop") {
     // the whole point of banding: the ±60 s predicate must ride as a
     // residual on a hash/merge EQUI join over the bin key — a
