@@ -115,16 +115,35 @@ object Similarity extends QueryModule {
   private val NumTables = 8
   private val Bits = 3
 
-  /** ±1.0 sign of hyperplane k in dimension i. Every input is a literal,
-    * so Catalyst's ConstantFolding collapses the md5/conv tree at
-    * optimization time — the 24×64 sign matrix costs nothing per row.
+  /** ±1.0 sign of hyperplane k in dimension i, computed DRIVER-SIDE at
+    * plan-build time: the parity of the first hex nibble of
+    * md5("hp:k:i"). MessageDigest's md5 is byte-identical to the md5()
+    * both SQL engines expose, so the DuckDB oracle replays the same
+    * matrix symbolically (strpos on the odd hex digits) and
+    * [[SketchSpec]] pins the Scala value against the Spark-expression
+    * spelling for every (k, i). Computing the value here instead of
+    * emitting when(conv(substring(md5(lit(..))))) per element keeps the
+    * plan at 24 array literals — the expression spelling was correct
+    * (Catalyst folds it to the same literals) but put ~12k nodes
+    * through every analyzer/optimizer rule, ~1 s of driver time per
+    * compile of this query.
     */
-  private def planeSign(k: Int, i: Int): Column =
+  private[graft] def planeSignVal(k: Int, i: Int): Double = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"hp:$k:$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    if (((d(0) >> 4) & 0xf) % 2 == 1) 1.0 else -1.0
+  }
+
+  /** The Spark-expression spelling of [[planeSignVal]] — kept (test-only)
+    * as the cross-engine contract SketchSpec verifies the Scala
+    * shortcut against.
+    */
+  private[graft] def planeSignExpr(k: Int, i: Int): Column =
     when(conv(substring(md5(lit(s"hp:$k:$i")), 1, 1), 16, 10)
       .cast("int") % 2 === 1, lit(1.0)).otherwise(lit(-1.0))
 
   private def planeVec(k: Int): Column =
-    array((0 until 64).map(i => planeSign(k, i)): _*)
+    typedLit((0 until 64).map(i => planeSignVal(k, i)))
 
   /** Bucket id of a vector in hash table t: Bits sign-bits packed. The
     * projection reuses [[dot]] (left-assoc sequential fold), so it is

@@ -74,6 +74,26 @@ class SketchSpec extends AnyFunSuite {
       === ((MURMUR3_GRAFT, XXHASH64_GRAFT)))
   }
 
+  test("q71's driver-side LSH sign matrix equals the md5-expression spelling") {
+    // q71 computes the 24×64 hyperplane sign matrix driver-side
+    // (MessageDigest md5 nibble parity) and plans it as 24 array
+    // literals; the DuckDB oracle replays the same matrix from SQL
+    // md5(). This pin closes the loop: for every (plane, dim), the
+    // Scala value must equal what the Spark md5()/conv() expression —
+    // the spelling the oracle mirrors — evaluates to. One DataFrame,
+    // 1536 cells, exact equality.
+    import ops.Similarity
+    val cells = for (k <- 0 until 24; i <- 0 until 64) yield (k, i)
+    val cols = cells.map { case (k, i) =>
+      (Similarity.planeSignExpr(k, i) === lit(Similarity.planeSignVal(k, i)))
+    }
+    val row = spark.range(1)
+      .select(cols.zipWithIndex.map { case (c, j) => c.as(s"c$j") }: _*)
+      .collect()(0)
+    assert((0 until cells.length).forall(j => row.getAs[Boolean](s"c$j")),
+      "driver-side md5 parity diverged from the Spark expression spelling")
+  }
+
   // Spark-specific hash constants for "graft" (seed 42), captured once
   // from Spark 4.1.2.
   private val MURMUR3_GRAFT: Int = -1930494102
