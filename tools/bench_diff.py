@@ -10,9 +10,12 @@ file of raw Bench stdout lines (uses the last {"metric":"total"...} line).
 
 Baseline policy (round-9 rework — the r8 postmortem):
   The operative baseline is the PINNED CLEAN RUN
-  (tools/bench_r08_local.json, 122.36 s / 133 queries — the builder's
-  isolated local run of the round-8 code; the judge's independent re-run
-  of the same commit read 116.99 s). Driver BENCH_r{N}.json files are
+  (tools/bench_r09_local.json, 108.40 s / 133 queries, calib
+  [0.53, 0.39] — the builder's end-of-round-9 local run, the fastest
+  and cleanest measured; it absorbs q71's post-fix level. The prior
+  pin, tools/bench_r08_local.json at 122.36 s, is kept for history;
+  the judge's independent re-run of the r8 commit read 116.99 s).
+  Driver BENCH_r{N}.json files are
   considered as baseline candidates ONLY if they pass a plausibility
   gate: total <= SANITY_FACTOR x the pinned clean total. BENCH_r08.json
   (879.67 s) fails that gate — it was measured under sustained box
@@ -46,7 +49,7 @@ import re
 import sys
 
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-PINNED_CLEAN = os.path.join(HERE, "tools", "bench_r08_local.json")
+PINNED_CLEAN = os.path.join(HERE, "tools", "bench_r09_local.json")
 FALLBACK = os.path.join(HERE, "tools", "bench_r06_baseline.json")
 SANITY_FACTOR = 2.0   # refuse baselines slower than this x the pinned run
 AMBIENT_FACTOR = 2.0  # calib slower than this x clean => contaminated run
