@@ -26,7 +26,13 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q110_tfidf_topk",     // exact tf/df; score = int · snapped idf
     "q111_dup_substrings", // window-fingerprint group counts
     "q112_quantize_int8",  // per-vector quantization (max is order-free)
-    "q113_ann_int8")       // integer dots; rank ties broken on vec_id
+    "q113_ann_int8",       // integer dots; rank ties broken on vec_id
+    "q39_approx_sketch",   // bitmap OR + HLL register-max are commutative;
+                           // the 5%-tolerance booleans absorb the one
+                           // merge-order-sensitive piece (percentile_approx)
+    "q71_ann_lsh")         // per-row literal-plane dots (no cross-partition
+                           // float summation); candidate set is join
+                           // semantics; ranks tie-break on vec_id
 
   test("exact operators are invariant to input split boundaries") {
     val splitty = spark.newSession()
