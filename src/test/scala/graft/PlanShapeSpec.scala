@@ -142,6 +142,24 @@ class PlanShapeSpec extends AnyFunSuite {
       s"tf/df aggregation lost map-side partials:\n$p")
   }
 
+  test("q111 fingerprint stage runs once, reused across both consumers") {
+    // the (h, doc_id) pre-aggregation makes the occurrence-count branch
+    // and the join-probe branch share a canonically identical
+    // Exchange(h, doc_id) subtree over the normalize→explode→md5
+    // pipeline (the query's dominant cost), so AQE materializes that
+    // stage once and the second consumer reads the same shuffle files —
+    // persist/checkpoint semantics from a pure stateless DataFrame.
+    // Needs the executed adaptive plan: reuse only appears at runtime.
+    val df = SparkEntry.queries("q111_dup_substrings")(spark, sf)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(finalPlan.contains("ReusedExchange"),
+      s"expected the (h, doc_id) exchange to be reused:\n$finalPlan")
+    assert("Generate explode".r.findAllIn(finalPlan).length == 1,
+      s"the explode→md5 pipeline must execute exactly once:\n$finalPlan")
+  }
+
   test("no query fuses a distinct aggregate with object-buffer aggregates") {
     // round-7 postmortem (q39, 37% of the whole bench): Spark's
     // distinct-aggregate rewrite keys the FIRST aggregation phase on
