@@ -139,7 +139,20 @@ object CorpusSignals extends QueryModule {
       .filter(col("term") =!= "")
     val tf = terms.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // count(CASE WHEN tf >= 1 THEN 1 END), not count(*): tf ≥ 1
+    // always, so the value is identical — but the un-foldable tf
+    // reference stops ColumnPruning from stripping the count out of
+    // this branch's copy of the (doc, term) aggregate (plain
+    // count(tf) doesn't survive either: count of a non-nullable
+    // column rewrites to count(1) and re-unreferences it). With the
+    // column kept, the df branch and the join probe share a
+    // canonically identical Exchange(doc_id, term) subtree over the
+    // explode, so AQE's ReuseExchange materializes the
+    // tokenize→explode→count stage once (the q111 recipe; count(*)
+    // planned a pruned functions=[] twin that re-ran the explode —
+    // PlanShapeSpec pins the reused shape).
+    val df = tf.groupBy(col("term"))
+      .agg(count(when(col("tf") >= 1, lit(1))).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
     val idf6 = floor(log((col("n") + 1.0) / (col("df") + 1.0)) * 1e6
       + 0.5) / 1e6

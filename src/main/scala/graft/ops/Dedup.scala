@@ -275,12 +275,26 @@ object Dedup extends QueryModule {
 
   /** doc_id + 64-bit SimHash. Exposed for DedupSpec. */
   def simhashed(s: SparkSession, d: String): DataFrame = {
-    val wh = transform(array_distinct(Text.words(col("text"))), w => wordHash(w))
+    // filter(text IS NOT NULL) + coalesce(text, ''): identity on every
+    // surviving row, but it matters twice. The filter sheds null-text
+    // docs at the SCAN (they contributed no q63 pair anyway — a null
+    // simhash explodes to null chunk keys the equi-join drops); the
+    // coalesce makes the whole tokenize→md5→simhash chain NON-NULLABLE,
+    // so InferFiltersFromConstraints has no isnotnull(simhash) to push.
+    // Without it, the inferred null-check lands in the scan as
+    // isnotnull(graft_simhash(transform(...))) — the FULL per-word md5
+    // pipeline evaluated once in the filter and again in the
+    // projection, on BOTH self-join sides: 4× the query's dominant
+    // cost for a null test (PlanShapeSpec pins its absence).
+    val wh = transform(
+      array_distinct(Text.words(coalesce(col("text"), lit("")))),
+      w => wordHash(w))
     // native one-pass bit-majority kernel (plans/SimHash.scala): the
     // 64-fold HOF formulation it replaces traverses the token-hash
     // array 64 times per document; OpsSpec pins bit-equality between
     // the kernel, that formulation, and the explode/groupBy one.
     Tables.documents(s, d)
+      .filter(col("text").isNotNull)
       .select(col("doc_id"), wh.as("wh"))
       .select(col("doc_id"), call_function("graft_simhash", col("wh")).as("simhash"))
   }

@@ -142,6 +142,36 @@ class PlanShapeSpec extends AnyFunSuite {
       s"tf/df aggregation lost map-side partials:\n$p")
   }
 
+  test("q110 tokenize stage runs once, reused by the tf and df branches") {
+    // tf feeds both the df aggregate and the join probe; the df count
+    // references tf's count column (un-foldably) so ColumnPruning
+    // can't plan a cheaper functions=[] twin of the (doc, term)
+    // aggregate — both branches share one canonically identical
+    // Exchange and AQE reuses its stage (see CorpusSignals.tfidfTopK).
+    val df = SparkEntry.queries("q110_tfidf_topk")(spark, sf)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(finalPlan.contains("ReusedExchange"),
+      s"expected the (doc_id, term) exchange to be reused:\n$finalPlan")
+    assert("Generate explode".r.findAllIn(finalPlan).length == 1,
+      s"the tokenize→explode stage must execute exactly once:\n$finalPlan")
+  }
+
+  test("q63 never evaluates the simhash inside a filter") {
+    // InferFiltersFromConstraints once pushed isnotnull(chunk_val) all
+    // the way into the scan as isnotnull(graft_simhash(<full per-word
+    // md5 pipeline>)) — the query's dominant cost evaluated once in
+    // the filter and again in the projection, on both self-join sides.
+    // The chain is now non-nullable by construction (coalesce'd text),
+    // so the only filters left are cheap column null-checks.
+    val p = plan("q63_dedup_simhash")
+    val offending = p.linesIterator.filter(l =>
+      l.contains("Filter") && l.contains("graft_simhash"))
+    assert(offending.isEmpty,
+      s"simhash evaluated inside a filter:\n${offending.mkString("\n")}\n$p")
+  }
+
   test("q111 fingerprint stage runs once, reused across both consumers") {
     // the (h, doc_id) pre-aggregation makes the occurrence-count branch
     // and the join-probe branch share a canonically identical
