@@ -48,32 +48,56 @@ object Curation extends QueryModule {
     * end-to-end in doc_id order and cut into Ctx-token windows; each
     * doc reports the chunk its first token lands in and its offset
     * there. The global prefix-sum is computed DISTRIBUTED, three
-    * levels, each 1000× coarser than the last:
+    * levels, each 1024× coarser than the last:
     *
-    *   1. per-doc token counts aggregate into 1000-doc buckets;
-    *   2. bucket sums aggregate into 1000-bucket SUPER-buckets, whose
-    *      running offset is the only unpartitioned window — over a
-    *      frame of corpus/10⁶ rows (CurationSpec pins that no
-    *      unpartitioned window ever sees doc- or bucket-level rows);
+    *   1. per-doc running token sums within 1024-doc buckets
+    *      (`run`, one windowed pass over the bucket-partitioned rows);
+    *   2. bucket totals (= max(run) per bucket) aggregate into
+    *      1024-bucket SUPER-buckets, whose running offset is the only
+    *      unpartitioned window — over a frame of corpus/2²⁰ rows
+    *      (CurationSpec pins that no unpartitioned window ever sees
+    *      doc- or bucket-level rows);
     *   3. bucket offsets = super offset + a running sum windowed
-    *      WITHIN each super-bucket; per-doc starts = bucket offset + a
-    *      running sum windowed WITHIN each bucket.
+    *      WITHIN each super-bucket; per-doc starts = bucket offset +
+    *      the doc's exclusive prefix (run − own n_tok).
     *
-    * So no single-partition sort ever exceeds ~1000 rows per group and
+    * So no single-partition sort ever exceeds ~1024 rows per group and
     * the top frame stays tiny past 10¹⁴ documents. The offset frames
-    * grow linearly with the corpus (corpus/10³ and corpus/10⁶ rows),
+    * grow linearly with the corpus (corpus/2¹⁰ and corpus/2²⁰ rows),
     * so neither join carries a broadcast hint — stats/AQE broadcast
     * them while they fit and fall back to a hash join on the bucket
     * key, which co-partitions with the very window that follows.
+    *
+    * The corpus is normalized+tokenized exactly ONCE (PlanShapeSpec
+    * pins one scan): the explicit repartition on `bkt` is the single
+    * row-level exchange, and every consumer — the bucket-total
+    * aggregate and the per-doc continuation — hangs off that same
+    * canonically identical subtree, so AQE's ReuseExchange shares the
+    * materialized stage. Three details conspire to keep the subtrees
+    * identical (each alone broke it, three tokenize passes' worth):
+    * bkt/sbkt are NON-NULLABLE bit-shifts (floor-division is nullable
+    * even over non-null input — div-by-zero → null — and nullable keys
+    * made InferFiltersFromConstraints push a DIFFERENT isnotnull(…)
+    * filter into each consumer's copy); shiftright(coalesce(doc_id,
+    * 0), 10) is identity-safe since doc_id is the table key; and the
+    * bucket totals derive from max(run) — a doc_id-ordered window —
+    * so ColumnPruning cannot plan a doc_id-free twin of the exchange
+    * for the aggregate branch.
     */
   private[graft] def seqPack(docs: DataFrame): DataFrame = {
     val toks = docs
       .select(col("doc_id"),
         size(Text.words(col("text"))).cast("long").as("n_tok"))
-      .withColumn("bkt", floor(col("doc_id") / 1000L).cast("long"))
-    val bktSums = toks.groupBy(col("bkt"))
-      .agg(sum(col("n_tok")).as("bkt_tok"))
-      .withColumn("sbkt", floor(col("bkt") / 1000L).cast("long"))
+      .withColumn("bkt", shiftright(coalesce(col("doc_id"), lit(0L)), 10))
+      .repartition(col("bkt"))
+    // inclusive running sum within the bucket; n_tok ≥ 0, so run is
+    // nondecreasing and max(run) is the bucket total.
+    val wRun = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wq = toks.withColumn("run", sum(col("n_tok")).over(wRun))
+    val bktSums = wq.groupBy(col("bkt"))
+      .agg(max(col("run")).as("bkt_tok"))
+      .withColumn("sbkt", shiftright(col("bkt"), 10))
     val superOff = bktSums.groupBy(col("sbkt"))
       .agg(sum(col("bkt_tok")).as("sb_tok"))
       .withColumn("sb_off",
@@ -87,11 +111,13 @@ object Curation extends QueryModule {
           Window.partitionBy(col("sbkt")).orderBy(col("bkt"))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("bkt"), col("bkt_off"))
-    val intra = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    toks.join(offsets, "bkt")
+    // exclusive prefix = inclusive run − own n_tok; the coalesces make
+    // null-text docs (null n_tok) land exactly where the old
+    // sum-over-preceding form put them.
+    wq.join(offsets, "bkt")
       .withColumn("start",
-        col("bkt_off") + coalesce(sum(col("n_tok")).over(intra), lit(0L)))
+        col("bkt_off") + coalesce(col("run"), lit(0L))
+          - coalesce(col("n_tok"), lit(0L)))
       .select(
         col("doc_id"), col("n_tok"),
         // integral DIV, not floor(x/2048.0): exact at any corpus size

@@ -142,6 +142,23 @@ class PlanShapeSpec extends AnyFunSuite {
       s"tf/df aggregation lost map-side partials:\n$p")
   }
 
+  test("q101 tokenizes the corpus exactly once (single scan, reused)") {
+    // the three-level prefix sum reads the corpus through one
+    // repartition-by-bucket exchange shared by every consumer; before
+    // the round-9 rework each consumer's copy diverged (nullable
+    // bucket keys → differing inferred filters; column pruning →
+    // doc_id-free twin) and the corpus was normalized+tokenized THREE
+    // times. See Curation.seqPack for the three conspiring details.
+    val df = SparkEntry.queries("q101_seq_pack")(spark, sf)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("FileScan parquet".r.findAllIn(finalPlan).length == 1,
+      s"q101 must scan the corpus exactly once:\n$finalPlan")
+    assert(finalPlan.contains("ReusedExchange"),
+      s"expected the bucket repartition exchange to be reused:\n$finalPlan")
+  }
+
   test("q110 tokenize stage runs once, reused by the tf and df branches") {
     // tf feeds both the df aggregate and the join probe; the df count
     // references tf's count column (un-foldably) so ColumnPruning
