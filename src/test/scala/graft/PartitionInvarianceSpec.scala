@@ -18,7 +18,11 @@ class PartitionInvarianceSpec extends AnyFunSuite {
 
   private val pinned = Seq(
     "q60_dedup_exact",     // sha256 keep-first
+    "q61_dedup_minhash",   // per-row minhash signatures + band joins +
+                           // native sorted-intersect verify: all exact
+    "q62_dedup_ngram",     // blocked exact-Jaccard integer percents
     "q63_dedup_simhash",   // md5-derived fingerprint bits + Hamming gate
+    "q102_decontaminate",  // exact shingle-overlap counts, broadcast eval
     "q67_fingerprint",     // rolling-hash document fingerprints
     "q100_hash_split",     // affine-hash train/valid/test split
     "q101_seq_pack",       // three-level distributed prefix sum
