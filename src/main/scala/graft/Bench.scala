@@ -63,10 +63,16 @@ object Bench {
     * CPU-bound probe — xxhash64 chain over a constant range, one codegen
     * stage, no I/O, no shuffle beyond the 32→1 partial-agg collect —
     * timed at bench start and end and reported as "calib_s":[a,b] in the
-    * contract line. On a quiet local[32] box it reads ~1 s (the clean
-    * value is pinned in tools/bench_diff.py CLEAN_CALIB_S); a
-    * contaminated run self-identifies with calib at 2-10x that, and
-    * bench_diff demotes its per-query flags to unconfirmed instead of
+    * contract line. The probe SATURATES the configured parallelism, so
+    * its clean value depends on SPARK_GRAFT_CPUS — ~0.45 s at local[32],
+    * ~1.30 s at the local[4] default on this box class — which is why
+    * the contract line also carries "cpus" and bench_diff keeps a clean
+    * value PER parallelism (round-9 lesson: three local[4] runs read
+    * "2.9x ambient" against the local[32] clean value while their query
+    * totals were the best ever measured — a config mismatch, not
+    * contamination). A genuinely contaminated run self-identifies with
+    * calib at 2-10x its parallelism-matched clean value, and bench_diff
+    * demotes its per-query flags to unconfirmed instead of
     * false-flagging 30 clean plans.
     */
   private val CalibRows = 400000000L
@@ -150,13 +156,13 @@ object Bench {
     val calib = (calibStart, calibSample(spark))
     // Full detail first (one line, may exceed the driver's 2000-char
     // stdout-tail capture; kept for humans + the repo bench log) ...
-    println(detailLine(results, failed, runaway, calib, sfDir))
+    println(detailLine(results, failed, runaway, calib, sfDir, cpus))
     // ... then the driver-contract line LAST and COMPACT: the driver
     // parses JSON out of the last ~2000 chars of stdout, so this line
     // must fit there whole (BenchContractSpec pins this under a
     // worst-case failure count). Slowest 32 queries + first 8 failures
     // only; the full lists are in the detail line above.
-    println(compactLine(results, failed, runaway, calib, sfDir))
+    println(compactLine(results, failed, runaway, calib, sfDir, cpus))
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
@@ -166,13 +172,14 @@ object Bench {
 
   private[graft] def detailLine(results: Seq[(String, Double, Double)],
                                 failed: List[String], runaway: List[String],
-                                calib: (Double, Double), sfDir: String): String = {
+                                calib: (Double, Double), sfDir: String,
+                                cpus: String): String = {
     val qs = results.map { case (k, v, _) => f""""$k":$v%.2f""" }
       .mkString("{", ",", "}")
     val sh = results.map { case (k, _, mb) => f""""$k":$mb%.2f""" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
-    s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":$sh,"failed":${jsonList(failed.sorted)},"runaway":${jsonList(runaway.sorted)},"calib_s":${calibJson(calib)},"sf":"$sfDir"}"""
+    s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":$sh,"failed":${jsonList(failed.sorted)},"runaway":${jsonList(runaway.sorted)},"calib_s":${calibJson(calib)},"cpus":"$cpus","sf":"$sfDir"}"""
   }
 
   private def calibJson(calib: (Double, Double)): String =
@@ -180,7 +187,8 @@ object Bench {
 
   private[graft] def compactLine(results: Seq[(String, Double, Double)],
                                  failed: List[String], runaway: List[String],
-                                 calib: (Double, Double), sfDir: String): String = {
+                                 calib: (Double, Double), sfDir: String,
+                                 cpus: String): String = {
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
     val totalShuffleMb = results.map(_._3).sum
     val top = results.filter(_._2 >= 0).sortBy(-_._2).take(32).sortBy(_._1)
@@ -195,6 +203,6 @@ object Bench {
     // BenchContractSpec 1800-char budget.
     val failedShown = jsonList(failed.sorted.take(5))
     val runawayShown = jsonList(runaway.sorted.take(5))
-    f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$topQs,"queries_run":${results.length},"queries_omitted_fast":$omitted,"shuffle_mb_total":$totalShuffleMb%.1f,"failed":$failedShown,"failed_count":${failed.length},"runaway":$runawayShown,"runaway_count":${runaway.length},"calib_s":${calibJson(calib)},"sf":"$sfDir"}"""
+    f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$topQs,"queries_run":${results.length},"queries_omitted_fast":$omitted,"shuffle_mb_total":$totalShuffleMb%.1f,"failed":$failedShown,"failed_count":${failed.length},"runaway":$runawayShown,"runaway_count":${runaway.length},"calib_s":${calibJson(calib)},"cpus":"$cpus","sf":"$sfDir"}"""
   }
 }

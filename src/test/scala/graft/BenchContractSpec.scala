@@ -22,7 +22,7 @@ class BenchContractSpec extends AnyFunSuite {
     val failed = results.map(_._1).toList
     val runaway = results.map(_._1).toList
     val line = Bench.compactLine(results, failed, runaway, (1.01, 9.87),
-      "/root/testdata/sf0.1")
+      "/root/testdata/sf0.1", "32")
     assert(line.length <= 1800, s"contract line too long: ${line.length} chars")
 
     // simulate the driver: noisy stdout, contract line last, keep the tail.
@@ -46,6 +46,10 @@ class BenchContractSpec extends AnyFunSuite {
     assert(run.length === 5, "runaway list must be capped in the compact line")
     val JArray(calib) = (parsed \ "calib_s"): @unchecked
     assert(calib === List(JDouble(1.01), JDouble(9.87)))
+    // the probe's clean value depends on the configured parallelism,
+    // so the line must say which one it ran at (bench_diff keys its
+    // per-cpus clean calibration values on this).
+    assert((parsed \ "cpus") === JString("32"))
   }
 
   test("median re-runs cover only the noisy slow tier, never runaways") {
@@ -64,7 +68,7 @@ class BenchContractSpec extends AnyFunSuite {
   test("detail line keeps the full failure list and every query") {
     val failed = results.map(_._1).take(50).toList
     val detail = Bench.detailLine(results, failed, List("q9_run"),
-      (1.0, 1.1), "sfX")
+      (1.0, 1.1), "sfX", "4")
     val parsed = JsonMethods.parse(detail)
     val JArray(f) = (parsed \ "failed"): @unchecked
     assert(f.length === 50)

@@ -10,11 +10,13 @@ file of raw Bench stdout lines (uses the last {"metric":"total"...} line).
 
 Baseline policy (round-9 rework — the r8 postmortem):
   The operative baseline is the PINNED CLEAN RUN
-  (tools/bench_r09_local.json, 108.40 s / 133 queries, calib
-  [0.53, 0.39] — the builder's end-of-round-9 local run, the fastest
-  and cleanest measured; it absorbs q71's post-fix level. The prior
-  pin, tools/bench_r08_local.json at 122.36 s, is kept for history;
-  the judge's independent re-run of the r8 commit read 116.99 s).
+  (tools/bench_r09b_local.json, 100.98 s / 133 queries at local[32],
+  calib [0.44, 0.35] = 0.88x clean — the builder's final round-9 run;
+  it absorbs the round's post-promotion reworks: q71's post-fix level,
+  q111/q110/q101 single-compute shapes, q63's filter fix. Prior pins
+  bench_r09_local.json (108.40 s) and bench_r08_local.json (122.36 s)
+  are kept for history; the judge's independent re-run of the r8
+  commit read 116.99 s).
   Driver BENCH_r{N}.json files are
   considered as baseline candidates ONLY if they pass a plausibility
   gate: total <= SANITY_FACTOR x the pinned clean total. BENCH_r08.json
@@ -49,16 +51,23 @@ import re
 import sys
 
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-PINNED_CLEAN = os.path.join(HERE, "tools", "bench_r09_local.json")
+PINNED_CLEAN = os.path.join(HERE, "tools", "bench_r09b_local.json")
 FALLBACK = os.path.join(HERE, "tools", "bench_r06_baseline.json")
 SANITY_FACTOR = 2.0   # refuse baselines slower than this x the pinned run
 AMBIENT_FACTOR = 2.0  # calib slower than this x clean => contaminated run
-# Clean-box value of Bench.scala's calibration probe (local[32], measured
-# round 9: three runs read [0.47,0.42], [0.46,0.41] on the builder box —
-# the probe is a fixed 400M-row xxhash64 chain, median-of-3 per sample;
-# see tools/bench_notes_r09.md). Runs that don't carry calib_s (pre-r9
-# files) skip ambient detection.
-CLEAN_CALIB_S = 0.45
+# Clean-box values of Bench.scala's calibration probe, keyed on the
+# "cpus" the run reports (the probe saturates the configured
+# parallelism, so its clean value depends on it — the round-9 lesson:
+# three local[4] runs read "2.9x ambient" against the local[32] value
+# while their totals were the best ever measured). Measured on the
+# builder box: local[32] 0.39-0.62 across ~15 isolated runs; local[4]
+# [1.37,1.24],[1.43,1.20],[1.37,1.21] across three full suites. The
+# probe is a fixed 400M-row xxhash64 chain, median-of-3 per sample;
+# see tools/bench_notes_r09.md. Runs that don't carry calib_s (pre-r9
+# files) skip ambient detection; runs with an unrecognized cpus value
+# skip it too (printed) rather than misjudge against the wrong clean.
+CLEAN_CALIB_BY_CPUS = {"32": 0.45, "4": 1.30}
+CLEAN_CALIB_S = CLEAN_CALIB_BY_CPUS["32"]  # legacy lines without "cpus"
 
 
 def load(path):
@@ -113,12 +122,23 @@ def default_baseline(exclude_path=None, root=None, pinned=None, log=print):
     return pinned
 
 
+def clean_calib_for(run):
+    """Parallelism-matched clean probe value; None = can't judge."""
+    cpus = run.get("cpus")
+    if cpus is None:
+        return CLEAN_CALIB_S  # legacy line: recorded at local[32]
+    return CLEAN_CALIB_BY_CPUS.get(str(cpus))
+
+
 def ambient_ratio(run):
     """Mean calibration time vs the known clean value; None if absent."""
     calib = run.get("calib_s")
     if not calib:
         return None
-    return (sum(calib) / len(calib)) / CLEAN_CALIB_S
+    clean = clean_calib_for(run)
+    if clean is None:
+        return None
+    return (sum(calib) / len(calib)) / clean
 
 
 def diff(new, base, thr, out=print):
@@ -128,8 +148,13 @@ def diff(new, base, thr, out=print):
     contaminated = amb is not None and amb > AMBIENT_FACTOR
     out(f"total: {base['value']:.2f} -> {new['value']:.2f} s "
         f"({new['value'] / base['value']:.2f}x)")
+    if new.get("calib_s") and amb is None and clean_calib_for(new) is None:
+        out(f"calibration: {new['calib_s']} at cpus={new.get('cpus')} — no "
+            "clean value recorded for that parallelism; ambient detection "
+            "skipped (add it to CLEAN_CALIB_BY_CPUS after 3 clean runs)")
     if amb is not None:
-        out(f"calibration: {new['calib_s']} vs clean {CLEAN_CALIB_S:.2f}s "
+        out(f"calibration: {new['calib_s']} vs clean "
+            f"{clean_calib_for(new):.2f}s (cpus={new.get('cpus', '32?')}) "
             f"= {amb:.2f}x ambient"
             + (" — RUN IS CONTAMINATED; ratios below are also shown /calib;"
                " flags are unconfirmed" if contaminated else " (clean)"))
