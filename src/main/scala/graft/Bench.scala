@@ -160,8 +160,9 @@ object Bench {
     // ... then the driver-contract line LAST and COMPACT: the driver
     // parses JSON out of the last ~2000 chars of stdout, so this line
     // must fit there whole (BenchContractSpec pins this under a
-    // worst-case failure count). Slowest 32 queries + first 8 failures
-    // only; the full lists are in the detail line above.
+    // worst-case failure count). Slowest 32 queries + first 5
+    // failures/runaways only; the full lists are in the detail line
+    // above.
     println(compactLine(results, failed, runaway, calib, sfDir, cpus))
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)

@@ -27,51 +27,92 @@ import statistics
 import subprocess
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from bench_diff import parse_contract  # one parser for the contract line
+
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DEFAULT_BASELINE = os.path.join(HERE, "tools", "bench_r09b_local.json")
 AMBIENT_MAX = 1.3
 REAL_MIN = 1.5
+RUN_TIMEOUT_S = 900
 
 
-def contract_line(stdout):
-    lines = [l for l in stdout.splitlines()
-             if l.startswith('{"metric":"total"')
-             and '"total_detail"' not in l]
-    return json.loads(lines[-1]) if lines else None
-
-
-def run_once(queries, sf):
+def run_once(queries, sf, cpus):
     env = dict(os.environ,
                SPARK_GRAFT_ONLY=",".join(queries),
                SPARK_GRAFT_SF_DIR=sf,
-               SPARK_GRAFT_CPUS=os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    p = subprocess.run(
-        ["sbt", "-batch", "runMain graft.Bench"],
-        cwd=HERE, env=env, capture_output=True, text=True, timeout=900)
-    line = contract_line(p.stdout)
+               SPARK_GRAFT_CPUS=cpus)
+    try:
+        p = subprocess.run(
+            ["sbt", "-batch", "runMain graft.Bench"],
+            cwd=HERE, env=env, capture_output=True, text=True,
+            timeout=RUN_TIMEOUT_S)
+    except subprocess.TimeoutExpired:
+        sys.exit(f"isolated run exceeded {RUN_TIMEOUT_S}s — the box is "
+                 "heavily contended (the situation being adjudicated); "
+                 "no verdict is possible from a timed-out sample. Re-run "
+                 "when the box quiets down.")
+    line = parse_contract(p.stdout)
     if p.returncode != 0 or line is None:
         sys.exit(f"bench run failed (exit {p.returncode}):\n"
                  + p.stdout[-1500:] + p.stderr[-1500:])
     return line
 
 
-def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    if not args:
+def parse_args(argv):
+    """Options consume their values, so '--runs 5 q71' cannot run a
+    full bench against query '5' (the old parser did exactly that)."""
+    opts = {"runs": "3", "sf": "/root/testdata/sf0.1",
+            "baseline": DEFAULT_BASELINE, "insuite": None}
+    args, i = [], 0
+    while i < len(argv):
+        a = argv[i]
+        if a.startswith("--"):
+            name = a[2:].split("=", 1)[0]
+            if name not in opts:
+                sys.exit(f"unknown option --{name}\n\n{__doc__}")
+            if "=" in a:
+                opts[name] = a.split("=", 1)[1]
+            elif i + 1 < len(argv):
+                opts[name] = argv[i + 1]
+                i += 1
+            else:
+                sys.exit(f"--{name} needs a value")
+        else:
+            args.append(a)
+        i += 1
+    if len(args) != 1:
         sys.exit(__doc__)
-    queries = [q.strip() for q in args[0].split(",") if q.strip()]
-    opt = lambda name, dflt: next(
-        (sys.argv[i + 1] if "=" not in a else a.split("=", 1)[1]
-         for i, a in enumerate(sys.argv) if a.startswith(f"--{name}")), dflt)
-    runs = int(opt("runs", "3"))
-    sf = opt("sf", "/root/testdata/sf0.1")
-    base = load_queries(opt("baseline", DEFAULT_BASELINE))
-    insuite = opt("insuite", None)
+    return args[0], opts
+
+
+def main():
+    qarg, opts = parse_args(sys.argv[1:])
+    queries = [q.strip() for q in qarg.split(",") if q.strip()]
+    runs = int(opts["runs"])
+    sf = opts["sf"]
+    baseline = load_baseline(opts["baseline"])
+    base = baseline["queries"]
+    insuite = opts["insuite"]
+
+    # verdicts are only meaningful at the parallelism the baseline was
+    # measured at: default to it, and refuse an explicit mismatch (the
+    # round-9 lesson — a local[4] median vs a local[32] baseline reads
+    # as a fake REAL regression).
+    base_cpus = str(baseline.get("cpus", "32"))
+    env_cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if env_cpus and env_cpus != base_cpus:
+        sys.exit(f"SPARK_GRAFT_CPUS={env_cpus} but the baseline "
+                 f"({opts['baseline']}) was measured at cpus={base_cpus} — "
+                 "an isolated median at a different parallelism cannot be "
+                 "compared to it. Unset SPARK_GRAFT_CPUS or pass a "
+                 "--baseline measured at that parallelism.")
+    cpus = env_cpus or base_cpus
 
     samples = {q: [] for q in queries}
     calibs = []
     for i in range(runs):
-        line = run_once(queries, sf)
+        line = run_once(queries, sf, cpus)
         for q in queries:
             if q not in line["queries"]:
                 sys.exit(f"query {q} missing from bench output "
@@ -108,10 +149,10 @@ def main():
         sys.exit(1)
 
 
-def load_queries(path):
+def load_baseline(path):
     with open(path) as f:
         d = json.load(f)
-    return (d.get("parsed") or d)["queries"]
+    return d.get("parsed") or d
 
 
 if __name__ == "__main__":

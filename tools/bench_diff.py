@@ -82,11 +82,36 @@ def load(path):
     except json.JSONDecodeError:
         pass
     # raw Bench stdout: take the last compact contract line.
+    d = parse_contract(text)
+    if d is None:
+        sys.exit(f"no parseable bench line in {path}")
+    return d
+
+
+def parse_contract(text):
+    """Last compact contract line from raw Bench stdout, or None.
+
+    When the detail line is present too, its FULL failed/runaway lists
+    replace the compact line's 5-name caps — the caps exist for the
+    driver's 2000-char stdout tail, not for local files that kept the
+    whole output. (Shared with tools/ab_check.py so the two tools
+    cannot drift on the line format.)"""
     lines = [l for l in text.splitlines() if l.startswith('{"metric":"total"')
              and '"total_detail"' not in l]
     if not lines:
-        sys.exit(f"no parseable bench line in {path}")
-    return json.loads(lines[-1])
+        return None
+    d = json.loads(lines[-1])
+    detail = [l for l in text.splitlines()
+              if l.startswith('{"metric":"total_detail"')]
+    if detail:
+        try:
+            dd = json.loads(detail[-1])
+            for k in ("failed", "runaway"):
+                if len(dd.get(k, [])) >= len(d.get(k, [])):
+                    d[k] = dd[k]
+        except json.JSONDecodeError:
+            pass
+    return d
 
 
 def default_baseline(exclude_path=None, root=None, pinned=None, log=print):
@@ -111,14 +136,25 @@ def default_baseline(exclude_path=None, root=None, pinned=None, log=print):
             rounds[int(m.group(1))] = p
     for n in sorted(rounds, reverse=True):
         try:
-            total = load(rounds[n])["value"]
+            cand = load(rounds[n])
         except SystemExit:
             continue
-        if total <= SANITY_FACTOR * clean_total:
-            return rounds[n]
-        log(f"baseline candidate {os.path.basename(rounds[n])} refused: "
-            f"total {total:.2f}s > {SANITY_FACTOR}x pinned clean "
-            f"{clean_total:.2f}s (contaminated run; see README Performance)")
+        total = cand["value"]
+        amb = ambient_ratio(cand)
+        if total > SANITY_FACTOR * clean_total:
+            log(f"baseline candidate {os.path.basename(rounds[n])} refused: "
+                f"total {total:.2f}s > {SANITY_FACTOR}x pinned clean "
+                f"{clean_total:.2f}s (contaminated run; see README Performance)")
+            continue
+        if amb is not None and amb > AMBIENT_FACTOR:
+            # a moderately contaminated run can pass the total gate (the
+            # r8 failure mode at lower intensity) but its own probe
+            # gives it away — never adopt it as the operative baseline.
+            log(f"baseline candidate {os.path.basename(rounds[n])} refused: "
+                f"calib {cand.get('calib_s')} = {amb:.2f}x ambient "
+                f"(> {AMBIENT_FACTOR}x; contaminated measurement)")
+            continue
+        return rounds[n]
     return pinned
 
 
@@ -144,6 +180,16 @@ def ambient_ratio(run):
 def diff(new, base, thr, out=print):
     nq, bq = new["queries"], base["queries"]
     runaway = set(new.get("runaway", []))
+    runaway_count = new.get("runaway_count", len(runaway))
+    runaway_truncated = runaway_count > len(runaway)
+    failed = list(new.get("failed", []))
+    failed_count = new.get("failed_count", len(failed))
+    if failed_count:
+        out(f"*** {failed_count} FAILED queries (broken, not slow): "
+            + (", ".join(failed) if failed else "names not in this line")
+            + (" (+ more, list truncated — see the detail line)"
+               if failed_count > len(failed) else "")
+            + " — fix the failures; the timing diff below ignores them")
     amb = ambient_ratio(new)
     contaminated = amb is not None and amb > AMBIENT_FACTOR
     out(f"total: {base['value']:.2f} -> {new['value']:.2f} s "
@@ -158,6 +204,11 @@ def diff(new, base, thr, out=print):
             f"= {amb:.2f}x ambient"
             + (" — RUN IS CONTAMINATED; ratios below are also shown /calib;"
                " flags are unconfirmed" if contaminated else " (clean)"))
+    if runaway_truncated:
+        out(f"runaway list truncated ({len(runaway)} of {runaway_count} "
+            "names in this line) — every flag below is demoted to "
+            "unconfirmed, since any unlisted query may be one of the "
+            "runaways (full list: the detail line / driver log)")
     confirmed, unconfirmed = [], []
     out(f"{'query':30} {'base':>7} {'new':>7}  ratio")
     for k in sorted(set(nq) & set(bq)):
@@ -166,8 +217,10 @@ def diff(new, base, thr, out=print):
         r = nq[k] / bq[k]
         flagged = r > thr
         norm = f" ({r / amb:5.2f}x /calib)" if contaminated and flagged else ""
-        if flagged and (contaminated or k in runaway):
-            why = "runaway single-shot" if k in runaway else "ambient run"
+        if flagged and (contaminated or k in runaway or runaway_truncated):
+            why = ("runaway single-shot" if k in runaway
+                   else "ambient run" if contaminated
+                   else "possibly an unlisted runaway")
             unconfirmed.append(k)
             mark = f"  <<< UNCONFIRMED ({why} — A/B with tools/ab_check.py){norm}"
         elif flagged:
@@ -235,23 +288,91 @@ def selftest():
         confirmed, unconfirmed = diff(new, base, 1.5, out=quiet)
         assert confirmed == ["q2"] and unconfirmed == ["q1"], \
             f"runaway demotion failed: {confirmed} {unconfirmed}"
-    print("bench_diff selftest: 5/5 ok")
+
+        # 6. truncated runaway list (compact line caps at 5 but
+        #    runaway_count says more): every flag demotes to unconfirmed,
+        #    since any unlisted query may be one of the runaways.
+        new = mk(300.0, {"q1": 25.0, "q2": 2.0})
+        new["calib_s"] = [CLEAN_CALIB_S, CLEAN_CALIB_S]
+        new["runaway"] = ["qa", "qb", "qc", "qd", "qe"]
+        new["runaway_count"] = 6
+        confirmed, unconfirmed = diff(new, base, 1.5, out=quiet)
+        assert confirmed == [] and set(unconfirmed) == {"q1", "q2"}, \
+            f"truncated-runaway demotion failed: {confirmed} {unconfirmed}"
+
+        # 7. failed queries are surfaced loudly, not silently skipped.
+        new = mk(1.0, {"q1": -1.0, "q2": 1.0})
+        new["failed"], new["failed_count"] = ["q1"], 1
+        lines = []
+        diff(new, base, 1.5, out=lines.append)
+        assert any("FAILED" in l and "q1" in l for l in lines), \
+            f"failed queries not surfaced: {lines}"
+
+        # 8. a driver bench whose own calibration is ambient is refused
+        #    even when its total passes the 2x gate.
+        cal = {"parsed": dict(mk(150.0, {"q1": 1.2}),
+                              calib_s=[2.5 * CLEAN_CALIB_S] * 2)}
+        newest = os.path.join(d, "BENCH_r10.json")
+        with open(newest, "w") as f:
+            json.dump(cal, f)
+        got = default_baseline(root=d, pinned=pinned, log=quiet)
+        assert got == new9, f"calib-ambient candidate adopted: {got}"
+
+        # 9. the stdout parser merges the detail line's FULL lists over
+        #    the compact line's 5-name caps.
+        stdout = "\n".join([
+            '{"metric":"total_detail","value":1,"unit":"sec","queries":{},'
+            '"shuffle_mb":{},"failed":[],'
+            '"runaway":["qa","qb","qc","qd","qe","qf"],"calib_s":[0.4,0.4],'
+            '"cpus":"32","sf":"x"}',
+            '{"metric":"total","value":1,"unit":"sec","queries":{},'
+            '"queries_run":1,"queries_omitted_fast":0,"shuffle_mb_total":0,'
+            '"failed":[],"failed_count":0,'
+            '"runaway":["qa","qb","qc","qd","qe"],"runaway_count":6,'
+            '"calib_s":[0.4,0.4],"cpus":"32","sf":"x"}'])
+        merged = parse_contract(stdout)
+        assert merged["runaway"] == ["qa", "qb", "qc", "qd", "qe", "qf"], \
+            f"detail-line merge failed: {merged['runaway']}"
+    print("bench_diff selftest: 9/9 ok")
+
+
+def parse_args(argv):
+    """Positional args + threshold; consumes space-separated option
+    values so '--threshold 2' cannot leak '2' into the baseline slot
+    (the old parser crashed on the usage string's own syntax)."""
+    args, thr, i = [], 1.5, 0
+    while i < len(argv):
+        a = argv[i]
+        if a.startswith("--threshold"):
+            if "=" in a:
+                thr = float(a.split("=", 1)[1])
+            elif i + 1 < len(argv):
+                thr = float(argv[i + 1])
+                i += 1
+            else:
+                sys.exit("--threshold needs a value")
+        elif a.startswith("--"):
+            sys.exit(f"unknown option {a}\n\n{__doc__}")
+        else:
+            args.append(a)
+        i += 1
+    if not args or len(args) > 2:
+        sys.exit(__doc__)
+    return args, thr
 
 
 def main():
     if "--selftest" in sys.argv:
         selftest()
         return
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    thr = 1.5
-    for a in sys.argv[1:]:
-        if a.startswith("--threshold"):
-            thr = float(a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1])
+    args, thr = parse_args(sys.argv[1:])
     new = load(args[0])
     base_path = args[1] if len(args) > 1 else default_baseline(args[0])
     base = load(base_path)
     print(f"baseline: {base_path}")
     confirmed, unconfirmed = diff(new, base, thr)
+    if new.get("failed_count") or new.get("failed"):
+        sys.exit(1)  # a broken query is worse than a slow one
     if confirmed:
         sys.exit(1)
     if unconfirmed:
