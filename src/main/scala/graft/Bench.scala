@@ -62,20 +62,32 @@ object Bench {
     * because nothing in it measured the box): a fixed, data-independent,
     * CPU-bound probe — xxhash64 chain over a constant range, one codegen
     * stage, no I/O, no shuffle beyond the 32→1 partial-agg collect —
-    * timed at bench start and end and reported as "calib_s":[a,b] in the
-    * contract line. The probe SATURATES the configured parallelism, so
-    * its clean value depends on SPARK_GRAFT_CPUS — ~0.45 s at local[32],
-    * ~1.30 s at the local[4] default on this box class — which is why
-    * the contract line also carries "cpus" and bench_diff keeps a clean
-    * value PER parallelism (round-9 lesson: three local[4] runs read
-    * "2.9x ambient" against the local[32] clean value while their query
+    * reported as "calib_s":[...] in the contract line. The probe
+    * SATURATES the configured parallelism, so its clean value depends
+    * on SPARK_GRAFT_CPUS — ~0.45 s at local[32], ~1.30 s at the
+    * local[4] default on this box class — which is why the contract
+    * line also carries "cpus" and bench_diff keeps a clean value PER
+    * parallelism (round-9 lesson: three local[4] runs read "2.9x
+    * ambient" against the local[32] clean value while their query
     * totals were the best ever measured — a config mismatch, not
     * contamination). A genuinely contaminated run self-identifies with
-    * calib at 2-10x its parallelism-matched clean value, and bench_diff
-    * demotes its per-query flags to unconfirmed instead of
+    * a calib sample at 2-10x its parallelism-matched clean value, and
+    * bench_diff demotes its per-query flags to unconfirmed instead of
     * false-flagging 30 clean plans.
+    *
+    * Samples are INTERLEAVED (round-10 postmortem of BENCH_r09, which
+    * read 207.80 s = 2.06x the pin with CLEAN start/end samples of
+    * [0.49, 0.40] — the contention burst lived entirely between them,
+    * inflating q31/q50/q109 et al. 8-14x while both probes saw a quiet
+    * box): one sample at start, one after every `CalibEvery` queries,
+    * one at end. bench_diff judges the run on the WORST sample, so any
+    * burst longer than one probe interval (~25 s of bench time) now
+    * self-identifies. Cost: 3 interior samples x ~1.4 s at local[32]
+    * on a ~100 s suite — under 5%, and excluded from every per-query
+    * and total time.
     */
   private val CalibRows = 400000000L
+  private[graft] val CalibEvery = 33
   private def calibrate(spark: SparkSession): Double = {
     val t0 = System.nanoTime()
     materialize(spark.range(0L, CalibRows, 1L, 32)
@@ -119,7 +131,13 @@ object Bench {
 
     var failed = List.empty[String]
     var runaway = List.empty[String]
-    val results = names.map { name =>
+    val calibSamples = Seq.newBuilder[Double]
+    calibSamples += calibStart
+    val results = names.zipWithIndex.map { case (name, idx) =>
+      // interior calibration probe every CalibEvery queries (before the
+      // query's own tally reset, so the probe's tiny 32→1 agg shuffle
+      // never lands in a per-query shuffle_mb figure).
+      if (idx > 0 && idx % CalibEvery == 0) calibSamples += calibSample(spark)
       GraftSparkBridge.flushListeners(spark.sparkContext)
       tally.bytes.set(0L)
       def timedRun(): Double = {
@@ -151,9 +169,9 @@ object Bench {
         }
       (name, sec, shuffleMb)
     }
-    // end-of-bench calibration sample: contention that arrived mid-run
-    // shows as calib_s[1] >> calib_s[0].
-    val calib = (calibStart, calibSample(spark))
+    // end-of-bench calibration sample closes the last probe interval.
+    calibSamples += calibSample(spark)
+    val calib = calibSamples.result()
     // Full detail first (one line, may exceed the driver's 2000-char
     // stdout-tail capture; kept for humans + the repo bench log) ...
     println(detailLine(results, failed, runaway, calib, sfDir, cpus))
@@ -173,7 +191,7 @@ object Bench {
 
   private[graft] def detailLine(results: Seq[(String, Double, Double)],
                                 failed: List[String], runaway: List[String],
-                                calib: (Double, Double), sfDir: String,
+                                calib: Seq[Double], sfDir: String,
                                 cpus: String): String = {
     val qs = results.map { case (k, v, _) => f""""$k":$v%.2f""" }
       .mkString("{", ",", "}")
@@ -183,16 +201,20 @@ object Bench {
     s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":$sh,"failed":${jsonList(failed.sorted)},"runaway":${jsonList(runaway.sorted)},"calib_s":${calibJson(calib)},"cpus":"$cpus","sf":"$sfDir"}"""
   }
 
-  private def calibJson(calib: (Double, Double)): String =
-    f"[${calib._1}%.2f,${calib._2}%.2f]"
+  private def calibJson(calib: Seq[Double]): String =
+    calib.map(c => f"$c%.2f").mkString("[", ",", "]")
 
   private[graft] def compactLine(results: Seq[(String, Double, Double)],
                                  failed: List[String], runaway: List[String],
-                                 calib: (Double, Double), sfDir: String,
+                                 calib: Seq[Double], sfDir: String,
                                  cpus: String): String = {
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
     val totalShuffleMb = results.map(_._3).sum
-    val top = results.filter(_._2 >= 0).sortBy(-_._2).take(32).sortBy(_._1)
+    // 31, not 32: the round-10 interleaved calib list (up to 6 samples
+    // vs the old 2) costs ~24 chars, which pushed the worst-case line
+    // to 1820 — one query row buys it back (BenchContractSpec pins the
+    // 1800 budget against the driver's 2000-char stdout tail).
+    val top = results.filter(_._2 >= 0).sortBy(-_._2).take(31).sortBy(_._1)
     val topQs = top.map { case (k, v, _) => f""""$k":$v%.2f""" }
       .mkString("{", ",", "}")
     val omitted = results.length - top.length

@@ -21,7 +21,10 @@ class BenchContractSpec extends AnyFunSuite {
     // worst case: mass failure AND mass runaway (both lists capped)
     val failed = results.map(_._1).toList
     val runaway = results.map(_._1).toList
-    val line = Bench.compactLine(results, failed, runaway, (1.01, 9.87),
+    // worst-case calibration list: start + interior probe per CalibEvery
+    // queries + end (133 queries → 5 samples; 6 pins extra headroom).
+    val calib = Seq(1.01, 9.87, 10.44, 0.45, 12.01, 0.39)
+    val line = Bench.compactLine(results, failed, runaway, calib,
       "/root/testdata/sf0.1", "32")
     assert(line.length <= 1800, s"contract line too long: ${line.length} chars")
 
@@ -37,15 +40,18 @@ class BenchContractSpec extends AnyFunSuite {
     val JArray(shown) = (parsed \ "failed"): @unchecked
     assert(shown.length === 5, "failed list must be capped in the compact line")
     val JObject(qs) = (parsed \ "queries"): @unchecked
-    assert(qs.length === 32, "slowest-32 cap")
+    assert(qs.length === 31, "slowest-31 cap")
     // round-9 ambient-detection fields: runaway marker (capped + true
-    // count) and the start/end calibration samples, parsed back exactly
-    // as tools/bench_diff.py reads them.
+    // count) and the interleaved calibration samples (round 10: start +
+    // every-CalibEvery + end), parsed back exactly as
+    // tools/bench_diff.py reads them — ALL samples, since bench_diff
+    // judges contamination on the worst one.
     assert((parsed \ "runaway_count") === JInt(118))
     val JArray(run) = (parsed \ "runaway"): @unchecked
     assert(run.length === 5, "runaway list must be capped in the compact line")
-    val JArray(calib) = (parsed \ "calib_s"): @unchecked
-    assert(calib === List(JDouble(1.01), JDouble(9.87)))
+    val JArray(got) = (parsed \ "calib_s"): @unchecked
+    assert(got === calib.map(c => JDouble(BigDecimal(c).setScale(2,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)))
     // the probe's clean value depends on the configured parallelism,
     // so the line must say which one it ran at (bench_diff keys its
     // per-cpus clean calibration values on this).
@@ -68,7 +74,7 @@ class BenchContractSpec extends AnyFunSuite {
   test("detail line keeps the full failure list and every query") {
     val failed = results.map(_._1).take(50).toList
     val detail = Bench.detailLine(results, failed, List("q9_run"),
-      (1.0, 1.1), "sfX", "4")
+      Seq(1.0, 1.1), "sfX", "4")
     val parsed = JsonMethods.parse(detail)
     val JArray(f) = (parsed \ "failed"): @unchecked
     assert(f.length === 50)

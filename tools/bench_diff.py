@@ -28,15 +28,21 @@ Baseline policy (round-9 rework — the r8 postmortem):
   self-compared and reported zero regressions by construction).
 
 Ambient-noise handling:
-  Bench.scala (round 9) times a fixed, data-independent CPU-bound
-  calibration probe at bench start and end and reports it as
-  "calib_s":[a,b]. When the new run carries it and its mean exceeds
-  AMBIENT_FACTOR x CLEAN_CALIB_S, the whole run is flagged as
-  ambient-contaminated: per-query ratios are also shown normalized by
-  the calibration ratio, and flags are labeled unconfirmed. Queries the
-  bench marked "runaway" (first run >= 20 s, single-shot, no median)
-  are labeled unconfirmed too — confirm either kind with
-  tools/ab_check.py before treating it as a plan defect.
+  Bench.scala (round 9, interleaved round 10) times a fixed,
+  data-independent CPU-bound calibration probe at bench start, after
+  every 33rd query, and at bench end, reporting all samples as
+  "calib_s":[...]. When the new run carries them and the WORST sample
+  exceeds AMBIENT_FACTOR x the parallelism-matched clean value, the
+  whole run is flagged as ambient-contaminated: per-query ratios are
+  also shown normalized by the calibration ratio, and flags are
+  labeled unconfirmed (max, not mean: contention is bursty — BENCH_r09
+  read 2.06x total with CLEAN start/end samples because the burst
+  lived between them, and a round-10 local run read [1.11, 0.43]).
+  Queries the bench marked "runaway" (first run >= 20 s, single-shot,
+  no median) are labeled unconfirmed too, as is every flag when the
+  new run and baseline were measured at different parallelism or when
+  the run's cpus has no recorded clean calib value — confirm any of
+  these with tools/ab_check.py before treating it as a plan defect.
 
 Exit code 1 if any CONFIRMED flag exceeds threshold x its baseline time
 (queries under 0.5 s in the baseline are skipped — pure noise at this
@@ -94,33 +100,53 @@ def parse_contract(text):
     When the detail line is present too, its FULL failed/runaway lists
     replace the compact line's 5-name caps — the caps exist for the
     driver's 2000-char stdout tail, not for local files that kept the
-    whole output. (Shared with tools/ab_check.py so the two tools
-    cannot drift on the line format.)"""
-    lines = [l for l in text.splitlines() if l.startswith('{"metric":"total"')
-             and '"total_detail"' not in l]
-    if not lines:
+    whole output. A capture that concatenates several bench runs could
+    pair the last detail line with a DIFFERENT run's compact line, so
+    the merge only uses a detail line that immediately precedes the
+    compact line, or (failing adjacency — e.g. a stray log line between
+    them) one earlier in the capture whose calib_s AND sf match the
+    compact line's: same-run provenance, since two runs sharing every
+    calibration sample to the hundredth is vanishingly unlikely.
+    (Shared with tools/ab_check.py so the two tools cannot drift on the
+    line format.)"""
+    lines = text.splitlines()
+    compact = [i for i, l in enumerate(lines)
+               if l.startswith('{"metric":"total"')
+               and '"total_detail"' not in l]
+    if not compact:
         return None
-    d = json.loads(lines[-1])
-    detail = [l for l in text.splitlines()
-              if l.startswith('{"metric":"total_detail"')]
-    if detail:
+    ci = compact[-1]
+    d = json.loads(lines[ci])
+    detail_idx = [i for i, l in enumerate(lines)
+                  if i < ci and l.startswith('{"metric":"total_detail"')]
+    chosen = None
+    for i in reversed(detail_idx):
         try:
-            dd = json.loads(detail[-1])
-            for k in ("failed", "runaway"):
-                if len(dd.get(k, [])) >= len(d.get(k, [])):
-                    d[k] = dd[k]
+            dd = json.loads(lines[i])
         except json.JSONDecodeError:
-            pass
+            continue
+        if i == ci - 1 or (dd.get("calib_s") == d.get("calib_s")
+                           and dd.get("sf") == d.get("sf")):
+            chosen = dd
+            break
+    if chosen is not None:
+        for k in ("failed", "runaway"):
+            if len(chosen.get(k, [])) >= len(d.get(k, [])):
+                d[k] = chosen[k]
     return d
 
 
-def default_baseline(exclude_path=None, root=None, pinned=None, log=print):
+def default_baseline(exclude_path=None, root=None, pinned=None, log=print,
+                     match_cpus=None):
     """Newest sane driver bench, else the pinned clean run.
 
     A driver BENCH_r{N}.json qualifies only if (a) it is not the file
-    being diffed and (b) its total passes the plausibility gate vs the
-    pinned clean run. Refusals are printed so baseline drift is visible,
-    never silent.
+    being diffed, (b) its total passes the plausibility gate vs the
+    pinned clean run, and (c) when match_cpus is given, it was measured
+    at that parallelism — per-query seconds across different local[N]
+    settings are not comparable, so adopting a cpus-mismatched baseline
+    would turn every ratio into a false flag. Refusals are printed so
+    baseline drift is visible, never silent.
     """
     root = root or HERE
     pinned = pinned or PINNED_CLEAN
@@ -141,6 +167,12 @@ def default_baseline(exclude_path=None, root=None, pinned=None, log=print):
             continue
         total = cand["value"]
         amb = ambient_ratio(cand)
+        cand_cpus = str(cand.get("cpus", "32"))
+        if match_cpus is not None and cand_cpus != str(match_cpus):
+            log(f"baseline candidate {os.path.basename(rounds[n])} skipped: "
+                f"measured at cpus={cand_cpus}, run being diffed is "
+                f"cpus={match_cpus} (not comparable)")
+            continue
         if total > SANITY_FACTOR * clean_total:
             log(f"baseline candidate {os.path.basename(rounds[n])} refused: "
                 f"total {total:.2f}s > {SANITY_FACTOR}x pinned clean "
@@ -167,14 +199,22 @@ def clean_calib_for(run):
 
 
 def ambient_ratio(run):
-    """Mean calibration time vs the known clean value; None if absent."""
+    """Worst calibration sample vs the known clean value; None if absent.
+
+    MAX, not mean: each sample is already a median-of-3 (robust to a
+    single GC pause), and contention is bursty — the round-10 lesson is
+    a 131.89 s run whose calib read [1.11, 0.43]: a contaminated start
+    that faded before the end sample, which a mean of 0.77 (1.7x) would
+    have called clean while the early queries ran 1.3-1.5x inflated.
+    With interleaved mid-run samples (Bench.scala round 10) any burst
+    longer than one probe interval trips the max."""
     calib = run.get("calib_s")
     if not calib:
         return None
     clean = clean_calib_for(run)
     if clean is None:
         return None
-    return (sum(calib) / len(calib)) / clean
+    return max(calib) / clean
 
 
 def diff(new, base, thr, out=print):
@@ -192,18 +232,49 @@ def diff(new, base, thr, out=print):
             + " — fix the failures; the timing diff below ignores them")
     amb = ambient_ratio(new)
     contaminated = amb is not None and amb > AMBIENT_FACTOR
+    # per-query seconds are only comparable at the same parallelism: a
+    # local[4] run diffed against a local[32] baseline reads ~4x across
+    # the board — with the per-cpus clean calib it would even read
+    # "calib clean" while every ratio is a config artifact, not code
+    # (ADVICE r9). ab_check.py refuses the mismatch outright; here the
+    # diff still prints (it's informative) but no flag can be CONFIRMED.
+    base_cpus = str(base.get("cpus", "32"))
+    new_cpus = str(new.get("cpus", "32"))
+    cpus_mismatch = new_cpus != base_cpus
+    # calib present but no clean value recorded for this parallelism:
+    # the run is UNJUDGEABLE, which must demote flags the same way a
+    # truncated runaway list does — an undetectably contaminated run
+    # must not exit 1 with "confirmed" regressions (ADVICE r9).
+    calib_unjudgeable = bool(new.get("calib_s")) and clean_calib_for(new) is None
     out(f"total: {base['value']:.2f} -> {new['value']:.2f} s "
         f"({new['value'] / base['value']:.2f}x)")
-    if new.get("calib_s") and amb is None and clean_calib_for(new) is None:
+    if cpus_mismatch:
+        out(f"*** PARALLELISM MISMATCH: new run cpus={new_cpus}, baseline "
+            f"cpus={base_cpus} — per-query ratios are config artifacts, "
+            "every flag below is unconfirmed; re-measure at the baseline's "
+            "parallelism (ab_check.py refuses this case outright)")
+    if calib_unjudgeable:
         out(f"calibration: {new['calib_s']} at cpus={new.get('cpus')} — no "
-            "clean value recorded for that parallelism; ambient detection "
-            "skipped (add it to CLEAN_CALIB_BY_CPUS after 3 clean runs)")
+            "clean value recorded for that parallelism, so ambient "
+            "contamination is UNDETECTABLE; flags below are unconfirmed "
+            "(add the clean value to CLEAN_CALIB_BY_CPUS after 3 clean runs)")
     if amb is not None:
+        # 1.15-2.0x: sub-alarm "warm box" band. The CPU-bound probe
+        # undersenses memory/IO-side warmth (round-10 observation: probe
+        # 1.22x while a known-stable control query read 1.27x and the
+        # suite 1.40x), so a mildly elevated probe means ratios below
+        # carry a comparable uniform inflation — flags stay actionable
+        # but expect the A/B to land them in the AMBIENT band.
+        warm = not contaminated and amb > 1.15
         out(f"calibration: {new['calib_s']} vs clean "
             f"{clean_calib_for(new):.2f}s (cpus={new.get('cpus', '32?')}) "
-            f"= {amb:.2f}x ambient"
+            f"= {amb:.2f}x ambient (worst sample)"
             + (" — RUN IS CONTAMINATED; ratios below are also shown /calib;"
-               " flags are unconfirmed" if contaminated else " (clean)"))
+               " flags are unconfirmed" if contaminated
+               else " — WARM BOX: expect uniform ~probe-level inflation in"
+               " the ratios below; adjudicate flags with tools/ab_check.py"
+               " plus a known-stable control query" if warm
+               else " (clean)"))
     if runaway_truncated:
         out(f"runaway list truncated ({len(runaway)} of {runaway_count} "
             "names in this line) — every flag below is demoted to "
@@ -217,9 +288,14 @@ def diff(new, base, thr, out=print):
         r = nq[k] / bq[k]
         flagged = r > thr
         norm = f" ({r / amb:5.2f}x /calib)" if contaminated and flagged else ""
-        if flagged and (contaminated or k in runaway or runaway_truncated):
+        if flagged and (contaminated or cpus_mismatch or calib_unjudgeable
+                        or k in runaway or runaway_truncated):
             why = ("runaway single-shot" if k in runaway
+                   else f"cpus {new_cpus} vs baseline {base_cpus}"
+                   if cpus_mismatch
                    else "ambient run" if contaminated
+                   else "calib unjudgeable (unknown cpus)"
+                   if calib_unjudgeable
                    else "possibly an unlisted runaway")
             unconfirmed.append(k)
             mark = f"  <<< UNCONFIRMED ({why} — A/B with tools/ab_check.py){norm}"
@@ -333,7 +409,74 @@ def selftest():
         merged = parse_contract(stdout)
         assert merged["runaway"] == ["qa", "qb", "qc", "qd", "qe", "qf"], \
             f"detail-line merge failed: {merged['runaway']}"
-    print("bench_diff selftest: 9/9 ok")
+
+        # 10. a concatenated capture (two runs back to back): run A's
+        #     detail line must NOT be merged into run B's compact line
+        #     when neither adjacency nor calib_s/sf provenance matches.
+        run_a_detail = ('{"metric":"total_detail","value":1,"unit":"sec",'
+                        '"queries":{},"shuffle_mb":{},"failed":[],'
+                        '"runaway":["qa","qb","qc","qd","qe","qf"],'
+                        '"calib_s":[0.4,0.4],"cpus":"32","sf":"runA"}')
+        run_b_compact = ('{"metric":"total","value":2,"unit":"sec",'
+                         '"queries":{},"queries_run":1,'
+                         '"queries_omitted_fast":0,"shuffle_mb_total":0,'
+                         '"failed":[],"failed_count":0,'
+                         '"runaway":["qx"],"runaway_count":1,'
+                         '"calib_s":[0.5,0.5],"cpus":"32","sf":"runB"}')
+        merged = parse_contract("\n".join(
+            [run_a_detail, "intervening log line", run_b_compact]))
+        assert merged["runaway"] == ["qx"], \
+            f"cross-run detail merged: {merged['runaway']}"
+        #     ... but a same-run detail line separated by a stray log
+        #     line IS merged via the calib_s+sf provenance match.
+        run_b_detail = run_b_compact.replace(
+            '"metric":"total"', '"metric":"total_detail"').replace(
+            '"runaway":["qx"],"runaway_count":1', '"runaway":["qx","qy"]')
+        merged = parse_contract("\n".join(
+            [run_a_detail, run_b_detail, "stray line", run_b_compact]))
+        assert merged["runaway"] == ["qx", "qy"], \
+            f"same-run provenance merge failed: {merged['runaway']}"
+
+        # 11. ambient detection uses the WORST calibration sample: a
+        #     bursty contaminated start that faded by the end sample
+        #     still marks the run (round-10 lesson: calib [1.11, 0.43]).
+        new = mk(160.0, {"q1": 2.0, "q2": 1.0})
+        new["calib_s"] = [2.5 * CLEAN_CALIB_S, 1.0 * CLEAN_CALIB_S]
+        confirmed, unconfirmed = diff(new, base, 1.5, out=quiet)
+        assert confirmed == [] and unconfirmed == ["q1"], \
+            f"max-sample ambient demotion failed: {confirmed} {unconfirmed}"
+
+        # 12. parallelism mismatch between new run and baseline: every
+        #     flag demotes to unconfirmed (a local[4] run vs a local[32]
+        #     baseline reads ~4x across the board by config, not code).
+        new = mk(400.0, {"q1": 4.1, "q2": 3.9})
+        new["cpus"] = "4"
+        new["calib_s"] = [1.30, 1.30]  # clean FOR local[4]
+        base32 = dict(base, cpus="32")
+        confirmed, unconfirmed = diff(new, base32, 1.5, out=quiet)
+        assert confirmed == [] and set(unconfirmed) == {"q1", "q2"}, \
+            f"cpus-mismatch demotion failed: {confirmed} {unconfirmed}"
+
+        # 13. calib present but cpus unrecognized: contamination is
+        #     undetectable, so flags demote instead of staying CONFIRMED.
+        new = mk(300.0, {"q1": 3.0, "q2": 1.0})
+        new["cpus"] = "16"
+        new["calib_s"] = [0.6, 0.6]
+        base16 = dict(base, cpus="16")
+        confirmed, unconfirmed = diff(new, base16, 1.5, out=quiet)
+        assert confirmed == [] and unconfirmed == ["q1"], \
+            f"unjudgeable-calib demotion failed: {confirmed} {unconfirmed}"
+
+        # 14. default_baseline skips a candidate measured at a different
+        #     parallelism than the run being diffed.
+        with open(os.path.join(d, "BENCH_r11.json"), "w") as f:
+            json.dump({"parsed": dict(mk(30.0, {"q1": 1.0}), cpus="4",
+                                      calib_s=[1.30, 1.30])}, f)
+        got = default_baseline(root=d, pinned=pinned, log=quiet,
+                               match_cpus="32")
+        assert got != os.path.join(d, "BENCH_r11.json"), \
+            f"cpus-mismatched baseline adopted: {got}"
+    print("bench_diff selftest: 14/14 ok")
 
 
 def parse_args(argv):
@@ -367,7 +510,9 @@ def main():
         return
     args, thr = parse_args(sys.argv[1:])
     new = load(args[0])
-    base_path = args[1] if len(args) > 1 else default_baseline(args[0])
+    base_path = (args[1] if len(args) > 1
+                 else default_baseline(args[0],
+                                       match_cpus=new.get("cpus", "32")))
     base = load(base_path)
     print(f"baseline: {base_path}")
     confirmed, unconfirmed = diff(new, base, thr)
