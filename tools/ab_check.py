@@ -11,7 +11,7 @@ baseline. This script is that protocol as one command.
 Usage:
   python3 tools/ab_check.py <query>[,<query2>...] [--runs 3]
       [--sf /root/testdata/sf0.1] [--baseline tools/bench_r09b_local.json]
-      [--insuite <seconds>]
+      [--insuite <seconds>] [--control <query>]
 
 Each run invokes `sbt -batch "runMain graft.Bench"` with
 SPARK_GRAFT_ONLY=<queries> — Bench's own warmup pass and median-of-3
@@ -20,6 +20,18 @@ isolated processes on top of that bound JVM-level variance. Verdict per
 query: AMBIENT (isolated median <= 1.3x baseline — the in-suite flag
 was noise), REAL (>1.5x — regression reproduces in isolation), or
 BORDERLINE between. Exit 1 if any query reads REAL.
+
+--control runs a known-stable query in the SAME processes and
+normalizes each suspect's ratio by the control's ratio before the
+verdict (round-10 protocol: on a uniformly warm box every query reads
+1.2-1.4x its pin — including code untouched for rounds — so the raw
+ratio measures the box, and dividing by a stable control's ratio
+recovers the code's own drift; q39 read 1.47x raw, 1.16x normalized,
+matching its round-9 isolated pin). q95_range_layout is the canonical
+control (stable since round 6, 1.03x isolated in round 9). A control
+reading >= 1.5x its own baseline aborts the verdict: either the box is
+too contended to measure anything, or the control itself regressed —
+re-run later, or A/B the control against a different one first.
 """
 import json
 import os
@@ -63,7 +75,7 @@ def parse_args(argv):
     """Options consume their values, so '--runs 5 q71' cannot run a
     full bench against query '5' (the old parser did exactly that)."""
     opts = {"runs": "3", "sf": "/root/testdata/sf0.1",
-            "baseline": DEFAULT_BASELINE, "insuite": None}
+            "baseline": DEFAULT_BASELINE, "insuite": None, "control": None}
     args, i = [], 0
     while i < len(argv):
         a = argv[i]
@@ -94,6 +106,17 @@ def main():
     baseline = load_baseline(opts["baseline"])
     base = baseline["queries"]
     insuite = opts["insuite"]
+    control = opts["control"]
+    if control:
+        if base.get(control) is None or base[control] <= 0:
+            sys.exit(f"--control {control} has no baseline entry in "
+                     f"{opts['baseline']} — a control is only meaningful "
+                     "against a pinned time")
+        if control in queries:
+            sys.exit(f"--control {control} is also a suspect — a query "
+                     "cannot normalize itself; pick a stable control "
+                     "(q95_range_layout is the canonical one)")
+        queries = queries + [control]
 
     # verdicts are only meaningful at the parallelism the baseline was
     # measured at: default to it, and refuse an explicit mismatch (the
@@ -125,8 +148,23 @@ def main():
               + (f" calib={line['calib_s']}" if line.get("calib_s") else ""))
 
     print()
+    ctl_ratio = None
+    if control:
+        ctl_med = statistics.median(samples[control])
+        ctl_ratio = ctl_med / base[control]
+        print(f"control {control}: isolated median {ctl_med:.2f}s vs "
+              f"baseline {base[control]:.2f}s = {ctl_ratio:.2f}x "
+              "(box-level inflation; suspect ratios are divided by this)")
+        if ctl_ratio >= REAL_MIN:
+            sys.exit(f"control reads {ctl_ratio:.2f}x its own baseline — "
+                     "either the box is too contended for any verdict or "
+                     "the control itself regressed; re-run when the box "
+                     "quiets, or adjudicate the control first against a "
+                     "different stable query")
     bad = False
     for q in queries:
+        if q == control:
+            continue
         med = statistics.median(samples[q])
         b = base.get(q)
         if b is None or b <= 0:
@@ -134,15 +172,17 @@ def main():
                   f"(min {min(samples[q]):.2f} max {max(samples[q]):.2f}) — "
                   f"no baseline entry, record this as the pin")
             continue
-        r = med / b
+        raw = med / b
+        r = raw / ctl_ratio if ctl_ratio else raw
         verdict = ("AMBIENT (in-suite flag was noise)" if r <= AMBIENT_MAX
                    else "REAL — regression reproduces in isolation"
                    if r >= REAL_MIN else "BORDERLINE — profile before pinning")
         bad |= r >= REAL_MIN
         extra = f", in-suite read {float(insuite):.2f}s" if insuite else ""
+        norm = (f" = {r:.2f}x control-normalized" if ctl_ratio else "")
         print(f"{q}: isolated median {med:.2f}s "
               f"(min {min(samples[q]):.2f} max {max(samples[q]):.2f}) vs "
-              f"baseline {b:.2f}s = {r:.2f}x{extra} -> {verdict}")
+              f"baseline {b:.2f}s = {raw:.2f}x{norm}{extra} -> {verdict}")
     if calibs:
         print(f"calibration across runs: {calibs}")
     if bad:
