@@ -1,7 +1,7 @@
 package graft.sources
 
 import graft.{QueryModule, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Source/sink round-trips (SURVEY.md §2.1) — the reference's ingestion
@@ -24,6 +24,47 @@ object IOQueries extends QueryModule {
     */
   private def scratch(d: String, name: String): String =
     s"target/tmp/io/${d.replaceAll("[^A-Za-z0-9.]", "_")}/$name"
+
+  /** Spread the low 16 bits of `v` to the even bit positions (Morton
+    * "part 1 by 1", the classic magic-number ladder). Pure codegen'd
+    * bitwise ops — no UDF, stays inside whole-stage codegen.
+    */
+  private def spread16(v: Column): Column = {
+    val a = v.bitwiseOR(shiftleft(v, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val b = a.bitwiseOR(shiftleft(a, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val c = b.bitwiseOR(shiftleft(b, 2)).bitwiseAND(lit(0x33333333L))
+    c.bitwiseOR(shiftleft(c, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** Min/max-scale `v` into a 16-bit bucket (0..65535). `greatest(.,1)`
+    * guards a constant column; `least` pins v == hi to the top bucket.
+    */
+  private def bucket16(v: Column, lo: Column, hi: Column): Column =
+    least(
+      floor((v.cast("double") - lo.cast("double")) * 65535.0
+        / greatest((hi - lo).cast("double"), lit(1.0))),
+      lit(65535.0)).cast("long")
+
+  /** Z-ordered (Morton-interleaved) rewrite of `df` on two numeric
+    * columns: bucket each to 16 bits against its global min/max (one
+    * tiny aggregate, broadcast as a 1-row frame), interleave the bits,
+    * range-partition + sort by the z-value, drop it. The returned frame
+    * has `df`'s exact schema and rows — only the physical order (and
+    * therefore every file's min/max footprint on BOTH columns) changes.
+    */
+  private[graft] def zordered(df: DataFrame, c1: String, c2: String,
+                              numFiles: Int): DataFrame = {
+    val bounds = df.agg(
+      min(col(c1)).as("z_lo1"), max(col(c1)).as("z_hi1"),
+      min(col(c2)).as("z_lo2"), max(col(c2)).as("z_hi2"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn("z_val",
+        spread16(bucket16(col(c1), col("z_lo1"), col("z_hi1"))).bitwiseOR(
+          shiftleft(spread16(bucket16(col(c2), col("z_lo2"), col("z_hi2"))), 1)))
+      .repartitionByRange(numFiles, col("z_val"))
+      .sortWithinPartitions(col("z_val"))
+      .drop("z_val", "z_lo1", "z_hi1", "z_lo2", "z_hi2")
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // CSV round-trip: header + non-default delimiter + inferred schema.
@@ -155,6 +196,38 @@ object IOQueries extends QueryModule {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Z-order (Morton curve) multi-column layout: the 2-D complement
+    // of q95's 1-D range layout. A sort on ONE key gives min/max
+    // pruning on that key only; interleaving the bits of both keys'
+    // 16-bit rank buckets makes file order follow the space-filling
+    // curve, so EVERY file covers a small rectangle of the
+    // (l_orderkey, l_partkey) plane and a predicate box on BOTH
+    // columns prunes to the few files whose rectangle it intersects —
+    // at 100 TB this is the difference between scanning one key-sorted
+    // dimension's worth of files and touching a handful (the layout
+    // Delta/Iceberg OPTIMIZE ZORDER productizes; here composed from
+    // repartitionByRange + sortWithinPartitions on the z-value). The
+    // z-value never leaves the write (dropped before the sink), so the
+    // oracle checks the rewrite is lossless and the 2-D box filter
+    // exact; SourcesSpec proves the locality (z-layout box touches
+    // strictly fewer files than the arrival layout). Bucket bounds come
+    // from one tiny min/max aggregate broadcast as a 1-row frame —
+    // the same pattern as TF-IDF's corpus-size N, no driver collect.
+    "q114_zorder_layout" -> ((s, d) => {
+      val dir = scratch(d, "zorder")
+      zordered(Tables.lineitem(s, d), "l_orderkey", "l_partkey", 8)
+        .write.mode("overwrite").parquet(dir)
+      s.read.parquet(dir)
+        .filter(col("l_orderkey").between(100L, 2000L)
+          && col("l_partkey").between(50L, 500L))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice")), 2).as("price"),
+          max(col("l_orderkey")).as("max_ok"),
+          max(col("l_partkey")).as("max_pk"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // custom DataSource V2 SINK round-trip (MemTableSource): write
     // through the V2 batch-commit protocol (executor writers →
     // driver-side atomic commit, overwrite = truncate), read back
@@ -224,6 +297,20 @@ object IOQueries extends QueryModule {
         |  round(sum(l_quantity), 2) AS qty,
         |  max(l_orderkey) AS max_key
         |FROM lineitem WHERE l_orderkey < 1000
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // the z-value is layout-only (dropped before the write), so the
+    // oracle is the plain 2-D box aggregate over the original table —
+    // any interleaving bug that drops/duplicates/mutates a row breaks
+    // the hash.
+    "q114_zorder_layout" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(sum(l_extendedprice), 2) AS price,
+        |  max(l_orderkey) AS max_ok,
+        |  max(l_partkey) AS max_pk
+        |FROM lineitem
+        |WHERE l_orderkey BETWEEN 100 AND 2000
+        |  AND l_partkey BETWEEN 50 AND 500
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q83_custom_source" ->

@@ -36,6 +36,43 @@ class SourcesSpec extends AnyFunSuite {
     } finally saved.fold(conf.unset(key))(conf.set(key, _))
   }
 
+  test("z-order layout co-locates a 2-D box into fewer files than arrival order") {
+    // q114's oracle proves the rewrite is lossless; this proves the
+    // POINT of the rewrite — per-file (min,max) rectangles on BOTH
+    // columns shrink, so a box predicate touches a strict subset of
+    // files, where the arrival layout's every file spans the box. At
+    // 100 TB the same footprints drive parquet row-group/file skipping.
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_returnflag"))
+    val zdir = s"target/tmp/io/spec/zorder_z"
+    val adir = s"target/tmp/io/spec/zorder_arrival"
+    graft.sources.IOQueries.zordered(li, "l_orderkey", "l_partkey", 8)
+      .write.mode("overwrite").parquet(zdir)
+    // arrival order: round-robin over 8 files, each spanning ~the full
+    // range of both keys (what un-curated ingest produces).
+    li.repartition(8).write.mode("overwrite").parquet(adir)
+
+    // sf0.001 box: ~10% of each dimension => ~1% of the z-plane.
+    val (okLo, okHi, pkLo, pkHi) = (1L, 600L, 1L, 20L)
+    def filesOverlappingBox(dir: String): (Long, Long) = {
+      val perFile = spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(min("l_orderkey").as("okMin"), max("l_orderkey").as("okMax"),
+          min("l_partkey").as("pkMin"), max("l_partkey").as("pkMax"))
+      val hit = perFile.filter(col("okMin") <= okHi && col("okMax") >= okLo
+        && col("pkMin") <= pkHi && col("pkMax") >= pkLo).count()
+      (hit, perFile.count())
+    }
+    val (zHit, zTotal) = filesOverlappingBox(zdir)
+    val (aHit, aTotal) = filesOverlappingBox(adir)
+    assert(aHit === aTotal,
+      s"arrival layout should be unprunable for the box ($aHit of $aTotal)")
+    assert(zHit < aHit,
+      s"z-order must touch strictly fewer files ($zHit of $zTotal vs $aHit)")
+    assert(spark.read.parquet(zdir).count() === li.count(),
+      "layout rewrite must be lossless")
+  }
+
   test("jdbc partition predicates tile the range with NULL absorption") {
     val p = Jdbc.PartitionSpec("id", 0L, 100L, 4)
     assert(Jdbc.partitionPredicates(p) === Seq(
