@@ -309,6 +309,17 @@ def diff(new, base, thr, out=print):
     if gone:
         out(f"\nin baseline top-list but now below the report cutoff "
             f"(improved or renamed): {', '.join(gone)}")
+    # the symmetric gap: a query in THIS run's top-list with no baseline
+    # row is silently un-diffable — either brand-new (pin it) or, worse,
+    # one that regressed from below the baseline's report cutoff into
+    # the top list, which the ratio loop above can never flag. Surface
+    # it instead of skipping silently (the repo's no-silent-caps rule).
+    fresh = sorted(k for k in set(nq) - set(bq) if nq[k] >= 0.5)
+    if fresh:
+        out(f"\nin this run's top-list but absent from the baseline — no "
+            "ratio computable (new query, or newly slow from below the "
+            "baseline cutoff; pin with tools/ab_check.py): "
+            + ", ".join(f"{k} ({nq[k]:.2f}s)" for k in fresh))
     if confirmed:
         out(f"\n{len(confirmed)} queries over {thr}x baseline: {confirmed}")
     if unconfirmed:
@@ -476,7 +487,22 @@ def selftest():
                                match_cpus="32")
         assert got != os.path.join(d, "BENCH_r11.json"), \
             f"cpus-mismatched baseline adopted: {got}"
-    print("bench_diff selftest: 14/14 ok")
+
+        # 15. a query in the new run's top-list but absent from the
+        #     baseline (new query, or newly slow from below the cutoff)
+        #     is surfaced, not silently skipped; sub-0.5s entries stay
+        #     quiet (noise floor).
+        new = mk(130.0, {"q1": 1.0, "q_new": 5.0, "q_tiny": 0.1})
+        new["calib_s"] = [CLEAN_CALIB_S]
+        lines = []
+        confirmed, unconfirmed = diff(new, base, 1.5,
+                                      out=lambda s: lines.append(str(s)))
+        joined = "\n".join(lines)
+        assert "q_new (5.00s)" in joined, \
+            f"new-query note missing: {joined}"
+        assert "q_tiny" not in joined, \
+            f"sub-cutoff new query surfaced as noise: {joined}"
+    print("bench_diff selftest: 15/15 ok")
 
 
 def parse_args(argv):
