@@ -299,6 +299,27 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected an equi join on the bin key:\n$p")
   }
 
+  test("q114 z-order rewrite: one fact-side shuffle, bounds ride broadcast") {
+    // the layout rewrite must cost exactly one pass over the fact
+    // table plus one tiny bounds aggregate: the min/max frame joins
+    // back as a broadcast 1-row build (never a shuffled join of the
+    // fact side), and the only exchange that moves fact rows is the
+    // single range partition on the interleaved z-value. A hash
+    // exchange or a sort-merge join here means the rewrite started
+    // shuffling the corpus twice — the shape that breaks at 100 TB.
+    val p = graft.sources.IOQueries.zordered(
+      Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey", "l_returnflag"),
+      "l_orderkey", "l_partkey", 8).queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"bounds should broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"bounds join must not shuffle the fact side:\n$p")
+    val ranges = "Exchange rangepartitioning".r.findAllIn(p).length
+    assert(ranges == 1, s"expected exactly one range exchange, found $ranges:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"no hash exchange should appear in a layout rewrite:\n$p")
+  }
+
   test("q58b parses each XML document exactly once (plus one xpath)") {
     // from_xml (XmlToStructs) is non-codegen, so Catalyst performs no
     // subexpression elimination on it: every textual occurrence in the
