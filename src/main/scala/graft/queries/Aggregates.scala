@@ -264,6 +264,48 @@ object Aggregates extends QueryModule {
         .agg(sum(col("pn")).as("n"), round(sum(col("pv")), 4).as("total"))
         .orderBy(col("event_type"))),
 
+    // Sketch-as-DATA rollup: what makes approx-distinct usable at
+    // 100 TB is not the one-shot estimate (q39) but the MERGEABLE
+    // partial — per-shard HLL sketches computed once, persisted as
+    // plain binary columns, and unioned later to answer any
+    // cross-shard distinct question from kilobytes of sketch instead
+    // of a corpus rescan (the Datasketches rollup pattern: daily
+    // shards → any date range, no second pass over the data). The
+    // query proves the full lifecycle: shard sketches (groupBy
+    // event_type), parquet round-trip (a sketch is storable bytes,
+    // not an engine-resident object), hll_union_agg reading from
+    // DISK, estimate checked against the exact distinct. The
+    // engine-specific estimates fold into oracle-reproducible
+    // tolerance booleans (the q39/q56 recipe); merged-vs-direct
+    // EQUALITY is deliberately not asserted — sparse/dense union
+    // estimation differs (SketchSpec documents this); the contract is
+    // that both land inside the envelope.
+    "q115_sketch_rollup" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val dir =
+        s"target/tmp/agg/${d.replaceAll("[^A-Za-z0-9.]", "_")}/hll_shards"
+      ev.groupBy(col("event_type"))
+        .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"),
+          count(lit(1)).as("n_rows"))
+        .write.mode("overwrite").parquet(dir)
+      val merged = s.read.parquet(dir).agg(
+        count(lit(1)).as("n_shards"),
+        sum(col("n_rows")).as("rows_total"),
+        // every shard was built at lgK 12, so the strict union (no
+        // allowDifferentLgConfigK) is the right default.
+        expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_merged"))
+      val direct = ev.agg(
+        expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))")
+          .as("est_direct"))
+      val exact = ev.agg(count_distinct(col("user_id")).as("exact_users"))
+      merged.crossJoin(broadcast(direct)).crossJoin(broadcast(exact))
+        .select(col("n_shards"), col("rows_total"), col("exact_users"),
+          (abs(col("est_merged") - col("exact_users"))
+            <= col("exact_users") * 0.05).as("merged_within_5pct"),
+          (abs(col("est_direct") - col("exact_users"))
+            <= col("exact_users") * 0.05).as("direct_within_5pct"))
+    }),
+
     "q39b_percentile_exact" -> ((s, d) =>
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
@@ -308,6 +350,18 @@ object Aggregates extends QueryModule {
         |  TRUE AS acd_within_5pct,
         |  TRUE AS p50_within_5pct
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // the shard/merge machinery is Spark-side; the exact engine
+    // verifies the shard count, the row total (proves no shard was
+    // lost in the parquet round-trip), the exact distinct, and that
+    // both estimate booleans fold to TRUE.
+    "q115_sketch_rollup" ->
+      """SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS n_shards,
+        |  CAST(count(*) AS BIGINT) AS rows_total,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  TRUE AS merged_within_5pct,
+        |  TRUE AS direct_within_5pct
+        |FROM events""".stripMargin,
 
     "q86_pivot" ->
       """SELECT l_returnflag,
