@@ -24,17 +24,31 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark rejects by default
-    * ([PARQUET_TYPE_ILLEGAL]). Sessions must set
-    * `spark.sql.legacy.parquet.nanosAsLong=true` at build time (see
-    * [[Session.builder]]) — the loader no longer mutates shared conf. The
-    * long nanos are converted with exact integer division (ns epoch
-    * exceeds 2^53, so `/` via double would lose microseconds); DuckDB
-    * reads the same column as µs TIMESTAMP, so both engines compare at
-    * identical precision.
+  /** events.ts has shipped as two different parquet types across driver
+    * corpus generations, so the loader adapts by the SCHEMA it finds,
+    * normalizing both to session-zoned TimestampType at µs precision —
+    * the type every downstream query and oracle was verified against:
+    *
+    *   - TIMESTAMP(NANOS): Spark rejects it by default
+    *     ([PARQUET_TYPE_ILLEGAL]); [[Session.builder]] sets
+    *     `spark.sql.legacy.parquet.nanosAsLong=true`, the column arrives
+    *     as LONG nanos, and exact integer division truncates to µs (ns
+    *     epoch exceeds 2^53, so `/` via double would lose microseconds).
+    *   - timestamp[us] (isAdjustedToUTC=false): Spark reads
+    *     TIMESTAMP_NTZ; the cast to TimestampType reinterprets the same
+    *     µs value in the session timezone, which is pinned to UTC — a
+    *     bit-identical epoch, matching DuckDB's naive read.
     */
-  def events(s: SparkSession, d: String): DataFrame =
-    apply(s, d, "events").withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  def events(s: SparkSession, d: String): DataFrame = {
+    val df = apply(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", expr("CAST(ts AS TIMESTAMP)"))
+      case _ => df
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 }
