@@ -5,14 +5,20 @@ import org.apache.spark.sql.SparkSession
 /** One place for session construction so every entrypoint (Bench, Verify,
   * tests) runs with identical semantics-affecting conf:
   *
-  *   - `spark.sql.legacy.parquet.nanosAsLong` — events.ts is parquet
-  *     TIMESTAMP(NANOS); Spark rejects it by default, the legacy flag maps
-  *     it to LONG which [[Tables.events]] converts exactly. Set here at
-  *     build time, never mutated inside a query (shared-session hygiene).
+  *   - `spark.sql.legacy.parquet.nanosAsLong` — events.ts shipped as
+  *     parquet TIMESTAMP(NANOS) in earlier driver corpus generations;
+  *     Spark rejects that type by default, the legacy flag maps it to
+  *     LONG which [[Tables.events]] converts exactly. Harmless for the
+  *     current µs-typed corpus (no NANOS column exists to remap), kept so
+  *     either generation loads. Set here at build time, never mutated
+  *     inside a query (shared-session hygiene).
   *   - UTC session timezone — the DuckDB oracle compares timestamps in
   *     UTC.
   *   - shuffle partitions = cores — local[N] has no reason for 200
   *     partitions; on a real cluster this is sized to executors × cores.
+  *   - warehouse dir under target/tmp — bucketed tables (q116) go
+  *     through `saveAsTable` on the in-memory catalog, and the default
+  *     warehouse location would be ./spark-warehouse in the repo root.
   *   - AQE on (default in Spark 4, pinned explicitly): runtime coalescing
   *     of small shuffle partitions + skew-join splitting are the 100 TB
   *     safety nets for the join/agg queries.
@@ -23,6 +29,7 @@ object Session {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", "target/tmp/warehouse")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")

@@ -228,6 +228,112 @@ object IOQueries extends QueryModule {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Bucketed co-located join: both sides written through the catalog
+    // with bucketBy(16, <join key>) + sortBy, so every file holds one
+    // murmur3-hash bucket of the key space and the join reads matching
+    // buckets side-by-side — ZERO shuffle exchange on either join input
+    // (PlanShapeSpec pins that with broadcast disabled). At 100 TB this
+    // is THE fact-to-fact join strategy: the shuffle is paid once at
+    // write time and amortized over every subsequent join/aggregation
+    // on the bucket key, instead of re-shuffling both tables per query.
+    // The pre-write repartition(16, key) aligns tasks with buckets so
+    // each bucket lands in exactly ONE file (no small-file fan-out, and
+    // one-file-per-bucket is what lets the bucketed scan also satisfy
+    // the sort order). The oracle recomputes the join+aggregate from
+    // the original tables, so the bucketed rewrite must be lossless.
+    "q116_bucketed_join" -> ((s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val ot = s"q116_orders_$tag"
+      val ct = s"q116_cust_$tag"
+      // the in-memory catalog dies with the JVM but the managed table's
+      // warehouse directory survives; a later session's overwrite-write
+      // then refuses the "orphaned" location, so drop both catalog entry
+      // and location first (what a real table-maintenance job does).
+      Seq(ot, ct).foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS `$t`")
+        val loc = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), t)
+        loc.getFileSystem(s.sessionState.newHadoopConf()).delete(loc, true)
+      }
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .repartition(16, col("o_custkey"))
+        .write.mode("overwrite")
+        .bucketBy(16, "o_custkey").sortBy("o_custkey")
+        .saveAsTable(ot)
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .repartition(16, col("c_custkey"))
+        .write.mode("overwrite")
+        .bucketBy(16, "c_custkey").sortBy("c_custkey")
+        .saveAsTable(ct)
+      s.table(ot).join(s.table(ct), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // Parquet bloom-filter layout: point lookups on a high-cardinality
+    // UNSORTED column are the one case min/max row-group stats can't
+    // prune (every row group spans nearly the full key range), and
+    // where a per-row-group split-block bloom filter prunes instead —
+    // the footer records a bitset per row group, a pushed `id = k` / IN
+    // probe tests it, and row groups that can't contain the key are
+    // skipped without reading data pages. At 100 TB this turns "find
+    // these 40 documents" from a full-column scan into a handful of
+    // row-group reads. Written here with bloom enabled on doc_id in
+    // arrival (unsorted) order; SourcesSpec asserts the footers carry a
+    // bloom offset for doc_id and none for the un-enabled columns; the
+    // IN-probe aggregate oracles against the original table.
+    "q117_bloom_layout" -> ((s, d) => {
+      val dir = scratch(d, "bloom")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#doc_id", "true")
+        .option("parquet.bloom.filter.expected.ndv#doc_id", "1000000")
+        .parquet(dir)
+      s.read.parquet(dir)
+        .filter(col("doc_id").isin(3L, 97L, 211L, 405L, 1033L, 2048L,
+          4097L, 8191L, 16384L, 32771L))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Small-file compaction: the operational complement of the layout
+    // queries. A 100 TB ingest that lands 10^7 kilobyte-files (one per
+    // micro-batch per key) poisons every downstream scan with per-file
+    // open/footer cost and starves the scheduler; the fix is a periodic
+    // rewrite that coalesces to target-sized files WITHOUT a driver
+    // funnel (no coalesce(1)) and with a per-file row cap so no output
+    // file exceeds the target either. Here: fragment documents into 64
+    // shards (the pathological input, one file each), then compact via
+    // the REBALANCE hint — AQE's runtime coalescing packs the shuffle
+    // outputs to advisory-size partitions, splitting skewed ones —
+    // capped by maxRecordsPerFile. SourcesSpec pins the file counts
+    // (64 in, ≤8 out at the 500-doc scale, every file ≤ the cap); the
+    // aggregate oracle proves the double rewrite is lossless.
+    "q118_compaction" -> ((s, d) => {
+      val frag = scratch(d, "frag")
+      val compact = scratch(d, "compact")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .repartition(64)
+        .write.mode("overwrite").parquet(frag)
+      s.read.parquet(frag)
+        .hint("rebalance")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", "2000")
+        .parquet(compact)
+      s.read.parquet(compact)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).as("chars"),
+          count_distinct(col("source")).as("n_sources"))
+        .orderBy(col("lang"))
+    }),
+
     // custom DataSource V2 SINK round-trip (MemTableSource): write
     // through the V2 batch-commit protocol (executor writers →
     // driver-side atomic commit, overwrite = truncate), read back
@@ -312,6 +418,26 @@ object IOQueries extends QueryModule {
         |WHERE l_orderkey BETWEEN 100 AND 2000
         |  AND l_partkey BETWEEN 50 AND 500
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // layout-only rewrites: the oracle recomputes from the original
+    // tables, so the bucketed/bloom/compacted copies must be lossless.
+    "q116_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q117_bloom_layout" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id IN (3, 97, 211, 405, 1033, 2048, 4097, 8191,
+        |  16384, 32771)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q118_compaction" ->
+      """SELECT lang, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars,
+        |  count(DISTINCT source) AS n_sources
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q83_custom_source" ->
       """SELECT CAST(i % 97 AS INT) AS id_mod, count(*) AS n,

@@ -73,6 +73,86 @@ class SourcesSpec extends AnyFunSuite {
       "layout rewrite must be lossless")
   }
 
+  test("q116 bucketed join plans ZERO exchanges on the join inputs") {
+    // the POINT of bucketing: the write pays the shuffle once, every
+    // later join on the bucket key reads co-located buckets. Broadcast
+    // is disabled so the planner can't sidestep the question — the
+    // surviving join must be exchange-free on both scan sides.
+    val conf = spark.conf
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k)).toMap
+    try {
+      keys.foreach(conf.set(_, "-1"))
+      // run once so the bucketed tables exist in the session catalog.
+      SparkEntry.queries("q116_bucketed_join")(spark, sf).collect()
+      val tag = sf.replaceAll("[^A-Za-z0-9]", "_")
+      val j = spark.table(s"q116_orders_$tag")
+        .join(spark.table(s"q116_cust_$tag"),
+          col("o_custkey") === col("c_custkey"))
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed equi-join must not shuffle either side:\n$plan")
+      assert(plan.contains("Bucketed: true"),
+        s"both scans should report a bucketed read:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
+  test("q117 writes parquet bloom filters on doc_id and only doc_id") {
+    SparkEntry.queries("q117_bloom_layout")(spark, sf).collect()
+    val dir = new java.io.File(
+      s"target/tmp/io/${sf.replaceAll("[^A-Za-z0-9.]", "_")}/bloom")
+    val parts = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet"))
+    assert(parts.nonEmpty, s"no parquet files under $dir")
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val hconf = spark.sessionState.newHadoopConf()
+    parts.foreach { f =>
+      val in = HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.getAbsolutePath), hconf)
+      val reader = ParquetFileReader.open(in)
+      try {
+        import scala.jdk.CollectionConverters._
+        reader.getFooter.getBlocks.asScala.foreach { block =>
+          block.getColumns.asScala.foreach { cc =>
+            val col0 = cc.getPath.toDotString
+            if (col0 == "doc_id")
+              assert(cc.getBloomFilterOffset >= 0,
+                s"doc_id chunk in ${f.getName} lacks a bloom filter")
+            else
+              assert(cc.getBloomFilterOffset < 0,
+                s"$col0 in ${f.getName} should not carry a bloom filter")
+          }
+        }
+      } finally reader.close()
+    }
+  }
+
+  test("q118 compaction: 64 fragment files in, few capped files out") {
+    SparkEntry.queries("q118_compaction")(spark, sf).collect()
+    val base = s"target/tmp/io/${sf.replaceAll("[^A-Za-z0-9.]", "_")}"
+    def files(name: String) =
+      Option(new java.io.File(s"$base/$name").listFiles())
+        .getOrElse(Array.empty).filter(_.getName.endsWith(".parquet"))
+    assert(files("frag").length === 64,
+      "fragmented input should be one file per shard")
+    val out = files("compact")
+    assert(out.nonEmpty && out.length <= 8,
+      s"rebalance should coalesce 64 shards to a few files, got ${out.length}")
+    // the per-file row cap must hold on every output file.
+    val perFile = spark.read.parquet(s"$base/compact")
+      .groupBy(input_file_name()).count().collect()
+    assert(perFile.forall(_.getLong(1) <= 2000L),
+      "maxRecordsPerFile cap breached")
+    assert(perFile.map(_.getLong(1)).sum ===
+      Tables.documents(spark, sf).count())
+  }
+
   test("jdbc partition predicates tile the range with NULL absorption") {
     val p = Jdbc.PartitionSpec("id", 0L, 100L, 4)
     assert(Jdbc.partitionPredicates(p) === Seq(
