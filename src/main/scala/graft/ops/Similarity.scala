@@ -206,6 +206,95 @@ object Similarity extends QueryModule {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Distributed k-means (Lloyd), the clustering primitive behind
+    // SemDeDup-style semantic dedup and corpus bucketing, shaped the
+    // way production Spark k-means is shaped: centroids live on the
+    // DRIVER (k·(d+1) longs — 8×65 here) and are re-broadcast each
+    // iteration as ONE typed literal, so assignment is a pure per-row
+    // expression — transform over the centroid literal + array_min on
+    // (score, cid) structs — with ZERO shuffle; the only shuffle per
+    // iteration is the k-group centroid update, map-side combined to k
+    // rows per partition. Cross-engine determinism (float centroid
+    // averages are summation-order-noisy — the reason q76 used fixed
+    // medoids) comes from running Lloyd in INTEGER space: vectors are
+    // int8-quantized with one GLOBAL 6-decimal-snapped scale (so
+    // quantized coordinates are comparable across vectors), centroids
+    // are kept as exact integer (sum-vector S, count n) pairs, and the
+    // assignment objective drops the x-only term from ||x - S/n||²:
+    //   score(x, C) = (S·S)/(n·n) - 2·(x·S)/n
+    // — two exact-integer dot products pushed through correctly-rounded
+    // double division, bit-equal in both engines, ties broken by cid.
+    // Seeds: the k rows with the smallest md5(vec_id) (the q63 shared-
+    // hash recipe; orderBy+limit plans TakeOrderedAndProject, a
+    // distributed top-k, not a single-partition window). Two update
+    // rounds + a final assignment; empty clusters are dropped, and a
+    // degenerate corpus (global amax snapping the scale to 0) is still
+    // deterministic — all-zero vectors tie every score and land in the
+    // lowest cid. Each iteration rescans the (cheap) quantized corpus;
+    // a production run persists it — the lineage-vs-checkpoint trade
+    // documented on q111. Output is all exact BIGINTs: per-cluster
+    // size, id range, and cohesion Σ members x·S_final.
+    "q119_kmeans" -> ((s, d) => {
+      val K = 8
+      val D = 64
+      val Iters = 2
+      val x = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          transform(col("embedding"), v => v.cast("double")).as("x"))
+      val amaxG = x
+        .agg(max(aggregate(col("x"), lit(0.0), (a, v) => greatest(a, abs(v)))))
+        .as(org.apache.spark.sql.Encoders.scalaDouble).collect().headOption
+        .getOrElse(0.0)
+      if (!(amaxG > 0)) {
+        // empty/degenerate corpus: same empty result the oracle's
+        // `WHERE amax > 0` one-row gate produces.
+        s.range(0).select(col("id").as("cid"), col("id").as("n_members"),
+          col("id").as("min_vid"), col("id").as("max_vid"),
+          col("id").as("coh_dot"))
+      } else {
+        // identical IEEE op order to the oracle's floor(127.0/amax*1e6+0.5)/1e6
+        val gsc = math.floor(127.0 / amaxG * 1e6 + 0.5) / 1e6
+        val quant = x.select(col("vec_id"),
+          transform(col("x"), v => greatest(lit(-127L), least(lit(127L),
+            floor(v * lit(gsc) + 0.5).cast("long")))).as("qs"))
+        val idot = (a: Column, b: Column) =>
+          aggregate(zip_with(a, b, (p, q) => p * q), lit(0L), (acc, v) => acc + v)
+        // centroid = (cid, n, S·S, S); seeds are the k min-md5 vectors
+        var cents: Seq[(Long, Long, Long, Seq[Long])] = quant
+          .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+          .limit(K).collect().map { r =>
+            val s0 = r.getSeq[Long](1)
+            (r.getLong(0), 1L, s0.map(v => v * v).sum, s0)
+          }.toSeq
+        def assigned = {
+          val ca = typedLit(cents)
+          val best = array_min(transform(ca, c => {
+            val n = c.getField("_2")
+            val xs = idot(col("qs"), c.getField("_4"))
+            struct(
+              (c.getField("_3") / (n * n) - lit(2.0) * xs / n).as("score"),
+              c.getField("_1").as("cid"), xs.as("xs"))
+          }))
+          quant.select(col("vec_id"), col("qs"),
+            best.getField("cid").as("cid"), best.getField("xs").as("xs"))
+        }
+        for (_ <- 1 to Iters) {
+          val sums = (0 until D).map(j =>
+            sum(element_at(col("qs"), j + 1)).as(s"s$j"))
+          cents = assigned.groupBy(col("cid"))
+            .agg(count(lit(1)).as("n"), sums: _*)
+            .collect().map { r =>
+              val sv = (0 until D).map(j => r.getLong(2 + j))
+              (r.getLong(0), r.getLong(1), sv.map(v => v * v).sum, sv)
+            }.toSeq.sortBy(_._1)
+        }
+        assigned.groupBy(col("cid"))
+          .agg(count(lit(1)).as("n_members"), min(col("vec_id")).as("min_vid"),
+            max(col("vec_id")).as("max_vid"), sum(col("xs")).as("coh_dot"))
+          .orderBy(col("cid"))
+      }
+    }),
+
     // exact brute-force cosine top-k: the correctness baseline every ANN
     // variant is measured against.
     "q70_cosine_topk" -> ((s, d) => {
@@ -391,6 +480,72 @@ object Similarity extends QueryModule {
         |    ORDER BY cos_q DESC, vec_id ASC) AS rank FROM sc)
         |SELECT query_id, vec_id AS neighbor_id, rank, dot_q, cos_q
         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // the full Lloyd chain replayed as CTEs: global snapped scale,
+    // int8 quantization, md5-min seeds, two assign+update rounds, final
+    // assignment. The per-dim centroid sums use DuckDB's positional
+    // parallel-unnest zip (unnest(qs) ‖ unnest(range)) + ordered
+    // array_agg; every compared value is an exact integer, and the
+    // assignment score is the same exact-int-through-double-division
+    // expression the Spark side evaluates (ties by cid).
+    "q119_kmeans" ->
+      """WITH x AS (SELECT vec_id,
+        |    list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xd
+        |  FROM embeddings),
+        |g AS (SELECT max(list_max(list_transform(xd, v -> abs(v)))) AS amax
+        |  FROM x),
+        |gs AS (SELECT floor(127.0 / amax * 1e6 + 0.5) / 1e6 AS gsc
+        |  FROM g WHERE amax > 0),
+        |q AS (SELECT vec_id,
+        |    list_transform(xd, v -> greatest(-127, least(127,
+        |      CAST(floor(v * gsc + 0.5) AS BIGINT)))) AS qs
+        |  FROM x CROSS JOIN gs),
+        |c0 AS (SELECT vec_id AS cid, qs AS s, CAST(1 AS BIGINT) AS n,
+        |    CAST(list_dot_product(qs, qs) AS BIGINT) AS ss
+        |  FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        |a1 AS (SELECT vec_id, cid, qs FROM (
+        |    SELECT q.vec_id, c.cid, q.qs,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        c.ss / (c.n * c.n)
+        |          - 2.0 * CAST(list_dot_product(q.qs, c.s) AS BIGINT) / c.n
+        |          ASC, c.cid ASC) AS rn
+        |    FROM q CROSS JOIN c0 c) WHERE rn = 1),
+        |c1e AS (SELECT cid, i, CAST(sum(v) AS BIGINT) AS sv
+        |  FROM (SELECT cid, unnest(qs) AS v, unnest(range(1, 65)) AS i
+        |    FROM a1) GROUP BY cid, i),
+        |c1n AS (SELECT cid, count(*) AS n FROM a1 GROUP BY cid),
+        |c1 AS (SELECT e.cid, any_value(m.n) AS n,
+        |    array_agg(e.sv ORDER BY e.i) AS s
+        |  FROM c1e e JOIN c1n m USING (cid) GROUP BY e.cid),
+        |c1s AS (SELECT cid, n, s,
+        |    CAST(list_dot_product(s, s) AS BIGINT) AS ss FROM c1),
+        |a2 AS (SELECT vec_id, cid, qs FROM (
+        |    SELECT q.vec_id, c.cid, q.qs,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        c.ss / (c.n * c.n)
+        |          - 2.0 * CAST(list_dot_product(q.qs, c.s) AS BIGINT) / c.n
+        |          ASC, c.cid ASC) AS rn
+        |    FROM q CROSS JOIN c1s c) WHERE rn = 1),
+        |c2e AS (SELECT cid, i, CAST(sum(v) AS BIGINT) AS sv
+        |  FROM (SELECT cid, unnest(qs) AS v, unnest(range(1, 65)) AS i
+        |    FROM a2) GROUP BY cid, i),
+        |c2n AS (SELECT cid, count(*) AS n FROM a2 GROUP BY cid),
+        |c2 AS (SELECT e.cid, any_value(m.n) AS n,
+        |    array_agg(e.sv ORDER BY e.i) AS s
+        |  FROM c2e e JOIN c2n m USING (cid) GROUP BY e.cid),
+        |c2s AS (SELECT cid, n, s,
+        |    CAST(list_dot_product(s, s) AS BIGINT) AS ss FROM c2),
+        |a3 AS (SELECT vec_id, cid, xs FROM (
+        |    SELECT q.vec_id, c.cid,
+        |      CAST(list_dot_product(q.qs, c.s) AS BIGINT) AS xs,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        c.ss / (c.n * c.n)
+        |          - 2.0 * CAST(list_dot_product(q.qs, c.s) AS BIGINT) / c.n
+        |          ASC, c.cid ASC) AS rn
+        |    FROM q CROSS JOIN c2s c) WHERE rn = 1)
+        |SELECT cid, count(*) AS n_members, min(vec_id) AS min_vid,
+        |  max(vec_id) AS max_vid, CAST(sum(xs) AS BIGINT) AS coh_dot
+        |FROM a3 GROUP BY cid ORDER BY cid""".stripMargin,
 
     "q76_ann_ivf" ->
       """WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),

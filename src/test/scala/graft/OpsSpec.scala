@@ -308,6 +308,50 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q119 k-means matches a single-threaded Lloyd recompute exactly") {
+    // independent re-implementation of the ENTIRE chain — global snap,
+    // int8 quantization, md5-min seeding, two integer Lloyd rounds,
+    // final assignment — in plain Scala collections. Exact equality is
+    // the point: the integer-space design means the distributed run has
+    // NO summation-order freedom to hide in.
+    val rows = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val amax = rows.flatMap(_._2.map(math.abs)).max
+    val gsc = math.floor(127.0 / amax * 1e6 + 0.5) / 1e6
+    val quant = rows.map { case (id, xs) =>
+      (id, xs.map(v =>
+        math.max(-127L, math.min(127L, math.floor(v * gsc + 0.5).toLong))))
+    }
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    var cents = quant.sortBy { case (id, _) => (md5hex(id.toString), id) }
+      .take(8).map { case (id, q) => (id, 1L, q.map(v => v * v).sum, q) }.toSeq
+    def assign() = quant.map { case (id, q) =>
+      val best = cents.map { case (cid, n, ss, s) =>
+        val xs = q.zip(s).map { case (a, b) => a * b }.sum
+        (ss.toDouble / (n * n) - 2.0 * xs / n, cid, xs)
+      }.minBy(t => (t._1, t._2))
+      (id, best._2, best._3, q)
+    }
+    for (_ <- 1 to 2) {
+      cents = assign().groupBy(_._2).toSeq.sortBy(_._1).map { case (cid, ms) =>
+        val s = Array.tabulate(64)(j => ms.map(_._4(j)).sum)
+        (cid, ms.length.toLong, s.map(v => v * v).sum, s)
+      }
+    }
+    val expect = assign().groupBy(_._2).toSeq.sortBy(_._1).map {
+      case (cid, ms) => (cid, ms.length.toLong, ms.map(_._1).min,
+        ms.map(_._1).max, ms.map(_._3).sum)
+    }
+    val got = Similarity.queries("q119_kmeans")(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got === expect)
+    assert(got.map(_._2).sum === rows.length.toLong,
+      "clusters must partition the corpus")
+  }
+
   test("multimodal decode stub: schema, determinism, distributed shape") {
     val decoded = Multimodal.decodeStub(Multimodal.withPayload(spark, sf))
     assert(decoded.schema === Multimodal.decodedSchema)
