@@ -114,7 +114,42 @@ object Windows extends QueryModule {
           col("session_window.start").as("session_start"),
           col("session_window.end").as("session_end"),
           col("n_events"), col("min_value"), col("max_value"))
-        .orderBy(col("user_id"), col("session_start")))
+        .orderBy(col("user_id"), col("session_start"))),
+
+    // SCD2 historization — the dimension-maintenance complement of
+    // q106's MERGE upsert: each user's event_type stream is collapsed
+    // into versioned validity intervals (gaps-and-islands: a lag-based
+    // change flag, a running sum as the run id, lead(valid_from) as the
+    // exclusive valid_to; the open row carries the standard 9999-12-31
+    // sentinel instead of NULL, which also keeps the hash gate away
+    // from NaT). Scale shape: every window and the run aggregation key
+    // on user_id, so ONE hash exchange serves the lag, the running
+    // sum, the groupBy (subset-clustering satisfies (user_id, run)),
+    // and the lead — no per-version reshuffle.
+    "q120_scd2" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val open = lit("9999-12-31 00:00:00").cast("timestamp")
+      val wr = Window.partitionBy(col("user_id")).orderBy(col("version"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("chg",
+          when(lag(col("event_type"), 1).over(w).isNull
+            || lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L)
+            .otherwise(0L))
+        .withColumn("version", sum(col("chg")).over(w))
+        .groupBy(col("user_id"), col("version"))
+        .agg(min(col("event_type")).as("state"),
+          min(col("ts")).as("valid_from"),
+          count(lit(1)).as("n_events"))
+        .withColumn("valid_to",
+          coalesce(lead(col("valid_from"), 1).over(wr), open))
+        .withColumn("is_current", col("valid_to") === open)
+        .select(col("user_id"), col("version"), col("state"),
+          col("valid_from"), col("valid_to"), col("is_current"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("version"))
+    })
   )
 
   def oracle: Map[String, String] = Map(
@@ -189,6 +224,26 @@ object Windows extends QueryModule {
         |  min(value) AS min_value,
         |  max(value) AS max_value
         |FROM s GROUP BY user_id, sid
-        |ORDER BY user_id, session_start""".stripMargin
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    "q120_scd2" ->
+      """WITH r AS (SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |           OR lag(event_type) OVER w <> event_type
+        |      THEN 1 ELSE 0 END AS chg
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |r2 AS (SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS BIGINT) AS version FROM r),
+        |g AS (SELECT user_id, version, min(event_type) AS state,
+        |    min(ts) AS valid_from, count(*) AS n_events
+        |  FROM r2 GROUP BY user_id, version),
+        |f AS (SELECT *, coalesce(lead(valid_from) OVER (PARTITION BY user_id
+        |      ORDER BY version),
+        |    TIMESTAMP '9999-12-31 00:00:00') AS valid_to FROM g)
+        |SELECT user_id, version, state, valid_from, valid_to,
+        |  valid_to = TIMESTAMP '9999-12-31 00:00:00' AS is_current,
+        |  CAST(n_events AS BIGINT) AS n_events
+        |FROM f ORDER BY user_id, version""".stripMargin
   )
 }

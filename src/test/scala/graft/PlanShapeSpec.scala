@@ -320,6 +320,18 @@ class PlanShapeSpec extends AnyFunSuite {
       s"no hash exchange should appear in a layout rewrite:\n$p")
   }
 
+  test("q120 SCD2: one user_id exchange serves both windows and the agg") {
+    // gaps-and-islands keys everything on user_id: the lag window, the
+    // running-sum window, the (user_id, version) aggregate (subset
+    // clustering), and the lead window must all reuse ONE hash
+    // exchange; a second hash exchange means a per-version reshuffle
+    // crept in — at 100 TB that doubles the dominant shuffle.
+    val p = plan("q120_scd2")
+    val hashes = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashes == 1,
+      s"expected exactly one hash exchange, found $hashes:\n$p")
+  }
+
   test("q58b parses each XML document exactly once (plus one xpath)") {
     // from_xml (XmlToStructs) is non-codegen, so Catalyst performs no
     // subexpression elimination on it: every textual occurrence in the
