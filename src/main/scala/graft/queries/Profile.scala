@@ -110,6 +110,61 @@ object Profile extends QueryModule {
           min(price).cast("string").as("min_price"),
           max(price).cast("string").as("max_price"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // Declarative data-quality audit (the Deequ/expectations pattern):
+    // a constraint suite evaluated in as few passes as the constraint
+    // classes allow — all ROW-LEVEL checks (range, domain, completeness)
+    // fold into ONE aggregation scan of the table (conditional sums →
+    // a 1-row frame unpivoted to one row per check); key UNIQUENESS
+    // needs its own distinct aggregation (its shuffle is keyed, not
+    // foldable into the row scan); REFERENTIAL integrity is a
+    // broadcast left join + null-probe count (the dimension is the
+    // small side — the fact side never reshuffles). At 100 TB this is
+    // the nightly gate that decides whether a partition ships: 3
+    // bounded-output passes, no row-level violation materialization.
+    // The synthetic corpus makes two checks genuinely fail —
+    // (l_orderkey, l_linenumber) is NOT unique here, and discounts
+    // exceed the 0.08 "business rule" — so the report proves it
+    // counts, not rubber-stamps.
+    "q121_quality_audit" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val vio = (c: org.apache.spark.sql.Column) =>
+        sum(when(c, 1L).otherwise(0L))
+      val row = li.agg(
+        count(lit(1)).as("n"),
+        vio(col("l_quantity") < 1 || col("l_quantity") > 50).as("v_qty"),
+        vio(col("l_discount") < 0 || col("l_discount") > 0.08).as("v_disc"),
+        vio(!col("l_returnflag").isin("A", "N", "R")).as("v_flag"),
+        vio(col("l_shipdate").isNull).as("v_ship"))
+      val rowChecks = row.select(explode(array(
+        struct(lit("li_discount_le_0.08").as("check_name"),
+          col("n").as("n_checked"), col("v_disc").as("n_violations")),
+        struct(lit("li_flag_domain").as("check_name"),
+          col("n").as("n_checked"), col("v_flag").as("n_violations")),
+        struct(lit("li_quantity_range").as("check_name"),
+          col("n").as("n_checked"), col("v_qty").as("n_violations")),
+        struct(lit("li_shipdate_complete").as("check_name"),
+          col("n").as("n_checked"), col("v_ship").as("n_violations"))))
+        .as("c")).select(col("c.*"))
+      val uniq = li
+        .agg(count(lit(1)).as("n_checked"),
+          (count(lit(1)) - count_distinct(struct(col("l_orderkey"),
+            col("l_linenumber")))).as("n_violations"))
+        .select(lit("li_key_unique").as("check_name"),
+          col("n_checked"), col("n_violations"))
+      val ri = Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)
+          .select(col("c_custkey"))), col("o_custkey") === col("c_custkey"),
+          "left")
+        .agg(count(lit(1)).as("n_checked"),
+          sum(when(col("c_custkey").isNull, 1L).otherwise(0L))
+            .as("n_violations"))
+        .select(lit("orders_custkey_ri").as("check_name"),
+          col("n_checked"), col("n_violations"))
+      rowChecks.unionByName(uniq).unionByName(ri)
+        .withColumn("pass", col("n_violations") === 0L)
+        .orderBy(col("check_name"))
     })
   )
 
@@ -167,6 +222,30 @@ object Profile extends QueryModule {
         |    AS min_price,
         |  CAST(max(CAST(l_extendedprice AS DECIMAL(14,2))) AS VARCHAR)
         |    AS max_price
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q121_quality_audit" ->
+      """WITH one AS (SELECT count(*) AS n,
+        |    count_if(l_quantity < 1 OR l_quantity > 50) AS v_qty,
+        |    count_if(l_discount < 0 OR l_discount > 0.08) AS v_disc,
+        |    count_if(NOT l_returnflag IN ('A', 'N', 'R')) AS v_flag,
+        |    count_if(l_shipdate IS NULL) AS v_ship
+        |  FROM lineitem),
+        |rows_out AS (
+        |  SELECT 'li_discount_le_0.08' AS check_name,
+        |    n AS n_checked, v_disc AS n_violations FROM one
+        |  UNION ALL SELECT 'li_flag_domain', n, v_flag FROM one
+        |  UNION ALL SELECT 'li_quantity_range', n, v_qty FROM one
+        |  UNION ALL SELECT 'li_shipdate_complete', n, v_ship FROM one
+        |  UNION ALL SELECT 'li_key_unique', count(*),
+        |    count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+        |  FROM lineitem
+        |  UNION ALL SELECT 'orders_custkey_ri', count(*),
+        |    count_if(c.c_custkey IS NULL)
+        |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey)
+        |SELECT check_name, CAST(n_checked AS BIGINT) AS n_checked,
+        |  CAST(n_violations AS BIGINT) AS n_violations,
+        |  n_violations = 0 AS pass
+        |FROM rows_out ORDER BY check_name""".stripMargin
   )
 }
