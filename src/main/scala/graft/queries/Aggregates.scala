@@ -306,6 +306,40 @@ object Aggregates extends QueryModule {
             <= col("exact_users") * 0.05).as("direct_within_5pct"))
     }),
 
+    // Incremental materialized-view maintenance — the exact-aggregate
+    // complement of q115's mergeable sketches, and the pattern that
+    // turns a nightly 100 TB re-aggregation into a delta-sized job:
+    // closed history is aggregated ONCE into persisted per-key partials
+    // (count + DECIMAL sum — decimal addition is associative and
+    // order-free, so partials merge exactly; double sums would drift),
+    // and a refresh re-aggregates state ∪ delta-partials. The refresh
+    // plan scans the kilobyte-scale state file plus ONLY the delta
+    // slice of the fact table — the `>= cutoff` predicate reaches the
+    // parquet scan (PlanShapeSpec pins the pushed filter and the
+    // absence of any history re-scan), so refresh cost is O(delta),
+    // not O(history). The oracle recomputes the view from scratch over
+    // the full table: incremental must equal full, to the exact cent.
+    "q122_incremental_mv" -> ((s, d) => {
+      val cutoff = lit("2001-01-01 00:00:00").cast("timestamp")
+      val dir =
+        s"target/tmp/agg/${d.replaceAll("[^A-Za-z0-9.]", "_")}/mv_state"
+      val price = col("o_totalprice").cast("decimal(14,2)")
+      def partials(df: DataFrame) = df
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(price).cast("decimal(24,2)").as("total"))
+      partials(Tables.orders(s, d).filter(col("o_orderdate") < cutoff))
+        .write.mode("overwrite").parquet(dir)
+      s.read.parquet(dir)
+        .unionByName(partials(
+          Tables.orders(s, d).filter(col("o_orderdate") >= cutoff)))
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("n_orders")).as("n_orders"),
+          sum(col("total")).cast("decimal(14,2)").cast("string")
+            .as("total"))
+        .orderBy(col("o_custkey"))
+    }),
+
     "q39b_percentile_exact" -> ((s, d) =>
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
@@ -362,6 +396,14 @@ object Aggregates extends QueryModule {
         |  TRUE AS merged_within_5pct,
         |  TRUE AS direct_within_5pct
         |FROM events""".stripMargin,
+
+    // the oracle recomputes the VIEW FROM SCRATCH over the full table:
+    // the incremental state+delta merge must equal it to the cent.
+    "q122_incremental_mv" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(14,2)))
+        |    AS DECIMAL(14,2)) AS VARCHAR) AS total
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "q86_pivot" ->
       """SELECT l_returnflag,

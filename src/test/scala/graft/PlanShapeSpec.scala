@@ -332,6 +332,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected exactly one hash exchange, found $hashes:\n$p")
   }
 
+  test("q122 incremental refresh scans state + delta slice, never history") {
+    // the point of the MV: refresh cost is O(delta). The refresh plan
+    // must read the persisted partials plus ONE orders scan whose
+    // `>= cutoff` predicate is pushed into parquet; a LessThan scan in
+    // the refresh plan means the history aggregation ran again.
+    val p = plan("q122_incremental_mv")
+    assert(p.contains("mv_state"), s"state partials not read:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"delta predicate must reach the orders scan:\n$p")
+    assert(!p.contains("LessThan(o_orderdate"),
+      s"refresh plan re-scanned closed history:\n$p")
+  }
+
   test("q58b parses each XML document exactly once (plus one xpath)") {
     // from_xml (XmlToStructs) is non-codegen, so Catalyst performs no
     // subexpression elimination on it: every textual occurrence in the
