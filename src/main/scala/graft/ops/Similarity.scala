@@ -377,6 +377,63 @@ object Similarity extends QueryModule {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // The IVF index AS STORAGE LAYOUT — what q76b's in-memory cell
+    // assignment becomes in a persisted 100 TB vector store: the
+    // cell-assigned corpus (embedding + precomputed norm; doubles
+    // round-trip parquet bit-exactly) is written `partitionBy(cell)`,
+    // and a probe computes its nprobe=2 cells against the tiny seed
+    // table, COLLECTS the probed-cell union on the driver (≤ k cells —
+    // the centroid table is driver-sized in any real IVF system), and
+    // reads back with `cell IN (...)`: a STATIC partition filter, so
+    // the scan touches only the probed cells' directories — 7-8 of 10
+    // at the test scales, and 1/|cells| of the corpus at 100 TB where
+    // |cells| is thousands. PlanShapeSpec pins the partition filter on
+    // the scan and that the probed union genuinely excludes cells.
+    // Results are IDENTICAL to q76b (same oracle SQL): the layout
+    // changes where bytes live, never the answer.
+    "q123_ann_partitioned" -> ((s, d) => {
+      val dir =
+        s"target/tmp/ann/${d.replaceAll("[^A-Za-z0-9.]", "_")}/ivf_cells"
+      val corpus = withNorm(Tables.embeddings(s, d)
+        .select(col("vec_id"), dvec(col("embedding")).as("emb"), col("label")))
+      val seedW = Window.partitionBy(col("label")).orderBy(col("vec_id"))
+      val seeds = corpus
+        .withColumn("rn", row_number().over(seedW)).filter(col("rn") === 1)
+        .select(col("label").as("cell"), col("emb").as("c_emb"),
+          col("nrm").as("c_nrm"))
+      val seedSim = dot(col("emb"), col("c_emb")) / (col("nrm") * col("c_nrm"))
+      val cellOf = corpus.crossJoin(broadcast(seeds))
+        .select(col("vec_id"), col("cell"), seedSim.as("sim"))
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("cell"), struct(col("sim"), -col("cell"))).as("cell"))
+      corpus.join(cellOf, "vec_id")
+        .select(col("vec_id"), col("emb"), col("nrm"), col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(dir)
+      val qw = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("cell").asc)
+      val probes = corpus.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("emb"), col("nrm"))
+        .crossJoin(broadcast(seeds))
+        .select(col("query_id"), col("emb").as("q_emb"), col("nrm").as("q_nrm"),
+          col("cell"), seedSim.as("sim"))
+        .withColumn("qrn", row_number().over(qw)).filter(col("qrn") <= 2)
+        .select(col("query_id"), col("q_emb"), col("q_nrm"), col("cell"))
+      val probedCells = probes.select(col("cell")).distinct()
+        .collect().map(_.getInt(0)).sorted
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      s.read.parquet(dir)
+        .filter(col("cell").isin(probedCells.map(Integer.valueOf): _*))
+        .join(broadcast(probes), Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"), pairCosine.as("cos_sim"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          col("rank"), col("cos_sim"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // LSH-bucketed ANN top-k: candidates = vectors sharing any of the 8
     // table buckets with the query; exact cosine re-ranks candidates.
     // md5-derived hyperplanes (planeSign above) make the WHOLE pipeline
@@ -429,6 +486,47 @@ object Similarity extends QueryModule {
         .orderBy(col("query_id"), col("rank"))
     })
   )
+
+  /** Shared oracle for q76b and q123: q123 persists q76b's pipeline
+    * partitionBy(cell) and probes via a static partition filter — the
+    * layout changes where bytes live, never the answer.
+    */
+  private val IvfProbeSql: String =
+      """WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
+        |seeds AS (SELECT label AS cell, emb AS c_emb
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+        |    FROM t) WHERE rn = 1),
+        |scored_seeds AS (SELECT t.vec_id, s.cell,
+        |    list_dot_product(t.emb, s.c_emb)
+        |      / (sqrt(list_dot_product(t.emb, t.emb))
+        |         * sqrt(list_dot_product(s.c_emb, s.c_emb))) AS sim
+        |  FROM t CROSS JOIN seeds s),
+        |assigned AS (SELECT vec_id, cell
+        |  FROM (SELECT vec_id, cell,
+        |      row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY sim DESC, cell ASC) AS rn
+        |    FROM scored_seeds) WHERE rn = 1),
+        |probes AS (SELECT vec_id AS query_id, cell
+        |  FROM (SELECT vec_id, cell,
+        |      row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY sim DESC, cell ASC) AS rn
+        |    FROM scored_seeds WHERE vec_id < 5) WHERE rn <= 2),
+        |cand AS (SELECT p.query_id, c.vec_id,
+        |    list_dot_product(c.emb, q.emb)
+        |      / (sqrt(list_dot_product(c.emb, c.emb))
+        |         * sqrt(list_dot_product(q.emb, q.emb))) AS cos_sim
+        |  FROM t c
+        |  JOIN assigned a ON a.vec_id = c.vec_id
+        |  JOIN probes p ON p.cell = a.cell
+        |  JOIN t q ON q.vec_id = p.query_id
+        |  WHERE c.vec_id <> p.query_id),
+        |ranked AS (SELECT query_id, vec_id, cos_sim,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos_sim DESC, vec_id ASC) AS rank
+        |  FROM cand)
+        |SELECT query_id, vec_id AS neighbor_id, rank, cos_sim
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin
 
   def oracle: Map[String, String] = Map(
     "q112_quantize_int8" ->
@@ -564,42 +662,13 @@ object Similarity extends QueryModule {
         |FROM ranked WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
 
-    "q76b_ann_ivf_probe" ->
-      """WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
-        |seeds AS (SELECT label AS cell, emb AS c_emb
-        |  FROM (SELECT *, row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
-        |    FROM t) WHERE rn = 1),
-        |scored_seeds AS (SELECT t.vec_id, s.cell,
-        |    list_dot_product(t.emb, s.c_emb)
-        |      / (sqrt(list_dot_product(t.emb, t.emb))
-        |         * sqrt(list_dot_product(s.c_emb, s.c_emb))) AS sim
-        |  FROM t CROSS JOIN seeds s),
-        |assigned AS (SELECT vec_id, cell
-        |  FROM (SELECT vec_id, cell,
-        |      row_number() OVER (PARTITION BY vec_id
-        |        ORDER BY sim DESC, cell ASC) AS rn
-        |    FROM scored_seeds) WHERE rn = 1),
-        |probes AS (SELECT vec_id AS query_id, cell
-        |  FROM (SELECT vec_id, cell,
-        |      row_number() OVER (PARTITION BY vec_id
-        |        ORDER BY sim DESC, cell ASC) AS rn
-        |    FROM scored_seeds WHERE vec_id < 5) WHERE rn <= 2),
-        |cand AS (SELECT p.query_id, c.vec_id,
-        |    list_dot_product(c.emb, q.emb)
-        |      / (sqrt(list_dot_product(c.emb, c.emb))
-        |         * sqrt(list_dot_product(q.emb, q.emb))) AS cos_sim
-        |  FROM t c
-        |  JOIN assigned a ON a.vec_id = c.vec_id
-        |  JOIN probes p ON p.cell = a.cell
-        |  JOIN t q ON q.vec_id = p.query_id
-        |  WHERE c.vec_id <> p.query_id),
-        |ranked AS (SELECT query_id, vec_id, cos_sim,
-        |    row_number() OVER (PARTITION BY query_id
-        |      ORDER BY cos_sim DESC, vec_id ASC) AS rank
-        |  FROM cand)
-        |SELECT query_id, vec_id AS neighbor_id, rank, cos_sim
-        |FROM ranked WHERE rank <= 5
-        |ORDER BY query_id, rank""".stripMargin,
+    "q76b_ann_ivf_probe" -> IvfProbeSql,
+
+    // q123 persists the SAME pipeline partitionBy(cell) and probes via
+    // a static partition filter — the layout changes where bytes live,
+    // never the answer, so the oracle is q76b's verbatim.
+    "q123_ann_partitioned" -> IvfProbeSql,
+
 
     // the full LSH pipeline replayed: same md5-parity planes (strpos on
     // the odd hex digits = Spark's conv(...)%2 parity), list_dot_product

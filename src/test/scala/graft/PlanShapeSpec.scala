@@ -345,6 +345,25 @@ class PlanShapeSpec extends AnyFunSuite {
       s"refresh plan re-scanned closed history:\n$p")
   }
 
+  test("q123 ANN probe prunes cell partitions with a static filter") {
+    // the point of partitionBy(cell): the probe scan must carry the
+    // probed-cell IN list as a PARTITION filter (directory pruning,
+    // zero data bytes read from unprobed cells), and that list must
+    // genuinely exclude cells — otherwise the "index" is a full scan
+    // with extra steps.
+    val p = plan("q123_ann_partitioned")
+    val pf = "PartitionFilters: \\[[^\\]]*\\]".r.findFirstIn(p)
+    assert(pf.isDefined, s"no partition filters on the probe scan:\n$p")
+    val inList = "IN \\(([^)]*)\\)".r.findFirstMatchIn(pf.get)
+    assert(inList.isDefined, s"probed-cell IN list not pushed:\n${pf.get}")
+    val probed = inList.get.group(1).split(",").length
+    val dirs = new java.io.File(
+      s"target/tmp/ann/${sf.replaceAll("[^A-Za-z0-9.]", "_")}/ivf_cells")
+      .listFiles().count(_.getName.startsWith("cell="))
+    assert(probed < dirs,
+      s"probe touches all $dirs cells — nothing pruned ($probed probed)")
+  }
+
   test("q58b parses each XML document exactly once (plus one xpath)") {
     // from_xml (XmlToStructs) is non-codegen, so Catalyst performs no
     // subexpression elimination on it: every textual occurrence in the
