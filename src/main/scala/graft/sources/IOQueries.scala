@@ -334,6 +334,35 @@ object IOQueries extends QueryModule {
         .orderBy(col("lang"))
     }),
 
+    // Schema evolution on append — the lakehouse reality that a 100 TB
+    // table's schema is never final: generation 1 lands without a
+    // column, generation 2 adds it (new ingest code), and readers must
+    // see ONE unified schema with the old files NULL-filled, without
+    // rewriting a byte of generation 1. Parquet supports this natively
+    // (per-file footers + mergeSchema read); the writer appends — never
+    // overwrites — and the unified read proves both generations
+    // survive. The oracle rebuilds the same two-generation union from
+    // the original table. A generation tag makes provenance explicit,
+    // as a real ingest pipeline would carry.
+    "q124_schema_evolution" -> ((s, d) => {
+      val dir = scratch(d, "evolve")
+      val docs = Tables.documents(s, d)
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang"), lit(1L).as("generation"))
+        .write.mode("overwrite").parquet(dir)
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("lang"), lit(2L).as("generation"),
+          col("n_chars"))
+        .write.mode("append").parquet(dir)
+      s.read.option("mergeSchema", "true").parquet(dir)
+        .groupBy(col("generation"))
+        .agg(count(lit(1)).as("n"),
+          count(col("n_chars")).as("n_with_chars"),
+          coalesce(sum(col("n_chars")), lit(0L)).as("chars"),
+          count_distinct(col("lang")).as("n_langs"))
+        .orderBy(col("generation"))
+    }),
+
     // custom DataSource V2 SINK round-trip (MemTableSource): write
     // through the V2 batch-commit protocol (executor writers →
     // driver-side atomic commit, overwrite = truncate), read back
@@ -438,6 +467,23 @@ object IOQueries extends QueryModule {
         |  CAST(sum(n_chars) AS BIGINT) AS chars,
         |  count(DISTINCT source) AS n_sources
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // rebuilt two-generation union: gen 1 (even ids) has no n_chars
+    // column, gen 2 (odd ids) does — the merged read must NULL-fill
+    // gen 1 and keep gen 2 intact.
+    "q124_schema_evolution" ->
+      """WITH u AS (
+        |  SELECT doc_id, lang, CAST(1 AS BIGINT) AS generation,
+        |    CAST(NULL AS BIGINT) AS n_chars
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id, lang, CAST(2 AS BIGINT), n_chars
+        |  FROM documents WHERE doc_id % 2 = 1)
+        |SELECT generation, count(*) AS n,
+        |  count(n_chars) AS n_with_chars,
+        |  CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS chars,
+        |  count(DISTINCT lang) AS n_langs
+        |FROM u GROUP BY generation ORDER BY generation""".stripMargin,
 
     "q83_custom_source" ->
       """SELECT CAST(i % 97 AS INT) AS id_mod, count(*) AS n,

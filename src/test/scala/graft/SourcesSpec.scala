@@ -153,6 +153,26 @@ class SourcesSpec extends AnyFunSuite {
       Tables.documents(spark, sf).count())
   }
 
+  test("q124 merged read unifies two genuinely different file schemas") {
+    SparkEntry.queries("q124_schema_evolution")(spark, sf).collect()
+    val dir = s"target/tmp/io/${sf.replaceAll("[^A-Za-z0-9.]", "_")}/evolve"
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet ===
+      Set("doc_id", "lang", "generation", "n_chars"))
+    // the evolution is real: generation-1 files physically lack the
+    // n_chars column; generation-2 files carry it.
+    val files = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty).filter(_.getName.endsWith(".parquet"))
+    val (withCol, withoutCol) = files.partition(f =>
+      spark.read.parquet(f.getAbsolutePath).columns.contains("n_chars"))
+    assert(withCol.nonEmpty && withoutCol.nonEmpty,
+      s"expected both schema generations on disk, got " +
+        s"${withCol.length} with / ${withoutCol.length} without")
+    // NULL-fill semantics: no generation-1 row acquires a value.
+    assert(merged.filter(col("generation") === 1L
+      && col("n_chars").isNotNull).count() === 0L)
+  }
+
   test("jdbc partition predicates tile the range with NULL absorption") {
     val p = Jdbc.PartitionSpec("id", 0L, 100L, 4)
     assert(Jdbc.partitionPredicates(p) === Seq(
