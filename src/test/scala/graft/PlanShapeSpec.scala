@@ -345,6 +345,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"refresh plan re-scanned closed history:\n$p")
   }
 
+  test("q119 k-means output plan: assignment is per-row, one hash exchange") {
+    // the broadcast-as-literal design means assignment adds NO join and
+    // NO shuffle: the only hash exchange in the final plan is the
+    // k-group aggregate (plus the contract orderBy's range exchange).
+    // A second hash exchange or any join node means the per-row
+    // centroid evaluation regressed to a fan-out join.
+    val p = plan("q119_kmeans")
+    val hashes = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashes == 1,
+      s"expected exactly one hash exchange (k-group agg), found $hashes:\n$p")
+    assert(!p.contains("Join"), s"assignment must not join:\n$p")
+  }
+
   test("q123 ANN probe prunes cell partitions with a static filter") {
     // the point of partitionBy(cell): the probe scan must carry the
     // probed-cell IN list as a PARTITION filter (directory pruning,

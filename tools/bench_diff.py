@@ -10,7 +10,7 @@ file of raw Bench stdout lines (uses the last {"metric":"total"...} line).
 
 Baseline policy (round-9 rework — the r8 postmortem):
   The operative baseline is the PINNED CLEAN RUN
-  (tools/bench_r10_local.json, 101.66 s / 142 queries at local[32],
+  (tools/bench_r10_local.json, 96.66 s / 144 queries at local[32],
   calib [0.44, 0.35] = 0.88x clean — the builder's final round-9 run;
   it absorbs the round's post-promotion reworks: q71's post-fix level,
   q111/q110/q101 single-compute shapes, q63's filter fix. Prior pins
