@@ -308,6 +308,36 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q119 k-means degenerate corpora: all-zero sheds, tiny corpus caps k") {
+    import spark.implicits._
+    val dim = 64
+    def vec(f: Int => Float): Array[Float] = Array.tabulate(dim)(f)
+    // all-zero corpus: global amax = 0, the scale is undefined — the
+    // query must return the same EMPTY frame the oracle's
+    // `WHERE amax > 0` one-row gate produces, not NaN clusters.
+    val zeroDir = java.nio.file.Files
+      .createTempDirectory("graft-kmeans-zero").toString
+    Seq((0L, vec(_ => 0.0f), 0), (1L, vec(_ => 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$zeroDir/embeddings.parquet")
+    val zero = Similarity.queries("q119_kmeans")(spark, zeroDir)
+    assert(zero.columns.toSeq ===
+      Seq("cid", "n_members", "min_vid", "max_vid", "coh_dot"))
+    assert(zero.count() === 0L)
+    // corpus smaller than k: seeds cap at |corpus|, clusters partition
+    // everything, nothing crashes on the short seed list.
+    val tinyDir = java.nio.file.Files
+      .createTempDirectory("graft-kmeans-tiny").toString
+    Seq((0L, vec(i => 1.0f + i), 0), (1L, vec(i => 2.0f - 0.01f * i), 0),
+      (2L, vec(i => -1.0f * i), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tinyDir/embeddings.parquet")
+    val tiny = Similarity.queries("q119_kmeans")(spark, tinyDir).collect()
+    assert(tiny.nonEmpty && tiny.length <= 3)
+    assert(tiny.map(_.getAs[Long]("n_members")).sum === 3L,
+      "clusters must partition the tiny corpus")
+  }
+
   test("q119 k-means matches a single-threaded Lloyd recompute exactly") {
     // independent re-implementation of the ENTIRE chain — global snap,
     // int8 quantization, md5-min seeding, two integer Lloyd rounds,
