@@ -158,6 +158,44 @@ object Joins extends QueryModule {
         .orderBy(col("event_id"))
     }),
 
+    // Point-in-time (feature-store) lookup: "what was this user's state
+    // an hour before the event?" answered against the SCD2 dimension
+    // q120 derives — WITHOUT an interval join. The lookup compiles to
+    // the as-of shape: dimension updates (run starts) and probes union
+    // into one stream keyed on user_id, sorted (t, kind, event_id) with
+    // updates first at a shared instant (>= boundary semantics), and a
+    // running last_value(state) hands every probe the newest update at
+    // or before its lookup time. ZERO join operators; the heavy shuffle
+    // keys on user_id only — the shape that trains feature pipelines at
+    // 100 TB where a BETWEEN-range join would either nested-loop or
+    // fan out per interval. Probes predating the user's first interval
+    // correctly read NULL (the oracle's LEFT JOIN no-match).
+    "q125_pit_lookup" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val updates = ev
+        .withColumn("chg",
+          lag(col("event_type"), 1).over(w).isNull
+            || lag(col("event_type"), 1).over(w) =!= col("event_type"))
+        .filter(col("chg"))
+        .select(col("user_id"), col("ts").as("t"), lit(0).as("kind"),
+          col("event_id"), col("event_type").as("state"))
+      val probes = ev.select(col("user_id"),
+        (col("ts") - expr("INTERVAL 1 HOUR")).as("t"), lit(1).as("kind"),
+        col("event_id"), lit(null).cast("string").as("state"))
+      val mw = Window.partitionBy(col("user_id"))
+        .orderBy(col("t"), col("kind"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      updates.unionByName(probes)
+        .withColumn("state_at", last(col("state"), ignoreNulls = true).over(mw))
+        .filter(col("kind") === 1)
+        .select(col("user_id"), col("event_id"), col("t").as("lookup_ts"),
+          col("state_at"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     // theta/range join (a non-equi conjunct on top of the equi key) —
     // "missing join kinds" in the reference, native in Spark.
     "q29_join_theta" -> ((s, d) => {
@@ -410,6 +448,25 @@ object Joins extends QueryModule {
         |FROM events ASOF LEFT JOIN od
         |  ON user_id = od.o_custkey AND ts >= od.o_orderdate
         |ORDER BY event_id""".stripMargin,
+
+    // the oracle spells the lookup as DuckDB's native ASOF LEFT JOIN
+    // against the run-start stream — the greatest update t <= lookup
+    // is exactly the running-last the Spark union computes.
+    "q125_pit_lookup" ->
+      """WITH r AS (SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |           OR lag(event_type) OVER w <> event_type
+        |      THEN 1 ELSE 0 END AS chg
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |u AS (SELECT user_id, ts AS t, event_type AS state
+        |  FROM r WHERE chg = 1),
+        |p AS (SELECT user_id, event_id, ts - INTERVAL 1 HOUR AS lookup_ts
+        |  FROM events)
+        |SELECT p.user_id, p.event_id, p.lookup_ts, u.state AS state_at
+        |FROM p ASOF LEFT JOIN u
+        |  ON p.user_id = u.user_id AND p.lookup_ts >= u.t
+        |ORDER BY p.user_id, p.event_id""".stripMargin,
 
     "q29_join_theta" ->
       """SELECT l_returnflag, count(*) AS n_late,

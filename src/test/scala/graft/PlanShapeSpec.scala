@@ -358,6 +358,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"assignment must not join:\n$p")
   }
 
+  test("q125 point-in-time lookup compiles to windows, not a join") {
+    // the as-of shape is the point: a BETWEEN-interval join would
+    // nested-loop or fan out per interval; the union + running-last
+    // form must plan ZERO join operators, and every hash exchange must
+    // key on user_id (never on an interval or a constant).
+    val p = plan("q125_pit_lookup")
+    assert(!p.contains("Join"), s"PIT lookup planned a join:\n$p")
+    val hashes = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).length
+    val allHashes = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(allHashes == hashes && hashes >= 1,
+      s"every hash exchange must key on user_id ($hashes of $allHashes):\n$p")
+  }
+
   test("q123 ANN probe prunes cell partitions with a static filter") {
     // the point of partitionBy(cell): the probe scan must carry the
     // probed-cell IN list as a PARTITION filter (directory pruning,
