@@ -79,7 +79,38 @@ object Temporal extends QueryModule {
           hour(from_utc_timestamp(col("ts"), "America/New_York")).as("t_hour_ny"),
           expr("convert_timezone('UTC', 'Europe/Paris', ts)").as("t_paris"),
           from_unixtime(unix_timestamp(col("ts"))).as("t_fmt_unix"))
-        .orderBy(col("event_id")))
+        .orderBy(col("event_id"))),
+
+    // Cohort retention — the product-analytics matrix every event
+    // warehouse serves: users bucketed by first-active week, each
+    // cohort's share still active k days on. Three keyed aggregations,
+    // no wide row ever materialized: distinct (user, week) activity,
+    // per-user cohort assignment (min week), and the (cohort, offset)
+    // distinct-user roll-up all shuffle on user_id; the cohort-size
+    // frame is |weeks| rows — broadcast side of the final join. The
+    // retention ratio is exact-long division (correctly-rounded double,
+    // identical cross-engine). At 100 TB the only wide shuffle is the
+    // (user, week) distinct — and it's the minimal one: no retention
+    // definition exists without per-user week dedup.
+    "q126_retention" -> ((s, d) => {
+      val active = Tables.events(s, d)
+        .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+        .distinct()
+      val cohorts = active.groupBy(col("user_id"))
+        .agg(min(col("week")).as("cohort_week"))
+      val sizes = cohorts.groupBy(col("cohort_week"))
+        .agg(count(lit(1)).as("cohort_size"))
+      active.join(cohorts, "user_id")
+        .groupBy(col("cohort_week"),
+          datediff(col("week"), col("cohort_week")).cast("long")
+            .as("days_since"))
+        .agg(count_distinct(col("user_id")).as("n_active"))
+        .join(broadcast(sizes), "cohort_week")
+        .select(col("cohort_week"), col("days_since"), col("n_active"),
+          col("cohort_size"),
+          (col("n_active") / col("cohort_size")).as("retention"))
+        .orderBy(col("cohort_week"), col("days_since"))
+    })
   )
 
   def oracle: Map[String, String] = Map(
@@ -133,6 +164,28 @@ object Temporal extends QueryModule {
         |  hour(ts AT TIME ZONE 'UTC' AT TIME ZONE 'America/New_York') AS t_hour_ny,
         |  ts AT TIME ZONE 'UTC' AT TIME ZONE 'Europe/Paris' AS t_paris,
         |  strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS t_fmt_unix
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    // both engines truncate weeks to Monday 00:00; days_since is an
+    // exact day count between week-truncated midnights, and the
+    // retention ratio is exact-long division.
+    "q126_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+        |  FROM events),
+        |c AS (SELECT user_id, min(week) AS cohort_week
+        |  FROM a GROUP BY user_id),
+        |r AS (SELECT c.cohort_week,
+        |    date_diff('day', c.cohort_week, a.week) AS days_since,
+        |    count(DISTINCT a.user_id) AS n_active
+        |  FROM a JOIN c ON a.user_id = c.user_id GROUP BY 1, 2),
+        |s AS (SELECT cohort_week, count(*) AS cohort_size
+        |  FROM c GROUP BY 1)
+        |SELECT r.cohort_week, CAST(r.days_since AS BIGINT) AS days_since,
+        |  CAST(r.n_active AS BIGINT) AS n_active,
+        |  CAST(s.cohort_size AS BIGINT) AS cohort_size,
+        |  r.n_active / s.cohort_size AS retention
+        |FROM r JOIN s USING (cohort_week)
+        |ORDER BY cohort_week, days_since""".stripMargin
   )
 }
