@@ -110,6 +110,44 @@ object Temporal extends QueryModule {
           col("cohort_size"),
           (col("n_active") / col("cohort_size")).as("retention"))
         .orderBy(col("cohort_week"), col("days_since"))
+    }),
+
+    // Strict-order conversion funnel (view → click → purchase): a user
+    // counts at stage k only with an event AFTER their stage-(k-1)
+    // first occurrence. Each stage is a filtered user-keyed min
+    // aggregation joined to the previous stage's frame — per-user
+    // state is ONE timestamp per stage (never a collected event list),
+    // and every shuffle keys on user_id. Stage counts are 1-row frames
+    // crossed via broadcast (the q115 shape); conversion rates are
+    // exact-long divisions. The funnel matrix every product warehouse
+    // serves, with bounded state at 100 TB.
+    "q127_funnel" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_type"))
+      val t1 = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val t2 = ev.filter(col("event_type") === "click").join(t1, "user_id")
+        .filter(col("ts") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val t3 = ev.filter(col("event_type") === "purchase").join(t2, "user_id")
+        .filter(col("ts") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      ev.agg(count_distinct(col("user_id")).as("n0"))
+        .crossJoin(broadcast(t1.agg(count(lit(1)).as("n1"))))
+        .crossJoin(broadcast(t2.agg(count(lit(1)).as("n2"))))
+        .crossJoin(broadcast(t3.agg(count(lit(1)).as("n3"))))
+        .select(explode(array(
+          struct(lit("1_view").as("stage"), col("n1").as("n_users"),
+            (col("n1") / col("n0")).as("rate_from_prev"),
+            (col("n1") / col("n0")).as("rate_from_start")),
+          struct(lit("2_click").as("stage"), col("n2").as("n_users"),
+            (col("n2") / col("n1")).as("rate_from_prev"),
+            (col("n2") / col("n0")).as("rate_from_start")),
+          struct(lit("3_purchase").as("stage"), col("n3").as("n_users"),
+            (col("n3") / col("n2")).as("rate_from_prev"),
+            (col("n3") / col("n0")).as("rate_from_start")))).as("r"))
+        .select(col("r.*"))
+        .orderBy(col("stage"))
     })
   )
 
@@ -186,6 +224,29 @@ object Temporal extends QueryModule {
         |  CAST(s.cohort_size AS BIGINT) AS cohort_size,
         |  r.n_active / s.cohort_size AS retention
         |FROM r JOIN s USING (cohort_week)
-        |ORDER BY cohort_week, days_since""".stripMargin
+        |ORDER BY cohort_week, days_since""".stripMargin,
+
+    "q127_funnel" ->
+      """WITH t1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |t2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN t1 ON e.user_id = t1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY 1),
+        |t3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN t2 ON e.user_id = t2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY 1),
+        |c AS (SELECT
+        |    (SELECT count(DISTINCT user_id) FROM events) AS n0,
+        |    (SELECT count(*) FROM t1) AS n1,
+        |    (SELECT count(*) FROM t2) AS n2,
+        |    (SELECT count(*) FROM t3) AS n3)
+        |SELECT * FROM (
+        |  SELECT '1_view' AS stage, CAST(n1 AS BIGINT) AS n_users,
+        |    n1 / n0 AS rate_from_prev, n1 / n0 AS rate_from_start FROM c
+        |  UNION ALL SELECT '2_click', CAST(n2 AS BIGINT),
+        |    n2 / n1, n2 / n0 FROM c
+        |  UNION ALL SELECT '3_purchase', CAST(n3 AS BIGINT),
+        |    n3 / n2, n3 / n0 FROM c)
+        |ORDER BY stage""".stripMargin
   )
 }
