@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryModule, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Temporal functions (SURVEY.md §2.9 temporal rows) — the reference
@@ -110,6 +111,42 @@ object Temporal extends QueryModule {
           col("cohort_size"),
           (col("n_active") / col("cohort_size")).as("retention"))
         .orderBy(col("cohort_week"), col("days_since"))
+    }),
+
+    // Time-series resample + forward fill — the gap-filling primitive
+    // every feature pipeline needs before a model sees regular-interval
+    // input: per-user daily activity re-gridded to a dense calendar
+    // (one row per day between the user's first and last active day),
+    // missing days NULL-marked and forward-filled from the last
+    // observation. Scale shape: the grid explode is bounded by the
+    // calendar (≤ span days per user, never corpus-sized); the daily
+    // aggregate keys on (user_id, day) with map-side combine; the
+    // grid⋈daily join and the fill window both key on user_id — at
+    // 100 TB every shuffle is user-keyed and the widest frame is
+    // |users| × |days|, the output itself. The forward fill is
+    // last(ignoreNulls) over ROWS UNBOUNDED PRECEDING — a running
+    // accumulator, not a per-gap scan; day sums are 4-decimal-rounded
+    // on both engines before the fill so the filled doubles are
+    // bit-identical cross-engine.
+    "q128_resample_ffill" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
+        .groupBy(col("user_id"), col("day"))
+        .agg(round(sum(col("value")), 4).as("day_value"),
+          count(lit(1)).as("n_events"))
+      val grid = daily.groupBy(col("user_id"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("user_id"),
+          explode(sequence(col("d0"), col("d1"))).as("day"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"), col("day_value"),
+          last(col("day_value"), ignoreNulls = true).over(w)
+            .as("filled_value"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          col("day_value").isNull.as("is_gap"))
+        .orderBy(col("user_id"), col("day"))
     }),
 
     // Strict-order conversion funnel (view → click → purchase): a user
@@ -225,6 +262,30 @@ object Temporal extends QueryModule {
         |  r.n_active / s.cohort_size AS retention
         |FROM r JOIN s USING (cohort_week)
         |ORDER BY cohort_week, days_since""".stripMargin,
+
+    // both engines round the day sum to 4 decimals BEFORE the fill, so
+    // the forward-filled double is the identical bit pattern; the grid
+    // join and the fill window agree on SQL equality (null user_id
+    // grid rows match nothing in either engine).
+    "q128_resample_ffill" ->
+      """WITH daily AS (SELECT user_id, ts::DATE AS day,
+        |    round(sum(value), 4) AS day_value, count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (SELECT user_id,
+        |    unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+        |  FROM (SELECT user_id, min(day) AS d0, max(day) AS d1
+        |        FROM daily GROUP BY 1)),
+        |j AS (SELECT g.user_id, g.day, d.day_value,
+        |    coalesce(d.n_events, 0) AS n_events
+        |  FROM grid g LEFT JOIN daily d
+        |    ON g.user_id = d.user_id AND g.day = d.day)
+        |SELECT user_id, day, day_value,
+        |  last_value(day_value IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS filled_value,
+        |  CAST(n_events AS BIGINT) AS n_events,
+        |  day_value IS NULL AS is_gap
+        |FROM j ORDER BY user_id, day""".stripMargin,
 
     "q127_funnel" ->
       """WITH t1 AS (SELECT user_id, min(ts) AS t1 FROM events
