@@ -40,8 +40,46 @@ object CorpusSignals extends QueryModule {
 
     "q111_dup_substrings" -> ((s, d) => dupSubstrings(Tables.documents(s, d))),
 
-    "q110_tfidf_topk" -> ((s, d) => tfidfTopK(Tables.documents(s, d)))
+    "q110_tfidf_topk" -> ((s, d) => tfidfTopK(Tables.documents(s, d))),
+
+    "q129_inverted_index" -> ((s, d) => invertedIndex(Tables.documents(s, d)))
   )
+
+  /** Capped inverted index (term → document-frequency + top-k posting
+    * rows): the retrieval-side complement of q110's document-side
+    * TF-IDF, and the build step behind every corpus search / "which
+    * docs contain this term" tool. Per term: df (how many docs), total
+    * occurrences, and the 3 highest-tf postings (tie-break doc_id
+    * asc). The scale-critical choice is the CAP: a stopword's full
+    * posting list is corpus-sized (10^9 rows at 100 TB — the q111
+    * boilerplate-skew case), so the list is never materialized;
+    * row_number over the term partition is evaluated partially below
+    * the exchange by WindowGroupLimit, so each map task forwards at
+    * most k rows per term. All three shuffles (tf, per-term stats,
+    * window) key on the term; postings emit flat (term, rank) rows —
+    * the list shape without an unbounded array in any row.
+    */
+  private[graft] def invertedIndex(docs: DataFrame): DataFrame = {
+    val terms = docs.select(col("doc_id"),
+      explode_outer(Text.words(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+    val tf = terms.groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    // count(CASE WHEN tf >= 1) — the q110 spelling that keeps this
+    // branch's aggregate un-pruned so it shares the tokenize→explode
+    // Exchange subtree with the window branch (ReuseExchange).
+    val stats = tf.groupBy(col("term"))
+      .agg(count(when(col("tf") >= 1, lit(1))).as("df"),
+        sum(col("tf")).as("total_tf"))
+    val w = Window.partitionBy(col("term"))
+      .orderBy(col("tf").desc, col("doc_id").asc)
+    tf.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .join(stats, "term")
+      .select(col("term"), col("df"), col("total_tf"), col("rnk"),
+        col("doc_id"), col("tf"))
+      .orderBy(col("term"), col("rnk"))
+  }
 
   /** See the `q109_repetition` entry comment above for semantics. */
   private[graft] def repetition(docs: DataFrame): DataFrame = {
@@ -218,6 +256,22 @@ object CorpusSignals extends QueryModule {
         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
         |    ORDER BY score DESC, term ASC) AS rnk FROM s)
         |SELECT doc_id, rnk, term, tf, df, score
-        |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
+        |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+
+    "q129_inverted_index" ->
+      """WITH t AS (SELECT doc_id,
+        |    unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT term, doc_id, count(*) AS tf FROM t
+        |  WHERE term != '' GROUP BY term, doc_id),
+        |s AS (SELECT term, count(*) AS df, sum(tf) AS total_tf
+        |  FROM tf GROUP BY term),
+        |r AS (SELECT term, doc_id, tf, row_number() OVER (
+        |    PARTITION BY term ORDER BY tf DESC, doc_id ASC) AS rnk
+        |  FROM tf)
+        |SELECT r.term, CAST(s.df AS BIGINT) AS df,
+        |  CAST(s.total_tf AS BIGINT) AS total_tf, r.rnk, r.doc_id, r.tf
+        |FROM r JOIN s USING (term) WHERE r.rnk <= 3
+        |ORDER BY term, rnk""".stripMargin
   )
 }
