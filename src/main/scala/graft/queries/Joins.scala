@@ -300,6 +300,39 @@ object Joins extends QueryModule {
           col("o_orderpriority"))
     }),
 
+    // Salted skew join — the join-side counterpart of q75's salted
+    // aggregation, for the case AQE's skew-join split can't fix: ONE
+    // hot key whose matching rows exceed a single task's memory even
+    // after partition splitting (every split still re-reads the same
+    // dim row), or an engine/config where AQE is off. The fact side
+    // tags each row with a deterministic salt in [0, R) (xxhash64 of
+    // the row's own primary key — reproducible, unlike rand()); the
+    // dim side explodes into R replicas, one per salt; the equi-join
+    // key becomes (key, salt), so a key carrying 10^9 fact rows at
+    // 100 TB spreads over R reducers instead of hot-spotting one.
+    // Replication cost is R × |dim| — chosen when |dim| is too big to
+    // broadcast outright but R copies still shuffle cheaply. The salt
+    // never survives the join; the result is provably the plain join
+    // (the oracle computes exactly that, no salt anywhere).
+    "q130_salted_join" -> ((s, d) => {
+      val R = 8
+      val fact = Tables.lineitem(s, d)
+        .select(col("l_suppkey"), col("l_extendedprice"), col("l_discount"),
+          pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(R))
+            .as("fsalt"))
+      val dim = Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_name"),
+          explode(sequence(lit(0L), lit(R - 1L))).as("dsalt"))
+      fact.join(dim,
+          col("l_suppkey") === col("s_suppkey")
+            && col("fsalt") === col("dsalt"))
+        .groupBy(col("s_suppkey"), col("s_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("s_suppkey"))
+    }),
+
     // TPC-H Q5 shape (local supplier volume): the full star — region →
     // nation → {customer, supplier} → orders → lineitem with the
     // local-supplier constraint (customer and supplier share a
@@ -337,6 +370,16 @@ object Joins extends QueryModule {
   )
 
   def oracle: Map[String, String] = Map(
+    // the salt is an implementation detail: the oracle is the PLAIN
+    // join — green proves the salted rewrite is lossless.
+    "q130_salted_join" ->
+      """SELECT s_suppkey, s_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_suppkey, s_name
+        |ORDER BY s_suppkey""".stripMargin,
+
     "q107_shipping_priority" ->
       """SELECT l_orderkey,
         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
