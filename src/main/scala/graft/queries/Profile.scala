@@ -165,10 +165,75 @@ object Profile extends QueryModule {
       rowChecks.unionByName(uniq).unionByName(ri)
         .withColumn("pass", col("n_violations") === 0L)
         .orderBy(col("check_name"))
+    }),
+
+    // Snapshot reconciliation diff (the Datafold / data-diff pattern):
+    // given two versions of a 100 TB table, report what changed —
+    // added / removed / changed / unchanged — WITHOUT comparing wide
+    // rows: each side collapses every non-key column into one md5 row
+    // digest at scan time, so the full-outer join on the key carries
+    // (key, 32-byte digest) and nothing else; classification is digest
+    // (in)equality, and the report aggregates to |classes| rows with
+    // min/max key as the audit sample. One shuffle per side, both on
+    // the key. Doubles enter the digest through DECIMAL(18,2) — the
+    // one string rendering both engines share bit-for-bit (raw
+    // double-to-string formatting diverges cross-engine).
+    // The two snapshots derive deterministically from orders: v1 drops
+    // keys ≡0 (mod 97) [later "added"], v2 drops keys ≡0 (mod 89)
+    // ["removed"] and bumps the price of keys ≡0 (mod 7) ["changed"].
+    "q131_table_diff" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      def digest(price: org.apache.spark.sql.Column) =
+        md5(concat_ws("|", col("o_orderstatus"), col("o_orderpriority"),
+          price.cast("decimal(18,2)").cast("string"),
+          to_date(col("o_orderdate")).cast("string")))
+      val v1 = o.filter(pmod(col("o_orderkey"), lit(97)) =!= 0)
+        .select(col("o_orderkey").as("k1"),
+          digest(col("o_totalprice")).as("h1"))
+      val v2 = o.filter(pmod(col("o_orderkey"), lit(89)) =!= 0)
+        .select(col("o_orderkey").as("k2"),
+          digest(when(pmod(col("o_orderkey"), lit(7)) === 0,
+            col("o_totalprice") + 1.0).otherwise(col("o_totalprice")))
+            .as("h2"))
+      v1.join(v2, col("k1") === col("k2"), "full_outer")
+        .select(
+          when(col("k1").isNull, "added")
+            .when(col("k2").isNull, "removed")
+            .when(col("h1") =!= col("h2"), "changed")
+            .otherwise("unchanged").as("diff_class"),
+          coalesce(col("k1"), col("k2")).as("k"))
+        .groupBy(col("diff_class"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("k")).as("min_key"), max(col("k")).as("max_key"))
+        .orderBy(col("diff_class"))
     })
   )
 
   def oracle: Map[String, String] = Map(
+    // same derived snapshots, same DECIMAL-rendered md5 digest.
+    "q131_table_diff" ->
+      """WITH v1 AS (SELECT o_orderkey AS k1,
+        |    md5(o_orderstatus || '|' || o_orderpriority || '|'
+        |      || CAST(o_totalprice::DECIMAL(18,2) AS VARCHAR) || '|'
+        |      || CAST(o_orderdate::DATE AS VARCHAR)) AS h1
+        |  FROM orders WHERE o_orderkey % 97 != 0),
+        |v2 AS (SELECT o_orderkey AS k2,
+        |    md5(o_orderstatus || '|' || o_orderpriority || '|'
+        |      || CAST((CASE WHEN o_orderkey % 7 = 0
+        |            THEN o_totalprice + 1.0
+        |            ELSE o_totalprice END)::DECIMAL(18,2) AS VARCHAR)
+        |      || '|' || CAST(o_orderdate::DATE AS VARCHAR)) AS h2
+        |  FROM orders WHERE o_orderkey % 89 != 0),
+        |j AS (SELECT CASE WHEN k1 IS NULL THEN 'added'
+        |      WHEN k2 IS NULL THEN 'removed'
+        |      WHEN h1 != h2 THEN 'changed'
+        |      ELSE 'unchanged' END AS diff_class,
+        |    coalesce(k1, k2) AS k
+        |  FROM v1 FULL OUTER JOIN v2 ON k1 = k2)
+        |SELECT diff_class, count(*) AS n_rows,
+        |  min(k) AS min_key, max(k) AS max_key
+        |FROM j GROUP BY diff_class ORDER BY diff_class""".stripMargin,
+
     "q92_describe" -> {
       val rows = profiled.map { c =>
         s"""SELECT '$c' AS col_name, count($c) AS cnt,
