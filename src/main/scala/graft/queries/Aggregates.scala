@@ -340,6 +340,43 @@ object Aggregates extends QueryModule {
         .orderBy(col("o_custkey"))
     }),
 
+    // Winsorization (percentile outlier clipping) — the robust-stats
+    // preprocessing step every feature pipeline runs before
+    // normalization: per-group p05/p95 bounds computed once (3-row
+    // frame), broadcast back, values clamped, clipped distribution
+    // re-profiled. Two passes over a 2-column projection: the bounds
+    // aggregation keys on the bounded group (the q39b one-call
+    // percentile(col, array(...)) form — one value→count map per
+    // group), and the clip pass is a per-row CASE against the
+    // broadcast bounds — no second wide shuffle; the re-profile keys
+    // on the same 3-value group. Bounds are 4-decimal-rounded before
+    // the clip so the clamped doubles (and min/max, which land exactly
+    // ON a bound when clipping fired) are bit-identical cross-engine.
+    "q132_winsorize" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_extendedprice"))
+      val bounds = li.groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_extendedprice, array(0.05, 0.95))").as("ps"))
+        .select(col("l_returnflag"),
+          round(element_at(col("ps"), 1), 4).as("lo"),
+          round(element_at(col("ps"), 2), 4).as("hi"))
+      val x = col("l_extendedprice")
+      li.join(broadcast(bounds), "l_returnflag")
+        .withColumn("clipped",
+          when(x < col("lo"), col("lo"))
+            .when(x > col("hi"), col("hi")).otherwise(x))
+        .groupBy(col("l_returnflag"))
+        .agg(first(col("lo")).as("lo"), first(col("hi")).as("hi"),
+          count(lit(1)).as("n"),
+          sum(when(x < col("lo"), 1L).otherwise(0L)).as("n_clipped_lo"),
+          sum(when(x > col("hi"), 1L).otherwise(0L)).as("n_clipped_hi"),
+          round(sum(col("clipped")), 2).as("sum_clipped"),
+          round(avg(col("clipped")), 4).as("avg_clipped"),
+          min(col("clipped")).as("min_clipped"),
+          max(col("clipped")).as("max_clipped"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     "q39b_percentile_exact" -> ((s, d) =>
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
@@ -522,6 +559,28 @@ object Aggregates extends QueryModule {
     "q75_salted_agg" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 4) AS total
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q132_winsorize" ->
+      """WITH b AS (SELECT l_returnflag,
+        |    round(quantile_cont(l_extendedprice, 0.05), 4) AS lo,
+        |    round(quantile_cont(l_extendedprice, 0.95), 4) AS hi
+        |  FROM lineitem GROUP BY l_returnflag),
+        |c AS (SELECT l.l_returnflag, b.lo, b.hi, l.l_extendedprice AS x,
+        |    CASE WHEN l.l_extendedprice < b.lo THEN b.lo
+        |         WHEN l.l_extendedprice > b.hi THEN b.hi
+        |         ELSE l.l_extendedprice END AS clipped
+        |  FROM lineitem l JOIN b USING (l_returnflag))
+        |SELECT l_returnflag, lo, hi, count(*) AS n,
+        |  CAST(sum(CASE WHEN x < lo THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clipped_lo,
+        |  CAST(sum(CASE WHEN x > hi THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clipped_hi,
+        |  round(sum(clipped), 2) AS sum_clipped,
+        |  round(avg(clipped), 4) AS avg_clipped,
+        |  min(clipped) AS min_clipped,
+        |  max(clipped) AS max_clipped
+        |FROM c GROUP BY l_returnflag, lo, hi
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q39b_percentile_exact" ->
       """SELECT l_returnflag,
