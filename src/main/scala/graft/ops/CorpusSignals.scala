@@ -42,8 +42,50 @@ object CorpusSignals extends QueryModule {
 
     "q110_tfidf_topk" -> ((s, d) => tfidfTopK(Tables.documents(s, d))),
 
-    "q129_inverted_index" -> ((s, d) => invertedIndex(Tables.documents(s, d)))
+    "q129_inverted_index" -> ((s, d) => invertedIndex(Tables.documents(s, d))),
+
+    "q133_vocab_encode" -> ((s, d) => vocabEncode(Tables.documents(s, d)))
   )
+
+  /** Vocabulary build + token-id encoding — the tokenizer-vocab
+    * application step of a training-data pipeline: the corpus votes a
+    * top-V vocabulary (count desc, term asc tie-break; V=16 here so
+    * the OOV path is exercised on the test corpus — a real run sets
+    * V≈10^5, still driver-sized), each document's ordered token stream
+    * is mapped to ids, out-of-vocabulary tokens to -1. Scale shape:
+    * the vocab aggregation keys on the term with map-side combine and
+    * TakeOrdered keeps only V rows; the id assignment window runs on
+    * that V-row frame (bounded, single partition by construction); the
+    * ENCODE pass is the part that must scale — the vocab rides to
+    * every task as one broadcast map row, so encoding is a per-row
+    * `transform` lookup with ZERO shuffles over the corpus. The id
+    * sequence serializes to a CSV string: the exact array content,
+    * hashable by the driver comparator (array columns are not).
+    */
+  private[graft] def vocabEncode(docs: DataFrame): DataFrame = {
+    val V = 16
+    val toks = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), Text.words(col("text")).as("toks"))
+    val cnt = toks.select(explode(col("toks")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term").asc).limit(V)
+    val vocab = cnt.select(col("term"),
+      (row_number().over(Window.orderBy(col("cnt").desc, col("term").asc))
+        - 1).as("id"))
+    val vmap = vocab.agg(
+      map_from_entries(collect_list(struct(col("term"), col("id"))))
+        .as("vmap"))
+    toks.crossJoin(broadcast(vmap))
+      .select(col("doc_id"), col("toks"),
+        transform(col("toks"), t =>
+          coalesce(element_at(col("vmap"), t), lit(-1))).as("enc"))
+      .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+        size(filter(col("enc"), e => e === -1)).as("n_oov"),
+        array_join(transform(col("enc"), e => e.cast("string")), ",")
+          .as("encoded"))
+      .orderBy(col("doc_id"))
+  }
 
   /** Capped inverted index (term → document-frequency + top-k posting
     * rows): the retrieval-side complement of q110's document-side
@@ -272,6 +314,28 @@ object CorpusSignals extends QueryModule {
         |SELECT r.term, CAST(s.df AS BIGINT) AS df,
         |  CAST(s.total_tf AS BIGINT) AS total_tf, r.rnk, r.doc_id, r.tf
         |FROM r JOIN s USING (term) WHERE r.rnk <= 3
-        |ORDER BY term, rnk""".stripMargin
+        |ORDER BY term, rnk""".stripMargin,
+
+    "q133_vocab_encode" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |e AS (SELECT unnest(toks) AS term FROM t),
+        |cnt AS (SELECT term, count(*) AS cnt FROM e
+        |  WHERE term != '' GROUP BY term),
+        |v AS (SELECT term,
+        |    CAST(row_number() OVER (ORDER BY cnt DESC, term ASC) - 1 AS INT)
+        |      AS id
+        |  FROM cnt ORDER BY cnt DESC, term ASC LIMIT 16),
+        |m AS (SELECT map(list(term ORDER BY id), list(id ORDER BY id))
+        |    AS vmap FROM v),
+        |enc AS (SELECT doc_id, toks,
+        |    list_transform(toks, x -> coalesce(map_extract(vmap, x)[1], -1))
+        |      AS enc
+        |  FROM t CROSS JOIN m)
+        |SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+        |  CAST(len(list_filter(enc, x -> x = -1)) AS INT) AS n_oov,
+        |  array_to_string(enc, ',') AS encoded
+        |FROM enc ORDER BY doc_id""".stripMargin
   )
 }
