@@ -306,6 +306,42 @@ object Aggregates extends QueryModule {
             <= col("exact_users") * 0.05).as("direct_within_5pct"))
     }),
 
+    // Rolling 7-day distinct users — the trailing-window approx-distinct
+    // every activity dashboard serves, built the only way it scales:
+    // count(DISTINCT) is not window-mergeable (each of 365 overlapping
+    // windows would re-scan its 7 days of raw events at 100 TB), but
+    // HLL sketches are — one kilobyte-sized sketch per DAY (the only
+    // corpus-wide pass, map-side combined), then each day's sketch
+    // fans out to the ≤7 window anchors it serves (a bounded |days|×7
+    // explode of 4 KB rows) and hll_union_agg merges 7 sketches per
+    // anchor. The estimate folds into the q115 5%-envelope boolean
+    // against the exact trailing count, which the query computes the
+    // same fan-out way over the distinct (user, day) frame — and the
+    // oracle reproduces exactly.
+    "q134_rolling_hll" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+      val days = ev.select(col("day")).distinct()
+      val daily = ev.groupBy(col("day"))
+        .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+      val rolled = daily
+        .select(explode(sequence(col("day"), date_add(col("day"), 6)))
+          .as("d"), col("sk"))
+        .groupBy(col("d"))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      val exact = ev.distinct()
+        .select(explode(sequence(col("day"), date_add(col("day"), 6)))
+          .as("d"), col("user_id"))
+        .groupBy(col("d"))
+        .agg(count_distinct(col("user_id")).as("exact_7d"))
+      days.join(rolled, col("day") === rolled("d")).drop("d")
+        .join(exact, col("day") === exact("d")).drop("d")
+        .select(col("day"), col("exact_7d"),
+          (abs(col("est") - col("exact_7d")) <= col("exact_7d") * 0.05)
+            .as("est_within_5pct"))
+        .orderBy(col("day"))
+    }),
+
     // Incremental materialized-view maintenance — the exact-aggregate
     // complement of q115's mergeable sketches, and the pattern that
     // turns a nightly 100 TB re-aggregation into a delta-sized job:
@@ -338,6 +374,31 @@ object Aggregates extends QueryModule {
           sum(col("total")).cast("decimal(14,2)").cast("string")
             .as("total"))
         .orderBy(col("o_custkey"))
+    }),
+
+    // Equi-depth histogram — the complement of q18's equi-width bins,
+    // and the statistic a range-partitioner / CBO actually wants
+    // (equal ROW counts per bucket, not equal value spans). The
+    // scale-correct construction: NOT a global ntile (a single-
+    // partition total sort at 100 TB) but one percentile(col,
+    // array(1/16..15/16)) aggregate — a single value→count map per
+    // scan — whose 15 bounds broadcast back; bucket assignment is a
+    // per-row count-of-bounds-below (a 15-element HOF against the
+    // broadcast array, zero extra shuffles), then a 16-group
+    // re-profile. Bounds are 4-decimal-rounded before assignment so
+    // bucket membership is bit-identical cross-engine.
+    "q136_equidepth_hist" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_extendedprice").as("x"))
+      val ps = (1 to 15).map(i => i / 16.0).mkString(", ")
+      val bounds = li.agg(expr(s"percentile(x, array($ps))").as("bs"))
+        .select(transform(col("bs"), b => round(b, 4)).as("bs"))
+      li.crossJoin(broadcast(bounds))
+        .select(col("x"),
+          size(filter(col("bs"), b => col("x") > b)).as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), min(col("x")).as("min_x"),
+          max(col("x")).as("max_x"), round(sum(col("x")), 2).as("sum_x"))
+        .orderBy(col("bucket"))
     }),
 
     // Winsorization (percentile outlier clipping) — the robust-stats
@@ -559,6 +620,33 @@ object Aggregates extends QueryModule {
     "q75_salted_agg" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 4) AS total
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // exact trailing-7-day distinct; the sketch estimate is asserted
+    // in-query as the 5%-envelope boolean (q115 recipe) the oracle
+    // reproduces as a constant.
+    "q134_rolling_hll" ->
+      """WITH du AS (SELECT DISTINCT ts::DATE AS day, user_id FROM events),
+        |days AS (SELECT DISTINCT day FROM du),
+        |ex AS (SELECT d.day, count(DISTINCT du.user_id) AS exact_7d
+        |  FROM days d JOIN du ON du.day BETWEEN d.day - 6 AND d.day
+        |  GROUP BY d.day)
+        |SELECT day, CAST(exact_7d AS BIGINT) AS exact_7d,
+        |  TRUE AS est_within_5pct
+        |FROM ex ORDER BY day""".stripMargin,
+
+    "q136_equidepth_hist" -> {
+      val ps = (1 to 15).map(i => i / 16.0).mkString(", ")
+      s"""WITH b AS (SELECT list_transform(
+         |    quantile_cont(l_extendedprice, [$ps]), q -> round(q, 4)) AS bs
+         |  FROM lineitem),
+         |c AS (SELECT l.l_extendedprice AS x,
+         |    CAST(len(list_filter(b.bs, e -> l.l_extendedprice > e)) AS INT)
+         |      AS bucket
+         |  FROM lineitem l CROSS JOIN b)
+         |SELECT bucket, count(*) AS n, min(x) AS min_x, max(x) AS max_x,
+         |  round(sum(x), 2) AS sum_x
+         |FROM c GROUP BY bucket ORDER BY bucket""".stripMargin
+    },
 
     "q132_winsorize" ->
       """WITH b AS (SELECT l_returnflag,

@@ -126,6 +126,37 @@ object Windows extends QueryModule {
     // on user_id, so ONE hash exchange serves the lag, the running
     // sum, the groupBy (subset-clustering satisfies (user_id, run)),
     // and the lead — no per-version reshuffle.
+    // Gaps-and-islands sessionization — the window-function spelling of
+    // q49's session_window builtin, for the engines/outputs the builtin
+    // can't serve: explicit per-user session NUMBERS (ordinal ids a
+    // downstream join can key on) and exact µs durations. new-session
+    // flag = lag gap > 30 min, session id = running sum of flags; both
+    // windows and the (user, session) aggregate key on user_id, so the
+    // whole query rides ONE hash exchange (the q120 subset-clustering
+    // shape). Tied timestamps are safe by construction: the default
+    // RANGE frame gives peers the same running sum (one session) and
+    // their flag total is order-independent. Duration stays in exact
+    // integer µs — no float division anywhere.
+    "q135_sessionize" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      val gapUs = 30L * 60 * 1000000
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"))
+        .withColumn("nf",
+          when(lag(col("ts"), 1).over(w).isNull ||
+            unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
+              > gapUs, 1L).otherwise(0L))
+        .withColumn("sess_id", sum(col("nf")).over(
+          Window.partitionBy(col("user_id")).orderBy(col("ts"))))
+        .groupBy(col("user_id"), col("sess_id"))
+        .agg(min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"))
+        .withColumn("duration_us",
+          unix_micros(col("session_end")) - unix_micros(col("session_start")))
+        .orderBy(col("user_id"), col("sess_id"))
+    }),
+
     "q120_scd2" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
@@ -153,6 +184,22 @@ object Windows extends QueryModule {
   )
 
   def oracle: Map[String, String] = Map(
+    "q135_sessionize" ->
+      """WITH x AS (SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |      THEN 1 ELSE 0 END AS nf
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT user_id, ts,
+        |    sum(nf) OVER (PARTITION BY user_id ORDER BY ts) AS sess_id
+        |  FROM x)
+        |SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events,
+        |  epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+        |FROM s GROUP BY user_id, sess_id
+        |ORDER BY user_id, sess_id""".stripMargin,
+
     "q45_window_rank" ->
       """SELECT * FROM (
         |  SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
