@@ -412,6 +412,81 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(scans == 1, s"q92 should scan lineitem exactly once:\n$p")
   }
 
+  test("q129 postings are WindowGroupLimit-capped and the explode stage is reused") {
+    // the cap is the scale property: a stopword's posting list must
+    // never materialize — the partial group limit forwards ≤k rows per
+    // term per map task. And the tokenize→explode→tf stage feeds both
+    // the stats aggregate and the window; their shared (term, doc_id)
+    // exchange must plan once (the q110/q111 ReuseExchange recipe), so
+    // the corpus is scanned and tokenized exactly once.
+    val p = plan("q129_inverted_index")
+    assert("WindowGroupLimit.*Partial".r.findFirstIn(p).isDefined,
+      s"q129 should plan a partial WindowGroupLimit below the exchange:\n$p")
+    val df = SparkEntry.queries("q129_inverted_index")(spark, sf)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(finalPlan.contains("ReusedExchange"),
+      s"expected the (term, doc_id) tf exchange to be reused:\n$finalPlan")
+    assert("FileScan parquet".r.findAllIn(finalPlan).length == 1,
+      s"q129 must tokenize the corpus exactly once:\n$finalPlan")
+  }
+
+  test("q130 salted join keys on (suppkey, salt)") {
+    // the point of the salt: the join's equality keys must include the
+    // salt column, so a hot suppkey spreads over R reducers instead of
+    // hot-spotting one. (At test scale the 80-row replicated dim
+    // broadcasts; the keys are what survive to a shuffle join at
+    // 100 TB.)
+    val p = plan("q130_salted_join")
+    val joinLine = p.linesIterator.find(_.contains("Join")).getOrElse("")
+    assert(joinLine.contains("fsalt") && joinLine.contains("dsalt"),
+      s"salt must be part of the join keys:\n$p")
+  }
+
+  test("q132/q136 percentile bounds broadcast back; no corpus re-shuffle") {
+    // the two-pass winsorize/equi-depth shape: pass 1 aggregates
+    // percentile maps (map-side partials — one value→count map per
+    // task, merged once), pass 2 is a per-row clip/bucket against the
+    // BROADCAST bounds. A sort-merge join or a hash exchange of the
+    // raw rows toward the bounds frame would shuffle the corpus twice.
+    for (q <- Seq("q132_winsorize", "q136_equidepth_hist")) {
+      val p = plan(q)
+      assert(p.contains("partial_percentile"),
+        s"$q lost the map-side percentile partial:\n$p")
+      assert(p.contains("BroadcastExchange"), s"$q must broadcast bounds:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"$q re-shuffled the corpus against the bounds frame:\n$p")
+    }
+  }
+
+  test("q133 encode stage is per-row against a broadcast map; vocab is TakeOrdered") {
+    // the vocab rides to every task as ONE broadcast map row, so
+    // encoding adds no shuffle over the corpus: the only hash exchange
+    // in the whole plan is the term-count aggregate inside the vocab
+    // build, and the top-V cut is a TakeOrderedAndProject (bounded
+    // heap), not a global sort.
+    val p = plan("q133_vocab_encode")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"q133 must cross-join the 1-row vocab map via broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-V vocab cut should be a bounded heap:\n$p")
+    val hashes = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashes == 1,
+      s"expected exactly one hash exchange (term counts), found $hashes:\n$p")
+  }
+
+  test("q135 sessionization rides ONE user_id hash exchange") {
+    // lag window, running-sum window, and the (user, session)
+    // aggregate all key on user_id — subset clustering must reuse one
+    // exchange (the q120 shape); a second hash exchange means a
+    // per-session reshuffle crept in.
+    val p = plan("q135_sessionize")
+    val hashes = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashes == 1,
+      s"expected exactly one hash exchange, found $hashes:\n$p")
+  }
+
   test("scalar-heavy projections stay inside whole-stage codegen") {
     import org.apache.spark.sql.execution.debug._
     for (q <- Seq("q50_math", "q51_trig", "q57_conditional", "q59_bitwise")) {
