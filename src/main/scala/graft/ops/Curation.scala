@@ -194,8 +194,30 @@ object Curation extends QueryModule {
     "q105_stratified_sample" -> ((s, d) =>
       stratifiedSample(Tables.documents(s, d))),
 
-    "q103_redact" -> ((s, d) => redact(Tables.documents(s, d)))
+    "q103_redact" -> ((s, d) => redact(Tables.documents(s, d))),
+
+    "q137_group_sample" -> ((s, d) => groupSample(Tables.documents(s, d)))
   )
+
+  /** Exact-n per-group sampling — the eval-set constructor q105's
+    * rate-based stratified sample can't give you: exactly 5 documents
+    * per language, chosen by a deterministic pseudo-random order
+    * (md5 of the doc id — reproducible across runs, engines, and
+    * partitionings, unlike rand() or any reservoir). The scale shape
+    * is the q77/q110 per-key top-k: row_number over the lang partition
+    * ordered by digest, and the rk ≤ 5 filter pushes into the window
+    * as a WindowGroupLimit — each map task forwards at most 5 rows
+    * per language, so the shuffle carries ~|groups|·n rows, never the
+    * corpus.
+    */
+  private[graft] def groupSample(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs.select(col("doc_id"), col("lang"), col("source"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .orderBy(col("lang"), col("rk"))
+  }
 
   /** Weighted source mixing (epoch oversampling): each source gets an
     * integer epoch weight (3× for the high-quality tier, 2× mid, 1×
@@ -276,6 +298,14 @@ object Curation extends QueryModule {
     redactTransform(docs).orderBy(col("doc_id"))
 
   def oracle: Map[String, String] = Map(
+    "q137_group_sample" ->
+      """SELECT doc_id, lang, source,
+        |  row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |FROM documents
+        |QUALIFY rk <= 5
+        |ORDER BY lang, rk""".stripMargin,
+
     "q100_hash_split" ->
       """WITH b AS (SELECT *, (doc_id * 1103515245 + 12345) % 100 AS bkt
         |  FROM documents),

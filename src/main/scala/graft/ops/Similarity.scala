@@ -167,6 +167,27 @@ object Similarity extends QueryModule {
     // zero-vectors (unquantizable: amax = 0) are shed by the guard
     // filter. Saturation count n_sat audits the clip rate — the number
     // a deployment monitors to catch distribution drift.
+    // Per-dimension feature scaling stats — the fit half of the
+    // standardize/normalize step an embedding pipeline runs before
+    // quantization or ANN indexing (q112/q113 consume the result): for
+    // each of the d dimensions, corpus-wide n/mean/std/min/max. Scale
+    // shape: posexplode fans each vector into d (dim, value) rows, but
+    // the aggregation keys on the d-valued dim with map-side combine —
+    // the shuffle carries d partial rows per task, never the corpus;
+    // the resulting d-row stats frame is the broadcast side of any
+    // later per-row transform. Floats widen to double (exact) before
+    // aggregating; mean/std are 6-decimal-snapped (summation-order
+    // noise), min/max are exact values.
+    "q139_feature_scaling" -> ((s, d) =>
+      Tables.embeddings(s, d).filter(col("embedding").isNotNull)
+        .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("dim"), col("v").cast("double").as("v"))
+        .groupBy(col("dim"))
+        .agg(count(lit(1)).as("n"), round(avg(col("v")), 6).as("mean_v"),
+          round(stddev_samp(col("v")), 6).as("std_v"),
+          min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+        .orderBy(col("dim"))),
+
     "q112_quantize_int8" -> ((s, d) =>
       quantized(s, d)
         .select(
@@ -529,6 +550,17 @@ object Similarity extends QueryModule {
         |ORDER BY query_id, rank""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "q139_feature_scaling" ->
+      """SELECT CAST(ord - 1 AS INT) AS dim, count(*) AS n,
+        |  round(avg(v), 6) AS mean_v,
+        |  round(stddev_samp(v), 6) AS std_v,
+        |  CAST(min(v) AS DOUBLE) AS min_v,
+        |  CAST(max(v) AS DOUBLE) AS max_v
+        |FROM (SELECT unnest(embedding) AS v,
+        |        generate_subscripts(embedding, 1) AS ord
+        |      FROM embeddings WHERE embedding IS NOT NULL)
+        |GROUP BY dim ORDER BY dim""".stripMargin,
+
     "q112_quantize_int8" ->
       """WITH e AS (SELECT vec_id,
         |    list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x

@@ -206,10 +206,67 @@ object Profile extends QueryModule {
         .agg(count(lit(1)).as("n_rows"),
           min(col("k")).as("min_key"), max(col("k")).as("max_key"))
         .orderBy(col("diff_class"))
+    }),
+
+    // Order-independent table checksum — the replication/migration
+    // validator: does this 100 TB table on cluster B hold EXACTLY the
+    // rows of cluster A? Each row folds to a 60-bit digest (md5 through
+    // the q131 DECIMAL rendering; 15 hex chars so the value sits safely
+    // in a signed 64-bit lane) and the table folds to ONE value via
+    // bit_xor — XOR is commutative/associative, so the checksum is
+    // independent of row order, partitioning, and merge order, and
+    // needs no sort: a full-scan map + an 8-byte aggregate, ZERO
+    // shuffled rows. Any single-row difference flips the checksum;
+    // a swapped pair of rows between tables flips both tables'.
+    "q138_table_checksum" -> ((s, d) => {
+      def fp(df: DataFrame, name: String,
+          rowStr: org.apache.spark.sql.Column) =
+        df.agg(count(lit(1)).as("n_rows"),
+          bit_xor(conv(substring(md5(rowStr), 1, 15), 16, 10)
+            .cast("long")).as("checksum"))
+          .select(lit(name).as("table_name"), col("n_rows"),
+            col("checksum"))
+      val o = fp(Tables.orders(s, d), "orders",
+        concat_ws("|", col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,2)"),
+          to_date(col("o_orderdate"))))
+      val c = fp(Tables.customer(s, d), "customer",
+        concat_ws("|", col("c_custkey"), col("c_name"),
+          col("c_nationkey"), col("c_acctbal").cast("decimal(18,2)"),
+          col("c_mktsegment")))
+      val l = fp(Tables.lineitem(s, d), "lineitem",
+        concat_ws("|", col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag"), col("l_quantity").cast("decimal(18,2)")))
+      o.unionByName(c).unionByName(l).orderBy(col("table_name"))
     })
   )
 
   def oracle: Map[String, String] = Map(
+    // same row rendering, same 15-hex-char fold; DuckDB's bit_xor over
+    // the 0x-prefixed cast reproduces the Spark conv()/cast chain.
+    "q138_table_checksum" ->
+      """WITH o AS (SELECT 'orders' AS table_name, count(*) AS n_rows,
+        |    bit_xor(CAST(concat('0x', substring(md5(
+        |      o_orderkey || '|' || o_orderstatus || '|'
+        |      || CAST(o_totalprice::DECIMAL(18,2) AS VARCHAR) || '|'
+        |      || CAST(o_orderdate::DATE AS VARCHAR)), 1, 15)) AS BIGINT))
+        |      AS checksum
+        |  FROM orders),
+        |c AS (SELECT 'customer', count(*),
+        |    bit_xor(CAST(concat('0x', substring(md5(
+        |      c_custkey || '|' || c_name || '|' || c_nationkey || '|'
+        |      || CAST(c_acctbal::DECIMAL(18,2) AS VARCHAR) || '|'
+        |      || c_mktsegment), 1, 15)) AS BIGINT))
+        |  FROM customer),
+        |l AS (SELECT 'lineitem', count(*),
+        |    bit_xor(CAST(concat('0x', substring(md5(
+        |      l_orderkey || '|' || l_linenumber || '|' || l_returnflag
+        |      || '|' || CAST(l_quantity::DECIMAL(18,2) AS VARCHAR)),
+        |      1, 15)) AS BIGINT))
+        |  FROM lineitem)
+        |SELECT * FROM o UNION ALL SELECT * FROM c UNION ALL
+        |SELECT * FROM l ORDER BY table_name""".stripMargin,
+
     // same derived snapshots, same DECIMAL-rendered md5 digest.
     "q131_table_diff" ->
       """WITH v1 AS (SELECT o_orderkey AS k1,
