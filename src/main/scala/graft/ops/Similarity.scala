@@ -188,6 +188,91 @@ object Similarity extends QueryModule {
           min(col("v")).as("min_v"), max(col("v")).as("max_v"))
         .orderBy(col("dim"))),
 
+    // Label-centroid similarity matrix — the class-confusability /
+    // semantic-overlap report a labeled-embedding corpus owes its
+    // curators ("are label 3 and label 7 the same thing?"): per-label
+    // centroid (the exact per-dimension mean, 6-decimal-snapped like
+    // q139), then cosine between every label pair. Scale shape: the
+    // only corpus-wide work is the (label, dim) mean — posexplode
+    // fan-out, map-side-combined, |labels|·d partial rows per task;
+    // centroids assemble via a sort_array(collect_list) over the
+    // BOUNDED d rows per label, and the pairwise stage is a broadcast
+    // nested-loop over the |labels|-row frame (|labels|² pairs of
+    // d-element arrays — driver-sized in any labeled corpus). The
+    // dot/norm/divide chain is the q70 bit-exact fold.
+    "q140_label_centroids" -> ((s, d) => {
+      val cent = Tables.embeddings(s, d)
+        .filter(col("embedding").isNotNull)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("label"), col("dim"))
+        .agg((floor(avg(col("v").cast("double")) * 1e6 + 0.5) / 1e6)
+          .as("cv"), count(lit(1)).as("nv"))
+        .groupBy(col("label"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("cv"))))
+          .as("pairs"), max(col("nv")).as("n"))
+        .select(col("label"), col("n"),
+          transform(col("pairs"), p => p.getField("cv")).as("emb"))
+        .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
+      val a = cent.select(col("label").as("label_a"), col("n").as("n_a"),
+        col("emb").as("emb_a"), col("nrm").as("nrm_a"))
+      val b = cent.select(col("label").as("label_b"), col("n").as("n_b"),
+        col("emb").as("emb_b"), col("nrm").as("nrm_b"))
+      a.join(broadcast(b), col("label_a") < col("label_b"))
+        .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+          (dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
+            .as("cos_sim"))
+        .orderBy(col("label_a"), col("label_b"))
+    }),
+
+    // Reciprocal-rank fusion — the hybrid-retrieval merge every modern
+    // search stack runs (dense ANN list + sparse lexical list → one
+    // ranking): ranker A scores the corpus by cosine to the query
+    // VECTOR (vec_id 0), ranker B by 3-shingle Jaccard to the query
+    // DOCUMENT (doc_id 0, ids shared with vec_id); each emits only its
+    // top-100 (TakeOrdered — bounded, never a global rank over the
+    // corpus), ranks assigned on the bounded frame, and RRF fuses the
+    // two lists over their id union: score = Σ 1/(60+rank), absent
+    // ranker contributes 0 (the standard Cormack/Clarke form). Both
+    // similarity chains are the repo's bit-exact recipes (q70 fold,
+    // integer Jaccard parts), so ranks — and the fused doubles — are
+    // oracle-identical.
+    "q141_rrf_fusion" -> ((s, d) => {
+      val corpus = withNorm(Tables.embeddings(s, d)
+        .select(col("vec_id"), dvec(col("embedding")).as("emb")))
+      val qv = corpus.filter(col("vec_id") === 0)
+        .select(col("emb").as("q_emb"), col("nrm").as("q_nrm"))
+      val rankA = corpus.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id").as("id"), pairCosine.as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("id").asc).limit(100)
+        .withColumn("rank_a", row_number()
+          .over(Window.orderBy(col("cos_sim").desc, col("id").asc))
+          .cast("long"))
+        .select(col("id"), col("rank_a"))
+      val sh = Tables.documents(s, d)
+        .withColumn("wrds", Text.words(col("text")))
+        .filter(size(col("wrds")) >= 3)
+        .select(col("doc_id"), Text.shingles3(col("wrds")).as("sh"))
+      val qd = sh.filter(col("doc_id") === 0).select(col("sh").as("qsh"))
+      val jacScored = sh.filter(col("doc_id") =!= 0)
+        .crossJoin(broadcast(qd))
+      val (inter, union) = Text.jaccardParts(col("sh"), col("qsh"))
+      val rankB = jacScored
+        .select(col("doc_id").as("id"),
+          (inter.cast("double") / union).as("jac"))
+        .orderBy(col("jac").desc, col("id").asc).limit(100)
+        .withColumn("rank_b", row_number()
+          .over(Window.orderBy(col("jac").desc, col("id").asc))
+          .cast("long"))
+        .select(col("id"), col("rank_b"))
+      rankA.join(rankB, Seq("id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(60) + col("rank_a")), lit(0.0))
+            + coalesce(lit(1.0) / (lit(60) + col("rank_b")), lit(0.0)))
+        .orderBy(col("rrf").desc, col("id").asc).limit(20)
+        .select(col("id"), col("rank_a"), col("rank_b"), col("rrf"))
+    }),
+
     "q112_quantize_int8" -> ((s, d) =>
       quantized(s, d)
         .select(
@@ -550,6 +635,63 @@ object Similarity extends QueryModule {
         |ORDER BY query_id, rank""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    // both rankers replayed end-to-end: q70's cosine chain, q62's
+    // shingle set, integer Jaccard parts, rank-then-top-100, and the
+    // same 1/(60+rank) fusion arithmetic.
+    "q141_rrf_fusion" ->
+      """WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+        |  FROM embeddings),
+        |q AS (SELECT emb AS q_emb FROM t WHERE vec_id = 0),
+        |sa AS (SELECT vec_id AS id,
+        |    list_dot_product(emb, q_emb)
+        |      / (sqrt(list_dot_product(emb, emb))
+        |         * sqrt(list_dot_product(q_emb, q_emb))) AS cos_sim
+        |  FROM t CROSS JOIN q WHERE vec_id <> 0),
+        |ra AS (SELECT id, CAST(row_number() OVER (
+        |      ORDER BY cos_sim DESC, id) AS BIGINT) AS rank_a
+        |  FROM sa ORDER BY cos_sim DESC, id LIMIT 100),
+        |w AS (SELECT doc_id,
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS words
+        |  FROM documents),
+        |s AS (SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(words) - 1),
+        |      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh
+        |  FROM w WHERE len(words) >= 3),
+        |qd AS (SELECT sh AS qsh FROM s WHERE doc_id = 0),
+        |sb AS (SELECT doc_id AS id,
+        |    CAST(len(list_intersect(sh, qsh)) AS DOUBLE)
+        |      / (len(sh) + len(qsh) - len(list_intersect(sh, qsh))) AS jac
+        |  FROM s CROSS JOIN qd WHERE doc_id <> 0),
+        |rb AS (SELECT id, CAST(row_number() OVER (
+        |      ORDER BY jac DESC, id) AS BIGINT) AS rank_b
+        |  FROM sb ORDER BY jac DESC, id LIMIT 100),
+        |f AS (SELECT coalesce(ra.id, rb.id) AS id, rank_a, rank_b,
+        |    coalesce(1.0 / (60 + rank_a), 0)
+        |      + coalesce(1.0 / (60 + rank_b), 0) AS rrf
+        |  FROM ra FULL OUTER JOIN rb ON ra.id = rb.id)
+        |SELECT id, rank_a, rank_b, rrf FROM f
+        |ORDER BY rrf DESC, id LIMIT 20""".stripMargin,
+
+    // per-(label, dim) snapped means -> ordered centroid lists -> the
+    // q70 list_dot_product chain; n is the per-label vector count.
+    "q140_label_centroids" ->
+      """WITH e AS (SELECT label, unnest(embedding) AS v,
+        |    generate_subscripts(embedding, 1) AS ord
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |c AS (SELECT label, ord,
+        |    floor(avg(v) * 1e6 + 0.5) / 1e6 AS cv, count(*) AS nv
+        |  FROM e GROUP BY label, ord),
+        |vec AS (SELECT label, CAST(max(nv) AS BIGINT) AS n,
+        |    list(cv ORDER BY ord) AS emb
+        |  FROM c GROUP BY label)
+        |SELECT a.label AS label_a, b.label AS label_b,
+        |  a.n AS n_a, b.n AS n_b,
+        |  list_dot_product(a.emb, b.emb)
+        |    / (sqrt(list_dot_product(a.emb, a.emb))
+        |       * sqrt(list_dot_product(b.emb, b.emb))) AS cos_sim
+        |FROM vec a JOIN vec b ON a.label < b.label
+        |ORDER BY label_a, label_b""".stripMargin,
+
     "q139_feature_scaling" ->
       """SELECT CAST(ord - 1 AS INT) AS dim, count(*) AS n,
         |  round(avg(v), 6) AS mean_v,

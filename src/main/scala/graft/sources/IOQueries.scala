@@ -314,6 +314,40 @@ object IOQueries extends QueryModule {
     // capped by maxRecordsPerFile. SourcesSpec pins the file counts
     // (64 in, ≤8 out at the 500-doc scale, every file ≤ the cap); the
     // aggregate oracle proves the double rewrite is lossless.
+    // Sharded dataset export + integrity manifest — the packaging step
+    // a training run consumes (WebDataset/TFRecord-style shard
+    // layout): the corpus hash-routes into 8 shards (deterministic
+    // md5-derived shard id, so the layout is reproducible across
+    // engines and re-runs — never round-robin), lands partitioned on
+    // disk via ONE repartition(shard) exchange (one file per shard
+    // directory), and the manifest is computed FROM THE FILES READ
+    // BACK: per-shard row count, payload bytes, and the q138
+    // order-independent XOR checksum — so the manifest attests what's
+    // on disk, not what was meant to be written. A loader can verify
+    // any one shard in isolation; the oracle recomputes every manifest
+    // row from the original table (routing + round-trip must be
+    // lossless).
+    "q142_shard_manifest" -> ((s, d) => {
+      val dir = scratch(d, "shards")
+      val shard = conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+        16, 10).cast("long") % 8
+      Tables.documents(s, d)
+        .withColumn("shard", shard)
+        .repartition(col("shard"))
+        .write.mode("overwrite").partitionBy("shard").parquet(dir)
+      s.read.parquet(dir)
+        // partition-dir values re-infer as INT; the manifest keys on
+        // the writer's LONG shard id.
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          bit_xor(conv(substring(md5(concat_ws("|", col("doc_id"),
+            coalesce(col("lang"), lit("?")),
+            coalesce(col("source"), lit("?")))), 1, 15), 16, 10)
+            .cast("long")).as("checksum"))
+        .orderBy(col("shard"))
+    }),
+
     "q118_compaction" -> ((s, d) => {
       val frag = scratch(d, "frag")
       val compact = scratch(d, "compact")
@@ -385,6 +419,19 @@ object IOQueries extends QueryModule {
   )
 
   def oracle: Map[String, String] = Map(
+    // manifest recomputed from the ORIGINAL table: same md5 routing,
+    // same row digests — the disk round-trip must be lossless.
+    "q142_shard_manifest" ->
+      """SELECT CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)),
+        |    1, 15)) AS BIGINT) % 8 AS shard,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  bit_xor(CAST(concat('0x', substring(md5(
+        |    doc_id || '|' || coalesce(lang, '?') || '|'
+        |    || coalesce(source, '?')), 1, 15)) AS BIGINT)) AS checksum
+        |FROM documents
+        |GROUP BY shard ORDER BY shard""".stripMargin,
+
     "q80_csv_roundtrip" ->
       """SELECT l_returnflag, count(*) AS n,
         |  round(sum(l_quantity), 2) AS qty,
