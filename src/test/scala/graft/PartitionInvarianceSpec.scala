@@ -34,9 +34,16 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q39_approx_sketch",   // bitmap OR + HLL register-max are commutative;
                            // the 5%-tolerance booleans absorb the one
                            // merge-order-sensitive piece (percentile_approx)
-    "q71_ann_lsh")         // per-row literal-plane dots (no cross-partition
+    "q71_ann_lsh",         // per-row literal-plane dots (no cross-partition
                            // float summation); candidate set is join
                            // semantics; ranks tie-break on vec_id
+    "q131_table_diff",     // md5 row digests; class counts + min/max keys
+    "q133_vocab_encode",   // count-desc/term-asc vocab cut is a total
+                           // order; encode is per-row against the map
+    "q137_group_sample",   // md5-ordered row_number with unique tie-break
+    "q138_table_checksum", // XOR fold is commutative/associative —
+                           // invariance IS the operator's contract
+    "q142_shard_manifest") // md5 routing + XOR manifest, disk round-trip
 
   test("exact operators are invariant to input split boundaries") {
     val splitty = spark.newSession()
