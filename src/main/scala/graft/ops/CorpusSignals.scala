@@ -44,8 +44,51 @@ object CorpusSignals extends QueryModule {
 
     "q129_inverted_index" -> ((s, d) => invertedIndex(Tables.documents(s, d))),
 
-    "q133_vocab_encode" -> ((s, d) => vocabEncode(Tables.documents(s, d)))
+    "q133_vocab_encode" -> ((s, d) => vocabEncode(Tables.documents(s, d))),
+
+    "q144_distinctive_terms" -> ((s, d) =>
+      distinctiveTerms(Tables.documents(s, d)))
   )
+
+  /** Distinctive terms per source (smoothed log-odds) — the corpus-
+    * comparison report a curation team reads before mixing sources:
+    * which terms does source X over-use relative to the rest of the
+    * corpus? score(term, src) = ln((tf+1)/(tot_src−tf+1)) −
+    * ln((tf_t+1)/(tot−tf_t+1)) — add-one-smoothed log-odds of the
+    * term inside vs. outside the source (the Monroe et al.
+    * "Fightin' Words" shape without the prior variance term). Scale:
+    * tf keys on (source, term), corpus term totals on term (both
+    * map-side combined); per-source totals and the corpus total ride
+    * as broadcast frames (|sources| rows / 1 row); per-source top-3
+    * is the WindowGroupLimit cap. Both ln() factors are 6-decimal-
+    * snapped (the q110 idf recipe) so the difference — and the rank
+    * order it induces — is bit-identical cross-engine.
+    */
+  private[graft] def distinctiveTerms(docs: DataFrame): DataFrame = {
+    def snapLn(c: org.apache.spark.sql.Column) =
+      floor(log(c) * 1e6 + 0.5) / 1e6
+    val terms = docs.select(col("source"),
+      explode_outer(Text.words(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+    val tf = terms.groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val totS = tf.groupBy(col("source")).agg(sum(col("tf")).as("tot_s"))
+    val totT = tf.groupBy(col("term")).agg(sum(col("tf")).as("tf_t"))
+    val tot = tf.agg(sum(col("tf")).as("tot"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(broadcast(totS), "source")
+      .join(totT, "term")
+      .crossJoin(broadcast(tot))
+      .withColumn("score",
+        snapLn((col("tf") + 1.0) / (col("tot_s") - col("tf") + 1.0))
+          - snapLn((col("tf_t") + 1.0) / (col("tot") - col("tf_t") + 1.0)))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("source"), col("rnk"), col("term"), col("tf"),
+        col("score"))
+      .orderBy(col("source"), col("rnk"))
+  }
 
   /** Vocabulary build + token-id encoding — the tokenizer-vocab
     * application step of a training-data pipeline: the corpus votes a
@@ -336,6 +379,27 @@ object CorpusSignals extends QueryModule {
         |SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
         |  CAST(len(list_filter(enc, x -> x = -1)) AS INT) AS n_oov,
         |  array_to_string(enc, ',') AS encoded
-        |FROM enc ORDER BY doc_id""".stripMargin
+        |FROM enc ORDER BY doc_id""".stripMargin,
+
+    "q144_distinctive_terms" ->
+      """WITH t AS (SELECT source,
+        |    unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT source, term, count(*) AS tf FROM t
+        |  WHERE term != '' GROUP BY source, term),
+        |ts AS (SELECT source, sum(tf) AS tot_s FROM tf GROUP BY source),
+        |tt AS (SELECT term, sum(tf) AS tf_t FROM tf GROUP BY term),
+        |tot AS (SELECT sum(tf) AS tot FROM tf),
+        |sc AS (SELECT tf.source, tf.term, tf.tf,
+        |    floor(ln((tf.tf + 1.0) / (ts.tot_s - tf.tf + 1.0)) * 1e6
+        |      + 0.5) / 1e6
+        |    - floor(ln((tt.tf_t + 1.0) / (tot.tot - tt.tf_t + 1.0)) * 1e6
+        |      + 0.5) / 1e6 AS score
+        |  FROM tf JOIN ts USING (source) JOIN tt USING (term)
+        |    CROSS JOIN tot),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY source
+        |    ORDER BY score DESC, term ASC) AS rnk FROM sc)
+        |SELECT source, rnk, term, tf, score
+        |FROM r WHERE rnk <= 3 ORDER BY source, rnk""".stripMargin
   )
 }

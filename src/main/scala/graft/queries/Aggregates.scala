@@ -306,6 +306,39 @@ object Aggregates extends QueryModule {
             <= col("exact_users") * 0.05).as("direct_within_5pct"))
     }),
 
+    // A/B experiment readout (Welch's t) — the decision table every
+    // experimentation platform serves: users deterministically
+    // hash-assigned to two variants (the q100/q105 affine hash — NOT
+    // rand(), so assignment is reproducible and consistent across
+    // reruns), per-user metric = 4-rounded value sum, then ONE
+    // conditional aggregation computes both variants' n/mean/variance
+    // in a single pass (avg/var FILTER-style via when(), no pivot, no
+    // second scan) and Welch's t from the 6-snapped components —
+    // correctly-rounded double chain, identical cross-engine. Scale
+    // shape: per-user pre-agg shuffles on user_id (map-side combined);
+    // the variant roll-up is a 1-row global aggregate.
+    "q143_ab_test" -> ((s, d) => {
+      val metrics = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(round(sum(col("value")), 4).as("m"))
+        .withColumn("v",
+          pmod(col("user_id") * 2654435761L + 7919L, lit(2)))
+      def snap6(c: org.apache.spark.sql.Column) =
+        floor(c * 1e6 + 0.5) / 1e6
+      val r = metrics.agg(
+        count(when(col("v") === 0, 1)).as("n_a"),
+        count(when(col("v") === 1, 1)).as("n_b"),
+        snap6(avg(when(col("v") === 0, col("m")))).as("mean_a"),
+        snap6(avg(when(col("v") === 1, col("m")))).as("mean_b"),
+        snap6(var_samp(when(col("v") === 0, col("m")))).as("var_a"),
+        snap6(var_samp(when(col("v") === 1, col("m")))).as("var_b"))
+      r.select(col("n_a"), col("n_b"), col("mean_a"), col("mean_b"),
+        ((col("mean_a") - col("mean_b"))
+          / sqrt(col("var_a") / col("n_a") + col("var_b") / col("n_b")))
+          .as("t_stat"))
+        .withColumn("significant", abs(col("t_stat")) > 1.96)
+    }),
+
     // Rolling 7-day distinct users — the trailing-window approx-distinct
     // every activity dashboard serves, built the only way it scales:
     // count(DISTINCT) is not window-mergeable (each of 365 overlapping
@@ -620,6 +653,24 @@ object Aggregates extends QueryModule {
     "q75_salted_agg" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 4) AS total
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q143_ab_test" ->
+      """WITH m AS (SELECT user_id, round(sum(value), 4) AS m,
+        |    (user_id * 2654435761 + 7919) % 2 AS v
+        |  FROM events GROUP BY user_id),
+        |r AS (SELECT
+        |    count(*) FILTER (v = 0) AS n_a,
+        |    count(*) FILTER (v = 1) AS n_b,
+        |    floor(avg(m) FILTER (v = 0) * 1e6 + 0.5) / 1e6 AS mean_a,
+        |    floor(avg(m) FILTER (v = 1) * 1e6 + 0.5) / 1e6 AS mean_b,
+        |    floor(var_samp(m) FILTER (v = 0) * 1e6 + 0.5) / 1e6 AS var_a,
+        |    floor(var_samp(m) FILTER (v = 1) * 1e6 + 0.5) / 1e6 AS var_b
+        |  FROM m)
+        |SELECT n_a, n_b, mean_a, mean_b,
+        |  (mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b) AS t_stat,
+        |  abs((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b)) > 1.96
+        |    AS significant
+        |FROM r""".stripMargin,
 
     // exact trailing-7-day distinct; the sketch estimate is asserted
     // in-query as the 5%-envelope boolean (q115 recipe) the oracle

@@ -113,6 +113,34 @@ object Temporal extends QueryModule {
         .orderBy(col("cohort_week"), col("days_since"))
     }),
 
+    // OHLC downsampling — the open/high/low/close compaction every
+    // time-series store runs to keep years of history queryable: events
+    // bucketed to 6-hour windows by exact integer µs arithmetic
+    // (epoch DIV bucket — no calendar ambiguity, identical
+    // cross-engine), then ONE aggregation per (event_type, bucket):
+    // open/close via min_by/max_by on a zero-padded (epoch, event_id)
+    // string key — a total order, so first/last are well-defined even
+    // under duplicate timestamps (plain arg_min(ts) would be
+    // nondeterministic there); high/low/count are plain order-free
+    // aggregates. No window function, no sort: map-side-combined
+    // hash aggregation only — the shape that survives 100 TB of ticks.
+    "q145_ohlc_downsample" -> ((s, d) => {
+      val B = 6L * 3600 * 1000000
+      val ordKey = concat(
+        lpad(unix_micros(col("ts")).cast("string"), 20, "0"), lit(":"),
+        lpad(col("event_id").cast("string"), 12, "0"))
+      Tables.events(s, d)
+        .withColumn("bucket",
+          expr(s"timestamp_micros((unix_micros(ts) DIV ${B}L) * ${B}L)"))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(min_by(col("value"), ordKey).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max_by(col("value"), ordKey).as("close"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("event_type"), col("bucket"))
+    }),
+
     // Time-series resample + forward fill — the gap-filling primitive
     // every feature pipeline needs before a model sees regular-interval
     // input: per-user daily activity re-gridded to a dense calendar
@@ -262,6 +290,25 @@ object Temporal extends QueryModule {
         |  r.n_active / s.cohort_size AS retention
         |FROM r JOIN s USING (cohort_week)
         |ORDER BY cohort_week, days_since""".stripMargin,
+
+    // same integer µs bucket arithmetic; the zero-padded VARCHAR order
+    // key makes arg_min/arg_max a total order in both engines.
+    "q145_ohlc_downsample" ->
+      """WITH e AS (SELECT event_type,
+        |    make_timestamp((epoch_us(ts) // 21600000000) * 21600000000)
+        |      AS bucket,
+        |    value,
+        |    lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || ':'
+        |      || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord
+        |  FROM events)
+        |SELECT event_type, bucket,
+        |  arg_min(value, ord) AS open,
+        |  max(value) AS high,
+        |  min(value) AS low,
+        |  arg_max(value, ord) AS close,
+        |  count(*) AS n_events
+        |FROM e GROUP BY event_type, bucket
+        |ORDER BY event_type, bucket""".stripMargin,
 
     // both engines round the day sum to 4 decimals BEFORE the fill, so
     // the forward-filled double is the identical bit pattern; the grid
