@@ -213,6 +213,98 @@ object Temporal extends QueryModule {
             (col("n3") / col("n0")).as("rate_from_start")))).as("r"))
         .select(col("r.*"))
         .orderBy(col("stage"))
+    }),
+
+    // CDC log apply — materialize the current snapshot from a change
+    // stream: events is the log (one change per row), user_id the key,
+    // (ts, event_id) the change order, and 'error' the tombstone op.
+    // Last-wins per key via max_by on a zero-padded (epoch, event_id)
+    // string key — a TOTAL order, so the winner is well-defined under
+    // duplicate timestamps — then keys whose latest op is the tombstone
+    // drop out. ONE map-side-combined hash aggregation keyed on the CDC
+    // key: no window, no sort, no per-key event list. This is the shape
+    // that applies a 100 TB change log — Delta/Hudi snapshot
+    // reconstruction is exactly this aggregation.
+    "q146_cdc_apply" -> ((s, d) => {
+      val ordKey = concat(
+        lpad(unix_micros(col("ts")).cast("string"), 20, "0"), lit(":"),
+        lpad(col("event_id").cast("string"), 12, "0"))
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(max_by(col("event_type"), ordKey).as("last_op"),
+          max_by(col("value"), ordKey).as("last_value"),
+          max(col("ts")).as("last_ts"),
+          count(lit(1)).as("n_changes"))
+        .filter(col("last_op") =!= "error")
+        .orderBy(col("user_id"))
+    }),
+
+    // Markov transition matrix over the event stream — the
+    // state-machine profile (what follows what, and with what
+    // probability) behind next-event prediction and anomaly scoring.
+    // lead() over the per-user (ts, event_id) order pairs each event
+    // with its successor — state is one row, never a collected
+    // sequence — then counts key on (from_type, to_type): 25 cells max.
+    // The only corpus-sized shuffle is the user-keyed window sort; the
+    // conditional probability P(to|from) is a window over the 25-row
+    // aggregate (negligible) and a single exact long division.
+    "q147_transitions" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val wf = Window.partitionBy(col("from_type"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"),
+          col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p_transition",
+          col("n") / sum(col("n")).over(wf))
+        .orderBy(col("from_type"), col("to_type"))
+    }),
+
+    // Linear interpolation over the q128 daily grid — the step past
+    // forward fill that model-feature pipelines actually want: a gap
+    // day gets prev + (next-prev) * elapsed/span from its bracketing
+    // observations; a leading/trailing gap falls back to the one
+    // neighbor that exists. Both neighbor scans are running
+    // accumulators (last/first ignoreNulls over ROWS frames), and both
+    // window frames share ONE user-keyed sort — Spark evaluates them in
+    // a single Window operator. Only the day SUM is rounded (4
+    // decimals, both engines — it is summation-order-sensitive); the
+    // interpolant itself is left unrounded because +, −, ×, ÷ over the
+    // already-rounded neighbors are IEEE-correctly-rounded in both
+    // engines, with identical parenthesization ⇒ bit-identical doubles.
+    "q148_interp_linear" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
+        .groupBy(col("user_id"), col("day"))
+        .agg(round(sum(col("value")), 4).as("day_value"))
+      val grid = daily.groupBy(col("user_id"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("user_id"),
+          explode(sequence(col("d0"), col("d1"))).as("day"))
+      val ord = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      val wb = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val obsDay = when(col("day_value").isNotNull, col("day"))
+      grid.join(daily, Seq("user_id", "day"), "left")
+        .withColumn("pv", last(col("day_value"), ignoreNulls = true).over(wb))
+        .withColumn("pd", last(obsDay, ignoreNulls = true).over(wb))
+        .withColumn("nv", first(col("day_value"), ignoreNulls = true).over(wf))
+        .withColumn("nd", first(obsDay, ignoreNulls = true).over(wf))
+        .select(col("user_id"), col("day"), col("day_value"),
+          when(col("day_value").isNotNull, col("day_value"))
+            .when(col("pv").isNotNull && col("nv").isNotNull,
+              col("pv") + (col("nv") - col("pv")) *
+                (datediff(col("day"), col("pd")).cast("double") /
+                  datediff(col("nd"), col("pd")).cast("double")))
+            .otherwise(coalesce(col("pv"), col("nv")))
+            .as("interp_value"),
+          col("day_value").isNull.as("is_gap"))
+        .orderBy(col("user_id"), col("day"))
     })
   )
 
@@ -355,6 +447,68 @@ object Temporal extends QueryModule {
         |    n2 / n1, n2 / n0 FROM c
         |  UNION ALL SELECT '3_purchase', CAST(n3 AS BIGINT),
         |    n3 / n2, n3 / n0 FROM c)
-        |ORDER BY stage""".stripMargin
+        |ORDER BY stage""".stripMargin,
+
+    // same zero-padded VARCHAR total-order key; arg_max = max_by.
+    "q146_cdc_apply" ->
+      """WITH e AS (SELECT user_id, event_type, value, ts,
+        |    lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || ':'
+        |      || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord
+        |  FROM events)
+        |SELECT user_id,
+        |  arg_max(event_type, ord) AS last_op,
+        |  arg_max(value, ord) AS last_value,
+        |  max(ts) AS last_ts,
+        |  count(*) AS n_changes
+        |FROM e GROUP BY user_id
+        |HAVING arg_max(event_type, ord) <> 'error'
+        |ORDER BY user_id""".stripMargin,
+
+    "q147_transitions" ->
+      """WITH p AS (SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, count(*) AS n FROM p
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  n / sum(n) OVER (PARTITION BY from_type) AS p_transition
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
+
+    // both engines round the day sum BEFORE and the interpolant AFTER,
+    // so every double is the identical bit pattern; the two neighbor
+    // windows use the same ROWS frames as the Spark plan.
+    "q148_interp_linear" ->
+      """WITH daily AS (SELECT user_id, ts::DATE AS day,
+        |    round(sum(value), 4) AS day_value
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (SELECT user_id,
+        |    unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+        |  FROM (SELECT user_id, min(day) AS d0, max(day) AS d1
+        |        FROM daily GROUP BY 1)),
+        |j AS (SELECT g.user_id, g.day, d.day_value
+        |  FROM grid g LEFT JOIN daily d
+        |    ON g.user_id = d.user_id AND g.day = d.day),
+        |n AS (SELECT user_id, day, day_value,
+        |    last_value(day_value IGNORE NULLS) OVER wb AS pv,
+        |    last_value(CASE WHEN day_value IS NOT NULL THEN day END
+        |      IGNORE NULLS) OVER wb AS pd,
+        |    first_value(day_value IGNORE NULLS) OVER wf AS nv,
+        |    first_value(CASE WHEN day_value IS NOT NULL THEN day END
+        |      IGNORE NULLS) OVER wf AS nd
+        |  FROM j
+        |  WINDOW wb AS (PARTITION BY user_id ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wf AS (PARTITION BY user_id ORDER BY day
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, day, day_value,
+        |  CASE WHEN day_value IS NOT NULL THEN day_value
+        |    WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+        |      pv + (nv - pv)
+        |        * (CAST(date_diff('day', pd, day) AS DOUBLE)
+        |           / CAST(date_diff('day', pd, nd) AS DOUBLE))
+        |    ELSE coalesce(pv, nv) END AS interp_value,
+        |  day_value IS NULL AS is_gap
+        |FROM n ORDER BY user_id, day""".stripMargin
   )
 }
