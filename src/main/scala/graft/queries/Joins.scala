@@ -366,6 +366,46 @@ object Joins extends QueryModule {
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
           .as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // Market-basket co-occurrence (the A-priori candidate-pair step):
+    // part pairs bought together in ≥2 orders, with per-pair lift.
+    // Scale shape: the self-join keys on l_orderkey, so the pair
+    // explosion is bounded PER ORDER (k items → k·(k−1)/2 pairs, k≤7
+    // in TPC-H-shaped data) — never corpus × corpus; the support
+    // filter then shrinks the result by orders of magnitude BEFORE
+    // enrichment, and it is the tiny filtered pair set that gets
+    // broadcast against the corpus-sized item-frequency table (the
+    // dimension stays put — broadcasting it would ship |parts| to
+    // every executor). Lift is exact-long products cast to double,
+    // then one correctly-rounded division: bit-identical cross-engine
+    // with no rounding at all.
+    "q151_cooccurrence" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val itemN = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_item"))
+      val nOrders = li.select(col("l_orderkey")).distinct()
+        .agg(count(lit(1)).as("n_orders"))
+      val pairs = li.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+        .join(li.select(col("l_orderkey"), col("l_partkey").as("part_b")),
+          "l_orderkey")
+        .filter(col("part_a") < col("part_b"))
+        .groupBy(col("part_a"), col("part_b"))
+        .agg(count(lit(1)).as("n_pair"))
+        .filter(col("n_pair") >= 2)
+      val enriched = broadcast(pairs)
+        .join(itemN.select(col("l_partkey").as("part_a"),
+          col("n_item").as("n_a")), "part_a")
+      broadcast(enriched)
+        .join(itemN.select(col("l_partkey").as("part_b"),
+          col("n_item").as("n_b")), "part_b")
+        .crossJoin(broadcast(nOrders))
+        .withColumn("lift",
+          (col("n_pair") * col("n_orders")).cast("double") /
+            (col("n_a") * col("n_b")).cast("double"))
+        .select(col("part_a"), col("part_b"), col("n_pair"),
+          col("n_a"), col("n_b"), col("lift"))
+        .orderBy(col("part_a"), col("part_b"))
     })
   )
 
@@ -530,6 +570,25 @@ object Joins extends QueryModule {
         |  CAST(coalesce(n.n_near, 0) AS BIGINT) AS n_near,
         |  coalesce(n.v_near, 0.0) AS v_near
         |FROM events e LEFT JOIN n ON e.event_id = n.id
-        |ORDER BY e.event_id""".stripMargin
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q151_cooccurrence" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |cnt AS (SELECT l_partkey, count(*) AS n_item FROM li GROUP BY 1),
+        |no AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM li),
+        |p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |    count(*) AS n_pair
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT part_a, part_b, CAST(n_pair AS BIGINT) AS n_pair,
+        |  CAST(ca.n_item AS BIGINT) AS n_a,
+        |  CAST(cb.n_item AS BIGINT) AS n_b,
+        |  CAST(n_pair * n_orders AS DOUBLE)
+        |    / CAST(ca.n_item * cb.n_item AS DOUBLE) AS lift
+        |FROM p
+        |JOIN cnt ca ON ca.l_partkey = p.part_a
+        |JOIN cnt cb ON cb.l_partkey = p.part_b, no
+        |ORDER BY part_a, part_b""".stripMargin
   )
 }

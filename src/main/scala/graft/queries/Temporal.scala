@@ -305,6 +305,30 @@ object Temporal extends QueryModule {
             .as("interp_value"),
           col("day_value").isNull.as("is_gap"))
         .orderBy(col("user_id"), col("day"))
+    }),
+
+    // Recency-weighted engagement score — the decay-weighted sum every
+    // ranking/CRM pipeline computes so last week counts more than last
+    // month. Weight = 1/(1+days_before_anchor): harmonic decay chosen
+    // over exp(-λt) deliberately — ÷ and + are IEEE-correctly-rounded
+    // in both engines where transcendental exp() is libm-dependent, so
+    // the per-row weight is bit-identical cross-engine and only the
+    // SUM needs rounding (4 decimals, order-insensitivity). The anchor
+    // (corpus max day) is a 1-row broadcast — the corpus never
+    // reshuffles for it; the score is ONE map-side-combined user-keyed
+    // aggregation. 100 TB shape: broadcast + single hash agg.
+    "q150_decay_score" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
+      val anchor = ev.agg(max(col("day")).as("anchor_day"))
+      ev.crossJoin(broadcast(anchor))
+        .withColumn("w", lit(1.0) /
+          (lit(1.0) + datediff(col("anchor_day"), col("day")).cast("double")))
+        .groupBy(col("user_id"))
+        .agg(round(sum(col("value") * col("w")), 4).as("decayed_score"),
+          round(sum(col("value")), 4).as("raw_score"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -509,6 +533,20 @@ object Temporal extends QueryModule {
         |           / CAST(date_diff('day', pd, nd) AS DOUBLE))
         |    ELSE coalesce(pv, nv) END AS interp_value,
         |  day_value IS NULL AS is_gap
-        |FROM n ORDER BY user_id, day""".stripMargin
+        |FROM n ORDER BY user_id, day""".stripMargin,
+
+    // 1.0::DOUBLE — a bare 1.0 is DECIMAL in DuckDB; the weight must be
+    // computed in double like Spark's lit(1.0).
+    "q150_decay_score" ->
+      """WITH a AS (SELECT max(ts::DATE) AS anchor_day FROM events),
+        |e AS (SELECT user_id, value,
+        |    1.0::DOUBLE / (1.0::DOUBLE + CAST(date_diff('day', ts::DATE,
+        |      a.anchor_day) AS DOUBLE)) AS w
+        |  FROM events, a)
+        |SELECT user_id,
+        |  round(sum(value * w), 4) AS decayed_score,
+        |  round(sum(value), 4) AS raw_score,
+        |  count(*) AS n_events
+        |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

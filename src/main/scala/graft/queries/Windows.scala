@@ -180,6 +180,31 @@ object Windows extends QueryModule {
           col("valid_from"), col("valid_to"), col("is_current"),
           col("n_events"))
         .orderBy(col("user_id"), col("version"))
+    }),
+
+    // 2-D skyline (pareto frontier) per brand — the "no part is both
+    // cheaper AND bigger" query behind product recommendation and
+    // multi-objective pruning. The naive formulation is an O(n²)
+    // dominance self-join; in 2-D it collapses to ONE brand-partitioned
+    // sort (price asc, size desc) + a running max over the preceding
+    // rows: a row survives iff its size beats every earlier (i.e.
+    // cheaper-or-equal) size. Distinct (price, size) first so same-tuple
+    // ties don't false-dominate. At 100 TB this is sort + linear scan
+    // per partition vs the join's quadratic blow-up — the oracle BELOW
+    // deliberately runs the quadratic NOT EXISTS form, so the two
+    // engines reach the frontier by independent algorithms.
+    "q149_skyline" -> ((s, d) => {
+      val w = Window.partitionBy(col("p_brand"))
+        .orderBy(col("p_retailprice").asc, col("p_size").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.part(s, d)
+        .select(col("p_brand"), col("p_retailprice"), col("p_size"))
+        .distinct()
+        .withColumn("best_size_so_far", max(col("p_size")).over(w))
+        .filter(col("best_size_so_far").isNull
+          || col("p_size") > col("best_size_so_far"))
+        .select(col("p_brand"), col("p_retailprice"), col("p_size"))
+        .orderBy(col("p_brand"), col("p_retailprice"), col("p_size"))
     })
   )
 
@@ -291,6 +316,20 @@ object Windows extends QueryModule {
         |SELECT user_id, version, state, valid_from, valid_to,
         |  valid_to = TIMESTAMP '9999-12-31 00:00:00' AS is_current,
         |  CAST(n_events AS BIGINT) AS n_events
-        |FROM f ORDER BY user_id, version""".stripMargin
+        |FROM f ORDER BY user_id, version""".stripMargin,
+
+    // independent algorithm on purpose: quadratic NOT-EXISTS dominance
+    // over distinct tuples, vs Spark's sort + running-max linear scan.
+    "q149_skyline" ->
+      """WITH t AS (SELECT DISTINCT p_brand, p_retailprice, p_size
+        |  FROM part)
+        |SELECT p_brand, p_retailprice, p_size FROM t t1
+        |WHERE NOT EXISTS (SELECT 1 FROM t t2
+        |  WHERE t2.p_brand = t1.p_brand
+        |    AND t2.p_retailprice <= t1.p_retailprice
+        |    AND t2.p_size >= t1.p_size
+        |    AND (t2.p_retailprice < t1.p_retailprice
+        |         OR t2.p_size > t1.p_size))
+        |ORDER BY p_brand, p_retailprice, p_size""".stripMargin
   )
 }
