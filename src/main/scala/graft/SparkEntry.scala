@@ -23,6 +23,7 @@ object SparkEntry {
     q.Arrays,
     q.Temporal,
     q.Profile,
+    q.Graph,
     o.Dedup,
     o.Similarity,
     o.TextAnalysis,

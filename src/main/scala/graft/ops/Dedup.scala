@@ -260,6 +260,34 @@ object Dedup extends QueryModule {
         .filter(col("hamming") <= 3)
         .distinct()
         .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // Fuzzy entity matching — edit-distance record linkage, the family
+    // MinHash/SimHash can't serve (they see token sets; "old gear" vs
+    // "red gear" is a CHARACTER-level near-match). Scale shape: the
+    // corpus contributes only a map-side-combined distinct-name
+    // dictionary (vocabulary-sized, orders of magnitude below row
+    // count — the same collapse q133's vocab build rides); pairwise
+    // levenshtein then runs on dictionary × dictionary WITHIN a
+    // last-token block (pigeonhole: near-identical product names share
+    // their noun), so the quadratic term is |block|², never |corpus|².
+    // Each name carries its corpus frequency so downstream merge can
+    // pick the canonical (most frequent) spelling.
+    "q152_fuzzy_match" -> ((s, d) => {
+      val names = Tables.part(s, d)
+        .groupBy(col("p_name"))
+        .agg(count(lit(1)).as("n_parts"))
+        .withColumn("noun", substring_index(col("p_name"), " ", -1))
+      names.as("a").join(names.as("b"),
+          col("a.noun") === col("b.noun")
+            && col("a.p_name") < col("b.p_name"))
+        .withColumn("edit_dist",
+          levenshtein(col("a.p_name"), col("b.p_name")))
+        .filter(col("edit_dist") <= 2)
+        .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),
+          col("edit_dist"),
+          col("a.n_parts").as("n_a"), col("b.n_parts").as("n_b"))
+        .orderBy(col("name_a"), col("name_b"))
     })
   )
 
@@ -421,6 +449,18 @@ object Dedup extends QueryModule {
         |FROM cand JOIN s a ON doc_a = a.doc_id JOIN s b ON doc_b = b.doc_id
         |WHERE len(list_intersect(a.sh, b.sh)) * 100
         |  >= (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 50
-        |ORDER BY doc_a, doc_b""".stripMargin)
+        |ORDER BY doc_a, doc_b""".stripMargin),
+
+    "q152_fuzzy_match" ->
+      """WITH n AS (SELECT p_name, count(*) AS n_parts,
+        |    split_part(p_name, ' ', -1) AS noun
+        |  FROM part GROUP BY 1)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist,
+        |  CAST(a.n_parts AS BIGINT) AS n_a,
+        |  CAST(b.n_parts AS BIGINT) AS n_b
+        |FROM n a JOIN n b ON a.noun = b.noun AND a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2
+        |ORDER BY name_a, name_b""".stripMargin
   )
 }

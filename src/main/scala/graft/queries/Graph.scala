@@ -1,0 +1,107 @@
+package graft.queries
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over relational data (beyond the reference, which has
+  * no graph surface; companion to the q91 connected-components closure in
+  * [[graft.ops.Dedup]]). The pattern: a corpus-sized relational pipeline
+  * DERIVES the graph (edge aggregation — the only 100 TB-scale stage),
+  * then the iterative numeric phase runs on the aggregated edge list,
+  * which is |nodes|²-bounded and orders of magnitude smaller. This is how
+  * production graph pipelines on Spark actually run PageRank-class
+  * algorithms: aggregate first, iterate on the summary.
+  */
+object Graph extends QueryModule {
+
+  /** Damping 0.85, 10 fixed iterations. */
+  private val Iters = 10
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // PageRank over the nation-level trade graph: an edge src→dst for
+    // every lineitem whose ordering customer sits in nation src and
+    // supplying supplier in nation dst, weight = lineitem count
+    // normalized per source. Scale shape: the three corpus joins key on
+    // orderkey/custkey/suppkey (the 100 TB stage) and collapse to a
+    // ≤|nations|² edge list; the 10 rank iterations are 25-row frames —
+    // every edges-subtree reuse hits AQE's ReuseExchange, and no
+    // iteration touches the corpus again. Dangling-node mass is dropped
+    // (the standard simplification), identically in the oracle.
+    // Cross-engine determinism: the per-iteration aggregate
+    // sum(rank·w) is rounded to 10 decimals on BOTH engines before the
+    // damping arithmetic (the sum is the only order-sensitive term; ÷,
+    // ×, + on the rounded value are IEEE-exact), so ranks stay
+    // bit-identical through all 10 iterations.
+    "q154_pagerank" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val ord = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"))
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey").as("src"))
+      val sup = Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_nationkey").as("dst"))
+      val e0 = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("src"), col("dst"))
+        .agg(count(lit(1)).as("cnt"))
+      val outdeg = e0.groupBy(col("src")).agg(sum(col("cnt")).as("outw"))
+      val edges = e0.join(outdeg, "src")
+        .select(col("src"), col("dst"),
+          (col("cnt").cast("double") / col("outw").cast("double")).as("w"))
+      val nations = Tables.nation(s, d).select(col("n_nationkey").as("node"))
+      val nn = nations.agg(count(lit(1)).as("n_nodes"))
+      val init = nations.crossJoin(broadcast(nn))
+        .select(col("node"),
+          (lit(1.0) / col("n_nodes").cast("double")).as("rank"))
+      val ranks = (1 to Iters).foldLeft(init) { (r, _) =>
+        val contrib = edges.join(r, col("src") === col("node"))
+          .groupBy(col("dst")).agg(sum(col("rank") * col("w")).as("acc"))
+        nations.crossJoin(broadcast(nn))
+          .join(contrib, col("node") === col("dst"), "left")
+          .select(col("node"),
+            (lit(0.15) / col("n_nodes").cast("double") +
+              lit(0.85) * round(coalesce(col("acc"), lit(0.0)), 10))
+              .as("rank"))
+      }
+      ranks.orderBy(col("node"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    // the 10 iterations are UNROLLED as chained CTEs (recursive terms
+    // with aggregation are non-standard); each mirrors the Spark
+    // iteration including the 10-decimal aggregate rounding.
+    "q154_pagerank" -> {
+      val iters = (1 to Iters).map { k =>
+        s"""r$k AS (SELECT n.n_nationkey AS node,
+           |    0.15::DOUBLE / CAST(nn.n_nodes AS DOUBLE)
+           |      + 0.85::DOUBLE * round(coalesce(t.acc, 0.0::DOUBLE), 10)
+           |      AS rank
+           |  FROM nation n CROSS JOIN nn LEFT JOIN
+           |    (SELECT e.dst AS node, sum(r${k - 1}.rank * e.w) AS acc
+           |     FROM r${k - 1} JOIN e ON r${k - 1}.node = e.src
+           |     GROUP BY 1) t
+           |    ON n.n_nationkey = t.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS (SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+         |    count(*) AS cnt
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |  GROUP BY 1, 2),
+         |od AS (SELECT src, sum(cnt) AS outw FROM e0 GROUP BY 1),
+         |e AS (SELECT e0.src, e0.dst,
+         |    CAST(e0.cnt AS DOUBLE) / CAST(od.outw AS DOUBLE) AS w
+         |  FROM e0 JOIN od USING (src)),
+         |nn AS (SELECT count(*) AS n_nodes FROM nation),
+         |r0 AS (SELECT n_nationkey AS node,
+         |    1.0::DOUBLE / CAST(nn.n_nodes AS DOUBLE) AS rank
+         |  FROM nation, nn),
+         |$iters
+         |SELECT node, rank FROM r$Iters ORDER BY node""".stripMargin
+    }
+  )
+}

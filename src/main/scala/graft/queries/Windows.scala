@@ -205,6 +205,40 @@ object Windows extends QueryModule {
           || col("p_size") > col("best_size_so_far"))
         .select(col("p_brand"), col("p_retailprice"), col("p_size"))
         .orderBy(col("p_brand"), col("p_retailprice"), col("p_size"))
+    }),
+
+    // Session path mining — the clickstream question behind every
+    // product-analytics tool: which event SEQUENCES do sessions follow,
+    // and how often? Sessions are the q135 gaps-and-islands (30-min
+    // inactivity), but ordered by the (ts, event_id) TOTAL order so the
+    // path string is well-defined under duplicate timestamps. Per-session
+    // state is a collect bounded by session length and capped at 12
+    // steps (slice before concat — a runaway session can't make an
+    // unbounded string); the path histogram is then a map-side-combined
+    // count on the path string. Shuffles: one user-keyed sort shared by
+    // the lag and the collect, one path-keyed aggregation of
+    // session-sized rows.
+    "q153_session_paths" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val gapUs = 30L * 60 * 1000000
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("nf",
+          when(lag(col("ts"), 1).over(w).isNull ||
+            unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
+              > gapUs, 1L).otherwise(0L))
+        .withColumn("sess_id", sum(col("nf")).over(w))
+        .groupBy(col("user_id"), col("sess_id"))
+        .agg(sort_array(collect_list(struct(
+          col("ts"), col("event_id"), col("event_type")))).as("evs"))
+        .select(array_join(
+          slice(transform(col("evs"), e => e.getField("event_type")), 1, 12),
+          ">").as("path"))
+        .groupBy(col("path"))
+        .agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("path"))
     })
   )
 
@@ -330,6 +364,25 @@ object Windows extends QueryModule {
         |    AND t2.p_size >= t1.p_size
         |    AND (t2.p_retailprice < t1.p_retailprice
         |         OR t2.p_size > t1.p_size))
-        |ORDER BY p_brand, p_retailprice, p_size""".stripMargin
+        |ORDER BY p_brand, p_retailprice, p_size""".stripMargin,
+
+    // list(... ORDER BY ts, event_id) = the Spark sort_array over the
+    // same total order; list_slice caps at the same 12 steps.
+    "q153_session_paths" ->
+      """WITH x AS (SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |      THEN 1 ELSE 0 END AS nf
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (SELECT user_id, ts, event_id, event_type,
+        |    sum(nf) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS sess_id
+        |  FROM x),
+        |p AS (SELECT array_to_string(list_slice(
+        |      list(event_type ORDER BY ts, event_id), 1, 12), '>') AS path
+        |  FROM g GROUP BY user_id, sess_id)
+        |SELECT path, count(*) AS n_sessions
+        |FROM p GROUP BY path ORDER BY path""".stripMargin
   )
 }
