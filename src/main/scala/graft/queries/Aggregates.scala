@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryModule, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Aggregations (SURVEY.md §2.6) — the reference's full declared enum
@@ -503,7 +504,44 @@ object Aggregates extends QueryModule {
           pmod(col("p_partkey"), lit(10L)).as("mod_v"))
         .unpivot(Array(col("p_partkey")),
           Array(col("size_v"), col("mod_v")), "metric", "value")
-        .orderBy(col("p_partkey"), col("metric")))
+        .orderBy(col("p_partkey"), col("metric"))),
+
+    // Chi-square test of independence (brand × return flag) — the
+    // categorical complement to q143's Welch t-test: does return
+    // behavior depend on brand? One corpus aggregation to the
+    // contingency cells (≤|brands|·|flags| rows), then margins via
+    // window sums over the CELL frame — these are LONG sums, exact in
+    // any order, so windows need no ordering. Expected counts and
+    // per-cell χ² contributions are long-product→double divisions
+    // (row·col ≤ n² < 2⁵³ ⇒ the casts are exact, the ÷ correctly
+    // rounded): bit-identical cross-engine, no rounding. The statistic
+    // itself is the cells' SUM — that one is order-sensitive, so it is
+    // NOT emitted here; sum the chi2_cell column (75 rows) to taste.
+    "q157_chi_square" -> ((s, d) => {
+      val cells = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_returnflag"))
+        .join(Tables.part(s, d).select(col("p_partkey"), col("p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("l_returnflag"))
+        .agg(count(lit(1)).as("observed"))
+      val wb = Window.partitionBy(col("p_brand"))
+      val wf = Window.partitionBy(col("l_returnflag"))
+      val wAll = Window.partitionBy()
+      cells
+        .withColumn("row_n", sum(col("observed")).over(wb))
+        .withColumn("col_n", sum(col("observed")).over(wf))
+        .withColumn("total_n", sum(col("observed")).over(wAll))
+        .withColumn("expected",
+          (col("row_n") * col("col_n")).cast("double") /
+            col("total_n").cast("double"))
+        .withColumn("chi2_cell",
+          (col("observed").cast("double") - col("expected")) *
+            (col("observed").cast("double") - col("expected")) /
+            col("expected"))
+        .select(col("p_brand"), col("l_returnflag"), col("observed"),
+          col("expected"), col("chi2_cell"))
+        .orderBy(col("p_brand"), col("l_returnflag"))
+    })
   )
 
   def oracle: Map[String, String] = Map(
@@ -725,6 +763,27 @@ object Aggregates extends QueryModule {
       """SELECT l_returnflag,
         |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
         |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q157_chi_square" ->
+      """WITH cells AS (SELECT p.p_brand, l.l_returnflag,
+        |    count(*) AS observed
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  GROUP BY 1, 2),
+        |m AS (SELECT p_brand, l_returnflag, observed,
+        |    sum(observed) OVER (PARTITION BY p_brand) AS row_n,
+        |    sum(observed) OVER (PARTITION BY l_returnflag) AS col_n,
+        |    sum(observed) OVER () AS total_n
+        |  FROM cells)
+        |SELECT p_brand, l_returnflag, CAST(observed AS BIGINT) AS observed,
+        |  CAST(row_n * col_n AS DOUBLE) / CAST(total_n AS DOUBLE)
+        |    AS expected,
+        |  (CAST(observed AS DOUBLE)
+        |     - CAST(row_n * col_n AS DOUBLE) / CAST(total_n AS DOUBLE))
+        |  * (CAST(observed AS DOUBLE)
+        |     - CAST(row_n * col_n AS DOUBLE) / CAST(total_n AS DOUBLE))
+        |  / (CAST(row_n * col_n AS DOUBLE) / CAST(total_n AS DOUBLE))
+        |    AS chi2_cell
+        |FROM m ORDER BY p_brand, l_returnflag""".stripMargin
   )
 }

@@ -238,6 +238,34 @@ object Profile extends QueryModule {
         concat_ws("|", col("l_orderkey"), col("l_linenumber"),
           col("l_returnflag"), col("l_quantity").cast("decimal(18,2)")))
       o.unionByName(c).unionByName(l).orderBy(col("table_name"))
+    }),
+
+    // Robust outlier detection — median/MAD z-scores, the
+    // quality-filter that survives what mean/stddev can't (a single
+    // wild value drags the mean; the median shrugs). Two grouped exact
+    // medians (value, then absolute deviation — the q39b exact-
+    // percentile machinery at group granularity; an approx_percentile
+    // swap-in is the documented 100 TB relaxation), each joined back as
+    // a ≤|groups|-row broadcast, then a pure per-row filter. The score
+    // (value−med)/(1.4826·mad) is division/multiplication over
+    // interpolated medians — every step IEEE-exact cross-engine, so no
+    // rounding anywhere.
+    "q155_mad_outliers" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val m1 = ev.groupBy(col("event_type"))
+        .agg(median(col("value")).as("med"))
+      val dev = ev.join(broadcast(m1), "event_type")
+        .withColumn("adev", abs(col("value") - col("med")))
+      val m2 = dev.groupBy(col("event_type"))
+        .agg(median(col("adev")).as("mad"))
+      dev.join(broadcast(m2), "event_type")
+        .withColumn("robust_z",
+          (col("value") - col("med")) / (lit(1.4826) * col("mad")))
+        .filter(abs(col("robust_z")) > 3.5)
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("med"), col("mad"), col("robust_z"))
+        .orderBy(col("event_id"))
     })
   )
 
@@ -368,6 +396,24 @@ object Profile extends QueryModule {
         |SELECT check_name, CAST(n_checked AS BIGINT) AS n_checked,
         |  CAST(n_violations AS BIGINT) AS n_violations,
         |  n_violations = 0 AS pass
-        |FROM rows_out ORDER BY check_name""".stripMargin
+        |FROM rows_out ORDER BY check_name""".stripMargin,
+
+    // DuckDB median over DOUBLE = quantile_cont(0.5) = Spark's
+    // interpolating exact median; 1.4826 is the normal-consistency
+    // constant, multiplied before the division exactly as in Spark.
+    "q155_mad_outliers" ->
+      """WITH m1 AS (SELECT event_type, median(value) AS med
+        |  FROM events GROUP BY 1),
+        |d AS (SELECT e.event_id, e.event_type, e.value, m1.med,
+        |    abs(e.value - m1.med) AS adev
+        |  FROM events e JOIN m1 USING (event_type)),
+        |m2 AS (SELECT event_type, median(adev) AS mad
+        |  FROM d GROUP BY 1),
+        |z AS (SELECT d.event_id, d.event_type, d.value, d.med, m2.mad,
+        |    (d.value - d.med) / (1.4826::DOUBLE * m2.mad) AS robust_z
+        |  FROM d JOIN m2 USING (event_type))
+        |SELECT event_id, event_type, value, med, mad, robust_z
+        |FROM z WHERE abs(robust_z) > 3.5
+        |ORDER BY event_id""".stripMargin
   )
 }

@@ -239,6 +239,53 @@ object Windows extends QueryModule {
         .groupBy(col("path"))
         .agg(count(lit(1)).as("n_sessions"))
         .orderBy(col("path"))
+    }),
+
+    // Pareto 80/20 contribution analysis — which customers make 80% of
+    // each nation's revenue. Revenue aggregates per (nation, customer)
+    // first (the corpus stage, map-side combined), then ONE
+    // nation-partitioned window sorted (revenue desc, custkey) drives
+    // everything. The running total accumulates in DECIMAL, not double:
+    // DuckDB evaluates windowed sums over a segment tree, so even an
+    // ordered frame does NOT fix the floating addition sequence —
+    // decimal arithmetic is exact in any order, making the cumulative
+    // total, the partition total (max of the monotone running sum — the
+    // revenues are positive), and the 80%-head test (decimal×integer,
+    // no 0.8 literal whose scale could differ) bit-identical
+    // cross-engine; only the final share is a double division of two
+    // exact decimals. A customer is in the head while the PREVIOUS
+    // cumulative total sits below 80% (lag, not cum−rev: floating
+    // subtraction does not invert accumulation). No global sort — the
+    // window keys on nation.
+    "q156_pareto" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"))
+      val ord = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"))
+      val rev = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"), col("c_custkey"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+          2).as("revenue"))
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+      val wAll = Window.partitionBy(col("c_nationkey"))
+      rev
+        .withColumn("cum_rev",
+          sum(col("revenue").cast("decimal(18,2)")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("nation_rev", max(col("cum_rev")).over(wAll))
+        .withColumn("cum_share",
+          col("cum_rev").cast("double") / col("nation_rev").cast("double"))
+        .withColumn("in_top80",
+          coalesce(lag(col("cum_rev"), 1).over(w),
+            lit(0).cast("decimal(18,2)")) * lit(10) <
+            col("nation_rev") * lit(8))
+        .select(col("c_nationkey"), col("c_custkey"), col("revenue"),
+          col("cum_share"), col("in_top80"))
+        .orderBy(col("c_nationkey"), col("revenue").desc, col("c_custkey"))
     })
   )
 
@@ -383,6 +430,34 @@ object Windows extends QueryModule {
         |      list(event_type ORDER BY ts, event_id), 1, 12), '>') AS path
         |  FROM g GROUP BY user_id, sess_id)
         |SELECT path, count(*) AS n_sessions
-        |FROM p GROUP BY path ORDER BY path""".stripMargin
+        |FROM p GROUP BY path ORDER BY path""".stripMargin,
+
+    // DECIMAL accumulation: exact in any order, so DuckDB's
+    // segment-tree window sum and Spark's running sum agree exactly;
+    // the head test is decimal×integer (10·prev < 8·total), no float.
+    "q156_pareto" ->
+      """WITH rev AS (SELECT c.c_nationkey, c.c_custkey,
+        |    round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+        |      AS revenue
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1, 2),
+        |x AS (SELECT c_nationkey, c_custkey, revenue,
+        |    sum(CAST(revenue AS DECIMAL(18,2))) OVER (
+        |      PARTITION BY c_nationkey
+        |      ORDER BY revenue DESC, c_custkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev
+        |  FROM rev),
+        |y AS (SELECT *,
+        |    lag(cum_rev) OVER (PARTITION BY c_nationkey
+        |      ORDER BY revenue DESC, c_custkey) AS prev_cum,
+        |    max(cum_rev) OVER (PARTITION BY c_nationkey) AS nation_rev
+        |  FROM x)
+        |SELECT c_nationkey, c_custkey, revenue,
+        |  CAST(cum_rev AS DOUBLE) / CAST(nation_rev AS DOUBLE)
+        |    AS cum_share,
+        |  coalesce(prev_cum, 0) * 10 < nation_rev * 8 AS in_top80
+        |FROM y ORDER BY c_nationkey, revenue DESC, c_custkey""".stripMargin
   )
 }
