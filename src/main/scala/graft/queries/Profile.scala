@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryModule, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Column profiling + exact-decimal arithmetic.
@@ -266,6 +266,68 @@ object Profile extends QueryModule {
         .select(col("event_id"), col("event_type"), col("value"),
           col("med"), col("mad"), col("robust_z"))
         .orderBy(col("event_id"))
+    }),
+
+    // RFM customer segmentation — recency/frequency/monetary scoring,
+    // the warehouse-native churn/value model. Deliberately NOT ntile():
+    // position-based quintiles need a GLOBAL sorted window (every
+    // customer through one partition — a scale-killer) and tie-break
+    // nondeterministically at bucket edges. Instead the three score
+    // dimensions bucket against percentile BOUNDS (20/40/60/80) taken
+    // in one global aggregation and broadcast back — the q132
+    // winsorize shape: the corpus aggregates once per customer
+    // (map-side combined), the bounds are a 1-row broadcast, and
+    // scoring is a pure per-row comparison chain, value-based so ties
+    // land identically in both engines.
+    "q159_rfm_segments" -> ((s, d) => {
+      val anchor = Tables.orders(s, d)
+        .agg(max(to_date(col("o_orderdate"))).as("anchor"))
+      val rfm = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+        .crossJoin(broadcast(anchor))
+        .groupBy(col("o_custkey"))
+        .agg(
+          min(datediff(col("anchor"), to_date(col("o_orderdate"))))
+            .as("recency_days"),
+          count(lit(1)).as("frequency"),
+          round(sum(col("o_totalprice")), 2).as("monetary"))
+      // exact interpolated percentiles (= DuckDB quantile_cont), each
+      // bound snapped to 6 decimals: the two engines arrange the
+      // interpolation arithmetic differently, and an unsnapped bound a
+      // 1-ulp shy of a data value would flip that value's bucket.
+      val qs = array(lit(0.2), lit(0.4), lit(0.6), lit(0.8))
+      val bounds = rfm.agg(
+        transform(percentile(col("recency_days"), qs), x => round(x, 6))
+          .as("rb"),
+        transform(percentile(col("frequency"), qs), x => round(x, 6))
+          .as("fb"),
+        transform(percentile(col("monetary"), qs), x => round(x, 6))
+          .as("mb"))
+      def score(v: Column, b: Column, invert: Boolean): Column = {
+        val raw = lit(1) +
+          (0 to 3).map(i => when(v > element_at(b, i + 1), 1)
+            .otherwise(0)).reduce(_ + _)
+        if (invert) lit(6) - raw else raw
+      }
+      rfm.crossJoin(broadcast(bounds))
+        .withColumn("r_score",
+          score(col("recency_days").cast("double"), col("rb"), invert = true))
+        .withColumn("f_score",
+          score(col("frequency").cast("double"), col("fb"), invert = false))
+        .withColumn("m_score",
+          score(col("monetary"), col("mb"), invert = false))
+        .withColumn("segment",
+          when(col("r_score") >= 4 && col("f_score") >= 4
+            && col("m_score") >= 4, "champion")
+            .when(col("f_score") >= 4, "loyal")
+            .when(col("m_score") >= 4, "big_spender")
+            .when(col("r_score") <= 2 && col("f_score") >= 3, "at_risk")
+            .when(col("r_score") <= 2, "hibernating")
+            .otherwise("regular"))
+        .select(col("o_custkey"), col("recency_days"), col("frequency"),
+          col("monetary"), col("r_score"), col("f_score"), col("m_score"),
+          col("segment"))
+        .orderBy(col("o_custkey"))
     })
   )
 
@@ -414,6 +476,52 @@ object Profile extends QueryModule {
         |  FROM d JOIN m2 USING (event_type))
         |SELECT event_id, event_type, value, med, mad, robust_z
         |FROM z WHERE abs(robust_z) > 3.5
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+
+    // quantile_cont = Spark's exact interpolating percentile; bounds
+    // snapped to 6 decimals on both engines before bucketing.
+    "q159_rfm_segments" ->
+      """WITH a AS (SELECT max(o_orderdate::DATE) AS anchor FROM orders),
+        |rfm AS (SELECT o_custkey,
+        |    CAST(min(date_diff('day', o_orderdate::DATE, a.anchor))
+        |      AS INT) AS recency_days,
+        |    count(*) AS frequency,
+        |    round(sum(o_totalprice), 2) AS monetary
+        |  FROM orders, a GROUP BY o_custkey),
+        |b AS (SELECT
+        |    list_transform(quantile_cont(recency_days,
+        |      [0.2, 0.4, 0.6, 0.8]), x -> round(x, 6)) AS rb,
+        |    list_transform(quantile_cont(frequency,
+        |      [0.2, 0.4, 0.6, 0.8]), x -> round(x, 6)) AS fb,
+        |    list_transform(quantile_cont(monetary,
+        |      [0.2, 0.4, 0.6, 0.8]), x -> round(x, 6)) AS mb
+        |  FROM rfm),
+        |sc AS (SELECT rfm.*,
+        |    6 - (1 + CASE WHEN recency_days > rb[1] THEN 1 ELSE 0 END
+        |           + CASE WHEN recency_days > rb[2] THEN 1 ELSE 0 END
+        |           + CASE WHEN recency_days > rb[3] THEN 1 ELSE 0 END
+        |           + CASE WHEN recency_days > rb[4] THEN 1 ELSE 0 END)
+        |      AS r_score,
+        |    1 + CASE WHEN frequency > fb[1] THEN 1 ELSE 0 END
+        |      + CASE WHEN frequency > fb[2] THEN 1 ELSE 0 END
+        |      + CASE WHEN frequency > fb[3] THEN 1 ELSE 0 END
+        |      + CASE WHEN frequency > fb[4] THEN 1 ELSE 0 END AS f_score,
+        |    1 + CASE WHEN monetary > mb[1] THEN 1 ELSE 0 END
+        |      + CASE WHEN monetary > mb[2] THEN 1 ELSE 0 END
+        |      + CASE WHEN monetary > mb[3] THEN 1 ELSE 0 END
+        |      + CASE WHEN monetary > mb[4] THEN 1 ELSE 0 END AS m_score
+        |  FROM rfm, b)
+        |SELECT o_custkey, recency_days, CAST(frequency AS BIGINT)
+        |    AS frequency, monetary,
+        |  CAST(r_score AS INT) AS r_score, CAST(f_score AS INT) AS f_score,
+        |  CAST(m_score AS INT) AS m_score,
+        |  CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+        |      THEN 'champion'
+        |    WHEN f_score >= 4 THEN 'loyal'
+        |    WHEN m_score >= 4 THEN 'big_spender'
+        |    WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+        |    WHEN r_score <= 2 THEN 'hibernating'
+        |    ELSE 'regular' END AS segment
+        |FROM sc ORDER BY o_custkey""".stripMargin
   )
 }
