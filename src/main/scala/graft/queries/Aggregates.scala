@@ -541,6 +541,48 @@ object Aggregates extends QueryModule {
         .select(col("p_brand"), col("l_returnflag"), col("observed"),
           col("expected"), col("chi2_cell"))
         .orderBy(col("p_brand"), col("l_returnflag"))
+    }),
+
+    // Per-group linear trend + one-step forecast — the capacity-
+    // planning readout (is this event type growing, and what does
+    // tomorrow look like?): daily value sums (4-rounded — one
+    // order-sensitive fold), then least squares per event type over
+    // (epoch-day, day_sum). NOT regr_slope(): its internal folds are
+    // order-sensitive doubles, and rounding the RESULT still flipped a
+    // 6th decimal cross-engine (measured). Instead the five classic
+    // component sums: n, Σx, Σx² are exact integers (epoch-days < 2⁵³
+    // — any summation order); Σy, Σxy are the only floating folds and
+    // snap to 4/2 decimals. slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) and
+    // the forecast are then fixed-parenthesization products/divisions
+    // of snapped values — correctly rounded, bit-identical, NO output
+    // rounding at all. Scale shape: the corpus pass is the (type, day)
+    // aggregation (map-side combined); the regression runs on the
+    // ≤|types|·|days| daily frame, itself map-side combined.
+    "q162_trend_forecast" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(round(sum(col("value")), 4).as("day_sum"))
+        .select(col("event_type"),
+          datediff(col("day"), lit("1970-01-01").cast("date"))
+            .cast("double").as("x"),
+          col("day_sum"))
+      val slope = (col("n_days") * col("sxy") - col("sx") * col("sy")) /
+        (col("n_days") * col("sxx") - col("sx") * col("sx"))
+      daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("x")).as("sx"),
+          sum(col("x") * col("x")).as("sxx"),
+          round(sum(col("day_sum")), 4).as("sy"),
+          round(sum(col("x") * col("day_sum")), 2).as("sxy"),
+          max(col("x")).as("max_x"))
+        .withColumn("slope", slope)
+        .withColumn("icept",
+          (col("sy") - col("slope") * col("sx")) / col("n_days"))
+        .select(col("event_type"), col("n_days"), col("slope"),
+          col("icept"),
+          (col("icept") + col("slope") * (col("max_x") + 1))
+            .as("forecast_next"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -784,6 +826,31 @@ object Aggregates extends QueryModule {
         |     - CAST(row_n * col_n AS DOUBLE) / CAST(total_n AS DOUBLE))
         |  / (CAST(row_n * col_n AS DOUBLE) / CAST(total_n AS DOUBLE))
         |    AS chi2_cell
-        |FROM m ORDER BY p_brand, l_returnflag""".stripMargin
+        |FROM m ORDER BY p_brand, l_returnflag""".stripMargin,
+
+    // component-sums least squares, same parenthesization as Spark:
+    // n/Σx/Σx² exact ints, Σy/Σxy snapped, then pure IEEE arithmetic.
+    "q162_trend_forecast" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(date_diff('day', DATE '1970-01-01', ts::DATE) AS DOUBLE)
+        |      AS x,
+        |    round(sum(value), 4) AS day_sum
+        |  FROM events GROUP BY event_type, ts::DATE),
+        |r AS (SELECT event_type, count(*) AS n_days,
+        |    sum(x) AS sx, sum(x * x) AS sxx,
+        |    round(sum(day_sum), 4) AS sy,
+        |    round(sum(x * day_sum), 2) AS sxy,
+        |    max(x) AS max_x
+        |  FROM daily GROUP BY event_type),
+        |k AS (SELECT event_type, n_days, max_x,
+        |    (n_days * sxy - sx * sy) / (n_days * sxx - sx * sx) AS slope,
+        |    sy, sx
+        |  FROM r),
+        |f AS (SELECT event_type, n_days, max_x, slope,
+        |    (sy - slope * sx) / n_days AS icept
+        |  FROM k)
+        |SELECT event_type, n_days, slope, icept,
+        |  icept + slope * (max_x + 1) AS forecast_next
+        |FROM f ORDER BY event_type""".stripMargin
   )
 }

@@ -406,6 +406,47 @@ object Joins extends QueryModule {
         .select(col("part_a"), col("part_b"), col("n_pair"),
           col("n_a"), col("n_b"), col("lift"))
         .orderBy(col("part_a"), col("part_b"))
+    }),
+
+    // TPC-H Q7 shape (volume shipping): bilateral trade between two
+    // fixed nations by ship year. The nation pre-filter collapses
+    // supplier and customer to 2/25 of their tables BEFORE they meet
+    // the fact table — the classic dimension-first star reduction —
+    // and the 2-row nation frame rides an explicit broadcast; the
+    // supplier/customer legs are left to size stats + AQE exactly as
+    // in q108 (broadcast while they fit, shuffle at 100 TB). The ship
+    // date range prunes the lineitem scan (pushed filter), and the
+    // asymmetric pair predicate (n1→n2 or n2→n1, never n1→n1) runs
+    // post-join on the already-reduced rows. One year() extraction,
+    // one map-side-combined group — Q7's correlated-subquery-free
+    // declarative form.
+    "q160_volume_shipping" -> ((s, d) => {
+      val (na, nb) = ("NATION_3", "NATION_7")
+      val nations = broadcast(Tables.nation(s, d)
+        .filter(col("n_name").isin(na, nb))
+        .select(col("n_nationkey"), col("n_name")))
+      val sup = Tables.supplier(s, d)
+        .join(nations, col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cust = Tables.customer(s, d)
+        .join(nations, col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1995-01-01"))
+          && col("l_shipdate") < to_timestamp(lit("1997-01-01")))
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .filter((col("supp_nation") === na && col("cust_nation") === nb)
+          || (col("supp_nation") === nb && col("cust_nation") === na))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
     })
   )
 
@@ -589,6 +630,23 @@ object Joins extends QueryModule {
         |FROM p
         |JOIN cnt ca ON ca.l_partkey = p.part_a
         |JOIN cnt cb ON cb.l_partkey = p.part_b, no
-        |ORDER BY part_a, part_b""".stripMargin
+        |ORDER BY part_a, part_b""".stripMargin,
+
+    "q160_volume_shipping" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |  round(sum(volume), 2) AS revenue
+        |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    CAST(year(l_shipdate) AS INT) AS l_year,
+        |    l_extendedprice * (1 - l_discount) AS volume
+        |  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+        |  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        |    AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+        |    AND c_nationkey = n2.n_nationkey
+        |    AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        |      OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        |    AND l_shipdate >= TIMESTAMP '1995-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01') shipping
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
   )
 }

@@ -329,6 +329,43 @@ object Temporal extends QueryModule {
           round(sum(col("value")), 4).as("raw_score"),
           count(lit(1)).as("n_events"))
         .orderBy(col("user_id"))
+    }),
+
+    // Attribution join — each 'view' matched to the FIRST 'purchase'
+    // of the same user within 7 days: the marketing-analytics join
+    // that is really an as-of with an upper bound. NOT a theta join
+    // (view × purchase on user with a range predicate explodes per
+    // user); instead the q74 union trick generalized: both event kinds
+    // ride ONE user-keyed sort on the zero-padded (ts, event_id) TOTAL
+    // order key, and a running min over the FOLLOWING rows surfaces
+    // each view's next purchase key — O(n log n) in the user's events,
+    // one shuffle, deterministic under duplicate timestamps. The
+    // 7-day bound is exact integer µs arithmetic; unattributed views
+    // (no following purchase in range) drop out via the null
+    // comparison. 100 TB shape: one hash exchange on user_id, window
+    // evaluated streaming per partition.
+    "q161_attribution" -> ((s, d) => {
+      val ordKey = concat(
+        lpad(unix_micros(col("ts")).cast("string"), 20, "0"), lit(":"),
+        lpad(col("event_id").cast("string"), 12, "0"))
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("view", "purchase"))
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type"), ordKey.as("ord_key"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ord_key"))
+        .rowsBetween(1, Window.unboundedFollowing)
+      ev.withColumn("npk",
+          min(when(col("event_type") === "purchase", col("ord_key"))).over(w))
+        .filter(col("event_type") === "view")
+        .withColumn("p_micros", substring(col("npk"), 1, 20).cast("long"))
+        .withColumn("purchase_event_id",
+          substring(col("npk"), 22, 12).cast("long"))
+        .withColumn("lag_micros", col("p_micros") - unix_micros(col("ts")))
+        .filter(col("lag_micros") <= lit(7L * 86400L * 1000000L))
+        .select(col("user_id"), col("event_id").as("view_event_id"),
+          col("ts").as("view_ts"), col("purchase_event_id"),
+          col("lag_micros"))
+        .orderBy(col("view_event_id"))
     })
   )
 
@@ -547,6 +584,25 @@ object Temporal extends QueryModule {
         |  round(sum(value * w), 4) AS decayed_score,
         |  round(sum(value), 4) AS raw_score,
         |  count(*) AS n_events
-        |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q161_attribution" ->
+      """WITH ev AS (SELECT user_id, event_id, ts, event_type,
+        |    lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || ':'
+        |      || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord_key
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |n AS (SELECT *,
+        |    min(CASE WHEN event_type = 'purchase' THEN ord_key END)
+        |      OVER (PARTITION BY user_id ORDER BY ord_key
+        |        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS npk
+        |  FROM ev)
+        |SELECT user_id, event_id AS view_event_id, ts AS view_ts,
+        |  CAST(substr(npk, 22, 12) AS BIGINT) AS purchase_event_id,
+        |  CAST(substr(npk, 1, 20) AS BIGINT) - epoch_us(ts) AS lag_micros
+        |FROM n
+        |WHERE event_type = 'view'
+        |  AND CAST(substr(npk, 1, 20) AS BIGINT) - epoch_us(ts)
+        |    <= 7::BIGINT * 86400 * 1000000
+        |ORDER BY view_event_id""".stripMargin
   )
 }
