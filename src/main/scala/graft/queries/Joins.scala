@@ -447,6 +447,96 @@ object Joins extends QueryModule {
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
           .as("revenue"))
         .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+
+    // TPC-H Q10 shape (returned-item report): which customers returned
+    // the most revenue in a quarter. The returnflag + order-date
+    // predicates prune both fact-side scans BEFORE the joins; the
+    // per-customer group then collapses to the top 20 via orderBy +
+    // limit — a TakeOrderedAndProject bounded heap (every partition
+    // forwards ≤20 rows to the driver), never a global sort. Nation is
+    // the only hinted broadcast (fixed 25 rows); the customer leg is
+    // stats+AQE as in q108/q160. Revenue accumulates in DECIMAL, not
+    // round(sum(double), 2): one per-customer sum here landed exactly
+    // on a .xx5 half-cent (307843.595 — measured), where Spark's
+    // shortest-repr HALF_UP and DuckDB's binary round diverge; casting
+    // the 2-decimal FACTORS to decimal makes the product (scale 4) and
+    // the sum exact in any order, and the final 2-decimal snap is an
+    // exact-decimal tie both engines round away from zero.
+    "q163_returns_report" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01"))
+          && col("o_orderdate") < to_timestamp(lit("1996-04-01")))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      val c = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("n_name"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("n_name"))
+        .agg(sum(col("l_extendedprice").cast("decimal(12,2)")
+            * (lit(1).cast("decimal(12,2)")
+              - col("l_discount").cast("decimal(12,2)")))
+          .cast("decimal(18,2)").cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+        .select(col("c_custkey"), col("c_name"), col("revenue"),
+          col("c_acctbal"), col("n_name"))
+    }),
+
+    // TPC-H Q14 shape (promotion effect): the share of one month's
+    // gross revenue that came from promo parts. ONE conditional
+    // aggregation (when() inside the sum — no second scan, no join
+    // back); both legs snap to 2 decimals and the percentage is then a
+    // single correctly-rounded double division — deterministic without
+    // rounding the ratio itself. The month predicate prunes the
+    // lineitem scan; part is the broadcast side while it fits.
+    "q164_promo_effect" -> ((s, d) => {
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-03-01"))
+          && col("l_shipdate") < to_timestamp(lit("1996-04-01")))
+        .join(Tables.part(s, d).select(col("p_partkey"), col("p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          round(sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))), 2)
+            .as("promo_revenue"),
+          round(sum(rev), 2).as("total_revenue"))
+        .select(col("promo_revenue"), col("total_revenue"),
+          (lit(100.0) * col("promo_revenue") / col("total_revenue"))
+            .as("promo_pct"))
+    }),
+
+    // TPC-H Q19 shape (discounted revenue, disjunctive predicates):
+    // three (brand, size-range, quantity-range) disjuncts OR-ed into
+    // one scalar revenue. The point at scale is WHERE the predicate
+    // runs: brand/size conjuncts bind to the part side and quantity to
+    // the lineitem side BEFORE the join (Catalyst pushes each
+    // disjunct's single-side implicates through the OR), and the join
+    // itself stays a plain partkey equi-join — no cross-predicate
+    // explosion. Single-row output, 2-decimal snap on the one sum.
+    "q165_disjunct_revenue" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"))
+      val p = Tables.part(s, d)
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 5)
+            && col("l_quantity").between(1, 11))
+            || (col("p_brand") === "Brand#23" && col("p_size").between(1, 10)
+              && col("l_quantity").between(10, 20))
+            || (col("p_brand") === "Brand#3" && col("p_size").between(1, 15)
+              && col("l_quantity").between(20, 30)))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
     })
   )
 
@@ -647,6 +737,51 @@ object Joins extends QueryModule {
         |    AND l_shipdate >= TIMESTAMP '1995-01-01'
         |    AND l_shipdate < TIMESTAMP '1997-01-01') shipping
         |GROUP BY supp_nation, cust_nation, l_year
-        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "q163_returns_report" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(round(sum(l_extendedprice::DECIMAL(12,2)
+        |      * (1 - l_discount::DECIMAL(12,2))), 2)
+        |    AS DOUBLE) AS revenue,
+        |  c_acctbal, n_name
+        |FROM customer, orders, lineitem, nation
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+
+    "q164_promo_effect" ->
+      """SELECT
+        |  round(sum(CASE WHEN p_type = 'PROMO'
+        |    THEN l_extendedprice * (1 - l_discount)
+        |    ELSE 0.0::DOUBLE END), 2) AS promo_revenue,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2)
+        |    AS total_revenue,
+        |  100.0::DOUBLE
+        |    * round(sum(CASE WHEN p_type = 'PROMO'
+        |        THEN l_extendedprice * (1 - l_discount)
+        |        ELSE 0.0::DOUBLE END), 2)
+        |    / round(sum(l_extendedprice * (1 - l_discount)), 2)
+        |    AS promo_pct
+        |FROM lineitem, part
+        |WHERE l_partkey = p_partkey
+        |  AND l_shipdate >= TIMESTAMP '1996-03-01'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin,
+
+    "q165_disjunct_revenue" ->
+      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2)
+        |    AS revenue
+        |FROM lineitem, part
+        |WHERE l_partkey = p_partkey
+        |  AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |      AND l_quantity BETWEEN 1 AND 11)
+        |    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |      AND l_quantity BETWEEN 10 AND 20)
+        |    OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+        |      AND l_quantity BETWEEN 20 AND 30))""".stripMargin
   )
 }
