@@ -67,6 +67,62 @@ object Graph extends QueryModule {
               .as("rank"))
       }
       ranks.orderBy(col("node"))
+    }),
+
+    // Triangle count + local clustering coefficient over the same
+    // nation trade graph, undirected: edge {u,v} iff the pair's total
+    // trade count clears the corpus's own 75th percentile (a
+    // data-driven threshold — the raw graph is near-complete, and a
+    // fixed constant would stop discriminating as sf grows). Scale
+    // shape mirrors q154: the corpus joins collapse to the ≤|nations|²
+    // pair-count frame ONCE; the triangle enumeration (ordered 2-path
+    // join a<b<c closed by the {a,c} edge — each triangle counted
+    // exactly once) runs on the bounded edge list, never the corpus.
+    // Clustering = 2T/(deg·(deg−1)) from exact longs — one
+    // correctly-rounded division, no rounding anywhere.
+    "q166_triangles" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val ord = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"))
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey").as("src"))
+      val sup = Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_nationkey").as("dst"))
+      val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("cnt"))
+      val bound = pairs.agg(
+        round(percentile(col("cnt"), lit(0.75)), 6).as("thr"))
+      val e = pairs.crossJoin(broadcast(bound))
+        .filter(col("cnt") >= col("thr"))
+        .select(col("u"), col("v"))
+      val tri = e.as("ab").join(e.as("bc"), col("ab.v") === col("bc.u"))
+        .join(e.as("ac"),
+          col("ac.u") === col("ab.u") && col("ac.v") === col("bc.v"))
+        .select(col("ab.u").as("a"), col("ab.v").as("b"),
+          col("bc.v").as("c"))
+      val triPerNode = tri
+        .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+      val deg = e.select(col("u").as("node"))
+        .union(e.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+      Tables.nation(s, d).select(col("n_nationkey").as("node"))
+        .join(deg, Seq("node"), "left")
+        .join(triPerNode, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("degree"), lit(0L)).as("degree"),
+          coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+          when(coalesce(col("degree"), lit(0L)) >= 2,
+            (coalesce(col("n_triangles"), lit(0L)) * 2).cast("double") /
+              (col("degree") * (col("degree") - 1)).cast("double"))
+            .otherwise(lit(0.0)).as("clustering"))
+        .orderBy(col("node"))
     })
   )
 
@@ -102,6 +158,38 @@ object Graph extends QueryModule {
          |  FROM nation, nn),
          |$iters
          |SELECT node, rank FROM r$Iters ORDER BY node""".stripMargin
-    }
+    },
+
+    "q166_triangles" ->
+      """WITH p AS (SELECT least(c.c_nationkey, s.s_nationkey) AS u,
+        |    greatest(c.c_nationkey, s.s_nationkey) AS v, count(*) AS cnt
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  WHERE c.c_nationkey <> s.s_nationkey
+        |  GROUP BY 1, 2),
+        |b AS (SELECT round(quantile_cont(cnt, 0.75), 6) AS thr FROM p),
+        |e AS (SELECT u, v FROM p, b WHERE cnt >= thr),
+        |tri AS (SELECT ab.u AS a, ab.v AS b, bc.v AS c
+        |  FROM e ab JOIN e bc ON ab.v = bc.u
+        |  JOIN e ac ON ac.u = ab.u AND ac.v = bc.v),
+        |tn AS (SELECT node, count(*) AS n_triangles FROM (
+        |    SELECT a AS node FROM tri
+        |    UNION ALL SELECT b FROM tri
+        |    UNION ALL SELECT c FROM tri) GROUP BY node),
+        |deg AS (SELECT node, count(*) AS degree FROM (
+        |    SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        |  GROUP BY node)
+        |SELECT n.n_nationkey AS node,
+        |  coalesce(deg.degree, 0) AS degree,
+        |  coalesce(tn.n_triangles, 0) AS n_triangles,
+        |  CASE WHEN coalesce(deg.degree, 0) >= 2
+        |    THEN CAST(coalesce(tn.n_triangles, 0) * 2 AS DOUBLE)
+        |      / CAST(deg.degree * (deg.degree - 1) AS DOUBLE)
+        |    ELSE 0.0::DOUBLE END AS clustering
+        |FROM nation n
+        |LEFT JOIN deg ON n.n_nationkey = deg.node
+        |LEFT JOIN tn ON n.n_nationkey = tn.node
+        |ORDER BY node""".stripMargin
   )
 }

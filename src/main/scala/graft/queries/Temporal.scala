@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryModule, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -366,6 +366,52 @@ object Temporal extends QueryModule {
           col("ts").as("view_ts"), col("purchase_event_id"),
           col("lag_micros"))
         .orderBy(col("view_event_id"))
+    }),
+
+    // 30-day rolling correlation of two daily series (click vs
+    // purchase value sums) — the co-movement diagnostic behind metric
+    // alerting. The global-ordered window is CALENDAR-bounded, not
+    // corpus-bounded: the corpus aggregates to ≤|days| rows per series
+    // BEFORE any window (map-side combined), so the single-partition
+    // sort Spark warns about holds a few thousand rows at any sf.
+    // Cross-engine determinism: windowed double sums are NOT
+    // order-stable (Spark accumulates in frame order, DuckDB merges a
+    // segment tree), so the 4-rounded day sums convert to exact
+    // 1e-4-unit LONGS and all six component sums (n, Σx, Σy, Σx²,
+    // Σy², Σxy) are integer window folds — exact in any order; the
+    // correlation is then fixed-parenthesization double arithmetic
+    // (×, −, ÷ and sqrt are all correctly rounded ⇒ bit-identical;
+    // the unit scale cancels). Degenerate windows (zero variance)
+    // yield NULL via the guarded CASE on both engines.
+    "q167_rolling_corr" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(round(sum(col("value")), 4).as("day_sum"))
+      val x = daily.filter(col("event_type") === "click")
+        .select(col("day"), col("day_sum").as("x_sum"))
+      val y = daily.filter(col("event_type") === "purchase")
+        .select(col("day"), col("day_sum").as("y_sum"))
+      val j = x.join(y, "day")
+        .select(col("day"), col("x_sum"), col("y_sum"),
+          round(col("x_sum") * 10000).cast("long").as("xi"),
+          round(col("y_sum") * 10000).cast("long").as("yi"))
+      val w = Window.orderBy(col("day")).rowsBetween(-29, 0)
+      def d2(c: Column): Column = c.cast("double")
+      val r = j
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("sx", sum(col("xi")).over(w))
+        .withColumn("sy", sum(col("yi")).over(w))
+        .withColumn("sxx", sum(col("xi") * col("xi")).over(w))
+        .withColumn("syy", sum(col("yi") * col("yi")).over(w))
+        .withColumn("sxy", sum(col("xi") * col("yi")).over(w))
+      val denx = d2(col("n")) * d2(col("sxx")) - d2(col("sx")) * d2(col("sx"))
+      val deny = d2(col("n")) * d2(col("syy")) - d2(col("sy")) * d2(col("sy"))
+      val num = d2(col("n")) * d2(col("sxy")) - d2(col("sx")) * d2(col("sy"))
+      r.select(col("day"), col("x_sum"), col("y_sum"), col("n"),
+          when(denx > 0 && deny > 0, num / (sqrt(denx) * sqrt(deny)))
+            .as("rolling_corr"))
+        .orderBy(col("day"))
     })
   )
 
@@ -603,6 +649,42 @@ object Temporal extends QueryModule {
         |WHERE event_type = 'view'
         |  AND CAST(substr(npk, 1, 20) AS BIGINT) - epoch_us(ts)
         |    <= 7::BIGINT * 86400 * 1000000
-        |ORDER BY view_event_id""".stripMargin
+        |ORDER BY view_event_id""".stripMargin,
+
+    // integer-unit component sums (exact in any window-merge order),
+    // then the same fixed-parenthesization double arithmetic as Spark.
+    "q167_rolling_corr" ->
+      """WITH daily AS (SELECT ts::DATE AS day, event_type,
+        |    round(sum(value), 4) AS day_sum
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY 1, 2),
+        |x AS (SELECT day, day_sum AS x_sum FROM daily
+        |  WHERE event_type = 'click'),
+        |y AS (SELECT day, day_sum AS y_sum FROM daily
+        |  WHERE event_type = 'purchase'),
+        |j AS (SELECT x.day, x_sum, y_sum,
+        |    CAST(round(x_sum * 10000) AS BIGINT) AS xi,
+        |    CAST(round(y_sum * 10000) AS BIGINT) AS yi
+        |  FROM x JOIN y USING (day)),
+        |r AS (SELECT day, x_sum, y_sum,
+        |    count(*) OVER w AS n,
+        |    sum(xi) OVER w AS sx, sum(yi) OVER w AS sy,
+        |    sum(xi * xi) OVER w AS sxx, sum(yi * yi) OVER w AS syy,
+        |    sum(xi * yi) OVER w AS sxy
+        |  FROM j WINDOW w AS (ORDER BY day
+        |    ROWS BETWEEN 29 PRECEDING AND CURRENT ROW))
+        |SELECT day, x_sum, y_sum, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+        |      AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+        |    THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |        * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |  END AS rolling_corr
+        |FROM r ORDER BY day""".stripMargin
   )
 }
