@@ -487,6 +487,44 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected exactly one hash exchange, found $hashes:\n$p")
   }
 
+  test("q158 PPJoin: no shingle recompute leaks into a pre-join filter") {
+    // the self-join formulation made Catalyst push an inferred
+    // isnotnull(sz) below the Generate, re-inlining the whole shingle
+    // pipeline into a Filter that re-evaluates split() PER ARRAY
+    // ELEMENT (element_at(split(...), i) inside the shingle lambda) —
+    // 23 s at sf0.1 for millisecond work. The cheap one-split length
+    // filter (size(split(..)) >= 3) is fine; the per-element signature
+    // in any Filter means the pathological pushdown came back.
+    val p = plan("q158_ppjoin")
+    val badFilter = p.linesIterator.exists(l =>
+      l.contains("Filter") && l.contains("element_at(split("))
+    assert(!badFilter,
+      s"a Filter re-inlines the shingle pipeline (per-element split):\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"candidate generation should group, not sort-merge self-join:\n$p")
+  }
+
+  test("q163 returns report bounds the top-20 with a heap, not a global sort") {
+    val p = plan("q163_returns_report")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject for ORDER BY + LIMIT 20:\n$p")
+  }
+
+  test("q165 pushes each disjunct's implicates into BOTH parquet scans") {
+    val p = plan("q165_disjunct_revenue")
+    // lineitem side: quantity ranges survive inside an Or pushed filter;
+    // part side: brand/size conjuncts likewise.
+    assert("PushedFilters: \\[[^\\]]*Or\\(".r.findAllIn(p).length >= 2,
+      s"expected OR-composed pushed filters on both scans:\n$p")
+  }
+
+  test("q161 attribution rides ONE user_id hash exchange") {
+    val p = plan("q161_attribution")
+    val hashes = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashes == 1,
+      s"expected exactly one hash exchange, found $hashes:\n$p")
+  }
+
   test("scalar-heavy projections stay inside whole-stage codegen") {
     import org.apache.spark.sql.execution.debug._
     for (q <- Seq("q50_math", "q51_trig", "q57_conditional", "q59_bitwise")) {
