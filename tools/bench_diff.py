@@ -57,7 +57,7 @@ import re
 import sys
 
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-PINNED_CLEAN = os.path.join(HERE, "tools", "bench_r10_local.json")
+PINNED_CLEAN = os.path.join(HERE, "tools", "bench_r10b_local.json")
 FALLBACK = os.path.join(HERE, "tools", "bench_r06_baseline.json")
 SANITY_FACTOR = 2.0   # refuse baselines slower than this x the pinned run
 AMBIENT_FACTOR = 2.0  # calib slower than this x clean => contaminated run
@@ -137,16 +137,22 @@ def parse_contract(text):
 
 
 def default_baseline(exclude_path=None, root=None, pinned=None, log=print,
-                     match_cpus=None):
+                     match_cpus=None, match_nqueries=None):
     """Newest sane driver bench, else the pinned clean run.
 
     A driver BENCH_r{N}.json qualifies only if (a) it is not the file
     being diffed, (b) its total passes the plausibility gate vs the
-    pinned clean run, and (c) when match_cpus is given, it was measured
+    pinned clean run, (c) when match_cpus is given, it was measured
     at that parallelism — per-query seconds across different local[N]
     settings are not comparable, so adopting a cpus-mismatched baseline
-    would turn every ratio into a false flag. Refusals are printed so
-    baseline drift is visible, never silent.
+    would turn every ratio into a false flag — and (d) when
+    match_nqueries is given, its catalog size is within 10% of the run
+    being diffed: totals across materially different catalogs are not
+    comparable, and a pin refresh that grows the catalog (and so the
+    pinned total) must not let an older, smaller, contaminated driver
+    run slide back under the 2x plausibility gate (the round-10
+    BENCH_r09 re-adoption scenario). Refusals are printed so baseline
+    drift is visible, never silent.
     """
     root = root or HERE
     pinned = pinned or PINNED_CLEAN
@@ -172,6 +178,13 @@ def default_baseline(exclude_path=None, root=None, pinned=None, log=print,
             log(f"baseline candidate {os.path.basename(rounds[n])} skipped: "
                 f"measured at cpus={cand_cpus}, run being diffed is "
                 f"cpus={match_cpus} (not comparable)")
+            continue
+        cand_nq = cand.get("queries_run") or len(cand.get("queries") or {})
+        if (match_nqueries and cand_nq
+                and abs(cand_nq - match_nqueries) > 0.1 * match_nqueries):
+            log(f"baseline candidate {os.path.basename(rounds[n])} skipped: "
+                f"{cand_nq} queries vs {match_nqueries} in the run being "
+                f"diffed (catalog sizes differ >10%; totals not comparable)")
             continue
         if total > SANITY_FACTOR * clean_total:
             log(f"baseline candidate {os.path.basename(rounds[n])} refused: "
@@ -502,7 +515,24 @@ def selftest():
             f"new-query note missing: {joined}"
         assert "q_tiny" not in joined, \
             f"sub-cutoff new query surfaced as noise: {joined}"
-    print("bench_diff selftest: 15/15 ok")
+
+        # 16. catalog-size mismatch: a pin refresh that grows the
+        #     catalog raises the pinned total, which can slide an older,
+        #     smaller, contaminated driver run back under the 2x gate
+        #     (the round-10 BENCH_r09 re-adoption scenario) — when the
+        #     candidate's query count differs >10% from the run being
+        #     diffed, it is skipped regardless of its total.
+        with open(new9, "w") as f:
+            json.dump({"parsed": dict(mk(130.0, {"q1": 1.1}),
+                                      queries_run=133)}, f)
+        os.remove(newest)
+        got = default_baseline(root=d, pinned=pinned, log=quiet,
+                               match_nqueries=187)
+        assert got == pinned, f"catalog-size-mismatched candidate adopted: {got}"
+        got = default_baseline(root=d, pinned=pinned, log=quiet,
+                               match_nqueries=130)
+        assert got == new9, f"size-matched candidate refused: {got}"
+    print("bench_diff selftest: 16/16 ok")
 
 
 def parse_args(argv):
@@ -536,9 +566,11 @@ def main():
         return
     args, thr = parse_args(sys.argv[1:])
     new = load(args[0])
+    new_nq = new.get("queries_run") or len(new.get("queries") or {})
     base_path = (args[1] if len(args) > 1
                  else default_baseline(args[0],
-                                       match_cpus=new.get("cpus", "32")))
+                                       match_cpus=new.get("cpus", "32"),
+                                       match_nqueries=new_nq))
     base = load(base_path)
     print(f"baseline: {base_path}")
     confirmed, unconfirmed = diff(new, base, thr)
