@@ -47,8 +47,68 @@ object CorpusSignals extends QueryModule {
     "q133_vocab_encode" -> ((s, d) => vocabEncode(Tables.documents(s, d))),
 
     "q144_distinctive_terms" -> ((s, d) =>
-      distinctiveTerms(Tables.documents(s, d)))
+      distinctiveTerms(Tables.documents(s, d))),
+
+    "q168_bm25" -> ((s, d) => bm25TopK(Tables.documents(s, d)))
   )
+
+  /** BM25 top-10 retrieval for a fixed 3-term query — the saturation +
+    * length-normalization step past q110's raw tf·idf (Robertson et
+    * al.; the idf is Lucene's ln(1 + (N−df+0.5)/(df+0.5)) form, which
+    * stays positive where the classic form goes negative for terms in
+    * more than half the corpus — this templated corpus puts every
+    * query term in ~80% of docs, so the classic form would rank all
+    * matches NEGATIVE). Scale shape: tf and dl are the same doc-keyed
+    * aggregates every retrieval query shares; df is computed ONLY for
+    * the 3 query terms (filter before the groupBy — the term exchange
+    * carries 3 keys, not the vocabulary); the final ranking is a
+    * TakeOrdered bounded heap. Determinism: idf snaps via the q110
+    * floor(ln·1e6+0.5) recipe; avgdl and the per-term scores are
+    * correctly-rounded double chains with mirrored parenthesization;
+    * the per-doc total sums the 3 per-term columns in FIXED left-assoc
+    * order (a groupBy sum over the terms would re-order the floating
+    * adds per partition).
+    */
+  private[graft] def bm25TopK(docs: DataFrame): DataFrame = {
+    val K1 = 1.2
+    val B = 0.75
+    val qterms = Seq("spark", "merge", "window")
+    val terms = docs.select(col("doc_id"),
+        explode_outer(Text.words(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
+    val dfq = tf.filter(col("term").isin(qterms: _*))
+      .groupBy(col("term"))
+      .agg(count(when(col("tf") >= 1, lit(1))).as("df"))
+    val idf6 = floor(
+      log(lit(1.0) + (col("n").cast("double") - col("df") + 0.5)
+        / (col("df") + 0.5)) * 1e6 + 0.5) / 1e6
+    val avgdl = col("sumdl").cast("double") / col("n").cast("double")
+    // literals spelled as the decimals the oracle SQL parses: K1+1
+    // computed in Scala (1.2 + 1) rounds differently than the parsed
+    // literal 2.2 at the last bit.
+    val score = col("idf") * (col("tf") * lit(2.2)) /
+      (col("tf") + lit(K1) * (lit(0.25)
+        + lit(B) * (col("dl").cast("double") / col("avgdl"))))
+    val scored = tf.filter(col("term").isin(qterms: _*))
+      .join(broadcast(dfq.crossJoin(stats)
+        .select(col("term"), idf6.as("idf"), avgdl.as("avgdl"))), "term")
+      .join(dl, "doc_id")
+      .select(col("doc_id"), col("term"), score.as("score"))
+    val per = qterms.map(t =>
+      coalesce(sum(when(col("term") === t, col("score"))), lit(0.0))
+        .as(s"s_$t"))
+    scored.groupBy(col("doc_id"))
+      .agg(per.head, per.tail: _*)
+      .withColumn("bm25",
+        col(s"s_${qterms(0)}") + col(s"s_${qterms(1)}")
+          + col(s"s_${qterms(2)}"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(10)
+  }
 
   /** Distinctive terms per source (smoothed log-odds) — the corpus-
     * comparison report a curation team reads before mixing sources:
@@ -291,6 +351,39 @@ object CorpusSignals extends QueryModule {
   }
 
   def oracle: Map[String, String] = Map(
+    "q168_bm25" ->
+      """WITH t AS (SELECT doc_id,
+        |    unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS term
+        |  FROM documents),
+        |tt AS (SELECT doc_id, term FROM t WHERE term <> ''),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tt GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tt GROUP BY 1),
+        |st AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM dl),
+        |dfq AS (SELECT term, count(*) AS df FROM tf
+        |  WHERE term IN ('spark', 'merge', 'window') GROUP BY 1),
+        |qi AS (SELECT term,
+        |    floor(ln(1.0::DOUBLE + (CAST(n AS DOUBLE) - df + 0.5)
+        |      / (df + 0.5)) * 1e6 + 0.5) / 1e6 AS idf,
+        |    CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE) AS avgdl
+        |  FROM dfq, st),
+        |sc AS (SELECT tf.doc_id, tf.term,
+        |    qi.idf * (tf.tf * 2.2::DOUBLE) / (tf.tf + 1.2::DOUBLE
+        |      * (0.25::DOUBLE + 0.75::DOUBLE
+        |        * (CAST(dl.dl AS DOUBLE) / qi.avgdl))) AS score
+        |  FROM tf JOIN qi USING (term) JOIN dl USING (doc_id)),
+        |p AS (SELECT doc_id,
+        |    coalesce(sum(CASE WHEN term = 'spark' THEN score END),
+        |      0.0::DOUBLE) AS s_spark,
+        |    coalesce(sum(CASE WHEN term = 'merge' THEN score END),
+        |      0.0::DOUBLE) AS s_merge,
+        |    coalesce(sum(CASE WHEN term = 'window' THEN score END),
+        |      0.0::DOUBLE) AS s_window
+        |  FROM sc GROUP BY doc_id)
+        |SELECT doc_id, s_spark, s_merge, s_window,
+        |  s_spark + s_merge + s_window AS bm25
+        |FROM p ORDER BY bm25 DESC, doc_id
+        |LIMIT 10""".stripMargin,
+
     "q109_repetition" ->
       """WITH w AS (SELECT doc_id,
         |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS wrds

@@ -414,6 +414,59 @@ object Similarity extends QueryModule {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // NDCG@10 ranking-quality evaluation — the graded complement of
+    // q71's recall@k: how close does the IVF-style within-cell ANN
+    // ranking (the q76 index shape, top-10) come to the exact
+    // brute-force cosine ranking (q70, the ideal)? Gain of a retrieved
+    // item = 11 − its EXACT rank (0 if outside the exact top-10);
+    // DCG discounts by log2(position+1), IDCG is the exact list's own
+    // DCG, NDCG = DCG/IDCG ∈ [0, 1]. Determinism: the log2 discount is
+    // transcendental, so it snaps via the q110 floor(·1e6+0.5) recipe;
+    // each DCG term then snaps to exact 1e-9 units and the per-query
+    // sums are LONG folds — order-free — with the final ratios
+    // correctly-rounded divisions of exact longs. Scale shape: both
+    // rankings are bounded per-query top-10 frames off broadcast
+    // query sets; the eval join touches ≤10·|queries| rows.
+    "q169_ndcg" -> ((s, d) => {
+      val K = 10
+      val wx = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      val exact = scored(s, d)
+        .withColumn("rank", row_number().over(wx)).filter(col("rank") <= K)
+        .select(col("query_id"), col("vec_id"),
+          (lit(11) - col("rank")).cast("long").as("rel"), col("rank"))
+      val corpus = withNorm(Tables.embeddings(s, d)
+        .select(col("vec_id"), dvec(col("embedding")).as("emb"), col("label")))
+      val queries = corpus.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
+          col("nrm").as("q_nrm"), col("label").as("q_label"))
+      val run = corpus.join(broadcast(queries),
+          col("label") === col("q_label") && col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"), pairCosine.as("cos_sim"))
+        .withColumn("rank", row_number().over(wx)).filter(col("rank") <= K)
+        .select(col("query_id"), col("vec_id"), col("rank"))
+      def units(rel: Column, rank: Column): Column = {
+        val disc = floor(log2(rank.cast("double") + 1.0) * 1e6 + 0.5) / 1e6
+        floor(rel.cast("double") / disc * 1e9 + 0.5).cast("long")
+      }
+      val dcg = run
+        .join(exact.select(col("query_id"), col("vec_id"), col("rel")),
+          Seq("query_id", "vec_id"), "left")
+        .withColumn("rel", coalesce(col("rel"), lit(0L)))
+        .withColumn("t", units(col("rel"), col("rank")))
+        .groupBy(col("query_id")).agg(sum(col("t")).as("dcg_u"))
+      val idcg = exact
+        .withColumn("t", units(col("rel"), col("rank")))
+        .groupBy(col("query_id")).agg(sum(col("t")).as("idcg_u"))
+      dcg.join(idcg, "query_id")
+        .select(col("query_id"),
+          (col("dcg_u").cast("double") / 1e9).as("dcg"),
+          (col("idcg_u").cast("double") / 1e9).as("idcg"),
+          (col("dcg_u").cast("double") / col("idcg_u").cast("double"))
+            .as("ndcg"))
+        .orderBy(col("query_id"))
+    }),
+
     // IVF-style ANN: the label column is the precomputed coarse cell
     // (as a vector store persists cluster assignments); a query probes
     // only its own cell — at 100 TB the cell id is the partition key,
@@ -837,6 +890,48 @@ object Similarity extends QueryModule {
         |ORDER BY query_id, rank""".stripMargin,
 
     "q76b_ann_ivf_probe" -> IvfProbeSql,
+
+    "q169_ndcg" ->
+      """WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, emb AS q_emb, label AS q_label
+        |  FROM t WHERE vec_id < 5),
+        |ex AS (SELECT query_id, vec_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos_sim DESC, vec_id ASC) AS rank
+        |  FROM (SELECT query_id, t.vec_id,
+        |      list_dot_product(emb, q_emb)
+        |        / (sqrt(list_dot_product(emb, emb))
+        |          * sqrt(list_dot_product(q_emb, q_emb))) AS cos_sim
+        |    FROM t CROSS JOIN q WHERE t.vec_id <> query_id)),
+        |exk AS (SELECT query_id, vec_id, CAST(11 - rank AS BIGINT) AS rel,
+        |    rank
+        |  FROM ex WHERE rank <= 10),
+        |run AS (SELECT query_id, vec_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos_sim DESC, vec_id ASC) AS rank
+        |  FROM (SELECT query_id, t.vec_id,
+        |      list_dot_product(emb, q_emb)
+        |        / (sqrt(list_dot_product(emb, emb))
+        |          * sqrt(list_dot_product(q_emb, q_emb))) AS cos_sim
+        |    FROM t JOIN q ON label = q_label AND vec_id <> query_id)),
+        |runk AS (SELECT query_id, vec_id, rank FROM run WHERE rank <= 10),
+        |dcg AS (SELECT r.query_id,
+        |    sum(CAST(floor(CAST(coalesce(e.rel, 0) AS DOUBLE)
+        |      / (floor(log2(r.rank + 1.0::DOUBLE) * 1e6 + 0.5) / 1e6)
+        |      * 1e9 + 0.5) AS BIGINT)) AS dcg_u
+        |  FROM runk r LEFT JOIN exk e
+        |    ON r.query_id = e.query_id AND r.vec_id = e.vec_id
+        |  GROUP BY 1),
+        |idcg AS (SELECT query_id,
+        |    sum(CAST(floor(CAST(rel AS DOUBLE)
+        |      / (floor(log2(rank + 1.0::DOUBLE) * 1e6 + 0.5) / 1e6)
+        |      * 1e9 + 0.5) AS BIGINT)) AS idcg_u
+        |  FROM exk GROUP BY 1)
+        |SELECT query_id,
+        |  CAST(dcg_u AS DOUBLE) / 1e9 AS dcg,
+        |  CAST(idcg_u AS DOUBLE) / 1e9 AS idcg,
+        |  CAST(dcg_u AS DOUBLE) / CAST(idcg_u AS DOUBLE) AS ndcg
+        |FROM dcg JOIN idcg USING (query_id) ORDER BY query_id""".stripMargin,
 
     // q123 persists the SAME pipeline partitionBy(cell) and probes via
     // a static partition filter — the layout changes where bytes live,

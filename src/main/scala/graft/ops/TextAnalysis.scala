@@ -138,7 +138,54 @@ object TextAnalysis extends QueryModule {
           md5(concat_ws(" ", slice(col("wrds"), 1, 8)).cast("binary"))
             .as("head_fp"),
           size(array_distinct(col("wrds"))).cast("long").as("vocab_size"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // Classifier evaluation — per-class confusion counts and
+    // precision/recall/F1 for the q66 language-ID predictor against
+    // the corpus's true labels: the model-eval readout every
+    // training-data pipeline runs after a labeling pass. One corpus
+    // pass collapses to the ≤|classes|² confusion cells; per-class
+    // tp/fn key on the true label, fp on the predicted label, and the
+    // full-outer join covers classes that appear only as predictions
+    // ('und') or only as truth. All metrics are exact-long divisions
+    // (correctly rounded, no output rounding); degenerate classes
+    // (zero denominators) yield NULL identically via guarded CASEs.
+    "q170_eval_metrics" -> ((s, d) => {
+      val hits = profiles.map { case (l, ws) =>
+        l -> expr(s"CAST(size(filter(wrds, w -> w IN ${inList(ws)})) AS LONG)")
+      }
+      val Seq(en, de, es, fr) = hits.map(_._2)
+      val best = greatest(en, de, es, fr)
+      val pred = Tables.documents(s, d)
+        .withColumn("wrds", Text.words(col("text")))
+        .select(col("lang"),
+          when(best === 0, "und")
+            .when(en === best, "en").when(de === best, "de")
+            .when(es === best, "es").otherwise("fr").as("pred_lang"))
+      val cells = pred.groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+      val byTrue = cells.groupBy(col("lang").as("cls"))
+        .agg(sum(when(col("pred_lang") === col("lang"), col("n"))
+            .otherwise(lit(0L))).as("tp"),
+          sum(when(col("pred_lang") =!= col("lang"), col("n"))
+            .otherwise(lit(0L))).as("fn"))
+      val byPred = cells.groupBy(col("pred_lang").as("cls"))
+        .agg(sum(when(col("pred_lang") =!= col("lang"), col("n"))
+          .otherwise(lit(0L))).as("fp"))
+      byTrue.join(byPred, Seq("cls"), "full_outer")
+        .select(col("cls"),
+          coalesce(col("tp"), lit(0L)).as("tp"),
+          coalesce(col("fp"), lit(0L)).as("fp"),
+          coalesce(col("fn"), lit(0L)).as("fn"))
+        .withColumn("prec", when(col("tp") + col("fp") > 0,
+          col("tp").cast("double") / (col("tp") + col("fp"))))
+        .withColumn("rec", when(col("tp") + col("fn") > 0,
+          col("tp").cast("double") / (col("tp") + col("fn"))))
+        .withColumn("f1", when(col("prec") + col("rec") > 0,
+          lit(2.0) * col("prec") * col("rec")
+            / (col("prec") + col("rec"))))
+        .orderBy(col("cls"))
+    })
   )
 
   private val wordsCte =
@@ -147,6 +194,43 @@ object TextAnalysis extends QueryModule {
       |  FROM documents)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "q170_eval_metrics" -> (wordsCte + s""",
+        |h AS (SELECT doc_id, lang,
+        |  ${profiles.map { case (l, ws) =>
+             s"len(list_filter(wrds, w -> w IN ${inList(ws)})) AS ${l}_hits"
+           }.mkString(",\n|  ")}
+        |  FROM w),
+        |p AS (SELECT lang,
+        |  CASE WHEN greatest(en_hits, de_hits, es_hits, fr_hits) = 0 THEN 'und'
+        |    WHEN en_hits = greatest(en_hits, de_hits, es_hits, fr_hits) THEN 'en'
+        |    WHEN de_hits = greatest(en_hits, de_hits, es_hits, fr_hits) THEN 'de'
+        |    WHEN es_hits = greatest(en_hits, de_hits, es_hits, fr_hits) THEN 'es'
+        |    ELSE 'fr' END AS pred_lang
+        |  FROM h),
+        |cells AS (SELECT lang, pred_lang, count(*) AS n FROM p GROUP BY 1, 2),
+        |bt AS (SELECT lang AS cls,
+        |    sum(CASE WHEN pred_lang = lang THEN n ELSE 0 END) AS tp,
+        |    sum(CASE WHEN pred_lang <> lang THEN n ELSE 0 END) AS fn
+        |  FROM cells GROUP BY 1),
+        |bp AS (SELECT pred_lang AS cls,
+        |    sum(CASE WHEN pred_lang <> lang THEN n ELSE 0 END) AS fp
+        |  FROM cells GROUP BY 1),
+        |j AS (SELECT coalesce(bt.cls, bp.cls) AS cls,
+        |    CAST(coalesce(tp, 0) AS BIGINT) AS tp,
+        |    CAST(coalesce(fp, 0) AS BIGINT) AS fp,
+        |    CAST(coalesce(fn, 0) AS BIGINT) AS fn
+        |  FROM bt FULL OUTER JOIN bp ON bt.cls = bp.cls),
+        |m AS (SELECT cls, tp, fp, fn,
+        |    CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) END
+        |      AS prec,
+        |    CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) END
+        |      AS rec
+        |  FROM j)
+        |SELECT cls, tp, fp, fn, prec, rec,
+        |  CASE WHEN prec + rec > 0
+        |    THEN 2.0::DOUBLE * prec * rec / (prec + rec) END AS f1
+        |FROM m ORDER BY cls""".stripMargin),
+
     "q64_token_stats" -> (wordsCte +
       """
         |SELECT doc_id, lang,
