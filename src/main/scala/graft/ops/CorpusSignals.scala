@@ -49,8 +49,46 @@ object CorpusSignals extends QueryModule {
     "q144_distinctive_terms" -> ((s, d) =>
       distinctiveTerms(Tables.documents(s, d))),
 
-    "q168_bm25" -> ((s, d) => bm25TopK(Tables.documents(s, d)))
+    "q168_bm25" -> ((s, d) => bm25TopK(Tables.documents(s, d))),
+
+    "q173_pmi" -> ((s, d) => pmiPairs(Tables.documents(s, d)))
   )
+
+  /** Pointwise mutual information over the top-20 vocabulary — the
+    * collocation signal behind phrase mining and embedding evaluation:
+    * PMI(a,b) = ln(N·c_ab / (df_a·df_b)) over document-level
+    * co-occurrence. Scale shape: the vocabulary is capped FIRST (a
+    * 20-row TakeOrdered broadcast), so the per-doc pair fan-out is
+    * ≤C(20,2) = 190 — never |vocab|²; the pair join keys on doc_id
+    * (bounded per doc) and the (a,b) counts map-side combine. The
+    * ln snaps via the q110 recipe; everything feeding it is exact
+    * integer arithmetic cast to double with mirrored parenthesization.
+    */
+  private[graft] def pmiPairs(docs: DataFrame): DataFrame = {
+    val V = 20
+    val dt = docs.select(col("doc_id"),
+        explode_outer(array_distinct(Text.words(col("text")))).as("term"))
+      .filter(col("term") =!= "")
+    val dfc = dt.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val top = dfc.orderBy(col("df").desc, col("term")).limit(V)
+    val n = docs.agg(count(lit(1)).as("n"))
+    val f = dt.join(broadcast(top.select(col("term"))), "term")
+    val pairs = f.as("a").join(f.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.term") < col("b.term"))
+      .groupBy(col("a.term").as("term_a"), col("b.term").as("term_b"))
+      .agg(count(lit(1)).as("c_ab"))
+    val pmi6 = floor(log(col("c_ab").cast("double") * col("n")
+      / (col("df_a").cast("double") * col("df_b"))) * 1e6 + 0.5) / 1e6
+    pairs
+      .join(broadcast(top.select(col("term").as("term_a"),
+        col("df").as("df_a"))), "term_a")
+      .join(broadcast(top.select(col("term").as("term_b"),
+        col("df").as("df_b"))), "term_b")
+      .crossJoin(broadcast(n))
+      .select(col("term_a"), col("term_b"), col("c_ab"), col("df_a"),
+        col("df_b"), pmi6.as("pmi"))
+      .orderBy(col("term_a"), col("term_b"))
+  }
 
   /** BM25 top-10 retrieval for a fixed 3-term query — the saturation +
     * length-normalization step past q110's raw tf·idf (Robertson et
@@ -351,6 +389,29 @@ object CorpusSignals extends QueryModule {
   }
 
   def oracle: Map[String, String] = Map(
+    "q173_pmi" ->
+      """WITH w AS (SELECT doc_id, list_distinct(string_split(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))
+        |      AS ws
+        |  FROM documents),
+        |dt AS (SELECT doc_id, unnest(ws) AS term FROM w),
+        |dtt AS (SELECT doc_id, term FROM dt WHERE term <> ''),
+        |dfc AS (SELECT term, count(*) AS df FROM dtt GROUP BY 1),
+        |top AS (SELECT term, df FROM dfc ORDER BY df DESC, term LIMIT 20),
+        |f AS (SELECT dtt.doc_id, dtt.term FROM dtt
+        |  JOIN top ON dtt.term = top.term),
+        |nn AS (SELECT count(*) AS n FROM documents),
+        |pr AS (SELECT a.term AS term_a, b.term AS term_b,
+        |    count(*) AS c_ab
+        |  FROM f a JOIN f b ON a.doc_id = b.doc_id AND a.term < b.term
+        |  GROUP BY 1, 2)
+        |SELECT term_a, term_b, c_ab, ta.df AS df_a, tb.df AS df_b,
+        |  floor(ln(CAST(c_ab AS DOUBLE) * n
+        |    / (CAST(ta.df AS DOUBLE) * tb.df)) * 1e6 + 0.5) / 1e6 AS pmi
+        |FROM pr JOIN top ta ON ta.term = pr.term_a
+        |JOIN top tb ON tb.term = pr.term_b, nn
+        |ORDER BY term_a, term_b""".stripMargin,
+
     "q168_bm25" ->
       """WITH t AS (SELECT doc_id,
         |    unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS term

@@ -196,7 +196,45 @@ object Curation extends QueryModule {
 
     "q103_redact" -> ((s, d) => redact(Tables.documents(s, d))),
 
-    "q137_group_sample" -> ((s, d) => groupSample(Tables.documents(s, d)))
+    "q137_group_sample" -> ((s, d) => groupSample(Tables.documents(s, d))),
+
+    // Contrastive negative-pair sampling with a leakage check — the
+    // pair-generation step of contrastive/embedding training: each doc
+    // draws 3 pseudo-random partner docs via an explicit affine hash
+    // of (doc_id, j) (the q100 principle: NEVER rand() or an engine
+    // hash — the sample must be reproducible across engines, runs, and
+    // partitionings), then each sampled pair is verified against
+    // word-set Jaccard so near-dup "negatives" (label noise that
+    // poisons a contrastive objective) are flagged, not silently
+    // emitted. Scale shape: the fan-out is exactly 3·N rows; partner
+    // texts arrive by equi-join on the computed partner id (shuffle on
+    // the id, never pairwise); the Jaccard check touches only the 3·N
+    // sampled pairs — the whole point vs running full dedup first.
+    "q172_negative_pairs" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), array_distinct(Text.words(col("text")))
+          .as("ws"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val pairs = docs.select(col("doc_id"), col("ws"))
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("ws").as("ws_a"), col("n"),
+          explode(array(lit(1L), lit(2L), lit(3L))).as("j"))
+        .withColumn("neg_raw",
+          pmod(col("doc_id") * 1103515245L + col("j") * 7919L + 12345L,
+            col("n")))
+        // self-pair dodge: shift by one, modulo the corpus size.
+        .withColumn("neg_id",
+          when(col("neg_raw") === col("doc_id"),
+            pmod(col("neg_raw") + 1, col("n"))).otherwise(col("neg_raw")))
+      val b = docs.select(col("doc_id").as("neg_id"), col("ws").as("ws_b"))
+      val inter = size(array_intersect(col("ws_a"), col("ws_b")))
+      val uni = size(col("ws_a")) + size(col("ws_b")) - inter
+      pairs.join(b, "neg_id")
+        .select(col("doc_id"), col("j"), col("neg_id"),
+          (inter.cast("double") / uni).as("jaccard"),
+          (inter * 2 >= uni).as("leaky"))
+        .orderBy(col("doc_id"), col("j"))
+    })
   )
 
   /** Exact-n per-group sampling — the eval-set constructor q105's
@@ -391,6 +429,32 @@ object Curation extends QueryModule {
         |  substring(regexp_replace(regexp_replace(pii,
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '555-[0-9]{4}', '<PHONE>', 'g'), 1, 44) AS redacted_head
-        |FROM p ORDER BY doc_id""".stripMargin
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    "q172_negative_pairs" ->
+      """WITH w AS (SELECT doc_id, list_distinct(string_split(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))
+        |      AS ws
+        |  FROM documents),
+        |nn AS (SELECT count(*) AS n FROM w),
+        |p AS (SELECT doc_id, ws AS ws_a, n, unnest([1, 2, 3]) AS j
+        |  FROM w, nn),
+        |r AS (SELECT doc_id, ws_a, n, CAST(j AS BIGINT) AS j,
+        |    ((doc_id * 1103515245 + j * 7919 + 12345) % n + n) % n
+        |      AS neg_raw
+        |  FROM p),
+        |x AS (SELECT doc_id, ws_a, j,
+        |    CASE WHEN neg_raw = doc_id THEN ((neg_raw + 1) % n + n) % n
+        |      ELSE neg_raw END AS neg_id
+        |  FROM r)
+        |SELECT x.doc_id, x.j, x.neg_id,
+        |  CAST(len(list_intersect(x.ws_a, b.ws)) AS DOUBLE)
+        |    / (len(x.ws_a) + len(b.ws) - len(list_intersect(x.ws_a, b.ws)))
+        |    AS jaccard,
+        |  len(list_intersect(x.ws_a, b.ws)) * 2
+        |    >= len(x.ws_a) + len(b.ws) - len(list_intersect(x.ws_a, b.ws))
+        |    AS leaky
+        |FROM x JOIN w b ON x.neg_id = b.doc_id
+        |ORDER BY x.doc_id, x.j""".stripMargin
   )
 }

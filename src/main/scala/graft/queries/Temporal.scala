@@ -412,6 +412,36 @@ object Temporal extends QueryModule {
           when(denx > 0 && deny > 0, num / (sqrt(denx) * sqrt(deny)))
             .as("rolling_corr"))
         .orderBy(col("day"))
+    }),
+
+    // Discrete-time churn hazard life table — the survival-analysis
+    // readout behind retention forecasting: for each tenure week w,
+    // how many users were still at risk, how many churned (last
+    // activity fell in w), and the hazard h(w) = churned/at-risk. One
+    // corpus pass collapses to per-user (first, last) activity spans
+    // (map-side combined min/max); the life table itself is a
+    // ≤|weeks| frame, where at-risk(w) = Σ_{v≥w} churned(v) is a
+    // DESCENDING cumulative LONG window sum — integer, so order-free —
+    // over the calendar-bounded frame (the q167 note: global window,
+    // never corpus-sized). Hazard is one exact-long division.
+    "q171_churn_hazard" -> ((s, d) => {
+      val spans = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("first_day"),
+          max(to_date(col("ts"))).as("last_day"))
+        .select(col("user_id"),
+          expr("CAST(datediff(last_day, first_day) DIV 7 AS BIGINT)")
+            .as("last_week"))
+      val byWeek = spans.groupBy(col("last_week"))
+        .agg(count(lit(1)).as("n_churned"))
+      val w = Window.orderBy(col("last_week").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      byWeek
+        .withColumn("n_at_risk", sum(col("n_churned")).over(w))
+        .select(col("last_week"), col("n_churned"), col("n_at_risk"),
+          (col("n_churned").cast("double") / col("n_at_risk"))
+            .as("hazard"))
+        .orderBy(col("last_week"))
     })
   )
 
@@ -685,6 +715,23 @@ object Temporal extends QueryModule {
         |        * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
         |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
         |  END AS rolling_corr
-        |FROM r ORDER BY day""".stripMargin
+        |FROM r ORDER BY day""".stripMargin,
+
+    "q171_churn_hazard" ->
+      """WITH s AS (SELECT user_id,
+        |    date_diff('day', min(ts::DATE), max(ts::DATE)) // 7
+        |      AS last_week
+        |  FROM events GROUP BY user_id),
+        |bw AS (SELECT last_week, count(*) AS n_churned
+        |  FROM s GROUP BY last_week),
+        |r AS (SELECT last_week, n_churned,
+        |    sum(n_churned) OVER (ORDER BY last_week DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS n_at_risk
+        |  FROM bw)
+        |SELECT CAST(last_week AS BIGINT) AS last_week, n_churned,
+        |  CAST(n_at_risk AS BIGINT) AS n_at_risk,
+        |  CAST(n_churned AS DOUBLE) / n_at_risk AS hazard
+        |FROM r ORDER BY last_week""".stripMargin
   )
 }
