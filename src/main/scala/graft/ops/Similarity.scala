@@ -467,6 +467,43 @@ object Similarity extends QueryModule {
         .orderBy(col("query_id"))
     }),
 
+    // kNN classification readout — predict each query vector's label
+    // by majority vote of its 5 exact nearest neighbors (self
+    // excluded), then score against the true label: the standard
+    // embedding-quality probe (a good embedding space makes kNN a
+    // strong classifier). Majority with a TOTAL tie-break — max count,
+    // then smallest label — via one struct max_by, no window. All
+    // counts and comparisons are exact; cosine is the repo's bit-exact
+    // recipe, so neighbor sets are identical cross-engine. Scale
+    // shape: per-query top-5 is a bounded window off the broadcast
+    // query set; the vote is a ≤5-row aggregate per query.
+    "q174_knn_classify" -> ((s, d) => {
+      val wx = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      val labels = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"))
+      val truth = labels.select(col("vec_id").as("query_id"),
+        col("label").as("true_label"))
+      val nn5 = scored(s, d)
+        .withColumn("rank", row_number().over(wx))
+        .filter(col("rank") <= 5)
+        .join(labels, "vec_id")
+      val votes = nn5.groupBy(col("query_id"), col("label"))
+        .agg(count(lit(1)).as("n_votes"))
+      // vote key packs (votes, -label) into one long — votes ≤ 5 and
+      // label ≤ 9, so votes·100 − label is a total order DuckDB's
+      // two-arg arg_max can mirror (it has no struct-key overload).
+      votes.groupBy(col("query_id"))
+        .agg(max_by(col("label"),
+            col("n_votes") * 100 - col("label")).as("pred_label"),
+          max(col("n_votes")).as("top_votes"))
+        .join(broadcast(truth), "query_id")
+        .select(col("query_id"), col("pred_label"), col("top_votes"),
+          col("true_label"),
+          (col("pred_label") === col("true_label")).as("is_correct"))
+        .orderBy(col("query_id"))
+    }),
+
     // IVF-style ANN: the label column is the precomputed coarse cell
     // (as a vector store persists cluster assignments); a query probes
     // only its own cell — at 100 TB the cell id is the partition key,
@@ -890,6 +927,32 @@ object Similarity extends QueryModule {
         |ORDER BY query_id, rank""".stripMargin,
 
     "q76b_ann_ivf_probe" -> IvfProbeSql,
+
+    "q174_knn_classify" ->
+      """WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, emb AS q_emb FROM t WHERE vec_id < 5),
+        |sc AS (SELECT query_id, t.vec_id,
+        |    list_dot_product(emb, q_emb)
+        |      / (sqrt(list_dot_product(emb, emb))
+        |        * sqrt(list_dot_product(q_emb, q_emb))) AS cos_sim
+        |  FROM t CROSS JOIN q WHERE t.vec_id <> query_id),
+        |r AS (SELECT query_id, vec_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos_sim DESC, vec_id ASC) AS rank
+        |  FROM sc),
+        |n5 AS (SELECT r.query_id, t.label FROM r
+        |  JOIN t ON r.vec_id = t.vec_id WHERE r.rank <= 5),
+        |v AS (SELECT query_id, label, count(*) AS n_votes
+        |  FROM n5 GROUP BY 1, 2),
+        |p AS (SELECT query_id,
+        |    arg_max(label, n_votes * 100 - label) AS pred_label,
+        |    CAST(max(n_votes) AS BIGINT) AS top_votes
+        |  FROM v GROUP BY 1)
+        |SELECT p.query_id, p.pred_label, p.top_votes,
+        |  t.label AS true_label,
+        |  p.pred_label = t.label AS is_correct
+        |FROM p JOIN t ON p.query_id = t.vec_id
+        |ORDER BY p.query_id""".stripMargin,
 
     "q169_ndcg" ->
       """WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),

@@ -123,6 +123,61 @@ object Graph extends QueryModule {
               (col("degree") * (col("degree") - 1)).cast("double"))
             .otherwise(lit(0.0)).as("clustering"))
         .orderBy(col("node"))
+    }),
+
+    // Adamic-Adar link prediction over the q166 thresholded trade
+    // graph: for node pairs NOT currently connected, AA(a,b) =
+    // Σ_{z ∈ Γ(a)∩Γ(b)} 1/ln(deg z) — rare shared neighbors count
+    // more. Same aggregate-first shape (corpus → bounded edge list
+    // once); common neighbors come from one 2-path self-join on the
+    // symmetrized edges, existing edges drop via a left-anti join.
+    // Determinism: ln(deg) snaps via the q110 recipe, each 1/ln term
+    // snaps to exact 1e-9-unit LONGS (the q169 recipe — a double sum
+    // over common neighbors would be order-sensitive), the final
+    // score is one exact-long division. deg-1 neighbors are excluded
+    // (ln 1 = 0 — the standard AA domain restriction).
+    "q175_link_prediction" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val ord = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"))
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey").as("src"))
+      val sup = Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_nationkey").as("dst"))
+      val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("cnt"))
+      val bound = pairs.agg(
+        round(percentile(col("cnt"), lit(0.75)), 6).as("thr"))
+      val e = pairs.crossJoin(broadcast(bound))
+        .filter(col("cnt") >= col("thr"))
+        .select(col("u"), col("v"))
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val deg = sym.groupBy(col("u").as("node"))
+        .agg(count(lit(1)).as("deg"))
+      val common = sym.as("az").join(sym.as("bz"),
+          col("az.v") === col("bz.v") && col("az.u") < col("bz.u"))
+        .select(col("az.u").as("a"), col("bz.u").as("b"),
+          col("az.v").as("z"))
+      val ln6 = floor(log(col("deg").cast("double")) * 1e6 + 0.5) / 1e6
+      val unit = floor(lit(1e9) / col("ln6") + 0.5).cast("long")
+      val scoredPairs = common
+        .join(deg.select(col("node").as("z"), col("deg")), "z")
+        .filter(col("deg") >= 2)
+        .withColumn("ln6", ln6)
+        .withColumn("t", unit)
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("n_common"), sum(col("t")).as("aa_u"))
+      scoredPairs.join(e,
+          col("a") === col("u") && col("b") === col("v"), "left_anti")
+        .select(col("a"), col("b"), col("n_common"),
+          (col("aa_u").cast("double") / 1e9).as("aa_score"))
+        .orderBy(col("a"), col("b"))
     })
   )
 
@@ -190,6 +245,31 @@ object Graph extends QueryModule {
         |FROM nation n
         |LEFT JOIN deg ON n.n_nationkey = deg.node
         |LEFT JOIN tn ON n.n_nationkey = tn.node
-        |ORDER BY node""".stripMargin
+        |ORDER BY node""".stripMargin,
+
+    "q175_link_prediction" ->
+      """WITH p AS (SELECT least(c.c_nationkey, s.s_nationkey) AS u,
+        |    greatest(c.c_nationkey, s.s_nationkey) AS v, count(*) AS cnt
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  WHERE c.c_nationkey <> s.s_nationkey
+        |  GROUP BY 1, 2),
+        |b AS (SELECT round(quantile_cont(cnt, 0.75), 6) AS thr FROM p),
+        |e AS (SELECT u, v FROM p, b WHERE cnt >= thr),
+        |sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+        |deg AS (SELECT u AS node, count(*) AS deg FROM sym GROUP BY 1),
+        |cm AS (SELECT az.u AS a, bz.u AS b, az.v AS z
+        |  FROM sym az JOIN sym bz ON az.v = bz.v AND az.u < bz.u),
+        |sc AS (SELECT cm.a, cm.b, count(*) AS n_common,
+        |    sum(CAST(floor(1e9 / (floor(ln(CAST(deg.deg AS DOUBLE))
+        |      * 1e6 + 0.5) / 1e6) + 0.5) AS BIGINT)) AS aa_u
+        |  FROM cm JOIN deg ON cm.z = deg.node
+        |  WHERE deg.deg >= 2
+        |  GROUP BY 1, 2)
+        |SELECT sc.a, sc.b, sc.n_common,
+        |  CAST(sc.aa_u AS DOUBLE) / 1e9 AS aa_score
+        |FROM sc ANTI JOIN e ON sc.a = e.u AND sc.b = e.v
+        |ORDER BY sc.a, sc.b""".stripMargin
   )
 }
