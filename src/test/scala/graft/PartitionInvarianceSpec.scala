@@ -43,7 +43,12 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q137_group_sample",   // md5-ordered row_number with unique tie-break
     "q138_table_checksum", // XOR fold is commutative/associative —
                            // invariance IS the operator's contract
-    "q142_shard_manifest") // md5 routing + XOR manifest, disk round-trip
+    "q142_shard_manifest", // md5 routing + XOR manifest, disk round-trip
+    "q158_ppjoin",         // prefix pigeonhole candidates are join
+                           // semantics; verify is exact integer Jaccard
+    "q169_ndcg",           // 1e-9-unit LONG DCG folds are order-free
+    "q172_negative_pairs") // affine-hash partner draw — reproducibility
+                           // across partitionings IS the contract
 
   test("exact operators are invariant to input split boundaries") {
     val splitty = spark.newSession()
