@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{QueryModule, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -185,6 +185,51 @@ object TextAnalysis extends QueryModule {
           lit(2.0) * col("prec") * col("rec")
             / (col("prec") + col("rec"))))
         .orderBy(col("cls"))
+    }),
+
+    // Dataset datasheet ("datasheets for datasets", Gebru et al.) — the
+    // one-page corpus card a data release ships with, as a long
+    // (metric, value) frame: size, mean length, quality-pass share,
+    // exact-duplicate share, language entropy. Every input is a 1-row
+    // aggregate broadcast into a single explode — the corpus is
+    // scanned a bounded number of times and nothing corpus-sized
+    // shuffles. Shares are exact-long divisions; the entropy's
+    // −Σ p·ln p runs in 1e-9-unit LONGS over the ≤|langs| frame with
+    // the ln snapped (the q169/q175 order-free-sum recipe).
+    "q176_datasheet" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val base = docs.withColumn("wrds", Text.words(col("text")))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(col("wrds")).cast("long")).as("total_words"),
+          sum(when(size(col("wrds")) >= 10 && size(col("wrds")) <= 2000
+              && size(array_distinct(col("wrds"))).cast("long") * 5
+                >= size(col("wrds")), lit(1L)).otherwise(lit(0L)))
+            .as("n_quality"))
+      val dup = docs.agg(count_distinct(
+        sha2(Text.norm(col("text")).cast("binary"), 256)).as("n_unique"))
+      val ln6p = floor(log(col("p")) * 1e6 + 0.5) / 1e6
+      val ent = docs.groupBy(col("lang")).agg(count(lit(1)).as("nl"))
+        .crossJoin(broadcast(docs.agg(count(lit(1)).as("n"))))
+        .select((col("nl").cast("double") / col("n")).as("p"))
+        .select(floor((col("p") * ln6p) * lit(-1e9) + 0.5).cast("long")
+          .as("u"))
+        .agg(sum(col("u")).as("ent_u"))
+      def m(name: String, v: Column) =
+        struct(lit(name).as("metric"), v.as("value"))
+      base.crossJoin(broadcast(dup)).crossJoin(broadcast(ent))
+        .select(explode(array(
+          m("avg_words", col("total_words").cast("double")
+            / col("n_docs").cast("double")),
+          m("exact_dup_share", lit(1.0)
+            - col("n_unique").cast("double") / col("n_docs").cast("double")),
+          m("lang_entropy_nats", col("ent_u").cast("double") / 1e9),
+          m("n_docs", col("n_docs").cast("double")),
+          m("quality_share", col("n_quality").cast("double")
+            / col("n_docs").cast("double")),
+          m("total_words", col("total_words").cast("double"))))
+          .as("r"))
+        .select(col("r.metric"), col("r.value"))
+        .orderBy(col("metric"))
     })
   )
 
@@ -194,6 +239,41 @@ object TextAnalysis extends QueryModule {
       |  FROM documents)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "q176_datasheet" -> (wordsCte + """,
+        |base AS (SELECT count(*) AS n_docs,
+        |    CAST(sum(len(wrds)) AS BIGINT) AS total_words,
+        |    CAST(sum(CASE WHEN len(wrds) >= 10 AND len(wrds) <= 2000
+        |      AND len(list_distinct(wrds)) * 5 >= len(wrds)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_quality
+        |  FROM w),
+        |dup AS (SELECT count(DISTINCT sha256(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g')))))
+        |      AS n_unique
+        |  FROM documents),
+        |nn AS (SELECT count(*) AS n FROM documents),
+        |lp AS (SELECT CAST(count(*) AS DOUBLE) / n AS p
+        |  FROM documents, nn GROUP BY lang, n),
+        |ent AS (SELECT sum(CAST(floor(
+        |    (p * (floor(ln(p) * 1e6 + 0.5) / 1e6)) * (-1e9) + 0.5)
+        |    AS BIGINT)) AS ent_u
+        |  FROM lp)
+        |SELECT metric, value FROM (
+        |  SELECT 'avg_words' AS metric,
+        |    CAST(total_words AS DOUBLE) / CAST(n_docs AS DOUBLE) AS value
+        |  FROM base
+        |  UNION ALL SELECT 'exact_dup_share',
+        |    1.0::DOUBLE - CAST(n_unique AS DOUBLE)
+        |      / CAST(n_docs AS DOUBLE)
+        |  FROM base, dup
+        |  UNION ALL SELECT 'lang_entropy_nats',
+        |    CAST(ent_u AS DOUBLE) / 1e9 FROM ent
+        |  UNION ALL SELECT 'n_docs', CAST(n_docs AS DOUBLE) FROM base
+        |  UNION ALL SELECT 'quality_share',
+        |    CAST(n_quality AS DOUBLE) / CAST(n_docs AS DOUBLE) FROM base
+        |  UNION ALL SELECT 'total_words', CAST(total_words AS DOUBLE)
+        |  FROM base)
+        |ORDER BY metric""".stripMargin),
+
     "q170_eval_metrics" -> (wordsCte + s""",
         |h AS (SELECT doc_id, lang,
         |  ${profiles.map { case (l, ws) =>

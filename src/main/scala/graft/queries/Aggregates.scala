@@ -583,6 +583,36 @@ object Aggregates extends QueryModule {
           (col("icept") + col("slope") * (col("max_x") + 1))
             .as("forecast_next"))
         .orderBy(col("event_type"))
+    }),
+
+    // Weighted median — the quantity-weighted median unit price per
+    // brand: the weighted-quantile primitive plain percentile() can't
+    // express (each row counts wt times). NOT a per-group sort to the
+    // driver: one brand-partitioned window sorted on (price, orderkey,
+    // linenumber — a total order, so duplicate prices are
+    // deterministic) carries a cumulative LONG weight (quantities are
+    // integral — exact in any merge order), and the median is the
+    // first row where 2·cum ≥ total, selected by a plain min
+    // aggregate. Integer cross-multiplication, no division anywhere
+    // until nothing is left to diverge.
+    "q177_weighted_median" -> ((s, d) => {
+      val j = Tables.lineitem(s, d)
+        .join(Tables.part(s, d).select(col("p_partkey"), col("p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand"), col("l_extendedprice").as("price"),
+          col("l_quantity").cast("long").as("wt"),
+          col("l_orderkey"), col("l_linenumber"))
+      val w = Window.partitionBy(col("p_brand"))
+        .orderBy(col("price"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val tot = Window.partitionBy(col("p_brand"))
+      j.withColumn("cum", sum(col("wt")).over(w))
+        .withColumn("w_total", sum(col("wt")).over(tot))
+        .filter(col("cum") * 2 >= col("w_total"))
+        .groupBy(col("p_brand"))
+        .agg(min(col("price")).as("weighted_median_price"),
+          max(col("w_total")).as("total_weight"))
+        .orderBy(col("p_brand"))
     })
   )
 
@@ -851,6 +881,21 @@ object Aggregates extends QueryModule {
         |  FROM k)
         |SELECT event_type, n_days, slope, icept,
         |  icept + slope * (max_x + 1) AS forecast_next
-        |FROM f ORDER BY event_type""".stripMargin
+        |FROM f ORDER BY event_type""".stripMargin,
+
+    "q177_weighted_median" ->
+      """WITH j AS (SELECT p_brand, l_extendedprice AS price,
+        |    CAST(l_quantity AS BIGINT) AS wt, l_orderkey, l_linenumber
+        |  FROM lineitem, part WHERE l_partkey = p_partkey),
+        |c AS (SELECT *,
+        |    sum(wt) OVER (PARTITION BY p_brand
+        |      ORDER BY price, l_orderkey, l_linenumber
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(wt) OVER (PARTITION BY p_brand) AS w_total
+        |  FROM j)
+        |SELECT p_brand, min(price) AS weighted_median_price,
+        |  CAST(max(w_total) AS BIGINT) AS total_weight
+        |FROM c WHERE cum * 2 >= w_total
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin
   )
 }

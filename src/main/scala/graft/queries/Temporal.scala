@@ -442,6 +442,38 @@ object Temporal extends QueryModule {
           (col("n_churned").cast("double") / col("n_at_risk"))
             .as("hazard"))
         .orderBy(col("last_week"))
+    }),
+
+    // Seasonal anomaly detection — events scored against their own
+    // (day-of-week, hour) baseline: the traffic-shape z-score that
+    // catches "this Tuesday 3 am looks like a Monday noon". Baseline =
+    // per-bucket mean/std from the q162 component-sum recipe (n exact,
+    // Σv and Σv² snapped — NOT stddev_samp(), whose internal fold is
+    // order-sensitive), broadcast back (≤168 rows), flag = pure
+    // per-row |v − mean| > 3σ arithmetic. One corpus aggregation, one
+    // broadcast join, zero corpus re-shuffles. Spark dayofweek is
+    // 1=Sunday vs DuckDB 0=Sunday — the oracle adds 1 (q40 pin).
+    "q178_seasonal_anomaly" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("value"),
+          dayofweek(col("ts")).as("dow"), hour(col("ts")).as("hr"))
+      val base = ev.groupBy(col("dow"), col("hr"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 4).as("sv"),
+          round(sum(col("value") * col("value")), 4).as("svv"))
+        .filter(col("n") >= 2)
+      val mean = col("sv") / col("n")
+      val sd = sqrt((col("n") * col("svv") - col("sv") * col("sv"))
+        / (col("n") * (col("n") - 1)))
+      ev.join(broadcast(base), Seq("dow", "hr"))
+        .withColumn("mean", mean)
+        .withColumn("sd", sd)
+        .filter(col("sd") > 0
+          && abs(col("value") - col("mean")) > lit(3.0) * col("sd"))
+        .select(col("event_id"), col("dow"), col("hr"), col("value"),
+          col("mean"), col("sd"),
+          ((col("value") - col("mean")) / col("sd")).as("z"))
+        .orderBy(col("event_id"))
     })
   )
 
@@ -732,6 +764,23 @@ object Temporal extends QueryModule {
         |SELECT CAST(last_week AS BIGINT) AS last_week, n_churned,
         |  CAST(n_at_risk AS BIGINT) AS n_at_risk,
         |  CAST(n_churned AS DOUBLE) / n_at_risk AS hazard
-        |FROM r ORDER BY last_week""".stripMargin
+        |FROM r ORDER BY last_week""".stripMargin,
+
+    "q178_seasonal_anomaly" ->
+      """WITH ev AS (SELECT event_id, value,
+        |    dayofweek(ts) + 1 AS dow, hour(ts) AS hr
+        |  FROM events),
+        |b AS (SELECT dow, hr, count(*) AS n,
+        |    round(sum(value), 4) AS sv,
+        |    round(sum(value * value), 4) AS svv
+        |  FROM ev GROUP BY 1, 2 HAVING count(*) >= 2),
+        |m AS (SELECT ev.event_id, ev.dow, ev.hr, ev.value,
+        |    b.sv / b.n AS mean,
+        |    sqrt((b.n * b.svv - b.sv * b.sv) / (b.n * (b.n - 1))) AS sd
+        |  FROM ev JOIN b ON ev.dow = b.dow AND ev.hr = b.hr)
+        |SELECT event_id, CAST(dow AS INT) AS dow, CAST(hr AS INT) AS hr,
+        |  value, mean, sd, (value - mean) / sd AS z
+        |FROM m WHERE sd > 0 AND abs(value - mean) > 3.0::DOUBLE * sd
+        |ORDER BY event_id""".stripMargin
   )
 }
