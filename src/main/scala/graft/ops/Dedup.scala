@@ -348,6 +348,72 @@ object Dedup extends QueryModule {
         .distinct()
       verifyPairs(cand, sh, 80)
         .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // Incremental (delta-vs-base) dedup — the ingestion-time shape:
+    // a new batch (the last 20% of doc_ids, an integer-cross-
+    // multiplication cutoff) is deduped AGAINST the existing corpus,
+    // never against itself. Per delta doc the disposition is
+    // exact_dup (sha256 semi-join against the base hash set),
+    // near_dup (best base-side Jaccard ≥ 0.8), or new. The near
+    // stage is the q158 prefix filter run ASYMMETRICALLY — delta
+    // prefixes join base prefixes only, so candidate work scales with
+    // |delta|, not |corpus|² (the whole point of incremental dedup);
+    // pigeonhole recall is unchanged, so the oracle's independent
+    // quadratic delta×base pair set proves the asymmetric variant
+    // loses nothing. best_jaccard is a max over exact integer-ratio
+    // scores — order-free.
+    "q181_delta_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val nn = docs.agg(count(lit(1)).as("n"))
+      val flagged = docs.crossJoin(broadcast(nn))
+        .withColumn("is_base", col("doc_id") * 10 < col("n") * 8)
+      val hash = flagged.select(col("doc_id"), col("is_base"),
+        sha2(Text.norm(col("text")).cast("binary"), 256).as("h"))
+      val exactDup = hash.filter(!col("is_base"))
+        .join(hash.filter(col("is_base")).select(col("h")).distinct(),
+          Seq("h"), "left_semi")
+        .select(col("doc_id"), lit(true).as("is_exact"))
+      val sh = shingled(s, d).select(col("doc_id"), col("sh"))
+        .join(flagged.select(col("doc_id"), col("is_base")), "doc_id")
+      val pref = sh.select(col("doc_id"), col("is_base"),
+        size(col("sh")).as("sz"),
+        explode(expr(
+          "slice(sh, 1, size(sh) - ((size(sh) * 8 + 9) DIV 10) + 1)"))
+          .as("h"))
+      // posting-list pair generation, NOT a delta-pref ⋈ base-pref
+      // self-join: the join form re-triggers the q158 inferred-
+      // isnotnull(sz) pushdown that inlines the shingle pipeline into
+      // a pre-join Filter (measured 11 s at sf0.1 for this query;
+      // 1.6 s in this form). One groupBy on the shingle, delta×base
+      // expansion bounded by the posting-list length.
+      val cand = pref.groupBy(col("h"))
+        .agg(collect_list(struct(col("doc_id"), col("sz"), col("is_base")))
+          .as("ds"))
+        .filter(size(col("ds")) >= 2)
+        .select(explode(col("ds")).as("a"), col("ds"))
+        .filter(!col("a.is_base"))
+        .select(col("a.doc_id").as("doc_a"), col("a.sz").as("sz_a"),
+          explode(col("ds")).as("b"))
+        .filter(col("b.is_base")
+          && col("sz_a") * 10 >= col("b.sz") * 8
+          && col("b.sz") * 10 >= col("sz_a") * 8)
+        .select(col("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val near = verifyPairs(cand, sh.select(col("doc_id"), col("sh")), 80)
+        .groupBy(col("doc_a"))
+        .agg(max(col("jaccard")).as("best_jaccard"))
+        .select(col("doc_a").as("doc_id"), col("best_jaccard"))
+      flagged.filter(!col("is_base"))
+        .select(col("doc_id"))
+        .join(exactDup, Seq("doc_id"), "left")
+        .join(near, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("is_exact"), "exact_dup")
+            .when(col("best_jaccard").isNotNull, "near_dup")
+            .otherwise("new").as("disposition"),
+          col("best_jaccard"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -536,6 +602,41 @@ object Dedup extends QueryModule {
         |FROM s a JOIN s b ON a.doc_id < b.doc_id
         |WHERE len(list_intersect(a.sh, b.sh)) * 100
         |  >= (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 80
-        |ORDER BY doc_a, doc_b""".stripMargin)
+        |ORDER BY doc_a, doc_b""".stripMargin),
+
+    // independent quadratic delta×base truth for the near stage; the
+    // same * 1.0 / spelling q61/q158 pinned bit-exact.
+    "q181_delta_dedup" -> (shingleCte + """,
+        |nn AS (SELECT count(*) AS n FROM documents),
+        |fl AS (SELECT doc_id, (doc_id * 10 < n * 8) AS is_base
+        |  FROM documents, nn),
+        |h AS (SELECT d.doc_id, f.is_base,
+        |    sha256(lower(trim(regexp_replace(d.text, '\s+', ' ', 'g'))))
+        |      AS h
+        |  FROM documents d JOIN fl f ON d.doc_id = f.doc_id),
+        |ex AS (SELECT DISTINCT d.doc_id FROM h d
+        |  JOIN h b ON d.h = b.h AND b.is_base AND NOT d.is_base),
+        |sj AS (SELECT a.doc_id,
+        |    max(len(list_intersect(a.sh, b.sh)) * 1.0
+        |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))))
+        |      AS best_jaccard
+        |  FROM (SELECT s.doc_id, s.sh FROM s JOIN fl
+        |      ON s.doc_id = fl.doc_id WHERE NOT fl.is_base) a
+        |  JOIN (SELECT s.doc_id, s.sh FROM s JOIN fl
+        |      ON s.doc_id = fl.doc_id WHERE fl.is_base) b
+        |    ON len(list_intersect(a.sh, b.sh)) * 100
+        |      >= (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+        |        * 80
+        |  GROUP BY 1)
+        |SELECT f.doc_id,
+        |  CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_dup'
+        |    WHEN sj.best_jaccard IS NOT NULL THEN 'near_dup'
+        |    ELSE 'new' END AS disposition,
+        |  sj.best_jaccard
+        |FROM fl f
+        |LEFT JOIN ex ON f.doc_id = ex.doc_id
+        |LEFT JOIN sj ON f.doc_id = sj.doc_id
+        |WHERE NOT f.is_base
+        |ORDER BY f.doc_id""".stripMargin)
   )
 }

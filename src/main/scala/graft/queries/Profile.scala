@@ -328,6 +328,42 @@ object Profile extends QueryModule {
           col("monetary"), col("r_score"), col("f_score"), col("m_score"),
           col("segment"))
         .orderBy(col("o_custkey"))
+    }),
+
+    // Foreign-key orphan audit — the referential-integrity report a
+    // warehouse runs after every load, one row per FK relation:
+    // reference count, orphan count (left-anti against the distinct
+    // dimension keys), orphan rate. Each relation is one anti-join
+    // whose build side is the dimension KEY SET (distinct-collapsed
+    // before the join, so the probe streams the fact once and the
+    // output is counts, never orphan rows); the four relation frames
+    // union to a 4-row report. Rates are exact-long divisions.
+    "q180_fk_audit" -> ((s, d) => {
+      def audit(name: String, fact: DataFrame, key: String,
+                dim: DataFrame, dimKey: String): DataFrame = {
+        val refs = fact.select(col(key).as("k")).filter(col("k").isNotNull)
+        val orphans = refs.join(
+          dim.select(col(dimKey).as("k")).distinct(), Seq("k"), "left_anti")
+        refs.agg(count(lit(1)).as("n_refs"))
+          .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+          .select(lit(name).as("relation"), col("n_refs"),
+            col("n_orphans"),
+            (col("n_orphans").cast("double") / col("n_refs"))
+              .as("orphan_rate"))
+      }
+      audit("lineitem.l_orderkey->orders.o_orderkey",
+          Tables.lineitem(s, d), "l_orderkey",
+          Tables.orders(s, d), "o_orderkey")
+        .unionByName(audit("lineitem.l_partkey->part.p_partkey",
+          Tables.lineitem(s, d), "l_partkey",
+          Tables.part(s, d), "p_partkey"))
+        .unionByName(audit("lineitem.l_suppkey->supplier.s_suppkey",
+          Tables.lineitem(s, d), "l_suppkey",
+          Tables.supplier(s, d), "s_suppkey"))
+        .unionByName(audit("orders.o_custkey->customer.c_custkey",
+          Tables.orders(s, d), "o_custkey",
+          Tables.customer(s, d), "c_custkey"))
+        .orderBy(col("relation"))
     })
   )
 
@@ -522,6 +558,41 @@ object Profile extends QueryModule {
         |    WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
         |    WHEN r_score <= 2 THEN 'hibernating'
         |    ELSE 'regular' END AS segment
-        |FROM sc ORDER BY o_custkey""".stripMargin
+        |FROM sc ORDER BY o_custkey""".stripMargin,
+
+    "q180_fk_audit" ->
+      """SELECT relation, n_refs, n_orphans,
+        |  CAST(n_orphans AS DOUBLE) / n_refs AS orphan_rate
+        |FROM (
+        |  SELECT 'lineitem.l_orderkey->orders.o_orderkey' AS relation,
+        |    (SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL)
+        |      AS n_refs,
+        |    (SELECT count(*) FROM lineitem l LEFT JOIN
+        |      (SELECT DISTINCT o_orderkey FROM orders) o
+        |      ON l.l_orderkey = o.o_orderkey
+        |      WHERE l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL)
+        |      AS n_orphans
+        |  UNION ALL
+        |  SELECT 'lineitem.l_partkey->part.p_partkey',
+        |    (SELECT count(*) FROM lineitem WHERE l_partkey IS NOT NULL),
+        |    (SELECT count(*) FROM lineitem l LEFT JOIN
+        |      (SELECT DISTINCT p_partkey FROM part) p
+        |      ON l.l_partkey = p.p_partkey
+        |      WHERE l.l_partkey IS NOT NULL AND p.p_partkey IS NULL)
+        |  UNION ALL
+        |  SELECT 'lineitem.l_suppkey->supplier.s_suppkey',
+        |    (SELECT count(*) FROM lineitem WHERE l_suppkey IS NOT NULL),
+        |    (SELECT count(*) FROM lineitem l LEFT JOIN
+        |      (SELECT DISTINCT s_suppkey FROM supplier) sp
+        |      ON l.l_suppkey = sp.s_suppkey
+        |      WHERE l.l_suppkey IS NOT NULL AND sp.s_suppkey IS NULL)
+        |  UNION ALL
+        |  SELECT 'orders.o_custkey->customer.c_custkey',
+        |    (SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL),
+        |    (SELECT count(*) FROM orders o LEFT JOIN
+        |      (SELECT DISTINCT c_custkey FROM customer) c
+        |      ON o.o_custkey = c.c_custkey
+        |      WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL))
+        |ORDER BY relation""".stripMargin
   )
 }

@@ -286,6 +286,42 @@ object Windows extends QueryModule {
         .select(col("c_nationkey"), col("c_custkey"), col("revenue"),
           col("cum_share"), col("in_top80"))
         .orderBy(col("c_nationkey"), col("revenue").desc, col("c_custkey"))
+    }),
+
+    // Gini coefficient of customer revenue per nation — the inequality
+    // readout behind q156's 80/20 view, one number per nation:
+    // G = (2·Σ rank·x − (n+1)·Σx) / (n·Σx) over ascending-sorted
+    // values. Scale shape: the corpus collapses to the per-customer
+    // frame first; the rank window partitions by NATION (never a
+    // global sort) over a (revenue, custkey) total order. Determinism:
+    // revenues convert to exact integer CENTS, so Σx and Σ rank·x are
+    // LONG folds — order-free — and the coefficient is one division
+    // of exact longs (2·S1 and (n+1)·S0 stay far under 2⁶³). The
+    // oracle computes the same closed form independently.
+    "q179_gini" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"))
+      val ord = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"))
+      val rev = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"), col("c_custkey"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+          2).as("revenue"))
+        .withColumn("cents", round(col("revenue") * 100).cast("long"))
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("revenue"), col("c_custkey"))
+      rev.withColumn("rnk", row_number().over(w).cast("long"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("cents")).as("s0"),
+          sum(col("rnk") * col("cents")).as("s1"))
+        .select(col("c_nationkey"), col("n"),
+          ((lit(2L) * col("s1") - (col("n") + 1) * col("s0")).cast("double")
+            / (col("n") * col("s0")).cast("double")).as("gini"))
+        .orderBy(col("c_nationkey"))
     })
   )
 
@@ -458,6 +494,25 @@ object Windows extends QueryModule {
         |  CAST(cum_rev AS DOUBLE) / CAST(nation_rev AS DOUBLE)
         |    AS cum_share,
         |  coalesce(prev_cum, 0) * 10 < nation_rev * 8 AS in_top80
-        |FROM y ORDER BY c_nationkey, revenue DESC, c_custkey""".stripMargin
+        |FROM y ORDER BY c_nationkey, revenue DESC, c_custkey""".stripMargin,
+
+    "q179_gini" ->
+      """WITH rev AS (SELECT c_nationkey, c_custkey,
+        |    round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  FROM lineitem, orders, customer
+        |  WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |r AS (SELECT c_nationkey,
+        |    CAST(round(revenue * 100) AS BIGINT) AS cents,
+        |    CAST(row_number() OVER (PARTITION BY c_nationkey
+        |      ORDER BY revenue, c_custkey) AS BIGINT) AS rnk
+        |  FROM rev),
+        |g AS (SELECT c_nationkey, count(*) AS n,
+        |    sum(cents) AS s0, sum(rnk * cents) AS s1
+        |  FROM r GROUP BY 1)
+        |SELECT c_nationkey, CAST(n AS BIGINT) AS n,
+        |  CAST(2 * s1 - (n + 1) * s0 AS DOUBLE)
+        |    / CAST(n * s0 AS DOUBLE) AS gini
+        |FROM g ORDER BY c_nationkey""".stripMargin
   )
 }

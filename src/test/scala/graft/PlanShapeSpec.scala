@@ -495,13 +495,15 @@ class PlanShapeSpec extends AnyFunSuite {
     // 23 s at sf0.1 for millisecond work. The cheap one-split length
     // filter (size(split(..)) >= 3) is fine; the per-element signature
     // in any Filter means the pathological pushdown came back.
-    val p = plan("q158_ppjoin")
-    val badFilter = p.linesIterator.exists(l =>
-      l.contains("Filter") && l.contains("element_at(split("))
-    assert(!badFilter,
-      s"a Filter re-inlines the shingle pipeline (per-element split):\n$p")
-    assert(!p.contains("SortMergeJoin"),
-      s"candidate generation should group, not sort-merge self-join:\n$p")
+    for (q <- Seq("q158_ppjoin", "q181_delta_dedup")) {
+      val p = plan(q)
+      val badFilter = p.linesIterator.exists(l =>
+        l.contains("Filter") && l.contains("element_at(split("))
+      assert(!badFilter,
+        s"$q: a Filter re-inlines the shingle pipeline (per-element split):\n$p")
+    }
+    assert(!plan("q158_ppjoin").contains("SortMergeJoin"),
+      "candidate generation should group, not sort-merge self-join")
   }
 
   test("q163 returns report bounds the top-20 with a heap, not a global sort") {
