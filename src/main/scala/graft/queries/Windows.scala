@@ -262,13 +262,20 @@ object Windows extends QueryModule {
         .select(col("c_custkey"), col("c_nationkey"))
       val ord = Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_custkey"))
+      // revenue accumulates in DECIMAL (the q163 recipe): at sf0.1 one
+      // customer's round(sum(double), 2) landed exactly on a half-cent
+      // (1114395.005 — measured) where Spark's shortest-repr HALF_UP
+      // and DuckDB's binary round diverge; 2-decimal factors make the
+      // scale-4 products and their sum exact in any order.
       val rev = Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
         .join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(cust, col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_nationkey"), col("c_custkey"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
-          2).as("revenue"))
+        .agg(sum(col("l_extendedprice").cast("decimal(12,2)")
+            * (lit(1).cast("decimal(12,2)")
+              - col("l_discount").cast("decimal(12,2)")))
+          .cast("decimal(18,2)").cast("double").as("revenue"))
       val w = Window.partitionBy(col("c_nationkey"))
         .orderBy(col("revenue").desc, col("c_custkey"))
       val wAll = Window.partitionBy(col("c_nationkey"))
@@ -308,11 +315,15 @@ object Windows extends QueryModule {
         .join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(cust, col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_nationkey"), col("c_custkey"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
-          2).as("revenue"))
-        .withColumn("cents", round(col("revenue") * 100).cast("long"))
+        // exact integer cents straight from the DECIMAL accumulation
+        // (the q163/q156 recipe — round(sum(double),2)·100 flips on
+        // half-cent boundaries at sf0.1)
+        .agg((sum(col("l_extendedprice").cast("decimal(12,2)")
+            * (lit(1).cast("decimal(12,2)")
+              - col("l_discount").cast("decimal(12,2)")))
+          .cast("decimal(18,2)") * 100).cast("long").as("cents"))
       val w = Window.partitionBy(col("c_nationkey"))
-        .orderBy(col("revenue"), col("c_custkey"))
+        .orderBy(col("cents"), col("c_custkey"))
       rev.withColumn("rnk", row_number().over(w).cast("long"))
         .groupBy(col("c_nationkey"))
         .agg(count(lit(1)).as("n"),
@@ -473,7 +484,8 @@ object Windows extends QueryModule {
     // the head test is decimal×integer (10·prev < 8·total), no float.
     "q156_pareto" ->
       """WITH rev AS (SELECT c.c_nationkey, c.c_custkey,
-        |    round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+        |    CAST(round(sum(l.l_extendedprice::DECIMAL(12,2)
+        |      * (1 - l.l_discount::DECIMAL(12,2))), 2) AS DOUBLE)
         |      AS revenue
         |  FROM lineitem l
         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -498,14 +510,15 @@ object Windows extends QueryModule {
 
     "q179_gini" ->
       """WITH rev AS (SELECT c_nationkey, c_custkey,
-        |    round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |    CAST(round(sum(l_extendedprice::DECIMAL(12,2)
+        |      * (1 - l_discount::DECIMAL(12,2))), 2) * 100 AS BIGINT)
+        |      AS cents
         |  FROM lineitem, orders, customer
         |  WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
         |  GROUP BY 1, 2),
-        |r AS (SELECT c_nationkey,
-        |    CAST(round(revenue * 100) AS BIGINT) AS cents,
+        |r AS (SELECT c_nationkey, cents,
         |    CAST(row_number() OVER (PARTITION BY c_nationkey
-        |      ORDER BY revenue, c_custkey) AS BIGINT) AS rnk
+        |      ORDER BY cents, c_custkey) AS BIGINT) AS rnk
         |  FROM rev),
         |g AS (SELECT c_nationkey, count(*) AS n,
         |    sum(cents) AS s0, sum(rnk * cents) AS s1
