@@ -24,6 +24,7 @@ object SparkEntry {
     q.Temporal,
     q.Profile,
     q.Graph,
+    q.Tpch,
     o.Dedup,
     o.Similarity,
     o.TextAnalysis,
