@@ -279,14 +279,20 @@ object Tpch extends QueryModule {
 
     // TPC-H Q15 shape (top supplier): the supplier(s) whose quarterly
     // revenue equals the maximum — the create-view + scalar-max
-    // pattern. The per-supplier revenue frame is computed once; its
-    // 1-row max joins back as a broadcast; the equality compares exact
-    // snapped decimals, so cross-engine ties are impossible to split.
-    // supplier joins AFTER the filter — only the winner row(s) reach it.
+    // pattern. The per-supplier revenue frame is computed once — the
+    // explicit isNotNull on the grouping key keeps both consumers'
+    // subtrees canonically identical (the supplier join would
+    // otherwise infer it on its side only, splitting the twin and
+    // forcing a second corpus scan; PlanShapeSpec pins one scan) so
+    // AQE reuses the shuffle stage. Its 1-row max joins back as a
+    // broadcast; the equality compares exact snapped decimals, so
+    // cross-engine ties are impossible to split. supplier joins AFTER
+    // the filter — only the winner row(s) reach it.
     "q190_top_supplier" -> ((s, d) => {
       val rev = Tables.lineitem(s, d)
         .filter(col("l_shipdate") >= to_timestamp(lit("1996-10-01"))
-          && col("l_shipdate") < to_timestamp(lit("1997-01-01")))
+          && col("l_shipdate") < to_timestamp(lit("1997-01-01"))
+          && col("l_suppkey").isNotNull)
         .groupBy(col("l_suppkey"))
         .agg(sum(revDec).cast("decimal(18,2)").as("rev_dec"))
       val top = rev.agg(max(col("rev_dec")).as("max_dec"))
@@ -325,21 +331,24 @@ object Tpch extends QueryModule {
 
     // TPC-H Q17 shape (small-quantity-order revenue): revenue lost if
     // orders below 20% of a part's average quantity were dropped. The
-    // correlated per-part average becomes group-then-join-back (both
-    // sides key on partkey; the brand filter prunes part first, and
-    // only its lineitems enter either phase). Quantities are integral
-    // doubles — their sums are exact, so avg and the 0.2× threshold are
-    // bit-identical cross-engine; the final division happens once, in
-    // double, on the exact decimal sum.
+    // correlated per-part average becomes ONE window over the
+    // partkey-partitioned slice — a single scan and a single exchange
+    // (the group-then-join-back alternative evaluates the filtered
+    // slice twice; PlanShapeSpec pins one scan). Per-part groups are
+    // bounded (lineitems per part), so no window partition can
+    // hot-spot. Quantities are integral doubles — their sums are
+    // exact, so avg and the 0.2× threshold are bit-identical
+    // cross-engine; the final division happens once, in double, on
+    // the exact decimal sum.
     "q192_small_qty_revenue" -> ((s, d) => {
       val p = Tables.part(s, d).filter(col("p_brand") === "Brand#23")
         .select(col("p_partkey"))
-      val li = Tables.lineitem(s, d)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_partkey"))
+      Tables.lineitem(s, d)
         .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
         .join(p, col("l_partkey") === col("p_partkey"))
-      val avgQ = li.groupBy(col("l_partkey").as("ak"))
-        .agg(avg(col("l_quantity")).as("avg_qty"))
-      li.join(avgQ, col("l_partkey") === col("ak"))
+        .withColumn("avg_qty", avg(col("l_quantity")).over(w))
         .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
         .agg((sum(col("l_extendedprice").cast("decimal(12,2)"))
           .cast("double") / lit(7.0)).as("avg_yearly"))
@@ -398,26 +407,28 @@ object Tpch extends QueryModule {
     // TPC-H Q21 shape (suppliers who kept orders waiting): MIDDLE EAST
     // suppliers who were the ONLY late supplier on a multi-supplier
     // finished order. The double EXISTS / NOT EXISTS of the original
-    // (two lineitem self-joins) is rewritten as per-order aggregates:
-    // one pass groups (order, supplier) with an any-late flag, a
-    // second groups per order for supplier/late counts and joins back —
-    // every exchange keys on l_orderkey(+suppkey) and the join-back
-    // input is the already-aggregated ≤|orders|·|supp-per-order| frame,
-    // so NO self-join ever multiplies raw lineitem rows. The
-    // DuckDB oracle runs the textbook EXISTS form, proving the rewrite
-    // equivalent. Waiting = late on a 90-day standard (no receipt
-    // dates in this corpus); count is per (order, supplier), exact.
+    // (two lineitem self-joins) is rewritten as ONE aggregation plus
+    // ONE window: lineitem groups to (order, supplier, any-late), and
+    // the per-order supplier/late counts come from an unbounded window
+    // over l_orderkey on that already-collapsed frame — a single
+    // corpus scan (PlanShapeSpec pins it), two keyed exchanges, and NO
+    // self-join ever multiplies raw lineitem rows. Window partitions
+    // are bounded by suppliers-per-order. The DuckDB oracle runs the
+    // textbook EXISTS form, proving the rewrite equivalent. Waiting =
+    // late on a 90-day standard (no receipt dates in this corpus);
+    // count is per (order, supplier), exact.
     "q195_waiting_suppliers" -> ((s, d) => {
       val o = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
         .select(col("o_orderkey"), col("o_orderdate"))
-      val perSupp = Tables.lineitem(s, d)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_orderkey"))
+      Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
         .join(o, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("l_orderkey"), col("l_suppkey"))
         .agg(max(when(late(90), 1L).otherwise(0L)).as("is_late"))
-      val perOrder = perSupp.groupBy(col("l_orderkey").as("ok"))
-        .agg(count(lit(1)).as("n_supp"), sum(col("is_late")).as("n_late"))
-      perSupp.join(perOrder, col("l_orderkey") === col("ok"))
+        .withColumn("n_supp", count(lit(1)).over(w))
+        .withColumn("n_late", sum(col("is_late")).over(w))
         .filter(col("is_late") === 1L && col("n_supp") >= 2
           && col("n_late") === 1L)
         .join(regionSuppliers(s, d, "MIDDLE EAST")

@@ -527,6 +527,43 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected exactly one hash exchange, found $hashes:\n$p")
   }
 
+  test("q183 plans the EXISTS as a semi join, never inner+distinct") {
+    val p = plan("q183_order_priority")
+    assert(p.contains("LeftSemi"),
+      s"expected a LeftSemi join for the EXISTS:\n$p")
+  }
+
+  test("q193 aggregates order quantities below the joins, top-100 by heap") {
+    val p = plan("q193_big_orders")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject for ORDER BY + LIMIT 100:\n$p")
+    val joinAt = p.linesIterator.indexWhere(_.contains("Join"))
+    val aggBelow = p.linesIterator.zipWithIndex.exists {
+      case (l, i) => i > joinAt && l.contains("HashAggregate")
+    }
+    assert(joinAt >= 0 && aggBelow,
+      s"the HAVING aggregate must run below the dimension joins:\n$p")
+  }
+
+  test("TPC-H tier evaluates each shared corpus stage exactly once") {
+    // q182/q190: group-then-join-back twins stay canonically identical
+    // (explicit isNotNull on the grouping key where a consumer-side
+    // join would otherwise infer it one-sidedly) so AQE reuses the
+    // shuffle stage; q192/q195: the correlated subquery compiles to a
+    // window over one exchange. Either way lineitem is scanned ONCE —
+    // the property that halves the corpus cost at 100 TB.
+    for (q <- Seq("q182_min_cost_supplier", "q190_top_supplier",
+        "q192_small_qty_revenue", "q195_waiting_suppliers")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      val finalPlan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      val liScans = "FileScan parquet \\[l_".r.findAllIn(finalPlan).length
+      assert(liScans == 1,
+        s"$q must scan lineitem exactly once, found $liScans:\n$finalPlan")
+    }
+  }
+
   test("scalar-heavy projections stay inside whole-stage codegen") {
     import org.apache.spark.sql.execution.debug._
     for (q <- Seq("q50_math", "q51_trig", "q57_conditional", "q59_bitwise")) {
