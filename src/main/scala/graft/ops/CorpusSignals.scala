@@ -51,8 +51,68 @@ object CorpusSignals extends QueryModule {
 
     "q168_bm25" -> ((s, d) => bm25TopK(Tables.documents(s, d))),
 
-    "q173_pmi" -> ((s, d) => pmiPairs(Tables.documents(s, d)))
+    "q173_pmi" -> ((s, d) => pmiPairs(Tables.documents(s, d))),
+
+    "q197_lm_perplexity" -> ((s, d) => lmPerplexity(Tables.documents(s, d)))
   )
+
+  /** CCNet-style language-model quality scoring — the canonical
+    * "train a small LM on the corpus, score every document by
+    * perplexity, drop the tail" filter of LLM-data pipelines. The LM
+    * here is the simplest honest member of the family: a top-V
+    * unigram model with add-one smoothing over vocab ∪ {UNK}
+    * (P(w) = (c(w)+1)/(N+V+1), OOV → 1/(N+V+1)); the score is the
+    * average negative log-probability per token (perplexity = e^score
+    * — monotone, so the exp is left to the consumer: cross-engine
+    * exp() is not guaranteed bit-identical while the snapped-ln sum
+    * is). Scale shape: TRAINING is one term-keyed aggregation
+    * (map-side combined) capped to V rows by a TakeOrdered heap;
+    * SCORING is per-row against ONE broadcast map of pre-snapped
+    * per-term costs — zero corpus shuffles, the q133 encode pattern
+    * (the corpus is scanned twice, once to train and once to score —
+    * the q111 statelessness trade). Cross-engine determinism: each
+    * term's −ln P is 6-decimal-snapped (the q110 recipe) and carried
+    * as an exact 1e-6-unit LONG, so per-doc sums are order-free; the
+    * final avg divides exact operands once per step, identically
+    * spelled on both engines.
+    */
+  private[graft] def lmPerplexity(docs: DataFrame): DataFrame = {
+    val V = 256
+    def lnCostMicros(p: org.apache.spark.sql.Column) =
+      -floor(log(p) * 1e6 + 0.5).cast("long")
+    val toks = docs
+      .select(col("doc_id"),
+        filter(Text.words(coalesce(col("text"), lit(""))),
+          t => t =!= "").as("ts"))
+      .filter(size(col("ts")) >= 1)
+    val tf = toks.select(explode(col("ts")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val nv = tf.agg(sum(col("c")).as("n_corpus"),
+      count(lit(1)).as("n_terms"))
+      .select(col("n_corpus"),
+        least(col("n_terms"), lit(V.toLong)).as("v"))
+    val vocab = tf.orderBy(col("c").desc, col("term").asc).limit(V)
+    val costs = vocab.crossJoin(broadcast(nv))
+      .select(col("term"),
+        lnCostMicros((col("c") + 1.0) / (col("n_corpus") + col("v") + 1.0))
+          .as("lc"))
+      .agg(map_from_entries(collect_list(struct(col("term"), col("lc"))))
+        .as("cmap"))
+    val oovCost = nv.select(
+      lnCostMicros(lit(1.0) / (col("n_corpus") + col("v") + 1.0))
+        .as("oov_lc"))
+    toks.crossJoin(broadcast(costs)).crossJoin(broadcast(oovCost))
+      .select(col("doc_id"), size(col("ts")).as("n_tokens"),
+        size(filter(col("ts"), t => element_at(col("cmap"), t).isNull))
+          .cast("long").as("oov_tokens"),
+        aggregate(col("ts"), lit(0L), (acc, t) =>
+          acc + coalesce(element_at(col("cmap"), t), col("oov_lc")))
+          .as("nll_micros"))
+      .select(col("doc_id"), col("n_tokens"), col("oov_tokens"),
+        (col("nll_micros").cast("double") / col("n_tokens") / lit(1e6))
+          .as("avg_nll"))
+      .orderBy(col("doc_id"))
+  }
 
   /** Pointwise mutual information over the top-20 vocabulary — the
     * collocation signal behind phrase mining and embedding evaluation:
@@ -411,6 +471,39 @@ object CorpusSignals extends QueryModule {
         |FROM pr JOIN top ta ON ta.term = pr.term_a
         |JOIN top tb ON tb.term = pr.term_b, nn
         |ORDER BY term_a, term_b""".stripMargin,
+
+    // integer sums cast ::DOUBLE before every division / ln (bare
+    // 1.0 literals would pull DuckDB into exact DECIMAL arithmetic —
+    // the q168 trap); the per-term cost is the same 1e-6-unit LONG
+    // the Spark side broadcasts, so per-doc sums are exact.
+    "q197_lm_perplexity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, t AS term
+        |  FROM (SELECT doc_id, unnest(string_split(lower(trim(
+        |      regexp_replace(coalesce(text, ''), '\s+', ' ', 'g'))), ' '))
+        |      AS t FROM documents)
+        |  WHERE t <> ''),
+        |tf AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+        |nv AS (SELECT (SELECT sum(c) FROM tf) AS n_corpus,
+        |              least((SELECT count(*) FROM tf), 256) AS v),
+        |vocab AS (SELECT term, c FROM tf ORDER BY c DESC, term LIMIT 256),
+        |cost AS (SELECT term,
+        |    -CAST(floor(ln(CAST(c + 1 AS DOUBLE)
+        |        / CAST(n_corpus + v + 1 AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+        |      AS lc
+        |  FROM vocab, nv),
+        |oov AS (SELECT
+        |    -CAST(floor(ln(CAST(1 AS DOUBLE)
+        |        / CAST(n_corpus + v + 1 AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+        |      AS lc
+        |  FROM nv)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  count(*) FILTER (WHERE cost.lc IS NULL) AS oov_tokens,
+        |  CAST(sum(coalesce(cost.lc, (SELECT lc FROM oov))) AS DOUBLE)
+        |    / count(*) / 1e6 AS avg_nll
+        |FROM toks LEFT JOIN cost USING (term)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     "q168_bm25" ->
       """WITH t AS (SELECT doc_id,

@@ -47,8 +47,20 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q158_ppjoin",         // prefix pigeonhole candidates are join
                            // semantics; verify is exact integer Jaccard
     "q169_ndcg",           // 1e-9-unit LONG DCG folds are order-free
-    "q172_negative_pairs") // affine-hash partner draw — reproducibility
+    "q172_negative_pairs", // affine-hash partner draw — reproducibility
                            // across partitionings IS the contract
+    // The TPC-H completion tier (q182-q196) is exact by construction:
+    // money sums accumulate in DECIMAL, quantities are integral
+    // doubles (exact sums in any order), thresholds compare exact
+    // values, ratios divide two exact operands once. q194 is excluded
+    // only because its ASIA-supplier slice is empty at sf0.001 (the
+    // nonEmpty assertion), not for arithmetic reasons.
+    "q182_min_cost_supplier", "q183_order_priority",
+    "q184_forecast_revenue", "q185_market_share", "q186_product_profit",
+    "q187_important_parts", "q188_late_by_flag",
+    "q189_order_distribution", "q190_top_supplier",
+    "q191_supplier_counts", "q192_small_qty_revenue", "q193_big_orders",
+    "q195_waiting_suppliers", "q196_sales_opportunity")
 
   test("exact operators are invariant to input split boundaries") {
     val splitty = spark.newSession()
