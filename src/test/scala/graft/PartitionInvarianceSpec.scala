@@ -60,7 +60,9 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q187_important_parts", "q188_late_by_flag",
     "q189_order_distribution", "q190_top_supplier",
     "q191_supplier_counts", "q192_small_qty_revenue", "q193_big_orders",
-    "q195_waiting_suppliers", "q196_sales_opportunity")
+    "q195_waiting_suppliers", "q196_sales_opportunity",
+    "q197_lm_perplexity")  // snapped per-term costs are exact 1e-6-unit
+                           // LONGs; per-doc sums order-free
 
   test("exact operators are invariant to input split boundaries") {
     val splitty = spark.newSession()
