@@ -198,6 +198,55 @@ object Curation extends QueryModule {
 
     "q137_group_sample" -> ((s, d) => groupSample(Tables.documents(s, d))),
 
+    // Weighted sampling without replacement (Efraimidis-Spirakis) — the
+    // "sample training docs proportionally to length/quality" primitive.
+    // A-ES: draw u_i ~ U(0,1], keep the k largest u_i^(1/w_i); taking
+    // ln makes the key ln(u)/w — same order, no pow. Determinism (the
+    // q100 principle — never rand()): u derives from the md5 of the
+    // row's own id ((first-8-hex + 1)/2^32+1 ∈ (0,1]), ln(u) is
+    // 6-decimal-snapped (the q110 recipe) so the /w division and the
+    // rank order it induces are bit-identical cross-engine. Scale
+    // shape: a pure per-row projection, then ONE TakeOrdered bounded
+    // heap (each partition forwards ≤k rows) — zero shuffles, zero
+    // corpus-wide sorts, reproducible under any partitioning.
+    "q198_weighted_sample" -> ((s, d) => {
+      val k = 100
+      val h = conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+        16, 10).cast("long")
+      val u = (h + lit(1L)).cast("double") / lit(4294967297.0)
+      val lnu = floor(log(u) * 1e6 + 0.5) / 1e6
+      Tables.documents(s, d)
+        .filter(col("n_chars") >= 1)
+        .select(col("doc_id"), col("n_chars"),
+          (lnu / col("n_chars")).as("es_key"))
+        .orderBy(col("es_key").desc, col("doc_id").asc)
+        .limit(k)
+    }),
+
+    // Keep-best dedup by source (the URL-level dedup pass every
+    // crawl pipeline runs before content dedup): one row per source,
+    // keeping its longest document (ties → lowest doc_id). The argmax
+    // is a struct-max AGGREGATE (q109 recipe: max count then max
+    // packed tie-break — no window, no per-source sort), so the whole
+    // operator is one map-side-combined source-keyed aggregation;
+    // the DuckDB oracle uses a row_number window — a different
+    // formulation proving the argmax equivalent.
+    "q199_source_keep_best" -> ((s, d) => {
+      Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          max(struct(col("n_chars"), (-col("doc_id")).as("neg_id")))
+            .as("m"),
+          sum(col("n_chars")).as("total_chars"))
+        .select(col("source"), col("n_docs"),
+          (-col("m.neg_id")).as("kept_doc_id"),
+          col("m.n_chars").as("kept_n_chars"),
+          (col("n_docs") - 1).as("dropped_docs"),
+          (col("total_chars") - col("m.n_chars")).as("dropped_chars"))
+        .orderBy(col("source"))
+    }),
+
     // Contrastive negative-pair sampling with a leakage check — the
     // pair-generation step of contrastive/embedding training: each doc
     // draws 3 pseudo-random partner docs via an explicit affine hash
@@ -336,6 +385,31 @@ object Curation extends QueryModule {
     redactTransform(docs).orderBy(col("doc_id"))
 
   def oracle: Map[String, String] = Map(
+    "q198_weighted_sample" ->
+      """SELECT doc_id, n_chars,
+        |  floor(ln(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |        ::BIGINT + 1 AS DOUBLE)
+        |      / CAST(4294967297 AS DOUBLE)) * 1e6 + 0.5) / 1e6
+        |    / n_chars AS es_key
+        |FROM documents
+        |WHERE n_chars >= 1
+        |ORDER BY es_key DESC, doc_id ASC
+        |LIMIT 100""".stripMargin,
+
+    "q199_source_keep_best" ->
+      """WITH r AS (SELECT source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id ASC) AS rk,
+        |    count(*) OVER (PARTITION BY source) AS n_docs,
+        |    sum(n_chars) OVER (PARTITION BY source) AS total_chars
+        |  FROM documents)
+        |SELECT source, n_docs, doc_id AS kept_doc_id,
+        |  n_chars AS kept_n_chars,
+        |  n_docs - 1 AS dropped_docs,
+        |  CAST(total_chars - n_chars AS BIGINT) AS dropped_chars
+        |FROM r WHERE rk = 1
+        |ORDER BY source""".stripMargin,
+
     "q137_group_sample" ->
       """SELECT doc_id, lang, source,
         |  row_number() OVER (PARTITION BY lang

@@ -61,8 +61,11 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q189_order_distribution", "q190_top_supplier",
     "q191_supplier_counts", "q192_small_qty_revenue", "q193_big_orders",
     "q195_waiting_suppliers", "q196_sales_opportunity",
-    "q197_lm_perplexity")  // snapped per-term costs are exact 1e-6-unit
+    "q197_lm_perplexity",  // snapped per-term costs are exact 1e-6-unit
                            // LONGs; per-doc sums order-free
+    "q198_weighted_sample", // md5-derived A-ES keys — reproducibility
+                           // across partitionings IS the contract
+    "q199_source_keep_best") // struct-max argmax is order-free
 
   test("exact operators are invariant to input split boundaries") {
     val splitty = spark.newSession()
