@@ -196,6 +196,8 @@ object TextAnalysis extends QueryModule {
     // shuffles. Shares are exact-long divisions; the entropy's
     // −Σ p·ln p runs in 1e-9-unit LONGS over the ≤|langs| frame with
     // the ln snapped (the q169/q175 order-free-sum recipe).
+    "q200_chunking" -> ((s, d) => chunkDocs(Tables.documents(s, d))),
+
     "q176_datasheet" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val base = docs.withColumn("wrds", Text.words(col("text")))
@@ -233,12 +235,66 @@ object TextAnalysis extends QueryModule {
     })
   )
 
+  /** Sliding-window document chunking — the pretraining/RAG splitter:
+    * each document becomes ceil-many chunks of up to `Size` tokens,
+    * starting every `Stride` tokens (overlap = Size − Stride), the
+    * final chunk allowed short. The chunk-start count is pure integer
+    * arithmetic ((n − S) ceil-div T + 1 — exact on both engines, no
+    * float boundaries), the fan-out is bounded by doc length / stride
+    * (never corpus-squared), and chunk extraction is a per-row slice —
+    * ZERO shuffles before the output sort. Empty/whitespace docs shed
+    * like null text (the q110 convention).
+    */
+  private val ChunkSize = 64
+  private val ChunkStride = 48
+  private[graft] def chunkDocs(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"),
+        filter(Text.words(coalesce(col("text"), lit(""))),
+          t => t =!= "").as("ts"))
+      .filter(size(col("ts")) >= 1)
+      .withColumn("n_tok", size(col("ts")).cast("long"))
+    toks
+      .withColumn("n_chunks",
+        when(col("n_tok") <= ChunkSize, lit(1L))
+          .otherwise(expr(
+            s"CAST((n_tok - $ChunkSize + $ChunkStride - 1) DIV $ChunkStride AS BIGINT) + 1")))
+      .select(col("doc_id"), col("ts"), col("n_tok"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id"))
+      .withColumn("chunk",
+        slice(col("ts"), (col("chunk_id") * ChunkStride + 1).cast("int"),
+          lit(ChunkSize)))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("chunk")).cast("long").as("chunk_tokens"),
+        concat_ws(" ", col("chunk")).as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   private val wordsCte =
     """WITH w AS (SELECT *,
       |  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS wrds
       |  FROM documents)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "q200_chunking" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(lower(trim(
+        |      regexp_replace(coalesce(text, ''), '\s+', ' ', 'g'))), ' '),
+        |      t -> t <> '') AS ts
+        |  FROM documents),
+        |t2 AS (SELECT doc_id, ts, len(ts) AS n_tok FROM toks
+        |  WHERE len(ts) >= 1),
+        |c AS (SELECT doc_id, ts, n_tok,
+        |    unnest(range(0, CASE WHEN n_tok <= 64 THEN 1
+        |      ELSE (n_tok - 64 + 48 - 1) // 48 + 1 END)) AS chunk_id
+        |  FROM t2)
+        |SELECT doc_id, chunk_id,
+        |  CAST(len(list_slice(ts, chunk_id * 48 + 1, chunk_id * 48 + 64))
+        |    AS BIGINT) AS chunk_tokens,
+        |  array_to_string(list_slice(ts, chunk_id * 48 + 1,
+        |    chunk_id * 48 + 64), ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
     "q176_datasheet" -> (wordsCte + """,
         |base AS (SELECT count(*) AS n_docs,
         |    CAST(sum(len(wrds)) AS BIGINT) AS total_words,

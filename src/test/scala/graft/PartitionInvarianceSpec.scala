@@ -65,7 +65,8 @@ class PartitionInvarianceSpec extends AnyFunSuite {
                            // LONGs; per-doc sums order-free
     "q198_weighted_sample", // md5-derived A-ES keys — reproducibility
                            // across partitionings IS the contract
-    "q199_source_keep_best") // struct-max argmax is order-free
+    "q199_source_keep_best", // struct-max argmax is order-free
+    "q200_chunking")       // per-row integer chunk arithmetic
 
   test("exact operators are invariant to input split boundaries") {
     val splitty = spark.newSession()
