@@ -74,7 +74,9 @@ class EmptyInputSpec extends AnyFunSuite {
         "redact" -> (Curation.redact(_)),
         "repetition" -> (CorpusSignals.repetition(_)),
         "dupSubstrings" -> (CorpusSignals.dupSubstrings(_)),
-        "tfidfTopK" -> (CorpusSignals.tfidfTopK(_)))
+        "tfidfTopK" -> (CorpusSignals.tfidfTopK(_)),
+        "lmPerplexity" -> (CorpusSignals.lmPerplexity(_)),
+        "chunkDocs" -> (graft.ops.TextAnalysis.chunkDocs(_)))
     for ((name, op) <- ops) {
       val out = op(none)
       assert(out.count() === 0L, s"$name must yield zero rows on an empty corpus")
