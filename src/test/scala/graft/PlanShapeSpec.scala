@@ -564,6 +564,23 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q197 LM trains in one pass and scores in one pass") {
+    // TRAIN: one corpus scan into the term-keyed tf exchange, which
+    // the vocab TakeOrdered and the (N, V) scalar both reuse; SCORE:
+    // one corpus scan against the broadcast cost map. Exactly two
+    // scans total — the statelessness floor for train+apply in one
+    // pure DataFrame (the q111 trade).
+    val df = SparkEntry.queries("q197_lm_perplexity")(spark, sf)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val scans = "FileScan parquet".r.findAllIn(finalPlan).length
+    assert(scans == 2,
+      s"q197 must scan the corpus exactly twice (train + score), found $scans:\n$finalPlan")
+    assert(finalPlan.contains("ReusedExchange"),
+      s"expected the term-keyed tf exchange to be reused:\n$finalPlan")
+  }
+
   test("scalar-heavy projections stay inside whole-stage codegen") {
     import org.apache.spark.sql.execution.debug._
     for (q <- Seq("q50_math", "q51_trig", "q57_conditional", "q59_bitwise")) {
