@@ -333,6 +333,43 @@ object Windows extends QueryModule {
           ((lit(2L) * col("s1") - (col("n") + 1) * col("s0")).cast("double")
             / (col("n") * col("s0")).cast("double")).as("gini"))
         .orderBy(col("c_nationkey"))
+    }),
+
+    // Percent-of-parent hierarchy report (the classic BI drill-down:
+    // each nation's revenue as a share of its region and of the grand
+    // total). The ONE corpus-scale stage is the (region, nation)
+    // aggregation — exact DECIMAL (q163 recipe), map-side combined,
+    // keyed on the group; both parent totals are then window sums
+    // OVER THE ≤|nations| GROUPED FRAME (25 rows at any scale factor —
+    // the single-partition global window is bounded by the dimension,
+    // never the corpus). Shares divide exact decimals once, in double,
+    // identically spelled on both engines.
+    "q201_pct_of_parent" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)
+            .join(broadcast(Tables.region(s, d)),
+              col("n_regionkey") === col("r_regionkey"))
+            .select(col("n_nationkey"), col("n_name"), col("r_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name"), col("r_name"))
+      val grouped = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_totalprice"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(col("o_totalprice").cast("decimal(12,2)"))
+          .cast("decimal(18,2)").as("rev_dec"))
+      val wRegion = Window.partitionBy(col("r_name"))
+      val wAll = Window.partitionBy()
+      grouped
+        .withColumn("region_dec", sum(col("rev_dec")).over(wRegion))
+        .withColumn("total_dec", sum(col("rev_dec")).over(wAll))
+        .select(col("r_name"), col("n_name"),
+          col("rev_dec").cast("double").as("revenue"),
+          (col("rev_dec").cast("double") / col("region_dec").cast("double"))
+            .as("pct_of_region"),
+          (col("rev_dec").cast("double") / col("total_dec").cast("double"))
+            .as("pct_of_total"))
+        .orderBy(col("r_name"), col("n_name"))
     })
   )
 
@@ -526,6 +563,23 @@ object Windows extends QueryModule {
         |SELECT c_nationkey, CAST(n AS BIGINT) AS n,
         |  CAST(2 * s1 - (n + 1) * s0 AS DOUBLE)
         |    / CAST(n * s0 AS DOUBLE) AS gini
-        |FROM g ORDER BY c_nationkey""".stripMargin
+        |FROM g ORDER BY c_nationkey""".stripMargin,
+
+    "q201_pct_of_parent" ->
+      """WITH g AS (
+        |  SELECT r_name, n_name,
+        |    round(sum(o_totalprice::DECIMAL(12,2)), 2) AS rev_dec
+        |  FROM orders, customer, nation, region
+        |  WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+        |    AND n_regionkey = r_regionkey
+        |  GROUP BY r_name, n_name)
+        |SELECT r_name, n_name,
+        |  CAST(rev_dec AS DOUBLE) AS revenue,
+        |  CAST(rev_dec AS DOUBLE)
+        |    / CAST(sum(rev_dec) OVER (PARTITION BY r_name) AS DOUBLE)
+        |    AS pct_of_region,
+        |  CAST(rev_dec AS DOUBLE)
+        |    / CAST(sum(rev_dec) OVER () AS DOUBLE) AS pct_of_total
+        |FROM g ORDER BY r_name, n_name""".stripMargin
   )
 }

@@ -66,7 +66,8 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q198_weighted_sample", // md5-derived A-ES keys — reproducibility
                            // across partitionings IS the contract
     "q199_source_keep_best", // struct-max argmax is order-free
-    "q200_chunking")       // per-row integer chunk arithmetic
+    "q200_chunking",       // per-row integer chunk arithmetic
+    "q201_pct_of_parent")  // exact decimal sums; one IEEE division
 
   test("exact operators are invariant to input split boundaries") {
     val splitty = spark.newSession()
