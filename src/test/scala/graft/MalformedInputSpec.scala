@@ -110,4 +110,31 @@ class MalformedInputSpec extends AnyFunSuite {
       val t = r.getAs[String]("term"); t != null && t.nonEmpty
     })
   }
+
+  test("corrupt parquet FILES: default halts, ignoreCorruptFiles sheds") {
+    // row-level quarantine (above) is not the whole story: at 100 TB a
+    // feed directory occasionally carries a truncated or garbage FILE
+    // (killed writer, partial upload). Default reads must FAIL — silent
+    // data loss is worse than a halt — and flipping
+    // spark.sql.files.ignoreCorruptFiles=true must shed exactly the bad
+    // file and keep every healthy row, so an operator can quarantine
+    // and continue deliberately, never accidentally.
+    val d = Paths.get("target/tmp/corruptdir")
+    org.apache.commons.io.FileUtils.deleteQuietly(d.toFile)
+    Files.createDirectories(d)
+    spark.range(0, 100).selectExpr("id", "id * 2 AS v")
+      .coalesce(1).write.mode("overwrite").parquet(d.toString)
+    Files.write(d.resolve("part-junk.parquet"),
+      "this is not a parquet file".getBytes)
+    val thrown = intercept[org.apache.spark.SparkException] {
+      spark.read.parquet(d.toString).agg(sum(col("v"))).collect()
+    }
+    assert(thrown.getMessage != null)
+    val lenient = spark.newSession()
+    lenient.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    val rows = lenient.read.parquet(d.toString)
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s")).collect()(0)
+    assert(rows.getLong(0) === 100L && rows.getLong(1) === 9900L,
+      "every healthy row survives; only the corrupt file is shed")
+  }
 }
