@@ -364,10 +364,57 @@ object Profile extends QueryModule {
           Tables.orders(s, d), "o_custkey",
           Tables.customer(s, d), "c_custkey"))
         .orderBy(col("relation"))
+    }),
+
+    // Benford first-digit audit — the forensic-accounting screen for
+    // fabricated or truncated monetary data: the observed share of
+    // each leading digit of o_totalprice against Benford's
+    // log10(1 + 1/d) expectation. Determinism: the value converts to
+    // exact integer CENTS (the q179 recipe) and the leading digit is
+    // the first character of the INTEGER's string — integer→string
+    // rendering is identical cross-engine, where a float log10-based
+    // digit extraction can flip at exact powers of ten. Scale shape:
+    // one per-row projection into a ≤10-group aggregation (map-side
+    // combined), the total re-aggregated from the 10-row frame and
+    // broadcast back; shares are exact-long divisions and the Benford
+    // term is 6-decimal-snapped (the q110 ln recipe).
+    "q202_benford_audit" -> ((s, d) => {
+      val digits = Tables.orders(s, d)
+        .select((col("o_totalprice").cast("decimal(12,2)") * 100)
+          .cast("long").as("cents"))
+        .select(substring(col("cents").cast("string"), 1, 1)
+          .cast("int").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      val tot = digits.agg(sum(col("n")).as("tot"))
+      val benford =
+        floor(log10(lit(1.0) + lit(1.0) / col("digit")) * 1e6 + 0.5) / 1e6
+      digits.crossJoin(broadcast(tot))
+        .select(col("digit"), col("n"),
+          (col("n").cast("double") / col("tot").cast("double")).as("share"),
+          benford.as("benford"),
+          ((col("n").cast("double") / col("tot").cast("double")) - benford)
+            .as("deviation"))
+        .orderBy(col("digit"))
     })
   )
 
   def oracle: Map[String, String] = Map(
+    "q202_benford_audit" ->
+      """WITH g AS (
+        |  SELECT CAST(substr(CAST(CAST(o_totalprice::DECIMAL(12,2) * 100
+        |      AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+        |    count(*) AS n
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT sum(n) AS tot FROM g)
+        |SELECT digit, n,
+        |  CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS share,
+        |  floor(log10(1 + CAST(1 AS DOUBLE) / digit) * 1e6 + 0.5) / 1e6
+        |    AS benford,
+        |  CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)
+        |    - floor(log10(1 + CAST(1 AS DOUBLE) / digit) * 1e6 + 0.5) / 1e6
+        |    AS deviation
+        |FROM g, t ORDER BY digit""".stripMargin,
+
     // same row rendering, same 15-hex-char fold; DuckDB's bit_xor over
     // the 0x-prefixed cast reproduces the Spark conv()/cast chain.
     "q138_table_checksum" ->

@@ -67,7 +67,8 @@ class PartitionInvarianceSpec extends AnyFunSuite {
                            // across partitionings IS the contract
     "q199_source_keep_best", // struct-max argmax is order-free
     "q200_chunking",       // per-row integer chunk arithmetic
-    "q201_pct_of_parent")  // exact decimal sums; one IEEE division
+    "q201_pct_of_parent",  // exact decimal sums; one IEEE division
+    "q202_benford_audit")  // integer-string leading digit; exact counts
 
   test("exact operators are invariant to input split boundaries") {
     val splitty = spark.newSession()
