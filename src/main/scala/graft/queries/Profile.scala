@@ -378,6 +378,30 @@ object Profile extends QueryModule {
     // combined), the total re-aggregated from the 10-row frame and
     // broadcast back; shares are exact-long divisions and the Benford
     // term is 6-decimal-snapped (the q110 ln recipe).
+    // Join-key skew diagnosis — the report an operator pulls BEFORE
+    // picking a join strategy at 100 TB: the hottest keys of a
+    // prospective join column, each with its share of all rows and its
+    // ratio to the mean key (the salting/AQE-skew-split decision
+    // inputs; q75/q130 are the mitigations this report motivates).
+    // One map-side-combined key aggregation; the (total, key-count)
+    // scalar re-aggregates the grouped frame and broadcasts back; the
+    // top-10 rides a TakeOrdered bounded heap. ratio = n·keys/total
+    // in exact longs, divided once in double.
+    "q203_skew_report" -> ((s, d) => {
+      val counts = Tables.lineitem(s, d)
+        .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n"))
+      val tot = counts.agg(sum(col("n")).as("total"),
+        count(lit(1)).as("n_keys"))
+      counts.crossJoin(broadcast(tot))
+        .select(col("l_suppkey"), col("n"),
+          (col("n").cast("double") / col("total").cast("double"))
+            .as("share"),
+          ((col("n") * col("n_keys")).cast("double")
+            / col("total").cast("double")).as("ratio_to_mean"))
+        .orderBy(col("n").desc, col("l_suppkey"))
+        .limit(10)
+    }),
+
     "q202_benford_audit" -> ((s, d) => {
       val digits = Tables.orders(s, d)
         .select((col("o_totalprice").cast("decimal(12,2)") * 100)
@@ -399,6 +423,18 @@ object Profile extends QueryModule {
   )
 
   def oracle: Map[String, String] = Map(
+    "q203_skew_report" ->
+      """WITH c AS (SELECT l_suppkey, count(*) AS n FROM lineitem
+        |  GROUP BY l_suppkey),
+        |t AS (SELECT sum(n) AS total, count(*) AS n_keys FROM c)
+        |SELECT l_suppkey, n,
+        |  CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+        |  CAST(n * n_keys AS DOUBLE) / CAST(total AS DOUBLE)
+        |    AS ratio_to_mean
+        |FROM c, t
+        |ORDER BY n DESC, l_suppkey
+        |LIMIT 10""".stripMargin,
+
     "q202_benford_audit" ->
       """WITH g AS (
         |  SELECT CAST(substr(CAST(CAST(o_totalprice::DECIMAL(12,2) * 100

@@ -474,10 +474,77 @@ object Temporal extends QueryModule {
           col("mean"), col("sd"),
           ((col("value") - col("mean")) / col("sd")).as("z"))
         .orderBy(col("event_id"))
+    }),
+
+    // Lagged cross-correlation of two event streams (does `view`
+    // activity LEAD `purchase` activity, and by how many days?) — the
+    // lead/lag discovery step behind attribution and forecasting
+    // features (q161/q162's upstream question). The ONE corpus-scale
+    // stage is the (day, type) count aggregation — and the type filter
+    // pushes BELOW it into each scan; everything after runs on the
+    // ≤|days| daily frame: a 7-way lag explode, a date-shifted
+    // equi-join, and per-lag Pearson over component sums. Determinism:
+    // counts are exact longs, every Σ is a LONG fold (order-free), the
+    // numerator and both radicands are exact integer arithmetic, and
+    // the final sqrt/division are correctly-rounded IEEE — spelled
+    // sqrt(a)·sqrt(b), never sqrt(a·b), so the radicands stay inside
+    // long range at any corpus size.
+    "q204_lagged_xcorr" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .filter(col("event_type").isin("view", "purchase"))
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val x = daily.filter(col("event_type") === "view")
+        .select(col("day").as("dx"), col("n").as("x"))
+        .select(col("dx"), col("x"),
+          explode(sequence(lit(-3), lit(3))).as("lag"))
+      val y = daily.filter(col("event_type") === "purchase")
+        .select(col("day").as("dy"), col("n").as("y"))
+      val g = x.join(y, col("dy") === date_add(col("dx"), col("lag")))
+        .groupBy(col("lag"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+      val vx = col("n_days") * col("sxx") - col("sx") * col("sx")
+      val vy = col("n_days") * col("syy") - col("sy") * col("sy")
+      g.select(col("lag"), col("n_days"),
+          when(vx > 0 && vy > 0,
+            (col("n_days") * col("sxy") - col("sx") * col("sy"))
+              .cast("double")
+              / (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))))
+            .as("xcorr"))
+        .orderBy(col("lag"))
     })
   )
 
   def oracle: Map[String, String] = Map(
+    "q204_lagged_xcorr" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |  GROUP BY 1, 2),
+        |x AS (SELECT day AS dx, n AS x FROM daily
+        |  WHERE event_type = 'view'),
+        |y AS (SELECT day AS dy, n AS y FROM daily
+        |  WHERE event_type = 'purchase'),
+        |l AS (SELECT unnest(range(-3, 4)) AS lag),
+        |p AS (SELECT lag, x, y FROM x, l, y
+        |  WHERE dy = dx + CAST(lag AS INTEGER)),
+        |g AS (SELECT lag, count(*) AS n_days,
+        |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+        |    sum(x * x) AS sxx, sum(y * y) AS syy
+        |  FROM p GROUP BY lag)
+        |SELECT CAST(lag AS INT) AS lag, n_days,
+        |  CASE WHEN n_days * sxx - sx * sx > 0
+        |      AND n_days * syy - sy * sy > 0 THEN
+        |    CAST(n_days * sxy - sx * sy AS DOUBLE)
+        |      / (sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE))
+        |        * sqrt(CAST(n_days * syy - sy * sy AS DOUBLE)))
+        |  END AS xcorr
+        |FROM g ORDER BY lag""".stripMargin,
+
     "q40_temporal_date" ->
       """WITH t AS (SELECT o_orderkey, o_orderdate::DATE AS dt FROM orders)
         |SELECT o_orderkey, dt,

@@ -68,7 +68,9 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q199_source_keep_best", // struct-max argmax is order-free
     "q200_chunking",       // per-row integer chunk arithmetic
     "q201_pct_of_parent",  // exact decimal sums; one IEEE division
-    "q202_benford_audit")  // integer-string leading digit; exact counts
+    "q202_benford_audit",  // integer-string leading digit; exact counts
+    "q203_skew_report",    // exact key counts; cross-mult ratio
+    "q204_lagged_xcorr")   // LONG component sums; sqrt/÷ once
 
   test("exact operators are invariant to input split boundaries") {
     val splitty = spark.newSession()
