@@ -378,6 +378,31 @@ object Profile extends QueryModule {
     // combined), the total re-aggregated from the 10-row frame and
     // broadcast back; shares are exact-long divisions and the Benford
     // term is 6-decimal-snapped (the q110 ln recipe).
+    // Repeat-payment detector — the accounts-payable fraud screen:
+    // order pairs from the same customer at suspiciously similar
+    // amounts (within $1000) inside a 180-day window. The self-join
+    // keys on custkey — an EQUI join whose groups are bounded by
+    // orders-per-customer (never a cartesian; the amount band and
+    // date band filter the small per-customer pair set), orderkey
+    // ordering de-duplicates the pair. Both bands compare the same
+    // stored doubles / exact DATE arithmetic on both engines.
+    "q205_dup_payments" -> ((s, d) => {
+      val o1 = Tables.orders(s, d).select(
+        col("o_orderkey").as("k1"), col("o_custkey").as("c1"),
+        col("o_totalprice").as("p1"), col("o_orderdate").as("d1"))
+      val o2 = Tables.orders(s, d).select(
+        col("o_orderkey").as("k2"), col("o_custkey").as("c2"),
+        col("o_totalprice").as("p2"), col("o_orderdate").as("d2"))
+      o1.join(o2, col("c1") === col("c2") && col("k1") < col("k2"))
+        .withColumn("day_gap", abs(datediff(col("d2"), col("d1"))))
+        .withColumn("amount_gap", abs(col("p2") - col("p1")))
+        .filter(col("day_gap") <= 180 && col("amount_gap") <= 1000.0)
+        .select(col("c1").as("o_custkey"), col("k1"), col("k2"),
+          col("p1").as("amount1"), col("p2").as("amount2"),
+          col("day_gap"))
+        .orderBy(col("o_custkey"), col("k1"), col("k2"))
+    }),
+
     // Join-key skew diagnosis — the report an operator pulls BEFORE
     // picking a join strategy at 100 TB: the hottest keys of a
     // prospective join column, each with its share of all rows and its
@@ -423,6 +448,19 @@ object Profile extends QueryModule {
   )
 
   def oracle: Map[String, String] = Map(
+    "q205_dup_payments" ->
+      """SELECT o1.o_custkey, o1.o_orderkey AS k1, o2.o_orderkey AS k2,
+        |  o1.o_totalprice AS amount1, o2.o_totalprice AS amount2,
+        |  abs(CAST(o2.o_orderdate AS DATE) - CAST(o1.o_orderdate AS DATE))
+        |    AS day_gap
+        |FROM orders o1, orders o2
+        |WHERE o1.o_custkey = o2.o_custkey
+        |  AND o1.o_orderkey < o2.o_orderkey
+        |  AND abs(o2.o_totalprice - o1.o_totalprice) <= 1000.0::DOUBLE
+        |  AND abs(CAST(o2.o_orderdate AS DATE)
+        |    - CAST(o1.o_orderdate AS DATE)) <= 180
+        |ORDER BY o1.o_custkey, k1, k2""".stripMargin,
+
     "q203_skew_report" ->
       """WITH c AS (SELECT l_suppkey, count(*) AS n FROM lineitem
         |  GROUP BY l_suppkey),

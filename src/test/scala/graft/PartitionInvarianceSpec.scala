@@ -70,7 +70,8 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q201_pct_of_parent",  // exact decimal sums; one IEEE division
     "q202_benford_audit",  // integer-string leading digit; exact counts
     "q203_skew_report",    // exact key counts; cross-mult ratio
-    "q204_lagged_xcorr")   // LONG component sums; sqrt/÷ once
+    "q204_lagged_xcorr",   // LONG component sums; sqrt/÷ once
+    "q205_dup_payments")   // equi-join + exact band filters
 
   test("exact operators are invariant to input split boundaries") {
     val splitty = spark.newSession()
