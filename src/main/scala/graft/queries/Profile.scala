@@ -378,6 +378,32 @@ object Profile extends QueryModule {
     // combined), the total re-aggregated from the 10-row frame and
     // broadcast back; shares are exact-long divisions and the Benford
     // term is 6-decimal-snapped (the q110 ln recipe).
+    // Per-entity mode ("favorite brand") feature extraction — the
+    // feature-store staple: each customer's most-purchased brand, then
+    // the corpus-level histogram of favorites. BOTH levels are
+    // aggregations (the q109 struct-max argmax — no window, no
+    // per-customer sort): (customer, brand) counts key on the pair,
+    // the per-customer argmax keys on the customer (ties → the
+    // lexicographically LAST brand, mirrored in the oracle's
+    // row_number ordering), and the favorites histogram is a
+    // ≤|brands| regroup. Everything map-side combines; nothing
+    // corpus-wide sorts or windows.
+    "q206_favorite_brand" -> ((s, d) => {
+      val pairs = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.part(s, d).select(col("p_partkey"), col("p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("o_custkey"), col("p_brand"))
+        .agg(count(lit(1)).as("n"))
+      pairs.groupBy(col("o_custkey"))
+        .agg(max(struct(col("n"), col("p_brand"))).as("m"))
+        .groupBy(col("m.p_brand").as("favorite_brand"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("n_customers").desc, col("favorite_brand"))
+    }),
+
     // Repeat-payment detector — the accounts-payable fraud screen:
     // order pairs from the same customer at suspiciously similar
     // amounts (within $1000) inside a 180-day window. The self-join
@@ -448,6 +474,24 @@ object Profile extends QueryModule {
   )
 
   def oracle: Map[String, String] = Map(
+    // row_number formulation — a different algorithm proving the
+    // two-level struct-max argmax equivalent.
+    "q206_favorite_brand" ->
+      """WITH pairs AS (
+        |  SELECT o_custkey, p_brand, count(*) AS n
+        |  FROM lineitem, orders, part
+        |  WHERE l_orderkey = o_orderkey AND l_partkey = p_partkey
+        |  GROUP BY o_custkey, p_brand),
+        |fav AS (
+        |  SELECT o_custkey, p_brand,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY n DESC, p_brand DESC) AS rk
+        |  FROM pairs)
+        |SELECT p_brand AS favorite_brand, count(*) AS n_customers
+        |FROM fav WHERE rk = 1
+        |GROUP BY p_brand
+        |ORDER BY n_customers DESC, favorite_brand""".stripMargin,
+
     "q205_dup_payments" ->
       """SELECT o1.o_custkey, o1.o_orderkey AS k1, o2.o_orderkey AS k2,
         |  o1.o_totalprice AS amount1, o2.o_totalprice AS amount2,

@@ -71,7 +71,8 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q202_benford_audit",  // integer-string leading digit; exact counts
     "q203_skew_report",    // exact key counts; cross-mult ratio
     "q204_lagged_xcorr",   // LONG component sums; sqrt/÷ once
-    "q205_dup_payments")   // equi-join + exact band filters
+    "q205_dup_payments",   // equi-join + exact band filters
+    "q206_favorite_brand") // two-level struct-max argmax, exact counts
 
   test("exact operators are invariant to input split boundaries") {
     val splitty = spark.newSession()
