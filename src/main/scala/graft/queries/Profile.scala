@@ -378,6 +378,35 @@ object Profile extends QueryModule {
     // combined), the total re-aggregated from the 10-row frame and
     // broadcast back; shares are exact-long divisions and the Benford
     // term is 6-decimal-snapped (the q110 ln recipe).
+    // Return-rate ranking by Wilson lower bound — the "sort by
+    // confidence, not by raw rate" classic (Evan Miller's how-not-to-
+    // sort-by-average-rating): a brand with 3 returns in 4 sales must
+    // rank below one with 200 in 400, so each brand's return rate gets
+    // its 95% Wilson score lower bound and THAT is the ranking key.
+    // One corpus-scale brand aggregation (exact long n and r per
+    // group); the bound itself is a fixed chain of IEEE double ops on
+    // the exact-fraction inputs — deterministic cross-engine when
+    // spelled identically (z = 1.96 literal on both sides).
+    "q207_wilson_returns" -> ((s, d) => {
+      val z = lit(1.96)
+      val g = Tables.lineitem(s, d)
+        .join(Tables.part(s, d).select(col("p_partkey"), col("p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+            .as("n_returns"))
+      val n = col("n_lines").cast("double")
+      val p = col("n_returns").cast("double") / n
+      val z2n = z * z / n
+      val lb = ((p + z2n / lit(2.0)
+        - z * sqrt(p * (lit(1.0) - p) / n + z2n / (lit(4.0) * n)))
+        / (lit(1.0) + z2n))
+      g.select(col("p_brand"), col("n_lines"), col("n_returns"),
+          p.as("return_rate"), lb.as("wilson_lb"))
+        .orderBy(col("wilson_lb").desc, col("p_brand"))
+    }),
+
     // Per-entity mode ("favorite brand") feature extraction — the
     // feature-store staple: each customer's most-purchased brand, then
     // the corpus-level histogram of favorites. BOTH levels are
@@ -474,6 +503,27 @@ object Profile extends QueryModule {
   )
 
   def oracle: Map[String, String] = Map(
+    // every fractional literal ::DOUBLE (the q168 decimal-literal
+    // trap) and the operator chain spelled in the same association
+    // order as the Spark side — the Wilson bound is then the same
+    // sequence of IEEE ops on the same exact-fraction inputs.
+    "q207_wilson_returns" ->
+      """WITH g AS (SELECT p_brand, count(*) AS n_lines,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_returns
+        |  FROM lineitem, part WHERE l_partkey = p_partkey
+        |  GROUP BY p_brand),
+        |c AS (SELECT *, CAST(n_lines AS DOUBLE) AS nd,
+        |    CAST(n_returns AS DOUBLE) / CAST(n_lines AS DOUBLE) AS p,
+        |    1.96::DOUBLE * 1.96::DOUBLE / CAST(n_lines AS DOUBLE) AS z2n
+        |  FROM g)
+        |SELECT p_brand, n_lines, n_returns, p AS return_rate,
+        |  (p + z2n / 2.0::DOUBLE
+        |    - 1.96::DOUBLE * sqrt(p * (1.0::DOUBLE - p) / nd
+        |      + z2n / (4.0::DOUBLE * nd)))
+        |  / (1.0::DOUBLE + z2n) AS wilson_lb
+        |FROM c ORDER BY wilson_lb DESC, p_brand""".stripMargin,
+
     // row_number formulation — a different algorithm proving the
     // two-level struct-max argmax equivalent.
     "q206_favorite_brand" ->

@@ -72,7 +72,8 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q203_skew_report",    // exact key counts; cross-mult ratio
     "q204_lagged_xcorr",   // LONG component sums; sqrt/÷ once
     "q205_dup_payments",   // equi-join + exact band filters
-    "q206_favorite_brand") // two-level struct-max argmax, exact counts
+    "q206_favorite_brand", // two-level struct-max argmax, exact counts
+    "q207_wilson_returns") // IEEE chain on exact-fraction inputs
 
   test("exact operators are invariant to input split boundaries") {
     val splitty = spark.newSession()
