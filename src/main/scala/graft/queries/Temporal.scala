@@ -476,6 +476,59 @@ object Temporal extends QueryModule {
         .orderBy(col("event_id"))
     }),
 
+    // Order fulfillment SLA report — lead-time percentiles by order
+    // priority: days from order to the LAST line shipped, p50/p90 and
+    // mean per priority class. Scale shape: the per-order max-shipdate
+    // aggregation keys on l_orderkey (max is order-free) and joins
+    // orders on its own key; the percentile aggregate is the q39b
+    // one-call array form (one value→count map per 5-value priority
+    // group — lead-time DAYS are small ints, so the map is tiny at any
+    // corpus size). Lead days are exact DATE arithmetic; the mean is
+    // an exact-long sum ÷ count, divided once in double.
+    "q208_fulfillment_sla" -> ((s, d) => {
+      val lastShip = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(max(col("l_shipdate")).as("last_ship"))
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+        .join(lastShip, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderpriority"),
+          datediff(col("last_ship"), col("o_orderdate")).cast("long")
+            .as("lead_days"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          expr("percentile(lead_days, array(0.5, 0.9))").as("ps"),
+          sum(col("lead_days")).as("sum_days"))
+        .select(col("o_orderpriority"), col("n_orders"),
+          element_at(col("ps"), 1).as("p50_days"),
+          element_at(col("ps"), 2).as("p90_days"),
+          (col("sum_days").cast("double") / col("n_orders").cast("double"))
+            .as("avg_days"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // Data-freshness audit — the feed-staleness report every warehouse
+    // operator checks before trusting a downstream metric: per event
+    // stream (event_type standing in for the feed), last event time,
+    // hours behind the freshest feed, and a stale flag. One corpus
+    // aggregation (max is order-free); the corpus-wide high-water mark
+    // re-aggregates the ≤|types| frame and broadcasts back; lag hours
+    // are exact integer microsecond arithmetic (unix_micros), never
+    // float timestamp math.
+    "q209_freshness_audit" -> ((s, d) => {
+      val perType = Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(max(col("ts")).as("last_ts"), count(lit(1)).as("n_events"))
+      val hwm = perType.agg(max(col("last_ts")).as("max_ts"))
+      perType.crossJoin(broadcast(hwm))
+        .select(col("event_type"), col("n_events"), col("last_ts"),
+          expr("(unix_micros(max_ts) - unix_micros(last_ts))" +
+            " DIV 3600000000").as("hours_behind"))
+        .withColumn("stale", col("hours_behind") >= 24L)
+        .orderBy(col("event_type"))
+    }),
+
     // Lagged cross-correlation of two event streams (does `view`
     // activity LEAD `purchase` activity, and by how many days?) — the
     // lead/lag discovery step behind attribution and forecasting
@@ -520,6 +573,33 @@ object Temporal extends QueryModule {
   )
 
   def oracle: Map[String, String] = Map(
+    "q208_fulfillment_sla" ->
+      """WITH ls AS (SELECT l_orderkey, max(l_shipdate) AS last_ship
+        |  FROM lineitem GROUP BY 1),
+        |ld AS (SELECT o_orderpriority,
+        |    CAST(CAST(last_ship AS DATE) - CAST(o_orderdate AS DATE)
+        |      AS BIGINT) AS lead_days
+        |  FROM orders JOIN ls ON o_orderkey = l_orderkey)
+        |SELECT o_orderpriority, count(*) AS n_orders,
+        |  quantile_cont(lead_days, 0.5) AS p50_days,
+        |  quantile_cont(lead_days, 0.9) AS p90_days,
+        |  CAST(sum(lead_days) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    AS avg_days
+        |FROM ld GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q209_freshness_audit" ->
+      """WITH p AS (SELECT event_type, max(ts) AS last_ts,
+        |    count(*) AS n_events
+        |  FROM events GROUP BY 1),
+        |h AS (SELECT max(last_ts) AS max_ts FROM p)
+        |SELECT event_type, n_events, last_ts,
+        |  (epoch_us(max_ts) - epoch_us(last_ts)) // 3600000000
+        |    AS hours_behind,
+        |  (epoch_us(max_ts) - epoch_us(last_ts)) // 3600000000 >= 24
+        |    AS stale
+        |FROM p, h ORDER BY event_type""".stripMargin,
+
     "q204_lagged_xcorr" ->
       """WITH daily AS (
         |  SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n

@@ -73,7 +73,9 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q204_lagged_xcorr",   // LONG component sums; sqrt/÷ once
     "q205_dup_payments",   // equi-join + exact band filters
     "q206_favorite_brand", // two-level struct-max argmax, exact counts
-    "q207_wilson_returns") // IEEE chain on exact-fraction inputs
+    "q207_wilson_returns", // IEEE chain on exact-fraction inputs
+    "q208_fulfillment_sla", // exact date arithmetic; q39b percentile
+    "q209_freshness_audit") // max is order-free; integer µs lag
 
   test("exact operators are invariant to input split boundaries") {
     val splitty = spark.newSession()
