@@ -378,6 +378,41 @@ object Profile extends QueryModule {
     // combined), the total re-aggregated from the 10-row frame and
     // broadcast back; shares are exact-long divisions and the Benford
     // term is 6-decimal-snapped (the q110 ln recipe).
+    // Right-to-be-forgotten purge-impact audit — the compliance
+    // dry-run a lakehouse team files before executing a deletion
+    // request: for a deterministic deletion cohort (here: customers
+    // with deeply negative balances standing in for the request list),
+    // how many rows does the cascade touch in each downstream table?
+    // customer directly, orders via custkey, lineitem via the affected
+    // ORDER key set — the fact table is reached through the semi-joined
+    // orders keys (each fact streams ONCE against a broadcast-sized
+    // key set; never a 3-way join blow-up), and the output is counts
+    // per relation, never the purged rows themselves.
+    "q210_purge_audit" -> ((s, d) => {
+      val doomed = Tables.customer(s, d)
+        .filter(col("c_acctbal") < -900.0).select(col("c_custkey"))
+      val custAll = Tables.customer(s, d).agg(count(lit(1)).as("total"))
+      val nDoomed = doomed.agg(count(lit(1)).as("hit"))
+      val ordersHit = Tables.orders(s, d)
+        .join(doomed, col("o_custkey") === col("c_custkey"), "left_semi")
+      val ordersCnt = ordersHit.agg(count(lit(1)).as("hit"))
+      val ordersAll = Tables.orders(s, d).agg(count(lit(1)).as("total"))
+      val liCnt = Tables.lineitem(s, d)
+        .join(ordersHit.select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .agg(count(lit(1)).as("hit"))
+      val liAll = Tables.lineitem(s, d).agg(count(lit(1)).as("total"))
+      def row(name: String, hit: DataFrame, all: DataFrame) =
+        hit.crossJoin(broadcast(all))
+          .select(lit(name).as("relation"), col("hit"), col("total"),
+            (col("hit").cast("double") / col("total").cast("double"))
+              .as("purge_share"))
+      row("customer", nDoomed, custAll)
+        .unionByName(row("orders", ordersCnt, ordersAll))
+        .unionByName(row("lineitem", liCnt, liAll))
+        .orderBy(col("relation"))
+    }),
+
     // Return-rate ranking by Wilson lower bound — the "sort by
     // confidence, not by raw rate" classic (Evan Miller's how-not-to-
     // sort-by-average-rating): a brand with 3 returns in 4 sales must
@@ -503,6 +538,26 @@ object Profile extends QueryModule {
   )
 
   def oracle: Map[String, String] = Map(
+    "q210_purge_audit" ->
+      """WITH doomed AS (SELECT c_custkey FROM customer
+        |  WHERE c_acctbal < -900.0),
+        |oh AS (SELECT o_orderkey FROM orders
+        |  WHERE o_custkey IN (SELECT c_custkey FROM doomed)),
+        |r AS (
+        |  SELECT 'customer' AS relation,
+        |    (SELECT count(*) FROM doomed) AS hit,
+        |    (SELECT count(*) FROM customer) AS total
+        |  UNION ALL SELECT 'orders',
+        |    (SELECT count(*) FROM oh),
+        |    (SELECT count(*) FROM orders)
+        |  UNION ALL SELECT 'lineitem',
+        |    (SELECT count(*) FROM lineitem
+        |     WHERE l_orderkey IN (SELECT o_orderkey FROM oh)),
+        |    (SELECT count(*) FROM lineitem))
+        |SELECT relation, hit, total,
+        |  CAST(hit AS DOUBLE) / CAST(total AS DOUBLE) AS purge_share
+        |FROM r ORDER BY relation""".stripMargin,
+
     // every fractional literal ::DOUBLE (the q168 decimal-literal
     // trap) and the operator chain spelled in the same association
     // order as the Spark side — the Wilson bound is then the same
