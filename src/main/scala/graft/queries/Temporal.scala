@@ -529,6 +529,31 @@ object Temporal extends QueryModule {
         .orderBy(col("event_type"))
     }),
 
+    // Monthly seasonality index — the retail planning staple: each
+    // calendar month's revenue share relative to a flat month
+    // (index = 12 · month_rev / total_rev; 1.0 = no seasonality),
+    // computed over full years only so partial years don't skew the
+    // index. ONE corpus-scale aggregation to the ≤12-row month frame
+    // (exact decimal revenue, map-side combined); the total
+    // re-aggregates that frame and broadcasts back; the index is
+    // exact-decimal cross-arithmetic divided once in double.
+    "q211_seasonality_index" -> ((s, d) => {
+      val monthly = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01"))
+          && col("o_orderdate") < to_timestamp(lit("2001-01-01")))
+        .groupBy(month(col("o_orderdate")).as("mth"))
+        .agg(sum(col("o_totalprice").cast("decimal(12,2)"))
+          .cast("decimal(18,2)").as("rev_dec"),
+          count(lit(1)).as("n_orders"))
+      val tot = monthly.agg(sum(col("rev_dec")).as("total_dec"))
+      monthly.crossJoin(broadcast(tot))
+        .select(col("mth"), col("n_orders"),
+          col("rev_dec").cast("double").as("revenue"),
+          ((col("rev_dec") * lit(12L)).cast("double")
+            / col("total_dec").cast("double")).as("season_index"))
+        .orderBy(col("mth"))
+    }),
+
     // Lagged cross-correlation of two event streams (does `view`
     // activity LEAD `purchase` activity, and by how many days?) — the
     // lead/lag discovery step behind attribution and forecasting
@@ -573,6 +598,22 @@ object Temporal extends QueryModule {
   )
 
   def oracle: Map[String, String] = Map(
+    "q211_seasonality_index" ->
+      """WITH m AS (
+        |  SELECT month(o_orderdate) AS mth,
+        |    round(sum(o_totalprice::DECIMAL(12,2)), 2) AS rev_dec,
+        |    count(*) AS n_orders
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '2001-01-01'
+        |  GROUP BY 1),
+        |t AS (SELECT sum(rev_dec) AS total_dec FROM m)
+        |SELECT CAST(mth AS INT) AS mth, n_orders,
+        |  CAST(rev_dec AS DOUBLE) AS revenue,
+        |  CAST(rev_dec * 12 AS DOUBLE) / CAST(total_dec AS DOUBLE)
+        |    AS season_index
+        |FROM m, t ORDER BY mth""".stripMargin,
+
     "q208_fulfillment_sla" ->
       """WITH ls AS (SELECT l_orderkey, max(l_shipdate) AS last_ship
         |  FROM lineitem GROUP BY 1),

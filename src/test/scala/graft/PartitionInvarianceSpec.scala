@@ -76,7 +76,8 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q207_wilson_returns", // IEEE chain on exact-fraction inputs
     "q208_fulfillment_sla", // exact date arithmetic; q39b percentile
     "q209_freshness_audit", // max is order-free; integer µs lag
-    "q210_purge_audit")    // semi-join counts, exact divisions
+    "q210_purge_audit",    // semi-join counts, exact divisions
+    "q211_seasonality_index") // exact decimal revenue; ÷ once
 
   test("exact operators are invariant to input split boundaries") {
     val splitty = spark.newSession()
