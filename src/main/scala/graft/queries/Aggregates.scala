@@ -472,6 +472,34 @@ object Aggregates extends QueryModule {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Discount-depth response curve — the pricing-analytics readout:
+    // for each of the 11 discrete discount levels, how much volume
+    // moves and what share of revenue it carries (the input to "is
+    // discounting buying volume or just giving margin away"). ONE
+    // corpus-scale aggregation to the ≤11-row discount frame:
+    // quantities are integral doubles (exact sums any order), revenue
+    // accumulates in exact decimal, the revenue share re-aggregates
+    // the tiny frame through a 1-row broadcast, and avg/share divide
+    // exact operands once.
+    "q212_discount_response" -> ((s, d) => {
+      val g = Tables.lineitem(s, d)
+        .groupBy(col("l_discount"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(12,2)")
+              * (lit(1).cast("decimal(12,2)")
+                - col("l_discount").cast("decimal(12,2)")))
+            .cast("decimal(18,2)").as("rev_dec"))
+      val tot = g.agg(sum(col("rev_dec")).as("total_dec"))
+      g.crossJoin(broadcast(tot))
+        .select(col("l_discount"), col("n_lines"),
+          (col("sum_qty") / col("n_lines").cast("double")).as("avg_qty"),
+          col("rev_dec").cast("double").as("revenue"),
+          (col("rev_dec").cast("double") / col("total_dec").cast("double"))
+            .as("rev_share"))
+        .orderBy(col("l_discount"))
+    }),
+
     "q39b_percentile_exact" -> ((s, d) =>
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
@@ -830,6 +858,19 @@ object Aggregates extends QueryModule {
         |  max(clipped) AS max_clipped
         |FROM c GROUP BY l_returnflag, lo, hi
         |ORDER BY l_returnflag""".stripMargin,
+
+    "q212_discount_response" ->
+      """WITH g AS (SELECT l_discount, count(*) AS n_lines,
+        |    sum(l_quantity) AS sum_qty,
+        |    round(sum(l_extendedprice::DECIMAL(12,2)
+        |      * (1 - l_discount::DECIMAL(12,2))), 2) AS rev_dec
+        |  FROM lineitem GROUP BY l_discount),
+        |t AS (SELECT sum(rev_dec) AS total_dec FROM g)
+        |SELECT l_discount, n_lines,
+        |  sum_qty / CAST(n_lines AS DOUBLE) AS avg_qty,
+        |  CAST(rev_dec AS DOUBLE) AS revenue,
+        |  CAST(rev_dec AS DOUBLE) / CAST(total_dec AS DOUBLE) AS rev_share
+        |FROM g, t ORDER BY l_discount""".stripMargin,
 
     "q39b_percentile_exact" ->
       """SELECT l_returnflag,

@@ -77,7 +77,8 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q208_fulfillment_sla", // exact date arithmetic; q39b percentile
     "q209_freshness_audit", // max is order-free; integer µs lag
     "q210_purge_audit",    // semi-join counts, exact divisions
-    "q211_seasonality_index") // exact decimal revenue; ÷ once
+    "q211_seasonality_index", // exact decimal revenue; ÷ once
+    "q212_discount_response") // integral qty sums, exact decimal
 
   test("exact operators are invariant to input split boundaries") {
     val splitty = spark.newSession()
