@@ -472,6 +472,42 @@ object Aggregates extends QueryModule {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Supplier market concentration per nation (Herfindahl-Hirschman
+    // index) — the antitrust-flavored companion to q179's Gini:
+    // HHI = Σ share² over each nation's suppliers, here computed
+    // WITHOUT any order-sensitive float summation: revenues convert to
+    // exact integer CENTS (the q179 recipe), each supplier's cents²
+    // accumulates in DECIMAL(38,0) (exact — a long would overflow at
+    // 100 TB where one supplier's cents² passes 2⁶³), and
+    // HHI = Σc² / (Σc)² is one double division, 6-decimal-snapped:
+    // Σc² exceeds 2⁵³, and Spark's BigDecimal→double conversion can
+    // sit one ulp off DuckDB's HUGEINT→double there (measured at
+    // sf0.01 — a 1e-9-relative WARN), so the ratio gets the q110 snap
+    // both engines share. Scale shape: corpus collapses to the
+    // per-supplier frame first (one keyed aggregation); the
+    // per-nation roll-up runs on the \|suppliers\| frame.
+    "q213_supplier_hhi" -> ((s, d) => {
+      val perSupp = Tables.lineitem(s, d)
+        .join(Tables.supplier(s, d)
+          .select(col("s_suppkey"), col("s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_nationkey"), col("s_suppkey"))
+        .agg((sum(col("l_extendedprice").cast("decimal(12,2)")
+            * (lit(1).cast("decimal(12,2)")
+              - col("l_discount").cast("decimal(12,2)")))
+          .cast("decimal(18,2)") * 100).cast("decimal(20,0)").as("cents"))
+      perSupp.groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum(col("cents")).as("sum_c"),
+          sum((col("cents") * col("cents")).cast("decimal(38,0)"))
+            .as("sum_c2"))
+        .select(col("s_nationkey"), col("n_suppliers"),
+          (floor(col("sum_c2").cast("double")
+            / (col("sum_c").cast("double") * col("sum_c").cast("double"))
+            * 1e6 + 0.5) / 1e6).as("hhi"))
+        .orderBy(col("s_nationkey"))
+    }),
+
     // Discount-depth response curve — the pricing-analytics readout:
     // for each of the 11 discrete discount levels, how much volume
     // moves and what share of revenue it carries (the input to "is
@@ -858,6 +894,19 @@ object Aggregates extends QueryModule {
         |  max(clipped) AS max_clipped
         |FROM c GROUP BY l_returnflag, lo, hi
         |ORDER BY l_returnflag""".stripMargin,
+
+    "q213_supplier_hhi" ->
+      """WITH ps AS (SELECT s_nationkey, s_suppkey,
+        |    CAST(round(sum(l_extendedprice::DECIMAL(12,2)
+        |      * (1 - l_discount::DECIMAL(12,2))), 2) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM lineitem, supplier WHERE l_suppkey = s_suppkey
+        |  GROUP BY 1, 2)
+        |SELECT s_nationkey, count(*) AS n_suppliers,
+        |  floor(CAST(sum(CAST(cents AS HUGEINT) * cents) AS DOUBLE)
+        |    / (CAST(sum(cents) AS DOUBLE) * CAST(sum(cents) AS DOUBLE))
+        |    * 1e6 + 0.5) / 1e6 AS hhi
+        |FROM ps GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q212_discount_response" ->
       """WITH g AS (SELECT l_discount, count(*) AS n_lines,

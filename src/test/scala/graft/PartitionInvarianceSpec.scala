@@ -78,7 +78,8 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q209_freshness_audit", // max is order-free; integer µs lag
     "q210_purge_audit",    // semi-join counts, exact divisions
     "q211_seasonality_index", // exact decimal revenue; ÷ once
-    "q212_discount_response") // integral qty sums, exact decimal
+    "q212_discount_response", // integral qty sums, exact decimal
+    "q213_supplier_hhi")   // exact integer cents², snapped ratio
 
   test("exact operators are invariant to input split boundaries") {
     val splitty = spark.newSession()
