@@ -106,6 +106,29 @@ object Dedup extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // Duplicate-cluster size distribution — the dedup DIAGNOSTIC that
+    // precedes the q60 pass: how much of the corpus sits in clusters
+    // of 1, 2, 3... identical documents, and what share of rows a
+    // keep-first dedup would delete. Two keyed aggregations (hash →
+    // cluster size, size → cluster count; both map-side combined —
+    // no window, unlike q60 which must carry row payloads) plus a
+    // 1-row broadcast total; shares are exact-long divisions.
+    "q214_dup_profile" -> ((s, d) => {
+      val clusters = Tables.documents(s, d)
+        .withColumn("content_hash",
+          sha2(Text.norm(col("text")).cast("binary"), 256))
+        .groupBy(col("content_hash")).agg(count(lit(1)).as("csize"))
+      val tot = clusters.agg(sum(col("csize")).as("n_docs"))
+      clusters.groupBy(col("csize")).agg(count(lit(1)).as("n_clusters"))
+        .crossJoin(broadcast(tot))
+        .select(col("csize"), col("n_clusters"),
+          (col("csize") * col("n_clusters")).as("n_docs_in_tier"),
+          ((col("csize") - 1) * col("n_clusters")).as("would_delete"),
+          ((col("csize") * col("n_clusters")).cast("double")
+            / col("n_docs").cast("double")).as("doc_share"))
+        .orderBy(col("csize"))
+    }),
+
     // MinHash + LSH near-dup pairs, exact-Jaccard-verified at ≥ 0.8.
     // The oracle is the exact ≥ 0.8 pair set (O(n²) only in DuckDB at
     // sf0.01): a green row proves the LSH stage had 100% recall on this
@@ -464,6 +487,19 @@ object Dedup extends QueryModule {
       |  FROM w WHERE len(words) >= 3)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "q214_dup_profile" ->
+      """WITH c AS (SELECT sha256(lower(trim(
+        |      regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash,
+        |    count(*) AS csize
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT sum(csize) AS n_docs FROM c)
+        |SELECT csize, count(*) AS n_clusters,
+        |  CAST(csize * count(*) AS BIGINT) AS n_docs_in_tier,
+        |  CAST((csize - 1) * count(*) AS BIGINT) AS would_delete,
+        |  CAST(csize * count(*) AS DOUBLE) / CAST(n_docs AS DOUBLE)
+        |    AS doc_share
+        |FROM c, t GROUP BY csize, n_docs ORDER BY csize""".stripMargin,
+
     "q60_dedup_exact" ->
       """SELECT doc_id, lang, n_chars, content_hash, n_copies FROM (
         |  SELECT doc_id, lang, n_chars, content_hash,
