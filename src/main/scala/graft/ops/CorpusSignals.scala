@@ -102,7 +102,7 @@ object CorpusSignals extends QueryModule {
       lnCostMicros(lit(1.0) / (col("n_corpus") + col("v") + 1.0))
         .as("oov_lc"))
     toks.crossJoin(broadcast(costs)).crossJoin(broadcast(oovCost))
-      .select(col("doc_id"), size(col("ts")).as("n_tokens"),
+      .select(col("doc_id"), size(col("ts")).cast("long").as("n_tokens"),
         size(filter(col("ts"), t => element_at(col("cmap"), t).isNull))
           .cast("long").as("oov_tokens"),
         aggregate(col("ts"), lit(0L), (acc, t) =>

@@ -56,17 +56,35 @@ object Graph extends QueryModule {
       val init = nations.crossJoin(broadcast(nn))
         .select(col("node"),
           (lit(1.0) / col("n_nodes").cast("double")).as("rank"))
-      val ranks = (1 to Iters).foldLeft(init) { (r, _) =>
-        val contrib = edges.join(r, col("src") === col("node"))
-          .groupBy(col("dst")).agg(sum(col("rank") * col("w")).as("acc"))
-        nations.crossJoin(broadcast(nn))
-          .join(contrib, col("node") === col("dst"), "left")
-          .select(col("node"),
-            (lit(0.15) / col("n_nodes").cast("double") +
-              lit(0.85) * round(coalesce(col("acc"), lit(0.0)), 10))
-              .as("rank"))
+      // The edge list is ≤|nations|² ≤ 625 rows — collect it once and
+      // run the 10 damped iterations driver-side (the q119_kmeans
+      // centroid pattern). A foldLeft over DataFrames builds a 10-deep
+      // uncached plan that re-analyzes the edges subtree every round;
+      // at any corpus size the heavy stage is the edge aggregation
+      // above, and the iteration itself is nation-count-sized.
+      val edgeRows = edges.collect().map(r =>
+        (r.getAs[Number]("src").intValue, r.getAs[Number]("dst").intValue,
+          r.getAs[Double]("w"))).sortBy(e => (e._1, e._2))
+      val nodeIds = nations.collect()
+        .map(_.getAs[Number]("node").intValue).sorted
+      val n = nodeIds.length
+      // identical snap to the SQL oracle's round(acc, 10): Spark's Round
+      // on DoubleType goes through BigDecimal(d) (= valueOf semantics)
+      // with HALF_UP, so mirror that exactly.
+      def snap10(x: Double): Double =
+        BigDecimal(x).setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
+      var rank = nodeIds.map(_ -> 1.0 / n).toMap
+      for (_ <- 1 to Iters) {
+        val acc = scala.collection.mutable.Map.empty[Int, Double]
+          .withDefaultValue(0.0)
+        for ((src, dst, w) <- edgeRows)
+          acc(dst) += rank.getOrElse(src, 0.0) * w
+        rank = nodeIds.map(nid =>
+          nid -> (0.15 / n + 0.85 * snap10(acc(nid)))).toMap
       }
-      ranks.orderBy(col("node"))
+      import s.implicits._
+      nodeIds.toSeq.map(nid => (nid, rank(nid))).toDF("node", "rank")
+        .orderBy(col("node"))
     }),
 
     // Triangle count + local clustering coefficient over the same

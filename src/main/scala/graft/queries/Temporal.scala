@@ -562,11 +562,13 @@ object Temporal extends QueryModule {
     // pushes BELOW it into each scan; everything after runs on the
     // ≤|days| daily frame: a 7-way lag explode, a date-shifted
     // equi-join, and per-lag Pearson over component sums. Determinism:
-    // counts are exact longs, every Σ is a LONG fold (order-free), the
-    // numerator and both radicands are exact integer arithmetic, and
-    // the final sqrt/division are correctly-rounded IEEE — spelled
-    // sqrt(a)·sqrt(b), never sqrt(a·b), so the radicands stay inside
-    // long range at any corpus size.
+    // counts are exact longs, every Σ is an exact integer fold
+    // (order-free) — the cross/second-moment sums accumulate in
+    // DECIMAL(38,0) (q213's cents² recipe; DuckDB's sum(BIGINT) is
+    // HUGEINT, already 128-bit) because at ~5e8 events/day Σy² exceeds
+    // 2^63 — and the final sqrt/division are correctly-rounded IEEE,
+    // spelled sqrt(a)·sqrt(b), never sqrt(a·b), so each radicand stays
+    // inside DECIMAL(38,0) at any corpus size.
     "q204_lagged_xcorr" -> ((s, d) => {
       val daily = Tables.events(s, d)
         .filter(col("event_type").isin("view", "purchase"))
@@ -582,14 +584,19 @@ object Temporal extends QueryModule {
         .groupBy(col("lag"))
         .agg(count(lit(1)).as("n_days"),
           sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-          sum(col("x") * col("y")).as("sxy"),
-          sum(col("x") * col("x")).as("sxx"),
-          sum(col("y") * col("y")).as("syy"))
-      val vx = col("n_days") * col("sxx") - col("sx") * col("sx")
-      val vy = col("n_days") * col("syy") - col("sy") * col("sy")
+          sum(col("x").cast("decimal(19,0)") * col("y").cast("decimal(19,0)"))
+            .as("sxy"),
+          sum(col("x").cast("decimal(19,0)") * col("x").cast("decimal(19,0)"))
+            .as("sxx"),
+          sum(col("y").cast("decimal(19,0)") * col("y").cast("decimal(19,0)"))
+            .as("syy"))
+      val sxd = col("sx").cast("decimal(19,0)")
+      val syd = col("sy").cast("decimal(19,0)")
+      val vx = col("n_days") * col("sxx") - sxd * sxd
+      val vy = col("n_days") * col("syy") - syd * syd
       g.select(col("lag"), col("n_days"),
           when(vx > 0 && vy > 0,
-            (col("n_days") * col("sxy") - col("sx") * col("sy"))
+            (col("n_days") * col("sxy") - sxd * syd)
               .cast("double")
               / (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))))
             .as("xcorr"))

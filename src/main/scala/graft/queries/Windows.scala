@@ -120,9 +120,11 @@ object Windows extends QueryModule {
     // q106's MERGE upsert: each user's event_type stream is collapsed
     // into versioned validity intervals (gaps-and-islands: a lag-based
     // change flag, a running sum as the run id, lead(valid_from) as the
-    // exclusive valid_to; the open row carries the standard 9999-12-31
-    // sentinel instead of NULL, which also keeps the hash gate away
-    // from NaT). Scale shape: every window and the run aggregation key
+    // exclusive valid_to; the open row carries a 2200-01-01 open-interval
+    // sentinel instead of NULL, which keeps the hash gate away from
+    // NaT AND stays inside pandas datetime64[ns] range — the classic
+    // 9999-12-31 sentinel silently wraps when pyarrow reads µs/INT96
+    // parquet into ns-precision pandas). Scale shape: every window and the run aggregation key
     // on user_id, so ONE hash exchange serves the lag, the running
     // sum, the groupBy (subset-clustering satisfies (user_id, run)),
     // and the lead — no per-version reshuffle.
@@ -160,7 +162,7 @@ object Windows extends QueryModule {
     "q120_scd2" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
-      val open = lit("9999-12-31 00:00:00").cast("timestamp")
+      val open = lit("2200-01-01 00:00:00").cast("timestamp")
       val wr = Window.partitionBy(col("user_id")).orderBy(col("version"))
       Tables.events(s, d)
         .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
@@ -477,9 +479,9 @@ object Windows extends QueryModule {
         |  FROM r2 GROUP BY user_id, version),
         |f AS (SELECT *, coalesce(lead(valid_from) OVER (PARTITION BY user_id
         |      ORDER BY version),
-        |    TIMESTAMP '9999-12-31 00:00:00') AS valid_to FROM g)
+        |    TIMESTAMP '2200-01-01 00:00:00') AS valid_to FROM g)
         |SELECT user_id, version, state, valid_from, valid_to,
-        |  valid_to = TIMESTAMP '9999-12-31 00:00:00' AS is_current,
+        |  valid_to = TIMESTAMP '2200-01-01 00:00:00' AS is_current,
         |  CAST(n_events AS BIGINT) AS n_events
         |FROM f ORDER BY user_id, version""".stripMargin,
 

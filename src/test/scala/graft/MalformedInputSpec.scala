@@ -126,8 +126,12 @@ class MalformedInputSpec extends AnyFunSuite {
       .coalesce(1).write.mode("overwrite").parquet(d.toString)
     Files.write(d.resolve("part-junk.parquet"),
       "this is not a parquet file".getBytes)
+    // explicit schema so the failure always lands at scan time inside
+    // the intercepted collect() — inference could sample the junk file's
+    // footer first and throw a different exception type at read() time.
     val thrown = intercept[org.apache.spark.SparkException] {
-      spark.read.parquet(d.toString).agg(sum(col("v"))).collect()
+      spark.read.schema("id BIGINT, v BIGINT").parquet(d.toString)
+        .agg(sum(col("v"))).collect()
     }
     assert(thrown.getMessage != null)
     val lenient = spark.newSession()

@@ -70,7 +70,7 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q201_pct_of_parent",  // exact decimal sums; one IEEE division
     "q202_benford_audit",  // integer-string leading digit; exact counts
     "q203_skew_report",    // exact key counts; cross-mult ratio
-    "q204_lagged_xcorr",   // LONG component sums; sqrt/÷ once
+    "q204_lagged_xcorr",   // DECIMAL(38,0) component sums; sqrt/÷ once
     "q205_dup_payments",   // equi-join + exact band filters
     "q206_favorite_brand", // two-level struct-max argmax, exact counts
     "q207_wilson_returns", // IEEE chain on exact-fraction inputs
@@ -79,7 +79,8 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q210_purge_audit",    // semi-join counts, exact divisions
     "q211_seasonality_index", // exact decimal revenue; ÷ once
     "q212_discount_response", // integral qty sums, exact decimal
-    "q213_supplier_hhi")   // exact integer cents², snapped ratio
+    "q213_supplier_hhi",   // exact integer cents², snapped ratio
+    "q214_dup_profile")    // hash-group → size-group; exact longs
 
   test("exact operators are invariant to input split boundaries") {
     val splitty = spark.newSession()

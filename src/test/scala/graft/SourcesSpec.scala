@@ -559,4 +559,73 @@ class SourcesSpec extends AnyFunSuite {
       """"c_custkey" BIGINT, "c_name" TEXT, "c_nationkey" INTEGER, """ +
         """"c_acctbal" FLOAT8, "c_mktsegment" TEXT""")
   }
+
+  test("MsSqlServer/MySQL dialect DDL type maps are pinned") {
+    // The reference declares MsSql and MySql protocol members alongside
+    // Postgres (expression.rs:388-392) but rejects them at runtime
+    // ("only Postgres supported"). Here generic JDBC covers both by
+    // driver swap; this pins the dialect-specific DDL halves — Spark's
+    // MsSqlServerDialect / MySQLDialect type maps — the same way the
+    // Postgres pin above does, so the claim is testable without a
+    // server. Notable dialect divergences pinned on purpose:
+    // MSSQL has no BOOLEAN column type (BIT), no tz-aware timestamp
+    // mapping (DATETIME both ways), NVARCHAR(MAX) text;
+    // MySQL booleans are BIT(1), strings LONGTEXT, binary BLOB, and
+    // session-tz TIMESTAMP vs wall-clock DATETIME split by NTZ-ness.
+    import org.apache.spark.sql.execution.datasources.jdbc.JdbcUtils
+    import org.apache.spark.sql.jdbc.JdbcDialects
+    import org.apache.spark.sql.types._
+    def ddlFor(url: String)(t: DataType): String =
+      JdbcDialects.get(url).getJDBCType(t)
+        .orElse(JdbcUtils.getCommonJDBCType(t))
+        .map(_.databaseTypeDefinition)
+        .getOrElse(fail(s"no mapping for $t at $url"))
+
+    val ms = ddlFor("jdbc:sqlserver://localhost;databaseName=db") _
+    assert(ms(BooleanType) === "BIT")
+    assert(ms(ByteType) === "SMALLINT")
+    assert(ms(ShortType) === "SMALLINT")
+    assert(ms(IntegerType) === "INTEGER")
+    assert(ms(LongType) === "BIGINT")
+    assert(ms(FloatType) === "REAL")
+    assert(ms(DoubleType) === "DOUBLE PRECISION")
+    assert(ms(TimestampType) === "DATETIME")
+    assert(ms(TimestampNTZType) === "DATETIME")
+    assert(ms(DateType) === "DATE")
+    assert(ms(BinaryType) === "VARBINARY(MAX)")
+    assert(ms(StringType) === "NVARCHAR(MAX)")
+    assert(ms(DecimalType(12, 2)) === "DECIMAL(12,2)")
+
+    val my = ddlFor("jdbc:mysql://localhost/db") _
+    assert(my(BooleanType) === "BIT(1)")
+    assert(my(ByteType) === "TINYINT")
+    assert(my(ShortType) === "SMALLINT")
+    assert(my(IntegerType) === "INTEGER")
+    assert(my(LongType) === "BIGINT")
+    assert(my(FloatType) === "FLOAT")
+    assert(my(DoubleType) === "DOUBLE PRECISION")
+    assert(my(TimestampType) === "TIMESTAMP")
+    assert(my(TimestampNTZType) === "DATETIME")
+    assert(my(DateType) === "DATE")
+    assert(my(BinaryType) === "BLOB")
+    assert(my(StringType) === "LONGTEXT")
+    assert(my(DecimalType(12, 2)) === "DECIMAL(12,2)")
+
+    // the CREATE TABLE column list the customer table would get under
+    // each dialect — identifier quoting differs ("..." vs `...`).
+    val cust = Tables.customer(spark, sf).schema
+    def colsDdl(url: String): String = {
+      val d = JdbcDialects.get(url)
+      cust.fields
+        .map(f => s"${d.quoteIdentifier(f.name)} ${ddlFor(url)(f.dataType)}")
+        .mkString(", ")
+    }
+    assert(colsDdl("jdbc:sqlserver://localhost;databaseName=db") ===
+      """"c_custkey" BIGINT, "c_name" NVARCHAR(MAX), """ +
+        """"c_nationkey" INTEGER, "c_acctbal" DOUBLE PRECISION, """ +
+        """"c_mktsegment" NVARCHAR(MAX)""")
+    assert(colsDdl("jdbc:mysql://localhost/db") ===
+      "`c_custkey` BIGINT, `c_name` LONGTEXT, `c_nationkey` INTEGER, " +
+        "`c_acctbal` DOUBLE PRECISION, `c_mktsegment` LONGTEXT")
+  }
 }
