@@ -402,6 +402,32 @@ object IOQueries extends QueryModule {
     // driver-side atomic commit, overwrite = truncate), read back
     // through its pruned scan, aggregate, oracle vs the parquet
     // original — proving writer and reader agree byte-for-byte.
+    // Arrow IPC round-trip through the DSV2 file source/sink — the
+    // reference's from_arrow/to_arrow surface (dataframe.rs:391-407,
+    // 515-525) as a cluster-shaped exchange: write task-parallel .arrow
+    // files, read them back one input-partition per file. Exercises the
+    // int64/string/timestamp/decimal lanes; correctness gate = the
+    // round-tripped contents must equal the source table (DuckDB 1.0
+    // has no IPC reader, so the oracle recomputes from parquet — same
+    // contract as the CSV/JSON round-trips).
+    "q215_arrow_roundtrip" -> ((s, d) => {
+      val dir = scratch(d, "arrow")
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(12,2)").as("price_dec"),
+          col("o_orderdate"))
+        .write.format("graft.sources.ArrowIpcSource")
+        .mode("overwrite").save(dir)
+      s.read.format("graft.sources.ArrowIpcSource").load(dir)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("price_dec")).cast("decimal(18,2)").cast("double")
+            .as("total"),
+          min(col("o_orderdate")).as("first_date"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     "q85_mem_sink_roundtrip" -> ((s, d) => {
       Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_custkey"),
@@ -460,6 +486,13 @@ object IOQueries extends QueryModule {
         |  round(sum(o_totalprice), 2) AS total
         |FROM orders WHERE o_orderstatus = 'F'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q215_arrow_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(o_totalprice::DECIMAL(12,2)) AS DOUBLE) AS total,
+        |  min(o_orderdate) AS first_date,
+        |  max(o_orderkey) AS max_key
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q85_mem_sink_roundtrip" ->
       """SELECT o_orderstatus, count(*) AS n,

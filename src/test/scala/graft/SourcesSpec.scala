@@ -1,6 +1,6 @@
 package graft
 
-import graft.sources.{Jdbc, RangeSource}
+import graft.sources.{ArrowIpcSource, Jdbc, RangeSource}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -558,6 +558,111 @@ class SourcesSpec extends AnyFunSuite {
     assert(colsDdl ===
       """"c_custkey" BIGINT, "c_name" TEXT, "c_nationkey" INTEGER, """ +
         """"c_acctbal" FLOAT8, "c_mktsegment" TEXT""")
+  }
+
+  test("Arrow IPC round-trips the full scalar type lattice losslessly") {
+    // the reference's from_arrow/to_arrow surface (dataframe.rs:391-407,
+    // 515-525) — unlike the Derby JDBC round-trip above, Arrow IPC has a
+    // 1:1 type lattice, so the round-trip must preserve the SCHEMA
+    // exactly, not just the values.
+    val dir = "target/tmp/arrow-lattice"
+    val df = spark.range(1, 51).select(
+      col("id"),
+      (col("id") % 2 === 0).as("b"),
+      col("id").cast("tinyint").as("y"),
+      col("id").cast("smallint").as("s"),
+      col("id").cast("int").as("i"),
+      (col("id") * 1000000007L).as("l"),
+      (col("id") / 4.0).cast("float").as("f"),
+      (col("id") / 8.0).as("d"),
+      (col("id").cast("decimal(10,0)") * lit(1.01).cast("decimal(4,2)"))
+        .cast("decimal(12,2)").as("dec"),
+      date_add(lit(java.sql.Date.valueOf("2024-01-01")), col("id").cast("int"))
+        .as("dt"),
+      expr("timestamp'2024-01-01 12:00:00' + make_interval(0,0,0,0,0,0, id + 0.123456)")
+        .as("ts"),
+      expr("timestamp_ntz'2024-06-01 08:30:00' + make_interval(0,0,0,0,0,0, id)")
+        .as("tsn"),
+      col("id").cast("string").cast("binary").as("bin"),
+      concat(lit("str"), col("id")).as("str"),
+      // a fully-null column and per-row nulls pin the validity bitmap
+      when(col("id") % 7 === 0, col("id")).as("holes"),
+      lit(null).cast("string").as("all_null"))
+    df.write.format("graft.sources.ArrowIpcSource").mode("overwrite").save(dir)
+    val back = spark.read.format("graft.sources.ArrowIpcSource").load(dir)
+    assert(back.schema === df.schema, "Arrow IPC must preserve schema 1:1")
+    def norm(x: org.apache.spark.sql.DataFrame) = x
+      .withColumn("bin", base64(col("bin"))).orderBy("id").collect().toSeq
+    assert(norm(back) === norm(df), "typed round-trip must be lossless")
+  }
+
+  test("Arrow IPC reads files written by an independent Arrow implementation") {
+    // src/test/resources/fixtures/nation_py.arrow was written by pyarrow
+    // (two record batches, one null per nullable lane at n_nationkey=13),
+    // derived deterministically from the sf0.001 nation table — reading
+    // it pins cross-implementation IPC compatibility, not just
+    // our-writer/our-reader closure.
+    import org.apache.spark.sql.types._
+    val f = "src/test/resources/fixtures/nation_py.arrow"
+    val df = spark.read.format("graft.sources.ArrowIpcSource").load(f)
+    val bt = df.schema.fields.map(x => x.name -> x.dataType).toMap
+    assert(bt("n_nationkey") === IntegerType)
+    assert(bt("n_name") === StringType)
+    assert(bt("key_long") === LongType)
+    assert(bt("key_double") === DoubleType)
+    assert(bt("even") === BooleanType)
+    assert(bt("dt") === DateType)
+    assert(bt("ts") === TimestampNTZType) // pyarrow timestamp('us'), no tz
+    assert(bt("dec") === DecimalType(12, 2))
+    assert(bt("bin") === BinaryType)
+    assert(df.count() === 25)
+    val r13 = df.filter(col("n_nationkey") === 13).collect()(0)
+    for (c <- Seq("key_long", "key_double", "even", "dt", "ts", "dec", "bin"))
+      assert(r13.isNullAt(r13.fieldIndex(c)), s"$c must be null at key 13")
+    // values must agree with the same formulas computed from the parquet
+    // nation table Spark-side.
+    val expected = Tables.nation(spark, "/root/testdata/sf0.001")
+      .filter(col("n_nationkey") =!= 13)
+      .select(col("n_nationkey"),
+        (col("n_nationkey").cast("long") * 1000000007L).as("key_long"),
+        (col("n_nationkey") * 101).cast("double").as("cents"))
+      .orderBy("n_nationkey").collect().toSeq
+    val got = df.filter(col("n_nationkey") =!= 13)
+      .select(col("n_nationkey"), col("key_long"),
+        (col("dec") * 100).cast("double").as("cents"))
+      .orderBy("n_nationkey").collect().toSeq
+    assert(got.map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))) ===
+      expected.map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))))
+  }
+
+  test("Arrow IPC write commit is atomic; overwrite truncates; scan prunes") {
+    val dir = "target/tmp/arrow-commit"
+    val big = spark.range(0, 1000).select(col("id"), (col("id") * 3).as("v"))
+      .repartition(4)
+    big.write.format("graft.sources.ArrowIpcSource").mode("overwrite").save(dir)
+    val afterBig = ArrowIpcSource.listArrowFiles(dir)
+    assert(afterBig.size === 4, "one .arrow file per write task")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "_staging")),
+      "staging dir must be gone after commit")
+    // overwrite with a smaller frame truncates the old files
+    val small = spark.range(0, 10).select(col("id"), (col("id") * 5).as("v"))
+      .coalesce(1)
+    small.write.format("graft.sources.ArrowIpcSource").mode("overwrite").save(dir)
+    val back = spark.read.format("graft.sources.ArrowIpcSource").load(dir)
+    assert(back.count() === 10)
+    assert(back.agg(sum(col("v"))).collect()(0).getLong(0) === 225L)
+    // append adds rows without clearing
+    small.write.format("graft.sources.ArrowIpcSource").mode("append").save(dir)
+    assert(spark.read.format("graft.sources.ArrowIpcSource").load(dir)
+      .count() === 20)
+    // column pruning reaches the scan: the V2 BatchScan's output must be
+    // only the selected column.
+    val pruned = spark.read.format("graft.sources.ArrowIpcSource").load(dir)
+      .select("v")
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().head
+    assert(scan.output.map(_.name) === Seq("v"),
+      s"scan must prune to the required column, got ${scan.output}")
   }
 
   test("MsSqlServer/MySQL dialect DDL type maps are pinned") {
