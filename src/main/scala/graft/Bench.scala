@@ -109,7 +109,18 @@ object Bench {
     * without this drain.
     */
   private def calibSample(spark: SparkSession): Double = {
-    System.gc()
+    // Two gc+settle cycles, not one: the first gc() enqueues the weak
+    // references of every broadcast/shuffle accumulated since the last
+    // probe; ContextCleaner then drains that queue with driver-side
+    // remove jobs that contend with the probe's own tiny job. The
+    // settle window lets the cleaner finish, and the second gc() clears
+    // whatever the cleanup itself allocated — otherwise the probe reads
+    // our own deferred cleanup as "box warmth" (round-10/11 interior
+    // probes at 0.7-1.2 s vs 0.35 clean, always right after the
+    // heavy-allocation q1xx-q2xx tier, clearing by the light q4x-q9x
+    // tier once cleanup reaches steady state).
+    System.gc(); Thread.sleep(250)
+    System.gc(); Thread.sleep(250)
     Seq(calibrate(spark), calibrate(spark), calibrate(spark)).sorted.apply(1)
   }
 
