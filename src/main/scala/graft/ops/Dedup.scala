@@ -373,6 +373,98 @@ object Dedup extends QueryModule {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // Asymmetric shingle CONTAINMENT dedup — q158's symmetric
+    // prefix-filter finds near-equal pairs; this finds doc_a CONTAINED
+    // in doc_b (|A∩B| ≥ 0.8·|A|, no constraint on |B|): the
+    // quote/excerpt/superset case symmetric Jaccard misses by
+    // construction (a 10-shingle quote inside a 1000-shingle page has
+    // J ≈ 0.01). Prefix pigeonhole still applies on the CONTAINED side
+    // only: if B holds ≥ 80% of A's shingles, any ⌈0.2·|A|⌉+1 of A's
+    // shingles include one in B — so A explodes just its prefix while
+    // B posts its FULL shingle set (the inverted-index leg; linear in
+    // corpus shingle count, the same scale class as q129's index).
+    // Pair expansion is bounded by full-posting-list length; the
+    // verify stage re-checks candidates in exact integer
+    // cross-multiplication. Output is DIRECTED (a⊂b and b⊂a are
+    // distinct rows; equal sets emit both).
+    "q216_containment" -> ((s, d) => {
+      val sh = shingled(s, d).select(col("doc_id"), col("sh"))
+      val prefA = sh.select(col("doc_id").as("doc_a"),
+          size(col("sh")).as("sz_a"),
+          explode(expr(
+            "slice(sh, 1, size(sh) - ((size(sh) * 8 + 9) DIV 10) + 1)"))
+            .as("h"))
+      val full = sh.select(col("doc_id").as("doc_b"),
+        explode(col("sh")).as("h"))
+      val cand = full.groupBy(col("h"))
+        .agg(collect_list(col("doc_b")).as("bs"))
+        .join(prefA, "h")
+        .select(col("doc_a"), explode(col("bs")).as("doc_b"))
+        .filter(col("doc_a") =!= col("doc_b"))
+        .distinct()
+      val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+      val inter = call_function("graft_sorted_intersect",
+        col("sh_a"), col("sh_b"))
+      cand.join(a, "doc_a").join(b, "doc_b")
+        .withColumn("inter", inter)
+        .filter(col("inter") * 5 >= size(col("sh_a")) * 4)
+        .select(col("doc_a"), col("doc_b"),
+          (col("inter").cast("double") / size(col("sh_a")))
+            .as("containment"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // Per-document n-gram NOVELTY under doc_id arrival order — the
+    // "how much does each document add that the corpus hasn't seen
+    // yet" curve behind data-ordering and crawl-dedup decisions: a
+    // shingle is novel for the doc with the MINIMUM doc_id containing
+    // it. Two keyed shuffles at corpus scale (shingle → first-doc
+    // attribution, doc → counts), both map-side combined; no pairwise
+    // work at all — this is the linear-cost complement of the pair
+    // queries above.
+    "q217_ngram_novelty" -> ((s, d) => {
+      val e = shingled(s, d)
+        .select(col("doc_id"), explode(col("sh")).as("h"))
+      val firsts = e.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
+      e.join(firsts, "h")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+          (col("n_novel").cast("double") / col("n_shingles"))
+            .as("novelty"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Cross-source n-gram leakage matrix — contamination triage one
+    // level above q218-style doc pairs: for every source pair, how
+    // many distinct shingles appear in both (the corpus has NO
+    // cross-source exact duplicates, so hash-level overlap reads zero;
+    // shingle-level overlap is where shared boilerplate/quotes
+    // surface). Scale shape: distinct (shingle, source) pairs → one
+    // shuffle on shingle → per-shingle source set (bounded by
+    // |sources|, a catalog-sized constant) → pair fan-out inside the
+    // array, counts re-keyed on the ≤|sources|² pair frame. Never
+    // doc×doc, never shingle×shingle.
+    "q218_source_leakage" -> ((s, d) => {
+      val e = shingled(s, d)
+        .join(Tables.documents(s, d).select(col("doc_id"), col("source")),
+          "doc_id")
+        .select(col("source"), explode(col("sh")).as("h"))
+        .distinct()
+      e.groupBy(col("h"))
+        .agg(array_sort(collect_set(col("source"))).as("srcs"))
+        .filter(size(col("srcs")) >= 2)
+        .select(explode(col("srcs")).as("src_a"), col("srcs"))
+        .select(col("src_a"), explode(col("srcs")).as("src_b"))
+        .filter(col("src_a") < col("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
     // Incremental (delta-vs-base) dedup — the ingestion-time shape:
     // a new batch (the last 20% of doc_ids, an integer-cross-
     // multiplication cutoff) is deduped AGAINST the existing corpus,
@@ -487,6 +579,40 @@ object Dedup extends QueryModule {
       |  FROM w WHERE len(words) >= 3)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    // independent algorithm on purpose: quadratic directed containment
+    // over raw string shingle sets, vs Spark's prefix-filtered posting
+    // lists over xxhash64-hashed sets.
+    "q216_containment" -> (shingleCte +
+      """
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh)
+        |    AS containment
+        |FROM s a, s b
+        |WHERE a.doc_id <> b.doc_id
+        |  AND len(list_intersect(a.sh, b.sh)) * 5 >= len(a.sh) * 4
+        |ORDER BY doc_a, doc_b""".stripMargin),
+
+    "q217_ngram_novelty" -> (shingleCte +
+      """,
+        |e AS (SELECT doc_id, unnest(sh) AS h FROM s),
+        |f AS (SELECT h, min(doc_id) AS first_doc FROM e GROUP BY 1)
+        |SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        |  CAST(sum(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_novel,
+        |  CAST(sum(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*) AS novelty
+        |FROM e JOIN f USING (h) GROUP BY e.doc_id
+        |ORDER BY doc_id""".stripMargin),
+
+    "q218_source_leakage" -> (shingleCte +
+      """,
+        |e AS (SELECT DISTINCT d.source, unnest(s.sh) AS h
+        |  FROM s JOIN documents d USING (doc_id))
+        |SELECT a.source AS src_a, b.source AS src_b,
+        |  CAST(count(*) AS BIGINT) AS n_shared
+        |FROM e a JOIN e b ON a.h = b.h AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
     "q214_dup_profile" ->
       """WITH c AS (SELECT sha256(lower(trim(
         |      regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash,

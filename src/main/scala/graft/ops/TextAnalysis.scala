@@ -150,6 +150,38 @@ object TextAnalysis extends QueryModule {
     // ('und') or only as truth. All metrics are exact-long divisions
     // (correctly rounded, no output rounding); degenerate classes
     // (zero denominators) yield NULL identically via guarded CASEs.
+    // Tokenizer-fertility planning table — tokens burned per character,
+    // by language: the readout behind "which languages are expensive to
+    // train on under this tokenizer" and per-language token budgeting.
+    // Per-doc fertility uses the BPE-ish regex tokenizer (q64's
+    // n_tokens_re); the LANGUAGE mean is computed as Σtokens/Σchars
+    // (exact long sums, ONE division — never a mean of per-doc doubles,
+    // whose summation order is partition-dependent), and the p50/p90 of
+    // the per-doc ratio go through the exact percentile aggregate with
+    // a 6-decimal floor snap to absorb the engines' 1-ulp interpolation
+    // difference. One corpus-scale aggregation to a ≤|langs| frame.
+    "q219_tokenizer_fertility" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      val t = Tables.documents(s, d)
+        .select(col("lang"), col("n_chars"),
+          size(regexp_extract_all(col("text"),
+            lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+            .cast("long").as("n_toks"))
+        .withColumn("r", col("n_toks").cast("double") / col("n_chars"))
+      t.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("tot_tokens"),
+          sum(col("n_chars")).as("tot_chars"),
+          expr("percentile(r, array(0.5, 0.9))").as("ps"))
+        .select(col("lang"), col("n_docs"), col("tot_tokens"),
+          col("tot_chars"),
+          (col("tot_tokens").cast("double") / col("tot_chars"))
+            .as("fertility"),
+          snap6(element_at(col("ps"), 1)).as("p50_fertility"),
+          snap6(element_at(col("ps"), 2)).as("p90_fertility"))
+        .orderBy(col("lang"))
+    }),
+
     "q170_eval_metrics" -> ((s, d) => {
       val hits = profiles.map { case (l, ws) =>
         l -> expr(s"CAST(size(filter(wrds, w -> w IN ${inList(ws)})) AS LONG)")
@@ -276,6 +308,22 @@ object TextAnalysis extends QueryModule {
       |  FROM documents)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "q219_tokenizer_fertility" ->
+      """WITH t AS (SELECT lang, n_chars,
+        |    len(regexp_extract_all(text,
+        |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]', 0)) AS n_toks
+        |  FROM documents),
+        |r AS (SELECT lang, n_chars, n_toks,
+        |    CAST(n_toks AS DOUBLE) / n_chars AS r FROM t)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_toks) AS BIGINT) AS tot_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS tot_chars,
+        |  CAST(sum(n_toks) AS DOUBLE) / CAST(sum(n_chars) AS DOUBLE)
+        |    AS fertility,
+        |  floor(quantile_cont(r, 0.5) * 1e6 + 0.5) / 1e6 AS p50_fertility,
+        |  floor(quantile_cont(r, 0.9) * 1e6 + 0.5) / 1e6 AS p90_fertility
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
+
     "q200_chunking" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split(lower(trim(

@@ -80,7 +80,11 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q211_seasonality_index", // exact decimal revenue; ÷ once
     "q212_discount_response", // integral qty sums, exact decimal
     "q213_supplier_hhi",   // exact integer cents², snapped ratio
-    "q214_dup_profile")    // hash-group → size-group; exact longs
+    "q214_dup_profile",    // hash-group → size-group; exact longs
+    "q216_containment",    // prefix-filter candidates, exact verify
+    "q217_ngram_novelty",  // min-doc attribution is order-free
+    "q218_source_leakage", // distinct shingle×source, exact counts
+    "q219_tokenizer_fertility") // exact sums; snapped percentiles
 
   test("exact operators are invariant to input split boundaries") {
     val splitty = spark.newSession()
