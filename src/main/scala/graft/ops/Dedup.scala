@@ -389,17 +389,25 @@ object Dedup extends QueryModule {
     // distinct rows; equal sets emit both).
     "q216_containment" -> ((s, d) => {
       val sh = shingled(s, d).select(col("doc_id"), col("sh"))
-      val prefA = sh.select(col("doc_id").as("doc_a"),
-          size(col("sh")).as("sz_a"),
-          explode(expr(
-            "slice(sh, 1, size(sh) - ((size(sh) * 8 + 9) DIV 10) + 1)"))
-            .as("h"))
-      val full = sh.select(col("doc_id").as("doc_b"),
-        explode(col("sh")).as("h"))
-      val cand = full.groupBy(col("h"))
-        .agg(collect_list(col("doc_b")).as("bs"))
-        .join(prefA, "h")
-        .select(col("doc_a"), explode(col("bs")).as("doc_b"))
+      // ONE posexplode feeds both posting lists and prefixes: sh is
+      // sorted, so "A's prefix" = positions below |A| - ⌈0.8·|A|⌉ + 1,
+      // recoverable from (pos, sz) INSIDE each per-shingle posting list
+      // — candidate generation costs one corpus scan + one exchange on
+      // the shingle hash, instead of separate prefix/posting subtrees
+      // that each re-run the split→hash→sort pipeline (the first cut of
+      // this query planned 7 FileScans; this shape plans 2, and the
+      // verify stage's two sh joins share one exchange via
+      // ReuseExchange — both shuffle sh by doc_id).
+      val ex = sh.select(col("doc_id"), size(col("sh")).as("sz"),
+        posexplode(col("sh")).as(Seq("pos", "h")))
+      val cand = ex.groupBy(col("h"))
+        .agg(collect_list(struct(col("doc_id"), col("sz"), col("pos")))
+          .as("ds"))
+        .select(explode(expr(
+            "filter(ds, a -> a.pos + 1 <= a.sz - ((a.sz * 8 + 9) DIV 10) + 1)"))
+            .as("a"), col("ds"))
+        .select(col("a.doc_id").as("doc_a"),
+          explode(col("ds.doc_id")).as("doc_b"))
         .filter(col("doc_a") =!= col("doc_b"))
         .distinct()
       val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
@@ -424,10 +432,14 @@ object Dedup extends QueryModule {
     // work at all — this is the linear-cost complement of the pair
     // queries above.
     "q217_ngram_novelty" -> ((s, d) => {
-      val e = shingled(s, d)
+      // first-occurrence attribution as a WINDOW over one exchange on
+      // the shingle hash, not a groupBy+join-back (the join form
+      // instantiates the shingle subtree twice → two corpus scans; the
+      // q192/q195 rewrite pattern).
+      val w = Window.partitionBy(col("h"))
+      shingled(s, d)
         .select(col("doc_id"), explode(col("sh")).as("h"))
-      val firsts = e.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
-      e.join(firsts, "h")
+        .withColumn("first_doc", min(col("doc_id")).over(w))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_shingles"),
           sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
@@ -449,10 +461,15 @@ object Dedup extends QueryModule {
     // array, counts re-keyed on the ≤|sources|² pair frame. Never
     // doc×doc, never shingle×shingle.
     "q218_source_leakage" -> ((s, d) => {
-      val e = shingled(s, d)
-        .join(Tables.documents(s, d).select(col("doc_id"), col("source")),
-          "doc_id")
-        .select(col("source"), explode(col("sh")).as("h"))
+      // source is carried through the shingle pipeline directly (one
+      // corpus scan) instead of joining shingled() back to documents —
+      // the join form re-scans and re-shingles the corpus.
+      val e = Tables.documents(s, d)
+        .select(col("source"), Text.words(col("text")).as("words"))
+        .filter(size(col("words")) >= 3)
+        .select(col("source"),
+          explode(Text.shingles3(col("words"))).as("g"))
+        .select(col("source"), xxhash64(col("g")).as("h"))
         .distinct()
       e.groupBy(col("h"))
         .agg(array_sort(collect_set(col("source"))).as("srcs"))
