@@ -182,6 +182,71 @@ object Curation extends QueryModule {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Curation funnel per source — the pipeline-health table every
+    // dataset run reports: docs in → docs surviving the quality gate
+    // (q65's exact-integer rule) → surviving quality+digit-noise →
+    // surviving quality+digit+exact-dedup (keep-first AMONG survivors,
+    // so a dropped duplicate of a low-quality doc is attributed to
+    // dedup, not quality — stage order is part of the contract). All
+    // flags are per-row expressions in ONE corpus pass; the dedup
+    // stage is one window over the content-hash exchange restricted to
+    // survivors; the readout re-aggregates per source. Exact longs,
+    // one final division.
+    "q220_curation_funnel" -> ((s, d) => {
+      val w = Text.words(col("text"))
+      val flagged = Tables.documents(s, d)
+        .withColumn("n_words", size(w).cast("long"))
+        .withColumn("n_distinct", size(array_distinct(w)).cast("long"))
+        .withColumn("digit_chars",
+          size(regexp_extract_all(col("text"), lit("[0-9]"), lit(0)))
+            .cast("long"))
+        .withColumn("q_ok", col("n_words") >= 10 && col("n_words") <= 2000
+          && col("n_distinct") * 5 >= col("n_words"))
+        .withColumn("d_ok",
+          col("q_ok") && col("digit_chars") * 10 < col("n_chars") * 3)
+        .withColumn("h",
+          sha2(Text.norm(col("text")).cast("binary"), 256))
+      val wk = Window.partitionBy(col("h"))
+      val dedup = flagged.withColumn("first_kept",
+        min(when(col("d_ok"), col("doc_id"))).over(wk))
+        .withColumn("u_ok", col("d_ok") && col("doc_id") === col("first_kept"))
+      dedup.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("q_ok"), 1L).otherwise(0L)).as("n_quality"),
+          sum(when(col("d_ok"), 1L).otherwise(0L)).as("n_clean"),
+          sum(when(col("u_ok"), 1L).otherwise(0L)).as("n_unique"))
+        .select(col("source"), col("n_docs"), col("n_quality"),
+          col("n_clean"), col("n_unique"),
+          (col("n_unique").cast("double") / col("n_docs")).as("retention"))
+        .orderBy(col("source"))
+    }),
+
+    // Dedup-aware effective token budget per language — "how many
+    // tokens do we actually have" after keep-first exact dedup: total
+    // whitespace tokens, tokens on unique docs (the min-doc_id
+    // representative of each content-hash cluster), and the effective
+    // share. The standard planning number next to q214's cluster
+    // histogram. One hash window + one language aggregation, exact
+    // longs.
+    "q221_effective_tokens" -> ((s, d) => {
+      val wk = Window.partitionBy(col("h"))
+      Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"),
+          size(Text.words(col("text"))).cast("long").as("n_toks"),
+          sha2(Text.norm(col("text")).cast("binary"), 256).as("h"))
+        .withColumn("keep", col("doc_id") === min(col("doc_id")).over(wk))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("tokens_total"),
+          sum(when(col("keep"), col("n_toks")).otherwise(0L))
+            .as("tokens_effective"))
+        .select(col("lang"), col("n_docs"), col("tokens_total"),
+          col("tokens_effective"),
+          (col("tokens_effective").cast("double") / col("tokens_total"))
+            .as("effective_share"))
+        .orderBy(col("lang"))
+    }),
+
     "q100_hash_split" -> ((s, d) => hashSplit(Tables.documents(s, d))),
 
     "q101_seq_pack" -> ((s, d) => seqPack(Tables.documents(s, d))),
@@ -385,6 +450,47 @@ object Curation extends QueryModule {
     redactTransform(docs).orderBy(col("doc_id"))
 
   def oracle: Map[String, String] = Map(
+    "q220_curation_funnel" ->
+      """WITH f AS (
+        |  SELECT source, doc_id, n_chars,
+        |    len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS n_words,
+        |    len(list_distinct(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))) AS n_distinct,
+        |    len(regexp_extract_all(text, '[0-9]', 0)) AS digit_chars,
+        |    sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h
+        |  FROM documents),
+        |g AS (SELECT *,
+        |    n_words >= 10 AND n_words <= 2000
+        |      AND n_distinct * 5 >= n_words AS q_ok,
+        |    (n_words >= 10 AND n_words <= 2000
+        |      AND n_distinct * 5 >= n_words)
+        |      AND digit_chars * 10 < n_chars * 3 AS d_ok
+        |  FROM f),
+        |u AS (SELECT *, d_ok AND doc_id = min(CASE WHEN d_ok THEN doc_id END)
+        |      OVER (PARTITION BY h) AS u_ok FROM g)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN q_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+        |  CAST(sum(CASE WHEN d_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+        |  CAST(sum(CASE WHEN u_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+        |  CAST(sum(CASE WHEN u_ok THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+        |    AS retention
+        |FROM u GROUP BY source ORDER BY source""".stripMargin,
+
+    "q221_effective_tokens" ->
+      """WITH t AS (
+        |  SELECT lang, doc_id,
+        |    len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS n_toks,
+        |    sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h
+        |  FROM documents),
+        |k AS (SELECT *, doc_id = min(doc_id) OVER (PARTITION BY h) AS keep
+        |  FROM t)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_toks) AS BIGINT) AS tokens_total,
+        |  CAST(sum(CASE WHEN keep THEN n_toks ELSE 0 END) AS BIGINT)
+        |    AS tokens_effective,
+        |  CAST(sum(CASE WHEN keep THEN n_toks ELSE 0 END) AS DOUBLE)
+        |    / CAST(sum(n_toks) AS DOUBLE) AS effective_share
+        |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
+
     "q198_weighted_sample" ->
       """SELECT doc_id, n_chars,
         |  floor(ln(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))

@@ -84,7 +84,9 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q216_containment",    // prefix-filter candidates, exact verify
     "q217_ngram_novelty",  // min-doc attribution is order-free
     "q218_source_leakage", // distinct shingle×source, exact counts
-    "q219_tokenizer_fertility") // exact sums; snapped percentiles
+    "q219_tokenizer_fertility", // exact sums; snapped percentiles
+    "q220_curation_funnel", // per-row flags + hash window, exact longs
+    "q221_effective_tokens") // keep-first window, exact long sums
 
   test("exact operators are invariant to input split boundaries") {
     val splitty = spark.newSession()
