@@ -403,6 +403,35 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(parses == 1, s"expected exactly one from_xml, found $parses:\n$p")
   }
 
+  test("q216-q221 shingle/curation tier plans the pinned scan counts") {
+    // the shingle pipeline (split → hash → sort per doc) is the
+    // dominant CPU cost of this tier at corpus scale; re-planning it
+    // per consumer is the q101/q110 failure mode. Pins: q216's single
+    // posexplode feeds posting lists AND containment prefixes (2 scans
+    // total — candidate generation + verify, whose two doc_id joins
+    // share one exchange); q217's first-occurrence attribution is a
+    // window, not a groupBy+join-back; q218 carries source through the
+    // pipeline instead of joining back; q220/q221 are one corpus pass
+    // + one hash window each.
+    val expect = Seq(
+      ("q216_containment", 2, true),
+      ("q217_ngram_novelty", 1, false),
+      ("q218_source_leakage", 1, false),
+      ("q220_curation_funnel", 1, false),
+      ("q221_effective_tokens", 1, false))
+    for ((q, scans, wantReuse) <- expect) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      val finalPlan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert("FileScan parquet".r.findAllIn(finalPlan).length == scans,
+        s"$q must plan exactly $scans corpus scan(s):\n$finalPlan")
+      if (wantReuse)
+        assert(finalPlan.contains("ReusedExchange"),
+          s"$q's verify joins should share one sh exchange:\n$finalPlan")
+    }
+  }
+
   test("q92 profiles every column in ONE table pass") {
     // describe-style stats must not plan one scan per column: the whole
     // point of the stacked single-aggregation form is that a 100 TB
