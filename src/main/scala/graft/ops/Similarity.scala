@@ -200,6 +200,57 @@ object Similarity extends QueryModule {
     // nested-loop over the |labels|-row frame (|labels|² pairs of
     // d-element arrays — driver-sized in any labeled corpus). The
     // dot/norm/divide chain is the q70 bit-exact fold.
+    // Label-balance audit over the embedding corpus — class counts,
+    // share, ratio-to-uniform, and the Shannon entropy of the label
+    // distribution (the "is this dataset balanced enough to train on"
+    // readout). ONE corpus-scale count aggregation to the ≤|labels|
+    // frame; everything after is broadcast arithmetic on that frame.
+    // Determinism: shares are exact-long divisions; ln(share) is
+    // 6-decimal-snapped (ln is snap-stable cross-engine, exp is not —
+    // see q197's recipe); each entropy term is an IEEE product of
+    // identical doubles; the ≤|labels|-term sum is snapped once more
+    // to absorb summation order.
+    "q222_label_balance" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      val g = Tables.embeddings(s, d)
+        .groupBy(col("label")).agg(count(lit(1)).as("n_vecs"))
+      val tot = g.agg(sum(col("n_vecs")).as("n_total"),
+        count(lit(1)).as("n_labels"))
+      val shares = g.crossJoin(broadcast(tot))
+        .withColumn("share",
+          col("n_vecs").cast("double") / col("n_total").cast("double"))
+        .withColumn("term",
+          -col("share") * snap6(log(col("share"))))
+      val ent = shares.agg(snap6(sum(col("term"))).as("entropy"))
+      shares.crossJoin(broadcast(ent))
+        .select(col("label"), col("n_vecs"), col("share"),
+          (col("share") * col("n_labels").cast("double"))
+            .as("uniform_ratio"),
+          col("entropy"))
+        .orderBy(col("label"))
+    }),
+
+    // Embedding-norm audit per label — the "are these vectors
+    // normalized / did a bad batch slip in" check run before any
+    // cosine/ANN stage: count, exact min/max of the squared L2 norm,
+    // and the snapped median. Each norm² is ONE left-to-right fold
+    // over the vector (the same graft_dot kernel as the scoring
+    // queries, bit-identical to DuckDB's list_dot_product), so min/max
+    // are order-free comparisons of identical doubles; the median goes
+    // through the exact percentile with the q219 6-decimal snap.
+    "q223_norm_audit" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      Tables.embeddings(s, d)
+        .select(col("label"), dvec(col("embedding")).as("emb"))
+        .withColumn("n2", dot(col("emb"), col("emb")))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          min(col("n2")).as("min_norm2"),
+          max(col("n2")).as("max_norm2"),
+          snap6(expr("percentile(n2, 0.5)")).as("p50_norm2"))
+        .orderBy(col("label"))
+    }),
+
     "q140_label_centroids" -> ((s, d) => {
       val cent = Tables.embeddings(s, d)
         .filter(col("embedding").isNotNull)
@@ -725,6 +776,31 @@ object Similarity extends QueryModule {
         |ORDER BY query_id, rank""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "q222_label_balance" ->
+      """WITH g AS (SELECT label, count(*) AS n_vecs FROM embeddings
+        |  GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS n_total,
+        |    count(*) AS n_labels FROM g),
+        |s AS (SELECT label, n_vecs,
+        |    CAST(n_vecs AS DOUBLE) / CAST(n_total AS DOUBLE) AS share,
+        |    n_labels FROM g, t),
+        |e AS (SELECT floor(sum(-share
+        |      * (floor(ln(share) * 1e6 + 0.5) / 1e6)) * 1e6 + 0.5) / 1e6
+        |    AS entropy FROM s)
+        |SELECT label, CAST(n_vecs AS BIGINT) AS n_vecs, share,
+        |  share * CAST(n_labels AS DOUBLE) AS uniform_ratio, entropy
+        |FROM s, e ORDER BY label""".stripMargin,
+
+    "q223_norm_audit" ->
+      """WITH t AS (SELECT label,
+        |    list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])
+        |      AS n2
+        |  FROM embeddings)
+        |SELECT label, count(*) AS n_vecs,
+        |  min(n2) AS min_norm2, max(n2) AS max_norm2,
+        |  floor(quantile_cont(n2, 0.5) * 1e6 + 0.5) / 1e6 AS p50_norm2
+        |FROM t GROUP BY label ORDER BY label""".stripMargin,
+
     // both rankers replayed end-to-end: q70's cosine chain, q62's
     // shingle set, integer Jaccard parts, rank-then-top-100, and the
     // same 1/(60+rank) fusion arithmetic.

@@ -86,7 +86,9 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q218_source_leakage", // distinct shingle×source, exact counts
     "q219_tokenizer_fertility", // exact sums; snapped percentiles
     "q220_curation_funnel", // per-row flags + hash window, exact longs
-    "q221_effective_tokens") // keep-first window, exact long sums
+    "q221_effective_tokens", // keep-first window, exact long sums
+    "q222_label_balance",  // exact counts; snapped ln terms + sum
+    "q223_norm_audit")     // per-vector folds; min/max order-free
 
   test("exact operators are invariant to input split boundaries") {
     val splitty = spark.newSession()
