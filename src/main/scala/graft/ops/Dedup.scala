@@ -389,22 +389,34 @@ object Dedup extends QueryModule {
     // distinct rows; equal sets emit both).
     "q216_containment" -> ((s, d) => {
       val sh = shingled(s, d).select(col("doc_id"), col("sh"))
-      // ONE posexplode feeds both posting lists and prefixes: sh is
-      // sorted, so "A's prefix" = positions below |A| - ⌈0.8·|A|⌉ + 1,
-      // recoverable from (pos, sz) INSIDE each per-shingle posting list
-      // — candidate generation costs one corpus scan + one exchange on
-      // the shingle hash, instead of separate prefix/posting subtrees
-      // that each re-run the split→hash→sort pipeline (the first cut of
-      // this query planned 7 FileScans; this shape plans 2, and the
-      // verify stage's two sh joins share one exchange via
-      // ReuseExchange — both shuffle sh by doc_id).
-      val ex = sh.select(col("doc_id"), size(col("sh")).as("sz"),
-        posexplode(col("sh")).as(Seq("pos", "h")))
+      // Candidate generation runs on an explode-FIRST frame: raw
+      // shingle strings explode straight out of shingles3 and are
+      // hashed per exploded row — never explode(array_sort(transform(
+      // ...)): Generate re-evaluates the hashed-sorted-array expression
+      // per output element, measured 11.3 s vs 0.62 s at sf0.1 (the
+      // q158 re-evaluation trap, element-count-scaled). Prefix
+      // membership ("A's lowest-hash |A|-⌈0.8·|A|⌉+1 shingles") is
+      // recovered by a per-doc row_number in hash order — same prefix
+      // set as slicing the sorted array. ONE corpus scan + one doc_id
+      // exchange (both windows share it) + one shingle-hash exchange;
+      // each per-shingle posting list carries its prefix members
+      // in-row, so candidates expand without a second subtree. The
+      // verify stage's two sh joins share one exchange (ReuseExchange,
+      // both shuffle sh by doc_id) — 2 scans total, pinned.
+      val wd = Window.partitionBy(col("doc_id"))
+      val ex = Tables.documents(s, d)
+        .select(col("doc_id"), Text.words(col("text")).as("words"))
+        .filter(size(col("words")) >= 3)
+        .select(col("doc_id"),
+          explode(Text.shingles3(col("words"))).as("g"))
+        .select(col("doc_id"), xxhash64(col("g")).as("h"))
+        .withColumn("sz", count(lit(1)).over(wd))
+        .withColumn("pos", row_number().over(wd.orderBy(col("h"))))
       val cand = ex.groupBy(col("h"))
         .agg(collect_list(struct(col("doc_id"), col("sz"), col("pos")))
           .as("ds"))
         .select(explode(expr(
-            "filter(ds, a -> a.pos + 1 <= a.sz - ((a.sz * 8 + 9) DIV 10) + 1)"))
+            "filter(ds, a -> a.pos <= a.sz - ((a.sz * 8 + 9) DIV 10) + 1)"))
             .as("a"), col("ds"))
         .select(col("a.doc_id").as("doc_a"),
           explode(col("ds.doc_id")).as("doc_b"))
@@ -435,10 +447,17 @@ object Dedup extends QueryModule {
       // first-occurrence attribution as a WINDOW over one exchange on
       // the shingle hash, not a groupBy+join-back (the join form
       // instantiates the shingle subtree twice → two corpus scans; the
-      // q192/q195 rewrite pattern).
+      // q192/q195 rewrite pattern). Explode-FIRST, hash after: raw
+      // shingles explode straight out of shingles3 — exploding the
+      // hashed array re-evaluates its expression per element (11.8 s
+      // vs 1.0 s at sf0.1; see q216).
       val w = Window.partitionBy(col("h"))
-      shingled(s, d)
-        .select(col("doc_id"), explode(col("sh")).as("h"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), Text.words(col("text")).as("words"))
+        .filter(size(col("words")) >= 3)
+        .select(col("doc_id"),
+          explode(Text.shingles3(col("words"))).as("g"))
+        .select(col("doc_id"), xxhash64(col("g")).as("h"))
         .withColumn("first_doc", min(col("doc_id")).over(w))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_shingles"),
