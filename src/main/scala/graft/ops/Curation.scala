@@ -247,6 +247,94 @@ object Curation extends QueryModule {
         .orderBy(col("lang"))
     }),
 
+    // Span-level contamination audit — q102 answers "is this train doc
+    // contaminated"; this answers "HOW is it contaminated": per train
+    // doc, the longest CONSECUTIVE run of eval-set shingles (a 40-
+    // shingle verbatim quote is a different animal than 40 scattered
+    // hits, and span length is what decontamination pipelines gate
+    // on). Probe set = distinct shingles of the q102 eval cohort
+    // (doc_id % 97). Islands-and-gaps: per doc, leaked positions get
+    // row_number in position order; pos − rn is constant exactly on a
+    // consecutive run, so runs fall out of one (doc, grp) count — no
+    // self-join, no sequence scan. Positions come from posexplode of
+    // the ORDERED (non-distinct) shingle list — explode-first per the
+    // q216 trap. Scale: probe set is eval-sized (always the small side
+    // — broadcast); train side is one scan + one doc_id exchange
+    // shared by the count window and the islands window.
+    "q228_leak_spans" -> ((s, d) => {
+      val orderedSh = transform(
+        sequence(lit(1), size(col("words")) - 2), i =>
+          concat_ws(" ",
+            element_at(col("words"), i),
+            element_at(col("words"), i + 1),
+            element_at(col("words"), i + 2)))
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"), Text.words(col("text")).as("words"))
+        .filter(size(col("words")) >= 3)
+        .select(col("doc_id"), posexplode(orderedSh).as(Seq("pos", "g")))
+      val probe = sh.filter(col("doc_id") % 97 === 0)
+        .select(col("g")).distinct().withColumn("hit", lit(1))
+      val wd = Window.partitionBy(col("doc_id"))
+      sh.filter(col("doc_id") % 97 =!= 0)
+        .withColumn("n_shingles", count(lit(1)).over(wd))
+        .join(broadcast(probe), Seq("g"), "left")
+        .filter(col("hit").isNotNull)
+        .withColumn("rn", row_number().over(wd.orderBy(col("pos"))))
+        .withColumn("grp", col("pos") - col("rn"))
+        .groupBy(col("doc_id"), col("n_shingles"), col("grp"))
+        .agg(count(lit(1)).as("run_len"))
+        .groupBy(col("doc_id"), col("n_shingles"))
+        .agg(sum(col("run_len")).as("n_leaked"),
+          max(col("run_len")).as("max_run"))
+        .select(col("doc_id"), col("n_shingles"), col("n_leaked"),
+          col("max_run"),
+          (col("max_run").cast("double") / col("n_shingles"))
+            .as("max_run_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Training-mix planning table — the sizing sheet a data lead fills
+    // in before a run: given a token budget and per-source mix
+    // weights, how many epochs of each source's DEDUPED tokens does
+    // the plan imply, and which sources would repeat past the
+    // degradation threshold (>4 epochs, the usual repeated-data rule
+    // of thumb)? Unique tokens come from the q221 keep-first hash
+    // window computed GLOBALLY (a doc duplicated across sources counts
+    // for its first source only — cross-source dups must not be
+    // double-budgeted); weights are the q104 tiering. All integer
+    // arithmetic (budget·units is exact long, DIV truncates
+    // identically in both engines on positives); the one division is
+    // per-source target/unique.
+    "q229_mix_plan" -> ((s, d) => {
+      val wk = Window.partitionBy(col("h"))
+      val perSrc = Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          size(Text.words(col("text"))).cast("long").as("n_toks"),
+          sha2(Text.norm(col("text")).cast("binary"), 256).as("h"))
+        .withColumn("keep", col("doc_id") === min(col("doc_id")).over(wk))
+        .groupBy(col("source"))
+        .agg(sum(when(col("keep"), col("n_toks")).otherwise(0L))
+          .as("tokens_unique"))
+        .withColumn("weight_units",
+          when(col("source").isin("src0", "src1", "src2", "src3", "src4"),
+            3L)
+            .when(col("source")
+              .isin("src5", "src6", "src7", "src8", "src9"), 2L)
+            .otherwise(1L))
+      val tot = perSrc.agg(sum(col("weight_units")).as("total_units"))
+      perSrc.crossJoin(broadcast(tot))
+        .withColumn("tokens_target",
+          expr("1000000000 * weight_units DIV total_units"))
+        .withColumn("epochs_needed",
+          when(col("tokens_unique") > 0,
+            col("tokens_target").cast("double")
+              / col("tokens_unique").cast("double")))
+        .select(col("source"), col("tokens_unique"), col("weight_units"),
+          col("tokens_target"), col("epochs_needed"),
+          (col("epochs_needed") > lit(4.0)).as("repeat_risk"))
+        .orderBy(col("source"))
+    }),
+
     "q100_hash_split" -> ((s, d) => hashSplit(Tables.documents(s, d))),
 
     "q101_seq_pack" -> ((s, d) => seqPack(Tables.documents(s, d))),
@@ -474,6 +562,63 @@ object Curation extends QueryModule {
         |  CAST(sum(CASE WHEN u_ok THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
         |    AS retention
         |FROM u GROUP BY source ORDER BY source""".stripMargin,
+
+    "q228_leak_spans" ->
+      """WITH w AS (SELECT doc_id,
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS words
+        |  FROM documents),
+        |o AS (SELECT doc_id, list_transform(range(1, len(words) - 1),
+        |    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]) AS sh
+        |  FROM w WHERE len(words) >= 3),
+        |e AS (SELECT doc_id, unnest(sh) AS g,
+        |    unnest(range(1, len(sh) + 1)) AS pos FROM o),
+        |probe AS (SELECT DISTINCT g FROM e WHERE doc_id % 97 = 0),
+        |tr AS (SELECT doc_id, g, pos,
+        |    count(*) OVER (PARTITION BY doc_id) AS n_shingles
+        |  FROM e WHERE doc_id % 97 <> 0),
+        |lk AS (SELECT doc_id, n_shingles, pos,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+        |  FROM tr JOIN probe USING (g)),
+        |runs AS (SELECT doc_id, n_shingles, pos - rn AS grp,
+        |    count(*) AS run_len
+        |  FROM lk GROUP BY 1, 2, 3)
+        |SELECT doc_id, CAST(max(n_shingles) AS BIGINT) AS n_shingles,
+        |  CAST(sum(run_len) AS BIGINT) AS n_leaked,
+        |  CAST(max(run_len) AS BIGINT) AS max_run,
+        |  CAST(max(run_len) AS DOUBLE) / CAST(max(n_shingles) AS DOUBLE)
+        |    AS max_run_frac
+        |FROM runs GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q229_mix_plan" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS n_toks,
+        |    sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h
+        |  FROM documents),
+        |k AS (SELECT *, doc_id = min(doc_id) OVER (PARTITION BY h) AS keep
+        |  FROM t),
+        |p AS (SELECT source,
+        |    CAST(sum(CASE WHEN keep THEN n_toks ELSE 0 END) AS BIGINT)
+        |      AS tokens_unique,
+        |    CAST(CASE
+        |      WHEN source IN ('src0','src1','src2','src3','src4') THEN 3
+        |      WHEN source IN ('src5','src6','src7','src8','src9') THEN 2
+        |      ELSE 1 END AS BIGINT) AS weight_units
+        |  FROM k GROUP BY source),
+        |u AS (SELECT CAST(sum(weight_units) AS BIGINT) AS total_units
+        |  FROM p),
+        |j AS (SELECT source, tokens_unique, weight_units,
+        |    1000000000 * weight_units // total_units AS tokens_target
+        |  FROM p, u)
+        |SELECT source, tokens_unique, weight_units, tokens_target,
+        |  CASE WHEN tokens_unique > 0 THEN
+        |    CAST(tokens_target AS DOUBLE) / CAST(tokens_unique AS DOUBLE)
+        |  END AS epochs_needed,
+        |  CASE WHEN tokens_unique > 0 THEN
+        |    CAST(tokens_target AS DOUBLE) / CAST(tokens_unique AS DOUBLE)
+        |      > CAST(4 AS DOUBLE)
+        |  END AS repeat_risk
+        |FROM j ORDER BY source""".stripMargin,
 
     "q221_effective_tokens" ->
       """WITH t AS (

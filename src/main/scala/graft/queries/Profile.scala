@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryModule, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Column profiling + exact-decimal arithmetic.
@@ -534,10 +535,205 @@ object Profile extends QueryModule {
           ((col("n").cast("double") / col("tot").cast("double")) - benford)
             .as("deviation"))
         .orderBy(col("digit"))
+    }),
+
+    // Two-sample Kolmogorov-Smirnov drift statistic per event type —
+    // the distribution-shift monitor a data pipeline runs between two
+    // corpus snapshots (here: first vs second half of the time range):
+    // KS = max |F_A(x) − F_B(x)| over the pooled value points. Scale
+    // shape: the corpus pass is a map-side-combined (type, value)
+    // aggregation to per-sample counts (value is 2-decimal money, so
+    // the distinct-value frame is BOUNDED, not ~n); the CDFs are
+    // cumulative-long windows over that bounded frame, and the max is
+    // order-free. Determinism: cum counts are exact longs; each CDF
+    // value is one correctly-rounded long÷long division; |Δ| and max
+    // of identical doubles are bit-stable — no snapping needed.
+    "q224_ks_drift" -> ((s, d) => {
+      val pts = Tables.events(s, d)
+        .select(col("event_type"), col("value"),
+          (to_date(col("ts")) <= lit("2024-01-15").cast("date"))
+            .as("is_a"))
+        .groupBy(col("event_type"), col("value"))
+        .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("ca"),
+          sum(when(col("is_a"), 0L).otherwise(1L)).as("cb"))
+      val wCum = Window.partitionBy(col("event_type")).orderBy(col("value"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("event_type"))
+      pts
+        .withColumn("cum_a", sum(col("ca")).over(wCum))
+        .withColumn("cum_b", sum(col("cb")).over(wCum))
+        .withColumn("n_a", sum(col("ca")).over(wAll))
+        .withColumn("n_b", sum(col("cb")).over(wAll))
+        .withColumn("diff", abs(
+          col("cum_a").cast("double") / col("n_a").cast("double")
+            - col("cum_b").cast("double") / col("n_b").cast("double")))
+        .groupBy(col("event_type"))
+        .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+          max(col("diff")).as("ks"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Population-stability-index drift per event type — the bucketed
+    // companion to q224's KS (the score-monitoring staple in risk /
+    // feature pipelines): PSI = Σ (p_A−p_B)·ln(p_A/p_B) over fixed
+    // equal-width value buckets. Buckets empty on either side are
+    // EXCLUDED (no epsilon fudge) and their row mass is reported, so
+    // the reader sees exactly what the statistic covered. One
+    // map-side-combined (type, bucket) corpus aggregation to a ≤10-row
+    // frame per type; totals via windows over that frame. Determinism:
+    // counts/shares exact longs + single divisions; ln is 6-decimal-
+    // snapped and the ≤10-term sum snapped once more (q222 recipe).
+    "q225_psi_drift" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      val cells = Tables.events(s, d)
+        .select(col("event_type"),
+          least(floor(col("value") / lit(50.0)), lit(9.0)).cast("long")
+            .as("bucket"),
+          (to_date(col("ts")) <= lit("2024-01-15").cast("date"))
+            .as("is_a"))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("ca"),
+          sum(when(col("is_a"), 0L).otherwise(1L)).as("cb"))
+      val wAll = Window.partitionBy(col("event_type"))
+      cells
+        .withColumn("n_a", sum(col("ca")).over(wAll))
+        .withColumn("n_b", sum(col("cb")).over(wAll))
+        .withColumn("used", col("ca") > 0 && col("cb") > 0)
+        .withColumn("pa",
+          col("ca").cast("double") / col("n_a").cast("double"))
+        .withColumn("pb",
+          col("cb").cast("double") / col("n_b").cast("double"))
+        .withColumn("term", when(col("used"),
+          (col("pa") - col("pb")) * snap6(log(col("pa") / col("pb"))))
+          .otherwise(lit(0.0)))
+        .groupBy(col("event_type"))
+        .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+          count(when(col("used"), lit(1))).as("n_buckets_used"),
+          sum(when(not(col("used")), col("ca")).otherwise(0L))
+            .as("rows_a_excluded"),
+          sum(when(not(col("used")), col("cb")).otherwise(0L))
+            .as("rows_b_excluded"),
+          snap6(sum(col("term"))).as("psi"))
+        .orderBy(col("event_type"))
+    }),
+
+    // k-anonymity audit — the privacy readout run before releasing a
+    // table: group rows by their quasi-identifier tuple (nation,
+    // market segment, account-balance $1000 bucket) and report the
+    // equivalence-class size distribution: for each class size k, how
+    // many classes, how many rows, the row share, the cumulative
+    // at-or-below-k risk mass, and whether that tier violates k=5.
+    // The dataset's k-anonymity is the smallest k_size row. Scale
+    // shape: ONE map-side-combined corpus aggregation to the QI-class
+    // frame (bounded by the QI cardinality product, here ≤1375), a
+    // re-group to the ≤max-k size frame, and a cumulative window over
+    // THAT — never over corpus rows. Exact longs throughout; the two
+    // shares divide once each.
+    "q226_kanon_audit" -> ((s, d) => {
+      val classes = Tables.customer(s, d)
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / lit(1000.0)).cast("long")
+            .as("bal_bucket"))
+        .groupBy(col("c_nationkey"), col("c_mktsegment"),
+          col("bal_bucket"))
+        .agg(count(lit(1)).as("k_size"))
+      val byK = classes.groupBy(col("k_size"))
+        .agg(count(lit(1)).as("n_classes"),
+          sum(col("k_size")).as("n_rows"))
+      val tot = byK.agg(sum(col("n_rows")).as("n_total"))
+      val wCum = Window.orderBy(col("k_size"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byK.crossJoin(broadcast(tot))
+        .withColumn("cum_rows", sum(col("n_rows")).over(wCum))
+        .select(col("k_size"), col("n_classes"), col("n_rows"),
+          (col("n_rows").cast("double") / col("n_total").cast("double"))
+            .as("row_share"),
+          (col("cum_rows").cast("double") / col("n_total").cast("double"))
+            .as("cum_risk_share"),
+          (col("k_size") < 5).as("violates_k5"))
+        .orderBy(col("k_size"))
     })
   )
 
   def oracle: Map[String, String] = Map(
+    "q224_ks_drift" ->
+      """WITH p AS (SELECT event_type, value,
+        |    CAST(sum(CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-15'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-15'
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS cb
+        |  FROM events GROUP BY 1, 2),
+        |c AS (SELECT event_type,
+        |    sum(ca) OVER (PARTITION BY event_type ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+        |    sum(cb) OVER (PARTITION BY event_type ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b,
+        |    sum(ca) OVER (PARTITION BY event_type) AS n_a,
+        |    sum(cb) OVER (PARTITION BY event_type) AS n_b
+        |  FROM p)
+        |SELECT event_type, CAST(max(n_a) AS BIGINT) AS n_a,
+        |  CAST(max(n_b) AS BIGINT) AS n_b,
+        |  max(abs(CAST(cum_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |    - CAST(cum_b AS DOUBLE) / CAST(n_b AS DOUBLE))) AS ks
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q226_kanon_audit" ->
+      """WITH c AS (SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / CAST(1000 AS DOUBLE)) AS BIGINT)
+        |      AS bal_bucket,
+        |    count(*) AS k_size
+        |  FROM customer GROUP BY 1, 2, 3),
+        |k AS (SELECT k_size, count(*) AS n_classes,
+        |    CAST(sum(k_size) AS BIGINT) AS n_rows
+        |  FROM c GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS n_total FROM k),
+        |w AS (SELECT k_size, n_classes, n_rows, n_total,
+        |    CAST(sum(n_rows) OVER (ORDER BY k_size
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum_rows
+        |  FROM k, t)
+        |SELECT k_size, n_classes, n_rows,
+        |  CAST(n_rows AS DOUBLE) / CAST(n_total AS DOUBLE) AS row_share,
+        |  CAST(cum_rows AS DOUBLE) / CAST(n_total AS DOUBLE)
+        |    AS cum_risk_share,
+        |  k_size < 5 AS violates_k5
+        |FROM w ORDER BY k_size""".stripMargin,
+
+    "q225_psi_drift" ->
+      """WITH b AS (SELECT event_type,
+        |    CAST(least(floor(value / CAST(50 AS DOUBLE)), 9) AS BIGINT)
+        |      AS bucket,
+        |    CAST(ts AS DATE) <= DATE '2024-01-15' AS is_a
+        |  FROM events),
+        |cells AS (SELECT event_type, bucket,
+        |    CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+        |  FROM b GROUP BY 1, 2),
+        |t AS (SELECT event_type, ca, cb,
+        |    sum(ca) OVER (PARTITION BY event_type) AS n_a,
+        |    sum(cb) OVER (PARTITION BY event_type) AS n_b,
+        |    ca > 0 AND cb > 0 AS used
+        |  FROM cells),
+        |terms AS (SELECT event_type, ca, cb, n_a, n_b, used,
+        |    CASE WHEN used THEN
+        |      (CAST(ca AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |        - CAST(cb AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |      * (floor(ln((CAST(ca AS DOUBLE) / CAST(n_a AS DOUBLE))
+        |          / (CAST(cb AS DOUBLE) / CAST(n_b AS DOUBLE))) * 1e6
+        |          + 0.5) / 1e6)
+        |    ELSE CAST(0 AS DOUBLE) END AS term
+        |  FROM t)
+        |SELECT event_type, CAST(max(n_a) AS BIGINT) AS n_a,
+        |  CAST(max(n_b) AS BIGINT) AS n_b,
+        |  CAST(count(CASE WHEN used THEN 1 END) AS BIGINT)
+        |    AS n_buckets_used,
+        |  CAST(sum(CASE WHEN NOT used THEN ca ELSE 0 END) AS BIGINT)
+        |    AS rows_a_excluded,
+        |  CAST(sum(CASE WHEN NOT used THEN cb ELSE 0 END) AS BIGINT)
+        |    AS rows_b_excluded,
+        |  floor(sum(term) * 1e6 + 0.5) / 1e6 AS psi
+        |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q210_purge_audit" ->
       """WITH doomed AS (SELECT c_custkey FROM customer
         |  WHERE c_acctbal < -900.0),

@@ -88,7 +88,9 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q220_curation_funnel", // per-row flags + hash window, exact longs
     "q221_effective_tokens", // keep-first window, exact long sums
     "q222_label_balance",  // exact counts; snapped ln terms + sum
-    "q223_norm_audit")     // per-vector folds; min/max order-free
+    "q223_norm_audit",     // per-vector folds; min/max order-free
+    "q224_ks_drift",       // cum-long CDFs; max |Δ| order-free
+    "q225_psi_drift")      // exact bucket counts; snapped ln + sum
 
   test("exact operators are invariant to input split boundaries") {
     val splitty = spark.newSession()
