@@ -90,7 +90,10 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q222_label_balance",  // exact counts; snapped ln terms + sum
     "q223_norm_audit",     // per-vector folds; min/max order-free
     "q224_ks_drift",       // cum-long CDFs; max |Δ| order-free
-    "q225_psi_drift")      // exact bucket counts; snapped ln + sum
+    "q225_psi_drift",      // exact bucket counts; snapped ln + sum
+    "q226_kanon_audit",    // exact class counts; cum window on k-frame
+    "q228_leak_spans",     // islands-and-gaps on exact positions
+    "q229_mix_plan")       // keep-first hash window; exact long DIV
 
   test("exact operators are invariant to input split boundaries") {
     val splitty = spark.newSession()
