@@ -313,6 +313,36 @@ object Dedup extends QueryModule {
         .orderBy(col("name_a"), col("name_b"))
     }),
 
+    // Jaro-Winkler entity linkage — q152's edit-distance companion
+    // with the similarity measure record-linkage actually standardized
+    // on (prefix-weighted, transposition-tolerant — "cold widget" vs
+    // "old widget" scores 0.970 where levenshtein just says 1):
+    // same last-token blocking (an adjective typo keeps the noun, so
+    // candidates stay within noun groups — never all-pairs), scored by
+    // the native [[graft.plans.JaroWinklerSim]] codegen kernel and
+    // gated at ≥ 0.94. The DuckDB oracle runs its own built-in
+    // jaro_winkler_similarity over the same blocked pairs — an
+    // independent implementation agreeing on every score (6-decimal
+    // snap absorbs final-polynomial association order). Scale: the
+    // name-frequency groupBy collapses the corpus to distinct names
+    // first; the self-join is blocked equi-join on the noun.
+    "q227_jaro_linkage" -> ((s, d) => {
+      val names = Tables.part(s, d)
+        .groupBy(col("p_name"))
+        .agg(count(lit(1)).as("n_parts"))
+        .withColumn("noun", substring_index(col("p_name"), " ", -1))
+      names.as("a").join(names.as("b"),
+          col("a.noun") === col("b.noun")
+            && col("a.p_name") < col("b.p_name"))
+        .withColumn("jw", floor(call_function("graft_jaro_winkler",
+          col("a.p_name"), col("b.p_name")) * 1e6 + 0.5) / 1e6)
+        .filter(col("jw") >= 0.94)
+        .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),
+          col("jw"),
+          col("a.n_parts").as("n_a"), col("b.n_parts").as("n_b"))
+        .orderBy(col("name_a"), col("name_b"))
+    }),
+
     // Prefix-filtered set-similarity join (the PPJoin/AllPairs family,
     // Xiao et al.) — the THIRD independent candidate scheme in this
     // module (q61 hashes to LSH bands, q62 blocks on lang+length, this
@@ -785,6 +815,23 @@ object Dedup extends QueryModule {
         |  CAST(b.n_parts AS BIGINT) AS n_b
         |FROM n a JOIN n b ON a.noun = b.noun AND a.p_name < b.p_name
         |WHERE levenshtein(a.p_name, b.p_name) <= 2
+        |ORDER BY name_a, name_b""".stripMargin,
+
+    // independent implementation on purpose: DuckDB's built-in
+    // jaro_winkler_similarity vs the repo's native kernel — agreement
+    // on every blocked pair's 6-decimal score is the parity proof.
+    "q227_jaro_linkage" ->
+      """WITH n AS (SELECT p_name, count(*) AS n_parts,
+        |    split_part(p_name, ' ', -1) AS noun
+        |  FROM part GROUP BY 1),
+        |j AS (SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |    floor(jaro_winkler_similarity(a.p_name, b.p_name) * 1e6
+        |      + 0.5) / 1e6 AS jw,
+        |    CAST(a.n_parts AS BIGINT) AS n_a,
+        |    CAST(b.n_parts AS BIGINT) AS n_b
+        |  FROM n a JOIN n b ON a.noun = b.noun AND a.p_name < b.p_name)
+        |SELECT name_a, name_b, jw, n_a, n_b FROM j
+        |WHERE jw >= CAST(0.94 AS DOUBLE)
         |ORDER BY name_a, name_b""".stripMargin,
 
     // the independent quadratic truth over raw shingle STRINGS (q61

@@ -31,6 +31,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         SortedIntersectCount(children.head, children(1))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinklerSim].getName,
+        "graft_jaro_winkler"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "graft_jaro_winkler(strA, strB) takes 2 arguments")
+        JaroWinklerSim(children.head, children(1))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
       (children: Seq[Expression]) => {

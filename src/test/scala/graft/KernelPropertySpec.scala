@@ -109,4 +109,41 @@ class KernelPropertySpec extends AnyFunSuite {
     }
     assert(codegen === interpreted)
   }
+
+  test("graft_jaro_winkler matches DuckDB-pinned scores") {
+    import spark.implicits._
+    // expected values measured from DuckDB's jaro_winkler_similarity
+    // (the oracle engine); 1e-12 tolerance absorbs final-polynomial
+    // association order — catalog queries snap at 6 decimals anyway.
+    val cases = Seq(
+      ("MARTHA", "MARHTA", 0.9611111111111111),
+      ("DIXON", "DICKSONX", 0.8133333333333332),
+      ("DWAYNE", "DUANE", 0.8400000000000001),
+      ("CRATE", "TRACE", 0.7333333333333334),  // transposition, no boost
+      ("abcdefgh", "abcdwxyz", 0.6666666666666666), // jaro ≤ 0.7: no boost
+      ("low", "lower", 0.9066666666666667),
+      ("abcd", "badc", 0.8333333333333334),  // two transpositions
+      ("abc", "abc", 1.0), ("", "abc", 0.0), ("", "", 0.0), ("a", "b", 0.0))
+    val rows = cases.toDF("a", "b", "want")
+      .select(expr("graft_jaro_winkler(a, b)").as("got"), col("want"))
+      .collect()
+    rows.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+  }
+
+  test("graft_jaro_winkler interpreted == codegen, null-safe") {
+    import spark.implicits._
+    val r = rng
+    // 4-letter alphabet makes matches/transpositions dense
+    def word() = List.fill(r.nextInt(12))(('a' + r.nextInt(4)).toChar).mkString
+    val df = Seq.fill(200)((word(), word())).toDF("a", "b")
+    def run() = df.select(expr("graft_jaro_winkler(a, b)")).collect()
+      .map(row => java.lang.Double.doubleToLongBits(row.getDouble(0))).toSeq
+    val codegen = run()
+    val interpreted = withInterpreted { run() }
+    assert(codegen === interpreted)
+    val nulls = Seq((Option("x"), Option.empty[String]),
+      (Option.empty[String], Option.empty[String])).toDF("a", "b")
+    assert(nulls.select(expr("graft_jaro_winkler(a, b)")).collect()
+      .forall(_.isNullAt(0)))
+  }
 }

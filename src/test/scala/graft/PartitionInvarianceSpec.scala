@@ -92,6 +92,7 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q224_ks_drift",       // cum-long CDFs; max |Δ| order-free
     "q225_psi_drift",      // exact bucket counts; snapped ln + sum
     "q226_kanon_audit",    // exact class counts; cum window on k-frame
+    "q227_jaro_linkage",   // per-pair snapped native kernel score
     "q228_leak_spans",     // islands-and-gaps on exact positions
     "q229_mix_plan")       // keep-first hash window; exact long DIV
 
