@@ -174,6 +174,34 @@ object IOQueries extends QueryModule {
         .orderBy(col("l_returnflag"))
     }),
 
+    // XML round-trip: Spark 4's NATIVE xml file source (the spark-xml
+    // package folded into core — rowTag element per record, task-
+    // parallel writes, schema-applied reads). The read-back supplies
+    // an explicit schema (XML carries no types; inference would land
+    // o_orderkey as its own guess) and the aggregate oracle over the
+    // original parquet proves the text encoding round-trips losslessly
+    // — doubles survive because the writer emits the shortest decimal
+    // repr, which parses back to the identical bits.
+    "q230_xml_roundtrip" -> ((s, d) => {
+      val dir = scratch(d, "xml")
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), to_date(col("o_orderdate")).as("o_day"))
+        .write.mode("overwrite").option("rowTag", "order")
+        .format("xml").save(dir)
+      s.read.format("xml").option("rowTag", "order")
+        .schema("o_orderkey BIGINT, o_custkey BIGINT, " +
+          "o_orderstatus STRING, o_totalprice DOUBLE, o_day DATE")
+        .load(dir)
+        .filter(col("o_totalprice") > 1000.0)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"),
+          max(col("o_orderkey")).as("max_key"),
+          min(col("o_day")).as("first_day"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // range-partitioned + sorted parquet layout: repartitionByRange on
     // the scan key, sortWithinPartitions, write. Each output file then
     // covers a narrow contiguous key span, so a key-range predicate on
@@ -506,6 +534,14 @@ object IOQueries extends QueryModule {
         |  max(l_orderkey) AS max_key
         |FROM lineitem WHERE l_quantity > 10
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q230_xml_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  max(o_orderkey) AS max_key,
+        |  min(CAST(o_orderdate AS DATE)) AS first_day
+        |FROM orders WHERE o_totalprice > CAST(1000 AS DOUBLE)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q95_range_layout" ->
       """SELECT l_returnflag, count(*) AS n,

@@ -733,4 +733,18 @@ class SourcesSpec extends AnyFunSuite {
       "`c_custkey` BIGINT, `c_name` LONGTEXT, `c_nationkey` INTEGER, " +
         "`c_acctbal` DOUBLE PRECISION, `c_mktsegment` LONGTEXT")
   }
+
+  test("xml source escapes markup characters through the round-trip") {
+    import spark.implicits._
+    val dir = "target/tmp/io/spec/xmlesc"
+    val rows = Seq((1L, "a & b <tag> \"quoted\" 'single'"),
+      (2L, "plain"), (3L, "]]> and &amp; raw"))
+    rows.toDF("id", "s").write.mode("overwrite")
+      .option("rowTag", "r").format("xml").save(dir)
+    val back = spark.read.format("xml").option("rowTag", "r")
+      .schema("id BIGINT, s STRING").load(dir)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(back === rows)
+  }
 }
