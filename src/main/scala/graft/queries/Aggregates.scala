@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryModule, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -607,6 +607,54 @@ object Aggregates extends QueryModule {
         .orderBy(col("p_brand"), col("l_returnflag"))
     }),
 
+    // Mann-Whitney U (rank-sum) per event type vs rest — the
+    // nonparametric third leg of the test family (q143 Welch t
+    // assumes normal-ish means, q157 χ² wants categories; rank-sum
+    // asks "does this type's value distribution stochastically
+    // dominate the rest" with no distribution assumption). One pooled
+    // rank frame serves all five one-vs-rest comparisons. All
+    // arithmetic stays in exact integer space: ties get AVERAGE rank,
+    // carried as 2·rank (= 2·cum_before + cnt + 1, an exact long), and
+    // the rank-sum accumulates in DECIMAL(38,0) (Σ ca·rank2 ~ 2N² —
+    // longs overflow at ~2^31.5 rows; the q213 recipe). The emitted
+    // U and AUC (common-language effect size, P(A>B)+½P(=)) are
+    // single divisions of exact operands, 6-snapped because operands
+    // can exceed 2^53 at corpus scale (the q213 decimal→double ulp
+    // trap). Scale shape: map-side-combined (value, type) counts; the
+    // global rank window runs over the BOUNDED distinct-value frame
+    // (2-decimal money values), never corpus rows.
+    "q231_mannwhitney" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      val byVal = Tables.events(s, d)
+        .groupBy(col("value"), col("event_type"))
+        .agg(count(lit(1)).as("ca"))
+      val totals = byVal.groupBy(col("value"))
+        .agg(sum(col("ca")).as("cv"))
+      val wCum = Window.orderBy(col("value"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ranked = totals
+        .withColumn("cum", sum(col("cv")).over(wCum))
+        .select(col("value"),
+          (lit(2L) * (col("cum") - col("cv")) + col("cv") + 1L)
+            .as("rank2"))
+      val grand = totals.agg(sum(col("cv")).as("n_total"))
+      byVal.join(ranked, "value")
+        .groupBy(col("event_type"))
+        .agg(sum(col("ca")).as("n_a"),
+          sum(col("ca").cast("decimal(38,0)")
+            * col("rank2").cast("decimal(38,0)")).as("r2a"))
+        .crossJoin(broadcast(grand))
+        .withColumn("n_b", col("n_total") - col("n_a"))
+        .withColumn("u2", (col("r2a")
+          - col("n_a").cast("decimal(38,0)")
+            * (col("n_a") + 1L).cast("decimal(38,0)")).cast("double"))
+        .select(col("event_type"), col("n_a"), col("n_b"),
+          snap6(col("u2") / lit(2.0)).as("u_stat"),
+          snap6(col("u2") / (lit(2.0) * col("n_a").cast("double")
+            * col("n_b").cast("double"))).as("auc"))
+        .orderBy(col("event_type"))
+    }),
+
     // Per-group linear trend + one-step forecast — the capacity-
     // planning readout (is this event type growing, and what does
     // tomorrow look like?): daily value sums (4-rounded — one
@@ -681,6 +729,28 @@ object Aggregates extends QueryModule {
   )
 
   def oracle: Map[String, String] = Map(
+    "q231_mannwhitney" ->
+      """WITH bv AS (SELECT value, event_type, count(*) AS ca
+        |  FROM events GROUP BY 1, 2),
+        |tv AS (SELECT value, CAST(sum(ca) AS BIGINT) AS cv
+        |  FROM bv GROUP BY 1),
+        |rk AS (SELECT value,
+        |    2 * (sum(cv) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) - cv) + cv + 1 AS rank2
+        |  FROM tv),
+        |g AS (SELECT CAST(sum(cv) AS BIGINT) AS n_total FROM tv),
+        |a AS (SELECT event_type, CAST(sum(ca) AS BIGINT) AS n_a,
+        |    sum(ca * rank2) AS r2a
+        |  FROM bv JOIN rk USING (value) GROUP BY 1),
+        |u AS (SELECT event_type, n_a, n_total - n_a AS n_b,
+        |    CAST(r2a - n_a * (n_a + 1) AS DOUBLE) AS u2
+        |  FROM a, g)
+        |SELECT event_type, n_a, n_b,
+        |  floor(u2 / CAST(2 AS DOUBLE) * 1e6 + 0.5) / 1e6 AS u_stat,
+        |  floor(u2 / (CAST(2 AS DOUBLE) * CAST(n_a AS DOUBLE)
+        |    * CAST(n_b AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS auc
+        |FROM u ORDER BY event_type""".stripMargin,
+
     // the sketch estimates are folded into tolerance booleans on the
     // Spark side, so the exact engine's answer is (exact, TRUE, TRUE).
     "q39_approx_sketch" ->

@@ -601,10 +601,81 @@ object Temporal extends QueryModule {
               / (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))))
             .as("xcorr"))
         .orderBy(col("lag"))
+    }),
+
+    // Kaplan-Meier survival curve over user lifetimes — the churn/
+    // retention estimator that handles CENSORING correctly (a user
+    // still active at corpus end is not a churn event; q126's naive
+    // retention conflates the two): lifetime = days between first and
+    // last event; users whose last event falls in the final 3 days
+    // are censored. The curve is emitted in LOG space — ln S(t) =
+    // Σ_{t'≤t, d>0} ln(1 − d/r) with each term 6-snapped — because
+    // exp() is not bit-stable cross-engine (q197 recipe); both
+    // engines accumulate the cumulative sum in the same fixed t-order,
+    // so the running sum is bit-identical. Scale shape: one corpus
+    // pass to per-user (lifetime, censored), a map-side-combined
+    // re-group to the ≤|days| lifetime frame, and windows over THAT.
+    // (If every at-risk user churns at some t the curve hits exact
+    // zero and the term is excluded — log-space cannot express S=0;
+    // censoring at the corpus edge makes that unreachable here.)
+    "q232_kaplan_meier" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      val users = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(datediff(max(to_date(col("ts"))), min(to_date(col("ts"))))
+          .cast("long").as("t"),
+          max(to_date(col("ts"))).as("last_day"))
+        .withColumn("churned",
+          col("last_day") <= lit("2024-01-27").cast("date"))
+      val byT = users.groupBy(col("t"))
+        .agg(sum(when(col("churned"), 1L).otherwise(0L)).as("d"),
+          sum(when(col("churned"), 0L).otherwise(1L)).as("c"))
+      val tot = byT.agg(sum(col("d") + col("c")).as("n_users"))
+      val wCum = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byT.crossJoin(broadcast(tot))
+        .withColumn("cum_all", sum(col("d") + col("c")).over(wCum))
+        .withColumn("at_risk",
+          col("n_users") - col("cum_all") + col("d") + col("c"))
+        .withColumn("term", when(col("d") > 0 && col("at_risk") > col("d"),
+          snap6(log((col("at_risk") - col("d")).cast("double")
+            / col("at_risk").cast("double")))).otherwise(lit(0.0)))
+        .withColumn("ln_survival", sum(col("term")).over(wCum))
+        .select(col("t"), col("at_risk"), col("d").as("n_churned"),
+          col("c").as("n_censored"), col("ln_survival"))
+        .orderBy(col("t"))
     })
   )
 
   def oracle: Map[String, String] = Map(
+    "q232_kaplan_meier" ->
+      """WITH u AS (SELECT user_id,
+        |    CAST(max(CAST(ts AS DATE)) - min(CAST(ts AS DATE)) AS BIGINT)
+        |      AS t,
+        |    max(CAST(ts AS DATE)) <= DATE '2024-01-27' AS churned
+        |  FROM events GROUP BY 1),
+        |bt AS (SELECT t,
+        |    CAST(sum(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(sum(CASE WHEN churned THEN 0 ELSE 1 END) AS BIGINT) AS c
+        |  FROM u GROUP BY 1),
+        |g AS (SELECT CAST(sum(d + c) AS BIGINT) AS n_users FROM bt),
+        |w AS (SELECT t, d, c, n_users,
+        |    CAST(sum(d + c) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_all
+        |  FROM bt, g),
+        |r AS (SELECT t, d, c, n_users - cum_all + d + c AS at_risk
+        |  FROM w),
+        |tm AS (SELECT t, d, c, at_risk,
+        |    CASE WHEN d > 0 AND at_risk > d THEN
+        |      floor(ln(CAST(at_risk - d AS DOUBLE)
+        |        / CAST(at_risk AS DOUBLE)) * 1e6 + 0.5) / 1e6
+        |    ELSE CAST(0 AS DOUBLE) END AS term
+        |  FROM r)
+        |SELECT t, at_risk, d AS n_churned, c AS n_censored,
+        |  sum(term) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND CURRENT ROW) AS ln_survival
+        |FROM tm ORDER BY t""".stripMargin,
+
     "q211_seasonality_index" ->
       """WITH m AS (
         |  SELECT month(o_orderdate) AS mth,

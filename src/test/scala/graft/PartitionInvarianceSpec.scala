@@ -94,7 +94,9 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q226_kanon_audit",    // exact class counts; cum window on k-frame
     "q227_jaro_linkage",   // per-pair snapped native kernel score
     "q228_leak_spans",     // islands-and-gaps on exact positions
-    "q229_mix_plan")       // keep-first hash window; exact long DIV
+    "q229_mix_plan",       // keep-first hash window; exact long DIV
+    "q231_mannwhitney",    // doubled ranks exact; DECIMAL(38,0) sums
+    "q232_kaplan_meier")   // exact risk sets; fixed-order snapped lnΣ
 
   test("exact operators are invariant to input split boundaries") {
     val splitty = spark.newSession()
