@@ -321,8 +321,12 @@ object Curation extends QueryModule {
             .when(col("source")
               .isin("src5", "src6", "src7", "src8", "src9"), 2L)
             .otherwise(1L))
-      val tot = perSrc.agg(sum(col("weight_units")).as("total_units"))
-      perSrc.crossJoin(broadcast(tot))
+      // total_units via a global window over the ≤|sources| frame —
+      // NOT a separate .agg + crossJoin, which re-instantiates the
+      // whole corpus subtree (measured: 2 scans vs 1).
+      val wAll = Window.partitionBy()
+      perSrc
+        .withColumn("total_units", sum(col("weight_units")).over(wAll))
         .withColumn("tokens_target",
           expr("1000000000 * weight_units DIV total_units"))
         .withColumn("epochs_needed",

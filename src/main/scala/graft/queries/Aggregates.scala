@@ -625,26 +625,29 @@ object Aggregates extends QueryModule {
     // (2-decimal money values), never corpus rows.
     "q231_mannwhitney" -> ((s, d) => {
       def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      // every downstream quantity derives from ONE (value, type) count
+      // frame via windows — a groupBy-totals + join-back would
+      // instantiate the corpus subtree three times (measured 2 scans
+      // even with exchange reuse; the q192/q195 rewrite principle).
+      // The ordered RANGE window sums peers-inclusive, i.e. all rows
+      // with value ≤ v — exactly the pooled cumulative count.
       val byVal = Tables.events(s, d)
         .groupBy(col("value"), col("event_type"))
         .agg(count(lit(1)).as("ca"))
-      val totals = byVal.groupBy(col("value"))
-        .agg(sum(col("ca")).as("cv"))
-      val wCum = Window.orderBy(col("value"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val ranked = totals
-        .withColumn("cum", sum(col("cv")).over(wCum))
-        .select(col("value"),
-          (lit(2L) * (col("cum") - col("cv")) + col("cv") + 1L)
-            .as("rank2"))
-      val grand = totals.agg(sum(col("cv")).as("n_total"))
-      byVal.join(ranked, "value")
+      val wVal = Window.partitionBy(col("value"))
+      val wOrd = Window.orderBy(col("value"))
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy()
+      byVal
+        .withColumn("cv", sum(col("ca")).over(wVal))
+        .withColumn("cum", sum(col("ca")).over(wOrd))
+        .withColumn("rank2",
+          lit(2L) * (col("cum") - col("cv")) + col("cv") + 1L)
         .groupBy(col("event_type"))
         .agg(sum(col("ca")).as("n_a"),
           sum(col("ca").cast("decimal(38,0)")
             * col("rank2").cast("decimal(38,0)")).as("r2a"))
-        .crossJoin(broadcast(grand))
-        .withColumn("n_b", col("n_total") - col("n_a"))
+        .withColumn("n_b", sum(col("n_a")).over(wAll) - col("n_a"))
         .withColumn("u2", (col("r2a")
           - col("n_a").cast("decimal(38,0)")
             * (col("n_a") + 1L).cast("decimal(38,0)")).cast("double"))

@@ -432,6 +432,28 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q224-q232 stats/audit tier plans the pinned scan counts") {
+    // each new statistics/audit query must be ONE corpus pass with
+    // windows over the aggregated (bounded) frame — the q192/q195
+    // principle; join-back/crossJoin(agg) formulations measured 2-3
+    // scans before the q229/q231 rewrites. q228 is pinned at 2 by
+    // design: the probe (eval-cohort) side and the train side are
+    // structurally different subtrees, like q216.
+    val expect = Seq(
+      ("q224_ks_drift", 1), ("q225_psi_drift", 1),
+      ("q226_kanon_audit", 1), ("q227_jaro_linkage", 1),
+      ("q228_leak_spans", 2), ("q229_mix_plan", 1),
+      ("q231_mannwhitney", 1), ("q232_kaplan_meier", 1))
+    for ((q, scans) <- expect) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      val finalPlan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert("FileScan parquet".r.findAllIn(finalPlan).length == scans,
+        s"$q must plan exactly $scans corpus scan(s):\n$finalPlan")
+    }
+  }
+
   test("q92 profiles every column in ONE table pass") {
     // describe-style stats must not plan one scan per column: the whole
     // point of the stacked single-aggregation form is that a 100 TB
