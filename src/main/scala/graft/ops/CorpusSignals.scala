@@ -46,6 +46,40 @@ object CorpusSignals extends QueryModule {
 
     "q133_vocab_encode" -> ((s, d) => vocabEncode(Tables.documents(s, d))),
 
+    // BPE merge statistics — the first tokenizer-training iteration
+    // at corpus scale: weighted adjacent-symbol-pair counts over the
+    // word-frequency table (chars + an explicit </w> end-of-word
+    // symbol, the classic BPE alphabet), top-30 merge candidates.
+    // This is exactly the aggregate a distributed BPE trainer
+    // materializes each round; q133's vocab/encode consumes its
+    // output. Exact longs; ties broken on the pair string. Scale
+    // shape: the corpus collapses to the DISTINCT-WORD frame first
+    // (vocabulary-sized, map-side-combined), pair fan-out runs over
+    // that bounded frame (≤ word-length elements per word — the
+    // per-element array rebuild explode re-evaluation is O(len)≈20,
+    // nothing like the q216 500-element trap), and the result is one
+    // TakeOrdered heap.
+    "q234_bpe_pairs" -> ((s, d) => {
+      val wf = Tables.documents(s, d)
+        .select(explode(Text.words(col("text"))).as("w"))
+        .filter(length(col("w")) >= 1)
+        .groupBy(col("w"))
+        .agg(count(lit(1)).as("freq"))
+      val pairs = concat(
+        when(length(col("w")) >= 2,
+          transform(sequence(lit(1), length(col("w")) - 1), i =>
+            concat_ws(" ", col("w").substr(i, lit(1)),
+              col("w").substr(i + 1, lit(1)))))
+          .otherwise(array().cast("array<string>")),
+        array(concat_ws(" ",
+          col("w").substr(length(col("w")), lit(1)), lit("</w>"))))
+      wf.select(col("freq"), explode(pairs).as("pair"))
+        .groupBy(col("pair"))
+        .agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(30)
+    }),
+
     "q144_distinctive_terms" -> ((s, d) =>
       distinctiveTerms(Tables.documents(s, d))),
 
@@ -449,6 +483,22 @@ object CorpusSignals extends QueryModule {
   }
 
   def oracle: Map[String, String] = Map(
+    "q234_bpe_pairs" ->
+      """WITH wds AS (SELECT unnest(string_split(lower(trim(
+        |      regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS w
+        |  FROM documents),
+        |wf AS (SELECT w, count(*) AS freq
+        |  FROM wds WHERE len(w) >= 1 GROUP BY 1),
+        |pr AS (SELECT freq, unnest(list_concat(
+        |    CASE WHEN len(w) >= 2 THEN
+        |      list_transform(range(1, len(w)),
+        |        i -> substr(w, CAST(i AS INT), 1) || ' '
+        |          || substr(w, CAST(i AS INT) + 1, 1))
+        |    ELSE CAST([] AS VARCHAR[]) END,
+        |    [substr(w, len(w), 1) || ' </w>'])) AS pair
+        |  FROM wf)
+        |SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+        |FROM pr GROUP BY 1 ORDER BY n DESC, pair LIMIT 30""".stripMargin,
     "q173_pmi" ->
       """WITH w AS (SELECT doc_id, list_distinct(string_split(
         |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))

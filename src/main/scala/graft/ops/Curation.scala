@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{QueryModule, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -339,6 +339,90 @@ object Curation extends QueryModule {
         .orderBy(col("source"))
     }),
 
+    // Temperature-sampled language mix (the multilingual-training
+    // sampling rule: q_l ∝ p_l^α flattens the head so low-resource
+    // languages are seen): α = 1/2, the one exponent computable
+    // BIT-EXACTLY cross-engine — p^0.5 = sqrt, IEEE-correctly-rounded
+    // in both engines, where exp(α·ln p) for general α is not (q197).
+    // √n_l is snapped, the ≤|langs| normalizer sum is snapped (q222
+    // recipe), and every emitted ratio is a single snapped division.
+    // Scale shape: ONE corpus pass map-side-combines token counts to
+    // the ≤|langs| frame; all windows run over that frame. (n_l is
+    // exactly double-representable below 2^53 tokens ≈ 360× a 100 TB
+    // text corpus.)
+    "q233_temperature_mix" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      val byLang = Tables.documents(s, d)
+        .select(col("lang"),
+          size(Text.words(col("text"))).cast("long").as("toks"))
+        .groupBy(col("lang"))
+        .agg(sum(col("toks")).as("n_toks"))
+      val wAll = Window.partitionBy()
+      byLang
+        .withColumn("n_total", sum(col("n_toks")).over(wAll))
+        .withColumn("sroot", snap6(sqrt(col("n_toks").cast("double"))))
+        .withColumn("s_sum", snap6(sum(col("sroot")).over(wAll)))
+        .withColumn("raw_share",
+          col("n_toks").cast("double") / col("n_total").cast("double"))
+        .withColumn("sampled_share", snap6(col("sroot") / col("s_sum")))
+        .select(col("lang"), col("n_toks"), col("raw_share"),
+          col("sampled_share"),
+          snap6(col("sampled_share") / col("raw_share")).as("boost"))
+        .orderBy(col("lang"))
+    }),
+
+    // DSIR-style importance weights (data selection by importance
+    // resampling, Xie et al. 2023): score each raw doc by how much
+    // its hashed-unigram profile looks like a TARGET domain —
+    // log p_target(doc)/p_raw(doc) under bag-of-buckets models with
+    // add-1 smoothing. The whole statistic stays ORDER-FREE by
+    // carrying each bucket's snapped log-ratio as an exact MICRO-NAT
+    // LONG (snap6·1e6 is integral by construction): per-doc score =
+    // Σ_b n_db·Δmicro_b is an exact integer sum, divided once at
+    // emit. Bucket = shared-md5 hex % 64 (the q198 engine-neutral
+    // hash recipe — never murmur3/xxhash64). Scale shape: one corpus
+    // pass to (doc, bucket) counts, the two 64-row distributions via
+    // windows on the bucket frame, a broadcast join back, a per-doc
+    // exact re-group, and ONE TakeOrdered heap for the top-25.
+    "q235_dsir_weights" -> ((s, d) => {
+      val docTok = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          explode(Text.words(col("text"))).as("w"))
+        .filter(length(col("w")) >= 1)
+        .withColumn("bucket",
+          pmod(conv(substring(md5(col("w")), 1, 4), 16, 10).cast("long"),
+            lit(64L)))
+      val db = docTok
+        .groupBy(col("doc_id"), col("source"), col("bucket"))
+        .agg(count(lit(1)).as("n_db"))
+      val wAll = Window.partitionBy()
+      val dist = db.groupBy(col("bucket"))
+        .agg(sum(when(col("source") === "src0", col("n_db"))
+            .otherwise(0L)).as("ct"),
+          sum(col("n_db")).as("cr"))
+        .withColumn("t_total", sum(col("ct")).over(wAll))
+        .withColumn("r_total", sum(col("cr")).over(wAll))
+        .withColumn("micro_t",
+          floor(log((col("ct") + 1L).cast("double")
+            / (col("t_total") + 64L).cast("double")) * 1e6 + 0.5)
+            .cast("long"))
+        .withColumn("micro_r",
+          floor(log((col("cr") + 1L).cast("double")
+            / (col("r_total") + 64L).cast("double")) * 1e6 + 0.5)
+            .cast("long"))
+        .select(col("bucket").as("b"),
+          (col("micro_t") - col("micro_r")).as("d_micro"))
+      db.join(broadcast(dist), col("bucket") === col("b"))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(sum(col("n_db") * col("d_micro")).as("score_micro"),
+          sum(col("n_db")).as("n_toks"))
+        .select(col("doc_id"), col("source"), col("n_toks"),
+          (col("score_micro").cast("double") / lit(1e6)
+            / col("n_toks").cast("double")).as("log_ratio_per_tok"))
+        .orderBy(col("log_ratio_per_tok").desc, col("doc_id"))
+        .limit(25)
+    }),
+
     "q100_hash_split" -> ((s, d) => hashSplit(Tables.documents(s, d))),
 
     "q101_seq_pack" -> ((s, d) => seqPack(Tables.documents(s, d))),
@@ -623,6 +707,60 @@ object Curation extends QueryModule {
         |      > CAST(4 AS DOUBLE)
         |  END AS repeat_risk
         |FROM j ORDER BY source""".stripMargin,
+
+    "q233_temperature_mix" ->
+      """WITH l AS (SELECT lang,
+        |    CAST(sum(len(string_split(lower(trim(regexp_replace(text,
+        |      '\s+', ' ', 'g'))), ' '))) AS BIGINT) AS n_toks
+        |  FROM documents GROUP BY 1),
+        |w AS (SELECT lang, n_toks,
+        |    CAST(sum(n_toks) OVER () AS BIGINT) AS n_total,
+        |    floor(sqrt(CAST(n_toks AS DOUBLE)) * 1e6 + 0.5) / 1e6
+        |      AS sroot
+        |  FROM l),
+        |w2 AS (SELECT lang, n_toks, n_total, sroot,
+        |    floor(sum(sroot) OVER () * 1e6 + 0.5) / 1e6 AS s_sum
+        |  FROM w),
+        |f AS (SELECT lang, n_toks,
+        |    CAST(n_toks AS DOUBLE) / CAST(n_total AS DOUBLE) AS raw_share,
+        |    floor(sroot / s_sum * 1e6 + 0.5) / 1e6 AS sampled_share
+        |  FROM w2)
+        |SELECT lang, n_toks, raw_share, sampled_share,
+        |  floor(sampled_share / raw_share * 1e6 + 0.5) / 1e6 AS boost
+        |FROM f ORDER BY lang""".stripMargin,
+
+    "q235_dsir_weights" ->
+      """WITH tok AS (SELECT doc_id, source,
+        |    unnest(string_split(lower(trim(regexp_replace(text,
+        |      '\s+', ' ', 'g'))), ' ')) AS w
+        |  FROM documents),
+        |tb AS (SELECT doc_id, source,
+        |    ('0x' || substr(md5(w), 1, 4))::BIGINT % 64 AS bucket
+        |  FROM tok WHERE len(w) >= 1),
+        |db AS (SELECT doc_id, source, bucket, count(*) AS n_db
+        |  FROM tb GROUP BY 1, 2, 3),
+        |dist AS (SELECT bucket,
+        |    CAST(sum(CASE WHEN source = 'src0' THEN n_db ELSE 0 END)
+        |      AS BIGINT) AS ct,
+        |    CAST(sum(n_db) AS BIGINT) AS cr
+        |  FROM db GROUP BY 1),
+        |dm AS (SELECT bucket,
+        |    CAST(floor(ln(CAST(ct + 1 AS DOUBLE)
+        |        / CAST(CAST(sum(ct) OVER () AS BIGINT) + 64 AS DOUBLE))
+        |      * 1e6 + 0.5) AS BIGINT)
+        |    - CAST(floor(ln(CAST(cr + 1 AS DOUBLE)
+        |        / CAST(CAST(sum(cr) OVER () AS BIGINT) + 64 AS DOUBLE))
+        |      * 1e6 + 0.5) AS BIGINT) AS d_micro
+        |  FROM dist),
+        |sc AS (SELECT doc_id, source,
+        |    CAST(sum(n_db * d_micro) AS BIGINT) AS score_micro,
+        |    CAST(sum(n_db) AS BIGINT) AS n_toks
+        |  FROM db JOIN dm USING (bucket) GROUP BY 1, 2)
+        |SELECT doc_id, source, n_toks,
+        |  CAST(score_micro AS DOUBLE) / 1e6 / CAST(n_toks AS DOUBLE)
+        |    AS log_ratio_per_tok
+        |FROM sc
+        |ORDER BY log_ratio_per_tok DESC, doc_id LIMIT 25""".stripMargin,
 
     "q221_effective_tokens" ->
       """WITH t AS (

@@ -658,6 +658,59 @@ object Aggregates extends QueryModule {
         .orderBy(col("event_type"))
     }),
 
+    // Spearman rank correlation per market segment — does account
+    // balance track realized spend? The rank-based companion to
+    // Pearson (q167's rolling form): monotone-association, outlier-
+    // robust, no linearity assumption. Exactness: spend sums in
+    // DECIMAL (a double sum would make the RANK order-sensitive —
+    // the whole statistic would wobble under partitioning); average
+    // ranks carried as exact-long 2·rank (q231 recipe) via peers-
+    // inclusive RANGE windows; rank deviations center EXACTLY
+    // (Σ rank2 = n(n+1), so mean rank2 = n+1 is an integer) which
+    // kills every n·ΣxΣy cross-term — ρ = Σdxdy / √(Σdx²·Σdy²) with
+    // the sums in DECIMAL(38,0) via decimal(19) products (q204
+    // recipe; dx ≤ 2n keeps products inside 38 digits to n ~ 1e9)
+    // and the final ratio 6-snapped (decimal→double above 2^53 is
+    // the q213 ulp trap). Scale shape: orders pre-aggregate to
+    // per-customer before the join; rank windows run per segment
+    // over the customer dimension — the canonical rank shape.
+    "q236_spearman" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      val spend = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast("decimal(12,2)")).as("spend"))
+      val base = Tables.customer(s, d)
+        .join(spend, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_mktsegment").as("seg"), col("c_acctbal").as("x"),
+          coalesce(col("spend"), lit(0).cast("decimal(22,2)")).as("y"))
+      val wSeg = Window.partitionBy(col("seg"))
+      def rank2(v: String): Column = {
+        val cv = count(lit(1))
+          .over(Window.partitionBy(col("seg"), col(v)))
+        val cum = count(lit(1))
+          .over(Window.partitionBy(col("seg")).orderBy(col(v))
+            .rangeBetween(Window.unboundedPreceding, Window.currentRow))
+        lit(2L) * (cum - cv) + cv + 1L
+      }
+      def dec(c: Column): Column = c.cast("decimal(19,0)")
+      val ranked = base
+        .withColumn("n", count(lit(1)).over(wSeg))
+        .withColumn("dx", rank2("x") - (col("n") + 1L))
+        .withColumn("dy", rank2("y") - (col("n") + 1L))
+      ranked.groupBy(col("seg"))
+        .agg(max(col("n")).as("n_customers"),
+          sum(dec(col("dx")) * dec(col("dy"))).as("sxy"),
+          sum(dec(col("dx")) * dec(col("dx"))).as("sxx"),
+          sum(dec(col("dy")) * dec(col("dy"))).as("syy"))
+        .select(col("seg"), col("n_customers"),
+          when(col("sxx") > 0 && col("syy") > 0,
+            snap6(col("sxy").cast("double")
+              / (sqrt(col("sxx").cast("double"))
+                * sqrt(col("syy").cast("double")))))
+            .otherwise(lit(0.0)).as("rho"))
+        .orderBy(col("seg"))
+    }),
+
     // Per-group linear trend + one-step forecast — the capacity-
     // planning readout (is this event type growing, and what does
     // tomorrow look like?): daily value sums (4-rounded — one
@@ -753,6 +806,38 @@ object Aggregates extends QueryModule {
         |  floor(u2 / (CAST(2 AS DOUBLE) * CAST(n_a AS DOUBLE)
         |    * CAST(n_b AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS auc
         |FROM u ORDER BY event_type""".stripMargin,
+
+    "q236_spearman" ->
+      """WITH sp AS (SELECT o_custkey,
+        |    sum(o_totalprice::DECIMAL(12,2)) AS spend
+        |  FROM orders GROUP BY 1),
+        |b AS (SELECT c_mktsegment AS seg, c_acctbal AS x,
+        |    coalesce(spend, 0) AS y
+        |  FROM customer LEFT JOIN sp ON c_custkey = o_custkey),
+        |r AS (SELECT seg,
+        |    count(*) OVER (PARTITION BY seg) AS n,
+        |    2 * (count(*) OVER (PARTITION BY seg ORDER BY x
+        |        RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - count(*) OVER (PARTITION BY seg, x))
+        |      + count(*) OVER (PARTITION BY seg, x) + 1 AS r2x,
+        |    2 * (count(*) OVER (PARTITION BY seg ORDER BY y
+        |        RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - count(*) OVER (PARTITION BY seg, y))
+        |      + count(*) OVER (PARTITION BY seg, y) + 1 AS r2y
+        |  FROM b),
+        |dv AS (SELECT seg, n, r2x - (n + 1) AS dx, r2y - (n + 1) AS dy
+        |  FROM r),
+        |g AS (SELECT seg, CAST(max(n) AS BIGINT) AS n_customers,
+        |    sum(dx * dy) AS sxy, sum(dx * dx) AS sxx,
+        |    sum(dy * dy) AS syy
+        |  FROM dv GROUP BY 1)
+        |SELECT seg, n_customers,
+        |  CASE WHEN sxx > 0 AND syy > 0 THEN
+        |    floor(CAST(sxy AS DOUBLE)
+        |      / (sqrt(CAST(sxx AS DOUBLE)) * sqrt(CAST(syy AS DOUBLE)))
+        |      * 1e6 + 0.5) / 1e6
+        |  ELSE CAST(0 AS DOUBLE) END AS rho
+        |FROM g ORDER BY seg""".stripMargin,
 
     // the sketch estimates are folded into tolerance booleans on the
     // Spark side, so the exact engine's answer is (exact, TRUE, TRUE).

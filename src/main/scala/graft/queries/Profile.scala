@@ -652,10 +652,87 @@ object Profile extends QueryModule {
             .as("cum_risk_share"),
           (col("k_size") < 5).as("violates_k5"))
         .orderBy(col("k_size"))
+    }),
+
+    // Cohen's kappa — chance-corrected agreement between two labelers
+    // (the inter-annotator-agreement staple for labeled training
+    // data; raw accuracy q170 overstates agreement when the label
+    // distribution is skewed). Rater A = the gold event_type; rater B
+    // = a deterministic value-threshold classifier (stand-in for any
+    // second annotator column). κ = (N·Σdiag − Σ_g row_g·col_g) /
+    // (N² − Σ_g row_g·col_g): every operand exact — cell counts are
+    // longs, the row·col cross-products accumulate in DECIMAL via
+    // decimal(19) factors (N² ~ 1e24 at corpus scale; q213 recipe),
+    // and the emitted ratios are single divisions, 6-snapped for the
+    // decimal→double ulp. Scale shape: ONE map-side-combined corpus
+    // pass to the ≤|classes|² confusion frame; the column-total join
+    // is on the ≤|classes| frame (broadcast); output is one row.
+    "q238_cohens_kappa" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      def dec(c: Column): Column = c.cast("decimal(19,0)")
+      val pred = when(col("value") < 80.0, "view")
+        .when(col("value") < 160.0, "click")
+        .when(col("value") < 240.0, "signup")
+        .when(col("value") < 320.0, "purchase")
+        .otherwise("error")
+      val cells = Tables.events(s, d)
+        .select(col("event_type").as("gold"), pred.as("pred"))
+        .groupBy(col("gold"), col("pred"))
+        .agg(count(lit(1)).as("n"))
+      val cols = cells.groupBy(col("pred").as("cls"))
+        .agg(sum(col("n")).as("col_n"))
+      val rc = cells.join(broadcast(cols), col("gold") === col("cls"))
+        .agg(sum(dec(col("n")) * dec(col("col_n"))).as("rc"))
+      val base = cells.agg(sum(col("n")).as("n_total"),
+        sum(when(col("gold") === col("pred"), col("n")).otherwise(0L))
+          .as("n_agree"))
+      base.crossJoin(broadcast(rc))
+        .select(col("n_total"), col("n_agree"),
+          (col("n_agree").cast("double") / col("n_total").cast("double"))
+            .as("po"),
+          snap6(col("rc").cast("double")
+            / (dec(col("n_total")) * dec(col("n_total"))).cast("double"))
+            .as("pe"),
+          snap6((dec(col("n_total")) * dec(col("n_agree")) - col("rc"))
+            .cast("double")
+            / (dec(col("n_total")) * dec(col("n_total")) - col("rc"))
+            .cast("double")).as("kappa"))
     })
   )
 
   def oracle: Map[String, String] = Map(
+    "q238_cohens_kappa" ->
+      """WITH p AS (SELECT event_type AS gold,
+        |    CASE WHEN value < 80 THEN 'view'
+        |      WHEN value < 160 THEN 'click'
+        |      WHEN value < 240 THEN 'signup'
+        |      WHEN value < 320 THEN 'purchase'
+        |      ELSE 'error' END AS pred
+        |  FROM events),
+        |cells AS (SELECT gold, pred, count(*) AS n
+        |  FROM p GROUP BY 1, 2),
+        |c AS (SELECT pred AS cls, CAST(sum(n) AS BIGINT) AS col_n
+        |  FROM cells GROUP BY 1),
+        |rcx AS (SELECT sum(CAST(n AS DECIMAL(19,0))
+        |      * CAST(col_n AS DECIMAL(19,0))) AS rc
+        |  FROM cells JOIN c ON gold = cls),
+        |b AS (SELECT CAST(sum(n) AS BIGINT) AS n_total,
+        |    CAST(sum(CASE WHEN gold = pred THEN n ELSE 0 END) AS BIGINT)
+        |      AS n_agree
+        |  FROM cells)
+        |SELECT n_total, n_agree,
+        |  CAST(n_agree AS DOUBLE) / CAST(n_total AS DOUBLE) AS po,
+        |  floor(CAST(rc AS DOUBLE)
+        |    / CAST(CAST(n_total AS DECIMAL(19,0))
+        |        * CAST(n_total AS DECIMAL(19,0)) AS DOUBLE)
+        |    * 1e6 + 0.5) / 1e6 AS pe,
+        |  floor(CAST(CAST(n_total AS DECIMAL(19,0))
+        |      * CAST(n_agree AS DECIMAL(19,0)) - rc AS DOUBLE)
+        |    / CAST(CAST(n_total AS DECIMAL(19,0))
+        |      * CAST(n_total AS DECIMAL(19,0)) - rc AS DOUBLE)
+        |    * 1e6 + 0.5) / 1e6 AS kappa
+        |FROM b, rcx""".stripMargin,
+
     "q224_ks_drift" ->
       """WITH p AS (SELECT event_type, value,
         |    CAST(sum(CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-15'

@@ -644,6 +644,108 @@ object Temporal extends QueryModule {
         .select(col("t"), col("at_risk"), col("d").as("n_churned"),
           col("c").as("n_censored"), col("ln_survival"))
         .orderBy(col("t"))
+    }),
+
+    // CUSUM changepoint detection per event stream — "did this feed's
+    // daily volume shift level, and when?" (the pipeline-monitoring
+    // companion to q224/q225, which detect THAT a distribution moved
+    // but not WHEN). CUSUM_k = Σ_{d≤k}(n_d − mean) peaks at the level-
+    // shift boundary. Everything stays in EXACT long space by scaling
+    // through the day count: D·CUSUM_k = D·cum_k − k·S (cum ≤ corpus
+    // rows, D ≤ |days| — the product is exact below ~9e15 rows·days);
+    // |·| comparisons and the argmax tie-break (earliest day) are
+    // integer, and the two emitted doubles are single correctly-
+    // rounded long÷long divisions — no snapping needed anywhere.
+    // Scale shape: ONE corpus pass map-side-combines to the ≤|days|
+    // daily frame; every window runs over that frame.
+    "q237_cusum" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val wT = Window.partitionBy(col("event_type"))
+      val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val wCum = wOrd.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      val scored = daily
+        .withColumn("n_days", count(lit(1)).over(wT))
+        .withColumn("s_total", sum(col("n")).over(wT))
+        .withColumn("k", row_number().over(wOrd).cast("long"))
+        .withColumn("cum", sum(col("n")).over(wCum))
+        .withColumn("c_scaled",
+          col("n_days") * col("cum") - col("k") * col("s_total"))
+      val wPick = Window.partitionBy(col("event_type"))
+        .orderBy(abs(col("c_scaled")).desc, col("day"))
+      scored.withColumn("rn", row_number().over(wPick))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("day").as("changepoint_day"),
+          col("n_days"),
+          (col("s_total").cast("double") / col("n_days").cast("double"))
+            .as("daily_mean"),
+          (col("c_scaled").cast("double") / col("n_days").cast("double"))
+            .as("peak_cusum"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Log-rank test — "do two user cohorts have the same survival
+    // curve?", the hypothesis-test companion to q232's KM estimator
+    // (an A/B readout robust to censoring, which q143's mean-based
+    // test is not). Cohort = user_id parity (any deterministic user
+    // attribute slots in). Per event time t: observed cohort-A deaths
+    // d1, expected E1 = d·r1/r under H0, hypergeometric variance
+    // V = (d·r1/r)·((r−r1)/r)·((r−d)/(r−1)). Each factor is a single
+    // correctly-rounded long÷long division and the left-to-right
+    // double product is spelled identically in the oracle; per-term
+    // snap + snapped bounded sums (q222 recipe) make χ² = (O−E)²/V
+    // bit-stable. No long/decimal overflow at any scale: products of
+    // raw counts never form — only ratios ≤ r multiply. Scale shape:
+    // one corpus pass to per-user rows, a map-side-combined re-group
+    // to the ≤|days| lifetime frame, windows over THAT (q231 shape).
+    "q239_logrank" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      val users = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(datediff(max(to_date(col("ts"))), min(to_date(col("ts"))))
+          .cast("long").as("t"),
+          max(to_date(col("ts"))).as("last_day"))
+        .withColumn("churned",
+          col("last_day") <= lit("2024-01-27").cast("date"))
+        .withColumn("grp_a", pmod(col("user_id"), lit(2L)) === 0L)
+      val byT = users.groupBy(col("t"))
+        .agg(sum(when(col("churned"), 1L).otherwise(0L)).as("dt"),
+          sum(when(col("churned") && col("grp_a"), 1L).otherwise(0L))
+            .as("d1"),
+          count(lit(1)).as("all_t"),
+          sum(when(col("grp_a"), 1L).otherwise(0L)).as("a_t"))
+      val wAll = Window.partitionBy()
+      val wCum = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val dr = col("dt").cast("double") / col("r").cast("double")
+      val terms = byT
+        .withColumn("n_users", sum(col("all_t")).over(wAll))
+        .withColumn("n_a", sum(col("a_t")).over(wAll))
+        .withColumn("cum_all", sum(col("all_t")).over(wCum))
+        .withColumn("cum_a", sum(col("a_t")).over(wCum))
+        .withColumn("r", col("n_users") - col("cum_all") + col("all_t"))
+        .withColumn("r1", col("n_a") - col("cum_a") + col("a_t"))
+        .withColumn("e1", when(col("dt") > 0,
+          snap6(dr * col("r1").cast("double"))).otherwise(lit(0.0)))
+        .withColumn("v1", when(col("dt") > 0 && col("r") > 1,
+          snap6(dr * col("r1").cast("double")
+            * ((col("r") - col("r1")).cast("double")
+              / col("r").cast("double"))
+            * ((col("r") - col("dt")).cast("double")
+              / (col("r") - 1L).cast("double"))))
+          .otherwise(lit(0.0)))
+      terms.agg(
+          max(col("n_a")).as("n_group_a"),
+          (max(col("n_users")) - max(col("n_a"))).as("n_group_b"),
+          sum(col("d1")).as("observed_a"),
+          snap6(sum(col("e1"))).as("expected_a"),
+          snap6(sum(col("v1"))).as("variance"))
+        .withColumn("chi2", when(col("variance") > 0,
+          snap6((col("observed_a").cast("double") - col("expected_a"))
+            * (col("observed_a").cast("double") - col("expected_a"))
+            / col("variance"))).otherwise(lit(0.0)))
     })
   )
 
@@ -675,6 +777,86 @@ object Temporal extends QueryModule {
         |  sum(term) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
         |    AND CURRENT ROW) AS ln_survival
         |FROM tm ORDER BY t""".stripMargin,
+
+    "q237_cusum" ->
+      """WITH dly AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, day,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+        |      AS n_days,
+        |    CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT)
+        |      AS s_total,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY day) AS BIGINT) AS k,
+        |    CAST(sum(n) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum
+        |  FROM dly),
+        |c AS (SELECT event_type, day, n_days, s_total,
+        |    n_days * cum - k * s_total AS c_scaled,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY abs(n_days * cum - k * s_total) DESC, day) AS rn
+        |  FROM s)
+        |SELECT event_type, day AS changepoint_day, n_days,
+        |  CAST(s_total AS DOUBLE) / CAST(n_days AS DOUBLE) AS daily_mean,
+        |  CAST(c_scaled AS DOUBLE) / CAST(n_days AS DOUBLE) AS peak_cusum
+        |FROM c WHERE rn = 1 ORDER BY event_type""".stripMargin,
+
+    "q239_logrank" ->
+      """WITH u AS (SELECT user_id,
+        |    CAST(max(CAST(ts AS DATE)) - min(CAST(ts AS DATE)) AS BIGINT)
+        |      AS t,
+        |    max(CAST(ts AS DATE)) <= DATE '2024-01-27' AS churned,
+        |    user_id % 2 = 0 AS grp_a
+        |  FROM events GROUP BY user_id),
+        |bt AS (SELECT t,
+        |    CAST(sum(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS dt,
+        |    CAST(sum(CASE WHEN churned AND grp_a THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d1,
+        |    count(*) AS all_t,
+        |    CAST(sum(CASE WHEN grp_a THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS a_t
+        |  FROM u GROUP BY 1),
+        |w AS (SELECT t, dt, d1, all_t, a_t,
+        |    CAST(sum(all_t) OVER () AS BIGINT) AS n_users,
+        |    CAST(sum(a_t) OVER () AS BIGINT) AS n_a,
+        |    CAST(sum(all_t) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_all,
+        |    CAST(sum(a_t) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_a
+        |  FROM bt),
+        |r AS (SELECT t, dt, d1, n_users, n_a,
+        |    n_users - cum_all + all_t AS r,
+        |    n_a - cum_a + a_t AS r1
+        |  FROM w),
+        |tm AS (SELECT dt, d1, n_users, n_a,
+        |    CASE WHEN dt > 0 THEN
+        |      floor((CAST(dt AS DOUBLE) / CAST(r AS DOUBLE))
+        |        * CAST(r1 AS DOUBLE) * 1e6 + 0.5) / 1e6
+        |    ELSE CAST(0 AS DOUBLE) END AS e1,
+        |    CASE WHEN dt > 0 AND r > 1 THEN
+        |      floor((CAST(dt AS DOUBLE) / CAST(r AS DOUBLE))
+        |        * CAST(r1 AS DOUBLE)
+        |        * (CAST(r - r1 AS DOUBLE) / CAST(r AS DOUBLE))
+        |        * (CAST(r - dt AS DOUBLE) / CAST(r - 1 AS DOUBLE))
+        |        * 1e6 + 0.5) / 1e6
+        |    ELSE CAST(0 AS DOUBLE) END AS v1
+        |  FROM r),
+        |a AS (SELECT max(n_a) AS n_group_a,
+        |    max(n_users) - max(n_a) AS n_group_b,
+        |    CAST(sum(d1) AS BIGINT) AS observed_a,
+        |    floor(sum(e1) * 1e6 + 0.5) / 1e6 AS expected_a,
+        |    floor(sum(v1) * 1e6 + 0.5) / 1e6 AS variance
+        |  FROM tm)
+        |SELECT n_group_a, n_group_b, observed_a, expected_a, variance,
+        |  CASE WHEN variance > 0 THEN
+        |    floor((CAST(observed_a AS DOUBLE) - expected_a)
+        |      * (CAST(observed_a AS DOUBLE) - expected_a)
+        |      / variance * 1e6 + 0.5) / 1e6
+        |  ELSE CAST(0 AS DOUBLE) END AS chi2
+        |FROM a""".stripMargin,
 
     "q211_seasonality_index" ->
       """WITH m AS (

@@ -96,7 +96,14 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q228_leak_spans",     // islands-and-gaps on exact positions
     "q229_mix_plan",       // keep-first hash window; exact long DIV
     "q231_mannwhitney",    // doubled ranks exact; DECIMAL(38,0) sums
-    "q232_kaplan_meier")   // exact risk sets; fixed-order snapped lnΣ
+    "q232_kaplan_meier",   // exact risk sets; fixed-order snapped lnΣ
+    "q233_temperature_mix", // exact token longs; snapped √ + snapped sum
+    "q234_bpe_pairs",      // exact weighted pair counts; total tie-break
+    "q235_dsir_weights",   // micro-nat longs — per-doc sums exact
+    "q236_spearman",       // decimal spend; exact rank deviations
+    "q237_cusum",          // scaled-integer CUSUM; integer argmax
+    "q238_cohens_kappa",   // exact confusion counts; decimal cross-mult
+    "q239_logrank")        // exact risk sets; snapped terms + sums
 
   test("exact operators are invariant to input split boundaries") {
     val splitty = spark.newSession()

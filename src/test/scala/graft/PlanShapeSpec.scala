@@ -443,7 +443,15 @@ class PlanShapeSpec extends AnyFunSuite {
       ("q224_ks_drift", 1), ("q225_psi_drift", 1),
       ("q226_kanon_audit", 1), ("q227_jaro_linkage", 1),
       ("q228_leak_spans", 2), ("q229_mix_plan", 1),
-      ("q231_mannwhitney", 1), ("q232_kaplan_meier", 1))
+      ("q231_mannwhitney", 1), ("q232_kaplan_meier", 1),
+      // q235/q238: the bounded broadcast frame (bucket distributions /
+      // column totals) re-derives the corpus subtree feeding it — the
+      // q228 two-subtree shape; a production pipeline persists the
+      // shared aggregate. q236 reads two DIFFERENT tables.
+      ("q233_temperature_mix", 1), ("q234_bpe_pairs", 1),
+      ("q235_dsir_weights", 2), ("q236_spearman", 2),
+      ("q237_cusum", 1), ("q238_cohens_kappa", 2),
+      ("q239_logrank", 1))
     for ((q, scans) <- expect) {
       val df = SparkEntry.queries(q)(spark, sf)
       df.collect()
