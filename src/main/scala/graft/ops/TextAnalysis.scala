@@ -27,6 +27,60 @@ object TextAnalysis extends QueryModule {
     ws.map(w => s"'$w'").mkString("(", ", ", ")")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Calibration curve + expected calibration error for a cheap
+    // quality classifier — the eval-side readout every learned data
+    // filter needs before its scores gate a corpus (a mis-calibrated
+    // 0.9 is not a 90% keep probability). Predictor = distinct-WORD
+    // ratio (the cheap signal); gold = the Gopher-style BIGRAM
+    // repetition gate (≥90% unique bigrams — the expensive signal a
+    // cheap score stands in for) — correlated, deliberately not
+    // identical, so the curve has spread. The per-doc score is snapped to EXACT
+    // MICRO-UNITS (a long), so per-bin confidence is an exact-long
+    // sum ÷ count — no order-sensitive double folds anywhere;
+    // accuracy is exact positives ÷ count; ECE is the ≤10-term
+    // weighted gap sum, snapped (q222 recipe). Scale shape: ONE
+    // corpus pass of per-row flags map-side-combined to the 10-bin
+    // frame; windows run over bins only.
+    "q241_calibration" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      val w = Text.words(col("text"))
+      val scored = Tables.documents(s, d)
+        .withColumn("n_words", size(w).cast("long"))
+        .withColumn("n_distinct", size(array_distinct(w)).cast("long"))
+        .withColumn("n_big_distinct",
+          size(array_distinct(when(size(w) >= 2, transform(
+            sequence(lit(1), size(w) - 1), i =>
+              concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
+            .otherwise(array().cast("array<string>"))))
+            .cast("long"))
+        .filter(col("n_words") >= 2)
+        .withColumn("gold",
+          col("n_big_distinct") * 10 >= (col("n_words") - 1L) * 9)
+        .withColumn("score_micro",
+          floor(col("n_distinct").cast("double")
+            / col("n_words").cast("double") * 1e6 + 0.5)
+            .cast("long"))
+        .withColumn("bin",
+          least(expr("score_micro DIV 100000"), lit(9L)))
+      val bins = scored.groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("score_micro")).as("sum_micro"),
+          sum(when(col("gold"), 1L).otherwise(0L)).as("n_pos"))
+      val wAll = Window.partitionBy()
+      bins
+        .withColumn("n_total", sum(col("n_docs")).over(wAll))
+        .withColumn("conf", col("sum_micro").cast("double")
+          / col("n_docs").cast("double") / lit(1e6))
+        .withColumn("acc", col("n_pos").cast("double")
+          / col("n_docs").cast("double"))
+        .withColumn("gap", abs(col("acc") - col("conf")))
+        .withColumn("ece", snap6(sum(
+          col("n_docs").cast("double") / col("n_total").cast("double")
+            * col("gap")).over(wAll)))
+        .select(col("bin"), col("n_docs"), col("conf"), col("acc"),
+          col("gap"), col("ece"))
+        .orderBy(col("bin"))
+    }),
     // token counting + lexical stats: whitespace tokens, a BPE-ish regex
     // token count (letters|digits|single other-char), type/token ratio.
     "q64_token_stats" -> ((s, d) =>
@@ -308,6 +362,43 @@ object TextAnalysis extends QueryModule {
       |  FROM documents)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "q241_calibration" ->
+      """WITH f AS (SELECT
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ',
+        |      'g'))), ' ') AS ws
+        |  FROM documents),
+        |g AS (SELECT
+        |    len(ws) AS n_words,
+        |    len(list_distinct(ws)) AS n_distinct,
+        |    len(list_distinct(list_transform(range(1, len(ws)),
+        |      i -> ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1])))
+        |      AS n_big_distinct
+        |  FROM f),
+        |sc AS (SELECT
+        |    n_big_distinct * 10 >= (n_words - 1) * 9 AS gold,
+        |    CAST(floor(CAST(n_distinct AS DOUBLE)
+        |      / CAST(n_words AS DOUBLE)
+        |      * 1e6 + 0.5) AS BIGINT) AS score_micro
+        |  FROM g WHERE n_words >= 2),
+        |b AS (SELECT least(score_micro // 100000, 9) AS bin,
+        |    count(*) AS n_docs,
+        |    CAST(sum(score_micro) AS BIGINT) AS sum_micro,
+        |    CAST(sum(CASE WHEN gold THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_pos
+        |  FROM sc GROUP BY 1),
+        |w AS (SELECT bin, n_docs,
+        |    CAST(sum(n_docs) OVER () AS BIGINT) AS n_total,
+        |    CAST(sum_micro AS DOUBLE) / CAST(n_docs AS DOUBLE) / 1e6
+        |      AS conf,
+        |    CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE) AS acc
+        |  FROM b),
+        |w2 AS (SELECT bin, n_docs, conf, acc, abs(acc - conf) AS gap,
+        |    n_total
+        |  FROM w)
+        |SELECT bin, n_docs, conf, acc, gap,
+        |  floor(sum(CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE)
+        |    * gap) OVER () * 1e6 + 0.5) / 1e6 AS ece
+        |FROM w2 ORDER BY bin""".stripMargin,
     "q219_tokenizer_fertility" ->
       """WITH t AS (SELECT lang, n_chars,
         |    len(regexp_extract_all(text,

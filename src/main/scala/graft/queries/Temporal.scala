@@ -746,6 +746,46 @@ object Temporal extends QueryModule {
           snap6((col("observed_a").cast("double") - col("expected_a"))
             * (col("observed_a").cast("double") - col("expected_a"))
             / col("variance"))).otherwise(lit(0.0)))
+    }),
+
+    // Theil-Sen robust trend per event stream — median of all pairwise
+    // daily-count slopes: a single outlier day (deploy spike, outage)
+    // that drags q162's least-squares line barely moves this one.
+    // The pair fan-out runs over the BOUNDED daily frame (days²/2
+    // pairs — ~6.6M rows even at ten years of history, never corpus
+    // rows); each slope is one correctly-rounded long÷long division;
+    // the median is exact — middle-rank rows by integer row_number
+    // (both middles averaged on even counts, the same interpolation
+    // DuckDB's quantile does, spelled identically in the oracle).
+    "q240_theilsen" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("x",
+          datediff(col("day"), lit("2024-01-01").cast("date"))
+            .cast("long"))
+      val a = daily.select(col("event_type").as("et"),
+        col("x").as("xi"), col("n").as("ni"))
+      val b = daily.select(col("event_type").as("et2"),
+        col("x").as("xj"), col("n").as("nj"))
+      val slopes = a
+        .join(b, col("et") === col("et2") && col("xj") > col("xi"))
+        .select(col("et"), ((col("nj") - col("ni")).cast("double")
+          / (col("xj") - col("xi")).cast("double")).as("slope"))
+      val wOrd = Window.partitionBy(col("et")).orderBy(col("slope"))
+      val wCnt = Window.partitionBy(col("et"))
+      slopes
+        .withColumn("rn", row_number().over(wOrd).cast("long"))
+        .withColumn("m", count(lit(1)).over(wCnt))
+        .filter(col("rn") === expr("(m + 1) DIV 2")
+          || col("rn") === expr("(m + 2) DIV 2"))
+        .groupBy(col("et"))
+        .agg(snap6(avg(col("slope"))).as("slope_per_day"),
+          max(col("m")).as("n_pairs"))
+        .select(col("et").as("event_type"), col("n_pairs"),
+          col("slope_per_day"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -857,6 +897,28 @@ object Temporal extends QueryModule {
         |      / variance * 1e6 + 0.5) / 1e6
         |  ELSE CAST(0 AS DOUBLE) END AS chi2
         |FROM a""".stripMargin,
+
+    "q240_theilsen" ->
+      """WITH dly AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |d2 AS (SELECT event_type,
+        |    CAST(day - DATE '2024-01-01' AS BIGINT) AS x, n
+        |  FROM dly),
+        |p AS (SELECT a.event_type AS et,
+        |    CAST(b.n - a.n AS DOUBLE) / CAST(b.x - a.x AS DOUBLE)
+        |      AS slope
+        |  FROM d2 a JOIN d2 b
+        |    ON a.event_type = b.event_type AND b.x > a.x),
+        |r AS (SELECT et, slope,
+        |    CAST(row_number() OVER (PARTITION BY et ORDER BY slope)
+        |      AS BIGINT) AS rn,
+        |    count(*) OVER (PARTITION BY et) AS m
+        |  FROM p)
+        |SELECT et AS event_type, CAST(max(m) AS BIGINT) AS n_pairs,
+        |  floor(avg(slope) * 1e6 + 0.5) / 1e6 AS slope_per_day
+        |FROM r WHERE rn = (m + 1) // 2 OR rn = (m + 2) // 2
+        |GROUP BY et ORDER BY event_type""".stripMargin,
 
     "q211_seasonality_index" ->
       """WITH m AS (

@@ -174,6 +174,34 @@ object IOQueries extends QueryModule {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Compression-codec round-trip: the same frame written as zstd,
+    // gzip, and snappy parquet (zstd is what a 100 TB lake actually
+    // stores; snappy is Spark's default; gzip the legacy interop
+    // codec), each read back and aggregated. All three codec rows
+    // must agree with the oracle's aggregate over the ORIGINAL
+    // parquet — a single differing row pins WHICH codec corrupted
+    // values in flight. Codec choice changes bytes on disk only;
+    // proving value-identity across codecs is exactly the guarantee
+    // a storage-tier migration (snappy → zstd rewrite) relies on.
+    "q242_codec_roundtrip" -> ((s, d) => {
+      val src = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_returnflag"),
+          col("l_quantity"), col("l_extendedprice"))
+      val frames = Seq("gzip", "snappy", "zstd").map { c =>
+        val dir = scratch(d, s"codec_$c")
+        src.write.mode("overwrite").option("compression", c).parquet(dir)
+        s.read.parquet(dir)
+          .filter(col("l_quantity") > 10)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("l_extendedprice")), 2).as("price"),
+            max(col("l_orderkey")).as("max_key"))
+          .withColumn("codec", lit(c))
+      }
+      frames.reduce(_.union(_))
+        .orderBy(col("codec"), col("l_returnflag"))
+    }),
+
     // XML round-trip: Spark 4's NATIVE xml file source (the spark-xml
     // package folded into core — rowTag element per record, task-
     // parallel writes, schema-applied reads). The read-back supplies
@@ -527,6 +555,15 @@ object IOQueries extends QueryModule {
         |  round(sum(o_totalprice), 2) AS total,
         |  count(DISTINCT o_custkey) AS n_cust
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q242_codec_roundtrip" ->
+      """WITH a AS (SELECT l_returnflag, count(*) AS n,
+        |    round(sum(l_extendedprice), 2) AS price,
+        |    max(l_orderkey) AS max_key
+        |  FROM lineitem WHERE l_quantity > 10 GROUP BY l_returnflag),
+        |c AS (SELECT unnest(['gzip', 'snappy', 'zstd']) AS codec)
+        |SELECT l_returnflag, n, price, max_key, codec
+        |FROM a, c ORDER BY codec, l_returnflag""".stripMargin,
 
     "q79_orc_roundtrip" ->
       """SELECT l_returnflag, count(*) AS n,

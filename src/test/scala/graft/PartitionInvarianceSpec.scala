@@ -103,7 +103,9 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q236_spearman",       // decimal spend; exact rank deviations
     "q237_cusum",          // scaled-integer CUSUM; integer argmax
     "q238_cohens_kappa",   // exact confusion counts; decimal cross-mult
-    "q239_logrank")        // exact risk sets; snapped terms + sums
+    "q239_logrank",        // exact risk sets; snapped terms + sums
+    "q240_theilsen",       // exact pair slopes; integer middle-rank pick
+    "q241_calibration")    // micro-unit longs; exact bin sums
 
   test("exact operators are invariant to input split boundaries") {
     val splitty = spark.newSession()

@@ -451,7 +451,10 @@ class PlanShapeSpec extends AnyFunSuite {
       ("q233_temperature_mix", 1), ("q234_bpe_pairs", 1),
       ("q235_dsir_weights", 2), ("q236_spearman", 2),
       ("q237_cusum", 1), ("q238_cohens_kappa", 2),
-      ("q239_logrank", 1))
+      ("q239_logrank", 1),
+      // q240's pairwise self-join rides ONE daily exchange (reused);
+      // q241 is one flag pass to the 10-bin frame.
+      ("q240_theilsen", 1), ("q241_calibration", 1))
     for ((q, scans) <- expect) {
       val df = SparkEntry.queries(q)(spark, sf)
       df.collect()
