@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{QueryModule, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -78,6 +78,45 @@ object CorpusSignals extends QueryModule {
         .agg(sum(col("freq")).as("n"))
         .orderBy(col("n").desc, col("pair"))
         .limit(30)
+    }),
+
+    // Zipf-law fit over the top-1000 vocabulary — natural text sits
+    // near slope −1 in log-rank/log-frequency space; word salad,
+    // boilerplate floods, and template spam bend the curve, so the
+    // fitted exponent is a one-number corpus-health check. Exactness:
+    // ln(rank) and ln(freq) are snapped to EXACT MICRO-NAT LONGS
+    // (micro units cancel in the slope ratio), the OLS moments
+    // accumulate in DECIMAL via decimal(19) factors, and the slope is
+    // one snapped division — no order-sensitive double fold anywhere.
+    // Scale shape: corpus → vocabulary (map-side-combined) → ONE
+    // TakeOrdered heap for the top-1000 → rank window + OLS on that
+    // bounded frame only.
+    "q245_zipf_slope" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      def dec(c: Column): Column = c.cast("decimal(19,0)")
+      val top = Tables.documents(s, d)
+        .select(explode(Text.words(col("text"))).as("w"))
+        .filter(length(col("w")) >= 1)
+        .groupBy(col("w"))
+        .agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("w"))
+        .limit(1000)
+      val wRank = Window.orderBy(col("freq").desc, col("w"))
+      top
+        .withColumn("rk", row_number().over(wRank).cast("long"))
+        .withColumn("lx",
+          floor(log(col("rk").cast("double")) * 1e6 + 0.5).cast("long"))
+        .withColumn("ly",
+          floor(log(col("freq").cast("double")) * 1e6 + 0.5).cast("long"))
+        .agg(count(lit(1)).as("n_terms"),
+          sum(dec(col("lx"))).as("sx"), sum(dec(col("ly"))).as("sy"),
+          sum(dec(col("lx")) * dec(col("lx"))).as("sxx"),
+          sum(dec(col("lx")) * dec(col("ly"))).as("sxy"))
+        .select(col("n_terms"),
+          snap6((dec(col("n_terms")) * col("sxy") - col("sx") * col("sy"))
+            .cast("double")
+            / (dec(col("n_terms")) * col("sxx") - col("sx") * col("sx"))
+            .cast("double")).as("zipf_slope"))
     }),
 
     "q144_distinctive_terms" -> ((s, d) =>
@@ -499,6 +538,38 @@ object CorpusSignals extends QueryModule {
         |  FROM wf)
         |SELECT pair, CAST(sum(freq) AS BIGINT) AS n
         |FROM pr GROUP BY 1 ORDER BY n DESC, pair LIMIT 30""".stripMargin,
+
+    "q245_zipf_slope" ->
+      """WITH wds AS (SELECT unnest(string_split(lower(trim(
+        |      regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS w
+        |  FROM documents),
+        |top AS (SELECT w, count(*) AS freq
+        |  FROM wds WHERE len(w) >= 1 GROUP BY 1
+        |  ORDER BY freq DESC, w LIMIT 1000),
+        |r AS (SELECT freq,
+        |    CAST(row_number() OVER (ORDER BY freq DESC, w) AS BIGINT)
+        |      AS rk
+        |  FROM top),
+        |m AS (SELECT
+        |    CAST(floor(ln(CAST(rk AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+        |      AS lx,
+        |    CAST(floor(ln(CAST(freq AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+        |      AS ly
+        |  FROM r),
+        |g AS (SELECT count(*) AS n_terms,
+        |    sum(CAST(lx AS DECIMAL(19,0))) AS sx,
+        |    sum(CAST(ly AS DECIMAL(19,0))) AS sy,
+        |    sum(CAST(lx AS DECIMAL(19,0)) * CAST(lx AS DECIMAL(19,0)))
+        |      AS sxx,
+        |    sum(CAST(lx AS DECIMAL(19,0)) * CAST(ly AS DECIMAL(19,0)))
+        |      AS sxy
+        |  FROM m)
+        |SELECT CAST(n_terms AS BIGINT) AS n_terms,
+        |  floor(CAST(CAST(n_terms AS DECIMAL(19,0)) * sxy - sx * sy
+        |      AS DOUBLE)
+        |    / CAST(CAST(n_terms AS DECIMAL(19,0)) * sxx - sx * sx
+        |      AS DOUBLE) * 1e6 + 0.5) / 1e6 AS zipf_slope
+        |FROM g""".stripMargin,
     "q173_pmi" ->
       """WITH w AS (SELECT doc_id, list_distinct(string_split(
         |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))

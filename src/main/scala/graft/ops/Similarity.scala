@@ -275,6 +275,59 @@ object Similarity extends QueryModule {
         .orderBy(col("label_a"), col("label_b"))
     }),
 
+    // Simplified silhouette against the GOLD labels — "are these
+    // labels separable in embedding space?", the go/no-go audit
+    // before training a classifier on them (q140 says which classes
+    // are close; this says how many points sit on the wrong side).
+    // Per point: a = distance to own label centroid, b = min distance
+    // to any other, s = (b−a)/max(a,b) ∈ [−1,1]. Exactness: q140's
+    // snapped per-dim centroid means; distances via the bit-equal
+    // left-assoc dot fold as x·x − 2x·c + c·c (clamped at 0 — float
+    // cancellation near a centroid can land −ε, and sqrt(−ε) would
+    // NaN); per-point s snapped to exact micro-units so per-label
+    // means are exact-long sums ÷ counts. Scale shape: the K-centroid
+    // frame broadcasts; the corpus fans out K× and folds back to one
+    // row per point in the same stage — the irreducible silhouette
+    // cost, linear in K·corpus, no point-point pairs anywhere.
+    "q243_silhouette" -> ((s, d) => {
+      val cent = Tables.embeddings(s, d)
+        .filter(col("embedding").isNotNull)
+        .select(col("label"),
+          posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("label"), col("dim"))
+        .agg((floor(avg(col("v").cast("double")) * 1e6 + 0.5) / 1e6)
+          .as("cv"))
+        .groupBy(col("label"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("cv"))))
+          .as("pairs"))
+        .select(col("label").as("cid"),
+          transform(col("pairs"), p => p.getField("cv")).as("cemb"))
+        .withColumn("cc", dot(col("cemb"), col("cemb")))
+      val pts = Tables.embeddings(s, d)
+        .filter(col("embedding").isNotNull)
+        .select(col("vec_id"), col("label"), dvec(col("embedding")).as("x"))
+        .withColumn("xx", dot(col("x"), col("x")))
+      val den = greatest(sqrt(col("a2")), sqrt(col("b2")))
+      pts.crossJoin(broadcast(cent))
+        .withColumn("dist2", greatest(
+          col("xx") - lit(2.0) * dot(col("x"), col("cemb")) + col("cc"),
+          lit(0.0)))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(min(when(col("label") === col("cid"), col("dist2"))).as("a2"),
+          min(when(col("label") =!= col("cid"), col("dist2"))).as("b2"))
+        .withColumn("s_micro", when(den > 0,
+          floor((sqrt(col("b2")) - sqrt(col("a2"))) / den * 1e6 + 0.5)
+            .cast("long")).otherwise(lit(0L)))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          (sum(col("s_micro")).cast("double")
+            / count(lit(1)).cast("double") / lit(1e6))
+            .as("mean_silhouette"),
+          (sum(when(col("s_micro") > 0, 1L).otherwise(0L)).cast("double")
+            / count(lit(1)).cast("double")).as("separated_share"))
+        .orderBy(col("label"))
+    }),
+
     // Reciprocal-rank fusion — the hybrid-retrieval merge every modern
     // search stack runs (dense ANN list + sparse lexical list → one
     // ranking): ranker A scores the corpus by cosine to the query
@@ -837,6 +890,46 @@ object Similarity extends QueryModule {
         |  FROM ra FULL OUTER JOIN rb ON ra.id = rb.id)
         |SELECT id, rank_a, rank_b, rrf FROM f
         |ORDER BY rrf DESC, id LIMIT 20""".stripMargin,
+
+    // q140's centroid CTE + the exact-int-through-double distance
+    // expansion; every per-point value is deterministic, s is micro-
+    // snapped before the exact-long mean.
+    "q243_silhouette" ->
+      """WITH e AS (SELECT label, unnest(embedding) AS v,
+        |    generate_subscripts(embedding, 1) AS ord
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |c AS (SELECT label, ord,
+        |    floor(avg(v) * 1e6 + 0.5) / 1e6 AS cv
+        |  FROM e GROUP BY label, ord),
+        |vec AS (SELECT label AS cid, list(cv ORDER BY ord) AS cemb
+        |  FROM c GROUP BY label),
+        |v2 AS (SELECT cid, cemb, list_dot_product(cemb, cemb) AS cc
+        |  FROM vec),
+        |p AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS x
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |px AS (SELECT vec_id, label, x, list_dot_product(x, x) AS xx
+        |  FROM p),
+        |dd AS (SELECT vec_id, label, cid,
+        |    greatest(xx - CAST(2 AS DOUBLE) * list_dot_product(x, cemb)
+        |      + cc, CAST(0 AS DOUBLE)) AS dist2
+        |  FROM px CROSS JOIN v2),
+        |ag AS (SELECT vec_id, label,
+        |    min(CASE WHEN label = cid THEN dist2 END) AS a2,
+        |    min(CASE WHEN label <> cid THEN dist2 END) AS b2
+        |  FROM dd GROUP BY 1, 2),
+        |sm AS (SELECT label,
+        |    CASE WHEN greatest(sqrt(a2), sqrt(b2)) > 0 THEN
+        |      CAST(floor((sqrt(b2) - sqrt(a2))
+        |        / greatest(sqrt(a2), sqrt(b2)) * 1e6 + 0.5) AS BIGINT)
+        |    ELSE 0 END AS s_micro
+        |  FROM ag)
+        |SELECT label, count(*) AS n_vecs,
+        |  CAST(sum(s_micro) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e6
+        |    AS mean_silhouette,
+        |  CAST(sum(CASE WHEN s_micro > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS separated_share
+        |FROM sm GROUP BY label ORDER BY label""".stripMargin,
 
     // per-(label, dim) snapped means -> ordered centroid lists -> the
     // q70 list_dot_product chain; n is the per-label vector count.

@@ -786,6 +786,38 @@ object Temporal extends QueryModule {
         .select(col("et").as("event_type"), col("n_pairs"),
           col("slope_per_day"))
         .orderBy(col("event_type"))
+    }),
+
+    // Fano factor (variance-to-mean of daily counts) per event stream
+    // — the burstiness readout: a Poisson-ish steady feed sits near 1,
+    // crawler bursts / incident retries push it far above. Everything
+    // is EXACT integer cross-multiplication through the day count:
+    // F = (D·Σn² − S²)/(D·S) with Σn² in DECIMAL via decimal(19)
+    // factors (daily counts square past long range at corpus scale —
+    // the q204 recipe), the bursty flag an exact decimal comparison
+    // (2·num > 3·den ⟺ F > 1.5), and the two emitted doubles single
+    // snapped divisions. Scale shape: ONE corpus pass map-side-
+    // combines to the ≤|days| frame; everything else is per-type
+    // arithmetic on that frame.
+    "q244_fano" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      def dec(c: Column): Column = c.cast("decimal(19,0)")
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("dd"), sum(col("n")).as("s"),
+          sum(dec(col("n")) * dec(col("n"))).as("sq"))
+        .withColumn("num", dec(col("dd")) * col("sq")
+          - dec(col("s")) * dec(col("s")))
+        .withColumn("den", dec(col("dd")) * dec(col("s")))
+        .select(col("event_type"), col("dd").as("n_days"),
+          (col("s").cast("double") / col("dd").cast("double"))
+            .as("daily_mean"),
+          snap6(col("num").cast("double") / col("den").cast("double"))
+            .as("fano"),
+          (col("num") * 2 > col("den") * 3).as("bursty"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -919,6 +951,28 @@ object Temporal extends QueryModule {
         |  floor(avg(slope) * 1e6 + 0.5) / 1e6 AS slope_per_day
         |FROM r WHERE rn = (m + 1) // 2 OR rn = (m + 2) // 2
         |GROUP BY et ORDER BY event_type""".stripMargin,
+
+    "q244_fano" ->
+      """WITH dly AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT event_type, count(*) AS dd,
+        |    CAST(sum(n) AS BIGINT) AS s,
+        |    sum(CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0)))
+        |      AS sq
+        |  FROM dly GROUP BY 1),
+        |f AS (SELECT event_type, dd, s,
+        |    CAST(dd AS DECIMAL(19,0)) * sq
+        |      - CAST(s AS DECIMAL(19,0)) * CAST(s AS DECIMAL(19,0))
+        |      AS num,
+        |    CAST(dd AS DECIMAL(19,0)) * CAST(s AS DECIMAL(19,0)) AS den
+        |  FROM g)
+        |SELECT event_type, CAST(dd AS BIGINT) AS n_days,
+        |  CAST(s AS DOUBLE) / CAST(dd AS DOUBLE) AS daily_mean,
+        |  floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 1e6 + 0.5)
+        |    / 1e6 AS fano,
+        |  num * 2 > den * 3 AS bursty
+        |FROM f ORDER BY event_type""".stripMargin,
 
     "q211_seasonality_index" ->
       """WITH m AS (

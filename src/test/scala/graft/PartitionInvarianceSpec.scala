@@ -105,7 +105,10 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q238_cohens_kappa",   // exact confusion counts; decimal cross-mult
     "q239_logrank",        // exact risk sets; snapped terms + sums
     "q240_theilsen",       // exact pair slopes; integer middle-rank pick
-    "q241_calibration")    // micro-unit longs; exact bin sums
+    "q241_calibration",    // micro-unit longs; exact bin sums
+    "q243_silhouette",     // snapped centroids; micro-unit point scores
+    "q244_fano",           // exact decimal cross-mult through day count
+    "q245_zipf_slope")     // micro-nat longs; decimal OLS moments
 
   test("exact operators are invariant to input split boundaries") {
     val splitty = spark.newSession()

@@ -453,8 +453,12 @@ class PlanShapeSpec extends AnyFunSuite {
       ("q237_cusum", 1), ("q238_cohens_kappa", 2),
       ("q239_logrank", 1),
       // q240's pairwise self-join rides ONE daily exchange (reused);
-      // q241 is one flag pass to the 10-bin frame.
-      ("q240_theilsen", 1), ("q241_calibration", 1))
+      // q241 is one flag pass to the 10-bin frame. q243 is 2 by
+      // design: the broadcast centroid frame and the point side are
+      // structurally different embedding subtrees (q228 shape).
+      ("q240_theilsen", 1), ("q241_calibration", 1),
+      ("q243_silhouette", 2), ("q244_fano", 1),
+      ("q245_zipf_slope", 1))
     for ((q, scans) <- expect) {
       val df = SparkEntry.queries(q)(spark, sf)
       df.collect()
