@@ -119,6 +119,59 @@ object CorpusSignals extends QueryModule {
             .cast("double")).as("zipf_slope"))
     }),
 
+    // Count-min sketch heavy hitters — the streaming/mergeable
+    // frequency sketch (d=4 rows × w=1024 buckets) built as a plain
+    // keyed aggregation: counters are exact longs, buckets come from
+    // the shared-md5 recipe (row-salted `j:word`, never engine
+    // hashes), so BOTH engines materialize the bit-identical sketch
+    // and the min-over-rows estimates agree exactly — the query is
+    // self-verifying the way q39 is: it emits each top-20 word's
+    // exact count next to its CMS estimate and the ε-bound check
+    // est ≤ exact + 2N/w (exact integer cross-multiplication).
+    // Scale shape: corpus → vocabulary (map-side-combined) → a 4×
+    // fan-out of the VOCAB frame into ≤4096 counters; the top-20
+    // probe side is a TakeOrdered heap joined to the broadcast
+    // counter table. The counter table is what a 1000-executor
+    // streaming job would merge per-batch — partials add.
+    "q247_cms_heavy_hitters" -> ((s, d) => {
+      val wf = Tables.documents(s, d)
+        .select(explode(Text.words(col("text"))).as("w"))
+        .filter(length(col("w")) >= 1)
+        .groupBy(col("w"))
+        .agg(count(lit(1)).as("freq"))
+      val rows = wf
+        .select(col("w"), col("freq"),
+          explode(sequence(lit(0), lit(3))).as("j"))
+        .withColumn("bucket",
+          pmod(conv(substring(md5(
+            concat(col("j").cast("string"), lit(":"), col("w"))),
+            1, 8), 16, 10).cast("long"), lit(1024L)))
+      val counters = rows.groupBy(col("j"), col("bucket"))
+        .agg(sum(col("freq")).as("cnt"))
+      // every sketch row sums to the exact corpus token count N —
+      // read it off row j=0 (the merge-correctness invariant).
+      val nTotal = counters.filter(col("j") === 0)
+        .agg(sum(col("cnt")).as("n_total"))
+      val top = wf.orderBy(col("freq").desc, col("w")).limit(20)
+        .select(col("w"), col("freq"),
+          explode(sequence(lit(0), lit(3))).as("j"))
+        .withColumn("bucket",
+          pmod(conv(substring(md5(
+            concat(col("j").cast("string"), lit(":"), col("w"))),
+            1, 8), 16, 10).cast("long"), lit(1024L)))
+      top.join(broadcast(counters), Seq("j", "bucket"))
+        .groupBy(col("w"), col("freq"))
+        .agg(min(col("cnt")).as("cms_est"))
+        .crossJoin(broadcast(nTotal))
+        .select(col("w"), col("freq").as("exact_n"), col("cms_est"),
+          (col("cms_est") - col("freq")).as("overcount"),
+          // ε-bound at ε = 2/w, exact integer cross-multiplication:
+          // (est − exact)·w ≤ 2·N
+          ((col("cms_est") - col("freq")) * 1024L <= col("n_total") * 2L)
+            .as("bound_ok"))
+        .orderBy(col("exact_n").desc, col("w"))
+    }),
+
     "q144_distinctive_terms" -> ((s, d) =>
       distinctiveTerms(Tables.documents(s, d))),
 
@@ -538,6 +591,32 @@ object CorpusSignals extends QueryModule {
         |  FROM wf)
         |SELECT pair, CAST(sum(freq) AS BIGINT) AS n
         |FROM pr GROUP BY 1 ORDER BY n DESC, pair LIMIT 30""".stripMargin,
+
+    "q247_cms_heavy_hitters" ->
+      """WITH wds AS (SELECT unnest(string_split(lower(trim(
+        |      regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS w
+        |  FROM documents),
+        |wf AS (SELECT w, count(*) AS freq
+        |  FROM wds WHERE len(w) >= 1 GROUP BY 1),
+        |rows_ AS (SELECT w, freq, unnest([0, 1, 2, 3]) AS j FROM wf),
+        |rb AS (SELECT w, freq, j,
+        |    ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || w), 1, 8))
+        |      ::BIGINT % 1024 AS bucket
+        |  FROM rows_),
+        |counters AS (SELECT j, bucket, CAST(sum(freq) AS BIGINT) AS cnt
+        |  FROM rb GROUP BY 1, 2),
+        |nt AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total
+        |  FROM counters WHERE j = 0),
+        |top AS (SELECT w, freq FROM wf ORDER BY freq DESC, w LIMIT 20),
+        |tb AS (SELECT w, freq, j,
+        |    ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || w), 1, 8))
+        |      ::BIGINT % 1024 AS bucket
+        |  FROM (SELECT w, freq, unnest([0, 1, 2, 3]) AS j FROM top)),
+        |est AS (SELECT w, freq, CAST(min(cnt) AS BIGINT) AS cms_est
+        |  FROM tb JOIN counters USING (j, bucket) GROUP BY 1, 2)
+        |SELECT w, freq AS exact_n, cms_est, cms_est - freq AS overcount,
+        |  (cms_est - freq) * 1024 <= n_total * 2 AS bound_ok
+        |FROM est, nt ORDER BY exact_n DESC, w""".stripMargin,
 
     "q245_zipf_slope" ->
       """WITH wds AS (SELECT unnest(string_split(lower(trim(

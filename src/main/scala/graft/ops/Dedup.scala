@@ -92,6 +92,35 @@ object Dedup extends QueryModule {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Burst dedup on the event stream — telemetry's retry/double-click
+    // problem: the same (user, type, value) firing repeatedly within
+    // an hour is one logical event. Gaps-and-islands WITHOUT island
+    // ids: "keep the first of each burst" is exactly the rows whose
+    // gap to the previous same-key event exceeds the window — one lag
+    // over the key-partitioned exchange, exact integer µs arithmetic
+    // (never float timestamp math, the q209 rule), event_id tie-break
+    // on equal timestamps. Scale shape: ONE shuffle on the dedup key,
+    // then a map-side-combined per-type readout; the kept-row
+    // predicate runs on a 100 TB stream unchanged (lag ≡
+    // dropDuplicatesWithinWatermark's state lookup in streaming).
+    "q246_event_dedup" -> ((s, d) => {
+      val wKey = Window
+        .partitionBy(col("user_id"), col("event_type"), col("value"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("prev_us", lag(col("us"), 1).over(wKey))
+        .withColumn("keep", col("prev_us").isNull
+          || col("us") - col("prev_us") > 3600000000L)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+        .withColumn("n_dropped", col("n_events") - col("n_kept"))
+        .withColumn("drop_share", col("n_dropped").cast("double")
+          / col("n_events").cast("double"))
+        .orderBy(col("event_type"))
+    }),
+
     // exact dedup: normalize → sha256 → keep lowest doc_id per hash.
     // One shuffle on the 32-byte hash; count/row_number share the window.
     "q60_dedup_exact" -> ((s, d) => {
@@ -645,6 +674,25 @@ object Dedup extends QueryModule {
       |  FROM w WHERE len(words) >= 3)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "q246_event_dedup" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (
+        |      PARTITION BY user_id, event_type, value
+        |      ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |k AS (SELECT event_type,
+        |    prev_us IS NULL OR us - prev_us > 3600000000 AS keep
+        |  FROM e),
+        |g AS (SELECT event_type, count(*) AS n_events,
+        |    CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_kept
+        |  FROM k GROUP BY 1)
+        |SELECT event_type, n_events, n_kept,
+        |  n_events - n_kept AS n_dropped,
+        |  CAST(n_events - n_kept AS DOUBLE) / CAST(n_events AS DOUBLE)
+        |    AS drop_share
+        |FROM g ORDER BY event_type""".stripMargin,
+
     // independent algorithm on purpose: quadratic directed containment
     // over raw string shingle sets, vs Spark's prefix-filtered posting
     // lists over xxhash64-hashed sets.

@@ -697,10 +697,59 @@ object Profile extends QueryModule {
             .cast("double")
             / (dec(col("n_total")) * dec(col("n_total")) - col("rc"))
             .cast("double")).as("kappa"))
+    }),
+
+    // l-diversity audit — q226's k-anonymity companion: a class of 50
+    // identical quasi-identifiers is still a privacy leak if all 50
+    // share one SENSITIVE value (the homogeneity attack k-anonymity
+    // misses). QI = (nation, balance bucket); sensitive = market
+    // segment; per QI class l = distinct sensitive values, rolled up
+    // to the ≤l histogram with the l<3 violation flag and exposed row
+    // share. Exact longs, one division. Scale shape: ONE map-side-
+    // combined corpus pass to the QI-class frame (count_distinct over
+    // a 5-value domain), a re-group to the ≤|l| frame, a window over
+    // THAT.
+    "q248_ldiversity" -> ((s, d) => {
+      val classes = Tables.customer(s, d)
+        .select(col("c_nationkey"),
+          floor(col("c_acctbal") / lit(1000.0)).cast("long")
+            .as("bal_bucket"),
+          col("c_mktsegment"))
+        .groupBy(col("c_nationkey"), col("bal_bucket"))
+        .agg(countDistinct(col("c_mktsegment")).as("l_div"),
+          count(lit(1)).as("k_size"))
+      val byL = classes.groupBy(col("l_div"))
+        .agg(count(lit(1)).as("n_classes"), sum(col("k_size")).as("n_rows"))
+      val wAll = Window.partitionBy()
+      byL
+        .withColumn("n_total", sum(col("n_rows")).over(wAll))
+        .select(col("l_div"), col("n_classes"), col("n_rows"),
+          (col("n_rows").cast("double") / col("n_total").cast("double"))
+            .as("row_share"),
+          (col("l_div") < 3).as("violates_l3"))
+        .orderBy(col("l_div"))
     })
   )
 
   def oracle: Map[String, String] = Map(
+    "q248_ldiversity" ->
+      """WITH c AS (SELECT c_nationkey,
+        |    CAST(floor(c_acctbal / CAST(1000 AS DOUBLE)) AS BIGINT)
+        |      AS bal_bucket,
+        |    count(DISTINCT c_mktsegment) AS l_div,
+        |    count(*) AS k_size
+        |  FROM customer GROUP BY 1, 2),
+        |l AS (SELECT l_div, count(*) AS n_classes,
+        |    CAST(sum(k_size) AS BIGINT) AS n_rows
+        |  FROM c GROUP BY 1),
+        |w AS (SELECT l_div, n_classes, n_rows,
+        |    CAST(sum(n_rows) OVER () AS BIGINT) AS n_total
+        |  FROM l)
+        |SELECT CAST(l_div AS BIGINT) AS l_div, n_classes, n_rows,
+        |  CAST(n_rows AS DOUBLE) / CAST(n_total AS DOUBLE) AS row_share,
+        |  l_div < 3 AS violates_l3
+        |FROM w ORDER BY l_div""".stripMargin,
+
     "q238_cohens_kappa" ->
       """WITH p AS (SELECT event_type AS gold,
         |    CASE WHEN value < 80 THEN 'view'

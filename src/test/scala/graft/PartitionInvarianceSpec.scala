@@ -108,7 +108,10 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q241_calibration",    // micro-unit longs; exact bin sums
     "q243_silhouette",     // snapped centroids; micro-unit point scores
     "q244_fano",           // exact decimal cross-mult through day count
-    "q245_zipf_slope")     // micro-nat longs; decimal OLS moments
+    "q245_zipf_slope",     // micro-nat longs; decimal OLS moments
+    "q246_event_dedup",    // exact µs gaps; event_id tie-break
+    "q247_cms_heavy_hitters", // exact long counters, shared-md5 buckets
+    "q248_ldiversity")     // exact class counts; bounded re-group
 
   test("exact operators are invariant to input split boundaries") {
     val splitty = spark.newSession()

@@ -458,7 +458,11 @@ class PlanShapeSpec extends AnyFunSuite {
       // structurally different embedding subtrees (q228 shape).
       ("q240_theilsen", 1), ("q241_calibration", 1),
       ("q243_silhouette", 2), ("q244_fano", 1),
-      ("q245_zipf_slope", 1))
+      ("q245_zipf_slope", 1),
+      // q247: counters, N, and the top-20 probe all ride ONE reused
+      // vocabulary exchange.
+      ("q246_event_dedup", 1), ("q247_cms_heavy_hitters", 1),
+      ("q248_ldiversity", 1))
     for ((q, scans) <- expect) {
       val df = SparkEntry.queries(q)(spark, sf)
       df.collect()
