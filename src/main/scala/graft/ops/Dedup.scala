@@ -121,6 +121,47 @@ object Dedup extends QueryModule {
         .orderBy(col("event_type"))
     }),
 
+    // Segment-level corpus dedup — the CCNet/RefinedWeb "line-level"
+    // pass (strip boilerplate repeated across documents), re-expressed
+    // over non-overlapping 8-word segments since the synthetic corpus
+    // has no newlines. A segment occurrence survives iff it is the
+    // corpus-wide FIRST occurrence of its content (row_number over the
+    // segment exchange, (doc_id, pos) order) — repeated boilerplate is
+    // kept once at its first appearance and stripped everywhere else,
+    // including in-document repeats. Reassembly is order-preserving
+    // WITHOUT a second window sort: array_sort over (pos, seg) structs
+    // inside the per-doc aggregate. Scale shape: ONE shuffle keyed on
+    // segment content + ONE re-group to docs — both plain hash
+    // exchanges; nothing global, nothing pairwise, so the pass runs on
+    // 100 TB exactly as written (segment cardinality ≈ corpus/8).
+    "q249_segment_dedup" -> ((s, d) => {
+      val segs = Tables.documents(s, d)
+        .withColumn("ws", Text.words(col("text")))
+        .select(col("doc_id"),
+          posexplode(transform(
+            sequence(lit(0), expr("(size(ws) + 7) DIV 8") - 1),
+            i => array_join(
+              slice(col("ws"), (i * 8 + 1).cast("int"), lit(8)), " "))))
+        .withColumnRenamed("col", "seg")
+      val wSeg = Window.partitionBy(col("seg"))
+        .orderBy(col("doc_id"), col("pos"))
+      segs
+        .withColumn("keep", row_number().over(wSeg) === 1)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_segments"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          array_join(transform(
+            array_sort(collect_list(
+              when(col("keep"), struct(col("pos"), col("seg"))))),
+            x => x.getField("seg")), " ").as("kept_text"))
+        .withColumn("n_dropped", col("n_segments") - col("n_kept"))
+        .withColumn("drop_share", col("n_dropped").cast("double")
+          / col("n_segments").cast("double"))
+        .select(col("doc_id"), col("n_segments"), col("n_kept"),
+          col("n_dropped"), col("drop_share"), col("kept_text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // exact dedup: normalize → sha256 → keep lowest doc_id per hash.
     // One shuffle on the 32-byte hash; count/row_number share the window.
     "q60_dedup_exact" -> ((s, d) => {
@@ -692,6 +733,33 @@ object Dedup extends QueryModule {
         |  CAST(n_events - n_kept AS DOUBLE) / CAST(n_events AS DOUBLE)
         |    AS drop_share
         |FROM g ORDER BY event_type""".stripMargin,
+
+    "q249_segment_dedup" ->
+      """WITH ws AS (SELECT doc_id, string_split(lower(trim(
+        |      regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+        |  FROM documents),
+        |px AS (SELECT doc_id, w,
+        |    unnest(range((len(w) + 7) // 8)) AS pos
+        |  FROM ws),
+        |segs AS (SELECT doc_id, pos,
+        |    array_to_string(w[pos * 8 + 1 : pos * 8 + 8], ' ') AS seg
+        |  FROM px),
+        |fl AS (SELECT doc_id, pos, seg,
+        |    row_number() OVER (PARTITION BY seg
+        |      ORDER BY doc_id, pos) = 1 AS keep
+        |  FROM segs),
+        |g AS (SELECT doc_id, count(*) AS n_segments,
+        |    CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_kept,
+        |    coalesce(string_agg(CASE WHEN keep THEN seg END, ' '
+        |      ORDER BY pos), '') AS kept_text
+        |  FROM fl GROUP BY 1)
+        |SELECT doc_id, n_segments, n_kept,
+        |  n_segments - n_kept AS n_dropped,
+        |  CAST(n_segments - n_kept AS DOUBLE)
+        |    / CAST(n_segments AS DOUBLE) AS drop_share,
+        |  kept_text
+        |FROM g ORDER BY doc_id""".stripMargin,
 
     // independent algorithm on purpose: quadratic directed containment
     // over raw string shingle sets, vs Spark's prefix-filtered posting

@@ -88,6 +88,69 @@ object TextAnalysis extends QueryModule {
           col("gap"), col("ece"))
         .orderBy(col("bin"))
     }),
+    // Hashed-feature linear classifier inference — the fastText-style
+    // quality filter every production corpus runs at ingest, reduced
+    // to its serving shape: V=256 hashed unigram buckets (shared-md5
+    // recipe, never engine hashes) and a fixed deterministic integer
+    // weight table w_b = (b·37 + 11) mod 201 − 100 ∈ [−100, 100]
+    // standing in for trained weights — bucket→weight is a generated
+    // arithmetic expression, so inference needs no join, no broadcast
+    // table, no UDF. The document score accumulates in EXACT LONG
+    // weight units inside one HOF fold (a single md5 per token) and
+    // the keep decision is a pure integer sign test; the only doubles
+    // are the two final divisions, spelled identically in the oracle.
+    // Scale shape: ZERO shuffles — pure map-side inference; a 100 TB
+    // corpus scores at scan speed (the orderBy is presentation only).
+    "q250_quality_classifier" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("ws", Text.words(col("text")))
+        .withColumn("n_tokens", size(col("ws")).cast("long"))
+        .withColumn("score_int",
+          aggregate(col("ws"), lit(0L), (acc, w) =>
+            acc + ((pmod(conv(substring(md5(w), 1, 8), 16, 10)
+              .cast("long"), lit(256L)) * 37L + 11L) % 201L - 100L)))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("score_int"),
+          (col("score_int").cast("double")
+            / col("n_tokens").cast("double") / lit(100.0)).as("score"),
+          (col("score_int") >= 0L).as("keep"))
+        .orderBy(col("doc_id"))),
+
+    // Per-document Shannon entropy of the word distribution — the
+    // information-theoretic upgrade of q64's type/token ratio and the
+    // gibberish/repetition detector (low normalized entropy = a few
+    // words dominate; H is what boilerplate and keyboard-mash both
+    // fail). Deliberately ZERO-shuffle: a per-doc statistic must not
+    // pay a corpus exchange, so the word histogram is computed inside
+    // the row (distinct words → per-word count via a filter HOF over
+    // the ≤|doc| array; V·n ops per doc, embarrassingly parallel at
+    // any corpus size) instead of the explode→groupBy shape a naive
+    // build would shuffle. Determinism: counts are exact ints; each
+    // c·ln c term is snapped, the ≤V-term sum snapped (q222 recipe),
+    // H and H/ln n formed by single divisions of identical doubles.
+    "q251_word_entropy" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      Tables.documents(s, d)
+        .withColumn("ws", Text.words(col("text")))
+        .withColumn("n_tokens", size(col("ws")).cast("long"))
+        .withColumn("dw", array_distinct(col("ws")))
+        .withColumn("n_types", size(col("dw")).cast("long"))
+        .withColumn("sum_clnc", snap6(aggregate(
+          transform(col("dw"), w =>
+            size(filter(col("ws"), e => e === w)).cast("double")),
+          lit(0.0), (acc, c) => acc + c * snap6(log(c)))))
+        .filter(col("n_tokens") >= 2L)
+        .withColumn("entropy", snap6(snap6(log(col("n_tokens")
+          .cast("double")))
+          - col("sum_clnc") / col("n_tokens").cast("double")))
+        .withColumn("norm_entropy", snap6(col("entropy")
+          / snap6(log(col("n_tokens").cast("double")))))
+        .select(col("doc_id"), col("n_tokens"), col("n_types"),
+          col("entropy"), col("norm_entropy"),
+          (col("norm_entropy") < 0.8).as("repetitive"))
+        .orderBy(col("doc_id"))
+    }),
+
     // token counting + lexical stats: whitespace tokens, a BPE-ish regex
     // token count (letters|digits|single other-char), type/token ratio.
     "q64_token_stats" -> ((s, d) =>
@@ -406,6 +469,53 @@ object TextAnalysis extends QueryModule {
         |  floor(sum(CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE)
         |    * gap) OVER () * 1e6 + 0.5) / 1e6 AS ece
         |FROM w2 ORDER BY bin""".stripMargin,
+
+    "q250_quality_classifier" ->
+      """WITH ws AS (SELECT doc_id, source, string_split(lower(trim(
+        |      regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+        |  FROM documents),
+        |tok AS (SELECT doc_id, source, len(w) AS n_tokens,
+        |    unnest(w) AS tk
+        |  FROM ws),
+        |sc AS (SELECT doc_id, any_value(source) AS source,
+        |    CAST(any_value(n_tokens) AS BIGINT) AS n_tokens,
+        |    CAST(sum(((('0x' || substr(md5(tk), 1, 8))::BIGINT % 256)
+        |      * 37 + 11) % 201 - 100) AS BIGINT) AS score_int
+        |  FROM tok GROUP BY doc_id)
+        |SELECT doc_id, source, n_tokens, score_int,
+        |  CAST(score_int AS DOUBLE) / CAST(n_tokens AS DOUBLE) / 100.0
+        |    AS score,
+        |  score_int >= 0 AS keep
+        |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "q251_word_entropy" ->
+      """WITH ws AS (SELECT doc_id, string_split(lower(trim(
+        |      regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+        |  FROM documents),
+        |tok AS (SELECT doc_id, len(w) AS n_tokens, unnest(w) AS tk
+        |  FROM ws),
+        |cnt AS (SELECT doc_id, any_value(n_tokens) AS n_tokens, tk,
+        |    count(*) AS c
+        |  FROM tok GROUP BY doc_id, tk),
+        |agg AS (SELECT doc_id,
+        |    CAST(any_value(n_tokens) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_types,
+        |    floor(sum(CAST(c AS DOUBLE)
+        |      * (floor(ln(CAST(c AS DOUBLE)) * 1e6 + 0.5) / 1e6))
+        |      * 1e6 + 0.5) / 1e6 AS sum_clnc
+        |  FROM cnt GROUP BY doc_id),
+        |ent AS (SELECT doc_id, n_tokens, n_types,
+        |    floor((floor(ln(CAST(n_tokens AS DOUBLE)) * 1e6 + 0.5) / 1e6
+        |      - sum_clnc / CAST(n_tokens AS DOUBLE)) * 1e6 + 0.5) / 1e6
+        |      AS entropy,
+        |    floor(ln(CAST(n_tokens AS DOUBLE)) * 1e6 + 0.5) / 1e6
+        |      AS ln_n
+        |  FROM agg WHERE n_tokens >= 2)
+        |SELECT doc_id, n_tokens, n_types, entropy,
+        |  floor(entropy / ln_n * 1e6 + 0.5) / 1e6 AS norm_entropy,
+        |  floor(entropy / ln_n * 1e6 + 0.5) / 1e6 < 0.8 AS repetitive
+        |FROM ent ORDER BY doc_id""".stripMargin,
+
     "q219_tokenizer_fertility" ->
       """WITH t AS (SELECT lang, n_chars,
         |    len(regexp_extract_all(text,

@@ -111,7 +111,11 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q245_zipf_slope",     // micro-nat longs; decimal OLS moments
     "q246_event_dedup",    // exact µs gaps; event_id tie-break
     "q247_cms_heavy_hitters", // exact long counters, shared-md5 buckets
-    "q248_ldiversity")     // exact class counts; bounded re-group
+    "q248_ldiversity",     // exact class counts; bounded re-group
+    "q249_segment_dedup",  // row_number (doc_id,pos) total order;
+                           // struct-sorted reassembly; exact longs
+    "q250_quality_classifier", // per-row exact-long HOF fold
+    "q251_word_entropy")   // per-row snapped terms + snapped sums
 
   test("exact operators are invariant to input split boundaries") {
     val splitty = spark.newSession()

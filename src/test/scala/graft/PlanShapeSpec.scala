@@ -462,7 +462,12 @@ class PlanShapeSpec extends AnyFunSuite {
       // q247: counters, N, and the top-20 probe all ride ONE reused
       // vocabulary exchange.
       ("q246_event_dedup", 1), ("q247_cms_heavy_hitters", 1),
-      ("q248_ldiversity", 1))
+      ("q248_ldiversity", 1),
+      // q249: segment fan-out, first-occurrence window, and per-doc
+      // re-group all ride ONE corpus scan; q250/q251 are pure
+      // map-side passes (inference/entropy inside the row).
+      ("q249_segment_dedup", 1), ("q250_quality_classifier", 1),
+      ("q251_word_entropy", 1))
     for ((q, scans) <- expect) {
       val df = SparkEntry.queries(q)(spark, sf)
       df.collect()
