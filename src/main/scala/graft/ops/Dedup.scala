@@ -162,6 +162,51 @@ object Dedup extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // Content-defined chunking dedup — the rsync/dedup-storage
+    // boundary trick applied to corpus text, and the insertion-robust
+    // complement of q249's fixed grid: a word ENDS its chunk when its
+    // shared-md5 bucket ≡ 0 (mod 8), so chunk boundaries move WITH
+    // the content (an inserted sentence shifts q249's every segment;
+    // here only the chunk it lands in changes). Chunk ids are a
+    // running boundary count per doc (one doc-keyed window, whose
+    // exchange the (doc, chunk) re-group then reuses — doc_id ⊆ the
+    // group keys, so EnsureRequirements plans no second shuffle);
+    // shared-chunk attribution is one content-keyed aggregation
+    // joined back. Exact longs; one final division. Scale shape:
+    // doc-keyed window + content-keyed count — both plain hash
+    // exchanges, chunk cardinality ≈ corpus/8.
+    "q253_cdc_chunks" -> ((s, d) => {
+      val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val chunks = Tables.documents(s, d)
+        .withColumn("ws", Text.words(col("text")))
+        .select(col("doc_id"), posexplode(col("ws")))
+        .withColumnRenamed("col", "w")
+        .withColumn("bnd", when(pmod(conv(substring(md5(col("w")),
+          1, 8), 16, 10).cast("long"), lit(8L)) === 0L, 1L)
+          .otherwise(0L))
+        .withColumn("cid",
+          coalesce(sum(col("bnd")).over(wDoc), lit(0L)))
+        .groupBy(col("doc_id"), col("cid"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("w")))),
+          x => x.getField("w")), " ").as("chunk"),
+          count(lit(1)).as("chunk_words"))
+      val freq = chunks.groupBy(col("chunk"))
+        .agg(countDistinct(col("doc_id")).as("n_docs_with"))
+      chunks.join(freq, Seq("chunk"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("n_docs_with") > 1, 1L).otherwise(0L))
+            .as("n_shared_chunks"),
+          sum(when(col("n_docs_with") > 1, col("chunk_words"))
+            .otherwise(0L)).as("shared_words"),
+          sum(col("chunk_words")).as("n_words"))
+        .withColumn("shared_share", col("shared_words").cast("double")
+          / col("n_words").cast("double"))
+        .orderBy(col("doc_id"))
+    }),
+
     // exact dedup: normalize → sha256 → keep lowest doc_id per hash.
     // One shuffle on the 32-byte hash; count/row_number share the window.
     "q60_dedup_exact" -> ((s, d) => {
@@ -760,6 +805,41 @@ object Dedup extends QueryModule {
         |    / CAST(n_segments AS DOUBLE) AS drop_share,
         |  kept_text
         |FROM g ORDER BY doc_id""".stripMargin,
+
+    "q253_cdc_chunks" ->
+      """WITH ws AS (SELECT doc_id, string_split(lower(trim(
+        |      regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+        |  FROM documents),
+        |px AS (SELECT doc_id, w, unnest(range(len(w))) AS pos
+        |  FROM ws),
+        |tok AS (SELECT doc_id, pos, w[pos + 1] AS wd FROM px),
+        |b AS (SELECT doc_id, pos, wd,
+        |    CASE WHEN ('0x' || substr(md5(wd), 1, 8))::BIGINT % 8 = 0
+        |      THEN 1 ELSE 0 END AS bnd
+        |  FROM tok),
+        |c AS (SELECT doc_id, pos, wd,
+        |    coalesce(sum(bnd) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cid
+        |  FROM b),
+        |ch AS (SELECT doc_id, cid,
+        |    string_agg(wd, ' ' ORDER BY pos) AS chunk,
+        |    count(*) AS chunk_words
+        |  FROM c GROUP BY 1, 2),
+        |f AS (SELECT chunk, count(DISTINCT doc_id) AS n_docs_with
+        |  FROM ch GROUP BY 1),
+        |j AS (SELECT ch.doc_id, ch.chunk_words, f.n_docs_with
+        |  FROM ch JOIN f USING (chunk))
+        |SELECT doc_id, count(*) AS n_chunks,
+        |  CAST(sum(CASE WHEN n_docs_with > 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_shared_chunks,
+        |  CAST(sum(CASE WHEN n_docs_with > 1 THEN chunk_words ELSE 0
+        |    END) AS BIGINT) AS shared_words,
+        |  CAST(sum(chunk_words) AS BIGINT) AS n_words,
+        |  CAST(sum(CASE WHEN n_docs_with > 1 THEN chunk_words ELSE 0
+        |    END) AS DOUBLE) / CAST(sum(chunk_words) AS DOUBLE)
+        |    AS shared_share
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // independent algorithm on purpose: quadratic directed containment
     // over raw string shingle sets, vs Spark's prefix-filtered posting

@@ -728,10 +728,160 @@ object Profile extends QueryModule {
             .as("row_share"),
           (col("l_div") < 3).as("violates_l3"))
         .orderBy(col("l_div"))
+    }),
+
+    // Poisson-bootstrap confidence interval for the per-type mean —
+    // THE resampling method that scales: classic bootstrap resamples
+    // n-of-n (impossible distributed), Poisson bootstrap gives each
+    // row an independent Poisson(1) multiplicity per replica, so B=32
+    // replicas are one 32× map-side fan-out. The replica weight is
+    // drawn by inverse-CDF on an integer micro-uniform from the
+    // shared-md5 recipe against PRECOMPUTED integer thresholds
+    // (cum P(k) for Poisson(1), micro units) — no float RNG, no
+    // engine randomness, fully reproducible. Money accumulates in
+    // exact integer cents (the q213 rule; c·cents ≤ 3.5e5 per row →
+    // long-safe past 1e12 rows); each replica mean and the CI bounds
+    // (2nd/31st order statistics of 32 replica means, row_number with
+    // b tie-break) are single divisions of exact longs. Scale shape:
+    // ONE corpus scan, one map-side-combined (type, replica) exchange
+    // to a ≤|types|·32 frame; everything downstream runs over that.
+    "q252_bootstrap_ci" -> ((s, d) => {
+      val reps = Tables.events(s, d)
+        .select(col("event_type"), col("event_id"),
+          floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+        .select(col("event_type"), col("event_id"), col("cents"),
+          explode(sequence(lit(0), lit(31))).as("b"))
+        .withColumn("u", pmod(conv(substring(md5(concat(
+          col("event_id").cast("string"), lit(":"),
+          col("b").cast("string"))), 1, 8), 16, 10).cast("long"),
+          lit(1000000L)))
+        .withColumn("c",
+          when(col("u") < 367879L, 0L).when(col("u") < 735758L, 1L)
+            .when(col("u") < 919698L, 2L).when(col("u") < 981011L, 3L)
+            .when(col("u") < 996340L, 4L).when(col("u") < 999405L, 5L)
+            .when(col("u") < 999843L, 6L).otherwise(7L))
+      val repMeans = reps.groupBy(col("event_type"), col("b"))
+        .agg(sum(col("c") * col("cents")).as("wsum"),
+          sum(col("c")).as("wn"),
+          count(lit(1)).as("n_rows"),
+          sum(col("cents")).as("cents_all"))
+        .withColumn("mean_b", col("wsum").cast("double")
+          / col("wn").cast("double") / 100.0)
+      val wT = Window.partitionBy(col("event_type"))
+        .orderBy(col("mean_b"), col("b"))
+      repMeans
+        .withColumn("rn", row_number().over(wT))
+        .groupBy(col("event_type"))
+        .agg(max(when(col("b") === 0, col("n_rows"))).as("n_events"),
+          max(when(col("b") === 0, col("cents_all"))).as("cents_sum"),
+          min(when(col("rn") === 2, col("mean_b"))).as("ci_lo"),
+          min(when(col("rn") === 31, col("mean_b"))).as("ci_hi"))
+        .select(col("event_type"), col("n_events"),
+          (col("cents_sum").cast("double")
+            / col("n_events").cast("double") / 100.0).as("mean_value"),
+          col("ci_lo"), col("ci_hi"),
+          (col("ci_hi") - col("ci_lo")).as("ci_width"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ε-differential-privacy histogram release — the publication
+    // operator that completes the privacy tier (q226 k-anonymity,
+    // q248 l-diversity, q210 right-to-be-forgotten): per (event_type,
+    // day) counts plus two-sided-geometric noise (the discrete
+    // Laplace, α = 1/2 ⇒ ε = ln 2) drawn by inverse-CDF on the
+    // shared-md5 micro-uniform seeded from the CELL KEY — a
+    // deterministic, audit-replayable release — with small released
+    // counts suppressed (< 5, the residual-disclosure rule). The
+    // audit emits true count, noise, released count, and suppression
+    // flag per cell; a production release would project the released
+    // columns only. Pure integer arithmetic end-to-end. Scale shape:
+    // ONE map-side-combined corpus pass to the (type, day) frame;
+    // noise is a per-cell expression over that bounded frame.
+    "q254_dp_release" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_type"), to_date(col("ts")).as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("true_n"))
+        .withColumn("u", pmod(conv(substring(md5(concat(
+          col("event_type"), lit(":"), col("day").cast("string"))),
+          1, 8), 16, 10).cast("long"), lit(1000000L)))
+        .withColumn("noise",
+          when(col("u") < 333333L, 0L).when(col("u") < 500000L, 1L)
+            .when(col("u") < 666667L, -1L).when(col("u") < 750000L, 2L)
+            .when(col("u") < 833333L, -2L).when(col("u") < 875000L, 3L)
+            .when(col("u") < 916667L, -3L).when(col("u") < 958334L, 4L)
+            .otherwise(-4L))
+        .withColumn("released", col("true_n") + col("noise"))
+        .withColumn("suppressed", col("released") < 5L)
+        .select(col("event_type"), col("day"), col("true_n"),
+          col("noise"), col("released"), col("suppressed"))
+        .orderBy(col("event_type"), col("day"))
     })
   )
 
   def oracle: Map[String, String] = Map(
+    "q252_bootstrap_ci" ->
+      """WITH e AS (SELECT event_type, event_id,
+        |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |reps AS (SELECT event_type, event_id, cents,
+        |    unnest(range(32)) AS b
+        |  FROM e),
+        |ru AS (SELECT event_type, cents, b,
+        |    ('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':'
+        |      || CAST(b AS VARCHAR)), 1, 8))::BIGINT % 1000000 AS u
+        |  FROM reps),
+        |rc AS (SELECT event_type, cents, b,
+        |    CASE WHEN u < 367879 THEN 0 WHEN u < 735758 THEN 1
+        |      WHEN u < 919698 THEN 2 WHEN u < 981011 THEN 3
+        |      WHEN u < 996340 THEN 4 WHEN u < 999405 THEN 5
+        |      WHEN u < 999843 THEN 6 ELSE 7 END AS c
+        |  FROM ru),
+        |rm AS (SELECT event_type, b,
+        |    CAST(sum(c * cents) AS BIGINT) AS wsum,
+        |    CAST(sum(c) AS BIGINT) AS wn,
+        |    count(*) AS n_rows,
+        |    CAST(sum(cents) AS BIGINT) AS cents_all
+        |  FROM rc GROUP BY 1, 2),
+        |rm2 AS (SELECT event_type, b, n_rows, cents_all,
+        |    CAST(wsum AS DOUBLE) / CAST(wn AS DOUBLE) / 100.0
+        |      AS mean_b,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY CAST(wsum AS DOUBLE) / CAST(wn AS DOUBLE)
+        |        / 100.0, b) AS rn
+        |  FROM rm),
+        |g AS (SELECT event_type,
+        |    max(CASE WHEN b = 0 THEN n_rows END) AS n_events,
+        |    max(CASE WHEN b = 0 THEN cents_all END) AS cents_sum,
+        |    min(CASE WHEN rn = 2 THEN mean_b END) AS ci_lo,
+        |    min(CASE WHEN rn = 31 THEN mean_b END) AS ci_hi
+        |  FROM rm2 GROUP BY 1)
+        |SELECT event_type, n_events,
+        |  CAST(cents_sum AS DOUBLE) / CAST(n_events AS DOUBLE) / 100.0
+        |    AS mean_value,
+        |  ci_lo, ci_hi, ci_hi - ci_lo AS ci_width
+        |FROM g ORDER BY event_type""".stripMargin,
+
+    "q254_dp_release" ->
+      """WITH g AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    count(*) AS true_n
+        |  FROM events GROUP BY 1, 2),
+        |n AS (SELECT event_type, day, true_n,
+        |    ('0x' || substr(md5(event_type || ':'
+        |      || CAST(day AS VARCHAR)), 1, 8))::BIGINT % 1000000 AS u
+        |  FROM g),
+        |r AS (SELECT event_type, day, true_n,
+        |    CASE WHEN u < 333333 THEN 0 WHEN u < 500000 THEN 1
+        |      WHEN u < 666667 THEN -1 WHEN u < 750000 THEN 2
+        |      WHEN u < 833333 THEN -2 WHEN u < 875000 THEN 3
+        |      WHEN u < 916667 THEN -3 WHEN u < 958334 THEN 4
+        |      ELSE -4 END AS noise
+        |  FROM n)
+        |SELECT event_type, day, true_n, CAST(noise AS BIGINT) AS noise,
+        |  CAST(true_n + noise AS BIGINT) AS released,
+        |  true_n + noise < 5 AS suppressed
+        |FROM r ORDER BY event_type, day""".stripMargin,
+
     "q248_ldiversity" ->
       """WITH c AS (SELECT c_nationkey,
         |    CAST(floor(c_acctbal / CAST(1000 AS DOUBLE)) AS BIGINT)

@@ -115,7 +115,11 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q249_segment_dedup",  // row_number (doc_id,pos) total order;
                            // struct-sorted reassembly; exact longs
     "q250_quality_classifier", // per-row exact-long HOF fold
-    "q251_word_entropy")   // per-row snapped terms + snapped sums
+    "q251_word_entropy",   // per-row snapped terms + snapped sums
+    "q252_bootstrap_ci",   // md5 Poisson weights, exact cents sums;
+                           // order-stat ties broken on replica id
+    "q253_cdc_chunks",     // md5 boundaries; pos-ordered reassembly
+    "q254_dp_release")     // pure integer noise from the cell key
 
   test("exact operators are invariant to input split boundaries") {
     val splitty = spark.newSession()

@@ -467,7 +467,12 @@ class PlanShapeSpec extends AnyFunSuite {
       // re-group all ride ONE corpus scan; q250/q251 are pure
       // map-side passes (inference/entropy inside the row).
       ("q249_segment_dedup", 1), ("q250_quality_classifier", 1),
-      ("q251_word_entropy", 1))
+      ("q251_word_entropy", 1),
+      // q252: the 32× Poisson fan-out, replica means, and base stats
+      // ride ONE corpus scan; q253's chunk frame feeds both join
+      // sides via ReusedExchange; q254 is one pass to the cell frame.
+      ("q252_bootstrap_ci", 1), ("q253_cdc_chunks", 1),
+      ("q254_dp_release", 1))
     for ((q, scans) <- expect) {
       val df = SparkEntry.queries(q)(spark, sf)
       df.collect()
