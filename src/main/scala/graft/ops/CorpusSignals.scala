@@ -25,6 +25,73 @@ import org.apache.spark.sql.functions._
 object CorpusSignals extends QueryModule {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Kneser-Ney bigram perplexity — the real LM behind CCNet-style
+    // quality filtering (KenLM is interpolated KN), upgrading q197's
+    // unigram: P(w2|w1) = max(c(w1w2)−D, 0)/c(w1·)
+    //                   + D·N1+(w1·)/c(w1·) · N1+(·w2)/N1+(··),
+    // fixed discount D = 0.75 (exactly representable — the 0.75
+    // arithmetic is bit-identical cross-engine). Training is the
+    // bigram-type frame (one (w1,w2)-keyed corpus aggregation,
+    // map-side combined) plus two re-groups of THAT bounded frame
+    // for the predecessor/continuation marginals — the exact shape a
+    // distributed KenLM trainer materializes; at 100 TB the model
+    // stays distributed and scoring is a plain join (AQE broadcasts
+    // it while it fits). Determinism: every P_kn is one IEEE chain
+    // over exact-long counts with identical parenthesization both
+    // engines; −ln P is snapped to 1e-6-unit LONGs (the q197
+    // recipe), so per-doc sums are order-free and the final average
+    // divides exact operands. Two corpus scans (train + score) — the
+    // q197/q111 statelessness trade.
+    "q255_kn_bigram" -> ((s, d) => {
+      def bigrams(df: DataFrame): DataFrame = df
+        .withColumn("ws", Text.words(col("text")))
+        .filter(size(col("ws")) >= 2)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("ws")) - 1), i =>
+            struct(element_at(col("ws"), i).as("w1"),
+              element_at(col("ws"), i + 1).as("w2")))).as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"),
+          col("bg.w2").as("w2"))
+      val docs = Tables.documents(s, d)
+      val bg = bigrams(docs).groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c"))
+      // Marginals as KEYED WINDOWS over the one bigram frame, not
+      // groupBy+join-back: each join-back branch re-planned the
+      // corpus → (w1,w2) subtree (measured: 5 scans; ReuseExchange
+      // does not unify the twins across nested broadcast builds),
+      // while windows reuse the materialized frame by construction —
+      // and stay hash-keyed, so no single-partition funnel at 100 TB.
+      // The 1-row nbb branch (count of bigram TYPES) keeps c
+      // referenced so its twin stays canonically identical — with
+      // the other twins gone ReuseExchange unifies it with the
+      // model's bigram stage (measured: 2 scans total = train +
+      // score, ReusedExchange present).
+      val wW1 = Window.partitionBy(col("w1"))
+      val wW2 = Window.partitionBy(col("w2"))
+      val nbb = bg.agg(count(when(col("c") >= 1, lit(1))).as("nbb"))
+      val model = bg
+        .withColumn("cw1", sum(col("c")).over(wW1))
+        .withColumn("n1w1", count(lit(1)).over(wW1))
+        .withColumn("nw2", count(lit(1)).over(wW2))
+        .crossJoin(broadcast(nbb))
+        .withColumn("pkn",
+          (col("c").cast("double") - 0.75) / col("cw1").cast("double")
+            + lit(0.75) * col("n1w1").cast("double")
+              / col("cw1").cast("double")
+              * (col("nw2").cast("double") / col("nbb").cast("double")))
+        .select(col("w1"), col("w2"),
+          (-floor(log(col("pkn")) * 1e6 + 0.5)).cast("long")
+            .as("cost_micros"))
+      bigrams(docs).join(model, Seq("w1", "w2"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(col("cost_micros")).as("nll_micros"))
+        .select(col("doc_id"), col("n_bigrams"),
+          (col("nll_micros").cast("double")
+            / col("n_bigrams").cast("double") / 1e6).as("avg_nll"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Gopher-style repetition signals per document: the fraction of
     // 2-gram occurrences that are duplicates, and the share of the
     // single most frequent 2-gram (argmax with a deterministic
@@ -676,6 +743,35 @@ object CorpusSignals extends QueryModule {
     // 1.0 literals would pull DuckDB into exact DECIMAL arithmetic —
     // the q168 trap); the per-term cost is the same 1e-6-unit LONG
     // the Spark side broadcasts, so per-doc sums are exact.
+    "q255_kn_bigram" ->
+      """WITH ws AS (SELECT doc_id, string_split(lower(trim(
+        |      regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+        |  FROM documents),
+        |px AS (SELECT doc_id, w, unnest(range(1, len(w))) AS pos
+        |  FROM ws WHERE len(w) >= 2),
+        |db AS (SELECT doc_id, w[pos] AS w1, w[pos + 1] AS w2 FROM px),
+        |bg AS (SELECT w1, w2, count(*) AS c FROM db GROUP BY 1, 2),
+        |m1 AS (SELECT w1, CAST(sum(c) AS BIGINT) AS cw1,
+        |    count(*) AS n1w1
+        |  FROM bg GROUP BY 1),
+        |m2 AS (SELECT w2, count(*) AS nw2 FROM bg GROUP BY 1),
+        |nb AS (SELECT count(*) AS nbb FROM bg),
+        |model AS (SELECT w1, w2,
+        |    CAST(-floor(ln(
+        |      (CAST(c AS DOUBLE) - 0.75::DOUBLE) / CAST(cw1 AS DOUBLE)
+        |      + 0.75::DOUBLE * CAST(n1w1 AS DOUBLE)
+        |        / CAST(cw1 AS DOUBLE)
+        |        * (CAST(nw2 AS DOUBLE) / CAST(nbb AS DOUBLE)))
+        |      * 1e6 + 0.5) AS BIGINT) AS cost_micros
+        |  FROM bg JOIN m1 USING (w1) JOIN m2 USING (w2), nb),
+        |sc AS (SELECT doc_id, count(*) AS n_bigrams,
+        |    CAST(sum(cost_micros) AS BIGINT) AS nll
+        |  FROM db JOIN model USING (w1, w2) GROUP BY 1)
+        |SELECT doc_id, n_bigrams,
+        |  CAST(nll AS DOUBLE) / CAST(n_bigrams AS DOUBLE) / 1e6
+        |    AS avg_nll
+        |FROM sc ORDER BY doc_id""".stripMargin,
+
     "q197_lm_perplexity" ->
       """WITH toks AS (
         |  SELECT doc_id, t AS term

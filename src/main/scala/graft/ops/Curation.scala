@@ -182,6 +182,44 @@ object Curation extends QueryModule {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Stratification audit for 5-fold cross-validation assignment —
+    // the eval-integrity check between q100's hash split and a CV
+    // run: folds come from the same reproducible affine-hash family
+    // (md5 of the doc key — split-invariant, no engine randomness,
+    // rerunnable on any cluster), and the audit answers "does each
+    // fold's language mix match the corpus?" — a skewed fold silently
+    // biases per-fold eval. Per (fold, lang): docs, tokens, the
+    // fold-internal share vs the corpus share (two exact-long
+    // divisions, one subtraction — identical IEEE both engines), and
+    // a ±5-point imbalance flag. Scale shape: ONE map-side-combined
+    // corpus pass to the ≤5·|langs| cell frame; all three share
+    // windows run over that bounded frame.
+    "q257_kfold_audit" -> ((s, d) => {
+      val cells = Tables.documents(s, d)
+        .withColumn("fold", pmod(conv(substring(md5(
+          col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"),
+          lit(5L)))
+        .withColumn("toks", size(Text.words(col("text"))).cast("long"))
+        .groupBy(col("fold"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+      val wF = Window.partitionBy(col("fold"))
+      val wL = Window.partitionBy(col("lang"))
+      val wAll = Window.partitionBy()
+      cells
+        .withColumn("fold_docs", sum(col("n_docs")).over(wF))
+        .withColumn("lang_docs", sum(col("n_docs")).over(wL))
+        .withColumn("total_docs", sum(col("n_docs")).over(wAll))
+        .withColumn("fold_share", col("n_docs").cast("double")
+          / col("fold_docs").cast("double"))
+        .withColumn("corpus_share", col("lang_docs").cast("double")
+          / col("total_docs").cast("double"))
+        .withColumn("dev", col("fold_share") - col("corpus_share"))
+        .select(col("fold"), col("lang"), col("n_docs"),
+          col("n_tokens"), col("fold_share"), col("corpus_share"),
+          col("dev"), (abs(col("dev")) > 0.05).as("imbalanced"))
+        .orderBy(col("fold"), col("lang"))
+    }),
+
     // Curation funnel per source — the pipeline-health table every
     // dataset run reports: docs in → docs surviving the quality gate
     // (q65's exact-integer rule) → surviving quality+digit-noise →
@@ -626,6 +664,35 @@ object Curation extends QueryModule {
     redactTransform(docs).orderBy(col("doc_id"))
 
   def oracle: Map[String, String] = Map(
+    "q257_kfold_audit" ->
+      """WITH t AS (SELECT
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |      ::BIGINT % 5 AS fold,
+        |    lang,
+        |    len(string_split(lower(trim(regexp_replace(text, '\s+',
+        |      ' ', 'g'))), ' ')) AS toks
+        |  FROM documents),
+        |cells AS (SELECT fold, lang, count(*) AS n_docs,
+        |    CAST(sum(toks) AS BIGINT) AS n_tokens
+        |  FROM t GROUP BY 1, 2),
+        |w AS (SELECT fold, lang, n_docs, n_tokens,
+        |    CAST(sum(n_docs) OVER (PARTITION BY fold) AS BIGINT)
+        |      AS fold_docs,
+        |    CAST(sum(n_docs) OVER (PARTITION BY lang) AS BIGINT)
+        |      AS lang_docs,
+        |    CAST(sum(n_docs) OVER () AS BIGINT) AS total_docs
+        |  FROM cells),
+        |s AS (SELECT fold, lang, n_docs, n_tokens,
+        |    CAST(n_docs AS DOUBLE) / CAST(fold_docs AS DOUBLE)
+        |      AS fold_share,
+        |    CAST(lang_docs AS DOUBLE) / CAST(total_docs AS DOUBLE)
+        |      AS corpus_share
+        |  FROM w)
+        |SELECT fold, lang, n_docs, n_tokens, fold_share, corpus_share,
+        |  fold_share - corpus_share AS dev,
+        |  abs(fold_share - corpus_share) > 0.05 AS imbalanced
+        |FROM s ORDER BY fold, lang""".stripMargin,
+
     "q220_curation_funnel" ->
       """WITH f AS (
         |  SELECT source, doc_id, n_chars,

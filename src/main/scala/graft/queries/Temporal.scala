@@ -569,6 +569,48 @@ object Temporal extends QueryModule {
     // 2^63 — and the final sqrt/division are correctly-rounded IEEE,
     // spelled sqrt(a)·sqrt(b), never sqrt(a·b), so each radicand stays
     // inside DECIMAL(38,0) at any corpus size.
+    // Autocorrelation function of the daily event series, lags 1-3 —
+    // the single-series companion of q204's cross-correlation and the
+    // periodicity detector behind q211's seasonality index (an ACF
+    // spike at lag 7 IS weekly seasonality). Mean-centering without
+    // floats: multiply through by n so dev_d = n·y_d − S is an exact
+    // integer, r_k = Σ dev_d·dev_{d+k} / Σ dev_d² with DECIMAL(19,0)
+    // factors and DECIMAL(38,0) sums (the q204 recipe; n·y ≤ 1e12 at
+    // 3650 days × 3e8 events/day, squares ≤ 1e24·|days| ≪ 1e38), one
+    // double division at the end. Lag pairing is a DATE join, not a
+    // row lead, so day gaps pair correctly. Scale shape: ONE corpus
+    // pass map-side-combines to the ≤|types|·|days| daily frame;
+    // windows, the 3× lag fan-out, and the self-join all run over
+    // that bounded frame.
+    "q256_acf" -> ((s, d) => {
+      val wT = Window.partitionBy(col("event_type"))
+      val base = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("y"))
+        .withColumn("n_all", count(lit(1)).over(wT))
+        .withColumn("s_all", sum(col("y")).over(wT))
+        .withColumn("dev",
+          (col("n_all") * col("y") - col("s_all")).cast("decimal(19,0)"))
+        .withColumn("den", sum(col("dev") * col("dev")).over(wT))
+      val a = base.select(col("event_type"), col("day"), col("dev"),
+        col("den"), col("n_all"),
+        explode(sequence(lit(1), lit(3))).as("lag"))
+      val b = base.select(col("event_type").as("et_b"),
+        col("day").as("day_b"), col("dev").as("dev_b"))
+      a.join(b, col("et_b") === col("event_type")
+          && col("day_b") === date_add(col("day"), col("lag")))
+        .groupBy(col("event_type"), col("lag"))
+        .agg(max(col("n_all")).as("n_days"),
+          count(lit(1)).as("n_pairs"),
+          sum(col("dev") * col("dev_b")).as("num"),
+          max(col("den")).as("den_v"))
+        .select(col("event_type"), col("lag"), col("n_days"),
+          col("n_pairs"),
+          when(col("den_v") > 0, col("num").cast("double")
+            / col("den_v").cast("double")).as("acf"))
+        .orderBy(col("event_type"), col("lag"))
+    }),
+
     "q204_lagged_xcorr" -> ((s, d) => {
       val daily = Tables.events(s, d)
         .filter(col("event_type").isin("view", "purchase"))
@@ -1016,6 +1058,37 @@ object Temporal extends QueryModule {
         |  (epoch_us(max_ts) - epoch_us(last_ts)) // 3600000000 >= 24
         |    AS stale
         |FROM p, h ORDER BY event_type""".stripMargin,
+
+    "q256_acf" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |base AS (SELECT event_type, day, y,
+        |    count(*) OVER (PARTITION BY event_type) AS n_all,
+        |    CAST(sum(y) OVER (PARTITION BY event_type) AS BIGINT)
+        |      AS s_all
+        |  FROM daily),
+        |dv AS (SELECT event_type, day, n_all,
+        |    CAST(n_all * y - s_all AS DECIMAL(19,0)) AS dev
+        |  FROM base),
+        |dn AS (SELECT event_type, sum(dev * dev) AS den_v
+        |  FROM dv GROUP BY 1),
+        |a AS (SELECT event_type, day, dev, n_all,
+        |    unnest([1, 2, 3]) AS lag
+        |  FROM dv),
+        |p AS (SELECT a.event_type, a.lag, a.n_all,
+        |    a.dev AS dev_a, b.dev AS dev_b
+        |  FROM a JOIN dv b ON b.event_type = a.event_type
+        |    AND b.day = a.day + a.lag),
+        |g AS (SELECT event_type, lag, max(n_all) AS n_days,
+        |    count(*) AS n_pairs, sum(dev_a * dev_b) AS num
+        |  FROM p GROUP BY 1, 2)
+        |SELECT g.event_type, lag, n_days, n_pairs,
+        |  CASE WHEN den_v > 0
+        |    THEN CAST(num AS DOUBLE) / CAST(den_v AS DOUBLE) END
+        |    AS acf
+        |FROM g JOIN dn ON dn.event_type = g.event_type
+        |ORDER BY g.event_type, lag""".stripMargin,
 
     "q204_lagged_xcorr" ->
       """WITH daily AS (

@@ -119,7 +119,10 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q252_bootstrap_ci",   // md5 Poisson weights, exact cents sums;
                            // order-stat ties broken on replica id
     "q253_cdc_chunks",     // md5 boundaries; pos-ordered reassembly
-    "q254_dp_release")     // pure integer noise from the cell key
+    "q254_dp_release",     // pure integer noise from the cell key
+    "q255_kn_bigram",      // snapped micro-long costs; exact sums
+    "q256_acf",            // DECIMAL moments; one double division
+    "q257_kfold_audit")    // md5 folds; exact counts, single divisions
 
   test("exact operators are invariant to input split boundaries") {
     val splitty = spark.newSession()

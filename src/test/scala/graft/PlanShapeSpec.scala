@@ -472,7 +472,14 @@ class PlanShapeSpec extends AnyFunSuite {
       // ride ONE corpus scan; q253's chunk frame feeds both join
       // sides via ReusedExchange; q254 is one pass to the cell frame.
       ("q252_bootstrap_ci", 1), ("q253_cdc_chunks", 1),
-      ("q254_dp_release", 1))
+      ("q254_dp_release", 1),
+      // q255: train + score — the q197 statelessness trade; the
+      // window-marginal rewrite measured 5 → 2 scans (join-back
+      // marginals re-planned the bigram subtree per branch).
+      // q256/q257: one pass to a bounded frame, everything else
+      // rides windows/self-joins over it.
+      ("q255_kn_bigram", 2), ("q256_acf", 1),
+      ("q257_kfold_audit", 1))
     for ((q, scans) <- expect) {
       val df = SparkEntry.queries(q)(spark, sf)
       df.collect()
