@@ -207,6 +207,31 @@ object Dedup extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // Shingle fan-out through the native `graft_shingles` GENERATOR
+    // (plans/ShingleGenerator.scala — the UDTF surface): rows come
+    // straight out of the Generate node with no intermediate n-gram
+    // array materialized per document (the transform+posexplode
+    // composition builds and discards a ~|doc|-element string array
+    // per row). Per-doc positional shingle stats: count, distinct,
+    // max position (pins the 0-based contiguous pos contract),
+    // first shingle, duplicate share. One doc-keyed aggregation.
+    "q260_shingle_gen" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("ws", Text.words(col("text")))
+        .filter(size(col("ws")) >= 3)
+        .select(col("doc_id"), expr("graft_shingles(ws, 3)"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          countDistinct(col("shingle")).as("n_distinct"),
+          max(col("pos")).cast("long").as("max_pos"),
+          min(when(col("pos") === 0, col("shingle")))
+            .as("first_shingle"))
+        .withColumn("dup_share",
+          (col("n_shingles") - col("n_distinct")).cast("double")
+            / col("n_shingles").cast("double"))
+        .orderBy(col("doc_id"))
+    }),
+
     // exact dedup: normalize → sha256 → keep lowest doc_id per hash.
     // One shuffle on the 32-byte hash; count/row_number share the window.
     "q60_dedup_exact" -> ((s, d) => {
@@ -840,6 +865,23 @@ object Dedup extends QueryModule {
         |    END) AS DOUBLE) / CAST(sum(chunk_words) AS DOUBLE)
         |    AS shared_share
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q260_shingle_gen" ->
+      """WITH ws AS (SELECT doc_id, string_split(lower(trim(
+        |      regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+        |  FROM documents),
+        |px AS (SELECT doc_id, w, unnest(range(len(w) - 2)) AS pos
+        |  FROM ws WHERE len(w) >= 3),
+        |sh AS (SELECT doc_id, pos,
+        |    array_to_string(w[pos + 1 : pos + 3], ' ') AS shingle
+        |  FROM px)
+        |SELECT doc_id, count(*) AS n_shingles,
+        |  CAST(count(DISTINCT shingle) AS BIGINT) AS n_distinct,
+        |  CAST(max(pos) AS BIGINT) AS max_pos,
+        |  min(CASE WHEN pos = 0 THEN shingle END) AS first_shingle,
+        |  CAST(count(*) - count(DISTINCT shingle) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS dup_share
+        |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // independent algorithm on purpose: quadratic directed containment
     // over raw string shingle sets, vs Spark's prefix-filtered posting

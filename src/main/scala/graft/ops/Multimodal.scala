@@ -115,10 +115,75 @@ object Multimodal extends QueryModule {
           concat_ws(":", col("doc_id"), col("frame_idx")))
         .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
           col("byte_offset"), col("frame_tag"))
-        .orderBy(col("doc_id"), col("frame_idx")))
+        .orderBy(col("doc_id"), col("frame_idx"))),
+
+    // ViT-style 2D patch grid — the image analogue of q96's 1D audio
+    // frames: the 64-hex digest read as an 8×8 sample "image", cut
+    // into four 4×4 patches (2×2 grid), per-patch sum/min/max/mean
+    // over the 16 cells via codegen'd HOFs with explicit 2D index
+    // arithmetic (y = py·4 + j÷4, x = px·4 + j mod 4 — exactly the
+    // gather a real patch-embedding kernel does over decoded pixels;
+    // a codec slots in by replacing the sample expression). Zero
+    // shuffles: the doc × patch fan-out folds back in-stage and only
+    // the presentation sort exchanges. Exact integer stats, one
+    // division for the mean.
+    "q259_image_patches" -> ((s, d) =>
+      withPayload(s, d)
+        .select(col("doc_id"), col("payload_hex"),
+          posexplode(sequence(lit(0), lit(3)))
+            .as(Seq("pos", "patch_idx")))
+        .select(col("doc_id"),
+          col("patch_idx").cast("long").as("patch_idx"),
+          (col("patch_idx") % 2).cast("long").as("px"),
+          expr("CAST(patch_idx DIV 2 AS BIGINT)").as("py"),
+          expr("""cast(aggregate(transform(sequence(0, 15),
+              j -> ascii(substr(payload_hex,
+                ((patch_idx DIV 2) * 4 + j DIV 4) * 8
+                  + (patch_idx % 2) * 4 + (j % 4) + 1, 1))),
+            0L, (acc, x) -> acc + x) as bigint)""").as("byte_sum"),
+          expr("""cast(array_min(transform(sequence(0, 15),
+              j -> ascii(substr(payload_hex,
+                ((patch_idx DIV 2) * 4 + j DIV 4) * 8
+                  + (patch_idx % 2) * 4 + (j % 4) + 1, 1))))
+            as bigint)""").as("byte_min"),
+          expr("""cast(array_max(transform(sequence(0, 15),
+              j -> ascii(substr(payload_hex,
+                ((patch_idx DIV 2) * 4 + j DIV 4) * 8
+                  + (patch_idx % 2) * 4 + (j % 4) + 1, 1))))
+            as bigint)""").as("byte_max"))
+        .withColumn("byte_mean",
+          col("byte_sum").cast("double") / 16.0)
+        .orderBy(col("doc_id"), col("patch_idx")))
   )
 
   def oracle: Map[String, String] = Map(
+    "q259_image_patches" ->
+      """WITH p AS (SELECT doc_id,
+        |    sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+        |      AS hex
+        |  FROM documents)
+        |SELECT doc_id, CAST(g.i AS BIGINT) AS patch_idx,
+        |  CAST(g.i % 2 AS BIGINT) AS px,
+        |  CAST(g.i // 2 AS BIGINT) AS py,
+        |  CAST(sum(ascii(substr(hex,
+        |      ((g.i // 2) * 4 + j.j // 4) * 8
+        |        + (g.i % 2) * 4 + (j.j % 4) + 1, 1))) AS BIGINT)
+        |    AS byte_sum,
+        |  CAST(min(ascii(substr(hex,
+        |      ((g.i // 2) * 4 + j.j // 4) * 8
+        |        + (g.i % 2) * 4 + (j.j % 4) + 1, 1))) AS BIGINT)
+        |    AS byte_min,
+        |  CAST(max(ascii(substr(hex,
+        |      ((g.i // 2) * 4 + j.j // 4) * 8
+        |        + (g.i % 2) * 4 + (j.j % 4) + 1, 1))) AS BIGINT)
+        |    AS byte_max,
+        |  CAST(sum(ascii(substr(hex,
+        |      ((g.i // 2) * 4 + j.j // 4) * 8
+        |        + (g.i % 2) * 4 + (j.j % 4) + 1, 1))) AS DOUBLE) / 16.0
+        |    AS byte_mean
+        |FROM p, range(0, 4) g(i), range(0, 16) j(j)
+        |GROUP BY doc_id, g.i ORDER BY doc_id, patch_idx""".stripMargin,
+
     "q72_multimodal_meta" ->
       """WITH p AS (SELECT doc_id,
         |    sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS payload_hex

@@ -46,6 +46,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 1, "graft_simhash(hashArray) takes 1 argument")
         SimHash64(children.head)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[ShingleGenerator].getName,
+        "graft_shingles"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "graft_shingles(wordsArray, n) takes 2 arguments")
+        ShingleGenerator(children.head, children(1))
+      }))
     // (c)-tier whole-operator extension: per-key top-k logical node,
     // its key-filter commutation rule, and the partial/final planner
     // strategy (see PerKeyTopK.scala).

@@ -816,10 +816,105 @@ object Profile extends QueryModule {
         .select(col("event_type"), col("day"), col("true_n"),
           col("noise"), col("released"), col("suppressed"))
         .orderBy(col("event_type"), col("day"))
+    }),
+
+    // MinHash audience-overlap sketch — the fourth sketch family
+    // (after q247 CMS frequency, HLL cardinality, q31b bitmap
+    // distinct): pairwise Jaccard of user SETS estimated from k=16
+    // per-set minimum hashes. The signature is mergeable (min is
+    // commutative — partials combine map-side, partitions/days union
+    // by element-wise min), so two 100 TB audiences compare via 2·k
+    // longs instead of a user-set join. Self-verifying (q247 style):
+    // the exact Jaccard runs alongside on the same distinct frame and
+    // the output carries match count, estimate, exact, and |error|.
+    // Hashes from the shared-md5 recipe (12 hex chars →
+    // 48-bit ints, no engine hashes). Scale shape: the distinct
+    // (type, user) frame feeds the 16× signature fan-out, the exact
+    // self-join, and the set sizes — planned as two corpus subtrees
+    // with the distinct exchange reused across twins (measured:
+    // 2 scans, ReusedExchange present); everything downstream is
+    // ≤|types|²-sized. A production sketch pipeline persists the
+    // signatures and never rebuilds the exact side at all.
+    "q258_minhash_overlap" -> ((s, d) => {
+      val tu = Tables.events(s, d)
+        .select(col("event_type"), col("user_id")).distinct()
+      val sigs = tu
+        .select(col("event_type"), col("user_id"),
+          explode(sequence(lit(0), lit(15))).as("p"))
+        .withColumn("hv", conv(substring(md5(concat(
+          col("p").cast("string"), lit(":"),
+          col("user_id").cast("string"))), 1, 12), 16, 10)
+          .cast("long"))
+        .groupBy(col("event_type"), col("p"))
+        .agg(min(col("hv")).as("sig"))
+      val est = sigs.select(col("event_type").as("type_a"), col("p"),
+          col("sig").as("sig_a"))
+        .join(sigs.select(col("event_type").as("type_b"), col("p"),
+          col("sig").as("sig_b")), Seq("p"))
+        .filter(col("type_a") < col("type_b"))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(sum(when(col("sig_a") === col("sig_b"), 1L).otherwise(0L))
+          .as("matches"))
+      val sizes = tu.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_users"))
+      val inter = tu.select(col("event_type").as("type_a"),
+          col("user_id"))
+        .join(tu.select(col("event_type").as("type_b"), col("user_id")),
+          Seq("user_id"))
+        .filter(col("type_a") < col("type_b"))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      est.join(inter, Seq("type_a", "type_b"))
+        .join(sizes.select(col("event_type").as("type_a"),
+          col("n_users").as("n_a")), Seq("type_a"))
+        .join(sizes.select(col("event_type").as("type_b"),
+          col("n_users").as("n_b")), Seq("type_b"))
+        .select(col("type_a"), col("type_b"), col("matches"),
+          (col("matches").cast("double") / 16.0).as("est_jaccard"),
+          (col("n_inter").cast("double")
+            / (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+            .as("exact_jaccard"),
+          abs(col("matches").cast("double") / 16.0
+            - col("n_inter").cast("double")
+            / (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+            .as("abs_err"))
+        .orderBy(col("type_a"), col("type_b"))
     })
   )
 
   def oracle: Map[String, String] = Map(
+    "q258_minhash_overlap" ->
+      """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+        |sg AS (SELECT event_type, p,
+        |    min(('0x' || substr(md5(CAST(p AS VARCHAR) || ':'
+        |      || CAST(user_id AS VARCHAR)), 1, 12))::BIGINT) AS sig
+        |  FROM tu, range(0, 16) r(p) GROUP BY 1, 2),
+        |est AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    CAST(sum(CASE WHEN a.sig = b.sig THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS matches
+        |  FROM sg a JOIN sg b ON a.p = b.p
+        |    AND a.event_type < b.event_type
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT event_type, count(*) AS n_users
+        |  FROM tu GROUP BY 1),
+        |iv AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    count(*) AS n_inter
+        |  FROM tu a JOIN tu b ON a.user_id = b.user_id
+        |    AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, matches,
+        |  CAST(matches AS DOUBLE) / 16.0 AS est_jaccard,
+        |  CAST(n_inter AS DOUBLE)
+        |    / CAST(sa.n_users + sb.n_users - n_inter AS DOUBLE)
+        |    AS exact_jaccard,
+        |  abs(CAST(matches AS DOUBLE) / 16.0 - CAST(n_inter AS DOUBLE)
+        |    / CAST(sa.n_users + sb.n_users - n_inter AS DOUBLE))
+        |    AS abs_err
+        |FROM est JOIN iv USING (type_a, type_b)
+        |  JOIN sz sa ON sa.event_type = type_a
+        |  JOIN sz sb ON sb.event_type = type_b
+        |ORDER BY type_a, type_b""".stripMargin,
+
     "q252_bootstrap_ci" ->
       """WITH e AS (SELECT event_type, event_id,
         |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents

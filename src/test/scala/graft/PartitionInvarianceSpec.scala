@@ -122,7 +122,11 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q254_dp_release",     // pure integer noise from the cell key
     "q255_kn_bigram",      // snapped micro-long costs; exact sums
     "q256_acf",            // DECIMAL moments; one double division
-    "q257_kfold_audit")    // md5 folds; exact counts, single divisions
+    "q257_kfold_audit",    // md5 folds; exact counts, single divisions
+    "q258_minhash_overlap", // min is commutative — invariance IS the
+                           // sketch's mergeability contract
+    "q259_image_patches",  // per-row integer patch gathers
+    "q260_shingle_gen")    // native generator rows; exact counts
 
   test("exact operators are invariant to input split boundaries") {
     val splitty = spark.newSession()

@@ -479,7 +479,13 @@ class PlanShapeSpec extends AnyFunSuite {
       // q256/q257: one pass to a bounded frame, everything else
       // rides windows/self-joins over it.
       ("q255_kn_bigram", 2), ("q256_acf", 1),
-      ("q257_kfold_audit", 1))
+      ("q257_kfold_audit", 1),
+      // q258: signature + exact-verify subtrees over the distinct
+      // (type,user) frame — 2 by design (q235 shape), exchange
+      // reused. q259 is a pure fan-out (zero data shuffles);
+      // q260 rides the native Generate node into one doc re-group.
+      ("q258_minhash_overlap", 2), ("q259_image_patches", 1),
+      ("q260_shingle_gen", 1))
     for ((q, scans) <- expect) {
       val df = SparkEntry.queries(q)(spark, sf)
       df.collect()

@@ -87,4 +87,49 @@ class PlansSpec extends AnyFunSuite {
     assert(r.isNullAt(1))
     assert(r.getDouble(2) === 10.0)
   }
+
+  test("graft_shingles generator equals the transform+posexplode composition") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Seq("a", "b", "c", "d")),
+      (2L, Seq("x", "y", "z")),
+      (3L, Seq("solo", "pair")),          // shorter than n → 0 rows
+      (4L, Seq.empty[String]),            // empty → 0 rows
+      (5L, Seq("p", null, "q", "r")))     // null element: concat_ws skip
+      .toDF("id", "ws")
+    val gen = docs.select(col("id"), expr("graft_shingles(ws, 3)"))
+      .orderBy(col("id"), col("pos"))
+    val ref = docs
+      .select(col("id"), posexplode(
+        when(size(col("ws")) >= 3, transform(
+          sequence(lit(1), size(col("ws")) - 2), i => concat_ws(" ",
+            element_at(col("ws"), i), element_at(col("ws"), i + 1),
+            element_at(col("ws"), i + 2))))
+          .otherwise(array().cast("array<string>"))))
+      .withColumnRenamed("col", "shingle")
+      .orderBy(col("id"), col("pos"))
+    assert(gen.columns.toSeq === Seq("id", "pos", "shingle"))
+    assert(gen.collect().toSeq === ref.collect().toSeq)
+    // null ARRAY behaves like exploding an empty array (0 rows)
+    val nullArr = docs.withColumn("ws",
+        when(col("id") === 1L, col("ws")))
+      .select(col("id"), expr("graft_shingles(ws, 3)"))
+    assert(nullArr.filter(col("id") =!= 1L).count() === 0)
+    // n = 1 degenerates to posexplode of the words themselves
+    val n1 = docs.filter(col("id") === 2L)
+      .select(expr("graft_shingles(ws, 1)")).collect()
+    assert(n1.map(r => (r.getInt(0), r.getString(1))).toSeq ===
+      Seq((0, "x"), (1, "y"), (2, "z")))
+  }
+
+  test("graft_shingles rejects non-literal and non-positive n") {
+    import spark.implicits._
+    val df = Seq((1L, Seq("a", "b"))).toDF("id", "ws")
+    intercept[Exception] {
+      df.select(expr("graft_shingles(ws, 0)")).collect()
+    }
+    intercept[Exception] {
+      df.select(expr("graft_shingles(ws, cast(id as int))")).collect()
+    }
+  }
 }
