@@ -42,6 +42,131 @@ object CorpusSignals extends QueryModule {
     // recipe), so per-doc sums are order-free and the final average
     // divides exact operands. Two corpus scans (train + score) — the
     // q197/q111 statelessness trade.
+    // Rank-biased overlap between two top-20 term rankings per source
+    // (raw TF vs TF-IDF) — the IR-standard prefix-weighted similarity
+    // for indefinite rankings (Webber et al.), answering "how much
+    // does IDF weighting change what each source looks like"; the
+    // same comparator serves ranker A/B eval (q236's Spearman needs
+    // full conjoint lists — RBO is built for top-k). Truncated
+    // RBO@20, p=0.9: (1−p)·Σ p^(d−1)·|A_d∩B_d|/d over the available
+    // prefixes. Exactness: the 20 weights are hard-coded micro-snapped
+    // literals on BOTH sides (no cross-libm pow), each depth term is
+    // weight·overlap·(LCM(1..20)/d) — pure exact longs (≤ 9.3e16,
+    // analyzed) folded in fixed order — and ONE final double division.
+    // Scale shape: one corpus → (source, term) exchange, df/idf as a
+    // keyed window + broadcast 1-row source count over that frame,
+    // two row_number windows, 20-element prefix lists per source —
+    // everything after the first exchange is |sources|-bounded.
+    "q266_rbo_rankings" -> ((s, d) => {
+      val weights = "array(1000000L,900000L,810000L,729000L,656100L," +
+        "590490L,531441L,478297L,430467L,387420L,348678L,313811L," +
+        "282430L,254187L,228768L,205891L,185302L,166772L,150095L,135085L)"
+      val tf = Tables.documents(s, d)
+        .select(col("source"),
+          explode_outer(Text.words(col("text"))).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy(col("source"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      // number of sources, derived by RE-AGGREGATING the tf frame
+      // (not countDistinct over a fresh corpus subtree — that planned
+      // a second scan): the un-foldable tf/nt references keep this
+      // branch's (source, term) exchange canonically identical to the
+      // main frame's, so ReuseExchange materializes it once (the
+      // q110/q255 recipe; PlanShapeSpec pins 1 scan).
+      val ns = tf
+        .groupBy(col("source"))
+        .agg(count(when(col("tf") >= 1, lit(1))).as("nt"))
+        .agg(count(when(col("nt") >= 1, lit(1))).as("ns"))
+      val idfm = floor(log((col("ns").cast("double") + 1.0)
+        / (col("df").cast("double") + 1.0)) * 1e6 + 0.5).cast("long")
+      val rk = tf
+        .withColumn("df",
+          count(lit(1)).over(Window.partitionBy(col("term"))))
+        .crossJoin(broadcast(ns))
+        .withColumn("score",
+          col("tf").cast("decimal(14,0)") * idfm.cast("decimal(9,0)"))
+        .withColumn("rna", row_number().over(Window
+          .partitionBy(col("source"))
+          .orderBy(col("tf").desc, col("term").asc)))
+        .withColumn("rnb", row_number().over(Window
+          .partitionBy(col("source"))
+          .orderBy(col("score").desc, col("term").asc)))
+      rk.groupBy(col("source"))
+        .agg(
+          transform(array_sort(collect_list(
+            when(col("rna") <= 20, struct(col("rna"), col("term"))))),
+            p => p.getField("term")).as("ra"),
+          transform(array_sort(collect_list(
+            when(col("rnb") <= 20, struct(col("rnb"), col("term"))))),
+            p => p.getField("term")).as("rb"))
+        .withColumn("num", expr(
+          s"""aggregate(sequence(1, 20), 0L, (acc, dd) -> acc
+             |  + element_at($weights, dd)
+             |  * CAST(size(array_intersect(
+             |      slice(ra, 1, dd), slice(rb, 1, dd))) AS BIGINT)
+             |  * CAST(232792560 DIV dd AS BIGINT))""".stripMargin))
+        .select(col("source"),
+          element_at(col("ra"), 1).as("top_tf"),
+          element_at(col("rb"), 1).as("top_tfidf"),
+          size(array_intersect(col("ra"), col("rb"))).cast("long")
+            .as("overlap20"),
+          (col("num").cast("double") * 0.1 / 232792560000000.0)
+            .as("rbo"))
+        .orderBy(col("source"))
+    }),
+
+    // Dunning log-likelihood-ratio collocations (G² over the bigram
+    // 2×2 contingency table — THE corpus-linguistics collocation
+    // test, and the significance upgrade over q173's raw PMI, which
+    // over-ranks hapax pairs): top-50 bigrams by
+    // G² = 2·[Σ k·ln k (cells) − Σ row/col·ln row/col + N·ln N],
+    // observed>expected only. Every c·ln c term is a snapped
+    // micro-nat long times an exact count, accumulated per ROW in
+    // DECIMAL products (exact for N ≤ 1e14 bigrams; HUGEINT on the
+    // DuckDB side), so ranking and the one final division are
+    // order-free. Scale shape: q255's window-marginal recipe — one
+    // corpus → (w1,w2) exchange, marginals as keyed windows over that
+    // frame, the 1-row total broadcast back, TakeOrdered-50 readout
+    // (bounded heap, no global sort).
+    "q265_collocations" -> ((s, d) => {
+      def lm(c: Column): Column = when(c > 0L,
+        floor(log(c.cast("double")) * 1e6 + 0.5).cast("long"))
+        .otherwise(lit(0L))
+      def t(k: Column): Column =
+        k.cast("decimal(14,0)") * lm(k).cast("decimal(9,0)")
+      val bg = Tables.documents(s, d)
+        .withColumn("ws", Text.words(col("text")))
+        .filter(size(col("ws")) >= 2)
+        .select(explode(transform(
+          sequence(lit(1), size(col("ws")) - 1), i =>
+            struct(element_at(col("ws"), i).as("w1"),
+              element_at(col("ws"), i + 1).as("w2")))).as("bg"))
+        .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c"))
+      val tot = bg.agg(sum(col("c")).as("n"))
+      bg
+        .withColumn("c1", sum(col("c")).over(Window.partitionBy(col("w1"))))
+        .withColumn("c2", sum(col("c")).over(Window.partitionBy(col("w2"))))
+        .crossJoin(broadcast(tot))
+        // positive association only: observed > expected as the exact
+        // integer cross-multiplication c·N > c1·c2
+        .filter(col("c").cast("decimal(19,0)") * col("n").cast("decimal(19,0)")
+          > col("c1").cast("decimal(19,0)") * col("c2").cast("decimal(19,0)"))
+        .withColumn("g2_micros", lit(2).cast("decimal(2,0)") * (
+          t(col("c")) + t(col("c1") - col("c"))
+            + t(col("c2") - col("c"))
+            + t(col("n") - col("c1") - col("c2") + col("c"))
+            - t(col("c1")) - t(col("n") - col("c1"))
+            - t(col("c2")) - t(col("n") - col("c2"))
+            + t(col("n"))))
+        .orderBy(col("g2_micros").desc, col("w1"), col("w2"))
+        .limit(50)
+        .select(col("w1"), col("w2"), col("c"),
+          col("c1").cast("long").as("c1"), col("c2").cast("long").as("c2"),
+          (col("g2_micros").cast("double") / 1e6).as("g2"))
+    }),
+
     "q255_kn_bigram" -> ((s, d) => {
       def bigrams(df: DataFrame): DataFrame = df
         .withColumn("ws", Text.words(col("text")))
@@ -743,6 +868,93 @@ object CorpusSignals extends QueryModule {
     // 1.0 literals would pull DuckDB into exact DECIMAL arithmetic —
     // the q168 trap); the per-term cost is the same 1e-6-unit LONG
     // the Spark side broadcasts, so per-doc sums are exact.
+    "q266_rbo_rankings" ->
+      """WITH t AS (SELECT source, unnest(string_split(lower(trim(
+        |      regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT source, term, count(*) AS tf FROM t
+        |  WHERE term <> '' GROUP BY 1, 2),
+        |dfw AS (SELECT source, term, tf,
+        |    count(*) OVER (PARTITION BY term) AS df FROM tf),
+        |ns AS (SELECT count(DISTINCT source) AS ns FROM tf),
+        |sc AS (SELECT source, term, tf,
+        |    CAST(tf AS HUGEINT) * CAST(floor(ln(
+        |      (CAST(ns AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0))
+        |      * 1e6 + 0.5) AS HUGEINT) AS score
+        |  FROM dfw, ns),
+        |rk AS (SELECT source, term,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY tf DESC, term) AS rna,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY score DESC, term) AS rnb
+        |  FROM sc),
+        |la AS (SELECT source, list(term ORDER BY rna) AS ra
+        |  FROM rk WHERE rna <= 20 GROUP BY source),
+        |lb AS (SELECT source, list(term ORDER BY rnb) AS rb
+        |  FROM rk WHERE rnb <= 20 GROUP BY source),
+        |r AS (SELECT source, ra, rb,
+        |    list_sum(list_transform(range(1, 21), dd ->
+        |      [1000000,900000,810000,729000,656100,590490,531441,
+        |       478297,430467,387420,348678,313811,282430,254187,
+        |       228768,205891,185302,166772,150095,135085][dd]
+        |      * len(list_intersect(ra[1:dd], rb[1:dd]))
+        |      * (232792560 // dd))) AS num
+        |  FROM la JOIN lb USING (source))
+        |SELECT source, ra[1] AS top_tf, rb[1] AS top_tfidf,
+        |  CAST(len(list_intersect(ra, rb)) AS BIGINT) AS overlap20,
+        |  CAST(num AS DOUBLE) * 0.1::DOUBLE / 232792560000000.0 AS rbo
+        |FROM r ORDER BY source""".stripMargin,
+
+    // same window-marginal shape; the nine c·ln c terms expand the
+    // t() helper inline (HUGEINT products of snapped micro-nat longs)
+    "q265_collocations" ->
+      """WITH ws AS (SELECT string_split(lower(trim(
+        |      regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+        |  FROM documents),
+        |px AS (SELECT w, unnest(range(1, len(w))) AS pos
+        |  FROM ws WHERE len(w) >= 2),
+        |bg AS (SELECT w[pos] AS w1, w[pos + 1] AS w2, count(*) AS c
+        |  FROM px GROUP BY 1, 2),
+        |g AS (SELECT w1, w2, c,
+        |    CAST(sum(c) OVER (PARTITION BY w1) AS BIGINT) AS c1,
+        |    CAST(sum(c) OVER (PARTITION BY w2) AS BIGINT) AS c2,
+        |    CAST(sum(c) OVER () AS BIGINT) AS n
+        |  FROM bg),
+        |sc AS (SELECT w1, w2, c, c1, c2,
+        |    2 * ((CASE WHEN c > 0 THEN CAST(c AS HUGEINT)
+        |        * CAST(floor(ln(CAST(c AS DOUBLE)) * 1e6 + 0.5)
+        |          AS HUGEINT) ELSE 0 END)
+        |      + (CASE WHEN c1 - c > 0 THEN CAST(c1 - c AS HUGEINT)
+        |        * CAST(floor(ln(CAST(c1 - c AS DOUBLE)) * 1e6 + 0.5)
+        |          AS HUGEINT) ELSE 0 END)
+        |      + (CASE WHEN c2 - c > 0 THEN CAST(c2 - c AS HUGEINT)
+        |        * CAST(floor(ln(CAST(c2 - c AS DOUBLE)) * 1e6 + 0.5)
+        |          AS HUGEINT) ELSE 0 END)
+        |      + (CASE WHEN n - c1 - c2 + c > 0
+        |        THEN CAST(n - c1 - c2 + c AS HUGEINT)
+        |        * CAST(floor(ln(CAST(n - c1 - c2 + c AS DOUBLE))
+        |          * 1e6 + 0.5) AS HUGEINT) ELSE 0 END)
+        |      - (CASE WHEN c1 > 0 THEN CAST(c1 AS HUGEINT)
+        |        * CAST(floor(ln(CAST(c1 AS DOUBLE)) * 1e6 + 0.5)
+        |          AS HUGEINT) ELSE 0 END)
+        |      - (CASE WHEN n - c1 > 0 THEN CAST(n - c1 AS HUGEINT)
+        |        * CAST(floor(ln(CAST(n - c1 AS DOUBLE)) * 1e6 + 0.5)
+        |          AS HUGEINT) ELSE 0 END)
+        |      - (CASE WHEN c2 > 0 THEN CAST(c2 AS HUGEINT)
+        |        * CAST(floor(ln(CAST(c2 AS DOUBLE)) * 1e6 + 0.5)
+        |          AS HUGEINT) ELSE 0 END)
+        |      - (CASE WHEN n - c2 > 0 THEN CAST(n - c2 AS HUGEINT)
+        |        * CAST(floor(ln(CAST(n - c2 AS DOUBLE)) * 1e6 + 0.5)
+        |          AS HUGEINT) ELSE 0 END)
+        |      + (CASE WHEN n > 0 THEN CAST(n AS HUGEINT)
+        |        * CAST(floor(ln(CAST(n AS DOUBLE)) * 1e6 + 0.5)
+        |          AS HUGEINT) ELSE 0 END)) AS g2_micros
+        |  FROM g WHERE CAST(c AS HUGEINT) * CAST(n AS HUGEINT)
+        |    > CAST(c1 AS HUGEINT) * CAST(c2 AS HUGEINT))
+        |SELECT w1, w2, c, c1, c2,
+        |  CAST(g2_micros AS DOUBLE) / 1e6 AS g2
+        |FROM sc ORDER BY g2_micros DESC, w1, w2 LIMIT 50""".stripMargin,
+
     "q255_kn_bigram" ->
       """WITH ws AS (SELECT doc_id, string_split(lower(trim(
         |      regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w

@@ -425,6 +425,69 @@ object Dedup extends QueryModule {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // Sketch-quality eval for the q63 SimHash predicate — the tuning
+    // loop every sketch deployment needs before committing a 100 TB
+    // dedup pass: on the chunk-blocked candidate space, score the
+    // cheap predicate (Hamming ≤ 3) against exact ground truth
+    // (Jaccard ≥ 0.5, decided by the integer cross-multiplication
+    // 3·|A∩B| ≥ |A|+|B| — no float threshold) and emit the confusion
+    // matrix + precision. Exact intersections via the native
+    // graft_sorted_intersect kernel over once-per-doc sorted distinct
+    // word-hash sets — the corpus is never paired, only blocked
+    // candidates are verified (the same verify-stage shape as
+    // q61/q158); precision and the actual-positive share are single
+    // divisions of exact longs.
+    "q263_simhash_eval" -> ((s, d) => {
+      // one base frame carries BOTH the fingerprint and the sorted
+      // word-hash set through the chunk self-join, so the corpus is
+      // scanned once and the second side is a ReusedExchange — the
+      // joined-back alternative (pairs ⋈ sets ⋈ sets) planned three
+      // scans of the md5 pipeline. The u arrays ride the candidate
+      // shuffle (bounded: ≤4 chunk rows per doc), the exact verdict is
+      // computed per candidate row, and pair dedup happens on the
+      // COMPACT (ids, pred, act) projection, never on the arrays.
+      val wh = transform(
+        array_distinct(Text.words(coalesce(col("text"), lit("")))),
+        w => wordHash(w))
+      val base = Tables.documents(s, d)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), wh.as("wh"))
+        .select(col("doc_id"),
+          call_function("graft_simhash", col("wh")).as("simhash"),
+          array_sort(array_distinct(col("wh"))).as("u"))
+      val chunks = base.select(col("doc_id"), col("simhash"), col("u"),
+        posexplode(array((0 until 4).map { c =>
+          shiftrightunsigned(col("simhash"), 16 * c)
+            .bitwiseAND(lit(0xFFFFL))
+        }: _*)).as(Seq("chunk_id", "chunk_val")))
+      chunks.as("x").join(chunks.as("y"),
+          col("x.chunk_id") === col("y.chunk_id") &&
+            col("x.chunk_val") === col("y.chunk_val") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          (bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
+            <= 3).as("pred"),
+          (expr("graft_sorted_intersect(x.u, y.u)").cast("long") * 3L
+            >= (size(col("x.u")) + size(col("y.u"))).cast("long"))
+            .as("act"))
+        .distinct()
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(when(col("pred") && col("act"), 1L).otherwise(0L))
+            .as("tp"),
+          sum(when(col("pred") && !col("act"), 1L).otherwise(0L))
+            .as("fp"),
+          sum(when(!col("pred") && col("act"), 1L).otherwise(0L))
+            .as("fn"),
+          sum(when(!col("pred") && !col("act"), 1L).otherwise(0L))
+            .as("tn"))
+        .withColumn("precision",
+          when(col("tp") + col("fp") > 0L, col("tp").cast("double")
+            / (col("tp") + col("fp")).cast("double")).otherwise(lit(0.0)))
+        .withColumn("actual_share",
+          (col("tp") + col("fn")).cast("double")
+            / col("n_candidates").cast("double"))
+    }),
+
     // Fuzzy entity matching — edit-distance record linkage, the family
     // MinHash/SimHash can't serve (they see token sets; "old gear" vs
     // "red gear" is a CHARACTER-level near-match). Scale shape: the
@@ -982,6 +1045,55 @@ object Dedup extends QueryModule {
         |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
         |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q263_simhash_eval" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_distinct(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS words
+        |  FROM documents WHERE text IS NOT NULL),
+        |wsets AS (SELECT doc_id,
+        |    list_sort(list_distinct(list_transform(words, x ->
+        |      ('0x' || substr(md5(x), 1, 15))::BIGINT))) AS u
+        |  FROM w),
+        |h AS (SELECT doc_id, list_transform(words, x ->
+        |    list_sum(list_transform(range(1, 16), i ->
+        |      (strpos('0123456789abcdef', substr(md5(x), i, 1)) - 1)::BIGINT
+        |        << (4 * (15 - i))))::BIGINT) AS wh
+        |  FROM w),
+        |sim AS (SELECT doc_id,
+        |    list_sum(list_transform(range(0, 60), b ->
+        |      CASE WHEN list_sum(list_transform(wh, x ->
+        |          CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+        |        THEN 1::BIGINT << b ELSE 0::BIGINT END))::BIGINT AS simhash
+        |  FROM h),
+        |ck AS (SELECT doc_id, simhash, unnest([0, 1, 2, 3]) AS chunk_id FROM sim),
+        |chunks AS (SELECT doc_id, simhash, chunk_id,
+        |    (simhash >> (16 * chunk_id)) & 65535 AS chunk_val FROM ck),
+        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |    bit_count(xor(x.simhash, y.simhash)) AS hamming
+        |  FROM chunks x JOIN chunks y ON x.chunk_id = y.chunk_id
+        |    AND x.chunk_val = y.chunk_val AND x.doc_id < y.doc_id),
+        |v AS (SELECT (c.hamming <= 3) AS pred,
+        |    (3 * len(list_intersect(a.u, b.u))
+        |      >= len(a.u) + len(b.u)) AS act
+        |  FROM cand c JOIN wsets a ON a.doc_id = c.doc_a
+        |    JOIN wsets b ON b.doc_id = c.doc_b),
+        |cm AS (SELECT count(*) AS n_candidates,
+        |    CAST(sum(CASE WHEN pred AND act THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN pred AND NOT act THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS fp,
+        |    CAST(sum(CASE WHEN NOT pred AND act THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS fn,
+        |    CAST(sum(CASE WHEN NOT pred AND NOT act THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS tn
+        |  FROM v)
+        |SELECT n_candidates, tp, fp, fn, tn,
+        |  CASE WHEN tp + fp > 0
+        |    THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)
+        |    ELSE 0.0 END AS precision,
+        |  CAST(tp + fn AS DOUBLE) / CAST(n_candidates AS DOUBLE)
+        |    AS actual_share
+        |FROM cm""".stripMargin,
 
     "q68_dedup_embed" ->
       """WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label

@@ -328,6 +328,58 @@ object Similarity extends QueryModule {
         .orderBy(col("label"))
     }),
 
+    // Product quantization — the codebook compression inside every
+    // 100 TB ANN index (IVF-PQ): the 64-dim vector split into 8
+    // subspaces of 8 dims, each assigned its nearest sub-centroid, so
+    // a 256-byte float vector becomes 8 small codes. Codebook here =
+    // the per-label sub-centroids (q140's snapped per-dim means — a
+    // supervised stand-in for the k-means codebook; the assignment
+    // machinery is identical). Exactness is q243's discipline: snapped
+    // centroids broadcast, per-(vector, subspace, centroid) distance
+    // as the bit-equal fold xx − 2·xc + cc clamped at 0 and snapped
+    // to an exact MICRO-LONG, argmin = min(struct(dist, label)) with
+    // the label tie-break. Scale shape: corpus scanned once, the
+    // 80-row codebook broadcast, the 80× fan-out folds back through
+    // ONE vec_id-keyed exchange (groupBy + 8-value pivot — no
+    // per-subspace shuffle); reconstruction error is a sum of 8 exact
+    // longs, so it is order-free by construction.
+    "q264_pq_codes" -> ((s, d) => {
+      val cent = Tables.embeddings(s, d)
+        .filter(col("embedding").isNotNull)
+        .select(col("label"),
+          posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("label"), (col("dim") / 8).cast("int").as("sub"),
+          col("dim"))
+        .agg((floor(avg(col("v").cast("double")) * 1e6 + 0.5) / 1e6)
+          .as("cv"))
+        .groupBy(col("label"), col("sub"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("cv"))))
+          .as("pairs"))
+        .select(col("label").as("cid"), col("sub"),
+          transform(col("pairs"), p => p.getField("cv")).as("csub"))
+        .withColumn("cc", dot(col("csub"), col("csub")))
+      val pts = Tables.embeddings(s, d)
+        .filter(col("embedding").isNotNull)
+        .select(col("vec_id"), dvec(col("embedding")).as("x"))
+      val assigned = pts.crossJoin(broadcast(cent))
+        .withColumn("xs", slice(col("x"), col("sub") * 8 + 1, lit(8)))
+        .withColumn("dist", floor(greatest(
+          dot(col("xs"), col("xs"))
+            - lit(2.0) * dot(col("xs"), col("csub")) + col("cc"),
+          lit(0.0)) * 1e6 + 0.5).cast("long"))
+        .select(col("vec_id"), col("sub"),
+          struct(col("dist"), col("cid")).as("dc"))
+      val piv = assigned.groupBy(col("vec_id"))
+        .pivot("sub", 0 to 7).agg(min(col("dc")))
+      val codes = concat_ws("-",
+        (0 to 7).map(i => col(s"$i").getField("cid").cast("string")): _*)
+      val err = (0 to 7).map(i => col(s"$i").getField("dist"))
+        .reduce(_ + _)
+      piv.select(col("vec_id"), codes.as("codes"),
+          err.as("recon_micros"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Reciprocal-rank fusion — the hybrid-retrieval merge every modern
     // search stack runs (dense ANN list + sparse lexical list → one
     // ranking): ranker A scores the corpus by cosine to the query
@@ -894,6 +946,39 @@ object Similarity extends QueryModule {
     // q140's centroid CTE + the exact-int-through-double distance
     // expansion; every per-point value is deterministic, s is micro-
     // snapped before the exact-long mean.
+    // same snapped-centroid + xx−2xc+cc discipline as q243; argmin by
+    // a (dist, cid) row_number — a different formulation proving the
+    // struct-min equivalent; recon = exact micro-long sum.
+    "q264_pq_codes" ->
+      """WITH e AS (SELECT label, unnest(embedding) AS v,
+        |    generate_subscripts(embedding, 1) AS ord
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |c AS (SELECT label AS cid, CAST((ord - 1) // 8 AS INT) AS sub,
+        |    ord, floor(avg(v) * 1e6 + 0.5) / 1e6 AS cv
+        |  FROM e GROUP BY label, ord),
+        |cb AS (SELECT cid, sub, list(cv ORDER BY ord) AS csub
+        |  FROM c GROUP BY cid, sub),
+        |cb2 AS (SELECT cid, sub, csub,
+        |    list_dot_product(csub, csub) AS cc FROM cb),
+        |p AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS x
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |a AS (SELECT vec_id, sub, cid,
+        |    CAST(floor(greatest(list_dot_product(xs, xs)
+        |      - 2.0 * list_dot_product(xs, csub) + cc, 0.0)
+        |      * 1e6 + 0.5) AS BIGINT) AS dist
+        |  FROM (SELECT vec_id, cid, sub, csub, cc,
+        |      x[sub * 8 + 1 : sub * 8 + 8] AS xs
+        |    FROM p CROSS JOIN cb2)),
+        |r AS (SELECT vec_id, sub, dist, cid,
+        |    row_number() OVER (PARTITION BY vec_id, sub
+        |      ORDER BY dist, cid) AS rk
+        |  FROM a)
+        |SELECT vec_id,
+        |  string_agg(CAST(cid AS VARCHAR), '-' ORDER BY sub) AS codes,
+        |  CAST(sum(dist) AS BIGINT) AS recon_micros
+        |FROM r WHERE rk = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
     "q243_silhouette" ->
       """WITH e AS (SELECT label, unnest(embedding) AS v,
         |    generate_subscripts(embedding, 1) AS ord

@@ -388,6 +388,139 @@ object TextAnalysis extends QueryModule {
           .as("r"))
         .select(col("r.metric"), col("r.value"))
         .orderBy(col("metric"))
+    }),
+
+    // ROUGE-1/-2 between consecutive same-(lang, source) documents —
+    // the summarization-eval overlap metric repurposed as a crawl
+    // snapshot-drift probe (each doc scored against the NEXT doc from
+    // its source+language). Set semantics over shared-md5 60-bit
+    // word/bigram hashes; intersections via the native
+    // graft_sorted_intersect kernel on ONCE-per-doc sorted distinct
+    // arrays (two-pointer merge — no per-pair hash set), pairing via
+    // one lead() window, so the whole operator costs ONE
+    // (lang, source)-keyed exchange and never a join: at 100 TB the
+    // quadratic "each doc vs corpus" form is impossible, but
+    // consecutive-pair scoring is shuffle-linear. Recall, precision,
+    // and F1 are each a single division of exact ints (set-F1 = Dice
+    // = 2I/(|A|+|B|), so no compound float chain).
+    "q261_rouge_pairs" -> ((s, d) => {
+      def h(c: Column): Column =
+        conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+      val w = Window.partitionBy(col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+      Tables.documents(s, d)
+        .filter(col("text").isNotNull)
+        .withColumn("ws", Text.words(col("text")))
+        .withColumn("u",
+          array_sort(array_distinct(transform(col("ws"), wd => h(wd)))))
+        .withColumn("b", when(size(col("ws")) >= 2,
+          array_sort(array_distinct(transform(
+            sequence(lit(1), size(col("ws")) - 1), i => h(concat_ws(" ",
+              element_at(col("ws"), i), element_at(col("ws"), i + 1)))))))
+          .otherwise(array().cast("array<long>")))
+        .select(col("doc_id"), col("lang"), col("source"), col("u"),
+          col("b"),
+          lead(col("doc_id"), 1).over(w).as("ref_id"),
+          lead(col("u"), 1).over(w).as("u2"),
+          lead(col("b"), 1).over(w).as("b2"))
+        .filter(col("ref_id").isNotNull)
+        .select(col("doc_id"), col("ref_id"), col("lang"), col("source"),
+          expr("graft_sorted_intersect(u, u2)").cast("long").as("inter1"),
+          size(col("u")).cast("long").as("n1_cand"),
+          size(col("u2")).cast("long").as("n1_ref"),
+          expr("graft_sorted_intersect(b, b2)").cast("long").as("inter2"),
+          size(col("b")).cast("long").as("n2_cand"),
+          size(col("b2")).cast("long").as("n2_ref"))
+        .withColumn("rouge1_recall",
+          col("inter1").cast("double") / col("n1_ref").cast("double"))
+        .withColumn("rouge1_precision",
+          col("inter1").cast("double") / col("n1_cand").cast("double"))
+        .withColumn("rouge1_f1", col("inter1").cast("double") * 2.0
+          / (col("n1_cand") + col("n1_ref")).cast("double"))
+        .withColumn("rouge2_f1",
+          when(col("n2_cand") + col("n2_ref") === 0L, lit(0.0))
+            .otherwise(col("inter2").cast("double") * 2.0
+              / (col("n2_cand") + col("n2_ref")).cast("double")))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ROUGE-L + token-level diff stats over the same consecutive
+    // (lang, source) pairs as q261 — the SEQUENCE member of the ROUGE
+    // family (order matters: "a b c" vs "c b a" has full ROUGE-1 but
+    // LCS 1). The longest-common-subsequence length comes from the
+    // native graft_lcs kernel (plans/LcsLength.scala — the classic
+    // rolling-row DP as one codegen'd primitive loop; no HOF
+    // composition can express the double recurrence, and levenshtein
+    // is character-grain), over once-per-doc hashed token SEQUENCES
+    // (shared-md5 60-bit, hashed once per doc — the per-pair work is
+    // one long-compare DP). Pairing rides the one lead() window;
+    // ROUGE-L F1 = 2·LCS/(|A|+|B|), insertions = |B|−LCS, deletions =
+    // |A|−LCS — exact ints, single divisions. DP cost is
+    // O(|A|·|B|) per pair on bounded documents — at 100 TB the
+    // blocked-pair count scales linearly with the corpus while each
+    // DP stays document-bounded.
+    "q267_rouge_l" -> ((s, d) => {
+      val w = Window.partitionBy(col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+      Tables.documents(s, d)
+        .filter(col("text").isNotNull)
+        .withColumn("ha", transform(Text.words(col("text")), wd =>
+          conv(substring(md5(wd), 1, 15), 16, 10).cast("long")))
+        .select(col("doc_id"), col("lang"), col("source"), col("ha"),
+          lead(col("doc_id"), 1).over(w).as("ref_id"),
+          lead(col("ha"), 1).over(w).as("hb"))
+        .filter(col("ref_id").isNotNull)
+        .select(col("doc_id"), col("ref_id"), col("lang"), col("source"),
+          expr("graft_lcs(ha, hb)").cast("long").as("lcs"),
+          size(col("ha")).cast("long").as("n_cand"),
+          size(col("hb")).cast("long").as("n_ref"))
+        .withColumn("rouge_l_f1", col("lcs").cast("double") * 2.0
+          / (col("n_cand") + col("n_ref")).cast("double"))
+        .withColumn("insertions", col("n_ref") - col("lcs"))
+        .withColumn("deletions", col("n_cand") - col("lcs"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Suffix-stripping stem audit — the normalization-impact probe a
+    // pipeline runs before deciding whether dedup/vocab stages should
+    // stem (Porter's first rule family: ing/ed/es/s with minimum-stem
+    // guards, first match wins; deterministic CASE chain, no regex
+    // backtracking ambiguity). Per language: distinct surface types,
+    // distinct stems, the type→stem compression ratio, and the
+    // largest stem family size. Scale shape: corpus → distinct
+    // (lang, word) vocab frame
+    // (map-side combined, vocabulary-sized — the q133 collapse),
+    // stems computed per vocab row, ONE lang re-group; the ratio is a
+    // single division of exact longs.
+    "q269_stem_audit" -> ((s, d) => {
+      val w = col("word")
+      val stem = when(length(w) >= 5 && w.endsWith("ing"),
+          expr("substring(word, 1, length(word) - 3)"))
+        .when(length(w) >= 4 && w.endsWith("ed"),
+          expr("substring(word, 1, length(word) - 2)"))
+        .when(length(w) >= 4 && w.endsWith("es"),
+          expr("substring(word, 1, length(word) - 2)"))
+        .when(length(w) >= 3 && w.endsWith("s") && !w.endsWith("ss"),
+          expr("substring(word, 1, length(word) - 1)"))
+        .otherwise(w)
+      val vocab = Tables.documents(s, d)
+        .select(col("lang"),
+          explode_outer(Text.words(col("text"))).as("word"))
+        .filter(col("word") =!= "")
+        .select(col("lang"), col("word")).distinct()
+        .withColumn("stem", stem)
+      vocab
+        .groupBy(col("lang"), col("stem"))
+        .agg(count(lit(1)).as("fam"))
+        .groupBy(col("lang"))
+        .agg(sum(col("fam")).as("n_types"),
+          count(lit(1)).as("n_stems"),
+          max(col("fam")).as("max_family"))
+        .select(col("lang"), col("n_types"), col("n_stems"),
+          (col("n_stems").cast("double")
+            / col("n_types").cast("double")).as("stem_ratio"),
+          col("max_family"))
+        .orderBy(col("lang"))
     })
   )
 
@@ -694,6 +827,114 @@ object TextAnalysis extends QueryModule {
         |  md5(array_to_string(list_sort(list_distinct(wrds)), ' ')) AS bag_fp,
         |  md5(array_to_string(wrds[1:8], ' ')) AS head_fp,
         |  len(list_distinct(wrds)) AS vocab_size
-        |FROM w ORDER BY doc_id""".stripMargin)
+        |FROM w ORDER BY doc_id""".stripMargin),
+
+    "q261_rouge_pairs" ->
+      """WITH ws AS (SELECT doc_id, lang, source, string_split(lower(trim(
+        |      regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |st AS (SELECT doc_id, lang, source,
+        |    list_sort(list_distinct(list_transform(w, x ->
+        |      ('0x' || substr(md5(x), 1, 15))::BIGINT))) AS u,
+        |    CASE WHEN len(w) >= 2 THEN
+        |      list_sort(list_distinct(list_transform(range(1, len(w)),
+        |        i -> ('0x' || substr(md5(w[i] || ' ' || w[i + 1]),
+        |          1, 15))::BIGINT)))
+        |    ELSE []::BIGINT[] END AS b
+        |  FROM ws),
+        |p AS (SELECT doc_id, lang, source, u, b,
+        |    lead(doc_id) OVER win AS ref_id,
+        |    lead(u) OVER win AS u2, lead(b) OVER win AS b2
+        |  FROM st WINDOW win AS (PARTITION BY lang, source
+        |    ORDER BY doc_id)),
+        |m AS (SELECT doc_id, ref_id, lang, source,
+        |    CAST(len(list_intersect(u, u2)) AS BIGINT) AS inter1,
+        |    CAST(len(u) AS BIGINT) AS n1_cand,
+        |    CAST(len(u2) AS BIGINT) AS n1_ref,
+        |    CAST(len(list_intersect(b, b2)) AS BIGINT) AS inter2,
+        |    CAST(len(b) AS BIGINT) AS n2_cand,
+        |    CAST(len(b2) AS BIGINT) AS n2_ref
+        |  FROM p WHERE ref_id IS NOT NULL)
+        |SELECT doc_id, ref_id, lang, source, inter1, n1_cand, n1_ref,
+        |  inter2, n2_cand, n2_ref,
+        |  CAST(inter1 AS DOUBLE) / CAST(n1_ref AS DOUBLE)
+        |    AS rouge1_recall,
+        |  CAST(inter1 AS DOUBLE) / CAST(n1_cand AS DOUBLE)
+        |    AS rouge1_precision,
+        |  CAST(inter1 AS DOUBLE) * 2.0
+        |    / CAST(n1_cand + n1_ref AS DOUBLE) AS rouge1_f1,
+        |  CASE WHEN n2_cand + n2_ref = 0 THEN 0.0
+        |    ELSE CAST(inter2 AS DOUBLE) * 2.0
+        |      / CAST(n2_cand + n2_ref AS DOUBLE) END AS rouge2_f1
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    // an INDEPENDENT LCS implementation on purpose: the kernel's
+    // rolling-row DP re-expressed as nested list_reduce folds (outer
+    // fold over A's tokens threads the DP row; inner fold builds the
+    // next row left-to-right, reading the old row via the outer
+    // accumulator) — a green row proves the native kernel against a
+    // from-scratch formulation, not against itself.
+    "q267_rouge_l" ->
+      """WITH ws AS (SELECT doc_id, lang, source, string_split(lower(trim(
+        |      regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |hs AS (SELECT doc_id, lang, source,
+        |    list_transform(w, x ->
+        |      ('0x' || substr(md5(x), 1, 15))::BIGINT) AS ha
+        |  FROM ws),
+        |p AS (SELECT doc_id, lang, source, ha,
+        |    lead(doc_id) OVER win AS ref_id,
+        |    lead(ha) OVER win AS hb
+        |  FROM hs WINDOW win AS (PARTITION BY lang, source
+        |    ORDER BY doc_id)),
+        |m AS (SELECT doc_id, ref_id, lang, source,
+        |    CAST(list_reduce(
+        |      list_prepend(
+        |        list_transform(range(0, len(hb) + 1), z -> 0::BIGINT),
+        |        list_transform(ha, a -> [a])),
+        |      (acc, x) -> list_reduce(
+        |        list_prepend([0::BIGINT],
+        |          list_transform(range(1, len(hb) + 1),
+        |            j -> [j::BIGINT])),
+        |        (acc2, y) -> list_append(acc2,
+        |          CASE WHEN hb[y[1]] = x[1] THEN acc[y[1]] + 1
+        |            ELSE greatest(acc[y[1] + 1], acc2[-1]) END)))[-1]
+        |      AS BIGINT) AS lcs,
+        |    CAST(len(ha) AS BIGINT) AS n_cand,
+        |    CAST(len(hb) AS BIGINT) AS n_ref
+        |  FROM p WHERE ref_id IS NOT NULL)
+        |SELECT doc_id, ref_id, lang, source, lcs, n_cand, n_ref,
+        |  CAST(lcs AS DOUBLE) * 2.0 / CAST(n_cand + n_ref AS DOUBLE)
+        |    AS rouge_l_f1,
+        |  n_ref - lcs AS insertions,
+        |  n_cand - lcs AS deletions
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q269_stem_audit" ->
+      """WITH t AS (SELECT lang, unnest(string_split(lower(trim(
+        |      regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS word
+        |  FROM documents),
+        |v AS (SELECT DISTINCT lang, word FROM t WHERE word <> ''),
+        |st AS (SELECT lang, word,
+        |    CASE
+        |      WHEN length(word) >= 5 AND word LIKE '%ing'
+        |        THEN substring(word, 1, length(word) - 3)
+        |      WHEN length(word) >= 4 AND word LIKE '%ed'
+        |        THEN substring(word, 1, length(word) - 2)
+        |      WHEN length(word) >= 4 AND word LIKE '%es'
+        |        THEN substring(word, 1, length(word) - 2)
+        |      WHEN length(word) >= 3 AND word LIKE '%s'
+        |        AND word NOT LIKE '%ss'
+        |        THEN substring(word, 1, length(word) - 1)
+        |      ELSE word END AS stem
+        |  FROM v),
+        |fam AS (SELECT lang, stem, count(*) AS fam
+        |  FROM st GROUP BY 1, 2)
+        |SELECT lang, CAST(sum(fam) AS BIGINT) AS n_types,
+        |  count(*) AS n_stems,
+        |  CAST(count(*) AS DOUBLE) / CAST(sum(fam) AS DOUBLE)
+        |    AS stem_ratio,
+        |  max(fam) AS max_family
+        |FROM fam GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

@@ -47,6 +47,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         SimHash64(children.head)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_lcs"),
+      new ExpressionInfo(classOf[LcsLength].getName, "graft_lcs"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "graft_lcs(hashArrayA, hashArrayB) takes 2 arguments")
+        LcsLength(children.head, children(1))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[ShingleGenerator].getName,
         "graft_shingles"),

@@ -879,6 +879,112 @@ object Profile extends QueryModule {
             / (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
             .as("abs_err"))
         .orderBy(col("type_a"), col("type_b"))
+    }),
+
+    // Mutual information between two metadata columns (lang ⨯ source)
+    // — the dataset-audit number behind feature-leakage and
+    // dedup-stratification checks: MI ≈ 0 means source tells you
+    // nothing about language; MI ≈ H(lang) means source DETERMINES
+    // language (a red flag before stratified splitting — q100/q257's
+    // strata would collapse). Recipe: ONE corpus scan to the
+    // |langs|·|sources| cell frame; marginals/N as window sums OVER
+    // THE CELLS (never a rescan); every ln as a snapped micro-nat
+    // LONG, per-cell terms c·(L(c)+L(N)−L(c_l)−L(c_s)) in exact
+    // DECIMAL products so the cross-cell sums are order-free
+    // (documented bound: exact for N ≤ 1e14 rows — DECIMAL(14,0)
+    // counts × DECIMAL(9,0) micro-nat terms). Output: one row of
+    // H(lang), H(source), H(joint), MI, and the normalized
+    // MI/min(H) coefficient — each a single double division.
+    "q262_mutual_info" -> ((s, d) => {
+      def lm(c: Column): Column =
+        floor(log(c.cast("double")) * 1e6 + 0.5)
+      val cells = Tables.documents(s, d)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("c"))
+      val wAll = Window.partitionBy()
+      val g = cells
+        .withColumn("n", sum(col("c")).over(wAll))
+        .withColumn("cl", sum(col("c"))
+          .over(Window.partitionBy(col("lang"))))
+        .withColumn("cs", sum(col("c"))
+          .over(Window.partitionBy(col("source"))))
+      val joint = g.agg(
+        max(col("n")).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("c").cast("decimal(14,0)")
+          * (lm(col("c")) + lm(col("n")) - lm(col("cl")) - lm(col("cs")))
+            .cast("decimal(9,0)")).as("mi_num"),
+        sum(col("c").cast("decimal(14,0)")
+          * (lm(col("n")) - lm(col("c"))).cast("decimal(9,0)"))
+          .as("hj_num"))
+      def marginal(key: String, out: String) = cells
+        .groupBy(col(key)).agg(sum(col("c")).as("ck"))
+        .withColumn("n", sum(col("ck")).over(wAll))
+        .agg(sum(col("ck").cast("decimal(14,0)")
+          * (lm(col("n")) - lm(col("ck"))).cast("decimal(9,0)"))
+          .as(out))
+      joint.crossJoin(marginal("lang", "hl_num"))
+        .crossJoin(marginal("source", "hs_num"))
+        .select(col("n_docs"), col("n_langs"), col("n_sources"),
+          (col("hl_num").cast("double")
+            / (col("n_docs").cast("double") * 1e6)).as("h_lang"),
+          (col("hs_num").cast("double")
+            / (col("n_docs").cast("double") * 1e6)).as("h_source"),
+          (col("hj_num").cast("double")
+            / (col("n_docs").cast("double") * 1e6)).as("h_joint"),
+          (col("mi_num").cast("double")
+            / (col("n_docs").cast("double") * 1e6)).as("mi_nats"))
+        .withColumn("nmi",
+          when(least(col("h_lang"), col("h_source")) > 0.0,
+            col("mi_nats") / least(col("h_lang"), col("h_source")))
+            .otherwise(lit(0.0)))
+    }),
+
+    // HyperLogLog with EXPLICIT registers (m=64, b=6) — the fifth
+    // sketch family (q247 CMS, q258 MinHash, q39 HLL-as-blackbox,
+    // q31b bitmap), materialized register-by-register so the
+    // mergeability is inspectable: register j = MAX rank over the
+    // stream (max is commutative — shards/days union by element-wise
+    // max, the same contract q258 pins for min). Hash = shared-md5
+    // 48 bits; bucket = top 6, rank = leading-zeros-of-42 + 1
+    // computed by EXACT integer comparisons (a count of k with
+    // 2^(k−1) ≤ rem — no float log2 at bit boundaries). The raw
+    // estimator α·m²/Σ2^(−M_j) is bit-exact cross-engine because
+    // every 2^(−M) term and their 64-term sum are exactly
+    // representable binary fractions (exponent span 6+43 < 53 bits —
+    // order-free by analysis, not by snapping). Self-verifying
+    // (q247/q258 style): exact distinct runs alongside; output
+    // carries estimate, exact, and relative error. No small/large
+    // range corrections — the raw estimator is the mergeable object;
+    // corrections are a serving-side readout concern.
+    "q268_hll_registers" -> ((s, d) => {
+      val h = conv(substring(md5(col("user_id").cast("string")), 1, 12),
+        16, 10).cast("long")
+      val regs = Tables.events(s, d)
+        .select(col("event_type"), h.as("h"))
+        .select(col("event_type"),
+          shiftrightunsigned(col("h"), 42).cast("int").as("bucket"),
+          (col("h").bitwiseAND(lit((1L << 42) - 1))).as("rem"))
+        .withColumn("rank", lit(43) - expr(
+          "size(filter(sequence(1, 42), k -> rem >= shiftleft(1L, k - 1)))"))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(max(col("rank")).as("m_j"))
+      val sketch = regs.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_hit"),
+          sum(lit(1.0) / expr("shiftleft(1L, m_j)").cast("double"))
+            .as("s_hit"))
+        .withColumn("est_raw", lit(0.709) * 4096.0
+          / (col("s_hit") + (lit(64L) - col("n_hit")).cast("double")))
+      val exact = Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      sketch.join(exact, Seq("event_type"))
+        .select(col("event_type"), col("n_hit"), col("est_raw"),
+          col("exact_users"),
+          (abs(col("est_raw") - col("exact_users").cast("double"))
+            / col("exact_users").cast("double")).as("rel_err"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -914,6 +1020,94 @@ object Profile extends QueryModule {
         |  JOIN sz sa ON sa.event_type = type_a
         |  JOIN sz sb ON sb.event_type = type_b
         |ORDER BY type_a, type_b""".stripMargin,
+
+    "q262_mutual_info" ->
+      """WITH cells AS (SELECT lang, source, count(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |g AS (SELECT c,
+        |    sum(c) OVER () AS n,
+        |    sum(c) OVER (PARTITION BY lang) AS cl,
+        |    sum(c) OVER (PARTITION BY source) AS cs,
+        |    lang, source
+        |  FROM cells),
+        |joint AS (SELECT CAST(max(n) AS BIGINT) AS n_docs,
+        |    count(DISTINCT lang) AS n_langs,
+        |    count(DISTINCT source) AS n_sources,
+        |    sum(CAST(c AS HUGEINT) * CAST(
+        |        floor(ln(CAST(c AS DOUBLE)) * 1e6 + 0.5)
+        |        + floor(ln(CAST(n AS DOUBLE)) * 1e6 + 0.5)
+        |        - floor(ln(CAST(cl AS DOUBLE)) * 1e6 + 0.5)
+        |        - floor(ln(CAST(cs AS DOUBLE)) * 1e6 + 0.5)
+        |      AS HUGEINT)) AS mi_num,
+        |    sum(CAST(c AS HUGEINT) * CAST(
+        |        floor(ln(CAST(n AS DOUBLE)) * 1e6 + 0.5)
+        |        - floor(ln(CAST(c AS DOUBLE)) * 1e6 + 0.5)
+        |      AS HUGEINT)) AS hj_num
+        |  FROM g),
+        |hl AS (SELECT sum(CAST(ck AS HUGEINT) * CAST(
+        |      floor(ln(CAST(n AS DOUBLE)) * 1e6 + 0.5)
+        |      - floor(ln(CAST(ck AS DOUBLE)) * 1e6 + 0.5)
+        |    AS HUGEINT)) AS hl_num
+        |  FROM (SELECT ck, sum(ck) OVER () AS n FROM
+        |    (SELECT sum(c) AS ck FROM cells GROUP BY lang))),
+        |hs AS (SELECT sum(CAST(ck AS HUGEINT) * CAST(
+        |      floor(ln(CAST(n AS DOUBLE)) * 1e6 + 0.5)
+        |      - floor(ln(CAST(ck AS DOUBLE)) * 1e6 + 0.5)
+        |    AS HUGEINT)) AS hs_num
+        |  FROM (SELECT ck, sum(ck) OVER () AS n FROM
+        |    (SELECT sum(c) AS ck FROM cells GROUP BY source)))
+        |SELECT n_docs, n_langs, n_sources,
+        |  CAST(hl_num AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 1e6)
+        |    AS h_lang,
+        |  CAST(hs_num AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 1e6)
+        |    AS h_source,
+        |  CAST(hj_num AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 1e6)
+        |    AS h_joint,
+        |  CAST(mi_num AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 1e6)
+        |    AS mi_nats,
+        |  CASE WHEN least(
+        |      CAST(hl_num AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 1e6),
+        |      CAST(hs_num AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 1e6))
+        |      > 0.0
+    |    THEN (CAST(mi_num AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 1e6))
+        |      / least(
+        |        CAST(hl_num AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 1e6),
+        |        CAST(hs_num AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 1e6))
+        |    ELSE 0.0 END AS nmi
+        |FROM joint, hl, hs""".stripMargin,
+
+    "q268_hll_registers" ->
+      """WITH h AS (SELECT event_type,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))
+        |      ::BIGINT AS h
+        |  FROM events),
+        |b AS (SELECT event_type, CAST(h >> 42 AS INT) AS bucket,
+        |    h & ((1::BIGINT << 42) - 1) AS rem
+        |  FROM h),
+        |rk AS (SELECT event_type, bucket,
+        |    43 - len(list_filter(range(1, 43),
+        |      k -> rem >= (1::BIGINT << (k - 1)))) AS rank
+        |  FROM b),
+        |regs AS (SELECT event_type, bucket, max(rank) AS m_j
+        |  FROM rk GROUP BY 1, 2),
+        |sk AS (SELECT event_type,
+        |    count(*) AS n_hit,
+        |    sum(1.0::DOUBLE
+        |      / CAST(1::BIGINT << m_j AS DOUBLE)) AS s_hit
+        |  FROM regs GROUP BY 1),
+        |ex AS (SELECT event_type,
+        |    count(DISTINCT user_id) AS exact_users
+        |  FROM events GROUP BY 1)
+        |SELECT event_type, n_hit,
+        |  0.709::DOUBLE * 4096.0::DOUBLE
+        |    / (s_hit + CAST(64 - n_hit AS DOUBLE)) AS est_raw,
+        |  exact_users,
+        |  abs(0.709::DOUBLE * 4096.0::DOUBLE
+        |      / (s_hit + CAST(64 - n_hit AS DOUBLE))
+        |    - CAST(exact_users AS DOUBLE)) / CAST(exact_users AS DOUBLE)
+        |    AS rel_err
+        |FROM sk JOIN ex USING (event_type)
+        |ORDER BY event_type""".stripMargin,
 
     "q252_bootstrap_ci" ->
       """WITH e AS (SELECT event_type, event_id,

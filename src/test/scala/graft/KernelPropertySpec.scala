@@ -110,6 +110,52 @@ class KernelPropertySpec extends AnyFunSuite {
     assert(codegen === interpreted)
   }
 
+  test("graft_lcs == test-side DP on random sequences; edge cases") {
+    import spark.implicits._
+    // independent reference: full 2-D table, no rolling-row trick.
+    def lcsRef(a: Seq[Long], b: Seq[Long]): Int = {
+      val dp = Array.ofDim[Int](a.length + 1, b.length + 1)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = if (a(i - 1) == b(j - 1)) dp(i - 1)(j - 1) + 1
+          else math.max(dp(i - 1)(j), dp(i)(j - 1))
+      dp(a.length)(b.length)
+    }
+    val r = rng
+    // small alphabet (0..4) so long common subsequences actually occur
+    val pairs = Seq.fill(150) {
+      (List.fill(r.nextInt(30))(r.nextInt(5).toLong),
+        List.fill(r.nextInt(30))(r.nextInt(5).toLong))
+    } ++ Seq(
+      (Nil, Nil), (Nil, List(1L)), (List(1L, 2L, 3L), List(1L, 2L, 3L)),
+      (List(1L, 2L, 3L), List(3L, 2L, 1L)),          // reversal → LCS 1
+      (List(Long.MinValue, Long.MaxValue), List(Long.MaxValue, Long.MinValue)))
+    val rows = pairs.toDF("a", "b")
+      .select(col("a"), col("b"), expr("graft_lcs(a, b)").as("got"))
+      .collect()
+    rows.foreach { row =>
+      val a = row.getSeq[Long](0)
+      val b = row.getSeq[Long](1)
+      assert(row.getInt(2) == lcsRef(a, b), s"lcs($a, $b)")
+    }
+    // null array → null (SQL convention)
+    val n = Seq((Some(List(1L)), Option.empty[List[Long]])).toDF("a", "b")
+      .select(expr("graft_lcs(a, b)")).collect()
+    assert(n.head.isNullAt(0))
+  }
+
+  test("graft_lcs interpreted == codegen") {
+    import spark.implicits._
+    val r = rng
+    val df = (Seq.fill(64)((List.fill(r.nextInt(25))(r.nextInt(4).toLong),
+      List.fill(r.nextInt(25))(r.nextInt(4).toLong)))
+      :+ ((List.empty[Long], List.empty[Long]))).toDF("a", "b")
+    def run() = df.select(expr("graft_lcs(a, b)"))
+      .collect().map(_.getInt(0)).toSeq
+    val codegen = run()
+    val interpreted = withInterpreted { run() }
+    assert(codegen === interpreted)
+  }
+
   test("graft_jaro_winkler matches DuckDB-pinned scores") {
     import spark.implicits._
     // expected values measured from DuckDB's jaro_winkler_similarity

@@ -126,7 +126,21 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q258_minhash_overlap", // min is commutative — invariance IS the
                            // sketch's mergeability contract
     "q259_image_patches",  // per-row integer patch gathers
-    "q260_shingle_gen")    // native generator rows; exact counts
+    "q260_shingle_gen",    // native generator rows; exact counts
+    "q261_rouge_pairs",    // exact set intersections; lead() over a
+                           // total (doc_id) order per group
+    "q262_mutual_info",    // snapped micro-nat longs, DECIMAL sums
+    "q263_simhash_eval",   // exact confusion counts over a distinct
+                           // candidate set
+    "q264_pq_codes",       // snapped centroids; micro-long distances,
+                           // struct-min argmin with label tie-break
+    "q265_collocations",   // exact DECIMAL G² terms; count tie-breaks
+    "q266_rbo_rankings",   // hard-coded weight literals; exact longs,
+                           // fixed-order fold, one division
+    "q267_rouge_l",        // integer DP over per-row sequences
+    "q268_hll_registers",  // max is commutative; exact binary-fraction
+                           // register sum (order-free by analysis)
+    "q269_stem_audit")     // exact vocab counts, single division
 
   test("exact operators are invariant to input split boundaries") {
     val splitty = spark.newSession()

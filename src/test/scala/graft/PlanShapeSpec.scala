@@ -485,7 +485,27 @@ class PlanShapeSpec extends AnyFunSuite {
       // reused. q259 is a pure fan-out (zero data shuffles);
       // q260 rides the native Generate node into one doc re-group.
       ("q258_minhash_overlap", 2), ("q259_image_patches", 1),
-      ("q260_shingle_gen", 1))
+      ("q260_shingle_gen", 1),
+      // q261: sets + pairing all ride ONE (lang,source) window
+      // exchange — never a join. q262: one pass to the cell frame;
+      // marginals/N are window sums and re-groups OVER THE CELLS.
+      // q263: fingerprint AND word-set ride one base frame through
+      // the chunk self-join — 2 scans (one per broadcast-join side,
+      // the q63 shape); the joined-back variant planned 3 scans of
+      // the md5 pipeline.
+      ("q261_rouge_pairs", 1), ("q262_mutual_info", 1),
+      ("q263_simhash_eval", 2),
+      // q264: codebook + point subtrees (q243's 2-scan shape).
+      // q265/q266: marginals are keyed windows and 1-row broadcasts
+      // over the ONE (w1,w2)/(source,term) exchange — ReuseExchange
+      // unifies the totals twin with the main frame.
+      ("q264_pq_codes", 2), ("q265_collocations", 1),
+      ("q266_rbo_rankings", 1),
+      // q267: hashed-once sequences pair on one lead() window, the DP
+      // runs per pair row. q268: sketch + exact-verify twin (q258's
+      // 2-subtree shape). q269: one pass to the vocab frame.
+      ("q267_rouge_l", 1), ("q268_hll_registers", 2),
+      ("q269_stem_audit", 1))
     for ((q, scans) <- expect) {
       val df = SparkEntry.queries(q)(spark, sf)
       df.collect()
