@@ -182,6 +182,88 @@ object Curation extends QueryModule {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Held-out vocabulary coverage — the eval-readiness audit between
+    // q100's split and an eval run: what share of held-out TOKENS
+    // (occurrence-weighted) and TYPES (unique words) does the train
+    // split's vocabulary cover? High OOV → the tokenizer/vocab stage
+    // (q133) trained on this split will fragment eval text. Split by
+    // q100's affine doc hash (80/20 here), train vocab = distinct
+    // (lang, word) over the train side, held-out tokens probe it with
+    // a left join; rates are single exact divisions. Scale shape: the
+    // token explode feeds vocab-build and probe as two branches of
+    // one exchange; the vocab side is vocabulary-sized after its
+    // distinct (the q133 collapse), so the probe join is
+    // vocab ⋈ held-tokens on (lang, word) — hash-partitioned, no
+    // broadcast assumption at 100 TB.
+    // Quality-filter yield curve — the pipeline-planning sweep before
+    // committing filter thresholds to a 100 TB pass: for a small grid
+    // of (min_words × min_stopword_pct) settings, what share of
+    // documents and of TOKENS survives? (Token yield is what sets
+    // training-set size; doc yield is what sets dedup/index cost.)
+    // Per-doc stats once in-row, an 8-cell grid fan-out, survival as
+    // exact integer predicates (stop ratio ≥ p% ⟺ 100·stops ≥
+    // p·words), shares as single divisions. ZERO data shuffles —
+    // the 8× fan-out folds back map-side into the 8-row cell frame.
+    "q274_filter_yield" -> ((s, d) => {
+      val grid = Seq((5, 0), (10, 0), (20, 0), (50, 0),
+        (5, 5), (10, 5), (20, 5), (50, 5))
+      val stops = Seq("the", "a", "and", "of", "to", "in", "is")
+        .map(w => s"'$w'").mkString("(", ", ", ")")
+      Tables.documents(s, d)
+        .withColumn("ws", Text.words(col("text")))
+        .withColumn("n_words", size(col("ws")).cast("long"))
+        .withColumn("n_stops",
+          expr(s"CAST(size(filter(ws, w -> w IN $stops)) AS LONG)"))
+        .select(col("n_words"), col("n_stops"), explode(array(
+          grid.map { case (mw, sp) =>
+            struct(lit(mw).as("mw"), lit(sp).as("sp"))
+          }: _*)).as("g"))
+        .withColumn("ok", col("n_words") >= col("g.mw").cast("long")
+          && col("n_stops") * 100L >= col("n_words") * col("g.sp").cast("long"))
+        .groupBy(col("g.mw").cast("long").as("min_words"),
+          col("g.sp").cast("long").as("min_stop_pct"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("ok"), 1L).otherwise(0L)).as("survivors"),
+          sum(col("n_words")).as("total_tokens"),
+          sum(when(col("ok"), col("n_words")).otherwise(0L))
+            .as("surviving_tokens"))
+        .select(col("min_words"), col("min_stop_pct"),
+          col("survivors"),
+          (col("survivors").cast("double")
+            / col("n_docs").cast("double")).as("doc_yield"),
+          col("surviving_tokens"),
+          (col("surviving_tokens").cast("double")
+            / col("total_tokens").cast("double")).as("token_yield"))
+        .orderBy(col("min_words"), col("min_stop_pct"))
+    }),
+
+    "q270_oov_coverage" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .withColumn("bkt", (col("doc_id") * 1103515245L + 12345L) % 100L)
+        .select(col("lang"), col("bkt"),
+          explode_outer(Text.words(col("text"))).as("word"))
+        .filter(col("word") =!= "")
+      val vocab = toks.filter(col("bkt") < 80L)
+        .select(col("lang"), col("word")).distinct()
+        .withColumn("seen", lit(1))
+      toks.filter(col("bkt") >= 80L)
+        .join(vocab, Seq("lang", "word"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("held_tokens"),
+          sum(when(col("seen").isNull, 1L).otherwise(0L))
+            .as("oov_tokens"),
+          countDistinct(col("word")).as("held_types"),
+          countDistinct(when(col("seen").isNull, col("word")))
+            .as("unseen_types"))
+        .select(col("lang"), col("held_tokens"), col("oov_tokens"),
+          (col("oov_tokens").cast("double")
+            / col("held_tokens").cast("double")).as("oov_rate"),
+          col("held_types"), col("unseen_types"),
+          (col("unseen_types").cast("double")
+            / col("held_types").cast("double")).as("unseen_rate"))
+        .orderBy(col("lang"))
+    }),
+
     // Stratification audit for 5-fold cross-validation assignment —
     // the eval-integrity check between q100's hash split and a CV
     // run: folds come from the same reproducible affine-hash family
@@ -877,6 +959,55 @@ object Curation extends QueryModule {
         |FROM documents
         |QUALIFY rk <= 5
         |ORDER BY lang, rk""".stripMargin,
+
+    "q274_filter_yield" ->
+      """WITH w AS (SELECT
+        |    CAST(len(string_split(lower(trim(regexp_replace(text,
+        |      '\s+', ' ', 'g'))), ' ')) AS BIGINT) AS n_words,
+        |    CAST(len(list_filter(string_split(lower(trim(
+        |      regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+        |      x -> x IN ('the', 'a', 'and', 'of', 'to', 'in', 'is')))
+        |      AS BIGINT) AS n_stops
+        |  FROM documents),
+        |g AS (SELECT n_words, n_stops, mw, sp,
+        |    (n_words >= mw AND n_stops * 100 >= n_words * sp) AS ok
+        |  FROM w, (VALUES (5, 0), (10, 0), (20, 0), (50, 0),
+        |    (5, 5), (10, 5), (20, 5), (50, 5)) t(mw, sp))
+        |SELECT CAST(mw AS BIGINT) AS min_words,
+        |  CAST(sp AS BIGINT) AS min_stop_pct,
+        |  CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS survivors,
+        |  CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS doc_yield,
+        |  CAST(sum(CASE WHEN ok THEN n_words ELSE 0 END) AS BIGINT)
+        |    AS surviving_tokens,
+        |  CAST(sum(CASE WHEN ok THEN n_words ELSE 0 END) AS DOUBLE)
+        |    / CAST(sum(n_words) AS DOUBLE) AS token_yield
+        |FROM g GROUP BY mw, sp ORDER BY min_words, min_stop_pct""".stripMargin,
+
+    "q270_oov_coverage" ->
+      """WITH t AS (SELECT lang,
+        |    (doc_id * 1103515245 + 12345) % 100 AS bkt,
+        |    unnest(string_split(lower(trim(
+        |      regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS word
+        |  FROM documents),
+        |tt AS (SELECT lang, bkt, word FROM t WHERE word <> ''),
+        |v AS (SELECT DISTINCT lang, word FROM tt WHERE bkt < 80),
+        |h AS (SELECT tt.lang, tt.word,
+        |    CASE WHEN v.word IS NULL THEN 1 ELSE 0 END AS oov
+        |  FROM tt LEFT JOIN v ON tt.lang = v.lang AND tt.word = v.word
+        |  WHERE tt.bkt >= 80)
+        |SELECT lang, count(*) AS held_tokens,
+        |  CAST(sum(oov) AS BIGINT) AS oov_tokens,
+        |  CAST(sum(oov) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    AS oov_rate,
+        |  count(DISTINCT word) AS held_types,
+        |  count(DISTINCT CASE WHEN oov = 1 THEN word END)
+        |    AS unseen_types,
+        |  CAST(count(DISTINCT CASE WHEN oov = 1 THEN word END)
+        |    AS DOUBLE) / CAST(count(DISTINCT word) AS DOUBLE)
+        |    AS unseen_rate
+        |FROM h GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q100_hash_split" ->
       """WITH b AS (SELECT *, (doc_id * 1103515245 + 12345) % 100 AS bkt

@@ -246,6 +246,93 @@ object Dedup extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // Near-dup transitivity audit — the cluster-quality check before
+    // a connected-components dedup (q91) commits: CC treats the
+    // pairwise relation as transitive, but Jaccard ≥ τ is NOT
+    // transitive, so open wedges (a~b, b~c, a≁c) mean CC will chain
+    // unrelated documents through middlemen. Measures the wedge
+    // closure rate over the q62-blocked, exactly-verified (τ = 0.5)
+    // pair graph: edges → wedges by middle vertex (a < c so each
+    // wedge counts once per middle), closed iff (a, c) is itself a
+    // verified pair. All joins are on the BOUNDED verified-pair
+    // frame, never the corpus; counts exact, one division.
+    "q276_transitivity" -> ((s, d) => {
+      val sh = shingled(s, d)
+      val keyed = sh.select(col("doc_id"), col("lang"),
+        explode(array((col("n_chars") / 32).cast("long"),
+          (col("n_chars") / 32).cast("long") + 1)).as("bkt"))
+      val cand = keyed.as("x").join(keyed.as("y"),
+          col("x.lang") === col("y.lang") && col("x.bkt") === col("y.bkt") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      val pairs = verifyPairs(cand, sh.select(col("doc_id"), col("sh")), 50)
+        .select(col("doc_a"), col("doc_b")).persist()
+      val edges = pairs
+        .union(pairs.select(col("doc_b"), col("doc_a")))
+        .toDF("src", "dst")
+      val wedges = edges.as("e1").join(edges.as("e2"),
+          col("e1.dst") === col("e2.src") &&
+            col("e1.src") < col("e2.dst"))
+        .select(col("e1.src").as("a"), col("e1.dst").as("b"),
+          col("e2.dst").as("c"))
+      val np = pairs.agg(count(lit(1)).as("n_pairs"))
+      val out = wedges
+        .join(pairs.select(col("doc_a").as("a"), col("doc_b").as("c"),
+          lit(1).as("cl")), Seq("a", "c"), "left")
+        .agg(count(lit(1)).as("n_wedges"),
+          sum(when(col("cl").isNotNull, 1L).otherwise(0L))
+            .as("n_closed"))
+        .crossJoin(np)
+        .select(col("n_pairs"), col("n_wedges"), col("n_closed"),
+          when(col("n_wedges") > 0L, col("n_closed").cast("double")
+            / col("n_wedges").cast("double")).otherwise(lit(1.0))
+            .as("closure_rate"))
+      out
+    }),
+
+    // Dedup-impact audit — what does exact dedup actually REMOVE?
+    // The selection-bias check every pipeline owes itself before
+    // trusting post-dedup corpus statistics (if duplicates skew
+    // short/templated, dedup silently shifts the length and
+    // vocabulary mix). q60's keep-first rule splits the corpus into
+    // kept/dropped; per side: docs, total words, distinct-type and
+    // stopword totals, with words-per-doc / type-token-ratio /
+    // stopword-share as AGGREGATE ratios (sum/sum — exact single
+    // divisions; mean-of-per-doc-ratios would need per-doc snapping).
+    // One content-hash exchange (the q60 shuffle), per-doc stats
+    // computed in-row before it, one 2-row readout.
+    "q273_dedup_impact" -> ((s, d) => {
+      val stops = Seq("the", "a", "and", "of", "to", "in", "is")
+        .map(w => s"'$w'").mkString("(", ", ", ")")
+      val h = Window.partitionBy(col("content_hash"))
+      Tables.documents(s, d)
+        .withColumn("content_hash",
+          sha2(Text.norm(col("text")).cast("binary"), 256))
+        .withColumn("ws", Text.words(col("text")))
+        .withColumn("n_words", size(col("ws")).cast("long"))
+        .withColumn("n_types",
+          size(array_distinct(col("ws"))).cast("long"))
+        .withColumn("n_stops",
+          expr(s"CAST(size(filter(ws, w -> w IN $stops)) AS LONG)"))
+        .withColumn("rn", row_number().over(h.orderBy(col("doc_id"))))
+        .select(when(col("rn") === 1, "kept").otherwise("dropped")
+          .as("status"), col("n_words"), col("n_types"), col("n_stops"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("total_words"),
+          sum(col("n_types")).as("total_types"),
+          sum(col("n_stops")).as("total_stops"))
+        .select(col("status"), col("n_docs"), col("total_words"),
+          (col("total_words").cast("double")
+            / col("n_docs").cast("double")).as("words_per_doc"),
+          (col("total_types").cast("double")
+            / col("total_words").cast("double")).as("type_token_ratio"),
+          (col("total_stops").cast("double")
+            / col("total_words").cast("double")).as("stop_share"))
+        .orderBy(col("status"))
+    }),
+
     // Duplicate-cluster size distribution — the dedup DIAGNOSTIC that
     // precedes the q60 pass: how much of the corpus sits in clusters
     // of 1, 2, 3... identical documents, and what share of rows a
@@ -391,6 +478,31 @@ object Dedup extends QueryModule {
       out
     }),
 
+    // SimHash bit-balance health check — the sketch-health audit for
+    // the q63 family: each of the 60 fingerprint bits should be ~0.5
+    // ones across a healthy corpus (the bit is a random hyperplane
+    // sign); a skewed bit carries less than one bit of information,
+    // so systematic skew silently degrades Hamming resolution (e.g. a
+    // template token dominating every document). One native-kernel
+    // pass, a 60× in-row bit fan-out, one 60-row readout; the skew
+    // flag |share−0.5| > 0.1 is the exact integer test 5·|2·ones−n| >
+    // n. Registers-style mergeability: ones-counts sum across shards.
+    "q278_simhash_bits" -> ((s, d) => {
+      simhashed(s, d)
+        .select(posexplode(expr(
+          "transform(sequence(0, 59), b -> shiftrightunsigned(simhash, b) & 1)"))
+          .as(Seq("bit", "v")))
+        .groupBy(col("bit"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("v")).as("ones"))
+        .select(col("bit").cast("long").as("bit"), col("n_docs"),
+          col("ones"),
+          (col("ones").cast("double") / col("n_docs").cast("double"))
+            .as("one_share"),
+          (abs(col("ones") * 2L - col("n_docs")) * 5L > col("n_docs"))
+            .as("skewed"))
+        .orderBy(col("bit"))
+    }),
+
     // SimHash: 64-bit bit-majority signature over per-word hashes,
     // computed per-row with a native one-pass kernel (no shuffle), then
     // near-dup pairs via 16-bit chunk blocking + Hamming ≤ 3. The word
@@ -423,6 +535,88 @@ object Dedup extends QueryModule {
         .filter(col("hamming") <= 3)
         .distinct()
         .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // LSH banding-scheme tuning curve — q263's companion for the
+    // MinHash side: sweep the three (bands × rows) factorizations of
+    // a 16-perm signature (8×2, 4×4, 2×8 — S-curve thresholds ≈
+    // (1/b)^(1/r) = 0.35 / 0.71 / 0.92) and measure candidate yield
+    // and verified precision (exact Jaccard ≥ 0.8 via the native
+    // sorted-intersect kernel, decided by the integer
+    // cross-multiplication 9·I ≥ 4·(|A|+|B|)). This is the sweep a
+    // team runs ONCE on a sample before committing a banding to the
+    // 100 TB pass. Signatures from the shared-md5 family (sig[j] =
+    // min over shingles of md5(j:h) — oracle-replicable, unlike the
+    // xxhash64 family the q61 serving path uses); min is commutative
+    // so the signature stays shard-mergeable. Shingle sets ride the
+    // band rows through the self-join (the q263 carry — 14 band rows
+    // per doc), verdicts per candidate row, dedup on the compact
+    // (scheme, ids, ok) projection, ONE scheme-keyed readout.
+    "q271_lsh_tuning" -> ((s, d) => {
+      val schemes = Seq((8, 2), (4, 4), (2, 8))
+      // explode raw shingle strings FIRST and hash per exploded row
+      // (the q216 lesson — and per-row md5 stays codegen'd, where the
+      // in-row transform(sequence(0,15), j -> array_min(transform(sh,
+      // ...))) formulation runs 16 interpreted HOF passes per doc and
+      // re-inlines through the band explode: measured 10-11 s at
+      // sf0.1 vs ~2 s for this relational shape)
+      val shex = Tables.documents(s, d)
+        .withColumn("ws", Text.words(col("text")))
+        .filter(size(col("ws")) >= 3)
+        .select(col("doc_id"), explode(Text.shingles3(col("ws"))).as("g"))
+        .select(col("doc_id"),
+          conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long")
+            .as("h"))
+      val sets = shex.groupBy(col("doc_id"))
+        .agg(array_sort(array_distinct(collect_list(col("h"))))
+          .as("sh"))
+      // 16-slot signature as ROWS (the q258 shape): one map-side-
+      // combined (doc, p) exchange; min is commutative — the
+      // signature stays shard-mergeable
+      val sigRows = shex
+        .select(col("doc_id"), col("h"),
+          explode(sequence(lit(0), lit(15))).as("p"))
+        .select(col("doc_id"), col("p"),
+          conv(substring(md5(concat(col("p").cast("string"), lit(":"),
+            col("h").cast("string"))), 1, 12), 16, 10).cast("long")
+            .as("hv"))
+        .groupBy(col("doc_id"), col("p"))
+        .agg(min(col("hv")).as("sig"))
+      val banded = sigRows
+        .select(col("doc_id"), col("p"), col("sig"), explode(array(
+          schemes.map { case (b, r) =>
+            struct(lit(b).as("bands"),
+              (col("p") / r).cast("int").as("band"))
+          }: _*)).as("sc"))
+        .groupBy(col("doc_id"), col("sc.bands").as("bands"),
+          col("sc.band").as("band"))
+        .agg(concat_ws("|", transform(array_sort(collect_list(
+          struct(col("p"), col("sig")))), x =>
+          x.getField("sig").cast("string"))).as("key"))
+      val bx = banded.join(sets, "doc_id")
+      bx.as("x").join(bx.as("y"),
+          col("x.bands") === col("y.bands") &&
+            col("x.band") === col("y.band") &&
+            col("x.key") === col("y.key") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.bands").as("bands"),
+          col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          (expr("graft_sorted_intersect(x.sh, y.sh)").cast("long") * 9L
+            >= (size(col("x.sh")) + size(col("y.sh"))).cast("long") * 4L)
+            .as("ok"))
+        .distinct()
+        .groupBy(col("bands"))
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(when(col("ok"), 1L).otherwise(0L)).as("n_verified"))
+        .select(col("bands").cast("long").as("bands"),
+          expr("CAST(16 DIV bands AS BIGINT)").as("rows_per_band"),
+          when(col("bands") === 8, 0.353553)
+            .when(col("bands") === 4, 0.707107)
+            .otherwise(0.917004).as("s_threshold"),
+          col("n_candidates"), col("n_verified"),
+          (col("n_verified").cast("double")
+            / col("n_candidates").cast("double")).as("precision"))
+        .orderBy(col("bands"))
     }),
 
     // Sketch-quality eval for the q63 SimHash predicate — the tuning
@@ -993,6 +1187,35 @@ object Dedup extends QueryModule {
         |    AS doc_share
         |FROM c, t GROUP BY csize, n_docs ORDER BY csize""".stripMargin,
 
+    "q273_dedup_impact" ->
+      """WITH w AS (SELECT doc_id,
+        |    sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+        |      AS content_hash,
+        |    string_split(lower(trim(
+        |      regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws
+        |  FROM documents),
+        |st AS (SELECT doc_id, content_hash,
+        |    CAST(len(ws) AS BIGINT) AS n_words,
+        |    CAST(len(list_distinct(ws)) AS BIGINT) AS n_types,
+        |    CAST(len(list_filter(ws, x -> x IN
+        |      ('the', 'a', 'and', 'of', 'to', 'in', 'is')))
+        |      AS BIGINT) AS n_stops,
+        |    row_number() OVER (PARTITION BY content_hash
+        |      ORDER BY doc_id) AS rn
+        |  FROM w),
+        |g AS (SELECT CASE WHEN rn = 1 THEN 'kept' ELSE 'dropped' END
+        |      AS status, n_words, n_types, n_stops
+        |  FROM st)
+        |SELECT status, count(*) AS n_docs,
+        |  CAST(sum(n_words) AS BIGINT) AS total_words,
+        |  CAST(sum(n_words) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    AS words_per_doc,
+        |  CAST(sum(n_types) AS DOUBLE) / CAST(sum(n_words) AS DOUBLE)
+        |    AS type_token_ratio,
+        |  CAST(sum(n_stops) AS DOUBLE) / CAST(sum(n_words) AS DOUBLE)
+        |    AS stop_share
+        |FROM g GROUP BY status ORDER BY status""".stripMargin,
+
     "q60_dedup_exact" ->
       """SELECT doc_id, lang, n_chars, content_hash, n_copies FROM (
         |  SELECT doc_id, lang, n_chars, content_hash,
@@ -1045,6 +1268,103 @@ object Dedup extends QueryModule {
         |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
         |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q276_transitivity" -> (shingleCte +
+      """,
+        |k AS (SELECT doc_id, lang, n_chars // 32 AS bkt FROM s
+        |  UNION ALL SELECT doc_id, lang, n_chars // 32 + 1 AS bkt FROM s),
+        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM k x JOIN k y ON x.lang = y.lang AND x.bkt = y.bkt
+        |    AND x.doc_id < y.doc_id),
+        |pairs AS (SELECT doc_a, doc_b
+        |  FROM cand JOIN s a ON doc_a = a.doc_id
+        |    JOIN s b ON doc_b = b.doc_id
+        |  WHERE len(list_intersect(a.sh, b.sh)) * 100
+        |    >= (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+        |      * 50),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |wdg AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        |  FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+        |    AND e1.src < e2.dst),
+        |np AS (SELECT count(*) AS n_pairs FROM pairs),
+        |cl AS (SELECT count(*) AS n_wedges,
+        |    CAST(sum(CASE WHEN p.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_closed
+        |  FROM wdg LEFT JOIN pairs p
+        |    ON p.doc_a = wdg.a AND p.doc_b = wdg.c)
+        |SELECT n_pairs, n_wedges, n_closed,
+        |  CASE WHEN n_wedges > 0
+        |    THEN CAST(n_closed AS DOUBLE) / CAST(n_wedges AS DOUBLE)
+        |    ELSE 1.0 END AS closure_rate
+        |FROM cl, np""".stripMargin),
+
+    "q278_simhash_bits" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_distinct(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS words
+        |  FROM documents),
+        |h AS (SELECT doc_id, list_transform(words, w ->
+        |    list_sum(list_transform(range(1, 16), i ->
+        |      (strpos('0123456789abcdef', substr(md5(w), i, 1)) - 1)::BIGINT
+        |        << (4 * (15 - i))))::BIGINT) AS wh
+        |  FROM w),
+        |sim AS (SELECT doc_id,
+        |    list_sum(list_transform(range(0, 60), b ->
+        |      CASE WHEN list_sum(list_transform(wh, x ->
+        |          CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+        |        THEN 1::BIGINT << b ELSE 0::BIGINT END))::BIGINT AS simhash
+        |  FROM h),
+        |bb AS (SELECT unnest(range(0, 60)) AS bit, simhash FROM sim)
+        |SELECT CAST(bit AS BIGINT) AS bit, count(*) AS n_docs,
+        |  CAST(sum((simhash >> bit) & 1) AS BIGINT) AS ones,
+        |  CAST(sum((simhash >> bit) & 1) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS one_share,
+        |  5 * abs(2 * CAST(sum((simhash >> bit) & 1) AS BIGINT)
+        |    - count(*)) > count(*) AS skewed
+        |FROM bb GROUP BY bit ORDER BY bit""".stripMargin,
+
+    "q271_lsh_tuning" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(trim(
+        |      regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS words
+        |  FROM documents),
+        |sh AS (SELECT doc_id,
+        |    list_sort(list_distinct(list_transform(
+        |      list_transform(range(1, len(words) - 1),
+        |        i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]),
+        |      x -> ('0x' || substr(md5(x), 1, 15))::BIGINT))) AS sh
+        |  FROM w WHERE len(words) >= 3),
+        |sg AS (SELECT doc_id, sh,
+        |    list_transform(range(0, 16), j ->
+        |      list_min(list_transform(sh, h ->
+        |        ('0x' || substr(md5(CAST(j AS VARCHAR) || ':'
+        |          || CAST(h AS VARCHAR)), 1, 12))::BIGINT))) AS sig
+        |  FROM sh),
+        |sch AS (SELECT * FROM (VALUES (8, 2), (4, 4), (2, 8))
+        |  s(b, r)),
+        |bd AS (SELECT doc_id, sh, b,
+        |    unnest(range(0, b)) AS band, r, sig
+        |  FROM sg, sch),
+        |keyed AS (SELECT doc_id, sh, b, band,
+        |    array_to_string(sig[band * r + 1 : band * r + r], '|')
+        |      AS key
+        |  FROM bd),
+        |cand AS (SELECT DISTINCT x.b AS bands,
+        |    x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |    (9 * len(list_intersect(x.sh, y.sh))
+        |      >= 4 * (len(x.sh) + len(y.sh))) AS ok
+        |  FROM keyed x JOIN keyed y ON x.b = y.b AND x.band = y.band
+        |    AND x.key = y.key AND x.doc_id < y.doc_id)
+        |SELECT CAST(bands AS BIGINT) AS bands,
+        |  CAST(16 // bands AS BIGINT) AS rows_per_band,
+        |  CASE WHEN bands = 8 THEN 0.353553::DOUBLE
+        |    WHEN bands = 4 THEN 0.707107::DOUBLE
+        |    ELSE 0.917004::DOUBLE END AS s_threshold,
+        |  count(*) AS n_candidates,
+        |  CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_verified,
+        |  CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS precision
+        |FROM cand GROUP BY bands ORDER BY bands""".stripMargin,
 
     "q263_simhash_eval" ->
       """WITH w AS (SELECT doc_id,

@@ -729,6 +729,120 @@ object Similarity extends QueryModule {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Embedding split-drift monitor — the dense-space companion of
+    // q224/q225's textual KS/PSI drift: split the vector corpus into
+    // two halves by the q100 affine hash and compare per-label
+    // centroids ACROSS halves (cosine + size balance). Healthy data:
+    // cos ≈ 1 per label; an embedding-version mix-up or a skewed
+    // ingest shows up as a label whose halves disagree. q140's
+    // snapped-centroid recipe per (label, half), the ≤2·|labels|-row
+    // centroid frame self-joined — everything after the one
+    // (label, half, dim) exchange is label-bounded. At 100 TB the
+    // halves are day-over-day or shard-over-shard frames; the
+    // comparison object stays centroid-sized.
+    "q277_split_drift" -> ((s, d) => {
+      val cent = Tables.embeddings(s, d)
+        .filter(col("embedding").isNotNull)
+        .withColumn("half",
+          (col("vec_id") * 1103515245L + 12345L) % 2L)
+        .select(col("label"), col("half"),
+          posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("label"), col("half"), col("dim"))
+        .agg((floor(avg(col("v").cast("double")) * 1e6 + 0.5) / 1e6)
+          .as("cv"), count(lit(1)).as("nv"))
+        .groupBy(col("label"), col("half"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("cv"))))
+          .as("pairs"), max(col("nv")).as("n"))
+        .select(col("label"), col("half"), col("n"),
+          transform(col("pairs"), p => p.getField("cv")).as("emb"))
+        .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
+      cent.filter(col("half") === 0L)
+        .select(col("label"), col("n").as("n_a"),
+          col("emb").as("emb_a"), col("nrm").as("nrm_a"))
+        .join(cent.filter(col("half") === 1L)
+          .select(col("label"), col("n").as("n_b"),
+            col("emb").as("emb_b"), col("nrm").as("nrm_b")),
+          Seq("label"))
+        .select(col("label"), col("n_a"), col("n_b"),
+          (dot(col("emb_a"), col("emb_b"))
+            / (col("nrm_a") * col("nrm_b"))).as("centroid_cos"),
+          (abs(col("n_a") - col("n_b")).cast("double")
+            / (col("n_a") + col("n_b")).cast("double"))
+            .as("size_imbalance"))
+        .orderBy(col("label"))
+    }),
+
+    // IVF nprobe recall curve — q271's (LSH banding) and q263's
+    // (SimHash) companion for the dense-ANN side, completing the
+    // sketch/index TUNING family: measure recall@5 against exact
+    // brute-force top-5 for nprobe ∈ {1, 2, 3}, the knob a real IVF
+    // deployment turns per its latency budget. A cell ranked c for a
+    // query participates in every nprobe ≥ c (one explode — no
+    // 3× re-probe), candidates rerank per (nprobe, query), hits join
+    // the exact set, recall = hits / |exact| as one division.
+    // Bit-exact doubles end-to-end (q76b's discipline), so the whole
+    // curve is oracle-checked. The exact side is the same
+    // queries-broadcast corpus scan as q70 — the measurement is run
+    // on a sample; the INDEX path is what serves at 100 TB.
+    "q275_ann_recall" -> ((s, d) => {
+      val corpus = withNorm(Tables.embeddings(s, d)
+        .select(col("vec_id"), dvec(col("embedding")).as("emb"), col("label")))
+      val seedW = Window.partitionBy(col("label")).orderBy(col("vec_id"))
+      val seeds = corpus
+        .withColumn("rn", row_number().over(seedW)).filter(col("rn") === 1)
+        .select(col("label").as("cell"), col("emb").as("c_emb"),
+          col("nrm").as("c_nrm"))
+      val seedSim = dot(col("emb"), col("c_emb")) / (col("nrm") * col("c_nrm"))
+      val cellOf = corpus.crossJoin(broadcast(seeds))
+        .select(col("vec_id"), col("cell"), seedSim.as("sim"))
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("cell"), struct(col("sim"), -col("cell"))).as("cell"))
+      val assigned = corpus.join(cellOf, "vec_id")
+      val queries = corpus.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
+          col("nrm").as("q_nrm"))
+      val exW = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      val exact = corpus.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"), pairCosine.as("cos_sim"))
+        .withColumn("rank", row_number().over(exW))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("vec_id"))
+      val nExact = exact.agg(count(lit(1)).as("n_exact"))
+      val qw = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("cell").asc)
+      val probes = queries.crossJoin(broadcast(seeds))
+        .select(col("query_id"), col("q_emb"), col("q_nrm"), col("cell"),
+          (dot(col("q_emb"), col("c_emb"))
+            / (col("q_nrm") * col("c_nrm"))).as("sim"))
+        .withColumn("crank", row_number().over(qw))
+        .filter(col("crank") <= 3)
+        .select(col("query_id"), col("q_emb"), col("q_nrm"), col("cell"),
+          explode(sequence(col("crank"), lit(3))).as("nprobe"))
+      val aw = Window.partitionBy(col("nprobe"), col("query_id"))
+        .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      val approx = assigned.join(broadcast(probes), Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("nprobe"), col("query_id"), col("vec_id"),
+          pairCosine.as("cos_sim"))
+        .withColumn("rank", row_number().over(aw))
+      approx
+        .withColumn("hit", when(col("rank") <= 5, 1L).otherwise(0L))
+        .join(exact.withColumn("ex", lit(1)), Seq("query_id", "vec_id"),
+          "left")
+        .groupBy(col("nprobe"))
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(when(col("hit") === 1L && col("ex").isNotNull, 1L)
+            .otherwise(0L)).as("hits"))
+        .crossJoin(broadcast(nExact))
+        .select(col("nprobe").cast("long").as("nprobe"),
+          col("n_candidates"), col("hits"),
+          (col("hits").cast("double") / col("n_exact").cast("double"))
+            .as("recall_at_5"))
+        .orderBy(col("nprobe"))
+    }),
+
     // The IVF index AS STORAGE LAYOUT — what q76b's in-memory cell
     // assignment becomes in a persisted 100 TB vector store: the
     // cell-assigned corpus (embedding + precomputed norm; doubles
@@ -881,6 +995,82 @@ object Similarity extends QueryModule {
         |ORDER BY query_id, rank""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "q277_split_drift" ->
+      """WITH e AS (SELECT label,
+        |    (vec_id * 1103515245 + 12345) % 2 AS half,
+        |    unnest(embedding) AS v,
+        |    generate_subscripts(embedding, 1) AS ord
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |c AS (SELECT label, half, ord,
+        |    floor(avg(v) * 1e6 + 0.5) / 1e6 AS cv, count(*) AS nv
+        |  FROM e GROUP BY 1, 2, 3),
+        |vec AS (SELECT label, half, max(nv) AS n,
+        |    list(cv ORDER BY ord) AS emb
+        |  FROM c GROUP BY 1, 2),
+        |v2 AS (SELECT label, half, n, emb,
+        |    sqrt(list_dot_product(emb, emb)) AS nrm FROM vec)
+        |SELECT a.label, a.n AS n_a, b.n AS n_b,
+        |  list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm)
+        |    AS centroid_cos,
+        |  CAST(abs(a.n - b.n) AS DOUBLE) / CAST(a.n + b.n AS DOUBLE)
+        |    AS size_imbalance
+        |FROM v2 a JOIN v2 b ON a.label = b.label
+        |  AND a.half = 0 AND b.half = 1
+        |ORDER BY a.label""".stripMargin,
+
+    "q275_ann_recall" ->
+      """WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label
+        |  FROM embeddings),
+        |seeds AS (SELECT label AS cell, emb AS c_emb
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY label
+        |      ORDER BY vec_id) AS rn FROM t) WHERE rn = 1),
+        |scored_seeds AS (SELECT t.vec_id, s.cell,
+        |    list_dot_product(t.emb, s.c_emb)
+        |      / (sqrt(list_dot_product(t.emb, t.emb))
+        |         * sqrt(list_dot_product(s.c_emb, s.c_emb))) AS sim
+        |  FROM t CROSS JOIN seeds s),
+        |assigned AS (SELECT vec_id, cell
+        |  FROM (SELECT vec_id, cell, row_number() OVER
+        |      (PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS rn
+        |    FROM scored_seeds) WHERE rn = 1),
+        |qc AS (SELECT vec_id AS query_id, cell, rn AS crank
+        |  FROM (SELECT vec_id, cell, row_number() OVER
+        |      (PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS rn
+        |    FROM scored_seeds WHERE vec_id < 5) WHERE rn <= 3),
+        |probes AS (SELECT query_id, cell,
+        |    unnest(range(crank, 4)) AS nprobe FROM qc),
+        |ex AS (SELECT query_id, vec_id
+        |  FROM (SELECT q.vec_id AS query_id, c.vec_id,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_dot_product(c.emb, q.emb)
+        |          / (sqrt(list_dot_product(c.emb, c.emb))
+        |             * sqrt(list_dot_product(q.emb, q.emb))) DESC,
+        |          c.vec_id ASC) AS rank
+        |    FROM t c CROSS JOIN (SELECT * FROM t WHERE vec_id < 5) q
+        |    WHERE c.vec_id <> q.vec_id) WHERE rank <= 5),
+        |nx AS (SELECT count(*) AS n_exact FROM ex),
+        |cand AS (SELECT p.nprobe, p.query_id, c.vec_id,
+        |    row_number() OVER (PARTITION BY p.nprobe, p.query_id
+        |      ORDER BY list_dot_product(c.emb, q.emb)
+        |        / (sqrt(list_dot_product(c.emb, c.emb))
+        |           * sqrt(list_dot_product(q.emb, q.emb))) DESC,
+        |        c.vec_id ASC) AS rank
+        |  FROM t c
+        |  JOIN assigned a ON a.vec_id = c.vec_id
+        |  JOIN probes p ON p.cell = a.cell
+        |  JOIN t q ON q.vec_id = p.query_id
+        |  WHERE c.vec_id <> p.query_id)
+        |SELECT CAST(nprobe AS BIGINT) AS nprobe,
+        |  count(*) AS n_candidates,
+        |  CAST(sum(CASE WHEN rank <= 5 AND e.vec_id IS NOT NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+        |  CAST(sum(CASE WHEN rank <= 5 AND e.vec_id IS NOT NULL
+        |    THEN 1 ELSE 0 END) AS DOUBLE) / CAST(n_exact AS DOUBLE)
+        |    AS recall_at_5
+        |FROM cand LEFT JOIN ex e
+        |  ON cand.query_id = e.query_id AND cand.vec_id = e.vec_id, nx
+        |GROUP BY nprobe, n_exact ORDER BY nprobe""".stripMargin,
+
     "q222_label_balance" ->
       """WITH g AS (SELECT label, count(*) AS n_vecs FROM embeddings
         |  GROUP BY 1),

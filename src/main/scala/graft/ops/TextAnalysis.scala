@@ -521,6 +521,48 @@ object TextAnalysis extends QueryModule {
             / col("n_types").cast("double")).as("stem_ratio"),
           col("max_family"))
         .orderBy(col("lang"))
+    }),
+
+    // Character-bigram entropy per language — the classic langid /
+    // gibberish fingerprint one level below q251's word entropy (and
+    // the feature family real char-n-gram language models train on):
+    // natural text concentrates on a few hundred frequent bigrams;
+    // base64 blobs and mojibake flatten the distribution. Bigrams by
+    // character-indexed substring (both engines 1-based — no
+    // split-on-empty-string semantics to cross-check), corpus
+    // aggregated per (lang, bigram) in ONE exchange, per-lang N as a
+    // keyed window over that frame, entropy via the q262 recipe
+    // (snapped micro-nat longs × exact counts in DECIMAL/HUGEINT,
+    // exact for N ≤ 1e14 bigrams, one double division). Top bigram is
+    // an exact struct-max (max count, max bigram on ties).
+    "q272_char_bigrams" -> ((s, d) => {
+      def lm(c: Column): Column = when(c > 0L,
+        floor(log(c.cast("double")) * 1e6 + 0.5).cast("long"))
+        .otherwise(lit(0L))
+      val cells = Tables.documents(s, d)
+        .withColumn("nt", Text.norm(col("text")))
+        .filter(length(col("nt")) >= 2)
+        .select(col("lang"), explode(transform(
+          sequence(lit(1), length(col("nt")) - 1), i =>
+            col("nt").substr(i, lit(2)))).as("bg"))
+        .groupBy(col("lang"), col("bg"))
+        .agg(count(lit(1)).as("c"))
+      cells
+        .withColumn("n", sum(col("c"))
+          .over(Window.partitionBy(col("lang"))))
+        .groupBy(col("lang"))
+        .agg(max(col("n")).cast("long").as("n_bigrams"),
+          count(lit(1)).as("n_distinct"),
+          sum(col("c").cast("decimal(14,0)")
+            * (lm(col("n")) - lm(col("c"))).cast("decimal(9,0)"))
+            .as("h_num"),
+          max(struct(col("c"), col("bg"))).as("mx"))
+        .select(col("lang"), col("n_bigrams"), col("n_distinct"),
+          (col("h_num").cast("double")
+            / (col("n_bigrams").cast("double") * 1e6)).as("entropy"),
+          col("mx").getField("bg").as("top_bigram"),
+          col("mx").getField("c").as("top_count"))
+        .orderBy(col("lang"))
     })
   )
 
@@ -935,6 +977,36 @@ object TextAnalysis extends QueryModule {
         |  CAST(count(*) AS DOUBLE) / CAST(sum(fam) AS DOUBLE)
         |    AS stem_ratio,
         |  max(fam) AS max_family
-        |FROM fam GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM fam GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // argmax via row_number (c DESC, bg DESC) — the independent
+    // formulation of Spark's struct-max tie rule
+    "q272_char_bigrams" ->
+      """WITH nt AS (SELECT lang,
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+        |  FROM documents),
+        |px AS (SELECT lang, t, unnest(range(1, length(t))) AS pos
+        |  FROM nt WHERE length(t) >= 2),
+        |cells AS (SELECT lang, substr(t, pos, 2) AS bg, count(*) AS c
+        |  FROM px GROUP BY 1, 2),
+        |g AS (SELECT lang, bg, c,
+        |    CAST(sum(c) OVER (PARTITION BY lang) AS BIGINT) AS n
+        |  FROM cells),
+        |a AS (SELECT lang, max(n) AS n_bigrams,
+        |    count(*) AS n_distinct,
+        |    sum(CAST(c AS HUGEINT) * CAST(
+        |      floor(ln(CAST(n AS DOUBLE)) * 1e6 + 0.5)
+        |      - floor(ln(CAST(c AS DOUBLE)) * 1e6 + 0.5) AS HUGEINT))
+        |      AS h_num
+        |  FROM g GROUP BY lang),
+        |tp AS (SELECT lang, bg AS top_bigram, c AS top_count
+        |  FROM (SELECT lang, bg, c, row_number() OVER
+        |      (PARTITION BY lang ORDER BY c DESC, bg DESC) AS rk
+        |    FROM cells) WHERE rk = 1)
+        |SELECT a.lang, n_bigrams, n_distinct,
+        |  CAST(h_num AS DOUBLE) / (CAST(n_bigrams AS DOUBLE) * 1e6)
+        |    AS entropy,
+        |  top_bigram, top_count
+        |FROM a JOIN tp ON a.lang = tp.lang ORDER BY a.lang""".stripMargin
   )
 }

@@ -140,7 +140,15 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q267_rouge_l",        // integer DP over per-row sequences
     "q268_hll_registers",  // max is commutative; exact binary-fraction
                            // register sum (order-free by analysis)
-    "q269_stem_audit")     // exact vocab counts, single division
+    "q269_stem_audit",     // exact vocab counts, single division
+    "q270_oov_coverage",   // affine split hash; exact counts
+    "q271_lsh_tuning",     // min-of-md5 signatures (commutative);
+                           // exact confusion counts
+    "q272_char_bigrams",   // snapped micro-nat DECIMAL sums;
+                           // struct-max argmax
+    "q273_dedup_impact",   // exact sums; keep rule is a total order
+    "q274_filter_yield",   // exact integer predicates and sums
+    "q275_ann_recall")     // bit-exact doubles, total tie-breaks
 
   test("exact operators are invariant to input split boundaries") {
     val splitty = spark.newSession()

@@ -505,7 +505,21 @@ class PlanShapeSpec extends AnyFunSuite {
       // runs per pair row. q268: sketch + exact-verify twin (q258's
       // 2-subtree shape). q269: one pass to the vocab frame.
       ("q267_rouge_l", 1), ("q268_hll_registers", 2),
-      ("q269_stem_audit", 1))
+      ("q269_stem_audit", 1),
+      // q270: vocab-build and probe branches carry different split
+      // filters — 2 subtrees by design. q271: band rows self-join
+      // (the q263 carry) — one scan per broadcast-join side.
+      // q272: one pass to the (lang, bigram) frame.
+      ("q270_oov_coverage", 2), ("q271_lsh_tuning", 2),
+      ("q272_char_bigrams", 1),
+      // q273: per-doc stats in-row before the one content-hash
+      // exchange. q274: the 8-cell grid folds back map-side.
+      // q275: seeds, assignment (2), queries ×2 (exact + probes), and
+      // the exact-truth brute subtree each scan the embeddings table —
+      // 6 scans, accepted: this is the run-once-on-a-sample
+      // MEASUREMENT query (the INDEX path q76b/q123 stays 2).
+      ("q273_dedup_impact", 1), ("q274_filter_yield", 1),
+      ("q275_ann_recall", 6))
     for ((q, scans) <- expect) {
       val df = SparkEntry.queries(q)(spark, sf)
       df.collect()
