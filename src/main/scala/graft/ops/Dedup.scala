@@ -246,6 +246,79 @@ object Dedup extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // Bloom-filter FPR tuning curve — the fourth member of the
+    // round-11 sketch-tuning family (q263 SimHash precision, q271 LSH
+    // banding, q275 IVF nprobe): before a 100 TB decontamination /
+    // delta-dedup pass ships a Bloom pre-filter (the q117 layout), it
+    // sweeps (k hashes × m bits) on a sample and MEASURES the
+    // false-positive rate. Universe = 3-shingle hashes; train split's
+    // distinct shingles populate the filter (a relational Bloom: the
+    // DISTINCT (scheme, bit) frame — exactly the bitmap a real filter
+    // packs), held-out-only shingles probe it; claimed ⟺ all k bits
+    // present (exact count == k). Bloom's no-false-negative law is
+    // asserted IN the output (true_pos must equal n_pos_probes).
+    // All exchanges ride compact (scheme, bit) / (scheme, h) keys.
+    "q279_bloom_fpr" -> ((s, d) => {
+      val schemes = Seq((2, 14), (4, 14), (2, 16), (4, 16))
+      val schemeArr = explode(array(schemes.map { case (k, lm) =>
+        struct(lit(k).as("k"), lit(lm).as("lm"))
+      }: _*))
+      val sh = Tables.documents(s, d)
+        .withColumn("ws", Text.words(col("text")))
+        .filter(size(col("ws")) >= 3)
+        .withColumn("bkt", (col("doc_id") * 1103515245L + 12345L) % 100L)
+        .select(col("bkt"), explode(Text.shingles3(col("ws"))).as("g"))
+        .select(col("bkt"),
+          conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long")
+            .as("h"))
+      val train = sh.filter(col("bkt") < 80L).select(col("h")).distinct()
+      val nTrain = train.agg(count(lit(1)).as("n_train"))
+      val held = sh.filter(col("bkt") >= 80L).select(col("h")).distinct()
+        .join(train.select(col("h"), lit(1).as("seen")), Seq("h"), "left")
+      def bitOf(h: Column): Column = pmod(
+        conv(substring(md5(concat(col("i").cast("string"), lit(":"),
+          h.cast("string"))), 1, 12), 16, 10).cast("long"),
+        expr("shiftleft(CAST(1 AS BIGINT), lm)"))
+      val trainBits = train.select(col("h"), schemeArr.as("sc"))
+        .select(col("h"), col("sc.k").as("k"), col("sc.lm").as("lm"))
+        .select(col("h"), col("k"), col("lm"),
+          explode(sequence(lit(0), col("k") - 1)).as("i"))
+        .select(col("k"), col("lm"), bitOf(col("h")).as("bit"))
+        .distinct()
+      val probeBits = held.select(col("h"), col("seen"), schemeArr.as("sc"))
+        .select(col("h"), col("seen"), col("sc.k").as("k"),
+          col("sc.lm").as("lm"))
+        .select(col("h"), col("seen"), col("k"), col("lm"),
+          explode(sequence(lit(0), col("k") - 1)).as("i"))
+        .select(col("h"), col("seen"), col("k"), col("lm"),
+          bitOf(col("h")).as("bit"))
+      probeBits
+        .join(trainBits.select(col("k"), col("lm"), col("bit"),
+          lit(1).as("hit")), Seq("k", "lm", "bit"), "left")
+        .groupBy(col("k"), col("lm"), col("h"), col("seen"))
+        .agg(sum(when(col("hit").isNotNull, 1L).otherwise(0L))
+          .as("present"))
+        .withColumn("claimed", col("present") === col("k").cast("long"))
+        .groupBy(col("k"), col("lm"))
+        .agg(
+          sum(when(col("seen").isNull, 1L).otherwise(0L))
+            .as("n_neg_probes"),
+          sum(when(col("seen").isNull && col("claimed"), 1L)
+            .otherwise(0L)).as("false_pos"),
+          sum(when(col("seen").isNotNull, 1L).otherwise(0L))
+            .as("n_pos_probes"),
+          sum(when(col("seen").isNotNull && col("claimed"), 1L)
+            .otherwise(0L)).as("true_pos"))
+        .crossJoin(broadcast(nTrain))
+        .select(col("k").cast("long").as("k"),
+          expr("shiftleft(CAST(1 AS BIGINT), lm)").as("m_bits"),
+          col("n_train"), col("n_neg_probes"), col("false_pos"),
+          (col("false_pos").cast("double")
+            / col("n_neg_probes").cast("double")).as("fpr"),
+          col("n_pos_probes"), col("true_pos"))
+        .orderBy(col("m_bits"), col("k"))
+    }),
+
     // Near-dup transitivity audit — the cluster-quality check before
     // a connected-components dedup (q91) commits: CC treats the
     // pairwise relation as transitive, but Jaccard ≥ τ is NOT
@@ -1268,6 +1341,63 @@ object Dedup extends QueryModule {
         |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
         |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q279_bloom_fpr" ->
+      """WITH w AS (SELECT doc_id,
+        |    (doc_id * 1103515245 + 12345) % 100 AS bkt,
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ',
+        |      'g'))), ' ') AS words
+        |  FROM documents),
+        |g AS (SELECT bkt, unnest(list_transform(range(1, len(words) - 1),
+        |    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+        |      AS gg
+        |  FROM w WHERE len(words) >= 3),
+        |hh AS (SELECT bkt,
+        |    ('0x' || substr(md5(gg), 1, 15))::BIGINT AS h FROM g),
+        |train AS (SELECT DISTINCT h FROM hh WHERE bkt < 80),
+        |nt AS (SELECT count(*) AS n_train FROM train),
+        |heldd AS (SELECT DISTINCT h FROM hh WHERE bkt >= 80),
+        |held AS (SELECT hd.h,
+        |    CASE WHEN t.h IS NULL THEN 0 ELSE 1 END AS seen
+        |  FROM heldd hd LEFT JOIN train t ON hd.h = t.h),
+        |sch AS (SELECT * FROM (VALUES (2, 14), (4, 14), (2, 16),
+        |  (4, 16)) s(k, lm)),
+        |tb0 AS (SELECT h, k, lm, unnest(range(0, k)) AS i
+        |  FROM train, sch),
+        |tb AS (SELECT DISTINCT k, lm,
+        |    ('0x' || substr(md5(CAST(i AS VARCHAR) || ':'
+        |      || CAST(h AS VARCHAR)), 1, 12))::BIGINT
+        |      % (1::BIGINT << lm) AS bit
+        |  FROM tb0),
+        |pb0 AS (SELECT h, seen, k, lm, unnest(range(0, k)) AS i
+        |  FROM held, sch),
+        |pb AS (SELECT h, seen, k, lm,
+        |    ('0x' || substr(md5(CAST(i AS VARCHAR) || ':'
+        |      || CAST(h AS VARCHAR)), 1, 12))::BIGINT
+        |      % (1::BIGINT << lm) AS bit
+        |  FROM pb0),
+        |pr AS (SELECT pb.k, pb.lm, pb.h, pb.seen,
+        |    sum(CASE WHEN tb.bit IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS present
+        |  FROM pb LEFT JOIN tb ON pb.k = tb.k AND pb.lm = tb.lm
+        |    AND pb.bit = tb.bit
+        |  GROUP BY 1, 2, 3, 4),
+        |ag AS (SELECT k, lm,
+        |    CAST(sum(CASE WHEN seen = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_neg_probes,
+        |    CAST(sum(CASE WHEN seen = 0 AND present = k THEN 1
+        |      ELSE 0 END) AS BIGINT) AS false_pos,
+        |    CAST(sum(CASE WHEN seen = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_pos_probes,
+        |    CAST(sum(CASE WHEN seen = 1 AND present = k THEN 1
+        |      ELSE 0 END) AS BIGINT) AS true_pos
+        |  FROM pr GROUP BY 1, 2)
+        |SELECT CAST(k AS BIGINT) AS k, 1::BIGINT << lm AS m_bits,
+        |  n_train, n_neg_probes, false_pos,
+        |  CAST(false_pos AS DOUBLE) / CAST(n_neg_probes AS DOUBLE)
+        |    AS fpr,
+        |  n_pos_probes, true_pos
+        |FROM ag, nt ORDER BY m_bits, k""".stripMargin,
 
     "q276_transitivity" -> (shingleCte +
       """,

@@ -148,7 +148,11 @@ class PartitionInvarianceSpec extends AnyFunSuite {
                            // struct-max argmax
     "q273_dedup_impact",   // exact sums; keep rule is a total order
     "q274_filter_yield",   // exact integer predicates and sums
-    "q275_ann_recall")     // bit-exact doubles, total tie-breaks
+    "q275_ann_recall",     // bit-exact doubles, total tie-breaks
+    "q276_transitivity",   // exact counts over a distinct pair graph
+    "q277_split_drift",    // snapped per-(label,half) centroids
+    "q278_simhash_bits",   // exact bit tallies; kernel is per-row
+    "q279_bloom_fpr")      // distinct bit sets; exact probe counts
 
   test("exact operators are invariant to input split boundaries") {
     val splitty = spark.newSession()

@@ -519,7 +519,17 @@ class PlanShapeSpec extends AnyFunSuite {
       // 6 scans, accepted: this is the run-once-on-a-sample
       // MEASUREMENT query (the INDEX path q76b/q123 stays 2).
       ("q273_dedup_impact", 1), ("q274_filter_yield", 1),
-      ("q275_ann_recall", 6))
+      ("q275_ann_recall", 6),
+      // q276: blocked-candidate self-join sides + the verify-stage
+      // shingle join — 3 scans (the q91 family shape); the persisted
+      // pair frame keeps edges/wedges/closure from re-scanning.
+      // q277: the per-(label, half) centroid subtree self-joined.
+      // q278: one kernel pass.
+      ("q276_transitivity", 3), ("q277_split_drift", 2),
+      ("q278_simhash_bits", 1),
+      // q279: train-filter build, probe side, and the membership
+      // flag each need the shingle pipeline — 3 subtrees.
+      ("q279_bloom_fpr", 3))
     for ((q, scans) <- expect) {
       val df = SparkEntry.queries(q)(spark, sf)
       df.collect()
