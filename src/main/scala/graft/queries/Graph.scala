@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryModule, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Graph analytics over relational data (beyond the reference, which has
@@ -85,6 +86,64 @@ object Graph extends QueryModule {
       import s.implicits._
       nodeIds.toSeq.map(nid => (nid, rank(nid))).toDF("node", "rank")
         .orderBy(col("node"))
+    }),
+
+    // Stationary distribution of the event-type Markov chain (q147's
+    // transition matrix taken to its fixed point — "where do user
+    // journeys SPEND their time", the summary a funnel/session model
+    // calibrates against): 12 power iterations on the ≤|types|²
+    // transition matrix, collected and iterated DRIVER-SIDE (the
+    // q154/q119 pattern — the corpus stage is the one lead() window +
+    // transition aggregation; the iteration object is types²-sized at
+    // any corpus size). Cross-engine exactness without float order:
+    // mass lives in exact MICRO-LONGS and each step is
+    // p'(j) = Σ_i (p_i·c_ij) DIV r_i — per-term integer truncation,
+    // order-free long sums (the oracle unrolls the same 12 steps as
+    // chained CTEs). Output self-checks against the chain's empirical
+    // step distribution.
+    "q280_markov_stationary" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val trans = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"),
+          col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val rows = trans.collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2)))
+      val types = rows.flatMap(t => Seq(t._1, t._2)).distinct.sorted
+      val idx = types.zipWithIndex.toMap
+      val k = types.length
+      val c = Array.ofDim[Long](k, k)
+      rows.foreach { case (f, t, n) => c(idx(f))(idx(t)) = n }
+      val rs = c.map(_.sum)
+      var p = Array.fill(k)(1000000L / k)
+      for (_ <- 1 to 12) {
+        val nx = Array.fill(k)(0L)
+        for (i <- 0 until k if rs(i) > 0; j <- 0 until k)
+          nx(j) += p(i) * c(i)(j) / rs(i)
+        p = nx
+      }
+      import s.implicits._
+      val stat = types.zip(p).toSeq.toDF("event_type", "pm_micro")
+      val emp = trans.groupBy(col("to_type").as("event_type"))
+        .agg(sum(col("n")).as("n_steps"))
+      stat.join(emp, Seq("event_type"))
+        .withColumn("pm_tot", sum(col("pm_micro"))
+          .over(Window.partitionBy()))
+        .withColumn("n_all", sum(col("n_steps"))
+          .over(Window.partitionBy()))
+        .select(col("event_type"), col("pm_micro"),
+          (col("pm_micro").cast("double") / col("pm_tot").cast("double"))
+            .as("stationary_share"),
+          (col("n_steps").cast("double") / col("n_all").cast("double"))
+            .as("empirical_share"))
+        .withColumn("abs_gap",
+          abs(col("stationary_share") - col("empirical_share")))
+        .orderBy(col("event_type"))
     }),
 
     // Triangle count + local clustering coefficient over the same
@@ -231,6 +290,49 @@ object Graph extends QueryModule {
          |  FROM nation, nn),
          |$iters
          |SELECT node, rank FROM r$Iters ORDER BY node""".stripMargin
+    },
+
+    // same unrolled-CTE recipe as q154, in exact integer arithmetic:
+    // each step's term is (pm·n) // r — per-term truncation, so the
+    // GROUP BY sum is order-free longs, bit-equal to the driver loop.
+    "q280_markov_stationary" -> {
+      val steps = (1 to 12).map { k =>
+        s"""it$k AS (SELECT tc.to_type AS t,
+           |    CAST(sum((p.pm * tc.n) // rs.r) AS BIGINT) AS pm
+           |  FROM it${k - 1} p JOIN tc ON tc.from_type = p.t
+           |    JOIN rs ON rs.from_type = tc.from_type
+           |  GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH tr AS (SELECT event_type AS from_type,
+         |    lead(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS to_type
+         |  FROM events),
+         |tc AS (SELECT from_type, to_type, count(*) AS n FROM tr
+         |  WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         |rs AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS r
+         |  FROM tc GROUP BY 1),
+         |types AS (SELECT DISTINCT from_type AS t FROM tc
+         |  UNION SELECT DISTINCT to_type FROM tc),
+         |kk AS (SELECT count(*) AS k FROM types),
+         |it0 AS (SELECT t, CAST(1000000 // k AS BIGINT) AS pm
+         |  FROM types, kk),
+         |$steps,
+         |emp AS (SELECT to_type AS event_type,
+         |    CAST(sum(n) AS BIGINT) AS n_steps FROM tc GROUP BY 1),
+         |fin AS (SELECT it12.t AS event_type, it12.pm AS pm_micro,
+         |    emp.n_steps
+         |  FROM it12 JOIN emp ON emp.event_type = it12.t),
+         |tot AS (SELECT CAST(sum(pm_micro) AS BIGINT) AS pm_tot,
+         |    CAST(sum(n_steps) AS BIGINT) AS n_all FROM fin)
+         |SELECT event_type, pm_micro,
+         |  CAST(pm_micro AS DOUBLE) / CAST(pm_tot AS DOUBLE)
+         |    AS stationary_share,
+         |  CAST(n_steps AS DOUBLE) / CAST(n_all AS DOUBLE)
+         |    AS empirical_share,
+         |  abs(CAST(pm_micro AS DOUBLE) / CAST(pm_tot AS DOUBLE)
+         |    - CAST(n_steps AS DOUBLE) / CAST(n_all AS DOUBLE))
+         |    AS abs_gap
+         |FROM fin, tot ORDER BY event_type""".stripMargin
     },
 
     "q166_triangles" ->

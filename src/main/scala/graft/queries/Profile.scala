@@ -941,6 +941,65 @@ object Profile extends QueryModule {
             .otherwise(lit(0.0)))
     }),
 
+    // MinHash signature-size error curve — the fifth tuning-family
+    // member (q263, q271, q275, q279): how does q258's Jaccard
+    // estimate improve as the signature grows k ∈ {4, 8, 16}? The
+    // answer sets the bytes-per-set budget of a production sketch
+    // store (k longs per set). ONE 16-perm signature build serves all
+    // three curve points — a permutation row p contributes to every
+    // k > p via a bounded explode, never a re-hash; estimates and the
+    // exact Jaccard baseline are single divisions of exact longs.
+    "q281_minhash_k_curve" -> ((s, d) => {
+      val tu = Tables.events(s, d)
+        .select(col("event_type"), col("user_id")).distinct()
+      val sigs = tu
+        .select(col("event_type"), col("user_id"),
+          explode(sequence(lit(0), lit(15))).as("p"))
+        .withColumn("hv", conv(substring(md5(concat(
+          col("p").cast("string"), lit(":"),
+          col("user_id").cast("string"))), 1, 12), 16, 10)
+          .cast("long"))
+        .groupBy(col("event_type"), col("p"))
+        .agg(min(col("hv")).as("sig"))
+      val matches = sigs.select(col("event_type").as("type_a"),
+          col("p"), col("sig").as("sig_a"))
+        .join(sigs.select(col("event_type").as("type_b"), col("p"),
+          col("sig").as("sig_b")), Seq("p"))
+        .filter(col("type_a") < col("type_b"))
+        .select(col("type_a"), col("type_b"),
+          when(col("sig_a") === col("sig_b"), 1L).otherwise(0L)
+            .as("m"),
+          explode(expr("filter(array(4, 8, 16), k -> k > p)")).as("k"))
+        .groupBy(col("k"), col("type_a"), col("type_b"))
+        .agg(sum(col("m")).as("matches"))
+      val sizes = tu.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_users"))
+      val inter = tu.select(col("event_type").as("type_a"),
+          col("user_id"))
+        .join(tu.select(col("event_type").as("type_b"), col("user_id")),
+          Seq("user_id"))
+        .filter(col("type_a") < col("type_b"))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      matches.join(inter, Seq("type_a", "type_b"))
+        .join(sizes.select(col("event_type").as("type_a"),
+          col("n_users").as("n_a")), Seq("type_a"))
+        .join(sizes.select(col("event_type").as("type_b"),
+          col("n_users").as("n_b")), Seq("type_b"))
+        .select(col("k").cast("long").as("k"), col("type_a"),
+          col("type_b"), col("matches"),
+          (col("matches").cast("double") / col("k").cast("double"))
+            .as("est_jaccard"),
+          (col("n_inter").cast("double")
+            / (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+            .as("exact_jaccard"),
+          abs(col("matches").cast("double") / col("k").cast("double")
+            - col("n_inter").cast("double")
+            / (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+            .as("abs_err"))
+        .orderBy(col("k"), col("type_a"), col("type_b"))
+    }),
+
     // HyperLogLog with EXPLICIT registers (m=64, b=6) — the fifth
     // sketch family (q247 CMS, q258 MinHash, q39 HLL-as-blackbox,
     // q31b bitmap), materialized register-by-register so the
@@ -1020,6 +1079,41 @@ object Profile extends QueryModule {
         |  JOIN sz sa ON sa.event_type = type_a
         |  JOIN sz sb ON sb.event_type = type_b
         |ORDER BY type_a, type_b""".stripMargin,
+
+    "q281_minhash_k_curve" ->
+      """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+        |sg AS (SELECT event_type, p,
+        |    min(('0x' || substr(md5(CAST(p AS VARCHAR) || ':'
+        |      || CAST(user_id AS VARCHAR)), 1, 12))::BIGINT) AS sig
+        |  FROM tu, range(0, 16) r(p) GROUP BY 1, 2),
+        |mt AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    kk.k,
+        |    CAST(sum(CASE WHEN a.sig = b.sig THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS matches
+        |  FROM sg a JOIN sg b ON a.p = b.p
+        |    AND a.event_type < b.event_type
+        |  JOIN (VALUES (4), (8), (16)) kk(k) ON kk.k > a.p
+        |  GROUP BY 1, 2, 3),
+        |sz AS (SELECT event_type, count(*) AS n_users
+        |  FROM tu GROUP BY 1),
+        |iv AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    count(*) AS n_inter
+        |  FROM tu a JOIN tu b ON a.user_id = b.user_id
+        |    AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT CAST(k AS BIGINT) AS k, type_a, type_b, matches,
+        |  CAST(matches AS DOUBLE) / CAST(k AS DOUBLE) AS est_jaccard,
+        |  CAST(n_inter AS DOUBLE)
+        |    / CAST(sa.n_users + sb.n_users - n_inter AS DOUBLE)
+        |    AS exact_jaccard,
+        |  abs(CAST(matches AS DOUBLE) / CAST(k AS DOUBLE)
+        |    - CAST(n_inter AS DOUBLE)
+        |    / CAST(sa.n_users + sb.n_users - n_inter AS DOUBLE))
+        |    AS abs_err
+        |FROM mt JOIN iv USING (type_a, type_b)
+        |  JOIN sz sa ON sa.event_type = type_a
+        |  JOIN sz sb ON sb.event_type = type_b
+        |ORDER BY k, type_a, type_b""".stripMargin,
 
     "q262_mutual_info" ->
       """WITH cells AS (SELECT lang, source, count(*) AS c

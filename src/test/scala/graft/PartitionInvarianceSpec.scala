@@ -152,7 +152,9 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q276_transitivity",   // exact counts over a distinct pair graph
     "q277_split_drift",    // snapped per-(label,half) centroids
     "q278_simhash_bits",   // exact bit tallies; kernel is per-row
-    "q279_bloom_fpr")      // distinct bit sets; exact probe counts
+    "q279_bloom_fpr",      // distinct bit sets; exact probe counts
+    "q280_markov_stationary", // exact micro-long power iteration
+    "q281_minhash_k_curve") // min is commutative; exact counts
 
   test("exact operators are invariant to input split boundaries") {
     val splitty = spark.newSession()

@@ -529,7 +529,11 @@ class PlanShapeSpec extends AnyFunSuite {
       ("q278_simhash_bits", 1),
       // q279: train-filter build, probe side, and the membership
       // flag each need the shingle pipeline — 3 subtrees.
-      ("q279_bloom_fpr", 3))
+      ("q279_bloom_fpr", 3),
+      // q280: the driver-side iteration's collect() is a separate
+      // job; the OUTPUT plan scans events once for the empirical
+      // twin. q281: signature + exact-verify subtrees (q258 shape).
+      ("q280_markov_stationary", 1), ("q281_minhash_k_curve", 2))
     for ((q, scans) <- expect) {
       val df = SparkEntry.queries(q)(spark, sf)
       df.collect()
