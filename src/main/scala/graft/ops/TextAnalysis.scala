@@ -523,6 +523,51 @@ object TextAnalysis extends QueryModule {
         .orderBy(col("lang"))
     }),
 
+    // Length ⨯ type-token-ratio Spearman per language — the
+    // selection-bias diagnostic behind every length-based quality
+    // filter (TTR falls mechanically with length, so a naive
+    // "low TTR = spam" rule silently becomes a "long document" rule;
+    // the rank correlation QUANTIFIES how strongly, per language).
+    // q236's doubled-rank recipe: integer midpoint ranks (2·rank, so
+    // tie midpoints stay integers), centered by the integer mean rank
+    // n+1, DECIMAL moment sums, one snapped division. TTR ranks order
+    // by the EXACT long n_types·1e6 DIV n_words — no float ordering
+    // at rank boundaries.
+    "q283_length_ttr_corr" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      val base = Tables.documents(s, d)
+        .withColumn("ws", Text.words(col("text")))
+        .filter(size(col("ws")) >= 1)
+        .select(col("lang"), size(col("ws")).cast("long").as("x"),
+          (size(array_distinct(col("ws"))).cast("long") * 1000000L
+            / size(col("ws")).cast("long")).as("y"))
+      def rank2(v: String): Column = {
+        val cv = count(lit(1))
+          .over(Window.partitionBy(col("lang"), col(v)))
+        val cum = count(lit(1))
+          .over(Window.partitionBy(col("lang")).orderBy(col(v))
+            .rangeBetween(Window.unboundedPreceding, Window.currentRow))
+        lit(2L) * (cum - cv) + cv + 1L
+      }
+      def dec(c: Column): Column = c.cast("decimal(19,0)")
+      base
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("lang"))))
+        .withColumn("dx", rank2("x") - (col("n") + 1L))
+        .withColumn("dy", rank2("y") - (col("n") + 1L))
+        .groupBy(col("lang"))
+        .agg(max(col("n")).cast("long").as("n_docs"),
+          sum(dec(col("dx")) * dec(col("dy"))).as("sxy"),
+          sum(dec(col("dx")) * dec(col("dx"))).as("sxx"),
+          sum(dec(col("dy")) * dec(col("dy"))).as("syy"))
+        .select(col("lang"), col("n_docs"),
+          when(col("sxx") > 0 && col("syy") > 0,
+            snap6(col("sxy").cast("double")
+              / (sqrt(col("sxx").cast("double"))
+                * sqrt(col("syy").cast("double")))))
+            .otherwise(lit(0.0)).as("rho"))
+        .orderBy(col("lang"))
+    }),
+
     // Character-bigram entropy per language — the classic langid /
     // gibberish fingerprint one level below q251's word entropy (and
     // the feature family real char-n-gram language models train on):
@@ -978,6 +1023,39 @@ object TextAnalysis extends QueryModule {
         |    AS stem_ratio,
         |  max(fam) AS max_family
         |FROM fam GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q283_length_ttr_corr" ->
+      """WITH b AS (SELECT lang,
+        |    CAST(len(w) AS BIGINT) AS x,
+        |    CAST(len(list_distinct(w)) AS BIGINT) * 1000000
+        |      // CAST(len(w) AS BIGINT) AS y
+        |  FROM (SELECT lang, string_split(lower(trim(
+        |      regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+        |    FROM documents) WHERE len(w) >= 1),
+        |r AS (SELECT lang,
+        |    count(*) OVER (PARTITION BY lang) AS n,
+        |    2 * (count(*) OVER (PARTITION BY lang ORDER BY x
+        |        RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - count(*) OVER (PARTITION BY lang, x))
+        |      + count(*) OVER (PARTITION BY lang, x) + 1 AS r2x,
+        |    2 * (count(*) OVER (PARTITION BY lang ORDER BY y
+        |        RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - count(*) OVER (PARTITION BY lang, y))
+        |      + count(*) OVER (PARTITION BY lang, y) + 1 AS r2y
+        |  FROM b),
+        |dv AS (SELECT lang, n, r2x - (n + 1) AS dx, r2y - (n + 1) AS dy
+        |  FROM r),
+        |g AS (SELECT lang, CAST(max(n) AS BIGINT) AS n_docs,
+        |    sum(dx * dy) AS sxy, sum(dx * dx) AS sxx,
+        |    sum(dy * dy) AS syy
+        |  FROM dv GROUP BY 1)
+        |SELECT lang, n_docs,
+        |  CASE WHEN sxx > 0 AND syy > 0 THEN
+        |    floor(CAST(sxy AS DOUBLE)
+        |      / (sqrt(CAST(sxx AS DOUBLE)) * sqrt(CAST(syy AS DOUBLE)))
+        |      * 1e6 + 0.5) / 1e6
+        |    ELSE 0.0 END AS rho
+        |FROM g ORDER BY lang""".stripMargin,
 
     // argmax via row_number (c DESC, bg DESC) — the independent
     // formulation of Spark's struct-max tie rule

@@ -30,6 +30,27 @@ object Profile extends QueryModule {
   private val profiled =
     Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
+  /** q282's two-sided-geometric inverse-CDF tables, ONE source of
+    * truth for both engines: per noise scale α (micro units), the
+    * cumulative (threshold_micro, noise) table for magnitudes 0..±4
+    * (tail collapsed to −4, the q254 truncation). Thresholds are
+    * BigDecimal-exact micro-roundings of P(0)=(1−α)/(1+α),
+    * P(±k)=P(0)·α^k — embedded verbatim in the Spark when-chain AND
+    * interpolated into the oracle SQL, so the tables cannot drift.
+    */
+  private val DpAlphas: Seq[(Long, Seq[(Long, Long)])] =
+    Seq(BigDecimal(3) / 4, BigDecimal(1) / 2, BigDecimal(1) / 4).map { a =>
+      val p0 = (1 - a) / (1 + a)
+      val vals = Seq(0L, 1L, -1L, 2L, -2L, 3L, -3L, 4L)
+      var cum = BigDecimal(0)
+      val table = vals.map { v =>
+        cum += (if (v == 0L) p0 else p0 * a.pow(math.abs(v).toInt))
+        ((cum * 1000000).setScale(0, BigDecimal.RoundingMode.HALF_UP)
+          .toLong, v)
+      }
+      ((a * 1000000).toLong, table)
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // describe/summary: single-pass stats for all columns, stacked long.
     "q92_describe" -> ((s, d) => {
@@ -941,6 +962,54 @@ object Profile extends QueryModule {
             .otherwise(lit(0.0)))
     }),
 
+    // Differential-privacy ε-utility curve — the privacy tier's
+    // tuning-family member (q254 fixes ε = ln 2; this sweeps the
+    // two-sided-geometric scale α ∈ {3/4, 1/2, 1/4} ⇒ ε = ln(1/α)
+    // and MEASURES what each ε costs in released-count utility:
+    // mean |noise| and the small-cell suppression share). The
+    // inverse-CDF threshold tables are generated from ONE Scala
+    // constant list and embedded verbatim in BOTH the Spark when-chain
+    // and the oracle SQL (single source of truth — no transcription
+    // drift); noise stays pure integer arithmetic on the same
+    // cell-key-seeded micro-uniform as q254.
+    "q282_dp_epsilon_curve" -> ((s, d) => {
+      val cells = Tables.events(s, d)
+        .select(col("event_type"), to_date(col("ts")).as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("true_n"))
+        .withColumn("u", pmod(conv(substring(md5(concat(
+          col("event_type"), lit(":"), col("day").cast("string"))),
+          1, 8), 16, 10).cast("long"), lit(1000000L)))
+        .select(col("event_type"), col("day"), col("true_n"), col("u"),
+          explode(array(DpAlphas.map { case (am, _) =>
+            lit(am)
+          }: _*)).as("alpha_m"))
+      val noise = DpAlphas.foldLeft(lit(-4L)) {
+        case (els, (am, table)) =>
+          table.foldRight(els) { case ((t, v), inner) =>
+            when(col("alpha_m") === am && col("u") < t, v)
+              .otherwise(inner)
+          }
+      }
+      // foldRight over one table nests correctly; guard per alpha via
+      // the alpha_m conjunct on every branch
+      cells.withColumn("noise", noise)
+        .withColumn("released", col("true_n") + col("noise"))
+        .groupBy(col("alpha_m"))
+        .agg(count(lit(1)).as("n_cells"),
+          sum(abs(col("noise"))).as("sum_abs_noise"),
+          sum(when(col("released") < 5L, 1L).otherwise(0L))
+            .as("n_suppressed"))
+        .select((col("alpha_m").cast("double") / 1e6).as("alpha"),
+          (col("alpha_m") === 750000L).as("high_privacy"),
+          col("n_cells"), col("sum_abs_noise"),
+          (col("sum_abs_noise").cast("double")
+            / col("n_cells").cast("double")).as("mean_abs_noise"),
+          (col("n_suppressed").cast("double")
+            / col("n_cells").cast("double")).as("suppressed_share"))
+        .orderBy(col("alpha"))
+    }),
+
     // MinHash signature-size error curve — the fifth tuning-family
     // member (q263, q271, q275, q279): how does q258's Jaccard
     // estimate improve as the signature grows k ∈ {4, 8, 16}? The
@@ -1079,6 +1148,41 @@ object Profile extends QueryModule {
         |  JOIN sz sa ON sa.event_type = type_a
         |  JOIN sz sb ON sb.event_type = type_b
         |ORDER BY type_a, type_b""".stripMargin,
+
+    // the CASE chain is interpolated from the same DpAlphas tables the
+    // Spark side folds over — one source of truth
+    "q282_dp_epsilon_curve" -> {
+      val chain = DpAlphas.map { case (am, table) =>
+        table.map { case (t, v) =>
+          s"WHEN am = $am AND u < $t THEN $v"
+        }.mkString(" ")
+      }.mkString(" ")
+      s"""WITH cells AS (SELECT event_type, CAST(ts AS DATE) AS day,
+         |    count(*) AS true_n
+         |  FROM events GROUP BY 1, 2),
+         |uu AS (SELECT event_type, day, true_n,
+         |    ('0x' || substr(md5(event_type || ':'
+         |      || CAST(day AS VARCHAR)), 1, 8))::BIGINT % 1000000 AS u
+         |  FROM cells),
+         |ex AS (SELECT true_n, u, am
+         |  FROM uu, (VALUES (750000), (500000), (250000)) a(am)),
+         |nz AS (SELECT am, true_n,
+         |    CASE $chain ELSE -4 END AS noise
+         |  FROM ex),
+         |g AS (SELECT am, count(*) AS n_cells,
+         |    CAST(sum(abs(noise)) AS BIGINT) AS sum_abs_noise,
+         |    CAST(sum(CASE WHEN true_n + noise < 5 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_suppressed
+         |  FROM nz GROUP BY 1)
+         |SELECT CAST(am AS DOUBLE) / 1e6 AS alpha,
+         |  am = 750000 AS high_privacy,
+         |  n_cells, sum_abs_noise,
+         |  CAST(sum_abs_noise AS DOUBLE) / CAST(n_cells AS DOUBLE)
+         |    AS mean_abs_noise,
+         |  CAST(n_suppressed AS DOUBLE) / CAST(n_cells AS DOUBLE)
+         |    AS suppressed_share
+         |FROM g ORDER BY alpha""".stripMargin
+    },
 
     "q281_minhash_k_curve" ->
       """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),

@@ -154,7 +154,9 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q278_simhash_bits",   // exact bit tallies; kernel is per-row
     "q279_bloom_fpr",      // distinct bit sets; exact probe counts
     "q280_markov_stationary", // exact micro-long power iteration
-    "q281_minhash_k_curve") // min is commutative; exact counts
+    "q281_minhash_k_curve", // min is commutative; exact counts
+    "q282_dp_epsilon_curve", // pure integer noise from cell keys
+    "q283_length_ttr_corr") // integer midpoint ranks, DECIMAL moments
 
   test("exact operators are invariant to input split boundaries") {
     val splitty = spark.newSession()

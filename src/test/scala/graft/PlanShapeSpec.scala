@@ -533,7 +533,10 @@ class PlanShapeSpec extends AnyFunSuite {
       // q280: the driver-side iteration's collect() is a separate
       // job; the OUTPUT plan scans events once for the empirical
       // twin. q281: signature + exact-verify subtrees (q258 shape).
-      ("q280_markov_stationary", 1), ("q281_minhash_k_curve", 2))
+      ("q280_markov_stationary", 1), ("q281_minhash_k_curve", 2),
+      // q282: one pass to the (type, day) cell frame, the 3× α
+      // fan-out rides it. q283: rank windows over one lang exchange.
+      ("q282_dp_epsilon_curve", 1), ("q283_length_ttr_corr", 1))
     for ((q, scans) <- expect) {
       val df = SparkEntry.queries(q)(spark, sf)
       df.collect()
