@@ -42,6 +42,72 @@ object CorpusSignals extends QueryModule {
     // recipe), so per-doc sums are order-free and the final average
     // divides exact operands. Two corpus scans (train + score) — the
     // q197/q111 statelessness trade.
+    // Heaps'-law vocabulary-growth exponent — q245-Zipf's companion
+    // corpus-health number: distinct vocabulary grows V(n) ≈ K·n^β
+    // (natural text β ≈ 0.4-0.6; duplicated/templated corpora bend
+    // low, OCR noise bends toward 1). The unit here is the 3-SHINGLE
+    // (the dedup tier's unit — the word vocabulary of this synthetic
+    // corpus saturates at 31 types by the first checkpoint, which the
+    // metric correctly reads as β = 0, i.e. maximally templated;
+    // shingles keep growing and measure the actual novelty rate).
+    // Measured at 10 doc-order checkpoints WITHOUT any sequential
+    // scan: V(k) = count of shingles whose FIRST document (min doc_id
+    // per shingle — one vocab-sized aggregation) falls at or before
+    // checkpoint k, joined against the broadcast 10-row checkpoint
+    // frame; β by q245's OLS recipe (snapped micro-nat ln, DECIMAL
+    // moments, one snapped division). The checkpoint prefix sums ride
+    // a window over the DOC frame — at 100 TB that step decomposes
+    // exactly like q101's distributed prefix sum; everything
+    // shingle-sized is hash-keyed.
+    "q284_heaps_law" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      def dec(c: Column): Column = c.cast("decimal(19,0)")
+      val toks = Tables.documents(s, d)
+        .withColumn("ws", Text.words(col("text")))
+        .filter(size(col("ws")) >= 3)
+        .select(col("doc_id"),
+          explode(Text.shingles3(col("ws"))).as("w"))
+      val firstDoc = toks.groupBy(col("w"))
+        .agg(min(col("doc_id")).as("fd"))
+      val wOrd = Window.orderBy(col("doc_id"))
+      val docs = toks.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_toks"))
+        .withColumn("pos", row_number().over(wOrd).cast("long"))
+        .withColumn("cum_toks", sum(col("n_toks")).over(wOrd
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n_docs", count(lit(1)).over(Window.partitionBy()))
+      val cps = docs
+        .filter(col("pos") * 10L % col("n_docs") < 10L)
+        .withColumn("k", expr("CAST(pos * 10 DIV n_docs AS BIGINT)"))
+        .filter(col("k") >= 1L)
+        .groupBy(col("k"))
+        .agg(max(col("doc_id")).as("cp_doc"),
+          max(col("cum_toks")).as("cum_toks"))
+      val vocab = firstDoc.crossJoin(broadcast(cps))
+        .filter(col("fd") <= col("cp_doc"))
+        .groupBy(col("k"), col("cp_doc"), col("cum_toks"))
+        .agg(count(lit(1)).as("vocab"))
+      val pts = vocab
+        .withColumn("lx",
+          floor(log(col("cum_toks").cast("double")) * 1e6 + 0.5)
+            .cast("long"))
+        .withColumn("ly",
+          floor(log(col("vocab").cast("double")) * 1e6 + 0.5)
+            .cast("long"))
+      val ols = pts.agg(count(lit(1)).as("n_points"),
+        sum(dec(col("lx"))).as("sx"), sum(dec(col("ly"))).as("sy"),
+        sum(dec(col("lx")) * dec(col("lx"))).as("sxx"),
+        sum(dec(col("lx")) * dec(col("ly"))).as("sxy"))
+        .select(col("n_points"),
+          snap6((dec(col("n_points")) * col("sxy")
+            - col("sx") * col("sy")).cast("double")
+            / (dec(col("n_points")) * col("sxx")
+              - col("sx") * col("sx")).cast("double")).as("beta"))
+      pts.select(col("k"), col("cp_doc"), col("cum_toks"), col("vocab"))
+        .crossJoin(broadcast(ols))
+        .orderBy(col("k"))
+    }),
+
     // Rank-biased overlap between two top-20 term rankings per source
     // (raw TF vs TF-IDF) — the IR-standard prefix-weighted similarity
     // for indefinite rankings (Webber et al.), answering "how much
@@ -868,6 +934,53 @@ object CorpusSignals extends QueryModule {
     // 1.0 literals would pull DuckDB into exact DECIMAL arithmetic —
     // the q168 trap); the per-term cost is the same 1e-6-unit LONG
     // the Spark side broadcasts, so per-doc sums are exact.
+    "q284_heaps_law" ->
+      """WITH ws AS (SELECT doc_id, string_split(lower(trim(
+        |      regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+        |  FROM documents),
+        |tt AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS w
+        |  FROM ws WHERE len(w) >= 3),
+        |fd AS (SELECT w, min(doc_id) AS fdoc FROM tt GROUP BY 1),
+        |dc AS (SELECT doc_id, count(*) AS n_toks FROM tt GROUP BY 1),
+        |dw AS (SELECT doc_id, n_toks,
+        |    CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS pos,
+        |    CAST(sum(n_toks) OVER (ORDER BY doc_id ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_toks,
+        |    CAST(count(*) OVER () AS BIGINT) AS n_docs
+        |  FROM dc),
+        |cps AS (SELECT (pos * 10) // n_docs AS k,
+        |    max(doc_id) AS cp_doc,
+        |    CAST(max(cum_toks) AS BIGINT) AS cum_toks
+        |  FROM dw WHERE (pos * 10) % n_docs < 10
+        |    AND (pos * 10) // n_docs >= 1
+        |  GROUP BY 1),
+        |vc AS (SELECT k, cp_doc, cum_toks, count(*) AS vocab
+        |  FROM fd, cps WHERE fd.fdoc <= cps.cp_doc GROUP BY 1, 2, 3),
+        |pts AS (SELECT k, cp_doc, cum_toks, vocab,
+        |    CAST(floor(ln(CAST(cum_toks AS DOUBLE)) * 1e6 + 0.5)
+        |      AS BIGINT) AS lx,
+        |    CAST(floor(ln(CAST(vocab AS DOUBLE)) * 1e6 + 0.5)
+        |      AS BIGINT) AS ly
+        |  FROM vc),
+        |ols AS (SELECT count(*) AS n_points,
+        |    sum(CAST(lx AS DECIMAL(19,0))) AS sx,
+        |    sum(CAST(ly AS DECIMAL(19,0))) AS sy,
+        |    sum(CAST(lx AS DECIMAL(19,0)) * CAST(lx AS DECIMAL(19,0)))
+        |      AS sxx,
+        |    sum(CAST(lx AS DECIMAL(19,0)) * CAST(ly AS DECIMAL(19,0)))
+        |      AS sxy
+        |  FROM pts)
+        |SELECT CAST(k AS BIGINT) AS k, cp_doc, cum_toks,
+        |  CAST(vocab AS BIGINT) AS vocab, n_points,
+        |  floor(CAST(CAST(n_points AS DECIMAL(19,0)) * sxy - sx * sy
+        |      AS DOUBLE)
+        |    / CAST(CAST(n_points AS DECIMAL(19,0)) * sxx - sx * sx
+        |      AS DOUBLE) * 1e6 + 0.5) / 1e6 AS beta
+        |FROM pts, ols ORDER BY k""".stripMargin,
+
     "q266_rbo_rankings" ->
       """WITH t AS (SELECT source, unnest(string_split(lower(trim(
         |      regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS term

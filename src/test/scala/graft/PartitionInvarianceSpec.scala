@@ -156,7 +156,8 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q280_markov_stationary", // exact micro-long power iteration
     "q281_minhash_k_curve", // min is commutative; exact counts
     "q282_dp_epsilon_curve", // pure integer noise from cell keys
-    "q283_length_ttr_corr") // integer midpoint ranks, DECIMAL moments
+    "q283_length_ttr_corr", // integer midpoint ranks, DECIMAL moments
+    "q284_heaps_law")      // exact first-occurrence counts, snapped OLS
 
   test("exact operators are invariant to input split boundaries") {
     val splitty = spark.newSession()

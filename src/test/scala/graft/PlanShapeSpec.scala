@@ -536,7 +536,9 @@ class PlanShapeSpec extends AnyFunSuite {
       ("q280_markov_stationary", 1), ("q281_minhash_k_curve", 2),
       // q282: one pass to the (type, day) cell frame, the 3× α
       // fan-out rides it. q283: rank windows over one lang exchange.
-      ("q282_dp_epsilon_curve", 1), ("q283_length_ttr_corr", 1))
+      ("q282_dp_epsilon_curve", 1), ("q283_length_ttr_corr", 1),
+      // q284: shingle first-occurrence + doc-checkpoint branches.
+      ("q284_heaps_law", 2))
     for ((q, scans) <- expect) {
       val df = SparkEntry.queries(q)(spark, sf)
       df.collect()
