@@ -860,6 +860,120 @@ object Temporal extends QueryModule {
             .as("fano"),
           (col("num") * 2 > col("den") * 3).as("bursty"))
         .orderBy(col("event_type"))
+    }),
+
+    // Ordered conversion funnel view → click → purchase — the product-
+    // analytics staple the reference's eager API can't express (its
+    // aggregations panic, evaluation.rs:126) and the event-pipeline
+    // sibling of q49's sessionization. Stage k is reached when the
+    // user's FIRST stage-k event falls STRICTLY AFTER their first
+    // stage-(k−1) event — min-per-user frames chained by user-keyed
+    // joins, so each stage is one filtered corpus pass (event_type
+    // pushed into the scan) joined to a ≤|users| frame; nothing
+    // event×event ever forms. Determinism: first-times are exact-µs
+    // mins, stage counts exact longs, conversion ratios single
+    // long÷long double divisions, and step latency sums accumulate
+    // epoch-µs deltas in DECIMAL(38,0) (q213's recipe — Σµs over 1e9
+    // users × 30 d exceeds 2^63; DuckDB's sum(BIGINT) is already
+    // HUGEINT) with one division chain spelled identically both
+    // engines. Scale shape: three type-pruned scans + two bounded
+    // user-keyed joins; the four 1-row stage summaries cross-join at
+    // the driver-trivial tail.
+    "q285_funnel" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      // Linear left-join chain — each stage frame is consumed exactly
+      // ONCE, so the plan holds at 4 corpus scans (a fan-out shape
+      // where v1/c2 feed both the next stage and a count leg would
+      // re-plan their whole subtree per consumer — measured 6-10
+      // scans). Users that stall at a stage ride through with null
+      // stage times; counts fall out of ONE final aggregate.
+      val u1 = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("c_ts"))
+      val u2 = u1.join(clicks,
+          u1("user_id") === clicks("user_id") && col("c_ts") > col("t1"),
+          "left")
+        .groupBy(u1("user_id"), col("t1"))
+        .agg(min(col("c_ts")).as("t2"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"))
+      val u3 = u2.join(buys,
+          u2("user_id") === buys("user_id") && col("p_ts") > col("t2"),
+          "left")
+        .groupBy(u2("user_id"), col("t1"), col("t2"))
+        .agg(min(col("p_ts")).as("t3"))
+      def usDec(a: Column, b: Column): Column =
+        (unix_micros(a) - unix_micros(b)).cast("decimal(38,0)")
+      val n = ev.agg(countDistinct(col("user_id")).as("n0"))
+        .crossJoin(u3.agg(count(col("t1")).as("n1"),
+          count(col("t2")).as("n2"),
+          sum(usDec(col("t2"), col("t1"))).as("us12"),
+          count(col("t3")).as("n3"),
+          sum(usDec(col("t3"), col("t2"))).as("us23")))
+      def conv(num: Column, den: Column): Column =
+        when(den > 0L, num.cast("double") / den.cast("double"))
+          .otherwise(lit(null).cast("double"))
+      def hrs(us: Column, cnt: Column): Column =
+        when(cnt > 0L, us.cast("double") / cnt.cast("double") / lit(3600e6))
+          .otherwise(lit(null).cast("double"))
+      val nullD = lit(null).cast("double")
+      // One explode over the single 1-row summary (NOT a 4-way union,
+      // which re-plans the whole stage subtree per leg — 10 scans
+      // instead of 4): the array generator evaluates `n` once and the
+      // per-stage rows are pure projections of it.
+      def stageRow(name: String, users: Column, prev: Column,
+          hours: Column) =
+        struct(lit(name).as("stage"), users.as("users"),
+          prev.as("conv_from_prev"), hours.as("mean_step_hours"))
+      n.select(explode(array(
+          stageRow("0_all", col("n0"), nullD, nullD),
+          stageRow("1_view", col("n1"), conv(col("n1"), col("n0")), nullD),
+          stageRow("2_click", col("n2"), conv(col("n2"), col("n1")),
+            hrs(col("us12"), col("n2"))),
+          stageRow("3_purchase", col("n3"), conv(col("n3"), col("n2")),
+            hrs(col("us23"), col("n3"))))).as("r"))
+        .select(col("r.stage").as("stage"), col("r.users").as("users"),
+          col("r.conv_from_prev").as("conv_from_prev"),
+          col("r.mean_step_hours").as("mean_step_hours"))
+        .orderBy(col("stage"))
+    }),
+
+    // Weekly cohort-retention matrix — "of the users whose first event
+    // fell in week c, how many were still active in week c+k?", the
+    // growth-accounting readout behind q232's churn curve (KM gives a
+    // single survival function; this keeps cohorts separate so product
+    // changes show up as between-cohort differences). Week index is the
+    // exact integer (day − 2024-01-01) DIV 7 — no timezone-dependent
+    // week-of-year, identical arithmetic both engines. Determinism:
+    // everything is dates, longs and one long÷long division. Scale
+    // shape: ONE corpus pass; the first-event lookup is a min() window
+    // over the user hash-partition (no join), the (cohort, offset)
+    // distinct-user count shuffles once on bounded keys, and cohort
+    // size is recovered from the offset-0 cell by a window over the
+    // ≤|weeks|² cell frame — never a second corpus scan.
+    "q286_cohort_retention" -> ((s, d) => {
+      val wU = Window.partitionBy(col("user_id"))
+      val base = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .withColumn("first_day", min(col("day")).over(wU))
+        .withColumn("cohort_week",
+          expr("CAST(datediff(first_day, DATE '2024-01-01') DIV 7 AS BIGINT)"))
+        .withColumn("week_offset",
+          expr("CAST(datediff(day, DATE '2024-01-01') DIV 7 AS BIGINT)")
+            - col("cohort_week"))
+      val cells = base.groupBy(col("cohort_week"), col("week_offset"))
+        .agg(countDistinct(col("user_id")).as("active_users"))
+      val wC = Window.partitionBy(col("cohort_week"))
+      cells
+        .withColumn("cohort_size",
+          max(when(col("week_offset") === 0L, col("active_users")))
+            .over(wC))
+        .select(col("cohort_week"), col("week_offset"),
+          col("active_users"), col("cohort_size"),
+          (col("active_users").cast("double")
+            / col("cohort_size").cast("double")).as("retention"))
+        .orderBy(col("cohort_week"), col("week_offset"))
     })
   )
 
@@ -1418,6 +1532,61 @@ object Temporal extends QueryModule {
         |SELECT event_id, CAST(dow AS INT) AS dow, CAST(hr AS INT) AS hr,
         |  value, mean, sd, (value - mean) / sd AS z
         |FROM m WHERE sd > 0 AND abs(value - mean) > 3.0::DOUBLE * sd
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+
+    "q285_funnel" ->
+      """WITH v1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c2 AS (SELECT e.user_id, min(e.ts) AS t2, max(v1.t1) AS t1
+        |  FROM events e JOIN v1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > v1.t1 GROUP BY 1),
+        |p3 AS (SELECT e.user_id, min(e.ts) AS t3, max(c2.t2) AS t2
+        |  FROM events e JOIN c2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > c2.t2 GROUP BY 1),
+        |n AS (SELECT
+        |    (SELECT count(DISTINCT user_id) FROM events) AS n0,
+        |    (SELECT count(*) FROM v1) AS n1,
+        |    (SELECT count(*) FROM c2) AS n2,
+        |    (SELECT sum(epoch_us(t2) - epoch_us(t1)) FROM c2) AS us12,
+        |    (SELECT count(*) FROM p3) AS n3,
+        |    (SELECT sum(epoch_us(t3) - epoch_us(t2)) FROM p3) AS us23)
+        |SELECT '0_all' AS stage, CAST(n0 AS BIGINT) AS users,
+        |  CAST(NULL AS DOUBLE) AS conv_from_prev,
+        |  CAST(NULL AS DOUBLE) AS mean_step_hours FROM n
+        |UNION ALL SELECT '1_view', CAST(n1 AS BIGINT),
+        |  CASE WHEN n0 > 0 THEN CAST(n1 AS DOUBLE) / CAST(n0 AS DOUBLE) END,
+        |  CAST(NULL AS DOUBLE) FROM n
+        |UNION ALL SELECT '2_click', CAST(n2 AS BIGINT),
+        |  CASE WHEN n1 > 0 THEN CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE) END,
+        |  CASE WHEN n2 > 0 THEN CAST(us12 AS DOUBLE) / CAST(n2 AS DOUBLE)
+        |    / 3600e6 END FROM n
+        |UNION ALL SELECT '3_purchase', CAST(n3 AS BIGINT),
+        |  CASE WHEN n2 > 0 THEN CAST(n3 AS DOUBLE) / CAST(n2 AS DOUBLE) END,
+        |  CASE WHEN n3 > 0 THEN CAST(us23 AS DOUBLE) / CAST(n3 AS DOUBLE)
+        |    / 3600e6 END FROM n
+        |ORDER BY stage""".stripMargin,
+
+    "q286_cohort_retention" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |f AS (SELECT user_id, day,
+        |    min(day) OVER (PARTITION BY user_id) AS first_day FROM e),
+        |x AS (SELECT user_id,
+        |    CAST((first_day - DATE '2024-01-01') // 7 AS BIGINT)
+        |      AS cohort_week,
+        |    CAST((day - DATE '2024-01-01') // 7 AS BIGINT)
+        |      - CAST((first_day - DATE '2024-01-01') // 7 AS BIGINT)
+        |      AS week_offset
+        |  FROM f),
+        |c AS (SELECT cohort_week, week_offset,
+        |    count(DISTINCT user_id) AS active_users FROM x GROUP BY 1, 2),
+        |r AS (SELECT cohort_week, week_offset, active_users,
+        |    max(CASE WHEN week_offset = 0 THEN active_users END)
+        |      OVER (PARTITION BY cohort_week) AS cohort_size FROM c)
+        |SELECT cohort_week, week_offset,
+        |  CAST(active_users AS BIGINT) AS active_users,
+        |  CAST(cohort_size AS BIGINT) AS cohort_size,
+        |  CAST(active_users AS DOUBLE) / CAST(cohort_size AS DOUBLE)
+        |    AS retention
+        |FROM r ORDER BY cohort_week, week_offset""".stripMargin
   )
 }

@@ -157,7 +157,9 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q281_minhash_k_curve", // min is commutative; exact counts
     "q282_dp_epsilon_curve", // pure integer noise from cell keys
     "q283_length_ttr_corr", // integer midpoint ranks, DECIMAL moments
-    "q284_heaps_law")      // exact first-occurrence counts, snapped OLS
+    "q284_heaps_law",      // exact first-occurrence counts, snapped OLS
+    "q285_funnel",         // exact-µs mins, DECIMAL latency sums
+    "q286_cohort_retention") // date mins, exact distinct counts
 
   test("exact operators are invariant to input split boundaries") {
     val splitty = spark.newSession()

@@ -538,7 +538,12 @@ class PlanShapeSpec extends AnyFunSuite {
       // fan-out rides it. q283: rank windows over one lang exchange.
       ("q282_dp_epsilon_curve", 1), ("q283_length_ttr_corr", 1),
       // q284: shingle first-occurrence + doc-checkpoint branches.
-      ("q284_heaps_law", 2))
+      ("q284_heaps_law", 2),
+      // q285: the all-users leg + three type-pruned stage legs each
+      // scan events (type pushed into the scan) — 4 by design.
+      // q286: ONE pass; cohorts derive from a user window, never a
+      // second scan.
+      ("q285_funnel", 4), ("q286_cohort_retention", 1))
     for ((q, scans) <- expect) {
       val df = SparkEntry.queries(q)(spark, sf)
       df.collect()
