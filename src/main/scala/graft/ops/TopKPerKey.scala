@@ -103,6 +103,33 @@ object TopKPerKey extends QueryModule {
         orderBy = Seq(("measure", false), ("tie", true)),
         k = 5)
         .orderBy(col("key"), col("measure").desc, col("tie")))
+,
+    // Per-language heavy-hitter words through the native Misra-Gries
+    // aggregate (plans/TopFreq.scala — the kernel set's
+    // TypedImperativeAggregate, riding Spark's standard two-phase hash
+    // aggregation: k-bounded partial summaries merge associatively, so
+    // only ≤k counters per (lang, map task) ever cross the shuffle —
+    // the mergeable-summaries shape that replaces a full (lang, word)
+    // re-shuffle when only frequent items are wanted at 100 TB).
+    // EXACT REGIME on this corpus: k = 64 exceeds the ≤31-word
+    // vocabulary, so no decrement ever fires, counts are exact,
+    // err_bound = 0, and the result is order- and partition-free —
+    // which is what lets a plain count/row_number oracle pin the whole
+    // kernel (update, serialize, merge, eval) end to end. The sketch
+    // regime (k < distinct) is property-pinned in NativeTopFreqSpec.
+    "q287_heavy_hitters" -> ((s, d) => {
+      val words = Tables.documents(s, d)
+        .select(col("lang"), explode(Text.words(col("text"))).as("word"))
+        .filter(col("word") =!= "")
+      words.groupBy(col("lang"))
+        .agg(expr("graft_topfreq(word, 64)").as("hh"))
+        .select(col("lang"), col("hh.err_bound").as("err_bound"),
+          posexplode(col("hh.items")).as(Seq("pos", "e")))
+        .select(col("lang"), (col("pos") + 1).cast("long").as("rank"),
+          col("e.item").as("word"), col("e.cnt").as("cnt"),
+          col("err_bound"))
+        .orderBy(col("lang"), col("rank"))
+    })
   )
 
   def oracle: Map[String, String] = Map(
@@ -122,6 +149,21 @@ object TopKPerKey extends QueryModule {
         |    row_number() OVER (PARTITION BY l_suppkey
         |      ORDER BY l_quantity DESC, l_orderkey * 100 + l_linenumber ASC) AS rn
         |  FROM lineitem)
-        |WHERE rn <= 5 ORDER BY key, measure DESC, tie""".stripMargin
+        |WHERE rn <= 5 ORDER BY key, measure DESC, tie""".stripMargin,
+
+    "q287_heavy_hitters" ->
+      """WITH w AS (SELECT lang,
+        |    unnest(string_split(lower(trim(regexp_replace(text, '\s+',
+        |      ' ', 'g'))), ' ')) AS word
+        |  FROM documents),
+        |c AS (SELECT lang, word, count(*) AS cnt FROM w
+        |  WHERE word <> '' GROUP BY 1, 2),
+        |r AS (SELECT lang, word, cnt,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY cnt DESC, word) AS rank
+        |  FROM c)
+        |SELECT lang, CAST(rank AS BIGINT) AS rank, word,
+        |  CAST(cnt AS BIGINT) AS cnt, CAST(0 AS BIGINT) AS err_bound
+        |FROM r WHERE rank <= 64 ORDER BY lang, rank""".stripMargin
   )
 }

@@ -63,6 +63,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_shingles(wordsArray, n) takes 2 arguments")
         ShingleGenerator(children.head, children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_topfreq"),
+      new ExpressionInfo(classOf[TopFreqSketch].getName, "graft_topfreq"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "graft_topfreq(item, k) takes 2 arguments")
+        TopFreqSketch(children.head, children(1))
+          .toAggregateExpression()
+      }))
     // (c)-tier whole-operator extension: per-key top-k logical node,
     // its key-filter commutation rule, and the partial/final planner
     // strategy (see PerKeyTopK.scala).

@@ -543,7 +543,10 @@ class PlanShapeSpec extends AnyFunSuite {
       // scan events (type pushed into the scan) — 4 by design.
       // q286: ONE pass; cohorts derive from a user window, never a
       // second scan.
-      ("q285_funnel", 4), ("q286_cohort_retention", 1))
+      ("q285_funnel", 4), ("q286_cohort_retention", 1),
+      // q287: ONE pass — the MG summaries partial-aggregate map-side,
+      // only ≤k counters per (lang, task) cross the shuffle.
+      ("q287_heavy_hitters", 1))
     for ((q, scans) <- expect) {
       val df = SparkEntry.queries(q)(spark, sf)
       df.collect()
