@@ -781,6 +781,107 @@ object Aggregates extends QueryModule {
         .agg(min(col("price")).as("weighted_median_price"),
           max(col("w_total")).as("total_weight"))
         .orderBy(col("p_brand"))
+    }),
+
+    // Kendall τ-b per event type between daily volume and daily value
+    // sum — the concordance leg of the rank-correlation family (q236
+    // Spearman measures monotone association via rank deviations; τ-b
+    // asks the sharper pairwise question "when volume rose between two
+    // days, did value rise too?", with the tie-aware denominator).
+    // Exactness: x is an exact long count; y is the daily double sum
+    // 4-rounded (the q162 recipe — the one order-sensitive fold, then
+    // every comparison is on identical snapped values both engines);
+    // concordant/discordant/tie counts are exact longs, and τ-b is one
+    // double expression of exact operands, 6-snapped. Scale shape: the
+    // corpus pass is the (type, day) aggregation (map-side combined);
+    // the pair join runs on the bounded daily frame — |days| is the
+    // CALENDAR span of the collection window, which does not grow with
+    // corpus rows (30 days at every sf here), so days²·|types| pairs
+    // stay a dimension-sized frame at any corpus scale.
+    "q288_kendall_tau" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"), round(sum(col("value")), 4).as("y"))
+      val b = daily.select(col("event_type").as("et_b"),
+        col("day").as("db"), col("x").as("xb"), col("y").as("yb"))
+      val pairs = daily.join(b,
+        col("event_type") === col("et_b") && col("day") < col("db"))
+      def cnt(p: Column): Column = sum(when(p, 1L).otherwise(0L))
+      pairs.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_pairs"),
+          cnt((col("x") < col("xb") && col("y") < col("yb")) ||
+            (col("x") > col("xb") && col("y") > col("yb"))).as("concordant"),
+          cnt((col("x") < col("xb") && col("y") > col("yb")) ||
+            (col("x") > col("xb") && col("y") < col("yb"))).as("discordant"),
+          cnt(col("x") === col("xb")).as("ties_x"),
+          cnt(col("y") === col("yb")).as("ties_y"))
+        .select(col("event_type"), col("n_pairs"), col("concordant"),
+          col("discordant"), col("ties_x"), col("ties_y"),
+          when(col("n_pairs") > col("ties_x") &&
+              col("n_pairs") > col("ties_y"),
+            snap6((col("concordant") - col("discordant")).cast("double")
+              / sqrt((col("n_pairs") - col("ties_x")).cast("double")
+                * (col("n_pairs") - col("ties_y")).cast("double"))))
+            .otherwise(lit(null).cast("double")).as("tau_b"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Kruskal-Wallis H across event types — the k-group extension of
+    // q231's two-group rank-sum (one-way ANOVA on ranks: "do the k
+    // value distributions share a location?", no normality assumption).
+    // Shares q231's pooled-rank shape: ONE (value, type) count frame,
+    // average ranks as exact-long 2·rank via peers-inclusive RANGE
+    // windows, per-type rank sums in DECIMAL(38,0). The deviation form
+    // H = 12/(N(N+1))·Σ n_j(r̄_j−r̄)² keeps the per-type numerator
+    // num_j = R2_j − n_j(N+1) an EXACT decimal (≤2N², inside 38 digits
+    // to N~10¹⁸); each n_j(r̄_j−r̄)² term and the k-term sum then run
+    // in double — exact to N~10⁸ pooled rows and ulp-stable under the
+    // 6-snap well past that (the term sum is k=|types| values; beyond
+    // N~10¹² the statistic itself exceeds double's exact-integer range
+    // in ANY engine, DuckDB HUGEINT included). Tie correction folds
+    // Σ(t³−t) per distinct value into the SAME per-type pass via
+    // ca·(cv²−1) (summing to cv³−cv within each value group) — no
+    // second corpus scan. Scale shape: identical to q231 — map-side
+    // combined counts, rank windows over the bounded distinct-value
+    // frame (2-decimal money values), never corpus rows.
+    "q290_kruskal_wallis" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      def dec(c: Column): Column = c.cast("decimal(38,0)")
+      val byVal = Tables.events(s, d)
+        .groupBy(col("value"), col("event_type"))
+        .agg(count(lit(1)).as("ca"))
+      val wVal = Window.partitionBy(col("value"))
+      val wOrd = Window.orderBy(col("value"))
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy()
+      byVal
+        .withColumn("cv", sum(col("ca")).over(wVal))
+        .withColumn("cum", sum(col("ca")).over(wOrd))
+        .withColumn("rank2",
+          lit(2L) * (col("cum") - col("cv")) + col("cv") + 1L)
+        .groupBy(col("event_type"))
+        .agg(sum(col("ca")).as("n_a"),
+          sum(dec(col("ca")) * dec(col("rank2"))).as("r2a"),
+          sum(dec(col("ca")) * (dec(col("cv")) * dec(col("cv")) - 1L))
+            .as("tie_a"))
+        .withColumn("n", sum(col("n_a")).over(wAll))
+        .withColumn("num", col("r2a") - dec(col("n_a")) * dec(col("n") + 1L))
+        .withColumn("term", col("num").cast("double")
+          * col("num").cast("double")
+          / (lit(4.0) * col("n_a").cast("double")))
+        .withColumn("h", lit(12.0) * sum(col("term")).over(wAll)
+          / (col("n").cast("double") * (col("n") + 1L).cast("double")))
+        .withColumn("tie_c", lit(1.0)
+          - sum(col("tie_a")).over(wAll).cast("double")
+            / (dec(col("n")) * dec(col("n")) * dec(col("n")) - dec(col("n")))
+              .cast("double"))
+        .select(col("event_type"), col("n_a"),
+          snap6(col("r2a").cast("double")
+            / (lit(2.0) * col("n_a").cast("double"))).as("mean_rank"),
+          snap6(col("h")).as("h_stat"),
+          snap6(col("h") / col("tie_c")).as("h_adj"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -1144,6 +1245,68 @@ object Aggregates extends QueryModule {
         |SELECT p_brand, min(price) AS weighted_median_price,
         |  CAST(max(w_total) AS BIGINT) AS total_weight
         |FROM c WHERE cum * 2 >= w_total
-        |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q288_kendall_tau" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS x, round(sum(value), 4) AS y
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT a.event_type,
+        |    a.x AS xa, a.y AS ya, b.x AS xb, b.y AS yb
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.day < b.day),
+        |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(CASE WHEN (xa < xb AND ya < yb)
+        |      OR (xa > xb AND ya > yb) THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS concordant,
+        |    CAST(sum(CASE WHEN (xa < xb AND ya > yb)
+        |      OR (xa > xb AND ya < yb) THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS discordant,
+        |    CAST(sum(CASE WHEN xa = xb THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ties_x,
+        |    CAST(sum(CASE WHEN ya = yb THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ties_y
+        |  FROM p GROUP BY 1)
+        |SELECT event_type, n_pairs, concordant, discordant, ties_x,
+        |  ties_y,
+        |  CASE WHEN n_pairs > ties_x AND n_pairs > ties_y THEN
+        |    floor(CAST(concordant - discordant AS DOUBLE)
+        |      / sqrt(CAST(n_pairs - ties_x AS DOUBLE)
+        |        * CAST(n_pairs - ties_y AS DOUBLE)) * 1e6 + 0.5) / 1e6
+        |  END AS tau_b
+        |FROM g ORDER BY event_type""".stripMargin,
+
+    "q290_kruskal_wallis" ->
+      """WITH bv AS (SELECT value, event_type, count(*) AS ca
+        |  FROM events GROUP BY 1, 2),
+        |tv AS (SELECT value, CAST(sum(ca) AS BIGINT) AS cv
+        |  FROM bv GROUP BY 1),
+        |rk AS (SELECT value, cv,
+        |    2 * (sum(cv) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) - cv) + cv + 1 AS rank2
+        |  FROM tv),
+        |a AS (SELECT event_type, CAST(sum(ca) AS BIGINT) AS n_a,
+        |    sum(ca * rank2) AS r2a,
+        |    sum(ca * (cv * cv - 1)) AS tie_a
+        |  FROM bv JOIN rk USING (value) GROUP BY 1),
+        |w AS (SELECT event_type, n_a, r2a, tie_a,
+        |    sum(n_a) OVER () AS n, sum(tie_a) OVER () AS tsum
+        |  FROM a),
+        |t AS (SELECT event_type, n_a, r2a, n, tsum,
+        |    CAST(r2a - n_a * (n + 1) AS DOUBLE)
+        |      * CAST(r2a - n_a * (n + 1) AS DOUBLE)
+        |      / (CAST(4 AS DOUBLE) * CAST(n_a AS DOUBLE)) AS term
+        |  FROM w),
+        |h AS (SELECT event_type, n_a, r2a, n, tsum,
+        |    CAST(12 AS DOUBLE) * sum(term) OVER ()
+        |      / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)) AS h
+        |  FROM t)
+        |SELECT event_type, n_a,
+        |  floor(CAST(r2a AS DOUBLE) / (CAST(2 AS DOUBLE)
+        |    * CAST(n_a AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS mean_rank,
+        |  floor(h * 1e6 + 0.5) / 1e6 AS h_stat,
+        |  floor(h / (CAST(1 AS DOUBLE) - CAST(tsum AS DOUBLE)
+        |    / CAST(n * n * n - n AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS h_adj
+        |FROM h ORDER BY event_type""".stripMargin
   )
 }

@@ -974,10 +974,76 @@ object Temporal extends QueryModule {
           (col("active_users").cast("double")
             / col("cohort_size").cast("double")).as("retention"))
         .orderBy(col("cohort_week"), col("week_offset"))
+    }),
+
+    // Peak concurrent open orders per month — the interval-overlap
+    // sweep-line ("how many orders were in flight at once?"), the
+    // capacity question none of the point-in-time queries answer
+    // (q125 PIT looks up one date; this sweeps the whole calendar).
+    // An order is open from o_orderdate through its last shipment
+    // (max l_shipdate). The classic sweep: ±1 boundary deltas, net
+    // per day, running sum — NEVER an interval×day fan-out (a join of
+    // orders against a calendar spine is |orders|·|span| rows and dies
+    // at scale; the sweep is 2 rows per order, map-side combined to
+    // |days| deltas). The two boundaries leave ONE scan via the q285
+    // explode-over-array trick — a union of two selects re-plans the
+    // join subtree per leg (measured 2×). Exactness: all counts are
+    // exact longs on exact dates. Scale shape: one orders⋈lineitem
+    // join (orderkey-partitioned), deltas map-side combine to the
+    // bounded |days| frame; the running sum is a window over that
+    // calendar-bounded frame — same bounded-domain argument as q231's
+    // value ranks (|days| grows with collection time, not corpus).
+    "q289_order_concurrency" -> ((s, d) => {
+      val span = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(max(to_date(col("l_shipdate"))).as("close_day"))
+      val deltas = Tables.orders(s, d)
+        .join(span, col("o_orderkey") === col("l_orderkey"))
+        .select(explode(array(
+          struct(to_date(col("o_orderdate")).as("day"), lit(1L).as("delta")),
+          struct(date_add(col("close_day"), 1).as("day"),
+            lit(-1L).as("delta")))).as("r"))
+        .select(col("r.day").as("day"), col("r.delta").as("delta"))
+      val wCum = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val series = deltas.groupBy(col("day"))
+        .agg(sum(col("delta")).as("net"))
+        .withColumn("open_orders", sum(col("net")).over(wCum))
+        .withColumn("month", trunc(col("day"), "month"))
+      val wM = Window.partitionBy(col("month"))
+      series.withColumn("pk", max(col("open_orders")).over(wM))
+        .filter(col("open_orders") === col("pk"))
+        .groupBy(col("month"))
+        .agg(max(col("open_orders")).as("peak_open"),
+          min(col("day")).as("peak_day"))
+        .orderBy(col("month"))
     })
   )
 
   def oracle: Map[String, String] = Map(
+    "q289_order_concurrency" ->
+      """WITH span AS (SELECT l_orderkey,
+        |    max(CAST(l_shipdate AS DATE)) AS close_day
+        |  FROM lineitem GROUP BY 1),
+        |o AS (SELECT CAST(o_orderdate AS DATE) AS o_orderdate, close_day
+        |  FROM orders JOIN span ON o_orderkey = l_orderkey),
+        |d AS (SELECT o_orderdate AS day, 1 AS delta FROM o
+        |  UNION ALL SELECT close_day + 1, -1 FROM o),
+        |byday AS (SELECT day, sum(delta) AS net FROM d GROUP BY 1),
+        |series AS (SELECT day,
+        |    CAST(sum(net) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS open_orders
+        |  FROM byday),
+        |m AS (SELECT date_trunc('month', day)::DATE AS month, day,
+        |    open_orders,
+        |    max(open_orders) OVER (PARTITION BY date_trunc('month', day))
+        |      AS pk
+        |  FROM series)
+        |SELECT month, max(open_orders) AS peak_open,
+        |  min(day) AS peak_day
+        |FROM m WHERE open_orders = pk
+        |GROUP BY month ORDER BY month""".stripMargin,
+
     "q232_kaplan_meier" ->
       """WITH u AS (SELECT user_id,
         |    CAST(max(CAST(ts AS DATE)) - min(CAST(ts AS DATE)) AS BIGINT)

@@ -160,9 +160,15 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q284_heaps_law",      // exact first-occurrence counts, snapped OLS
     "q285_funnel",         // exact-µs mins, DECIMAL latency sums
     "q286_cohort_retention", // date mins, exact distinct counts
-    "q287_heavy_hitters")  // k=64 ≥ vocab: MG summary is exact, so
+    "q287_heavy_hitters",  // k=64 ≥ vocab: MG summary is exact, so
                            // merge order cannot show (NativeTopFreqSpec
                            // pins the sketch regime separately)
+    "q289_order_concurrency", // exact dates, longs, window sums
+    "q290_kruskal_wallis") // exact-long ranks, DECIMAL rank/tie sums;
+                           // the only float fold is the |types|-term
+                           // H sum, bounded-error under the 6-snap
+                           // (q288 stays out: its daily 4-rounded
+                           // double sums are the q162 fold class)
 
   test("exact operators are invariant to input split boundaries") {
     val splitty = spark.newSession()

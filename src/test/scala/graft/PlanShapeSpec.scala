@@ -546,7 +546,14 @@ class PlanShapeSpec extends AnyFunSuite {
       ("q285_funnel", 4), ("q286_cohort_retention", 1),
       // q287: ONE pass — the MG summaries partial-aggregate map-side,
       // only ≤k counters per (lang, task) cross the shuffle.
-      ("q287_heavy_hitters", 1))
+      ("q287_heavy_hitters", 1),
+      // q288: the daily-frame self-join rides ONE scan — both pair
+      // sides are the same (type, day) aggregate and ReuseExchange
+      // dedupes the subtree. q289: orders + lineitem, one scan each;
+      // the ± boundary fan-out is an explode, never a union re-plan.
+      // q290: q231's one-pass pooled-rank shape.
+      ("q288_kendall_tau", 1), ("q289_order_concurrency", 2),
+      ("q290_kruskal_wallis", 1))
     for ((q, scans) <- expect) {
       val df = SparkEntry.queries(q)(spark, sf)
       df.collect()
