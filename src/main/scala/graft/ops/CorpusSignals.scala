@@ -437,7 +437,65 @@ object CorpusSignals extends QueryModule {
 
     "q173_pmi" -> ((s, d) => pmiPairs(Tables.documents(s, d))),
 
-    "q197_lm_perplexity" -> ((s, d) => lmPerplexity(Tables.documents(s, d)))
+    "q197_lm_perplexity" -> ((s, d) => lmPerplexity(Tables.documents(s, d))),
+
+    // Pairwise Jensen-Shannon divergence between source unigram
+    // distributions — the corpus-mix distance matrix (q225's PSI
+    // monitors ONE distribution over time; JSD scores every source
+    // PAIR on a symmetric, bounded [0, ln 2] scale — the number a
+    // mixing planner (q229) or source-dedup decision reads). All
+    // transcendentals reduce to the micro-nat recipe on EXACT integer
+    // ratios: with shared-token counts a, b and totals n_a, n_b,
+    // ln(p/m) = ln(2·a·n_b) − ln(a·n_b + b·n_a) — both arguments are
+    // exact integer products (DECIMAL→double, identical value both
+    // engines), each ln snapped to micro-nat longs. Tokens present in
+    // only one source contribute EXACTLY p·ln 2 (q=0 ⇒ 2p/(p+q) = 2),
+    // so the whole only-one-side mass folds into (n_a − shared_a)
+    // × one shared µ-ln2 constant — the full-outer-join-per-pair a
+    // naive JSD needs never materializes; the inner pair join plus
+    // per-source totals carry everything. Accumulations are
+    // DECIMAL(38,0) (counts × µnats exceed 2^63 at ~10¹³ tokens).
+    // Scale shape: one corpus tokenize pass to (source, token) counts
+    // (map-side combined); per-source totals ride a window over the
+    // SAME frame (no second scan — ReuseExchange collapses the pair
+    // self-join, q288's shape); the pair frame is |shared vocab| ×
+    // |source pairs| — sources are a curated bounded set.
+    "q291_jsd_sources" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      def dec(c: Column): Column = c.cast("decimal(38,0)")
+      def ln6(c: Column): Column =
+        floor(log(c.cast("double")) * 1e6 + 0.5).cast("long")
+      val muLn2 = 693147L // floor(ln(2)·1e6 + 0.5), spelled both engines
+      val ct = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("source"), col("tok"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("n", sum(col("c")).over(Window.partitionBy(col("source"))))
+      val b = ct.select(col("source").as("sb"), col("tok").as("tok_b"),
+        col("c").as("cb"), col("n").as("nb"))
+      val pairs = ct.join(b,
+        col("tok") === col("tok_b") && col("source") < col("sb"))
+      pairs.groupBy(col("source").as("source_a"), col("sb").as("source_b"))
+        .agg(count(lit(1)).as("shared_types"),
+          max(col("n")).as("na"), max(col("nb")).as("nbt"),
+          sum(col("c")).as("sha"), sum(col("cb")).as("shb"),
+          sum(dec(col("c")) * (ln6(dec(col("c")) * 2L * dec(col("nb")))
+            - ln6(dec(col("c")) * dec(col("nb"))
+              + dec(col("cb")) * dec(col("n")))).cast("decimal(38,0)"))
+            .as("s_a"),
+          sum(dec(col("cb")) * (ln6(dec(col("cb")) * 2L * dec(col("n")))
+            - ln6(dec(col("c")) * dec(col("nb"))
+              + dec(col("cb")) * dec(col("n")))).cast("decimal(38,0)"))
+            .as("s_b"))
+        .select(col("source_a"), col("source_b"), col("shared_types"),
+          snap6((col("s_a") + dec(col("na") - col("sha")) * muLn2)
+              .cast("double") / (lit(2e6) * col("na").cast("double"))
+            + (col("s_b") + dec(col("nbt") - col("shb")) * muLn2)
+              .cast("double") / (lit(2e6) * col("nbt").cast("double")))
+            .as("jsd_nats"))
+        .orderBy(col("source_a"), col("source_b"))
+    })
   )
 
   /** CCNet-style language-model quality scoring — the canonical
@@ -1268,6 +1326,42 @@ object CorpusSignals extends QueryModule {
         |r AS (SELECT *, row_number() OVER (PARTITION BY source
         |    ORDER BY score DESC, term ASC) AS rnk FROM sc)
         |SELECT source, rnk, term, tf, score
-        |FROM r WHERE rnk <= 3 ORDER BY source, rnk""".stripMargin
+        |FROM r WHERE rnk <= 3 ORDER BY source, rnk""".stripMargin,
+
+    "q291_jsd_sources" ->
+      """WITH tk AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |cnt AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+        |  FROM tk WHERE tok <> '' GROUP BY 1, 2),
+        |ct AS (SELECT source, tok, c,
+        |    CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n
+        |  FROM cnt),
+        |pr AS (SELECT a.source AS sa, b.source AS sb, a.c AS ca,
+        |    b.c AS cb, a.n AS na, b.n AS nb
+        |  FROM ct a JOIN ct b ON a.tok = b.tok AND a.source < b.source),
+        |g AS (SELECT sa, sb, CAST(count(*) AS BIGINT) AS shared_types,
+        |    max(na) AS na, max(nb) AS nb,
+        |    CAST(sum(ca) AS BIGINT) AS sha,
+        |    CAST(sum(cb) AS BIGINT) AS shb,
+        |    sum(CAST(ca AS HUGEINT)
+        |      * (CAST(floor(ln(CAST(CAST(ca AS HUGEINT) * 2 * nb
+        |            AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+        |        - CAST(floor(ln(CAST(CAST(ca AS HUGEINT) * nb
+        |            + CAST(cb AS HUGEINT) * na AS DOUBLE)) * 1e6 + 0.5)
+        |          AS BIGINT))) AS s_a,
+        |    sum(CAST(cb AS HUGEINT)
+        |      * (CAST(floor(ln(CAST(CAST(cb AS HUGEINT) * 2 * na
+        |            AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+        |        - CAST(floor(ln(CAST(CAST(ca AS HUGEINT) * nb
+        |            + CAST(cb AS HUGEINT) * na AS DOUBLE)) * 1e6 + 0.5)
+        |          AS BIGINT))) AS s_b
+        |  FROM pr GROUP BY 1, 2)
+        |SELECT sa AS source_a, sb AS source_b, shared_types,
+        |  floor((CAST(s_a + CAST(na - sha AS HUGEINT) * 693147
+        |      AS DOUBLE) / (2e6 * CAST(na AS DOUBLE))
+        |    + CAST(s_b + CAST(nb - shb AS HUGEINT) * 693147
+        |      AS DOUBLE) / (2e6 * CAST(nb AS DOUBLE))) * 1e6 + 0.5)
+        |    / 1e6 AS jsd_nats
+        |FROM g ORDER BY source_a, source_b""".stripMargin
   )
 }

@@ -882,6 +882,52 @@ object Aggregates extends QueryModule {
           snap6(col("h")).as("h_stat"),
           snap6(col("h") / col("tie_c")).as("h_adj"))
         .orderBy(col("event_type"))
+    }),
+
+    // Cramér's V for event type × day-of-week — the EFFECT-SIZE
+    // readout q157's raw χ² cells stop short of (χ² grows with N, so
+    // at corpus scale everything is "significant"; V = √(χ²/(N·df*))
+    // is the N-free association strength a monitoring dashboard can
+    // threshold). Day-of-week is the exact integer (day − 2024-01-01)
+    // mod 7 — Spark's dayofweek() and DuckDB's dow() disagree on
+    // Sunday's index; arithmetic on exact dates doesn't. All totals
+    // ride windows over the BOUNDED |types|×|dows| cell frame (one
+    // corpus pass, map-side combined); rt·ct products go through
+    // DECIMAL (N² exceeds 2^63 past ~3e9 rows); the χ² fold is the
+    // bounded ≤35-term double sum of exact-operand terms (the q290
+    // class — ulp-stable under the 6-snap). r and c come from
+    // collect_set sizes over the cell frame — never a distinct
+    // re-aggregation of the corpus subtree.
+    "q292_cramers_v" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      def dec(c: Column): Column = c.cast("decimal(38,0)")
+      val wAll = Window.partitionBy()
+      val cells = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          pmod(datediff(to_date(col("ts")), lit("2024-01-01").cast("date")),
+            lit(7)).cast("long").as("dow"))
+        .agg(count(lit(1)).as("o"))
+      cells
+        .withColumn("rt", sum(col("o")).over(Window.partitionBy(col("event_type"))))
+        .withColumn("ct", sum(col("o")).over(Window.partitionBy(col("dow"))))
+        .withColumn("n", sum(col("o")).over(wAll))
+        .withColumn("e", (dec(col("rt")) * dec(col("ct"))).cast("double")
+          / col("n").cast("double"))
+        .withColumn("cell", (col("o").cast("double") - col("e"))
+          * (col("o").cast("double") - col("e")) / col("e"))
+        .withColumn("chi2", sum(col("cell")).over(wAll))
+        .withColumn("df_star",
+          least(size(collect_set(col("event_type")).over(wAll)) - 1,
+            size(collect_set(col("dow")).over(wAll)) - 1).cast("long"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("o")).as("n_rows"),
+          snap6(sum(col("cell"))).as("chi2_part"),
+          snap6(max(col("chi2"))).as("chi2"),
+          max(col("df_star")).as("df_star"),
+          snap6(sqrt(max(col("chi2"))
+            / (max(col("n")).cast("double")
+              * max(col("df_star")).cast("double")))).as("v_cramer"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -1307,6 +1353,40 @@ object Aggregates extends QueryModule {
         |  floor(h * 1e6 + 0.5) / 1e6 AS h_stat,
         |  floor(h / (CAST(1 AS DOUBLE) - CAST(tsum AS DOUBLE)
         |    / CAST(n * n * n - n AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS h_adj
-        |FROM h ORDER BY event_type""".stripMargin
+        |FROM h ORDER BY event_type""".stripMargin,
+
+    "q292_cramers_v" ->
+      """WITH cells AS (SELECT event_type,
+        |    CAST(((CAST(ts AS DATE) - DATE '2024-01-01') % 7 + 7) % 7
+        |      AS BIGINT) AS dow,
+        |    CAST(count(*) AS BIGINT) AS o
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, dow, o,
+        |    CAST(sum(o) OVER (PARTITION BY event_type) AS BIGINT) AS rt,
+        |    CAST(sum(o) OVER (PARTITION BY dow) AS BIGINT) AS ct,
+        |    CAST(sum(o) OVER () AS BIGINT) AS n
+        |  FROM cells),
+        |c2 AS (SELECT *,
+        |    (CAST(o AS DOUBLE) - CAST(CAST(rt AS HUGEINT)
+        |        * CAST(ct AS HUGEINT) AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * (CAST(o AS DOUBLE) - CAST(CAST(rt AS HUGEINT)
+        |        * CAST(ct AS HUGEINT) AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / (CAST(CAST(rt AS HUGEINT) * CAST(ct AS HUGEINT)
+        |          AS DOUBLE) / CAST(n AS DOUBLE)) AS cell
+        |  FROM w),
+        |dims AS (SELECT count(DISTINCT event_type) AS r,
+        |    count(DISTINCT dow) AS c FROM cells),
+        |tot AS (SELECT sum(cell) AS chi2 FROM c2),
+        |g AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS n_rows,
+        |    floor(sum(cell) * 1e6 + 0.5) / 1e6 AS chi2_part,
+        |    max(n) AS nn
+        |  FROM c2 GROUP BY 1)
+        |SELECT g.event_type, g.n_rows, g.chi2_part,
+        |  floor(chi2 * 1e6 + 0.5) / 1e6 AS chi2,
+        |  CAST(least(r - 1, c - 1) AS BIGINT) AS df_star,
+        |  floor(sqrt(chi2 / (CAST(nn AS DOUBLE)
+        |    * CAST(least(r - 1, c - 1) AS DOUBLE))) * 1e6 + 0.5) / 1e6
+        |    AS v_cramer
+        |FROM g, dims, tot ORDER BY event_type""".stripMargin
   )
 }

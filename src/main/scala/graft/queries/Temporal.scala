@@ -1017,6 +1017,42 @@ object Temporal extends QueryModule {
         .agg(max(col("open_orders")).as("peak_open"),
           min(col("day")).as("peak_day"))
         .orderBy(col("month"))
+    }),
+
+    // Frequent behavioral trigrams — the order-3 sequential-pattern
+    // mine between q147 (bigram transition matrix — memoryless) and
+    // q153 (whole session paths — sparse at scale): "which 3-step
+    // habits dominate, and how many distinct users share them?"
+    // User-keyed lead() windows build each user's ordered trigram
+    // stream in ONE corpus pass (the sequence never leaves its hash
+    // partition; ties broken by the unique event_id so the order is
+    // total); occurrence and distinct-user support are exact longs;
+    // top-20 by (occurrences, support, trigram) — a total order, so
+    // the cut is deterministic. Scale shape: trigram counting is
+    // map-side combined over a ≤|types|³-key space; only the final
+    // top-20 rank runs single-partition, over that bounded key frame.
+    "q293_event_trigrams" -> ((s, d) => {
+      val wU = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("t1", lead(col("event_type"), 1).over(wU))
+        .withColumn("t2", lead(col("event_type"), 2).over(wU))
+        .filter(col("t2").isNotNull)
+        .select(col("user_id"),
+          concat_ws(">", col("event_type"), col("t1"), col("t2"))
+            .as("trigram"))
+        .groupBy(col("trigram"))
+        .agg(count(lit(1)).as("occurrences"),
+          countDistinct(col("user_id")).as("user_support"))
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("occurrences").desc,
+            col("user_support").desc, col("trigram"))).cast("long"))
+        .filter(col("rnk") <= 20)
+        .select(col("rnk"), col("trigram"), col("occurrences"),
+          col("user_support"))
+        .orderBy(col("rnk"))
     })
   )
 
@@ -1043,6 +1079,23 @@ object Temporal extends QueryModule {
         |  min(day) AS peak_day
         |FROM m WHERE open_orders = pk
         |GROUP BY month ORDER BY month""".stripMargin,
+
+    "q293_event_trigrams" ->
+      """WITH seq AS (SELECT user_id, event_type,
+        |    lead(event_type, 1) OVER w AS t1,
+        |    lead(event_type, 2) OVER w AS t2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |tri AS (SELECT user_id,
+        |    event_type || '>' || t1 || '>' || t2 AS trigram
+        |  FROM seq WHERE t2 IS NOT NULL),
+        |g AS (SELECT trigram, CAST(count(*) AS BIGINT) AS occurrences,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS user_support
+        |  FROM tri GROUP BY 1),
+        |r AS (SELECT *, row_number() OVER (ORDER BY occurrences DESC,
+        |    user_support DESC, trigram) AS rnk FROM g)
+        |SELECT rnk, trigram, occurrences, user_support
+        |FROM r WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
 
     "q232_kaplan_meier" ->
       """WITH u AS (SELECT user_id,

@@ -164,11 +164,16 @@ class PartitionInvarianceSpec extends AnyFunSuite {
                            // merge order cannot show (NativeTopFreqSpec
                            // pins the sketch regime separately)
     "q289_order_concurrency", // exact dates, longs, window sums
-    "q290_kruskal_wallis") // exact-long ranks, DECIMAL rank/tie sums;
+    "q290_kruskal_wallis", // exact-long ranks, DECIMAL rank/tie sums;
                            // the only float fold is the |types|-term
                            // H sum, bounded-error under the 6-snap
                            // (q288 stays out: its daily 4-rounded
                            // double sums are the q162 fold class)
+    "q291_jsd_sources",    // exact counts, micro-nat snapped logs,
+                           // DECIMAL accumulations
+    "q292_cramers_v",      // exact cell counts; bounded ≤35-term
+                           // χ² double fold under the 6-snap
+    "q293_event_trigrams") // exact longs over a total event order
 
   test("exact operators are invariant to input split boundaries") {
     val splitty = spark.newSession()

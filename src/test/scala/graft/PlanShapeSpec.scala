@@ -553,7 +553,15 @@ class PlanShapeSpec extends AnyFunSuite {
       // the ± boundary fan-out is an explode, never a union re-plan.
       // q290: q231's one-pass pooled-rank shape.
       ("q288_kendall_tau", 1), ("q289_order_concurrency", 2),
-      ("q290_kruskal_wallis", 1))
+      ("q290_kruskal_wallis", 1),
+      // q291: one tokenize pass; per-source totals ride a window on
+      // the count frame and ReuseExchange collapses the pair
+      // self-join (q288's shape). q292: one pass to the bounded
+      // |types|×|dows| cell frame, all totals via windows over it.
+      // q293: one pass — user-keyed lead() windows, map-side
+      // combined trigram counts.
+      ("q291_jsd_sources", 1), ("q292_cramers_v", 1),
+      ("q293_event_trigrams", 1))
     for ((q, scans) <- expect) {
       val df = SparkEntry.queries(q)(spark, sf)
       df.collect()
