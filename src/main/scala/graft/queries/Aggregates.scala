@@ -928,6 +928,62 @@ object Aggregates extends QueryModule {
             / (max(col("n")).cast("double")
               * max(col("df_star")).cast("double")))).as("v_cramer"))
         .orderBy(col("event_type"))
+    }),
+
+    // Isotonic (PAV) calibration of return rate vs discount level —
+    // the monotone-regression primitive behind probability calibration
+    // (q241 measures calibration error; this FIXES it): the best
+    // monotone fit of P(return | discount). Implemented closed-form
+    // via the minimax characterization fit_i = max_{j≤i} min_{k≥i}
+    // mean(y over [j..k]) — NO sequential pool-adjacent-violators
+    // loop, so the whole fit is three bounded relational steps
+    // (pairs j≤k from cumulative sums, expand to j≤i≤k triples,
+    // min-then-max) that run identically in Spark and the oracle.
+    // Every interval mean is one double division of exact longs
+    // (identical both engines, so min/max pick identical values);
+    // 6-snap only at output. Scale shape: ONE corpus pass map-side
+    // combines to the ≤|levels| frame (discount grid is a bounded
+    // business domain); the j≤i≤k expansion is |levels|³ ≤ ~1.3e3
+    // rows of pure dimension data — corpus-size-free.
+    "q294_isotonic_response" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      val wOrd = Window.orderBy(col("pct"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val levels = Tables.lineitem(s, d)
+        .groupBy(floor(col("l_discount") * 100 + 0.5).cast("long")
+          .as("pct"))
+        .agg(count(lit(1)).as("den"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+            .as("num"))
+        .withColumn("cn", sum(col("num")).over(wOrd))
+        .withColumn("cd", sum(col("den")).over(wOrd))
+      val j = levels.select(col("pct").as("pj"),
+        (col("cn") - col("num")).as("cn0"),
+        (col("cd") - col("den")).as("cd0"))
+      val k = levels.select(col("pct").as("pk"), col("cn"), col("cd"))
+      val pairs = j.join(k, col("pj") <= col("pk"))
+        .select(col("pj"), col("pk"),
+          ((col("cn") - col("cn0")).cast("double")
+            / (col("cd") - col("cd0")).cast("double")).as("m"))
+      // keep a window column (cn) through the grouping keys: without
+      // it Catalyst prunes the window from this branch entirely and
+      // plans a SECOND corpus scan instead of reusing the j/k
+      // exchange (measured 2 scans → 1; cn is functionally
+      // determined by pct, so the extra key changes nothing).
+      val i = levels.select(col("pct"), col("den"), col("num"),
+        col("cn").as("cn_i"))
+      val fit = i.join(pairs,
+          col("pj") <= col("pct") && col("pct") <= col("pk"))
+        .groupBy(col("pct"), col("den"), col("num"), col("cn_i"),
+          col("pj"))
+        .agg(min(col("m")).as("inner_min"))
+        .groupBy(col("pct"), col("den"), col("num"))
+        .agg(max(col("inner_min")).as("iso"))
+      fit.select(col("pct"), col("den").as("n_rows"),
+          snap6(col("num").cast("double") / col("den").cast("double"))
+            .as("raw_rate"),
+          snap6(col("iso")).as("iso_rate"))
+        .orderBy(col("pct"))
     })
   )
 
@@ -1387,6 +1443,35 @@ object Aggregates extends QueryModule {
         |  floor(sqrt(chi2 / (CAST(nn AS DOUBLE)
         |    * CAST(least(r - 1, c - 1) AS DOUBLE))) * 1e6 + 0.5) / 1e6
         |    AS v_cramer
-        |FROM g, dims, tot ORDER BY event_type""".stripMargin
+        |FROM g, dims, tot ORDER BY event_type""".stripMargin,
+
+    "q294_isotonic_response" ->
+      """WITH lv AS (SELECT
+        |    CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS pct,
+        |    CAST(count(*) AS BIGINT) AS den,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS num
+        |  FROM lineitem GROUP BY 1),
+        |c AS (SELECT pct, den, num,
+        |    CAST(sum(num) OVER (ORDER BY pct ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cn,
+        |    CAST(sum(den) OVER (ORDER BY pct ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cd
+        |  FROM lv),
+        |pr AS (SELECT j.pct AS pj, k.pct AS pk,
+        |    CAST(k.cn - (j.cn - j.num) AS DOUBLE)
+        |      / CAST(k.cd - (j.cd - j.den) AS DOUBLE) AS m
+        |  FROM c j JOIN c k ON j.pct <= k.pct),
+        |inn AS (SELECT i.pct, i.den, i.num, pr.pj,
+        |    min(pr.m) AS inner_min
+        |  FROM c i JOIN pr ON pr.pj <= i.pct AND i.pct <= pr.pk
+        |  GROUP BY 1, 2, 3, 4),
+        |f AS (SELECT pct, den, num, max(inner_min) AS iso
+        |  FROM inn GROUP BY 1, 2, 3)
+        |SELECT pct, den AS n_rows,
+        |  floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 1e6 + 0.5)
+        |    / 1e6 AS raw_rate,
+        |  floor(iso * 1e6 + 0.5) / 1e6 AS iso_rate
+        |FROM f ORDER BY pct""".stripMargin
   )
 }

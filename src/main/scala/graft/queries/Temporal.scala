@@ -1053,6 +1053,53 @@ object Temporal extends QueryModule {
         .select(col("rnk"), col("trigram"), col("occurrences"),
           col("user_support"))
         .orderBy(col("rnk"))
+    }),
+
+    // SSE-optimal changepoint per event type — the offline
+    // complement of q237's sequential CUSUM (CUSUM flags drift as it
+    // accumulates; this picks the single split that maximizes the
+    // between-segment sum-of-squares reduction, the binary-
+    // segmentation primitive): gain_i = A_i²/(i·(T−i)·T) with
+    // A_i = S_i·(T−i) − (S_T−S_i)·i — an EXACT long (daily counts ×
+    // the bounded day span), so both engines derive the argmax from
+    // IDENTICAL doubles of identical integers; ties break on the
+    // earlier day. Means are single divisions of exact longs,
+    // 6-snapped. Scale shape: one corpus pass map-side combines to
+    // the (type, day) frame; cumulative sums and the argmax rank run
+    // per type over the CALENDAR-bounded daily frame (the q288
+    // argument — |days| grows with collection time, not corpus rows).
+    "q295_changepoint" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      val wT = Window.partitionBy(col("event_type"))
+      val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("y"))
+        .withColumn("i", row_number().over(wOrd).cast("long"))
+        .withColumn("s", sum(col("y")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("t_n", count(lit(1)).over(wT))
+        .withColumn("t_s", sum(col("y")).over(wT))
+        .filter(col("i") < col("t_n"))
+        .withColumn("a", col("s") * (col("t_n") - col("i"))
+          - (col("t_s") - col("s")) * col("i"))
+        .withColumn("gain", col("a").cast("double") * col("a").cast("double")
+          / (col("i").cast("double")
+            * (col("t_n") - col("i")).cast("double")
+            * col("t_n").cast("double")))
+      daily
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("event_type"))
+            .orderBy(col("gain").desc, col("day"))))
+        .filter(col("rk") === 1)
+        .select(col("event_type"), col("day").as("split_day"),
+          col("i").as("n_left"), (col("t_n") - col("i")).as("n_right"),
+          snap6(col("s").cast("double") / col("i").cast("double"))
+            .as("mean_left"),
+          snap6((col("t_s") - col("s")).cast("double")
+            / (col("t_n") - col("i")).cast("double")).as("mean_right"),
+          snap6(col("gain")).as("gain"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -1096,6 +1143,38 @@ object Temporal extends QueryModule {
         |    user_support DESC, trigram) AS rnk FROM g)
         |SELECT rnk, trigram, occurrences, user_support
         |FROM r WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
+
+    "q295_changepoint" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |c AS (SELECT event_type, day, y,
+        |    CAST(row_number() OVER w AS BIGINT) AS i,
+        |    CAST(sum(y) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS s,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+        |      AS t_n,
+        |    CAST(sum(y) OVER (PARTITION BY event_type) AS BIGINT)
+        |      AS t_s
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |g AS (SELECT *, s * (t_n - i) - (t_s - s) * i AS a
+        |  FROM c WHERE i < t_n),
+        |h AS (SELECT *, CAST(a AS DOUBLE) * CAST(a AS DOUBLE)
+        |    / (CAST(i AS DOUBLE) * CAST(t_n - i AS DOUBLE)
+        |      * CAST(t_n AS DOUBLE)) AS gain
+        |  FROM g),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY gain DESC, day) AS rk FROM h)
+        |SELECT event_type, day AS split_day, i AS n_left,
+        |  CAST(t_n - i AS BIGINT) AS n_right,
+        |  floor(CAST(s AS DOUBLE) / CAST(i AS DOUBLE) * 1e6 + 0.5)
+        |    / 1e6 AS mean_left,
+        |  floor(CAST(t_s - s AS DOUBLE) / CAST(t_n - i AS DOUBLE)
+        |    * 1e6 + 0.5) / 1e6 AS mean_right,
+        |  floor(gain * 1e6 + 0.5) / 1e6 AS gain
+        |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin,
 
     "q232_kaplan_meier" ->
       """WITH u AS (SELECT user_id,

@@ -173,7 +173,11 @@ class PartitionInvarianceSpec extends AnyFunSuite {
                            // DECIMAL accumulations
     "q292_cramers_v",      // exact cell counts; bounded ≤35-term
                            // χ² double fold under the 6-snap
-    "q293_event_trigrams") // exact longs over a total event order
+    "q293_event_trigrams", // exact longs over a total event order
+    "q294_isotonic_response", // exact-long cumsums; interval means
+                           // are identical doubles of exact ints
+    "q295_changepoint")    // exact-long gain numerators; argmax on
+                           // identical doubles, day tie-break
 
   test("exact operators are invariant to input split boundaries") {
     val splitty = spark.newSession()

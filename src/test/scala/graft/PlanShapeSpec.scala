@@ -561,7 +561,12 @@ class PlanShapeSpec extends AnyFunSuite {
       // q293: one pass — user-keyed lead() windows, map-side
       // combined trigram counts.
       ("q291_jsd_sources", 1), ("q292_cramers_v", 1),
-      ("q293_event_trigrams", 1))
+      ("q293_event_trigrams", 1),
+      // q294: one pass to the 11-level frame; j/k/i sides all ride
+      // the same exchange (the i branch keeps cn in its grouping
+      // keys so Catalyst can't prune the window and re-scan).
+      // q295: one pass to the (type, day) frame.
+      ("q294_isotonic_response", 1), ("q295_changepoint", 1))
     for ((q, scans) <- expect) {
       val df = SparkEntry.queries(q)(spark, sf)
       df.collect()
