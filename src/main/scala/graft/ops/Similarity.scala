@@ -950,8 +950,104 @@ object Similarity extends QueryModule {
         .select(col("query_id"), col("neighbor_id"), col("rank"),
           col("cos_sim"), col("recall"))
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Johnson-Lindenstrauss distortion audit — project 64-d
+    // embeddings to 8-d with a ±1 Achlioptas matrix and MEASURE what
+    // that does to pairwise L2² (ratio/m ≈ 1 ⇒ the cheap sketch is
+    // safe for routing/blocking; the dimensioning answer q112's int8
+    // and q264's PQ audits give for quantization, asked for random
+    // projection). The sign matrix is derived ONCE in Scala from MD5
+    // parity and embedded as ±d_i literals in BOTH the Spark columns
+    // and the generated oracle SQL (the q282 single-source rule — no
+    // cross-engine hash function needed, no transcription drift).
+    // Determinism: float elements widen EXACTLY to double; every sum
+    // is a fixed LEFT-ASSOCIATIVE chain spelled identically in both
+    // engines (projecting the DIFFERENCE vector, Σₖ(Σᵢ s_ki·dᵢ)², so
+    // the two sides share the dᵢ terms); per-pair ratios snap to
+    // exact micro-longs BEFORE the per-label mean — the only
+    // unordered fold is over exact longs. Scale shape: pairs are the
+    // linear vec_id→vec_id+1 chain (never all-pairs), one self-join
+    // on adjacent ids riding ReuseExchange; all math is per-row
+    // codegen, no shuffle beyond the bounded per-label rollup.
+    "q297_jl_distortion" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      val e = Tables.embeddings(s, d)
+      val b = e.select((col("vec_id") - 1L).as("bid"),
+        col("embedding").as("emb_b"))
+      val paired = e.join(b, col("vec_id") === col("bid"))
+      val dcols = (0 until JlDims).map(i =>
+        col("embedding").getItem(i).cast("double")
+          - col("emb_b").getItem(i).cast("double"))
+      val orig2 = dcols.map(x => x * x).reduce(_ + _)
+      val proj2 = (0 until JlProjDims).map { k =>
+        val pk = dcols.zip(JlSigns(k)).map {
+          case (c, s) => if (s > 0) c else -c
+        }.reduce(_ + _)
+        pk * pk
+      }.reduce(_ + _)
+      paired
+        .select(col("label"), orig2.as("orig2"), proj2.as("proj2"))
+        .filter(col("orig2") > 0.0)
+        .select(col("label"),
+          floor(col("proj2") / (lit(JlProjDims.toDouble) * col("orig2"))
+            * 1e6 + 0.5).cast("long").as("r6"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_pairs"),
+          snap6(sum(col("r6")).cast("double")
+            / count(lit(1)).cast("double") / 1e6).as("mean_ratio"),
+          (min(col("r6")).cast("double") / 1e6).as("min_ratio"),
+          (max(col("r6")).cast("double") / 1e6).as("max_ratio"))
+        .orderBy(col("label"))
     })
   )
+
+  /** JL audit dimensions (q297): corpus embedding width and the
+    * projected width m; distortion ratios normalize by m. */
+  private val JlDims = 64
+  private val JlProjDims = 8
+
+  /** The q297 ±1 sign matrix — MD5-parity of "i_k", derived once here
+    * and embedded as literals in both engines' expressions (the q282
+    * single-source-of-truth rule). */
+  private lazy val JlSigns: IndexedSeq[IndexedSeq[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until JlProjDims).map { k =>
+      (0 until JlDims).map { i =>
+        val h = md.digest(s"${i}_${k}".getBytes("UTF-8"))
+        if (((h(0) >> 7) & 1) == 0) 1 else -1
+      }
+    }
+  }
+
+  /** Generated q297 oracle: the same left-associative difference,
+    * projection, and ratio chains with the same embedded signs. */
+  private lazy val JlOracleSql: String = {
+    val dDefs = (0 until JlDims).map(i =>
+      s"CAST(a.embedding[${i + 1}] AS DOUBLE) - " +
+        s"CAST(b.embedding[${i + 1}] AS DOUBLE) AS d$i").mkString(",\n    ")
+    val orig2 = (0 until JlDims).map(i => s"d$i * d$i").mkString(" + ")
+    val proj2 = (0 until JlProjDims).map { k =>
+      val pk = (0 until JlDims).map { i =>
+        if (JlSigns(k)(i) > 0) s"d$i" else s"(-d$i)"
+      }.mkString(" + ")
+      s"(($pk) * ($pk))"
+    }.mkString(" + ")
+    s"""WITH p AS (SELECT a.label,
+       |    $dDefs
+       |  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1),
+       |m AS (SELECT label, $orig2 AS orig2, $proj2 AS proj2 FROM p),
+       |r AS (SELECT label,
+       |    CAST(floor(proj2 / (CAST(${JlProjDims} AS DOUBLE) * orig2)
+       |      * 1e6 + 0.5) AS BIGINT) AS r6
+       |  FROM m WHERE orig2 > 0.0)
+       |SELECT label, CAST(count(*) AS BIGINT) AS n_pairs,
+       |  floor(CAST(sum(r6) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+       |    / 1e6 * 1e6 + 0.5) / 1e6 AS mean_ratio,
+       |  CAST(min(r6) AS DOUBLE) / 1e6 AS min_ratio,
+       |  CAST(max(r6) AS DOUBLE) / 1e6 AS max_ratio
+       |FROM r GROUP BY label ORDER BY label""".stripMargin
+  }
 
   /** Shared oracle for q76b and q123: q123 persists q76b's pipeline
     * partitionBy(cell) and probes via a static partition filter — the
@@ -1511,6 +1607,8 @@ object Similarity extends QueryModule {
         |  FROM scored)
         |SELECT query_id, vec_id AS neighbor_id, rank, cos_sim
         |FROM ranked WHERE rank <= 10
-        |ORDER BY query_id, rank""".stripMargin
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "q297_jl_distortion" -> JlOracleSql
   )
 }

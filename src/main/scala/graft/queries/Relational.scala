@@ -257,10 +257,61 @@ object Relational extends QueryModule {
            |    (SELECT max(o_totalprice) FROM parquet.`$d/orders.parquet`) / 2
            |  AND EXISTS (SELECT 1 FROM parquet.`$d/lineitem.parquet` l
            |    WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
-           |ORDER BY o.o_orderkey""".stripMargin))
+           |ORDER BY o.o_orderkey""".stripMargin)),
+
+    // Recursive CTE — the iterative-closure SQL surface (Spark 4.x
+    // WITH RECURSIVE; the reference has no recursion anywhere, and
+    // q154/q91 hand-roll their iterations in Scala). The hierarchy is
+    // the implicit binary heap over the NATION dimension (parent(i) =
+    // (i−1) DIV 2, root 0) and the readout rolls customers up by
+    // tree depth. Scale design: RECURSE OVER THE DIMENSION, JOIN THE
+    // CORPUS ONCE — a recursion over the corpus table re-scans it
+    // every level (measured: the custkey-tree draft cost depth×
+    // full-scans, 7.5 s where this is 0.7 s); the dimension recursion
+    // is |nation|-sized per frontier, and the single corpus join
+    // broadcasts the ≤|nation| closure. The `> 0` guard matters:
+    // Spark DIV truncates toward zero, so parent(0) would be 0 — the
+    // root re-entering as its own child, an infinite recursion
+    // (DuckDB's flooring `//` gives −1 and terminates; the guard
+    // makes both engines identical). Determinism: exact counts; the
+    // acctbal fold is 2-rounded (the q30 aggregate recipe).
+    "q296_recursive_hierarchy" -> ((s, d) =>
+      s.sql(
+        s"""WITH RECURSIVE ntree(nationkey, depth) AS (
+           |  SELECT n_nationkey, 0
+           |  FROM parquet.`$d/nation.parquet` WHERE n_nationkey = 0
+           |  UNION ALL
+           |  SELECT n.n_nationkey, t.depth + 1
+           |  FROM parquet.`$d/nation.parquet` n
+           |  JOIN ntree t ON (n.n_nationkey - 1) DIV 2 = t.nationkey
+           |  WHERE n.n_nationkey > 0)
+           |SELECT CAST(t.depth AS BIGINT) AS depth,
+           |  count(*) AS n_customers,
+           |  count(DISTINCT c.c_nationkey) AS n_nations,
+           |  min(c.c_custkey) AS min_key,
+           |  round(sum(c.c_acctbal), 2) AS sum_acctbal
+           |FROM parquet.`$d/customer.parquet` c
+           |JOIN ntree t ON c.c_nationkey = t.nationkey
+           |GROUP BY t.depth ORDER BY t.depth""".stripMargin))
   )
 
   def oracle: Map[String, String] = Map(
+    "q296_recursive_hierarchy" ->
+      """WITH RECURSIVE ntree(nationkey, depth) AS (
+        |  SELECT n_nationkey, 0 FROM nation WHERE n_nationkey = 0
+        |  UNION ALL
+        |  SELECT n.n_nationkey, t.depth + 1
+        |  FROM nation n JOIN ntree t
+        |    ON (n.n_nationkey - 1) // 2 = t.nationkey
+        |  WHERE n.n_nationkey > 0)
+        |SELECT CAST(t.depth AS BIGINT) AS depth,
+        |  CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(count(DISTINCT c.c_nationkey) AS BIGINT) AS n_nations,
+        |  CAST(min(c.c_custkey) AS BIGINT) AS min_key,
+        |  round(sum(c.c_acctbal), 2) AS sum_acctbal
+        |FROM customer c JOIN ntree t ON c.c_nationkey = t.nationkey
+        |GROUP BY t.depth ORDER BY t.depth""".stripMargin,
+
     "q88_slice_offset" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |ORDER BY c_custkey LIMIT 50 OFFSET 100""".stripMargin,

@@ -176,8 +176,12 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q293_event_trigrams", // exact longs over a total event order
     "q294_isotonic_response", // exact-long cumsums; interval means
                            // are identical doubles of exact ints
-    "q295_changepoint")    // exact-long gain numerators; argmax on
+    "q295_changepoint",    // exact-long gain numerators; argmax on
                            // identical doubles, day tie-break
+    "q297_jl_distortion")  // fixed-order per-row chains; micro-long
+                           // ratios before the only unordered fold
+                           // (q296 stays out: corpus-sized 2-rounded
+                           // acctbal fold, the q162 class)
 
   test("exact operators are invariant to input split boundaries") {
     val splitty = spark.newSession()

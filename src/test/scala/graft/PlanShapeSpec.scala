@@ -566,7 +566,14 @@ class PlanShapeSpec extends AnyFunSuite {
       // the same exchange (the i branch keeps cn in its grouping
       // keys so Catalyst can't prune the window and re-scan).
       // q295: one pass to the (type, day) frame.
-      ("q294_isotonic_response", 1), ("q295_changepoint", 1))
+      ("q294_isotonic_response", 1), ("q295_changepoint", 1),
+      // q296: ONE corpus scan — the recursion runs over the nation
+      // dimension (its per-level scans live inside the UnionLoop
+      // node, which prints no FileScan; the visible scan is the
+      // single customer join). q297: two column-pruned scans of
+      // embeddings for the adjacent-id self-join (the sides read
+      // different column sets, so the exchange can't be shared).
+      ("q296_recursive_hierarchy", 1), ("q297_jl_distortion", 2))
     for ((q, scans) <- expect) {
       val df = SparkEntry.queries(q)(spark, sf)
       df.collect()
