@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryModule, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -255,6 +255,49 @@ object Graph extends QueryModule {
         .select(col("a"), col("b"), col("n_common"),
           (col("aa_u").cast("double") / 1e9).as("aa_score"))
         .orderBy(col("a"), col("b"))
+    }),
+
+    // Degree assortativity of the customer⇄supplier trade graph —
+    // "do high-degree customers trade with high-degree suppliers?"
+    // (disassortative r < 0 = hub-and-spoke; the mixing number that
+    // complements q166 triangles / q276 transitivity / q175 link
+    // prediction as a global graph-health readout). r is the Pearson
+    // correlation of endpoint degrees over EDGES: every moment
+    // (Σdu, Σdu², Σdv, Σdv², Σdu·dv) accumulates in DECIMAL(38,0)
+    // from exact long degrees (E·Σdudv ≤ E²·d² stays inside 38 digits
+    // to E~10¹²), and r is one fixed-parenthesization double
+    // expression of exact operands, 6-snapped. Scale shape: ONE
+    // orders⋈lineitem pass aggregates to the distinct edge list;
+    // both endpoint degrees ride count-windows over the SAME edge
+    // frame (u- then v-partitioned — two bounded shuffles of edge
+    // rows, no join-back, no second corpus scan); the final moment
+    // aggregate is map-side combined.
+    "q298_degree_assortativity" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      def dec(c: Column): Column = c.cast("decimal(38,0)")
+      val edges = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("u"), col("l_suppkey").as("v"))
+        .distinct()
+        .withColumn("du", count(lit(1)).over(Window.partitionBy(col("u"))))
+        .withColumn("dv", count(lit(1)).over(Window.partitionBy(col("v"))))
+      val m = edges.agg(count(lit(1)).as("e"),
+        sum(dec(col("du"))).as("su"), sum(dec(col("dv"))).as("sv"),
+        sum(dec(col("du")) * dec(col("du"))).as("suu"),
+        sum(dec(col("dv")) * dec(col("dv"))).as("svv"),
+        sum(dec(col("du")) * dec(col("dv"))).as("suv"))
+      m.select(col("e").as("n_edges"),
+          snap6(col("su").cast("double") / col("e").cast("double"))
+            .as("mean_cust_degree"),
+          snap6(col("sv").cast("double") / col("e").cast("double"))
+            .as("mean_supp_degree"),
+          snap6((dec(col("e")) * col("suv") - col("su") * col("sv"))
+            .cast("double")
+            / (sqrt((dec(col("e")) * col("suu") - col("su") * col("su"))
+                .cast("double"))
+              * sqrt((dec(col("e")) * col("svv") - col("sv") * col("sv"))
+                .cast("double")))).as("assortativity"))
     })
   )
 
@@ -390,6 +433,31 @@ object Graph extends QueryModule {
         |SELECT sc.a, sc.b, sc.n_common,
         |  CAST(sc.aa_u AS DOUBLE) / 1e9 AS aa_score
         |FROM sc ANTI JOIN e ON sc.a = e.u AND sc.b = e.v
-        |ORDER BY sc.a, sc.b""".stripMargin
+        |ORDER BY sc.a, sc.b""".stripMargin,
+
+    "q298_degree_assortativity" ->
+      """WITH e AS (SELECT DISTINCT o_custkey AS u, l_suppkey AS v
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |dg AS (SELECT u, v,
+        |    CAST(count(*) OVER (PARTITION BY u) AS BIGINT) AS du,
+        |    CAST(count(*) OVER (PARTITION BY v) AS BIGINT) AS dv
+        |  FROM e),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS e,
+        |    sum(CAST(du AS HUGEINT)) AS su,
+        |    sum(CAST(dv AS HUGEINT)) AS sv,
+        |    sum(CAST(du AS HUGEINT) * CAST(du AS HUGEINT)) AS suu,
+        |    sum(CAST(dv AS HUGEINT) * CAST(dv AS HUGEINT)) AS svv,
+        |    sum(CAST(du AS HUGEINT) * CAST(dv AS HUGEINT)) AS suv
+        |  FROM dg)
+        |SELECT e AS n_edges,
+        |  floor(CAST(su AS DOUBLE) / CAST(e AS DOUBLE) * 1e6 + 0.5)
+        |    / 1e6 AS mean_cust_degree,
+        |  floor(CAST(sv AS DOUBLE) / CAST(e AS DOUBLE) * 1e6 + 0.5)
+        |    / 1e6 AS mean_supp_degree,
+        |  floor(CAST(e * suv - su * sv AS DOUBLE)
+        |    / (sqrt(CAST(e * suu - su * su AS DOUBLE))
+        |      * sqrt(CAST(e * svv - sv * sv AS DOUBLE))) * 1e6 + 0.5)
+        |    / 1e6 AS assortativity
+        |FROM m""".stripMargin
   )
 }

@@ -1100,6 +1100,48 @@ object Temporal extends QueryModule {
             / (col("t_n") - col("i")).cast("double")).as("mean_right"),
           snap6(col("gain")).as("gain"))
         .orderBy(col("event_type"))
+    }),
+
+    // Haar wavelet anomaly localization per event type — the
+    // multi-RESOLUTION reading q295's single split and q178's fixed
+    // seasonal grid can't give: at every dyadic scale (block size 2,
+    // 4, 8, 16, 32 days) report the block whose first-half/second-
+    // half volume imbalance (the un-normalized Haar detail
+    // coefficient Σ_left y − Σ_right y) is largest — a 2-day glitch
+    // and a fortnight-scale drift surface at their own scales.
+    // Everything is exact longs: day index is exact date arithmetic,
+    // details are signed integer sums, the argmax orders on
+    // (|detail| DESC, block ASC) — a total order. Zero-filling never
+    // materializes: absent days contribute 0 to every block sum, so
+    // the daily frame IS the series. Scale shape: one corpus pass to
+    // the (type, day) frame; the 5-level fan-out is an explode over
+    // that calendar-bounded frame (≤5·|days|·|types| rows), map-side
+    // combined per (type, scale, block).
+    "q299_haar_anomaly" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+            .cast("long").as("idx"))
+        .agg(count(lit(1)).as("y"))
+        .filter(col("idx") >= 0L && col("idx") < 32L)
+      val tall = daily.select(col("event_type"), col("idx"), col("y"),
+          explode(array(lit(2L), lit(4L), lit(8L), lit(16L), lit(32L)))
+            .as("bsize"))
+      tall
+        .withColumn("block", expr("idx DIV bsize"))
+        .withColumn("detail",
+          when(expr("(idx % bsize) < (bsize DIV 2)"),
+            col("y")).otherwise(-col("y")))
+        .groupBy(col("event_type"), col("bsize"), col("block"))
+        .agg(sum(col("detail")).as("detail"), sum(col("y")).as("block_total"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("event_type"), col("bsize"))
+            .orderBy(abs(col("detail")).desc, col("block"))))
+        .filter(col("rk") === 1)
+        .select(col("event_type"), col("bsize").as("block_days"),
+          (col("block") * col("bsize")).as("block_start_idx"),
+          col("detail"), col("block_total"))
+        .orderBy(col("event_type"), col("block_days"))
     })
   )
 
@@ -1175,6 +1217,28 @@ object Temporal extends QueryModule {
         |    * 1e6 + 0.5) / 1e6 AS mean_right,
         |  floor(gain * 1e6 + 0.5) / 1e6 AS gain
         |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin,
+
+    "q299_haar_anomaly" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS idx,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |f AS (SELECT * FROM daily WHERE idx >= 0 AND idx < 32),
+        |tall AS (SELECT event_type, idx, y, CAST(b AS BIGINT) AS bsize
+        |  FROM f CROSS JOIN (VALUES (2), (4), (8), (16), (32)) lv(b)),
+        |blocks AS (SELECT event_type, bsize, idx // bsize AS block,
+        |    CAST(sum(CASE WHEN (idx % bsize) < (bsize // 2)
+        |      THEN y ELSE -y END) AS BIGINT) AS detail,
+        |    CAST(sum(y) AS BIGINT) AS block_total
+        |  FROM tall GROUP BY 1, 2, 3),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type,
+        |    bsize ORDER BY abs(detail) DESC, block) AS rk
+        |  FROM blocks)
+        |SELECT event_type, bsize AS block_days,
+        |  CAST(block * bsize AS BIGINT) AS block_start_idx,
+        |  detail, block_total
+        |FROM r WHERE rk = 1
+        |ORDER BY event_type, block_days""".stripMargin,
 
     "q232_kaplan_meier" ->
       """WITH u AS (SELECT user_id,

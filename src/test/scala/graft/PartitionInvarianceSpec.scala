@@ -178,10 +178,13 @@ class PartitionInvarianceSpec extends AnyFunSuite {
                            // are identical doubles of exact ints
     "q295_changepoint",    // exact-long gain numerators; argmax on
                            // identical doubles, day tie-break
-    "q297_jl_distortion")  // fixed-order per-row chains; micro-long
+    "q297_jl_distortion",  // fixed-order per-row chains; micro-long
                            // ratios before the only unordered fold
                            // (q296 stays out: corpus-sized 2-rounded
                            // acctbal fold, the q162 class)
+    "q298_degree_assortativity", // exact-long degrees, DECIMAL moments
+    "q299_haar_anomaly")   // exact signed integer sums, total-order
+                           // argmax per (type, scale)
 
   test("exact operators are invariant to input split boundaries") {
     val splitty = spark.newSession()

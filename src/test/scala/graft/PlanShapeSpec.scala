@@ -573,7 +573,11 @@ class PlanShapeSpec extends AnyFunSuite {
       // single customer join). q297: two column-pruned scans of
       // embeddings for the adjacent-id self-join (the sides read
       // different column sets, so the exchange can't be shared).
-      ("q296_recursive_hierarchy", 1), ("q297_jl_distortion", 2))
+      ("q296_recursive_hierarchy", 1), ("q297_jl_distortion", 2),
+      // q298: orders + lineitem once each; degrees ride windows over
+      // the distinct edge frame, never a join-back. q299: one pass
+      // to the daily frame, the 5-scale fan-out is an explode.
+      ("q298_degree_assortativity", 2), ("q299_haar_anomaly", 1))
     for ((q, scans) <- expect) {
       val df = SparkEntry.queries(q)(spark, sf)
       df.collect()
