@@ -1065,6 +1065,54 @@ object Dedup extends QueryModule {
             .otherwise("new").as("disposition"),
           col("best_jaccard"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Greedy max-coverage selection (k=3) — the facility-location /
+    // submodular data-selection primitive ("which k documents cover
+    // the most distinct 3-shingles?"), the SELECTION dual of the
+    // dedup tier (dedup removes redundancy post hoc; this PICKS the
+    // least redundant set up front — the shape behind coreset and
+    // seed-set curation). The greedy loop is UNROLLED at fixed k:
+    // each round is one coverage count over the remaining shingle
+    // postings, an (gain DESC, doc_id) limit-1 argmax — the classic
+    // 1−1/e-approximate greedy, with ties made deterministic — and
+    // an anti-join that retires every shingle the pick covers
+    // (including the pick's own rows, so a document can never be
+    // selected twice). Counts are exact longs on xxhash64 shingles
+    // (the oracle counts the raw strings — identical modulo the
+    // ≈2⁻⁶⁴ collision caveat in this file's header). Scale shape:
+    // each round is posting-list-sized (shingle-keyed anti-join +
+    // map-side-combined count); the selected side of every join is
+    // a ≤k-row frame; nothing pairwise ever forms. k rounds = k
+    // bounded passes, the price of exact greedy at fixed k.
+    "q300_greedy_coverage" -> ((s, d) => {
+      val e = Tables.documents(s, d)
+        .select(col("doc_id"), Text.words(col("text")).as("words"))
+        .filter(size(col("words")) >= 3)
+        .select(col("doc_id"), explode(Text.shingles3(col("words"))).as("g"))
+        .select(col("doc_id"), xxhash64(col("g")).as("h"))
+        .distinct()
+      def best(rem: DataFrame, rank: Int): DataFrame =
+        rem.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("marginal_gain"))
+          .orderBy(col("marginal_gain").desc, col("doc_id"))
+          .limit(1)
+          .select(lit(rank.toLong).as("sel_rank"), col("doc_id"),
+            col("marginal_gain"))
+      def uncovered(sel: DataFrame): DataFrame = {
+        val covered = e.join(sel.select(col("doc_id").as("sd")),
+            col("doc_id") === col("sd"), "left_semi")
+          .select(col("h")).distinct()
+        e.join(covered, Seq("h"), "left_anti")
+      }
+      val s1 = best(e, 1)
+      val s2 = best(uncovered(s1), 2)
+      val s3 = best(uncovered(s1.unionAll(s2)), 3)
+      s1.unionAll(s2).unionAll(s3)
+        .withColumn("cum_coverage", sum(col("marginal_gain")).over(
+          Window.orderBy(col("sel_rank"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .orderBy(col("sel_rank"))
     })
   )
 
@@ -1682,6 +1730,33 @@ object Dedup extends QueryModule {
         |LEFT JOIN ex ON f.doc_id = ex.doc_id
         |LEFT JOIN sj ON f.doc_id = sj.doc_id
         |WHERE NOT f.is_base
-        |ORDER BY f.doc_id""".stripMargin)
+        |ORDER BY f.doc_id""".stripMargin),
+
+    // unrolled greedy on raw shingle strings (hash-free; identical
+    // counts modulo the ≈2⁻⁶⁴ collision caveat above)
+    "q300_greedy_coverage" -> (shingleCte + """,
+        |e AS (SELECT DISTINCT doc_id, unnest(sh) AS g FROM s),
+        |p1 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS gain
+        |  FROM e GROUP BY 1 ORDER BY gain DESC, doc_id LIMIT 1),
+        |c1 AS (SELECT DISTINCT g FROM e
+        |  WHERE doc_id IN (SELECT doc_id FROM p1)),
+        |e2 AS (SELECT * FROM e WHERE g NOT IN (SELECT g FROM c1)),
+        |p2 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS gain
+        |  FROM e2 GROUP BY 1 ORDER BY gain DESC, doc_id LIMIT 1),
+        |c2 AS (SELECT DISTINCT g FROM e
+        |  WHERE doc_id IN (SELECT doc_id FROM p1
+        |    UNION SELECT doc_id FROM p2)),
+        |e3 AS (SELECT * FROM e WHERE g NOT IN (SELECT g FROM c2)),
+        |p3 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS gain
+        |  FROM e3 GROUP BY 1 ORDER BY gain DESC, doc_id LIMIT 1),
+        |u AS (SELECT 1 AS sel_rank, doc_id, gain FROM p1
+        |  UNION ALL SELECT 2, doc_id, gain FROM p2
+        |  UNION ALL SELECT 3, doc_id, gain FROM p3)
+        |SELECT CAST(sel_rank AS BIGINT) AS sel_rank, doc_id,
+        |  gain AS marginal_gain,
+        |  CAST(sum(gain) OVER (ORDER BY sel_rank ROWS BETWEEN
+        |    UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_coverage
+        |FROM u ORDER BY sel_rank""".stripMargin)
   )
 }

@@ -183,8 +183,10 @@ class PartitionInvarianceSpec extends AnyFunSuite {
                            // (q296 stays out: corpus-sized 2-rounded
                            // acctbal fold, the q162 class)
     "q298_degree_assortativity", // exact-long degrees, DECIMAL moments
-    "q299_haar_anomaly")   // exact signed integer sums, total-order
+    "q299_haar_anomaly",   // exact signed integer sums, total-order
                            // argmax per (type, scale)
+    "q300_greedy_coverage") // exact counts, total-order argmax per
+                           // greedy round
 
   test("exact operators are invariant to input split boundaries") {
     val splitty = spark.newSession()

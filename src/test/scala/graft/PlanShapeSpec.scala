@@ -577,7 +577,11 @@ class PlanShapeSpec extends AnyFunSuite {
       // q298: orders + lineitem once each; degrees ride windows over
       // the distinct edge frame, never a join-back. q299: one pass
       // to the daily frame, the 5-scale fan-out is an explode.
-      ("q298_degree_assortativity", 2), ("q299_haar_anomaly", 1))
+      ("q298_degree_assortativity", 2), ("q299_haar_anomaly", 1),
+      // q300: unrolled greedy k=3 — round 1 consumes the shingle
+      // frame once, rounds 2-3 twice each (remaining + covered
+      // sides); ReuseExchange collapses what it can. 5 by design.
+      ("q300_greedy_coverage", 5))
     for ((q, scans) <- expect) {
       val df = SparkEntry.queries(q)(spark, sf)
       df.collect()
