@@ -495,6 +495,40 @@ object CorpusSignals extends QueryModule {
               .cast("double") / (lit(2e6) * col("nbt").cast("double")))
             .as("jsd_nats"))
         .orderBy(col("source_a"), col("source_b"))
+    }),
+
+    // Chapman capture-recapture estimate of the TRUE shingle
+    // vocabulary — how much 3-shingle diversity has the corpus NOT
+    // yet seen? Two "captures" are the even- and odd-doc_id halves;
+    // with n₁, n₂ marked per capture and m recaptured in both,
+    // Chapman's (n₁+1)(n₂+1)/(m+1) − 1 estimates total diversity —
+    // the forward-looking companion to q284's Heaps exponent (Heaps
+    // fits the growth CURVE; this bounds the asymptote) and the
+    // q245/q251 corpus-health family. Exactness: membership flags
+    // and all four counts are exact longs from ONE per-shingle
+    // aggregation; the estimate is a single DECIMAL-product double
+    // division, 6-snapped. Scale shape: one tokenize pass, map-side
+    // combined per shingle; the readout aggregate is 4 counters.
+    "q302_capture_recapture" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      def dec(c: Column): Column = c.cast("decimal(38,0)")
+      Tables.documents(s, d)
+        .withColumn("ws", Text.words(col("text")))
+        .filter(size(col("ws")) >= 3)
+        .select(col("doc_id"), explode(Text.shingles3(col("ws"))).as("g"))
+        .groupBy(xxhash64(col("g")).as("h"))
+        .agg(max(when(col("doc_id") % 2 === 0, 1L).otherwise(0L))
+            .as("in_even"),
+          max(when(col("doc_id") % 2 === 1, 1L).otherwise(0L))
+            .as("in_odd"))
+        .agg(count(lit(1)).as("observed_vocab"),
+          sum(col("in_even")).as("n1"),
+          sum(col("in_odd")).as("n2"),
+          sum(col("in_even") * col("in_odd")).as("m"))
+        .select(col("observed_vocab"), col("n1"), col("n2"), col("m"),
+          snap6((dec(col("n1") + 1L) * dec(col("n2") + 1L))
+            .cast("double") / (col("m") + 1L).cast("double") - 1.0)
+            .as("chapman_est"))
     })
   )
 
@@ -1362,6 +1396,31 @@ object CorpusSignals extends QueryModule {
         |    + CAST(s_b + CAST(nb - shb AS HUGEINT) * 693147
         |      AS DOUBLE) / (2e6 * CAST(nb AS DOUBLE))) * 1e6 + 0.5)
         |    / 1e6 AS jsd_nats
-        |FROM g ORDER BY source_a, source_b""".stripMargin
+        |FROM g ORDER BY source_a, source_b""".stripMargin,
+
+    "q302_capture_recapture" ->
+      """WITH ws AS (SELECT doc_id, string_split(lower(trim(
+        |      regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+        |  FROM documents),
+        |tt AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS g
+        |  FROM ws WHERE len(w) >= 3),
+        |f AS (SELECT g,
+        |    CAST(max(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS in_even,
+        |    CAST(max(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS in_odd
+        |  FROM tt GROUP BY 1),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS observed_vocab,
+        |    CAST(sum(in_even) AS BIGINT) AS n1,
+        |    CAST(sum(in_odd) AS BIGINT) AS n2,
+        |    CAST(sum(in_even * in_odd) AS BIGINT) AS m
+        |  FROM f)
+        |SELECT observed_vocab, n1, n2, m,
+        |  floor((CAST(CAST(n1 + 1 AS HUGEINT) * CAST(n2 + 1 AS HUGEINT)
+        |      AS DOUBLE) / CAST(m + 1 AS DOUBLE) - 1.0::DOUBLE)
+        |    * 1e6 + 0.5) / 1e6 AS chapman_est
+        |FROM a""".stripMargin
   )
 }

@@ -644,6 +644,43 @@ object Curation extends QueryModule {
           (inter.cast("double") / uni).as("jaccard"),
           (inter * 2 >= uni).as("leaky"))
         .orderBy(col("doc_id"), col("j"))
+    }),
+
+    // Neyman-optimal sample allocation per source — the sampling
+    // DESIGN step the execution tier (q105 stratified, q137 exact-n,
+    // q198 weighted) takes as given: for a 10 000-doc annotation
+    // budget, allocate nₕ ∝ Nₕ·Sₕ (stratum size × within-stratum
+    // length spread), which minimizes estimator variance — big noisy
+    // strata get more, small uniform ones less. Exactness: variance
+    // comes from EXACT integer moments (Σx, Σx² in DECIMAL — n_chars
+    // ² sums pass 2^63 at ~10⁷ docs/stratum), S² = (nΣx²−(Σx)²)/
+    // (n(n−1)) exact-operand doubles; the Σ Nⱼ·Sⱼ normalizer folds
+    // ≤|sources| doubles (the q290 bounded class); integer
+    // allocations are floor(B·share), 6-snapped fractions alongside.
+    // Scale shape: one corpus pass map-side combines the per-source
+    // moments; everything after is the bounded source frame.
+    "q303_neyman_allocation" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      def dec(c: Column): Column = c.cast("decimal(38,0)")
+      val budget = 10000L
+      val wAll = Window.partitionBy()
+      Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(dec(col("n_chars"))).as("sx"),
+          sum(dec(col("n_chars")) * dec(col("n_chars"))).as("sxx"))
+        .withColumn("sd", sqrt(
+          (dec(col("n_docs")) * col("sxx") - col("sx") * col("sx"))
+            .cast("double")
+          / (col("n_docs").cast("double")
+            * (col("n_docs") - 1L).cast("double"))))
+        .withColumn("ns", col("n_docs").cast("double") * col("sd"))
+        .withColumn("share", col("ns") / sum(col("ns")).over(wAll))
+        .select(col("source"), col("n_docs"),
+          snap6(col("sd")).as("sd_chars"),
+          snap6(col("share")).as("alloc_share"),
+          floor(col("share") * budget).cast("long").as("alloc_n"))
+        .orderBy(col("source"))
     })
   )
 
@@ -746,6 +783,27 @@ object Curation extends QueryModule {
     redactTransform(docs).orderBy(col("doc_id"))
 
   def oracle: Map[String, String] = Map(
+    "q303_neyman_allocation" ->
+      """WITH m AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    sum(CAST(n_chars AS HUGEINT)) AS sx,
+        |    sum(CAST(n_chars AS HUGEINT) * CAST(n_chars AS HUGEINT))
+        |      AS sxx
+        |  FROM documents GROUP BY 1),
+        |v AS (SELECT source, n_docs,
+        |    sqrt(CAST(n_docs * sxx - sx * sx AS DOUBLE)
+        |      / (CAST(n_docs AS DOUBLE)
+        |        * CAST(n_docs - 1 AS DOUBLE))) AS sd
+        |  FROM m),
+        |w AS (SELECT source, n_docs, sd,
+        |    CAST(n_docs AS DOUBLE) * sd AS ns
+        |  FROM v),
+        |g AS (SELECT *, ns / sum(ns) OVER () AS share FROM w)
+        |SELECT source, n_docs,
+        |  floor(sd * 1e6 + 0.5) / 1e6 AS sd_chars,
+        |  floor(share * 1e6 + 0.5) / 1e6 AS alloc_share,
+        |  CAST(floor(share * 10000) AS BIGINT) AS alloc_n
+        |FROM g ORDER BY source""".stripMargin,
+
     "q257_kfold_audit" ->
       """WITH t AS (SELECT
         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))

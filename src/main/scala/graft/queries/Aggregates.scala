@@ -984,6 +984,52 @@ object Aggregates extends QueryModule {
             .as("raw_rate"),
           snap6(col("iso")).as("iso_rate"))
         .orderBy(col("pct"))
+    }),
+
+    // Mantel-Haenszel pooled odds ratio — does discounting (≥5%)
+    // associate with returns, CONTROLLING for brand? The stratified
+    // 2×2 estimator that q143's t-test and q157/q292's χ² family
+    // can't give: per-brand odds ratios collapse into one
+    // confounder-adjusted number, MH = Σ(aₕdₕ/nₕ) / Σ(bₕcₕ/nₕ) —
+    // the Simpson's-paradox-proof readout. Exactness: the four cell
+    // counts are exact longs; aₕdₕ products go through DECIMAL
+    // (cell² passes 2^63 at ~3e9 rows per stratum) and each ratio
+    // is one double division of exact operands; the two pooled sums
+    // fold ≤|brands| such doubles (the q290 bounded-fold class);
+    // per-stratum ORs are single expressions, 6-snapped. Scale
+    // shape: one part⋈lineitem pass map-side combines to the
+    // |brands|×4 cell frame; the pooling is windows over it.
+    "q301_mantel_haenszel" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      def dec(c: Column): Column = c.cast("decimal(38,0)")
+      val wAll = Window.partitionBy()
+      def cnt(p: Column): Column = sum(when(p, 1L).otherwise(0L))
+      val cells = Tables.lineitem(s, d)
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand"),
+          (col("l_discount") >= 0.05).as("treated"),
+          (col("l_returnflag") === "R").as("ret"))
+        .groupBy(col("p_brand"))
+        .agg(cnt(col("treated") && col("ret")).as("a"),
+          cnt(col("treated") && !col("ret")).as("b"),
+          cnt(!col("treated") && col("ret")).as("c"),
+          cnt(!col("treated") && !col("ret")).as("dd"))
+      cells
+        .withColumn("n", col("a") + col("b") + col("c") + col("dd"))
+        .withColumn("adn", (dec(col("a")) * dec(col("dd"))).cast("double")
+          / col("n").cast("double"))
+        .withColumn("bcn", (dec(col("b")) * dec(col("c"))).cast("double")
+          / col("n").cast("double"))
+        .withColumn("mh_or",
+          sum(col("adn")).over(wAll) / sum(col("bcn")).over(wAll))
+        .select(col("p_brand"), col("a"), col("b"), col("c"),
+          col("dd").as("d"),
+          when(dec(col("b")) * dec(col("c")) > 0,
+            snap6((dec(col("a")) * dec(col("dd"))).cast("double")
+              / (dec(col("b")) * dec(col("c"))).cast("double")))
+            .otherwise(lit(null).cast("double")).as("or_stratum"),
+          snap6(col("mh_or")).as("mh_or"))
+        .orderBy(col("p_brand"))
     })
   )
 
@@ -1472,6 +1518,37 @@ object Aggregates extends QueryModule {
         |  floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 1e6 + 0.5)
         |    / 1e6 AS raw_rate,
         |  floor(iso * 1e6 + 0.5) / 1e6 AS iso_rate
-        |FROM f ORDER BY pct""".stripMargin
+        |FROM f ORDER BY pct""".stripMargin,
+
+    "q301_mantel_haenszel" ->
+      """WITH cells AS (SELECT p_brand,
+        |    CAST(sum(CASE WHEN l_discount >= 0.05::DOUBLE
+        |      AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN l_discount >= 0.05::DOUBLE
+        |      AND l_returnflag <> 'R' THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN l_discount < 0.05::DOUBLE
+        |      AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN l_discount < 0.05::DOUBLE
+        |      AND l_returnflag <> 'R' THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1),
+        |w AS (SELECT *, a + b + c + d AS n FROM cells),
+        |t AS (SELECT *,
+        |    CAST(CAST(a AS HUGEINT) * CAST(d AS HUGEINT) AS DOUBLE)
+        |      / CAST(n AS DOUBLE) AS adn,
+        |    CAST(CAST(b AS HUGEINT) * CAST(c AS HUGEINT) AS DOUBLE)
+        |      / CAST(n AS DOUBLE) AS bcn
+        |  FROM w),
+        |g AS (SELECT *, sum(adn) OVER () / sum(bcn) OVER () AS mh
+        |  FROM t)
+        |SELECT p_brand, a, b, c, d,
+        |  CASE WHEN CAST(b AS HUGEINT) * CAST(c AS HUGEINT) > 0 THEN
+        |    floor(CAST(CAST(a AS HUGEINT) * CAST(d AS HUGEINT)
+        |        AS DOUBLE)
+        |      / CAST(CAST(b AS HUGEINT) * CAST(c AS HUGEINT)
+        |        AS DOUBLE) * 1e6 + 0.5) / 1e6
+        |  END AS or_stratum,
+        |  floor(mh * 1e6 + 0.5) / 1e6 AS mh_or
+        |FROM g ORDER BY p_brand""".stripMargin
   )
 }

@@ -185,8 +185,12 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q298_degree_assortativity", // exact-long degrees, DECIMAL moments
     "q299_haar_anomaly",   // exact signed integer sums, total-order
                            // argmax per (type, scale)
-    "q300_greedy_coverage") // exact counts, total-order argmax per
+    "q300_greedy_coverage", // exact counts, total-order argmax per
                            // greedy round
+    "q301_mantel_haenszel", // exact 2×2 cells; bounded ≤|brands|
+                           // pooled fold under the 6-snap
+    "q302_capture_recapture", // exact membership flags and counts
+    "q303_neyman_allocation") // DECIMAL moments; bounded source fold
 
   test("exact operators are invariant to input split boundaries") {
     val splitty = spark.newSession()

@@ -581,7 +581,11 @@ class PlanShapeSpec extends AnyFunSuite {
       // q300: unrolled greedy k=3 — round 1 consumes the shingle
       // frame once, rounds 2-3 twice each (remaining + covered
       // sides); ReuseExchange collapses what it can. 5 by design.
-      ("q300_greedy_coverage", 5))
+      ("q300_greedy_coverage", 5),
+      // q301: part + lineitem once each to the |brands|×4 cell
+      // frame; pooling rides windows over it. q302/q303: one pass.
+      ("q301_mantel_haenszel", 2), ("q302_capture_recapture", 1),
+      ("q303_neyman_allocation", 1))
     for ((q, scans) <- expect) {
       val df = SparkEntry.queries(q)(spark, sf)
       df.collect()
