@@ -1030,6 +1030,72 @@ object Aggregates extends QueryModule {
             .otherwise(lit(null).cast("double")).as("or_stratum"),
           snap6(col("mh_or")).as("mh_or"))
         .orderBy(col("p_brand"))
+    }),
+
+    // Theil-T inequality decomposition of customer spend by nation —
+    // the DECOMPOSABLE inequality index q179's Gini isn't: T splits
+    // EXACTLY into within-nation + between-nation parts, answering
+    // "is spend concentration a within-market or a cross-market
+    // phenomenon". All in micro-nat integer algebra on exact CENTS
+    // (the q213 recipe): per-customer terms x·[ln6(x·Nₙ) − ln6(Xₙ)],
+    // nation terms Xₙ·[ln6(Xₙ·N) − ln6(X·Nₙ)], every accumulation a
+    // DECIMAL(38,0) sum of count×µnat products — no float fold
+    // anywhere, single divisions at the end, 6-snapped. (With
+    // snapped logs the within+between identity holds to ~1e-6·ln —
+    // the independent total is emitted so the residual is visible.)
+    // Scale shape: per-customer spend is one map-side-combined
+    // orders pass joined to the customer dimension; nation totals
+    // ride windows; the decomposition runs on the ≤|nations| frame.
+    "q305_theil_decomposition" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      def dec(c: Column): Column = c.cast("decimal(38,0)")
+      def ln6(c: Column): Column =
+        floor(log(c.cast("double")) * 1e6 + 0.5).cast("long")
+      val spend = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg((sum(col("o_totalprice").cast("decimal(12,2)"))
+          .cast("decimal(18,2)") * 100).cast("decimal(20,0)").as("cents"))
+      val wN = Window.partitionBy(col("c_nationkey"))
+      val wAll = Window.partitionBy()
+      val base = spend.join(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .withColumn("nn", count(lit(1)).over(wN))
+        .withColumn("xn", sum(col("cents")).over(wN))
+        .withColumn("n_tot", count(lit(1)).over(wAll))
+        .withColumn("x_tot", sum(col("cents")).over(wAll))
+      val nat = base
+        .withColumn("term", (dec(col("cents"))
+          * (ln6(dec(col("cents")) * col("nn")) - ln6(col("xn"))))
+          .cast("decimal(38,0)"))
+        .withColumn("term_g", (dec(col("cents"))
+          * (ln6(dec(col("cents")) * col("n_tot")) - ln6(col("x_tot"))))
+          .cast("decimal(38,0)"))
+        .groupBy(col("c_nationkey"))
+        .agg(max(col("nn")).as("n_cust"), max(col("xn")).as("xn"),
+          max(col("n_tot")).as("n_tot"), max(col("x_tot")).as("x_tot"),
+          sum(col("term")).as("sterm"), sum(col("term_g")).as("sterm_g"))
+        .withColumn("bterm", (dec(col("xn"))
+          * (ln6(dec(col("xn")) * col("n_tot"))
+            - ln6(dec(col("x_tot")) * col("n_cust"))))
+          .cast("decimal(38,0)"))
+      nat
+        .withColumn("sw", sum(col("sterm")).over(wAll))
+        .withColumn("sb", sum(col("bterm")).over(wAll))
+        .withColumn("sg", sum(col("sterm_g")).over(wAll))
+        .select(col("c_nationkey"), col("n_cust"),
+          (col("xn").cast("double") / 100.0).as("revenue"),
+          snap6(col("sterm").cast("double")
+            / (col("xn").cast("double") * 1e6)).as("t_within_nation"),
+          snap6(col("xn").cast("double") / col("x_tot").cast("double"))
+            .as("weight"),
+          snap6(col("sw").cast("double")
+            / (col("x_tot").cast("double") * 1e6)).as("theil_within"),
+          snap6(col("sb").cast("double")
+            / (col("x_tot").cast("double") * 1e6)).as("theil_between"),
+          snap6(col("sg").cast("double")
+            / (col("x_tot").cast("double") * 1e6)).as("theil_total"))
+        .orderBy(col("c_nationkey"))
     })
   )
 
@@ -1549,6 +1615,59 @@ object Aggregates extends QueryModule {
         |        AS DOUBLE) * 1e6 + 0.5) / 1e6
         |  END AS or_stratum,
         |  floor(mh * 1e6 + 0.5) / 1e6 AS mh_or
-        |FROM g ORDER BY p_brand""".stripMargin
+        |FROM g ORDER BY p_brand""".stripMargin,
+
+    "q305_theil_decomposition" ->
+      """WITH sp AS (SELECT o_custkey,
+        |    CAST(round(sum(o_totalprice::DECIMAL(12,2)), 2) * 100
+        |      AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |b AS (SELECT c_nationkey, cents,
+        |    CAST(count(*) OVER (PARTITION BY c_nationkey) AS BIGINT)
+        |      AS nn,
+        |    CAST(sum(cents) OVER (PARTITION BY c_nationkey) AS BIGINT)
+        |      AS xn,
+        |    CAST(count(*) OVER () AS BIGINT) AS n_tot,
+        |    CAST(sum(cents) OVER () AS BIGINT) AS x_tot
+        |  FROM sp JOIN customer ON o_custkey = c_custkey),
+        |t AS (SELECT *,
+        |    CAST(cents AS HUGEINT)
+        |      * (CAST(floor(ln(CAST(CAST(cents AS HUGEINT) * nn
+        |            AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+        |        - CAST(floor(ln(CAST(xn AS DOUBLE)) * 1e6 + 0.5)
+        |          AS BIGINT)) AS term,
+        |    CAST(cents AS HUGEINT)
+        |      * (CAST(floor(ln(CAST(CAST(cents AS HUGEINT) * n_tot
+        |            AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+        |        - CAST(floor(ln(CAST(x_tot AS DOUBLE)) * 1e6 + 0.5)
+        |          AS BIGINT)) AS term_g
+        |  FROM b),
+        |n AS (SELECT c_nationkey, max(nn) AS n_cust, max(xn) AS xn,
+        |    max(n_tot) AS n_tot, max(x_tot) AS x_tot,
+        |    sum(term) AS sterm, sum(term_g) AS sterm_g
+        |  FROM t GROUP BY 1),
+        |nb AS (SELECT *,
+        |    CAST(xn AS HUGEINT)
+        |      * (CAST(floor(ln(CAST(CAST(xn AS HUGEINT) * n_tot
+        |            AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+        |        - CAST(floor(ln(CAST(CAST(x_tot AS HUGEINT) * n_cust
+        |            AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)) AS bterm
+        |  FROM n),
+        |g AS (SELECT *, sum(sterm) OVER () AS sw,
+        |    sum(bterm) OVER () AS sb, sum(sterm_g) OVER () AS sg
+        |  FROM nb)
+        |SELECT c_nationkey, n_cust,
+        |  CAST(xn AS DOUBLE) / 100.0::DOUBLE AS revenue,
+        |  floor(CAST(sterm AS DOUBLE) / (CAST(xn AS DOUBLE) * 1e6)
+        |    * 1e6 + 0.5) / 1e6 AS t_within_nation,
+        |  floor(CAST(xn AS DOUBLE) / CAST(x_tot AS DOUBLE) * 1e6 + 0.5)
+        |    / 1e6 AS weight,
+        |  floor(CAST(sw AS DOUBLE) / (CAST(x_tot AS DOUBLE) * 1e6)
+        |    * 1e6 + 0.5) / 1e6 AS theil_within,
+        |  floor(CAST(sb AS DOUBLE) / (CAST(x_tot AS DOUBLE) * 1e6)
+        |    * 1e6 + 0.5) / 1e6 AS theil_between,
+        |  floor(CAST(sg AS DOUBLE) / (CAST(x_tot AS DOUBLE) * 1e6)
+        |    * 1e6 + 0.5) / 1e6 AS theil_total
+        |FROM g ORDER BY c_nationkey""".stripMargin
   )
 }

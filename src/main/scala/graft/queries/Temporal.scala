@@ -1142,6 +1142,45 @@ object Temporal extends QueryModule {
           (col("block") * col("bsize")).as("block_start_idx"),
           col("detail"), col("block_total"))
         .orderBy(col("event_type"), col("block_days"))
+    }),
+
+    // Conditional next-event entropy per type — how PREDICTABLE is
+    // behavior after each event type? H(next | t) in nats, the
+    // information-theoretic readout of the q147 transition matrix
+    // (q147 gives the probabilities; this compresses each row to one
+    // predictability number — ≈0 after near-deterministic steps,
+    // ln|types| after uniform ones). Pure micro-nat integer algebra:
+    // H(next|t) = ln c_t − (1/c_t)Σ_b c_tb ln c_tb, carried as
+    // (c_t·ln6(c_t) − Σ c_tb·ln6(c_tb)) / (c_t·1e6) with DECIMAL
+    // count×µnat accumulations — every operand exact, one final
+    // division, 6-snapped. Scale shape: the q293 sequence pass
+    // (user-keyed lead window, map-side-combined bigram counts);
+    // everything after runs on the ≤|types|² frame.
+    "q304_entropy_rate" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      def dec(c: Column): Column = c.cast("decimal(38,0)")
+      def ln6(c: Column): Column =
+        floor(log(c.cast("double")) * 1e6 + 0.5).cast("long")
+      val wU = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("nxt", lead(col("event_type"), 1).over(wU))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("event_type"), col("nxt"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("ct",
+          sum(col("c")).over(Window.partitionBy(col("event_type"))))
+        .groupBy(col("event_type"))
+        .agg(max(col("ct")).as("n_next"),
+          count(lit(1)).as("n_branches"),
+          sum(dec(col("c")) * ln6(col("c"))).as("sl"))
+        .select(col("event_type"), col("n_next"), col("n_branches"),
+          snap6((dec(col("n_next")) * ln6(col("n_next")) - col("sl"))
+            .cast("double")
+            / (col("n_next").cast("double") * 1e6)).as("h_cond_nats"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -1239,6 +1278,30 @@ object Temporal extends QueryModule {
         |  detail, block_total
         |FROM r WHERE rk = 1
         |ORDER BY event_type, block_days""".stripMargin,
+
+    "q304_entropy_rate" ->
+      """WITH seq AS (SELECT event_type,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS nxt
+        |  FROM events),
+        |bg AS (SELECT event_type, nxt, CAST(count(*) AS BIGINT) AS c
+        |  FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        |w AS (SELECT event_type, nxt, c,
+        |    CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS ct
+        |  FROM bg),
+        |g AS (SELECT event_type, max(ct) AS n_next,
+        |    CAST(count(*) AS BIGINT) AS n_branches,
+        |    sum(CAST(c AS HUGEINT)
+        |      * CAST(floor(ln(CAST(c AS DOUBLE)) * 1e6 + 0.5)
+        |        AS BIGINT)) AS sl
+        |  FROM w GROUP BY 1)
+        |SELECT event_type, n_next, n_branches,
+        |  floor(CAST(CAST(n_next AS HUGEINT)
+        |      * CAST(floor(ln(CAST(n_next AS DOUBLE)) * 1e6 + 0.5)
+        |        AS BIGINT) - sl AS DOUBLE)
+        |    / (CAST(n_next AS DOUBLE) * 1e6) * 1e6 + 0.5) / 1e6
+        |    AS h_cond_nats
+        |FROM g ORDER BY event_type""".stripMargin,
 
     "q232_kaplan_meier" ->
       """WITH u AS (SELECT user_id,

@@ -190,7 +190,10 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q301_mantel_haenszel", // exact 2×2 cells; bounded ≤|brands|
                            // pooled fold under the 6-snap
     "q302_capture_recapture", // exact membership flags and counts
-    "q303_neyman_allocation") // DECIMAL moments; bounded source fold
+    "q303_neyman_allocation", // DECIMAL moments; bounded source fold
+    "q304_entropy_rate",   // micro-nat DECIMAL sums, exact counts
+    "q305_theil_decomposition") // exact cents, micro-nat DECIMAL
+                           // sums — no float fold anywhere
 
   test("exact operators are invariant to input split boundaries") {
     val splitty = spark.newSession()

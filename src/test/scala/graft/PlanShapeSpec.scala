@@ -585,7 +585,10 @@ class PlanShapeSpec extends AnyFunSuite {
       // q301: part + lineitem once each to the |brands|×4 cell
       // frame; pooling rides windows over it. q302/q303: one pass.
       ("q301_mantel_haenszel", 2), ("q302_capture_recapture", 1),
-      ("q303_neyman_allocation", 1))
+      ("q303_neyman_allocation", 1),
+      // q304: one sequence pass (q293's shape). q305: orders +
+      // customer once each; the decomposition rides windows.
+      ("q304_entropy_rate", 1), ("q305_theil_decomposition", 2))
     for ((q, scans) <- expect) {
       val df = SparkEntry.queries(q)(spark, sf)
       df.collect()
