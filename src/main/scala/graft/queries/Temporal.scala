@@ -1181,6 +1181,126 @@ object Temporal extends QueryModule {
             .cast("double")
             / (col("n_next").cast("double") * 1e6)).as("h_cond_nats"))
         .orderBy(col("event_type"))
+    }),
+
+    // Hurst exponent via rescaled-range (R/S) analysis per event
+    // type — long-range dependence of daily volume (H≈0.5 = memory-
+    // less, H→1 = persistent trends, H→0 = mean-reverting), the
+    // memory diagnostic q256's fixed-lag ACF can't aggregate: R/S
+    // slopes ACROSS dyadic window sizes {4,8,16}. Exact-integer
+    // construction: within each FULL block, cumulative deviations
+    // carry as z_k = w·cum_k − k·S_w (exact longs — no rational
+    // means), R/S = (z_max−z_min)/√(w·Σy²−S_w²) with Σy² in DECIMAL;
+    // each block ratio is a double of exact operands snapped to
+    // micro-longs BEFORE the per-window mean (exact fold, the q297
+    // rule); H is the ln-ln OLS slope over the ≤3 window points with
+    // both coordinates as snapped micro-nat longs (q284's recipe) —
+    // integer window sums, one final division. Scale shape: one
+    // corpus pass to the calendar-bounded daily frame; the 3-scale
+    // fan-out and block windows all run on that dimension frame.
+    "q306_hurst_rs" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      def dec(c: Column): Column = c.cast("decimal(38,0)")
+      def ln6d(c: Column): Column =
+        floor(log(c) * 1e6 + 0.5).cast("long")
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+            .cast("long").as("idx"))
+        .agg(count(lit(1)).as("y"))
+      val wB = Window.partitionBy(col("event_type"), col("w"), col("blk"))
+      val scored = daily
+        .select(col("event_type"), col("idx"), col("y"),
+          explode(array(lit(4L), lit(8L), lit(16L))).as("w"))
+        .withColumn("blk", expr("idx DIV w"))
+        .withColumn("bn", count(lit(1)).over(wB))
+        .filter(col("bn") === col("w"))
+        .withColumn("sw", sum(col("y")).over(wB))
+        .withColumn("syy", sum(dec(col("y")) * dec(col("y"))).over(wB))
+        .withColumn("cum", sum(col("y")).over(
+          wB.orderBy(col("idx"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("k", row_number().over(wB.orderBy(col("idx")))
+          .cast("long"))
+        .withColumn("z", col("w") * col("cum") - col("k") * col("sw"))
+      val blocks = scored
+        .groupBy(col("event_type"), col("w"), col("blk"))
+        .agg(max(col("z")).as("zmax"), min(col("z")).as("zmin"),
+          max(col("sw")).as("sw"), max(col("syy")).as("syy"))
+        .withColumn("s2", dec(col("w")) * col("syy")
+          - dec(col("sw")) * dec(col("sw")))
+        .filter(col("s2") > 0)
+        .withColumn("rs6", floor(
+          (col("zmax") - col("zmin")).cast("double")
+            / sqrt(col("s2").cast("double")) * 1e6 + 0.5).cast("long"))
+      val wT = Window.partitionBy(col("event_type"))
+      val perW = blocks.groupBy(col("event_type"), col("w"))
+        .agg(count(lit(1)).as("n_blocks"), sum(col("rs6")).as("srs"))
+        .withColumn("x6", ln6d(col("w").cast("double")))
+        .withColumn("y6", ln6d(col("srs").cast("double")
+          / col("n_blocks").cast("double") / 1e6))
+        .withColumn("np", count(lit(1)).over(wT))
+        .withColumn("sx", sum(col("x6")).over(wT))
+        .withColumn("sy", sum(col("y6")).over(wT))
+        .withColumn("sxx", sum(dec(col("x6")) * dec(col("x6"))).over(wT))
+        .withColumn("sxy", sum(dec(col("x6")) * dec(col("y6"))).over(wT))
+      perW.select(col("event_type"), col("w").as("window_days"),
+          col("n_blocks"),
+          snap6(col("srs").cast("double")
+            / col("n_blocks").cast("double") / 1e6).as("mean_rs"),
+          snap6((dec(col("np")) * col("sxy")
+              - dec(col("sx")) * dec(col("sy"))).cast("double")
+            / (dec(col("np")) * col("sxx")
+              - dec(col("sx")) * dec(col("sx"))).cast("double"))
+            .as("hurst"))
+        .orderBy(col("event_type"), col("window_days"))
+    }),
+
+    // Monthly Laspeyres / Paasche / Fisher price indices at brand
+    // level — the index-number economics none of the revenue queries
+    // do: holding the BASE-month (1995-01) basket fixed separates
+    // price movement from volume mix (Laspeyres), the current basket
+    // gives the dual (Paasche), Fisher is their geometric mean.
+    // Unit values are exact rationals sp/sq (cents via the q213
+    // recipe; quantities exact longs), so every basket term
+    // p_t·q_0 = sp_t·sq_0/sq_t is one double division of exact
+    // DECIMAL products — and the Laspeyres DENOMINATOR collapses to
+    // Σ sp_0 exactly. Folds run over the ≤|brands| frame per month
+    // (the q290 bounded class). Scale shape: one lineitem⋈part pass
+    // to the (brand, month) cell frame; the base month attaches as a
+    // brand-window max — never a self-join or second scan.
+    "q307_price_index" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      def dec(c: Column): Column = c.cast("decimal(38,0)")
+      val baseMonth = lit("1995-01-01").cast("date")
+      val cells = Tables.lineitem(s, d)
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"),
+          trunc(to_date(col("l_shipdate")), "month").as("month"))
+        .agg((sum(col("l_extendedprice").cast("decimal(12,2)"))
+            .cast("decimal(18,2)") * 100).cast("decimal(20,0)").as("sp"),
+          sum(col("l_quantity").cast("long")).as("sq"))
+      val wBr = Window.partitionBy(col("p_brand"))
+      val j = cells
+        .withColumn("sp0",
+          max(when(col("month") === baseMonth, col("sp"))).over(wBr))
+        .withColumn("sq0",
+          max(when(col("month") === baseMonth, col("sq"))).over(wBr))
+        .filter(col("sp0").isNotNull && col("sq0") > 0 && col("sq") > 0)
+      val l = col("lnum") / col("lden")
+      val p = col("pnum") / col("pden")
+      j.groupBy(col("month"))
+        .agg(count(lit(1)).as("n_brands"),
+          sum((dec(col("sp")) * dec(col("sq0"))).cast("double")
+            / col("sq").cast("double")).as("lnum"),
+          sum(col("sp0").cast("double")).as("lden"),
+          sum(col("sp").cast("double")).as("pnum"),
+          sum((dec(col("sp0")) * dec(col("sq"))).cast("double")
+            / col("sq0").cast("double")).as("pden"))
+        .select(col("month"), col("n_brands"),
+          snap6(l).as("laspeyres"), snap6(p).as("paasche"),
+          snap6(sqrt(l * p)).as("fisher"))
+        .orderBy(col("month"))
     })
   )
 
@@ -1302,6 +1422,100 @@ object Temporal extends QueryModule {
         |    / (CAST(n_next AS DOUBLE) * 1e6) * 1e6 + 0.5) / 1e6
         |    AS h_cond_nats
         |FROM g ORDER BY event_type""".stripMargin,
+
+    "q306_hurst_rs" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS idx,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |tall AS (SELECT event_type, idx, y, CAST(w AS BIGINT) AS w,
+        |    idx // CAST(w AS BIGINT) AS blk
+        |  FROM daily CROSS JOIN (VALUES (4), (8), (16)) lv(w)),
+        |sc AS (SELECT *,
+        |    CAST(count(*) OVER pb AS BIGINT) AS bn,
+        |    CAST(sum(y) OVER pb AS BIGINT) AS sw,
+        |    sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) OVER pb AS syy,
+        |    CAST(sum(y) OVER (PARTITION BY event_type, w, blk
+        |      ORDER BY idx ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |      CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST(row_number() OVER (PARTITION BY event_type, w, blk
+        |      ORDER BY idx) AS BIGINT) AS k
+        |  FROM tall
+        |  WINDOW pb AS (PARTITION BY event_type, w, blk)),
+        |z AS (SELECT *, w * cum - k * sw AS z FROM sc WHERE bn = w),
+        |blocks AS (SELECT event_type, w, blk,
+        |    max(z) AS zmax, min(z) AS zmin,
+        |    max(sw) AS sw, max(syy) AS syy
+        |  FROM z GROUP BY 1, 2, 3),
+        |rs AS (SELECT event_type, w,
+        |    CAST(floor(CAST(zmax - zmin AS DOUBLE)
+        |      / sqrt(CAST(CAST(w AS HUGEINT) * syy
+        |        - CAST(sw AS HUGEINT) * CAST(sw AS HUGEINT) AS DOUBLE))
+        |      * 1e6 + 0.5) AS BIGINT) AS rs6
+        |  FROM blocks
+        |  WHERE CAST(w AS HUGEINT) * syy
+        |    - CAST(sw AS HUGEINT) * CAST(sw AS HUGEINT) > 0),
+        |pw AS (SELECT event_type, w,
+        |    CAST(count(*) AS BIGINT) AS n_blocks,
+        |    CAST(sum(rs6) AS BIGINT) AS srs
+        |  FROM rs GROUP BY 1, 2),
+        |xy AS (SELECT *,
+        |    CAST(floor(ln(CAST(w AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+        |      AS x6,
+        |    CAST(floor(ln(CAST(srs AS DOUBLE) / CAST(n_blocks AS DOUBLE)
+        |      / 1e6) * 1e6 + 0.5) AS BIGINT) AS y6
+        |  FROM pw),
+        |ols AS (SELECT *,
+        |    CAST(count(*) OVER pt AS BIGINT) AS np,
+        |    CAST(sum(x6) OVER pt AS BIGINT) AS sx,
+        |    CAST(sum(y6) OVER pt AS BIGINT) AS sy,
+        |    sum(CAST(x6 AS HUGEINT) * CAST(x6 AS HUGEINT)) OVER pt
+        |      AS sxx,
+        |    sum(CAST(x6 AS HUGEINT) * CAST(y6 AS HUGEINT)) OVER pt
+        |      AS sxy
+        |  FROM xy
+        |  WINDOW pt AS (PARTITION BY event_type))
+        |SELECT event_type, w AS window_days, n_blocks,
+        |  floor(CAST(srs AS DOUBLE) / CAST(n_blocks AS DOUBLE) / 1e6
+        |    * 1e6 + 0.5) / 1e6 AS mean_rs,
+        |  floor(CAST(CAST(np AS HUGEINT) * sxy
+        |      - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS DOUBLE)
+        |    / CAST(CAST(np AS HUGEINT) * sxx
+        |      - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS DOUBLE)
+        |    * 1e6 + 0.5) / 1e6 AS hurst
+        |FROM ols ORDER BY event_type, window_days""".stripMargin,
+
+    "q307_price_index" ->
+      """WITH cells AS (SELECT p_brand,
+        |    date_trunc('month', CAST(l_shipdate AS DATE))::DATE
+        |      AS month,
+        |    CAST(round(sum(l_extendedprice::DECIMAL(12,2)), 2) * 100
+        |      AS BIGINT) AS sp,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1, 2),
+        |b AS (SELECT *,
+        |    max(CASE WHEN month = DATE '1995-01-01' THEN sp END)
+        |      OVER (PARTITION BY p_brand) AS sp0,
+        |    max(CASE WHEN month = DATE '1995-01-01' THEN sq END)
+        |      OVER (PARTITION BY p_brand) AS sq0
+        |  FROM cells),
+        |f AS (SELECT * FROM b
+        |  WHERE sp0 IS NOT NULL AND sq0 > 0 AND sq > 0),
+        |g AS (SELECT month, CAST(count(*) AS BIGINT) AS n_brands,
+        |    sum(CAST(CAST(sp AS HUGEINT) * CAST(sq0 AS HUGEINT)
+        |      AS DOUBLE) / CAST(sq AS DOUBLE)) AS lnum,
+        |    sum(CAST(sp0 AS DOUBLE)) AS lden,
+        |    sum(CAST(sp AS DOUBLE)) AS pnum,
+        |    sum(CAST(CAST(sp0 AS HUGEINT) * CAST(sq AS HUGEINT)
+        |      AS DOUBLE) / CAST(sq0 AS DOUBLE)) AS pden
+        |  FROM f GROUP BY 1)
+        |SELECT month, n_brands,
+        |  floor(lnum / lden * 1e6 + 0.5) / 1e6 AS laspeyres,
+        |  floor(pnum / pden * 1e6 + 0.5) / 1e6 AS paasche,
+        |  floor(sqrt((lnum / lden) * (pnum / pden)) * 1e6 + 0.5) / 1e6
+        |    AS fisher
+        |FROM g ORDER BY month""".stripMargin,
 
     "q232_kaplan_meier" ->
       """WITH u AS (SELECT user_id,

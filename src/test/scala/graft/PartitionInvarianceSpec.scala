@@ -192,8 +192,12 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q302_capture_recapture", // exact membership flags and counts
     "q303_neyman_allocation", // DECIMAL moments; bounded source fold
     "q304_entropy_rate",   // micro-nat DECIMAL sums, exact counts
-    "q305_theil_decomposition") // exact cents, micro-nat DECIMAL
+    "q305_theil_decomposition", // exact cents, micro-nat DECIMAL
                            // sums — no float fold anywhere
+    "q306_hurst_rs",       // exact-long z deviations, micro-long
+                           // block ratios, integer OLS sums
+    "q307_price_index")    // exact cents/quantities; bounded
+                           // ≤|brands| basket folds per month
 
   test("exact operators are invariant to input split boundaries") {
     val splitty = spark.newSession()

@@ -588,7 +588,11 @@ class PlanShapeSpec extends AnyFunSuite {
       ("q303_neyman_allocation", 1),
       // q304: one sequence pass (q293's shape). q305: orders +
       // customer once each; the decomposition rides windows.
-      ("q304_entropy_rate", 1), ("q305_theil_decomposition", 2))
+      ("q304_entropy_rate", 1), ("q305_theil_decomposition", 2),
+      // q306: one pass to the daily frame; R/S blocks and the
+      // ln-ln OLS all ride windows on it. q307: lineitem + part
+      // once each; the base month attaches as a brand-window max.
+      ("q306_hurst_rs", 1), ("q307_price_index", 2))
     for ((q, scans) <- expect) {
       val df = SparkEntry.queries(q)(spark, sf)
       df.collect()
