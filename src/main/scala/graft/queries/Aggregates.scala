@@ -1096,6 +1096,57 @@ object Aggregates extends QueryModule {
           snap6(col("sg").cast("double")
             / (col("x_tot").cast("double") * 1e6)).as("theil_total"))
         .orderBy(col("c_nationkey"))
+    }),
+
+    // Market-basket association rules over order contents — the
+    // support/confidence/lift mining classic (which parts sell
+    // TOGETHER?), the transactional sibling of q173's document-level
+    // PMI: top-20 part pairs by lift among pairs with support ≥ 2
+    // orders. Scale shape: the pair generator is the WITHIN-BASKET
+    // self-join on orderkey — pairs per order are basket-size², a
+    // business constant, so the pair frame grows LINEARLY with
+    // orders (the canonical basket shape; never a part×part join);
+    // per-part supports come from the same distinct (order, part)
+    // frame and broadcast-join back. Exactness: supports are exact
+    // longs; confidence and lift are single divisions of exact
+    // DECIMAL products (supp·N passes 2^63 at ~3e9 orders),
+    // 6-snapped; the top-20 rank orders on (lift-numerator cross
+    // products? no — identical doubles of identical integers, then
+    // part keys) — a total order both engines share.
+    "q308_basket_rules" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      def dec(c: Column): Column = c.cast("decimal(38,0)")
+      val od = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val b = od.select(col("ok").as("ok_b"), col("pk").as("pk_b"))
+      val pairs = od.join(b,
+          col("ok") === col("ok_b") && col("pk") < col("pk_b"))
+        .groupBy(col("pk"), col("pk_b"))
+        .agg(count(lit(1)).as("supp_ab"))
+        .filter(col("supp_ab") >= 2L)
+      // supports/total are part-dimension-sized (a bounded business
+      // catalog) — broadcast explicitly rather than leaving the
+      // build-side choice to AQE stats.
+      val sa = od.groupBy(col("pk")).agg(count(lit(1)).as("supp_a"))
+      val sb = sa.select(col("pk").as("pk_b2"), col("supp_a").as("supp_b"))
+      val n = od.agg(countDistinct(col("ok")).as("n_orders"))
+      pairs
+        .join(broadcast(sa), Seq("pk"))
+        .join(broadcast(sb), col("pk_b") === col("pk_b2"))
+        .crossJoin(broadcast(n))
+        .withColumn("lift",
+          (dec(col("supp_ab")) * dec(col("n_orders"))).cast("double")
+            / (dec(col("supp_a")) * dec(col("supp_b"))).cast("double"))
+        .withColumn("rnk", row_number().over(Window.orderBy(
+          col("lift").desc, col("pk"), col("pk_b"))).cast("long"))
+        .filter(col("rnk") <= 20)
+        .select(col("rnk"), col("pk").as("part_a"),
+          col("pk_b").as("part_b"), col("supp_ab"),
+          snap6(col("supp_ab").cast("double")
+            / col("supp_a").cast("double")).as("confidence"),
+          snap6(col("lift")).as("lift"))
+        .orderBy(col("rnk"))
     })
   )
 
@@ -1668,6 +1719,35 @@ object Aggregates extends QueryModule {
         |    * 1e6 + 0.5) / 1e6 AS theil_between,
         |  floor(CAST(sg AS DOUBLE) / (CAST(x_tot AS DOUBLE) * 1e6)
         |    * 1e6 + 0.5) / 1e6 AS theil_total
-        |FROM g ORDER BY c_nationkey""".stripMargin
+        |FROM g ORDER BY c_nationkey""".stripMargin,
+
+    "q308_basket_rules" ->
+      """WITH od AS (SELECT DISTINCT l_orderkey AS ok,
+        |    l_partkey AS pk FROM lineitem),
+        |pairs AS (SELECT a.pk, b.pk AS pk_b,
+        |    CAST(count(*) AS BIGINT) AS supp_ab
+        |  FROM od a JOIN od b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sa AS (SELECT pk, CAST(count(*) AS BIGINT) AS supp_a
+        |  FROM od GROUP BY 1),
+        |n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders
+        |  FROM od),
+        |sc AS (SELECT p.pk, p.pk_b, p.supp_ab, a.supp_a,
+        |    b.supp_a AS supp_b, n.n_orders,
+        |    CAST(CAST(p.supp_ab AS HUGEINT)
+        |      * CAST(n.n_orders AS HUGEINT) AS DOUBLE)
+        |      / CAST(CAST(a.supp_a AS HUGEINT)
+        |        * CAST(b.supp_a AS HUGEINT) AS DOUBLE) AS lift
+        |  FROM pairs p
+        |  JOIN sa a ON p.pk = a.pk
+        |  JOIN sa b ON p.pk_b = b.pk
+        |  CROSS JOIN n),
+        |r AS (SELECT *, CAST(row_number() OVER (ORDER BY lift DESC,
+        |    pk, pk_b) AS BIGINT) AS rnk FROM sc)
+        |SELECT rnk, pk AS part_a, pk_b AS part_b, supp_ab,
+        |  floor(CAST(supp_ab AS DOUBLE) / CAST(supp_a AS DOUBLE)
+        |    * 1e6 + 0.5) / 1e6 AS confidence,
+        |  floor(lift * 1e6 + 0.5) / 1e6 AS lift
+        |FROM r WHERE rnk <= 20 ORDER BY rnk""".stripMargin
   )
 }

@@ -1301,8 +1301,53 @@ object Temporal extends QueryModule {
           snap6(l).as("laspeyres"), snap6(p).as("paasche"),
           snap6(sqrt(l * p)).as("fisher"))
         .orderBy(col("month"))
+    }),
+
+    // Wald SPRT monitor — sequential A/B readout over the odd-user
+    // cohort's daily purchase share: is it running at p₁ = 0.21
+    // rather than p₀ = 0.19 (α = β = 0.05)? The SEQUENTIAL design
+    // q143's fixed-horizon t-test can't give: the log-likelihood
+    // ratio walks day by day and the experiment STOPS the first day
+    // it crosses ±ln 19 — the peeking-safe monitoring shape. All
+    // arithmetic is exact: per-event µnat increments are Scala
+    // constants interpolated into BOTH engines (the q282 single-
+    // source rule — no cross-engine log call at all), the walk is a
+    // DECIMAL cumsum of count×constant products, and the boundary
+    // test is an exact integer comparison. Scale shape: one corpus
+    // pass map-side combines to the calendar-bounded daily frame;
+    // the walk is a window over it.
+    "q309_sprt_monitor" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      def dec(c: Column): Column = c.cast("decimal(38,0)")
+      val wOrd = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .filter(col("user_id") % 2 === 1)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("n_purchases"))
+        .withColumn("step", dec(col("n_purchases")) * SprtL1
+          + dec(col("n_events") - col("n_purchases")) * SprtL0)
+        .withColumn("cum", sum(col("step")).over(wOrd))
+        .select(col("day"), col("n_events"), col("n_purchases"),
+          snap6(col("cum").cast("double") / 1e6).as("cum_llr"),
+          when(col("cum") >= SprtBound, "accept_h1")
+            .when(col("cum") <= -SprtBound, "accept_h0")
+            .otherwise("continue").as("decision"))
+        .orderBy(col("day"))
     })
   )
+
+  /** q309 SPRT µnat constants — computed ONCE here and interpolated
+    * into both engines (p₀=0.19, p₁=0.21, α=β=0.05; boundary ln 19).
+    */
+  private val SprtL1: Long =
+    math.floor(math.log(0.21 / 0.19) * 1e6 + 0.5).toLong
+  private val SprtL0: Long =
+    math.floor(math.log(0.79 / 0.81) * 1e6 + 0.5).toLong
+  private val SprtBound: Long =
+    math.floor(math.log(19.0) * 1e6 + 0.5).toLong
 
   def oracle: Map[String, String] = Map(
     "q289_order_concurrency" ->
@@ -1516,6 +1561,26 @@ object Temporal extends QueryModule {
         |  floor(sqrt((lnum / lden) * (pnum / pden)) * 1e6 + 0.5) / 1e6
         |    AS fisher
         |FROM g ORDER BY month""".stripMargin,
+
+    "q309_sprt_monitor" ->
+      s"""WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+         |    CAST(count(*) AS BIGINT) AS n_events,
+         |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1
+         |      ELSE 0 END) AS BIGINT) AS n_purchases
+         |  FROM events WHERE user_id % 2 = 1 GROUP BY 1),
+         |w AS (SELECT *,
+         |    sum(CAST(n_purchases AS HUGEINT) * ${SprtL1}
+         |      + CAST(n_events - n_purchases AS HUGEINT)
+         |        * (${SprtL0})) OVER (ORDER BY day ROWS BETWEEN
+         |      UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM daily)
+         |SELECT day, n_events, n_purchases,
+         |  floor(CAST(cum AS DOUBLE) / 1e6 * 1e6 + 0.5) / 1e6
+         |    AS cum_llr,
+         |  CASE WHEN cum >= ${SprtBound} THEN 'accept_h1'
+         |    WHEN cum <= -(${SprtBound}) THEN 'accept_h0'
+         |    ELSE 'continue' END AS decision
+         |FROM w ORDER BY day""".stripMargin,
 
     "q232_kaplan_meier" ->
       """WITH u AS (SELECT user_id,

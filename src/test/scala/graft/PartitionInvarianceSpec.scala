@@ -196,8 +196,12 @@ class PartitionInvarianceSpec extends AnyFunSuite {
                            // sums — no float fold anywhere
     "q306_hurst_rs",       // exact-long z deviations, micro-long
                            // block ratios, integer OLS sums
-    "q307_price_index")    // exact cents/quantities; bounded
+    "q307_price_index",    // exact cents/quantities; bounded
                            // ≤|brands| basket folds per month
+    "q308_basket_rules",   // exact supports; lift ranks identical
+                           // doubles of identical integers
+    "q309_sprt_monitor")   // DECIMAL cumsum of count×constant;
+                           // exact boundary comparisons
 
   test("exact operators are invariant to input split boundaries") {
     val splitty = spark.newSession()

@@ -592,7 +592,12 @@ class PlanShapeSpec extends AnyFunSuite {
       // q306: one pass to the daily frame; R/S blocks and the
       // ln-ln OLS all ride windows on it. q307: lineitem + part
       // once each; the base month attaches as a brand-window max.
-      ("q306_hurst_rs", 1), ("q307_price_index", 2))
+      ("q306_hurst_rs", 1), ("q307_price_index", 2),
+      // q308: the within-basket self-join and the support side both
+      // derive from one distinct (order, part) exchange
+      // (ReuseExchange); the third scan is the broadcast n_orders
+      // count. q309: one pass to the daily frame.
+      ("q308_basket_rules", 3), ("q309_sprt_monitor", 1))
     for ((q, scans) <- expect) {
       val df = SparkEntry.queries(q)(spark, sf)
       df.collect()
