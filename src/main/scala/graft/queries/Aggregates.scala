@@ -1147,6 +1147,62 @@ object Aggregates extends QueryModule {
             / col("supp_a").cast("double")).as("confidence"),
           snap6(col("lift")).as("lift"))
         .orderBy(col("rnk"))
+    }),
+
+    // Pairwise Wasserstein-1 (earth-mover) distance between event-
+    // type value distributions — W₁ = ∫|F_A−F_B| dv, the DISTANCE
+    // metric the drift family lacks: q224's KS statistic is the max
+    // CDF gap (location-blind), q225's PSI needs arbitrary bins; W₁
+    // integrates the whole gap in value units. Two map-side-combined
+    // corpus passes: per-value type counts collapse to a map per
+    // pooled grid point, and the global type set arrives as ONE
+    // broadcast collect_set row the grid explodes against — NOT a
+    // collect_list window over the grid, which materializes the
+    // whole value list per row (measured 371 s quadratic vs 1.6 s
+    // for this shape). CDF gaps are exact cross-products
+    // |cum_A·n_B − cum_B·n_A| (DECIMAL); each interval term snaps to
+    // micro-longs BEFORE the per-pair sum (the q297 rule), so the
+    // only unordered fold is exact. Scale shape: everything after
+    // the first aggregation runs on the bounded distinct-value grid
+    // (2-decimal money domain — the q231 argument) × |types|².
+    "q310_wasserstein" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      def dec(c: Column): Column = c.cast("decimal(38,0)")
+      val tysArr = Tables.events(s, d)
+        .agg(sort_array(collect_set(col("event_type"))).as("tys"))
+      val pv = Tables.events(s, d)
+        .groupBy(col("value"), col("event_type"))
+        .agg(count(lit(1)).as("ca"))
+        .groupBy(col("value"))
+        .agg(map_from_entries(sort_array(
+          collect_list(struct(col("event_type"), col("ca"))))).as("m"))
+        .crossJoin(broadcast(tysArr))
+      val grid = pv
+        .select(col("value"), col("m"), explode(col("tys")).as("t"))
+        .select(col("value"), col("t"),
+          coalesce(element_at(col("m"), col("t")), lit(0L)).as("ca"))
+        .withColumn("cum", sum(col("ca")).over(
+          Window.partitionBy(col("t")).orderBy(col("value"))
+            .rangeBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("nt", sum(col("ca")).over(Window.partitionBy(col("t"))))
+      val b = grid.select(col("value").as("v_b"), col("t").as("t_b"),
+        col("cum").as("cum_b"), col("nt").as("nt_b"))
+      val wPair = Window.partitionBy(col("t"), col("t_b"))
+        .orderBy(col("value"))
+      grid.join(b, col("value") === col("v_b") && col("t") < col("t_b"))
+        .withColumn("dv", lead(col("value"), 1).over(wPair) - col("value"))
+        .filter(col("dv").isNotNull)
+        .withColumn("gap", abs(dec(col("cum")) * dec(col("nt_b"))
+          - dec(col("cum_b")) * dec(col("nt"))))
+        .withColumn("term6", floor(col("gap").cast("double")
+          / (dec(col("nt")) * dec(col("nt_b"))).cast("double")
+          * col("dv") * 1e6 + 0.5).cast("long"))
+        .groupBy(col("t").as("type_a"), col("t_b").as("type_b"))
+        .agg(count(lit(1)).as("n_grid"),
+          (sum(col("term6")).cast("double") / 1e6).as("w1_raw"))
+        .select(col("type_a"), col("type_b"), col("n_grid"),
+          snap6(col("w1_raw")).as("w1_distance"))
+        .orderBy(col("type_a"), col("type_b"))
     })
   )
 
@@ -1748,6 +1804,38 @@ object Aggregates extends QueryModule {
         |  floor(CAST(supp_ab AS DOUBLE) / CAST(supp_a AS DOUBLE)
         |    * 1e6 + 0.5) / 1e6 AS confidence,
         |  floor(lift * 1e6 + 0.5) / 1e6 AS lift
-        |FROM r WHERE rnk <= 20 ORDER BY rnk""".stripMargin
+        |FROM r WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
+
+    "q310_wasserstein" ->
+      """WITH bv AS (SELECT value, event_type AS t,
+        |    CAST(count(*) AS BIGINT) AS ca
+        |  FROM events GROUP BY 1, 2),
+        |vals AS (SELECT DISTINCT value FROM bv),
+        |tys AS (SELECT DISTINCT t FROM bv),
+        |grid AS (SELECT v.value, ty.t, coalesce(b.ca, 0) AS ca
+        |  FROM vals v CROSS JOIN tys ty
+        |  LEFT JOIN bv b ON b.value = v.value AND b.t = ty.t),
+        |c AS (SELECT value, t,
+        |    CAST(sum(ca) OVER (PARTITION BY t ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum,
+        |    CAST(sum(ca) OVER (PARTITION BY t) AS BIGINT) AS nt
+        |  FROM grid),
+        |p AS (SELECT a.t, b.t AS t_b, a.value,
+        |    lead(a.value) OVER (PARTITION BY a.t, b.t
+        |      ORDER BY a.value) - a.value AS dv,
+        |    abs(CAST(a.cum AS HUGEINT) * b.nt
+        |      - CAST(b.cum AS HUGEINT) * a.nt) AS gap,
+        |    a.nt AS nt, b.nt AS nt_b
+        |  FROM c a JOIN c b ON a.value = b.value AND a.t < b.t),
+        |s AS (SELECT t, t_b, CAST(count(*) AS BIGINT) AS n_grid,
+        |    CAST(sum(CAST(floor(CAST(gap AS DOUBLE)
+        |      / CAST(CAST(nt AS HUGEINT) * nt_b AS DOUBLE)
+        |      * dv * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS s6
+        |  FROM p WHERE dv IS NOT NULL GROUP BY 1, 2)
+        |SELECT t AS type_a, t_b AS type_b, n_grid,
+        |  floor(CAST(s6 AS DOUBLE) / 1e6 * 1e6 + 0.5) / 1e6
+        |    AS w1_distance
+        |FROM s ORDER BY type_a, type_b""".stripMargin
   )
 }

@@ -1336,6 +1336,47 @@ object Temporal extends QueryModule {
             .when(col("cum") <= -SprtBound, "accept_h0")
             .otherwise("continue").as("decision"))
         .orderBy(col("day"))
+    }),
+
+    // Additive seasonal decomposition y = trend + seasonal + resid
+    // per event type — the classical STL-style split q178's anomaly
+    // grid consumes implicitly, made explicit: trend is the centered
+    // 7-observation moving average (full windows only), the weekly
+    // seasonal is the day-of-week mean of the DETRENDED series, the
+    // residual is what neither explains. Everything stays exact
+    // until one final division: detrended carries as d₇ = 7y − S₇
+    // (an exact long — no mean materializes), the seasonal numerator
+    // is Σd₇ per (type, dow) in DECIMAL, and the residual is
+    // (d₇·n_dow − Σd₇)/(7·n_dow) — exact integer numerators, single
+    // 6-snapped divisions. Scale shape: one corpus pass to the
+    // calendar-bounded daily frame; MA/dow windows run on it.
+    "q311_seasonal_decompose" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      def dec(c: Column): Column = c.cast("decimal(38,0)")
+      val wMa = Window.partitionBy(col("event_type")).orderBy(col("idx"))
+        .rowsBetween(-3, 3)
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"),
+          datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+            .cast("long").as("idx"))
+        .agg(count(lit(1)).as("y"))
+      val wDow = Window.partitionBy(col("event_type"), col("dow"))
+      daily
+        .withColumn("cnt7", count(lit(1)).over(wMa))
+        .withColumn("s7", sum(col("y")).over(wMa))
+        .filter(col("cnt7") === 7L)
+        .withColumn("d7", lit(7L) * col("y") - col("s7"))
+        .withColumn("dow", pmod(col("idx"), lit(7)).cast("long"))
+        .withColumn("sdn", sum(dec(col("d7"))).over(wDow))
+        .withColumn("ndw", count(lit(1)).over(wDow))
+        .select(col("event_type"), col("day"), col("y"),
+          snap6(col("s7").cast("double") / 7.0).as("trend"),
+          snap6(col("sdn").cast("double")
+            / (lit(7.0) * col("ndw").cast("double"))).as("seasonal"),
+          snap6((dec(col("d7")) * dec(col("ndw")) - col("sdn"))
+            .cast("double")
+            / (lit(7.0) * col("ndw").cast("double"))).as("residual"))
+        .orderBy(col("event_type"), col("day"))
     })
   )
 
@@ -1581,6 +1622,37 @@ object Temporal extends QueryModule {
          |    WHEN cum <= -(${SprtBound}) THEN 'accept_h0'
          |    ELSE 'continue' END AS decision
          |FROM w ORDER BY day""".stripMargin,
+
+    "q311_seasonal_decompose" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT)
+        |      AS idx,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2, 3),
+        |ma AS (SELECT *,
+        |    CAST(count(*) OVER wm AS BIGINT) AS cnt7,
+        |    CAST(sum(y) OVER wm AS BIGINT) AS s7
+        |  FROM daily
+        |  WINDOW wm AS (PARTITION BY event_type ORDER BY idx
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |dt AS (SELECT *, 7 * y - s7 AS d7,
+        |    ((idx % 7) + 7) % 7 AS dow
+        |  FROM ma WHERE cnt7 = 7),
+        |sw AS (SELECT *,
+        |    sum(CAST(d7 AS HUGEINT)) OVER wd AS sdn,
+        |    CAST(count(*) OVER wd AS BIGINT) AS ndw
+        |  FROM dt
+        |  WINDOW wd AS (PARTITION BY event_type, dow))
+        |SELECT event_type, day, y,
+        |  floor(CAST(s7 AS DOUBLE) / 7.0::DOUBLE * 1e6 + 0.5) / 1e6
+        |    AS trend,
+        |  floor(CAST(sdn AS DOUBLE)
+        |    / (7.0::DOUBLE * CAST(ndw AS DOUBLE)) * 1e6 + 0.5) / 1e6
+        |    AS seasonal,
+        |  floor(CAST(CAST(d7 AS HUGEINT) * ndw - sdn AS DOUBLE)
+        |    / (7.0::DOUBLE * CAST(ndw AS DOUBLE)) * 1e6 + 0.5) / 1e6
+        |    AS residual
+        |FROM sw ORDER BY event_type, day""".stripMargin,
 
     "q232_kaplan_meier" ->
       """WITH u AS (SELECT user_id,

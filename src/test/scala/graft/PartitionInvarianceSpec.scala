@@ -200,8 +200,12 @@ class PartitionInvarianceSpec extends AnyFunSuite {
                            // ≤|brands| basket folds per month
     "q308_basket_rules",   // exact supports; lift ranks identical
                            // doubles of identical integers
-    "q309_sprt_monitor")   // DECIMAL cumsum of count×constant;
+    "q309_sprt_monitor",   // DECIMAL cumsum of count×constant;
                            // exact boundary comparisons
+    "q310_wasserstein",    // exact CDF cross-products; micro-long
+                           // interval terms before the pair sum
+    "q311_seasonal_decompose") // exact 7y−S₇ numerators, DECIMAL
+                           // dow sums, single divisions
 
   test("exact operators are invariant to input split boundaries") {
     val splitty = spark.newSession()

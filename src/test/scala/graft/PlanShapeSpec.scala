@@ -597,7 +597,11 @@ class PlanShapeSpec extends AnyFunSuite {
       // derive from one distinct (order, part) exchange
       // (ReuseExchange); the third scan is the broadcast n_orders
       // count. q309: one pass to the daily frame.
-      ("q308_basket_rules", 3), ("q309_sprt_monitor", 1))
+      ("q308_basket_rules", 3), ("q309_sprt_monitor", 1),
+      // q310: two map-side passes — the (value, type) counts and the
+      // broadcast type-set row (the collect_list-window draft was a
+      // 371 s quadratic runaway). q311: one pass to the daily frame.
+      ("q310_wasserstein", 2), ("q311_seasonal_decompose", 1))
     for ((q, scans) <- expect) {
       val df = SparkEntry.queries(q)(spark, sf)
       df.collect()
