@@ -441,9 +441,18 @@ object CorpusSignals extends QueryModule {
 
     // Pairwise Jensen-Shannon divergence between source unigram
     // distributions — the corpus-mix distance matrix (q225's PSI
-    // monitors ONE distribution over time; JSD scores every source
-    // PAIR on a symmetric, bounded [0, ln 2] scale — the number a
-    // mixing planner (q229) or source-dedup decision reads). All
+    // monitors ONE distribution over time; JSD scores source PAIRS
+    // on a symmetric, bounded [0, ln 2] scale — the number a
+    // mixing planner (q229) or source-dedup decision reads).
+    // OUTPUT CONTRACT: the pair frame is built from an inner join on
+    // shared tokens, so only pairs sharing ≥1 token type emit a row;
+    // a pair with fully DISJOINT vocabularies (true JSD = ln 2, the
+    // maximum) is absent from the matrix by construction — a reader
+    // treats a missing pair as "maximally divergent or never
+    // compared", which is the right default for a mixing planner
+    // (both cases mean "don't merge"). Natural-language sources
+    // always share function tokens, so real corpora emit the full
+    // matrix. All
     // transcendentals reduce to the micro-nat recipe on EXACT integer
     // ratios: with shared-token counts a, b and totals n_a, n_b,
     // ln(p/m) = ln(2·a·n_b) − ln(a·n_b + b·n_a) — both arguments are

@@ -470,26 +470,8 @@ object Curation extends QueryModule {
     // the ≤|langs| frame; all windows run over that frame. (n_l is
     // exactly double-representable below 2^53 tokens ≈ 360× a 100 TB
     // text corpus.)
-    "q233_temperature_mix" -> ((s, d) => {
-      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
-      val byLang = Tables.documents(s, d)
-        .select(col("lang"),
-          size(Text.words(col("text"))).cast("long").as("toks"))
-        .groupBy(col("lang"))
-        .agg(sum(col("toks")).as("n_toks"))
-      val wAll = Window.partitionBy()
-      byLang
-        .withColumn("n_total", sum(col("n_toks")).over(wAll))
-        .withColumn("sroot", snap6(sqrt(col("n_toks").cast("double"))))
-        .withColumn("s_sum", snap6(sum(col("sroot")).over(wAll)))
-        .withColumn("raw_share",
-          col("n_toks").cast("double") / col("n_total").cast("double"))
-        .withColumn("sampled_share", snap6(col("sroot") / col("s_sum")))
-        .select(col("lang"), col("n_toks"), col("raw_share"),
-          col("sampled_share"),
-          snap6(col("sampled_share") / col("raw_share")).as("boost"))
-        .orderBy(col("lang"))
-    }),
+    "q233_temperature_mix" -> ((s, d) =>
+      temperatureMix(Tables.documents(s, d), 0.5).orderBy(col("lang"))),
 
     // DSIR-style importance weights (data selection by importance
     // resampling, Xie et al. 2023): score each raw doc by how much
@@ -669,11 +651,17 @@ object Curation extends QueryModule {
         .agg(count(lit(1)).as("n_docs"),
           sum(dec(col("n_chars"))).as("sx"),
           sum(dec(col("n_chars")) * dec(col("n_chars"))).as("sxx"))
-        .withColumn("sd", sqrt(
+        // n_docs = 1 guard (ADVICE r11): the Bessel denominator is 0
+        // there, and Spark's Divide yields NULL while DuckDB's IEEE
+        // double op yields NaN — a NaN that would poison the global
+        // sum(ns) normalizer. Explicit NULL in BOTH engines (the CASE
+        // mirror lives in the oracle) keeps degenerate strata out of
+        // the allocation identically.
+        .withColumn("sd", when(col("n_docs") > 1L, sqrt(
           (dec(col("n_docs")) * col("sxx") - col("sx") * col("sx"))
             .cast("double")
           / (col("n_docs").cast("double")
-            * (col("n_docs") - 1L).cast("double"))))
+            * (col("n_docs") - 1L).cast("double")))))
         .withColumn("ns", col("n_docs").cast("double") * col("sd"))
         .withColumn("share", col("ns") / sum(col("ns")).over(wAll))
         .select(col("source"), col("n_docs"),
@@ -714,6 +702,43 @@ object Curation extends QueryModule {
     * avoids the InferFiltersFromGenerate re-expansion (see
     * [[decontaminate]]); repeats >= 1 always, so no rows are lost.
     */
+  /** Temperature-sampled language mix as a reusable library op (the
+    * [[graft.api.Frame]] facade's `temperatureMix`; q233 is this with
+    * α = 1/2): q_l ∝ p_l^α flattens the head so low-resource languages
+    * are seen. α = 1/2 routes through sqrt — the one exponent
+    * computable BIT-EXACTLY cross-engine (IEEE-correctly-rounded in
+    * both; exp(α·ln p) for general α is not, q197) — which is why the
+    * oracle-pinned query fixes it; other α are library-only. p^α is
+    * snapped, the ≤|langs| normalizer sum is snapped (q222 recipe),
+    * every emitted ratio is a single snapped division. Scale shape:
+    * ONE corpus pass map-side-combines token counts to the ≤|langs|
+    * frame; all windows run over that frame. (n_l is exactly
+    * double-representable below 2^53 tokens ≈ 360× a 100 TB corpus.)
+    */
+  private[graft] def temperatureMix(docs: DataFrame,
+                                    alpha: Double = 0.5): DataFrame = {
+    def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+    val byLang = docs
+      .select(col("lang"),
+        size(Text.words(col("text"))).cast("long").as("toks"))
+      .groupBy(col("lang"))
+      .agg(sum(col("toks")).as("n_toks"))
+    val wAll = Window.partitionBy()
+    val powered =
+      if (alpha == 0.5) sqrt(col("n_toks").cast("double"))
+      else pow(col("n_toks").cast("double"), lit(alpha))
+    byLang
+      .withColumn("n_total", sum(col("n_toks")).over(wAll))
+      .withColumn("sroot", snap6(powered))
+      .withColumn("s_sum", snap6(sum(col("sroot")).over(wAll)))
+      .withColumn("raw_share",
+        col("n_toks").cast("double") / col("n_total").cast("double"))
+      .withColumn("sampled_share", snap6(col("sroot") / col("s_sum")))
+      .select(col("lang"), col("n_toks"), col("raw_share"),
+        col("sampled_share"),
+        snap6(col("sampled_share") / col("raw_share")).as("boost"))
+  }
+
   private[graft] def weightedMix(docs: DataFrame): DataFrame = {
     val coin = pmod(col("doc_id") * 2654435761L + 101L, lit(100L))
     val repeats =
@@ -790,9 +815,10 @@ object Curation extends QueryModule {
         |      AS sxx
         |  FROM documents GROUP BY 1),
         |v AS (SELECT source, n_docs,
-        |    sqrt(CAST(n_docs * sxx - sx * sx AS DOUBLE)
-        |      / (CAST(n_docs AS DOUBLE)
-        |        * CAST(n_docs - 1 AS DOUBLE))) AS sd
+        |    CASE WHEN n_docs > 1 THEN
+        |      sqrt(CAST(n_docs * sxx - sx * sx AS DOUBLE)
+        |        / (CAST(n_docs AS DOUBLE)
+        |          * CAST(n_docs - 1 AS DOUBLE))) END AS sd
         |  FROM m),
         |w AS (SELECT source, n_docs, sd,
         |    CAST(n_docs AS DOUBLE) * sd AS ns

@@ -872,15 +872,23 @@ object Aggregates extends QueryModule {
           / (lit(4.0) * col("n_a").cast("double")))
         .withColumn("h", lit(12.0) * sum(col("term")).over(wAll)
           / (col("n").cast("double") * (col("n") + 1L).cast("double")))
-        .withColumn("tie_c", lit(1.0)
+        // Degenerate-input guards (ADVICE r11): n = 1 makes the tie
+        // denominator n³−n zero, and an all-tied corpus (every row one
+        // value) makes tie_c itself exactly 0 — both are 0-divisors
+        // where Spark's Divide yields NULL but DuckDB's IEEE doubles
+        // yield NaN/inf. Explicit NULL in both engines (CASE mirror in
+        // the oracle) keeps the cross-engine hash stable on degenerate
+        // corpora instead of relying on TPC-H data never hitting them.
+        .withColumn("tie_c", when(col("n") > 1L, lit(1.0)
           - sum(col("tie_a")).over(wAll).cast("double")
             / (dec(col("n")) * dec(col("n")) * dec(col("n")) - dec(col("n")))
-              .cast("double"))
+              .cast("double")))
         .select(col("event_type"), col("n_a"),
           snap6(col("r2a").cast("double")
             / (lit(2.0) * col("n_a").cast("double"))).as("mean_rank"),
           snap6(col("h")).as("h_stat"),
-          snap6(col("h") / col("tie_c")).as("h_adj"))
+          when(col("tie_c") =!= 0.0,
+            snap6(col("h") / col("tie_c"))).as("h_adj"))
         .orderBy(col("event_type"))
     }),
 
@@ -924,9 +932,13 @@ object Aggregates extends QueryModule {
           snap6(sum(col("cell"))).as("chi2_part"),
           snap6(max(col("chi2"))).as("chi2"),
           max(col("df_star")).as("df_star"),
-          snap6(sqrt(max(col("chi2"))
-            / (max(col("n")).cast("double")
-              * max(col("df_star")).cast("double")))).as("v_cramer"))
+          // df_star = 0 (single row OR single column in the table)
+          // zeroes the V denominator — NULL in both engines rather
+          // than Spark-NULL vs DuckDB-inf (ADVICE r11).
+          when(max(col("df_star")) > 0L,
+            snap6(sqrt(max(col("chi2"))
+              / (max(col("n")).cast("double")
+                * max(col("df_star")).cast("double"))))).as("v_cramer"))
         .orderBy(col("event_type"))
     }),
 
@@ -1110,9 +1122,11 @@ object Aggregates extends QueryModule {
     // frame and broadcast-join back. Exactness: supports are exact
     // longs; confidence and lift are single divisions of exact
     // DECIMAL products (supp·N passes 2^63 at ~3e9 orders),
-    // 6-snapped; the top-20 rank orders on (lift-numerator cross
-    // products? no — identical doubles of identical integers, then
-    // part keys) — a total order both engines share.
+    // 6-snapped. Rank determinism: the top-20 orders on the lift
+    // doubles — each computed by the identical expression over
+    // identical exact integers in both engines, so the doubles are
+    // bit-equal — tie-broken by (part_a, part_b): a total order both
+    // engines share.
     "q308_basket_rules" -> ((s, d) => {
       def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
       def dec(c: Column): Column = c.cast("decimal(38,0)")
@@ -1620,14 +1634,17 @@ object Aggregates extends QueryModule {
         |  FROM w),
         |h AS (SELECT event_type, n_a, r2a, n, tsum,
         |    CAST(12 AS DOUBLE) * sum(term) OVER ()
-        |      / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)) AS h
+        |      / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)) AS h,
+        |    CASE WHEN n > 1 THEN CAST(1 AS DOUBLE)
+        |      - CAST(tsum AS DOUBLE)
+        |      / CAST(n * n * n - n AS DOUBLE) END AS tie_c
         |  FROM t)
         |SELECT event_type, n_a,
         |  floor(CAST(r2a AS DOUBLE) / (CAST(2 AS DOUBLE)
         |    * CAST(n_a AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS mean_rank,
         |  floor(h * 1e6 + 0.5) / 1e6 AS h_stat,
-        |  floor(h / (CAST(1 AS DOUBLE) - CAST(tsum AS DOUBLE)
-        |    / CAST(n * n * n - n AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS h_adj
+        |  CASE WHEN tie_c <> 0 THEN
+        |    floor(h / tie_c * 1e6 + 0.5) / 1e6 END AS h_adj
         |FROM h ORDER BY event_type""".stripMargin,
 
     "q292_cramers_v" ->
@@ -1659,9 +1676,10 @@ object Aggregates extends QueryModule {
         |SELECT g.event_type, g.n_rows, g.chi2_part,
         |  floor(chi2 * 1e6 + 0.5) / 1e6 AS chi2,
         |  CAST(least(r - 1, c - 1) AS BIGINT) AS df_star,
-        |  floor(sqrt(chi2 / (CAST(nn AS DOUBLE)
-        |    * CAST(least(r - 1, c - 1) AS DOUBLE))) * 1e6 + 0.5) / 1e6
-        |    AS v_cramer
+        |  CASE WHEN least(r - 1, c - 1) > 0 THEN
+        |    floor(sqrt(chi2 / (CAST(nn AS DOUBLE)
+        |      * CAST(least(r - 1, c - 1) AS DOUBLE))) * 1e6 + 0.5) / 1e6
+        |    END AS v_cramer
         |FROM g, dims, tot ORDER BY event_type""".stripMargin,
 
     "q294_isotonic_response" ->

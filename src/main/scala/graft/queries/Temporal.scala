@@ -993,6 +993,16 @@ object Temporal extends QueryModule {
     // bounded |days| frame; the running sum is a window over that
     // calendar-bounded frame — same bounded-domain argument as q231's
     // value ranks (|days| grows with collection time, not corpus).
+    // Month-start seeding (round-12, ADVICE r11): the level is a step
+    // function that only changes at delta days, so a month whose
+    // carried-in level exceeds every value REACHED inside it (all
+    // deltas negative) would understate peak_open, and a month with no
+    // boundary events at all would vanish from the output. A zero-delta
+    // row at every month's first day (spine from the cheap column-pruned
+    // min(o_orderdate)/max(l_shipdate)+1 scans — never a re-run of the
+    // join) samples the carried level exactly where each month opens;
+    // month-start + every delta day is a complete sample of the step
+    // function's per-month maximum.
     "q289_order_concurrency" -> ((s, d) => {
       val span = Tables.lineitem(s, d)
         .groupBy(col("l_orderkey"))
@@ -1004,9 +1014,17 @@ object Temporal extends QueryModule {
           struct(date_add(col("close_day"), 1).as("day"),
             lit(-1L).as("delta")))).as("r"))
         .select(col("r.day").as("day"), col("r.delta").as("delta"))
+      val lo = Tables.orders(s, d)
+        .agg(trunc(min(to_date(col("o_orderdate"))), "month").as("lo"))
+      val hi = Tables.lineitem(s, d)
+        .agg(trunc(date_add(max(to_date(col("l_shipdate"))), 1), "month")
+          .as("hi"))
+      val monthSeed = lo.crossJoin(hi)
+        .select(explode(expr("sequence(lo, hi, interval 1 month)"))
+          .as("day"), lit(0L).as("delta"))
       val wCum = Window.orderBy(col("day"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val series = deltas.groupBy(col("day"))
+      val series = deltas.union(monthSeed).groupBy(col("day"))
         .agg(sum(col("delta")).as("net"))
         .withColumn("open_orders", sum(col("net")).over(wCum))
         .withColumn("month", trunc(col("day"), "month"))
@@ -1399,7 +1417,15 @@ object Temporal extends QueryModule {
         |  FROM orders JOIN span ON o_orderkey = l_orderkey),
         |d AS (SELECT o_orderdate AS day, 1 AS delta FROM o
         |  UNION ALL SELECT close_day + 1, -1 FROM o),
-        |byday AS (SELECT day, sum(delta) AS net FROM d GROUP BY 1),
+        |mb AS (SELECT
+        |    date_trunc('month', (SELECT min(CAST(o_orderdate AS DATE))
+        |      FROM orders))::DATE AS lo,
+        |    date_trunc('month', (SELECT max(CAST(l_shipdate AS DATE)) + 1
+        |      FROM lineitem))::DATE AS hi),
+        |seed AS (SELECT unnest(generate_series(lo, hi,
+        |    INTERVAL 1 MONTH))::DATE AS day, 0 AS delta FROM mb),
+        |d2 AS (SELECT * FROM d UNION ALL SELECT * FROM seed),
+        |byday AS (SELECT day, sum(delta) AS net FROM d2 GROUP BY 1),
         |series AS (SELECT day,
         |    CAST(sum(net) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
         |      PRECEDING AND CURRENT ROW) AS BIGINT) AS open_orders

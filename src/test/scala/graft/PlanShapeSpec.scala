@@ -549,10 +549,13 @@ class PlanShapeSpec extends AnyFunSuite {
       ("q287_heavy_hitters", 1),
       // q288: the daily-frame self-join rides ONE scan — both pair
       // sides are the same (type, day) aggregate and ReuseExchange
-      // dedupes the subtree. q289: orders + lineitem, one scan each;
-      // the ± boundary fan-out is an explode, never a union re-plan.
+      // dedupes the subtree. q289: orders + lineitem, one scan each,
+      // PLUS the two 1-column min/max bound scans feeding the
+      // month-start seed spine (round 12 — trivially column-pruned,
+      // never a re-run of the join); the ± boundary fan-out is an
+      // explode, never a union re-plan.
       // q290: q231's one-pass pooled-rank shape.
-      ("q288_kendall_tau", 1), ("q289_order_concurrency", 2),
+      ("q288_kendall_tau", 1), ("q289_order_concurrency", 4),
       ("q290_kruskal_wallis", 1),
       // q291: one tokenize pass; per-source totals ride a window on
       // the count frame and ReuseExchange collapses the pair
