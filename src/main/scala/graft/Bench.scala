@@ -56,6 +56,56 @@ object Bench {
   private[graft] def rerunsFor(firstSec: Double): Int =
     if (firstSec <= MedianRerunSec || firstSec >= RunawayCapSec) 0 else 2
 
+  /** End-of-suite runaway retry (round-12, VERDICT r11 #1): the r8
+    * "never re-run runaways" rule was about not TRIPLING a plan
+    * defect's damage mid-suite; at END of suite that rationale
+    * inverts — one retry per runaway bounds the added wall time to
+    * |runaways| × the query's TRUE cost (a real 30 s plan defect costs
+    * one more 30 s run; a phantom produced by a box burst costs its
+    * honest 1-2 s), and it is the only in-run defense that keeps a
+    * 40 s phantom out of the operative total. The retry is gated on a
+    * CLEAN calibration probe — ≤ RetryProbeMax × the run's own floor
+    * (min over all interleaved samples) — so a retry can never be
+    * taken while the burst is still running and read as confirmation;
+    * up to RetryProbeAttempts probes are spent waiting for the box to
+    * quiet down, then the first number stands (marked unretried).
+    * Both numbers are reported ({first, retry}); the RETRY is the
+    * operative per-query figure in "queries" and the total.
+    */
+  private[graft] val RetryProbeMax = 1.5
+  private[graft] val RetryProbeAttempts = 3
+
+  /** Pure core of the retry pass, injectable for BenchContractSpec's
+    * stall-injection test: `probe` yields a fresh calibration sample,
+    * `rerun` re-times one query. Returns the results with operative
+    * (retried) seconds swapped in, plus the {first, retry} evidence
+    * map for the JSON lines.
+    */
+  private[graft] def retryRunaways(
+      results: Seq[(String, Double, Double)],
+      calibFloor: Double,
+      probe: () => Double,
+      rerun: String => Double)
+      : (Seq[(String, Double, Double)], Map[String, (Double, Double)]) = {
+    val retried = Map.newBuilder[String, (Double, Double)]
+    val out = results.map { case r @ (name, sec, mb) =>
+      if (sec < RunawayCapSec) r // failures (-1) and normal tier pass through
+      else {
+        val clean = Iterator.range(0, RetryProbeAttempts)
+          .map(_ => probe())
+          .find(_ <= RetryProbeMax * calibFloor)
+        clean match {
+          case None => r // box still loud — the single-shot number stands
+          case Some(_) =>
+            val retry = rerun(name)
+            retried += name -> ((sec, retry))
+            (name, retry, mb)
+        }
+      }
+    }
+    (out, retried.result())
+  }
+
   /** In-band environment calibration (round-9 postmortem of the r8
     * driver bench, which read 879.67 s for code that runs in ~117-122 s
     * on a quiet box — sustained box contention, invisible in the JSON
@@ -108,21 +158,70 @@ object Bench {
     * inside the probe window, indistinguishable from real ambient load
     * without this drain.
     */
-  private def calibSample(spark: SparkSession): Double = {
-    // Two gc+settle cycles, not one: the first gc() enqueues the weak
-    // references of every broadcast/shuffle accumulated since the last
-    // probe; ContextCleaner then drains that queue with driver-side
-    // remove jobs that contend with the probe's own tiny job. The
-    // settle window lets the cleaner finish, and the second gc() clears
-    // whatever the cleanup itself allocated — otherwise the probe reads
-    // our own deferred cleanup as "box warmth" (round-10/11 interior
-    // probes at 0.7-1.2 s vs 0.35 clean, always right after the
-    // heavy-allocation q1xx-q2xx tier, clearing by the light q4x-q9x
-    // tier once cleanup reaches steady state).
-    System.gc(); Thread.sleep(250)
-    System.gc(); Thread.sleep(250)
-    Seq(calibrate(spark), calibrate(spark), calibrate(spark)).sorted.apply(1)
+  /** One calibration observation: the probe median plus the two box
+    * facts that turn "the probe was slow" into a RECORDED cause
+    * (round-12, VERDICT r11 #3): the 1-minute system load average
+    * (total runnable threads — OURS plus everyone else's) and the
+    * fraction of the probe's wall-clock this JVM itself spent on-CPU
+    * (process CPU delta / (wall × cores)). A contaminated probe reads
+    * (probe high, load1 ≫ cores, cpu_frac low) — the box was busy and
+    * we weren't the ones running; a self-inflicted slow probe (GC,
+    * codegen storm) reads cpu_frac high. Captured per-sample so
+    * bench_diff and the driver can adjudicate bursts mechanically
+    * instead of inferring them from probe timing alone.
+    */
+  private[graft] final case class CalibObs(sec: Double, load1: Double,
+      cpuFrac: Double)
+
+  private def load1(): Double =
+    try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")))
+      .split(" ")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
+  private def procCpuNs(): Long =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
+      case _ => -1L
+    }
+
+  private def calibObs(spark: SparkSession): CalibObs = {
+    settleHeap()
+    val ld = load1()
+    // CPU fraction measured around the probe runs ONLY (after the heap
+    // settle, which is idle by design and would dilute the signal):
+    // quiet box at local[N] on C cores reads ≈ N/C; an external burst
+    // reads the probe slow WITH cpu_frac collapsed — the box was busy
+    // and we weren't the ones running.
+    val cpu0 = procCpuNs()
+    val t0 = System.nanoTime()
+    val sec = calibSample(spark)
+    val wallNs = System.nanoTime() - t0
+    val cpu1 = procCpuNs()
+    val frac =
+      if (cpu0 < 0 || cpu1 < 0 || wallNs <= 0) -1.0
+      else (cpu1 - cpu0).toDouble /
+        (wallNs.toDouble * Runtime.getRuntime.availableProcessors())
+    CalibObs(sec, ld, frac)
   }
+
+  // Two gc+settle cycles, not one: the first gc() enqueues the weak
+  // references of every broadcast/shuffle accumulated since the last
+  // probe; ContextCleaner then drains that queue with driver-side
+  // remove jobs that contend with the probe's own tiny job. The
+  // settle window lets the cleaner finish, and the second gc() clears
+  // whatever the cleanup itself allocated — otherwise the probe reads
+  // our own deferred cleanup as "box warmth" (round-10/11 interior
+  // probes at 0.7-1.2 s vs 0.35 clean, always right after the
+  // heavy-allocation q1xx-q2xx tier, clearing by the light q4x-q9x
+  // tier once cleanup reaches steady state).
+  private def settleHeap(): Unit = {
+    System.gc(); Thread.sleep(250)
+    System.gc(); Thread.sleep(250)
+  }
+
+  private def calibSample(spark: SparkSession): Double =
+    Seq(calibrate(spark), calibrate(spark), calibrate(spark)).sorted.apply(1)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -140,7 +239,7 @@ object Bench {
     // steady state (a 1000-row warmup left the first timed sample 2x
     // the second) — then the timed start-of-bench calibration sample.
     calibrate(spark)
-    val calibStart = calibSample(spark)
+    val calibStart = calibObs(spark)
     // untimed warmup: run everything once (codegen compile, parquet
     // footer cache, JIT); errors here surface in the timed pass.
     names.foreach { n =>
@@ -153,13 +252,13 @@ object Bench {
 
     var failed = List.empty[String]
     var runaway = List.empty[String]
-    val calibSamples = Seq.newBuilder[Double]
+    val calibSamples = Seq.newBuilder[CalibObs]
     calibSamples += calibStart
     val results = names.zipWithIndex.map { case (name, idx) =>
       // interior calibration probe every CalibEvery queries (before the
       // query's own tally reset, so the probe's tiny 32→1 agg shuffle
       // never lands in a per-query shuffle_mb figure).
-      if (idx > 0 && idx % CalibEvery == 0) calibSamples += calibSample(spark)
+      if (idx > 0 && idx % CalibEvery == 0) calibSamples += calibObs(spark)
       GraftSparkBridge.flushListeners(spark.sparkContext)
       tally.bytes.set(0L)
       def timedRun(): Double = {
@@ -192,18 +291,35 @@ object Bench {
       (name, sec, shuffleMb)
     }
     // end-of-bench calibration sample closes the last probe interval.
-    calibSamples += calibSample(spark)
-    val calib = calibSamples.result()
+    calibSamples += calibObs(spark)
+    // End-of-suite runaway retry pass (VERDICT r11 #1a): each query
+    // whose single-shot read ≥ RunawayCapSec gets ONE retry, taken only
+    // after a calibration probe confirms the box is quiet (≤ 1.5× this
+    // run's own floor). Retry probes are appended to the calib record —
+    // they are honest box observations, and a still-loud box SHOULD
+    // drag calib_ratio up.
+    val retryProbes = Seq.newBuilder[CalibObs]
+    val floor = calibSamples.result().map(_.sec).min
+    val (operative, retried) = retryRunaways(results, floor,
+      () => { val o = calibObs(spark); retryProbes += o; o.sec },
+      name => {
+        val t0 = System.nanoTime()
+        materialize(SparkEntry.queries(name)(spark, sfDir))
+        (System.nanoTime() - t0) / 1e9
+      })
+    val calib = calibSamples.result() ++ retryProbes.result()
     // Full detail first (one line, may exceed the driver's 2000-char
     // stdout-tail capture; kept for humans + the repo bench log) ...
-    println(detailLine(results, failed, runaway, calib, sfDir, cpus))
+    println(detailLine(operative, failed, runaway, retried, calib, sfDir,
+      cpus))
     // ... then the driver-contract line LAST and COMPACT: the driver
     // parses JSON out of the last ~2000 chars of stdout, so this line
     // must fit there whole (BenchContractSpec pins this under a
-    // worst-case failure count). Slowest 32 queries + first 5
+    // worst-case failure count). Slowest queries + first 5
     // failures/runaways only; the full lists are in the detail line
     // above.
-    println(compactLine(results, failed, runaway, calib, sfDir, cpus))
+    println(compactLine(operative, failed, runaway, retried, calib, sfDir,
+      cpus))
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
@@ -213,30 +329,55 @@ object Bench {
 
   private[graft] def detailLine(results: Seq[(String, Double, Double)],
                                 failed: List[String], runaway: List[String],
-                                calib: Seq[Double], sfDir: String,
+                                retried: Map[String, (Double, Double)],
+                                calib: Seq[CalibObs], sfDir: String,
                                 cpus: String): String = {
     val qs = results.map { case (k, v, _) => f""""$k":$v%.2f""" }
       .mkString("{", ",", "}")
     val sh = results.map { case (k, _, mb) => f""""$k":$mb%.2f""" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
-    s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":$sh,"failed":${jsonList(failed.sorted)},"runaway":${jsonList(runaway.sorted)},"calib_s":${calibJson(calib)},"cpus":"$cpus","sf":"$sfDir"}"""
+    s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":$sh,"failed":${jsonList(failed.sorted)},"runaway":${jsonList(runaway.sorted)},"runaway_retry":${retryJson(retried, retried.size)},"calib_s":${calibJson(calib)},"calib_ratio":${calibRatioJson(calib)},"load1":${loadJson(calib)},"cpu_frac":${cpuJson(calib)},"cpus":"$cpus","sf":"$sfDir"}"""
   }
 
-  private def calibJson(calib: Seq[Double]): String =
-    calib.map(c => f"$c%.2f").mkString("[", ",", "]")
+  private def calibJson(calib: Seq[CalibObs]): String =
+    calib.map(c => f"${c.sec}%.2f").mkString("[", ",", "]")
+  private def loadJson(calib: Seq[CalibObs]): String =
+    calib.map(c => f"${c.load1}%.1f").mkString("[", ",", "]")
+  private def cpuJson(calib: Seq[CalibObs]): String =
+    calib.map(c => f"${c.cpuFrac}%.2f").mkString("[", ",", "]")
+
+  /** Worst probe over the run's own floor — the single number that
+    * says HOW contaminated the run was (VERDICT r11 #1b), so the
+    * driver's gate evaluator can discount a burst mechanically
+    * instead of needing a judge with a shell. 1.0 = perfectly quiet.
+    */
+  private[graft] def calibRatio(calib: Seq[CalibObs]): Double = {
+    val secs = calib.map(_.sec).filter(_ > 0)
+    if (secs.isEmpty) -1.0 else secs.max / secs.min
+  }
+  private def calibRatioJson(calib: Seq[CalibObs]): String =
+    f"${calibRatio(calib)}%.2f"
+
+  private def retryJson(retried: Map[String, (Double, Double)],
+                        cap: Int): String =
+    retried.toSeq.sortBy(_._1).take(cap)
+      .map { case (k, (first, retry)) => f""""$k":[$first%.2f,$retry%.2f]""" }
+      .mkString("{", ",", "}")
 
   private[graft] def compactLine(results: Seq[(String, Double, Double)],
                                  failed: List[String], runaway: List[String],
-                                 calib: Seq[Double], sfDir: String,
+                                 retried: Map[String, (Double, Double)],
+                                 calib: Seq[CalibObs], sfDir: String,
                                  cpus: String): String = {
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
     val totalShuffleMb = results.map(_._3).sum
-    // 31, not 32: the round-10 interleaved calib list (up to 6 samples
-    // vs the old 2) costs ~24 chars, which pushed the worst-case line
-    // to 1820 — one query row buys it back (BenchContractSpec pins the
-    // 1800 budget against the driver's 2000-char stdout tail).
-    val top = results.filter(_._2 >= 0).sortBy(-_._2).take(31).sortBy(_._1)
+    // 20 rows (was 31): round 12's burst-defense fields — calib_ratio,
+    // the per-probe load1/cpu_frac arrays, and the capped
+    // runaway_retry evidence map — cost ~450 worst-case chars; eleven
+    // query rows buy them back (BenchContractSpec re-pins the 1800
+    // budget against the driver's 2000-char stdout tail).
+    val top = results.filter(_._2 >= 0).sortBy(-_._2).take(20).sortBy(_._1)
     val topQs = top.map { case (k, v, _) => f""""$k":$v%.2f""" }
       .mkString("{", ",", "}")
     val omitted = results.length - top.length
@@ -248,6 +389,12 @@ object Bench {
     // BenchContractSpec 1800-char budget.
     val failedShown = jsonList(failed.sorted.take(5))
     val runawayShown = jsonList(runaway.sorted.take(5))
-    f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$topQs,"queries_run":${results.length},"queries_omitted_fast":$omitted,"shuffle_mb_total":$totalShuffleMb%.1f,"failed":$failedShown,"failed_count":${failed.length},"runaway":$runawayShown,"runaway_count":${runaway.length},"calib_s":${calibJson(calib)},"cpus":"$cpus","sf":"$sfDir"}"""
+    // calib arrays capped to the WORST 10 observations by probe time:
+    // bench_diff judges contamination on max(calib_s), which a
+    // worst-first cap preserves exactly; the full chronological record
+    // rides the detail line. 10 covers every non-pathological run
+    // (6 interleaved samples + a few retry probes) uncapped.
+    val worst = calib.sortBy(-_.sec).take(10)
+    f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$topQs,"queries_run":${results.length},"queries_omitted_fast":$omitted,"shuffle_mb_total":$totalShuffleMb%.1f,"failed":$failedShown,"failed_count":${failed.length},"runaway":$runawayShown,"runaway_count":${runaway.length},"runaway_retry":${retryJson(retried, 5)},"calib_s":${calibJson(worst)},"calib_ratio":${calibRatioJson(calib)},"load1":${loadJson(worst)},"cpu_frac":${cpuJson(worst)},"cpus":"$cpus","sf":"$sfDir"}"""
   }
 }

@@ -175,6 +175,73 @@ final class Frame private (val df: DataFrame) {
   def freqItems(columns: Seq[String], support: Double): Frame =
     Frame(df.stat.freqItems(columns.toArray, support))
 
+  // ——— LLM-data-pipeline tier (round 12, VERDICT r11 #5) ———
+  // The curation/dedup/analysis operators as library calls, each a
+  // thin delegate to the op the oracle-pinned catalog query runs —
+  // same plan, same scale shape, no facade-only code path to drift.
+  // Input contract: the documents schema (doc_id, text, lang, source,
+  // n_chars) unless a method says otherwise.
+
+  /** Exact dedup: normalize → sha256 → keep the lowest-id row per
+    * content hash; all columns preserved plus content_hash/n_copies.
+    * One shuffle on the hash (q60).
+    */
+  def dedupExact(idCol: String = "doc_id", textCol: String = "text"): Frame =
+    Frame(graft.ops.Dedup.dedupExact(df, idCol, textCol))
+
+  /** MinHash+LSH near-dup pairs verified at exact Jaccard ≥
+    * `minJaccardPct`/100 — candidates meet only inside shared LSH
+    * band buckets, never corpus × corpus (q61). Needs doc_id + text.
+    */
+  def dedupMinhashLsh(minJaccardPct: Int = 80): Frame =
+    Frame(graft.ops.Dedup.minhashPairs(df, minJaccardPct))
+
+  /** Per-group heavy hitters via the native Misra-Gries aggregate:
+    * ≤k counters per group cross the shuffle however large the
+    * corpus; exact when k exceeds the group's distinct count (q287).
+    */
+  def topFreq(column: String, k: Int, groups: Seq[String] = Nil): Frame =
+    Frame(graft.ops.TopKPerKey.topFreq(df, column, k, groups))
+
+  /** Temperature-sampled language mix q_l ∝ p_l^α — the multilingual
+    * sampling rule; α = 1/2 (the default) is bit-exact cross-engine
+    * (q233).
+    */
+  def temperatureMix(alpha: Double = 0.5): Frame =
+    Frame(graft.ops.Curation.temperatureMix(df, alpha))
+
+  /** Deterministic train/dev/test split on a shared-md5 of doc_id —
+    * reproducible across runs, engines, partitionings (q100).
+    */
+  def hashSplit(): Frame = Frame(graft.ops.Curation.hashSplit(df))
+
+  /** Greedy sequence packing to the context window via a three-level
+    * distributed prefix sum (q101).
+    */
+  def seqPack(): Frame = Frame(graft.ops.Curation.seqPack(df))
+
+  /** Decontamination: drop training docs sharing a 3-shingle with the
+    * held-out split (doc_id % evalMod picks the eval set) (q102).
+    */
+  def decontaminate(evalMod: Long): Frame =
+    Frame(graft.ops.Curation.decontaminate(df, evalMod))
+
+  /** Source-weighted epoch mix: per-source token budgets and repeat
+    * risk under a fixed total (q104).
+    */
+  def weightedMix(): Frame = Frame(graft.ops.Curation.weightedMix(df))
+
+  /** PII redaction (emails, phones, ids) with per-doc redaction
+    * counts (q103).
+    */
+  def redact(): Frame = Frame(graft.ops.Curation.redact(df))
+
+  /** Per-language TF-IDF top terms (q110). */
+  def tfidfTopK(): Frame = Frame(graft.ops.CorpusSignals.tfidfTopK(df))
+
+  /** Fixed-size overlapping chunks for retrieval indexing (q122 tier). */
+  def chunkDocs(): Frame = Frame(graft.ops.TextAnalysis.chunkDocs(df))
+
   // §2.2 display / actions
   def show(n: Int = 20): Unit = df.show(n)
   def display(n: Int = 20): Unit = show(n)

@@ -53,6 +53,54 @@ object Dedup extends QueryModule {
           .as("sh"))
   }
 
+  /** Exact dedup as a reusable library op (the [[graft.api.Frame]]
+    * facade's `dedupExact`): normalize → sha256 → keep the lowest-id
+    * row per content hash, every input column preserved plus the hash
+    * and its copy count. One shuffle on the 32-byte hash;
+    * count/row_number share the window exchange. q60 is this op plus
+    * a projection.
+    */
+  private[graft] def dedupExact(docs: DataFrame, idCol: String = "doc_id",
+                                textCol: String = "text"): DataFrame = {
+    val h = Window.partitionBy(col("content_hash"))
+    docs
+      .withColumn("content_hash",
+        sha2(Text.norm(col(textCol)).cast("binary"), 256))
+      .withColumn("rn", row_number().over(h.orderBy(col(idCol))))
+      .withColumn("n_copies", count(lit(1)).over(h))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** MinHash+LSH near-dup pairs as a reusable library op (the facade's
+    * `dedupMinhashLsh`): 16-perm signatures, 4-band bucketing, exact
+    * Jaccard verification at `minJaccardPct` — candidates only ever
+    * meet inside a shared (band, hash) bucket, never pairwise over the
+    * corpus. Input contract: `doc_id` + `textCol`. q61 is this op on
+    * the documents table plus an output sort.
+    */
+  private[graft] def minhashPairs(docs: DataFrame, minJaccardPct: Int = 80,
+                                  textCol: String = "text"): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), Text.words(col(textCol)).as("words"))
+      .filter(size(col("words")) >= 3)
+      .select(col("doc_id"),
+        array_sort(transform(Text.shingles3(col("words")), x => xxhash64(x)))
+          .as("sh"))
+    val sig = sh.select(col("doc_id"), signature(col("sh")).as("sig"))
+    val bands = sig.select(col("doc_id"), posexplode(
+      array((0 until Bands).map { bnd =>
+        xxhash64(slice(col("sig"), bnd * Rows + 1, Rows))
+      }: _*)).as(Seq("band_id", "band_hash")))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+          col("x.band_hash") === col("y.band_hash") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    verifyPairs(cand, sh, minJaccardPct)
+  }
+
   /** 16-slot MinHash signature: sig[j] = min over hashed shingles of
     * xxhash64(h, j) — the seed column makes 16 independent hash families
     * from one codegen'd hash function over the pre-hashed shingles.
@@ -233,18 +281,14 @@ object Dedup extends QueryModule {
     }),
 
     // exact dedup: normalize → sha256 → keep lowest doc_id per hash.
-    // One shuffle on the 32-byte hash; count/row_number share the window.
-    "q60_dedup_exact" -> ((s, d) => {
-      val h = Window.partitionBy(col("content_hash"))
-      Tables.documents(s, d)
-        .withColumn("content_hash", sha2(Text.norm(col("text")).cast("binary"), 256))
-        .withColumn("rn", row_number().over(h.orderBy(col("doc_id"))))
-        .withColumn("n_copies", count(lit(1)).over(h))
-        .filter(col("rn") === 1)
+    // One shuffle on the 32-byte hash; count/row_number share the
+    // window. Delegates to the library op [[dedupExact]] (the Frame
+    // facade's entry point) — this query is the op plus a projection.
+    "q60_dedup_exact" -> ((s, d) =>
+      dedupExact(Tables.documents(s, d))
         .select(col("doc_id"), col("lang"), col("n_chars"),
           col("content_hash"), col("n_copies"))
-        .orderBy(col("doc_id"))
-    }),
+        .orderBy(col("doc_id"))),
 
     // Bloom-filter FPR tuning curve — the fourth member of the
     // round-11 sketch-tuning family (q263 SimHash precision, q271 LSH
@@ -433,23 +477,11 @@ object Dedup extends QueryModule {
     // The oracle is the exact ≥ 0.8 pair set (O(n²) only in DuckDB at
     // sf0.01): a green row proves the LSH stage had 100% recall on this
     // corpus — the data's planted near-dups sit at J ≥ 0.95 where band
-    // recall is ≈ 0.999.
-    "q61_dedup_minhash" -> ((s, d) => {
-      val sh = shingled(s, d)
-      val sig = sh.select(col("doc_id"), signature(col("sh")).as("sig"))
-      val bands = sig.select(col("doc_id"), posexplode(
-        array((0 until Bands).map { bnd =>
-          xxhash64(slice(col("sig"), bnd * Rows + 1, Rows))
-        }: _*)).as(Seq("band_id", "band_hash")))
-      val cand = bands.as("x").join(bands.as("y"),
-          col("x.band_id") === col("y.band_id") &&
-            col("x.band_hash") === col("y.band_hash") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .distinct()
-      verifyPairs(cand, sh.select(col("doc_id"), col("sh")), 80)
-        .orderBy(col("doc_a"), col("doc_b"))
-    }),
+    // recall is ≈ 0.999. Delegates to the library op [[minhashPairs]]
+    // (the Frame facade's `dedupMinhashLsh`).
+    "q61_dedup_minhash" -> ((s, d) =>
+      minhashPairs(Tables.documents(s, d), 80)
+        .orderBy(col("doc_a"), col("doc_b"))),
 
     // exact n-gram Jaccard near-dup with deterministic blocking: a pair
     // is compared iff same lang and 32-char length buckets within ±1

@@ -117,20 +117,35 @@ object TopKPerKey extends QueryModule {
     // which is what lets a plain count/row_number oracle pin the whole
     // kernel (update, serialize, merge, eval) end to end. The sketch
     // regime (k < distinct) is property-pinned in NativeTopFreqSpec.
-    "q287_heavy_hitters" -> ((s, d) => {
-      val words = Tables.documents(s, d)
-        .select(col("lang"), explode(Text.words(col("text"))).as("word"))
-        .filter(col("word") =!= "")
-      words.groupBy(col("lang"))
-        .agg(expr("graft_topfreq(word, 64)").as("hh"))
-        .select(col("lang"), col("hh.err_bound").as("err_bound"),
-          posexplode(col("hh.items")).as(Seq("pos", "e")))
-        .select(col("lang"), (col("pos") + 1).cast("long").as("rank"),
-          col("e.item").as("word"), col("e.cnt").as("cnt"),
-          col("err_bound"))
-        .orderBy(col("lang"), col("rank"))
-    })
+    "q287_heavy_hitters" -> ((s, d) =>
+      topFreq(
+        Tables.documents(s, d)
+          .select(col("lang"), explode(Text.words(col("text"))).as("word"))
+          .filter(col("word") =!= ""),
+        "word", 64, Seq("lang"))
+        .orderBy(col("lang"), col("rank")))
   )
+
+  /** Misra-Gries heavy hitters as a reusable library op (the
+    * [[graft.api.Frame]] facade's `topFreq`; q287 is this over
+    * per-language words): the native TypedImperativeAggregate
+    * (plans/TopFreq.scala) rides Spark's two-phase hash aggregation —
+    * k-bounded partial summaries merge associatively, so only ≤k
+    * counters per (group, map task) ever cross the shuffle. Output:
+    * one row per (group, rank) with the item, its (possibly
+    * undercounted) count, and the summary-wide err_bound; exact
+    * (err_bound = 0) whenever k exceeds the group's distinct count.
+    */
+  private[graft] def topFreq(df: DataFrame, column: String, k: Int,
+                             groups: Seq[String]): DataFrame =
+    df.groupBy(groups.map(col): _*)
+      .agg(expr(s"graft_topfreq($column, $k)").as("hh"))
+      .select(groups.map(col) :+ col("hh.err_bound").as("err_bound") :+
+        posexplode(col("hh.items")).as(Seq("pos", "e")): _*)
+      .select(groups.map(col) :+
+        (col("pos") + 1).cast("long").as("rank") :+
+        col("e.item").as(column) :+ col("e.cnt").as("cnt") :+
+        col("err_bound"): _*)
 
   def oracle: Map[String, String] = Map(
     "q77_topk_perkey" ->

@@ -9,7 +9,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * overflowing that tail). This spec renders the compact contract line
   * under worst-case conditions — max query count, long names, every
   * query failed — and asserts it still fits a 2000-char tail whole and
-  * parses, failure lists capped but the true count preserved.
+  * parses, failure lists capped but the true count preserved. Round 12
+  * adds the burst-defense contract: a phantom runaway produced by a box
+  * burst is retried once end-of-suite behind a clean calibration probe
+  * and CANNOT survive into the operative total.
   */
 class BenchContractSpec extends AnyFunSuite {
 
@@ -17,14 +20,21 @@ class BenchContractSpec extends AnyFunSuite {
     (f"q$i%03d_some_very_long_query_name", 3.14159, 12.345)
   }
 
+  private def obs(secs: Double*): Seq[Bench.CalibObs] =
+    secs.map(s => Bench.CalibObs(s, 33.5, 0.97))
+
   test("compact contract line survives a 2000-char stdout tail, even all-failed") {
-    // worst case: mass failure AND mass runaway (both lists capped)
+    // worst case: mass failure AND mass runaway (both lists capped),
+    // every runaway retried (evidence map capped at 5), calib record
+    // at the 12-observation compact cap.
     val failed = results.map(_._1).toList
     val runaway = results.map(_._1).toList
-    // worst-case calibration list: start + interior probe per CalibEvery
-    // queries + end (133 queries → 5 samples; 6 pins extra headroom).
-    val calib = Seq(1.01, 9.87, 10.44, 0.45, 12.01, 0.39)
-    val line = Bench.compactLine(results, failed, runaway, calib,
+    val retried = results.map { case (n, _, _) => n -> ((45.67, 1.23)) }.toMap
+    // worst-case calibration record: start + interior probe per
+    // CalibEvery queries + end + retry probes (compact caps at 12).
+    val calib = obs(1.01, 9.87, 10.44, 0.45, 12.01, 0.39,
+      13.66, 0.52, 0.48, 7.77, 0.41, 0.44, 0.47, 5.31)
+    val line = Bench.compactLine(results, failed, runaway, retried, calib,
       "/root/testdata/sf0.1", "32")
     assert(line.length <= 1800, s"contract line too long: ${line.length} chars")
 
@@ -40,18 +50,30 @@ class BenchContractSpec extends AnyFunSuite {
     val JArray(shown) = (parsed \ "failed"): @unchecked
     assert(shown.length === 5, "failed list must be capped in the compact line")
     val JObject(qs) = (parsed \ "queries"): @unchecked
-    assert(qs.length === 31, "slowest-31 cap")
+    assert(qs.length === 20, "slowest-20 cap")
     // round-9 ambient-detection fields: runaway marker (capped + true
-    // count) and the interleaved calibration samples (round 10: start +
-    // every-CalibEvery + end), parsed back exactly as
-    // tools/bench_diff.py reads them — ALL samples, since bench_diff
-    // judges contamination on the worst one.
+    // count) and the calibration record, parsed back as
+    // tools/bench_diff.py reads them. bench_diff judges contamination
+    // on the WORST sample, so the compact cap keeps the worst 12
+    // observations — max(calib_s) is preserved exactly.
     assert((parsed \ "runaway_count") === JInt(118))
     val JArray(run) = (parsed \ "runaway"): @unchecked
     assert(run.length === 5, "runaway list must be capped in the compact line")
     val JArray(got) = (parsed \ "calib_s"): @unchecked
-    assert(got === calib.map(c => JDouble(BigDecimal(c).setScale(2,
-      BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(got.length === 10, "calib record capped at worst 10")
+    assert(got.head === JDouble(13.66), "worst probe must survive the cap")
+    // round-12 burst-defense fields: the mechanical contamination
+    // number, the per-probe box facts, and the retry evidence map.
+    assert((parsed \ "calib_ratio") === JDouble(35.03),
+      "calib_ratio = worst probe (13.66) / run floor (0.39)")
+    val JArray(l1) = (parsed \ "load1"): @unchecked
+    val JArray(cf) = (parsed \ "cpu_frac"): @unchecked
+    assert(l1.length === 10 && cf.length === 10)
+    val JObject(rr) = (parsed \ "runaway_retry"): @unchecked
+    assert(rr.length === 5, "retry evidence map capped at 5 in compact")
+    val JArray(firstRetry) = rr.head._2: @unchecked
+    assert(firstRetry === List(JDouble(45.67), JDouble(1.23)),
+      "each retry entry carries {first, retry}")
     // the probe's clean value depends on the configured parallelism,
     // so the line must say which one it ran at (bench_diff keys its
     // per-cpus clean calibration values on this).
@@ -65,16 +87,72 @@ class BenchContractSpec extends AnyFunSuite {
     // slow tier: GC/contention noise is real here — median-of-3
     assert(Bench.rerunsFor(3.0) === 2)
     assert(Bench.rerunsFor(19.9) === 2)
-    // runaway: a first run this slow is a plan defect, not noise;
-    // re-running it triples its damage (q39 r7: 21 s became ~3.5 min)
+    // runaway: a first run this slow gets NO mid-suite re-run (r8 rule:
+    // tripling a real plan defect's damage poisons neighboring
+    // queries); since round 12 it is retried ONCE at end of suite
+    // behind a clean calibration probe instead.
     assert(Bench.rerunsFor(Bench.RunawayCapSec) === 0)
     assert(Bench.rerunsFor(70.0) === 0)
+  }
+
+  test("an injected 30s stall cannot survive into the operative total") {
+    // q2 read 30 s during a box burst; its true cost is 1.2 s. The
+    // end-of-suite retry (probe clean on first attempt) must replace
+    // the phantom in the operative results and record both numbers.
+    val rs = Seq(("q1_fine", 1.5, 3.0), ("q2_stalled", 30.0, 8.0),
+      ("q3_fine", 0.7, 1.0))
+    var reran = List.empty[String]
+    val (out, retried) = Bench.retryRunaways(rs, calibFloor = 0.4,
+      probe = () => 0.45,
+      rerun = { n => reran ::= n; 1.2 })
+    assert(reran === List("q2_stalled"), "only the runaway is re-timed")
+    assert(out.map(_._2).sum === (1.5 + 1.2 + 0.7),
+      "operative total carries the retry, not the stall")
+    assert(retried === Map("q2_stalled" -> ((30.0, 1.2))))
+    // shuffle bytes come from the first (tallied) execution
+    assert(out.find(_._1 == "q2_stalled").get._3 === 8.0)
+  }
+
+  test("retry is gated on a clean probe: a still-loud box keeps the single-shot number") {
+    val rs = Seq(("q2_stalled", 30.0, 8.0))
+    var probes = 0
+    val (out, retried) = Bench.retryRunaways(rs, calibFloor = 0.4,
+      probe = () => { probes += 1; 5.0 }, // burst still running: 12.5x floor
+      rerun = _ => fail("must not re-time behind a dirty probe"))
+    assert(probes === Bench.RetryProbeAttempts,
+      "spends all probe attempts waiting for quiet")
+    assert(out === rs, "single-shot number stands, marked by absence from retry map")
+    assert(retried.isEmpty)
+  }
+
+  test("retry waits out a burst that clears mid-probe-sequence") {
+    val rs = Seq(("q2_stalled", 25.0, 8.0))
+    val probeSeq = Iterator(5.0, 0.5) // first probe dirty, second clean
+    val (out, retried) = Bench.retryRunaways(rs, calibFloor = 0.4,
+      probe = () => probeSeq.next(),
+      rerun = _ => 2.0)
+    assert(out.head._2 === 2.0)
+    assert(retried("q2_stalled") === ((25.0, 2.0)))
+  }
+
+  test("failures (-1) and the normal tier pass through the retry pass untouched") {
+    val rs = Seq(("q1_failed", -1.0, 0.0), ("q2_fine", 3.0, 1.0))
+    val (out, retried) = Bench.retryRunaways(rs, calibFloor = 0.4,
+      probe = () => fail("no probe for non-runaways"),
+      rerun = _ => fail("no rerun for non-runaways"))
+    assert(out === rs && retried.isEmpty)
+  }
+
+  test("calib_ratio is worst probe over the run's own floor") {
+    assert(Bench.calibRatio(obs(0.4, 0.5, 13.66, 0.45)) === 13.66 / 0.4)
+    assert(Bench.calibRatio(obs(0.5)) === 1.0)
+    assert(Bench.calibRatio(Nil) === -1.0)
   }
 
   test("detail line keeps the full failure list and every query") {
     val failed = results.map(_._1).take(50).toList
     val detail = Bench.detailLine(results, failed, List("q9_run"),
-      Seq(1.0, 1.1), "sfX", "4")
+      Map("q9_run" -> ((21.0, 1.4))), obs(1.0, 1.1), "sfX", "4")
     val parsed = JsonMethods.parse(detail)
     val JArray(f) = (parsed \ "failed"): @unchecked
     assert(f.length === 50)
@@ -82,5 +160,7 @@ class BenchContractSpec extends AnyFunSuite {
     assert(qs.length === 118)
     val JArray(run) = (parsed \ "runaway"): @unchecked
     assert(run === List(JString("q9_run")), "detail keeps the full runaway list")
+    val JObject(rr) = (parsed \ "runaway_retry"): @unchecked
+    assert(rr.length === 1, "detail keeps the full retry map")
   }
 }

@@ -199,4 +199,73 @@ class FrameApiSpec extends AnyFunSuite {
     assert(Frame.fromJson(spark, s"$base/json").count() === src.count())
     assert(Frame.fromParquet(spark, s"$base/parquet").count() === src.count())
   }
+
+  // ——— LLM-pipeline facade parity (round 12, VERDICT r11 #5): each
+  // facade method must produce byte-identical rows to the oracle-pinned
+  // catalog query it delegates to — the facade is a rename, never a
+  // second implementation that can drift.
+
+  private def docs = Frame(Tables.documents(spark, sf))
+
+  private def sameRows(a: org.apache.spark.sql.DataFrame,
+                       b: org.apache.spark.sql.DataFrame): Unit = {
+    assert(a.columns.sorted.sameElements(b.columns.sorted),
+      s"schema drift: ${a.columns.mkString(",")} vs ${b.columns.mkString(",")}")
+    val cols = a.columns.sorted.map(col).toSeq
+    assert(a.select(cols: _*).except(b.select(cols: _*)).isEmpty
+      && b.select(cols: _*).except(a.select(cols: _*)).isEmpty,
+      "row drift between facade and catalog query")
+  }
+
+  test("dedupExact facade matches q60") {
+    val q = SparkEntry.queries("q60_dedup_exact")(spark, sf)
+    sameRows(docs.dedupExact().df.select(
+      "doc_id", "lang", "n_chars", "content_hash", "n_copies"), q)
+    // the facade keeps EVERY input column (q60 is the op + projection)
+    assert(docs.dedupExact().df.columns.contains("text"))
+  }
+
+  test("dedupMinhashLsh facade matches q61") {
+    sameRows(docs.dedupMinhashLsh(80).df,
+      SparkEntry.queries("q61_dedup_minhash")(spark, sf))
+    // threshold is honored: raising it can only shrink the pair set
+    assert(docs.dedupMinhashLsh(95).count() <= docs.dedupMinhashLsh(80).count())
+  }
+
+  test("topFreq facade matches q287") {
+    val words = docs.df
+      .select(col("lang"), explode(graft.ops.Text.words(col("text")))
+        .as("word"))
+      .filter(col("word") =!= "")
+    sameRows(Frame(words).topFreq("word", 64, Seq("lang")).df,
+      SparkEntry.queries("q287_heavy_hitters")(spark, sf))
+  }
+
+  test("temperatureMix facade matches q233; general alpha renormalizes") {
+    sameRows(docs.temperatureMix(0.5).df,
+      SparkEntry.queries("q233_temperature_mix")(spark, sf))
+    // α = 1 is the identity mix: sampled share == raw share (±snap)
+    val id = docs.temperatureMix(1.0).df.collect()
+    id.foreach { r =>
+      assert(math.abs(r.getAs[Double]("sampled_share")
+        - r.getAs[Double]("raw_share")) < 1e-5)
+    }
+    // shares always renormalize to 1 for any α
+    val s03 = docs.temperatureMix(0.3).df
+      .agg(sum(col("sampled_share"))).collect()(0).getDouble(0)
+    assert(math.abs(s03 - 1.0) < 1e-4)
+  }
+
+  test("curation facades match their catalog queries") {
+    sameRows(docs.hashSplit().df.orderBy("split"),
+      SparkEntry.queries("q100_hash_split")(spark, sf))
+    sameRows(docs.weightedMix().df.orderBy("source"),
+      SparkEntry.queries("q104_weighted_mix")(spark, sf))
+  }
+
+  test("redact/tfidfTopK/chunkDocs facades run over the corpus") {
+    assert(docs.redact().count() > 0)
+    assert(docs.tfidfTopK().count() > 0)
+    assert(docs.chunkDocs().count() > 0)
+  }
 }
