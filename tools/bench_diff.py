@@ -233,8 +233,17 @@ def ambient_ratio(run):
 def diff(new, base, thr, out=print):
     nq, bq = new["queries"], base["queries"]
     runaway = set(new.get("runaway", []))
+    # round 12: queries in runaway_retry were re-timed ONCE at end of
+    # suite behind a clean calibration probe, and the retry IS the
+    # operative number in "queries" — those values are trusted, so they
+    # are NOT demoted to unconfirmed the way single-shot runaways are.
+    retried = new.get("runaway_retry", {}) or {}
     runaway_count = new.get("runaway_count", len(runaway))
     runaway_truncated = runaway_count > len(runaway)
+    if retried:
+        ev = ", ".join(f"{k} {v[0]:.1f}s->{v[1]:.1f}s"
+                       for k, v in sorted(retried.items()))
+        out(f"runaway retries (clean-probe-gated; retry is operative): {ev}")
     failed = list(new.get("failed", []))
     failed_count = new.get("failed_count", len(failed))
     if failed_count:
@@ -288,6 +297,16 @@ def diff(new, base, thr, out=print):
                " the ratios below; adjudicate flags with tools/ab_check.py"
                " plus a known-stable control query" if warm
                else " (clean)"))
+    # round 12: the contract line carries the burst's recorded cause —
+    # probe-windows' 1-min load average and this JVM's own on-CPU share.
+    cr = new.get("calib_ratio")
+    l1, cf = new.get("load1"), new.get("cpu_frac")
+    if cr is not None and l1 and cf:
+        out(f"box record: calib_ratio={cr:.2f} load1(max)={max(l1):.1f} "
+            f"cpu_frac(min)={min(cf):.2f}"
+            + (" -> external burst (high load, low own-CPU during slow "
+               "probes)" if cr > AMBIENT_FACTOR and min(cf) < 0.5
+               and max(l1) > 40 else ""))
     if runaway_truncated:
         out(f"runaway list truncated ({len(runaway)} of {runaway_count} "
             "names in this line) — every flag below is demoted to "
@@ -301,9 +320,10 @@ def diff(new, base, thr, out=print):
         r = nq[k] / bq[k]
         flagged = r > thr
         norm = f" ({r / amb:5.2f}x /calib)" if contaminated and flagged else ""
+        single_shot_runaway = k in runaway and k not in retried
         if flagged and (contaminated or cpus_mismatch or calib_unjudgeable
-                        or k in runaway or runaway_truncated):
-            why = ("runaway single-shot" if k in runaway
+                        or single_shot_runaway or runaway_truncated):
+            why = ("runaway single-shot" if single_shot_runaway
                    else f"cpus {new_cpus} vs baseline {base_cpus}"
                    if cpus_mismatch
                    else "ambient run" if contaminated
