@@ -641,6 +641,42 @@ object Curation extends QueryModule {
     // allocations are floor(B·share), 6-snapped fractions alongside.
     // Scale shape: one corpus pass map-side combines the per-source
     // moments; everything after is the bounded source frame.
+    // Gumbel top-k weighted selection — sampling k docs WITHOUT
+    // replacement with probability ∝ weight, as one deterministic
+    // rank (the Gumbel-max trick: argtop-k of ln w + Gumbel noise is
+    // exactly a ∝w sample without replacement; Vieira 2014). The
+    // noise is derived, not random: u = (md5(doc_id) mod M + 1)/(M+1)
+    // — reproducible across runs, engines, partitionings (the q137
+    // shared-md5 rule). Transcendental discipline: ln u folds as a
+    // DIFFERENCE OF MICRO-NAT LONGS of exact integers (µln(h+1) −
+    // µln(M+1)), making −ln u an exact snapped double; the outer
+    // ln(−ln u) and ln w are lns of identical doubles, snapped (q291
+    // recipe). A µ-diff of 0 (h within ~500 of M, p ≈ 5e-7·|docs|/M)
+    // yields NULL score identically, never ±inf. Scale shape: per-row
+    // expressions + ONE TakeOrdered top-25 heap — no shuffle at all
+    // beyond the final k rows.
+    "q319_gumbel_topk" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      def mu(c: Column): Column =
+        floor(log(c.cast("double")) * 1e6 + 0.5).cast("long")
+      val m = 1000000007L
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("h", pmod(conv(substring(
+          md5(col("doc_id").cast("string")), 1, 12), 16, 10).cast("long"),
+          lit(m)))
+        .withColumn("mneg", -(mu(col("h") + 1L) - mu(lit(m + 1L))))
+        .withColumn("score", when(col("mneg") > 0L,
+          snap6(snap6(log(col("n_chars").cast("double")))
+            - snap6(log(col("mneg").cast("double") / 1e6)))))
+        .withColumn("rank", row_number().over(Window.orderBy(
+          col("score").desc_nulls_last, col("doc_id"))).cast("long"))
+        .filter(col("rank") <= 25L)
+        .select(col("rank"), col("doc_id"), col("source"),
+          col("n_chars"), col("score"))
+        .orderBy(col("rank"))
+    }),
+
     "q303_neyman_allocation" -> ((s, d) => {
       def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
       def dec(c: Column): Column = c.cast("decimal(38,0)")
@@ -808,6 +844,30 @@ object Curation extends QueryModule {
     redactTransform(docs).orderBy(col("doc_id"))
 
   def oracle: Map[String, String] = Map(
+    "q319_gumbel_topk" ->
+      """WITH h AS (SELECT doc_id, source, n_chars,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+        |      ::BIGINT % 1000000007 AS hv
+        |  FROM documents),
+        |g AS (SELECT doc_id, source, n_chars,
+        |    -(CAST(floor(ln(CAST(hv + 1 AS DOUBLE)) * 1e6 + 0.5)
+        |        AS BIGINT)
+        |      - CAST(floor(ln(CAST(1000000008 AS DOUBLE)) * 1e6 + 0.5)
+        |        AS BIGINT)) AS mneg
+        |  FROM h),
+        |s AS (SELECT doc_id, source, n_chars,
+        |    CASE WHEN mneg > 0 THEN
+        |      floor((floor(ln(CAST(n_chars AS DOUBLE)) * 1e6 + 0.5)
+        |          / 1e6
+        |        - floor(ln(CAST(mneg AS DOUBLE) / 1e6) * 1e6 + 0.5)
+        |          / 1e6) * 1e6 + 0.5) / 1e6
+        |    END AS score
+        |  FROM g),
+        |r AS (SELECT *, CAST(row_number() OVER (ORDER BY score DESC
+        |    NULLS LAST, doc_id) AS BIGINT) AS rank FROM s)
+        |SELECT rank, doc_id, source, n_chars, score
+        |FROM r WHERE rank <= 25 ORDER BY rank""".stripMargin,
+
     "q303_neyman_allocation" ->
       """WITH m AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         |    sum(CAST(n_chars AS HUGEINT)) AS sx,

@@ -280,6 +280,57 @@ object Dedup extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    // algorithm) — the GUARANTEED-detection local fingerprinting
+    // scheme the hash-sampling families here (q67 rolling-hash
+    // fingerprint, q258 MinHash) don't give: selecting each window's
+    // minimum 3-gram hash guarantees any shared run ≥ w+k−1 words
+    // shares a fingerprint, with density ≤ 2/(w+1) — the copy-detector
+    // primitive. Window w = 4 over positional (NOT distinct) 3-gram
+    // shared-md5 hashes; fingerprints = distinct (doc, h) where h is
+    // its window's min; cross-doc sharing counted on the fingerprint
+    // frame (corpus/(w/2)-sized, never raw grams). All exact integer;
+    // the one division is density, NULL-guarded for docs too short to
+    // fill a window (the r12 degenerate rule). Scale shape: a per-doc
+    // pos window (doc-partitioned exchange), a distinct on (doc, h),
+    // one count-distinct join back — no pairwise anything.
+    "q316_winnowing" -> ((s, d) => {
+      val grams = Tables.documents(s, d)
+        .withColumn("ws", Text.words(col("text")))
+        .filter(size(col("ws")) >= 3)
+        .select(col("doc_id"), posexplode(transform(
+          sequence(lit(1), size(col("ws")) - 2), i =>
+            concat_ws(" ", element_at(col("ws"), i),
+              element_at(col("ws"), i + 1),
+              element_at(col("ws"), i + 2)))))
+        .withColumnRenamed("col", "g")
+        .select(col("doc_id"), col("pos").cast("long").as("p"),
+          conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long")
+            .as("h"))
+      val wWin = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+        .rowsBetween(-3, Window.currentRow)
+      val marked = grams.withColumn("wm", min(col("h")).over(wWin))
+      val fp = marked.filter(col("p") >= 3L && col("h") === col("wm"))
+        .select(col("doc_id"), col("h")).distinct()
+      val shared = fp.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("docs_with"))
+      val perDoc = marked.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("p") >= 3L, 1L).otherwise(0L)).as("n_windows"))
+      val fpStats = fp.join(shared, "h")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_fp"),
+          sum(when(col("docs_with") > 1L, 1L).otherwise(0L)).as("n_sh"))
+      perDoc.join(fpStats, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"), col("n_windows"),
+          coalesce(col("n_fp"), lit(0L)).as("n_fingerprints"),
+          coalesce(col("n_sh"), lit(0L)).as("n_shared"),
+          when(col("n_windows") > 0L,
+            coalesce(col("n_fp"), lit(0L)).cast("double")
+              / col("n_windows").cast("double")).as("density"))
+        .orderBy(col("doc_id"))
+    }),
+
     // exact dedup: normalize → sha256 → keep lowest doc_id per hash.
     // One shuffle on the 32-byte hash; count/row_number share the
     // window. Delegates to the library op [[dedupExact]] (the Frame
@@ -1195,6 +1246,43 @@ object Dedup extends QueryModule {
       |  FROM w WHERE len(words) >= 3)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "q316_winnowing" ->
+      """WITH ws AS (SELECT doc_id, string_split(lower(trim(
+        |      regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+        |  FROM documents
+        |  WHERE len(string_split(lower(trim(regexp_replace(text,
+        |    '\s+', ' ', 'g'))), ' ')) >= 3),
+        |ix AS (SELECT doc_id, w,
+        |    unnest(range(1, len(w) - 1)) AS i FROM ws),
+        |g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS p,
+        |    ('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' ||
+        |      w[i+2]), 1, 15))::BIGINT AS h
+        |  FROM ix),
+        |m AS (SELECT doc_id, p, h,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY p
+        |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wm
+        |  FROM g),
+        |fp AS (SELECT DISTINCT doc_id, h FROM m
+        |  WHERE p >= 3 AND h = wm),
+        |sh AS (SELECT h, count(DISTINCT doc_id) AS docs_with
+        |  FROM fp GROUP BY 1),
+        |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |    CAST(sum(CASE WHEN p >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_windows
+        |  FROM m GROUP BY 1),
+        |fs AS (SELECT fp.doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+        |    CAST(sum(CASE WHEN sh.docs_with > 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_sh
+        |  FROM fp JOIN sh USING (h) GROUP BY 1)
+        |SELECT pd.doc_id, pd.n_grams, pd.n_windows,
+        |  coalesce(fs.n_fp, 0) AS n_fingerprints,
+        |  coalesce(fs.n_sh, 0) AS n_shared,
+        |  CASE WHEN pd.n_windows > 0 THEN
+        |    CAST(coalesce(fs.n_fp, 0) AS DOUBLE)
+        |      / CAST(pd.n_windows AS DOUBLE) END AS density
+        |FROM pd LEFT JOIN fs ON fs.doc_id = pd.doc_id
+        |ORDER BY pd.doc_id""".stripMargin,
+
     "q246_event_dedup" ->
       """WITH e AS (SELECT event_type, epoch_us(ts) AS us,
         |    lag(epoch_us(ts)) OVER (

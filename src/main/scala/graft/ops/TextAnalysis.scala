@@ -151,6 +151,85 @@ object TextAnalysis extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // Rényi entropy spectrum per language — q251 measures ONE point
+    // (Shannon, per doc); the spectrum {H₀ Hartley, H₁ Shannon,
+    // H₂ collision, H∞ min-entropy} over the corpus-level unigram
+    // distribution is the tokenizer/vocab design readout (H₀ = raw
+    // vocab size, H₂ = how collision-prone hashing that vocab is,
+    // H∞ = the head token's dominance; all in nats, H₀ ≥ H₁ ≥ H₂ ≥ H∞
+    // by Jensen — an output-checkable invariant). EXACT recipe, no
+    // order-sensitive float folds: H₂ = 2lnN − ln(Σc²) and
+    // H∞ = lnN − ln(c_max) take ln of exact integers (snapped);
+    // Shannon's Σ c·ln c folds as Σ c·µ(ln c) — an exact DECIMAL sum
+    // of micro-nat longs (the q291 recipe), divided once. Scale shape:
+    // one tokenize pass map-side-combines to (lang, word) counts; the
+    // spectrum folds that frame per language.
+    "q314_renyi_spectrum" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      def dec(c: Column): Column = c.cast("decimal(38,0)")
+      val cnt = Tables.documents(s, d)
+        .select(col("lang"), explode(Text.words(col("text"))).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("lang"), col("w"))
+        .agg(count(lit(1)).as("c"))
+      cnt.groupBy(col("lang"))
+        .agg(sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(dec(col("c")) * dec(col("c"))).as("sum_c2"),
+          max(col("c")).as("c_max"),
+          sum(dec(col("c")) * dec(floor(log(col("c").cast("double"))
+            * 1e6 + 0.5).cast("long"))).as("sum_cmu"))
+        .withColumn("ln_n", snap6(log(col("n_tokens").cast("double"))))
+        .select(col("lang"), col("n_tokens"), col("n_types"),
+          snap6(log(col("n_types").cast("double"))).as("h0_hartley"),
+          snap6(col("ln_n")
+            - col("sum_cmu").cast("double") / 1e6
+              / col("n_tokens").cast("double")).as("h1_shannon"),
+          snap6(lit(2.0) * col("ln_n")
+            - snap6(log(col("sum_c2").cast("double")))).as("h2_collision"),
+          snap6(col("ln_n") - snap6(log(col("c_max").cast("double"))))
+            .as("h_inf_min"))
+        .orderBy(col("lang"))
+    }),
+
+    // Good-Turing frequency ladder per language — the LM-smoothing
+    // mass estimate q255's Kneser-Ney takes as given: from
+    // counts-of-counts N_r (how many word types occur exactly r
+    // times), the unseen-mass estimate p₀ = N₁/N and the GT adjusted
+    // count r* = (r+1)·N_{r+1}/N_r for the low-r ladder (r ≤ 10, where
+    // GT applies; higher r keeps raw counts). All exact integer ratios
+    // with single divisions; a missing N_{r+1} rung yields NULL r*
+    // identically in both engines (the r12 degenerate rule). Scale
+    // shape: tokenize → (lang, word) counts → (lang, r) ladder —
+    // ≤|langs|·|distinct r| rows; the r+1 lookup is a self-join on
+    // that bounded ladder, never on corpus rows.
+    "q315_good_turing" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      val cnt = Tables.documents(s, d)
+        .select(col("lang"), explode(Text.words(col("text"))).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("lang"), col("w"))
+        .agg(count(lit(1)).as("c"))
+      val ladder = cnt.groupBy(col("lang"), col("c").as("r"))
+        .agg(count(lit(1)).as("n_r"))
+      val wLang = Window.partitionBy(col("lang"))
+      val up = ladder.select(col("lang").as("lang2"),
+        (col("r") - 1L).as("r2"), col("n_r").as("n_r1"))
+      ladder
+        .withColumn("n_tokens", sum(col("r") * col("n_r")).over(wLang))
+        .withColumn("n_1",
+          max(when(col("r") === 1L, col("n_r"))).over(wLang))
+        .join(up, col("lang") === col("lang2") && col("r") === col("r2"),
+          "left")
+        .filter(col("r") <= 10L)
+        .select(col("lang"), col("r"), col("n_r"),
+          snap6((col("r") + 1L).cast("double") * col("n_r1").cast("double")
+            / col("n_r").cast("double")).as("r_star"),
+          snap6(col("n_1").cast("double") / col("n_tokens").cast("double"))
+            .as("p_unseen"))
+        .orderBy(col("lang"), col("r"))
+    }),
+
     // token counting + lexical stats: whitespace tokens, a BPE-ish regex
     // token count (letters|digits|single other-char), type/token ratio.
     "q64_token_stats" -> ((s, d) =>
@@ -707,6 +786,56 @@ object TextAnalysis extends QueryModule {
         |    AS score,
         |  score_int >= 0 AS keep
         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "q314_renyi_spectrum" ->
+      """WITH ws AS (SELECT lang, unnest(string_split(lower(trim(
+        |      regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS w
+        |  FROM documents),
+        |cnt AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS c
+        |  FROM ws WHERE w <> '' GROUP BY 1, 2),
+        |g AS (SELECT lang,
+        |    CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_types,
+        |    sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS sum_c2,
+        |    CAST(max(c) AS BIGINT) AS c_max,
+        |    sum(CAST(c AS HUGEINT) * CAST(floor(ln(CAST(c AS DOUBLE))
+        |      * 1e6 + 0.5) AS HUGEINT)) AS sum_cmu
+        |  FROM cnt GROUP BY 1),
+        |e AS (SELECT *, floor(ln(CAST(n_tokens AS DOUBLE)) * 1e6 + 0.5)
+        |    / 1e6 AS ln_n FROM g)
+        |SELECT lang, n_tokens, n_types,
+        |  floor(ln(CAST(n_types AS DOUBLE)) * 1e6 + 0.5) / 1e6
+        |    AS h0_hartley,
+        |  floor((ln_n - CAST(sum_cmu AS DOUBLE) / 1e6
+        |    / CAST(n_tokens AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS h1_shannon,
+        |  floor((CAST(2 AS DOUBLE) * ln_n
+        |    - floor(ln(CAST(sum_c2 AS DOUBLE)) * 1e6 + 0.5) / 1e6)
+        |    * 1e6 + 0.5) / 1e6 AS h2_collision,
+        |  floor((ln_n - floor(ln(CAST(c_max AS DOUBLE)) * 1e6 + 0.5)
+        |    / 1e6) * 1e6 + 0.5) / 1e6 AS h_inf_min
+        |FROM e ORDER BY lang""".stripMargin,
+
+    "q315_good_turing" ->
+      """WITH ws AS (SELECT lang, unnest(string_split(lower(trim(
+        |      regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS w
+        |  FROM documents),
+        |cnt AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS c
+        |  FROM ws WHERE w <> '' GROUP BY 1, 2),
+        |lad AS (SELECT lang, c AS r, CAST(count(*) AS BIGINT) AS n_r
+        |  FROM cnt GROUP BY 1, 2),
+        |t AS (SELECT lang, r, n_r,
+        |    CAST(sum(r * n_r) OVER (PARTITION BY lang) AS BIGINT)
+        |      AS n_tokens,
+        |    CAST(max(CASE WHEN r = 1 THEN n_r END)
+        |      OVER (PARTITION BY lang) AS BIGINT) AS n_1
+        |  FROM lad)
+        |SELECT t.lang, t.r, t.n_r,
+        |  floor(CAST(t.r + 1 AS DOUBLE) * CAST(u.n_r AS DOUBLE)
+        |    / CAST(t.n_r AS DOUBLE) * 1e6 + 0.5) / 1e6 AS r_star,
+        |  floor(CAST(t.n_1 AS DOUBLE) / CAST(t.n_tokens AS DOUBLE)
+        |    * 1e6 + 0.5) / 1e6 AS p_unseen
+        |FROM t LEFT JOIN lad u ON u.lang = t.lang AND u.r = t.r + 1
+        |WHERE t.r <= 10 ORDER BY t.lang, t.r""".stripMargin,
 
     "q251_word_entropy" ->
       """WITH ws AS (SELECT doc_id, string_split(lower(trim(

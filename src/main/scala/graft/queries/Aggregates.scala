@@ -1127,6 +1127,103 @@ object Aggregates extends QueryModule {
     // identical exact integers in both engines, so the doubles are
     // bit-equal — tie-broken by (part_a, part_b): a total order both
     // engines share.
+    // Cochran-Armitage trend test — "does return RATE rise MONOTONELY
+    // with discount depth?", the ordered-alternative sibling of q292's
+    // unordered χ² (χ² asks "any association"; CA weights the levels
+    // by their order, gaining power exactly when the response is a
+    // trend — the q294 isotonic fit's hypothesis-test companion).
+    // Scores = integer discount pct. Everything is exact DECIMAL until
+    // ONE double division: with N, R, s1 = Σiⁿᵢ, s2 = Σi²nᵢ, sr = Σirᵢ
+    // all exact, z² = (N·sr − R·s1)²·N / (R(N−R)(N·s2 − s1²)) — the
+    // N-scaled form keeps every operand an exact integer (inside 38
+    // digits to N ~ 10⁸ rows; beyond that the statistic exceeds
+    // double's exact range in any engine). Degenerate guards (one
+    // level, R = 0, R = N) emit NULL identically (the r12 rule).
+    // Scale shape: ONE corpus pass map-side-combines to the ≤|levels|
+    // per-linestatus frame; the test folds ≤11 exact terms.
+    "q317_trend_test" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      def dec(c: Column): Column = c.cast("decimal(38,0)")
+      val lv = Tables.lineitem(s, d)
+        .groupBy(col("l_linestatus"),
+          floor(col("l_discount") * 100 + 0.5).cast("long").as("i"))
+        .agg(count(lit(1)).as("n_i"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+            .as("r_i"))
+      lv.groupBy(col("l_linestatus"))
+        .agg(count(lit(1)).as("n_levels"),
+          sum(col("n_i")).as("n"), sum(col("r_i")).as("r"),
+          sum(dec(col("i")) * dec(col("n_i"))).as("s1"),
+          sum(dec(col("i")) * dec(col("i")) * dec(col("n_i"))).as("s2"),
+          sum(dec(col("i")) * dec(col("r_i"))).as("sr"))
+        .withColumn("t_scaled",
+          dec(col("n")) * col("sr") - dec(col("r")) * col("s1"))
+        .withColumn("var_num",
+          dec(col("n")) * col("s2") - col("s1") * col("s1"))
+        .withColumn("z2", when(
+          col("r") > 0L && col("r") < col("n") && col("var_num") > 0,
+          snap6(col("t_scaled").cast("double")
+            * col("t_scaled").cast("double") * col("n").cast("double")
+            / (col("r").cast("double") * (col("n") - col("r")).cast("double")
+              * col("var_num").cast("double")))))
+        .select(col("l_linestatus"), col("n_levels"), col("n"), col("r"),
+          snap6(col("t_scaled").cast("double")
+            / col("n").cast("double")).as("trend_stat"),
+          col("z2"))
+        .orderBy(col("l_linestatus"))
+    }),
+
+    // Sample L-moments per event type — the order-statistics robust
+    // alternative to q33/q34's moment skew/kurtosis (L-skewness τ₃ is
+    // bounded in (−1,1), exists for heavy tails where classical
+    // skewness diverges, and its estimator is EXACT integer arithmetic
+    // here): b_k = Σ C(r−1,k)·x_(r) / (n·C(n−1,k)) over the sorted
+    // sample. The rank weights (r−1), (r−1)(r−2) and the 2-decimal
+    // money values (exact cents) keep every Σ an exact DECIMAL —
+    // exact to n ~ 10¹¹ per type ((r)²·x inside 38 digits); each b_k
+    // is then ONE double division, and l2 = 2b1 − b0 etc. are exact
+    // IEEE ops on identical doubles. Determinism: ranks order on
+    // (value, event_id) — a total order; equal values make the weight
+    // assignment among ties irrelevant to the SUM only for x, which
+    // is the term being weighted, so any tie order yields the same Σ.
+    // Scale shape: one rank window over the type-partitioned exchange,
+    // then a map-side-combined fold to the ≤|types| frame.
+    "q318_l_moments" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      def dec(c: Column): Column = c.cast("decimal(38,0)")
+      // rank on the exact cents (a monotone image of the 2-decimal
+      // value, so the order is identical to ordering on value itself)
+      val wOrd = Window.partitionBy(col("event_type"))
+        .orderBy(col("cents"), col("event_id"))
+      val ranked = Tables.events(s, d)
+        .select(col("event_type"), col("event_id"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        .withColumn("r", row_number().over(wOrd).cast("long"))
+      ranked.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("cents"))).as("s0"),
+          sum(dec(col("r") - 1L) * dec(col("cents"))).as("s1"),
+          sum(dec(col("r") - 1L) * dec(col("r") - 2L) * dec(col("cents")))
+            .as("s2"))
+        .withColumn("b0", col("s0").cast("double")
+          / (col("n").cast("double") * 100.0))
+        .withColumn("b1", col("s1").cast("double")
+          / ((dec(col("n")) * dec(col("n") - 1L)).cast("double") * 100.0))
+        .withColumn("b2", col("s2").cast("double")
+          / ((dec(col("n")) * dec(col("n") - 1L) * dec(col("n") - 2L))
+            .cast("double") * 100.0))
+        .withColumn("l2", lit(2.0) * col("b1") - col("b0"))
+        .withColumn("l3",
+          lit(6.0) * col("b2") - lit(6.0) * col("b1") + col("b0"))
+        .select(col("event_type"), col("n"),
+          snap6(col("b0")).as("l1"), snap6(col("l2")).as("l2"),
+          when(col("b0") =!= 0.0, snap6(col("l2") / col("b0")))
+            .as("l_cv"),
+          when(col("l2") =!= 0.0, snap6(col("l3") / col("l2")))
+            .as("l_skew"))
+        .orderBy(col("event_type"))
+    }),
+
     "q308_basket_rules" -> ((s, d) => {
       def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
       def dec(c: Column): Column = c.cast("decimal(38,0)")
@@ -1794,6 +1891,70 @@ object Aggregates extends QueryModule {
         |  floor(CAST(sg AS DOUBLE) / (CAST(x_tot AS DOUBLE) * 1e6)
         |    * 1e6 + 0.5) / 1e6 AS theil_total
         |FROM g ORDER BY c_nationkey""".stripMargin,
+
+    "q317_trend_test" ->
+      """WITH lv AS (SELECT l_linestatus,
+        |    CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS i,
+        |    CAST(count(*) AS BIGINT) AS n_i,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS r_i
+        |  FROM lineitem GROUP BY 1, 2),
+        |g AS (SELECT l_linestatus,
+        |    CAST(count(*) AS BIGINT) AS n_levels,
+        |    CAST(sum(n_i) AS BIGINT) AS n,
+        |    CAST(sum(r_i) AS BIGINT) AS r,
+        |    sum(CAST(i AS HUGEINT) * CAST(n_i AS HUGEINT)) AS s1,
+        |    sum(CAST(i AS HUGEINT) * CAST(i AS HUGEINT)
+        |      * CAST(n_i AS HUGEINT)) AS s2,
+        |    sum(CAST(i AS HUGEINT) * CAST(r_i AS HUGEINT)) AS sr
+        |  FROM lv GROUP BY 1),
+        |t AS (SELECT *,
+        |    CAST(n AS HUGEINT) * sr - CAST(r AS HUGEINT) * s1 AS ts,
+        |    CAST(n AS HUGEINT) * s2 - s1 * s1 AS vn
+        |  FROM g)
+        |SELECT l_linestatus, n_levels, n, r,
+        |  floor(CAST(ts AS DOUBLE) / CAST(n AS DOUBLE) * 1e6 + 0.5)
+        |    / 1e6 AS trend_stat,
+        |  CASE WHEN r > 0 AND r < n AND vn > 0 THEN
+        |    floor(CAST(ts AS DOUBLE) * CAST(ts AS DOUBLE)
+        |      * CAST(n AS DOUBLE)
+        |      / (CAST(r AS DOUBLE) * CAST(n - r AS DOUBLE)
+        |        * CAST(vn AS DOUBLE)) * 1e6 + 0.5) / 1e6 END AS z2
+        |FROM t ORDER BY l_linestatus""".stripMargin,
+
+    "q318_l_moments" ->
+      """WITH rk AS (SELECT event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id) AS BIGINT) AS r
+        |  FROM events),
+        |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(cents AS HUGEINT)) AS s0,
+        |    sum(CAST(r - 1 AS HUGEINT) * CAST(cents AS HUGEINT)) AS s1,
+        |    sum(CAST(r - 1 AS HUGEINT) * CAST(r - 2 AS HUGEINT)
+        |      * CAST(cents AS HUGEINT)) AS s2
+        |  FROM rk GROUP BY 1),
+        |b AS (SELECT *,
+        |    CAST(s0 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(100 AS
+        |      DOUBLE)) AS b0,
+        |    CAST(s1 AS DOUBLE) / (CAST(CAST(n AS HUGEINT)
+        |      * CAST(n - 1 AS HUGEINT) AS DOUBLE) * CAST(100 AS DOUBLE))
+        |      AS b1,
+        |    CAST(s2 AS DOUBLE) / (CAST(CAST(n AS HUGEINT)
+        |      * CAST(n - 1 AS HUGEINT) * CAST(n - 2 AS HUGEINT)
+        |      AS DOUBLE) * CAST(100 AS DOUBLE)) AS b2
+        |  FROM g),
+        |l AS (SELECT *, CAST(2 AS DOUBLE) * b1 - b0 AS l2v,
+        |    CAST(6 AS DOUBLE) * b2 - CAST(6 AS DOUBLE) * b1 + b0 AS l3v
+        |  FROM b)
+        |SELECT event_type, n,
+        |  floor(b0 * 1e6 + 0.5) / 1e6 AS l1,
+        |  floor(l2v * 1e6 + 0.5) / 1e6 AS l2,
+        |  CASE WHEN b0 <> 0 THEN floor(l2v / b0 * 1e6 + 0.5) / 1e6 END
+        |    AS l_cv,
+        |  CASE WHEN l2v <> 0 THEN floor(l3v / l2v * 1e6 + 0.5) / 1e6 END
+        |    AS l_skew
+        |FROM l ORDER BY event_type""".stripMargin,
 
     "q308_basket_rules" ->
       """WITH od AS (SELECT DISTINCT l_orderkey AS ok,

@@ -728,6 +728,93 @@ object Temporal extends QueryModule {
         .orderBy(col("event_type"))
     }),
 
+    // Page-Hinkley drift detector per event stream — the SEQUENTIAL
+    // mean-shift monitor between q237's offline CUSUM argmax (best
+    // split in hindsight) and q309's SPRT (needs pre-declared p₀/p₁):
+    // PH tracks m_t = Σ_{i≤t}(x_i − x̄_i) against its running minimum;
+    // the excursion m_t − min_{i≤t} m_i crossing λ is the alarm — the
+    // streaming-monitoring classic (Page 1954). Determinism: x_i is an
+    // exact long; x̄_i = cum_i/i is ONE correctly-rounded division of
+    // exact longs; m_t is a cumulative double sum in the FIXED day
+    // order (identical operand sequence ⇒ identical IEEE result both
+    // engines, the q232 ln_survival argument); min/max over identical
+    // doubles are exact. 6-snap only at emit. Scale shape: one corpus
+    // pass map-side-combines to the ≤|days| daily frame; every window
+    // runs over that bounded frame (q237's shape exactly).
+    "q312_page_hinkley" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val wT = Window.partitionBy(col("event_type"))
+      val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val wCum = wOrd.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      val scored = daily
+        .withColumn("k", row_number().over(wOrd).cast("long"))
+        .withColumn("cum", sum(col("n")).over(wCum))
+        .withColumn("dev", col("n").cast("double")
+          - col("cum").cast("double") / col("k").cast("double"))
+        .withColumn("m", sum(col("dev")).over(wCum))
+        .withColumn("m_min", min(col("m")).over(wCum))
+        .withColumn("exc", col("m") - col("m_min"))
+      val wPick = Window.partitionBy(col("event_type"))
+        .orderBy(col("exc").desc, col("day"))
+      scored
+        .withColumn("n_days", count(lit(1)).over(wT))
+        .withColumn("s_total", sum(col("n")).over(wT))
+        .withColumn("rn", row_number().over(wPick))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("n_days"),
+          (col("s_total").cast("double") / col("n_days").cast("double"))
+            .as("daily_mean"),
+          col("day").as("ph_day"), snap6(col("exc")).as("ph_stat"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Nelson-Aalen cumulative hazard — the estimator-side complement
+    // of q232 (KM estimates survival S(t) multiplicatively; NA
+    // estimates cumulative hazard H(t) = Σ d_i/r_i additively, the
+    // quantity hazard-ratio models consume) with its variance
+    // Σ d_i/r_i² alongside. Same user-lifetime frame as q232/q239;
+    // every term is a single division of exact longs (r·r stays in
+    // long to ~3e9 users), 6-snapped per term, then cumulative sums in
+    // the fixed t order — identical operand sequences both engines.
+    // Scale shape: one corpus pass to per-user rows, re-group to the
+    // ≤|days| lifetime frame, windows over that frame.
+    "q313_nelson_aalen" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      val users = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(datediff(max(to_date(col("ts"))), min(to_date(col("ts"))))
+          .cast("long").as("t"),
+          max(to_date(col("ts"))).as("last_day"))
+        .withColumn("churned",
+          col("last_day") <= lit("2024-01-27").cast("date"))
+      val byT = users.groupBy(col("t"))
+        .agg(sum(when(col("churned"), 1L).otherwise(0L)).as("d"),
+          sum(when(col("churned"), 0L).otherwise(1L)).as("c"))
+      val tot = byT.agg(sum(col("d") + col("c")).as("n_users"))
+      val wCum = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byT.crossJoin(broadcast(tot))
+        .withColumn("cum_all", sum(col("d") + col("c")).over(wCum))
+        .withColumn("r",
+          col("n_users") - col("cum_all") + col("d") + col("c"))
+        .withColumn("term", when(col("d") > 0,
+          snap6(col("d").cast("double") / col("r").cast("double")))
+          .otherwise(lit(0.0)))
+        .withColumn("vterm", when(col("d") > 0,
+          snap6(col("d").cast("double")
+            / (col("r") * col("r")).cast("double")))
+          .otherwise(lit(0.0)))
+        .select(col("t"), col("r").as("at_risk"), col("d").as("n_churned"),
+          col("c").as("n_censored"),
+          sum(col("term")).over(wCum).as("cum_hazard"),
+          sum(col("vterm")).over(wCum).as("hazard_var"))
+        .orderBy(col("t"))
+    }),
+
     // Log-rank test — "do two user cohorts have the same survival
     // curve?", the hypothesis-test companion to q232's KM estimator
     // (an A/B readout robust to censoring, which q143's mean-based
@@ -1732,6 +1819,69 @@ object Temporal extends QueryModule {
         |  CAST(s_total AS DOUBLE) / CAST(n_days AS DOUBLE) AS daily_mean,
         |  CAST(c_scaled AS DOUBLE) / CAST(n_days AS DOUBLE) AS peak_cusum
         |FROM c WHERE rn = 1 ORDER BY event_type""".stripMargin,
+
+    "q312_page_hinkley" ->
+      """WITH dly AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, day, n,
+        |    CAST(row_number() OVER w AS BIGINT) AS k,
+        |    CAST(sum(n) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM dly WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |m AS (SELECT event_type, day, n,
+        |    sum(CAST(n AS DOUBLE) - CAST(cum AS DOUBLE)
+        |        / CAST(k AS DOUBLE))
+        |      OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS mt
+        |  FROM s WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |e AS (SELECT event_type, day, n,
+        |    mt - min(mt) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS exc
+        |  FROM m WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |p AS (SELECT event_type, day, exc,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+        |      AS n_days,
+        |    CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT)
+        |      AS s_total,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY exc DESC, day) AS rn
+        |  FROM e)
+        |SELECT event_type, n_days,
+        |  CAST(s_total AS DOUBLE) / CAST(n_days AS DOUBLE) AS daily_mean,
+        |  day AS ph_day, floor(exc * 1e6 + 0.5) / 1e6 AS ph_stat
+        |FROM p WHERE rn = 1 ORDER BY event_type""".stripMargin,
+
+    "q313_nelson_aalen" ->
+      """WITH u AS (SELECT user_id,
+        |    CAST(max(CAST(ts AS DATE)) - min(CAST(ts AS DATE)) AS BIGINT)
+        |      AS t,
+        |    max(CAST(ts AS DATE)) <= DATE '2024-01-27' AS churned
+        |  FROM events GROUP BY 1),
+        |bt AS (SELECT t,
+        |    CAST(sum(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(sum(CASE WHEN churned THEN 0 ELSE 1 END) AS BIGINT) AS c
+        |  FROM u GROUP BY 1),
+        |g AS (SELECT CAST(sum(d + c) AS BIGINT) AS n_users FROM bt),
+        |w AS (SELECT t, d, c, n_users,
+        |    CAST(sum(d + c) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_all
+        |  FROM bt, g),
+        |r AS (SELECT t, d, c, n_users - cum_all + d + c AS at_risk
+        |  FROM w),
+        |tm AS (SELECT t, d, c, at_risk,
+        |    CASE WHEN d > 0 THEN floor(CAST(d AS DOUBLE)
+        |      / CAST(at_risk AS DOUBLE) * 1e6 + 0.5) / 1e6
+        |      ELSE CAST(0 AS DOUBLE) END AS term,
+        |    CASE WHEN d > 0 THEN floor(CAST(d AS DOUBLE)
+        |      / CAST(at_risk * at_risk AS DOUBLE) * 1e6 + 0.5) / 1e6
+        |      ELSE CAST(0 AS DOUBLE) END AS vterm
+        |  FROM r)
+        |SELECT t, at_risk, d AS n_churned, c AS n_censored,
+        |  sum(term) OVER cw AS cum_hazard,
+        |  sum(vterm) OVER cw AS hazard_var
+        |FROM tm WINDOW cw AS (ORDER BY t ROWS BETWEEN UNBOUNDED
+        |  PRECEDING AND CURRENT ROW) ORDER BY t""".stripMargin,
 
     "q239_logrank" ->
       """WITH u AS (SELECT user_id,
