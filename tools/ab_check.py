@@ -10,7 +10,7 @@ baseline. This script is that protocol as one command.
 
 Usage:
   python3 tools/ab_check.py <query>[,<query2>...] [--runs 3]
-      [--sf /root/testdata/sf0.1] [--baseline tools/bench_r11_local.json]
+      [--sf /root/testdata/sf0.1] [--baseline tools/bench_r12_local.json]
       [--insuite <seconds>] [--control <query>]
 
 Each run invokes `sbt -batch "runMain graft.Bench"` with
@@ -43,7 +43,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from bench_diff import parse_contract  # one parser for the contract line
 
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-DEFAULT_BASELINE = os.path.join(HERE, "tools", "bench_r11_local.json")
+DEFAULT_BASELINE = os.path.join(HERE, "tools", "bench_r12_local.json")
 AMBIENT_MAX = 1.3
 REAL_MIN = 1.5
 RUN_TIMEOUT_S = 900
