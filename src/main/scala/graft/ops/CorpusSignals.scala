@@ -25,6 +25,99 @@ import org.apache.spark.sql.functions._
 object CorpusSignals extends QueryModule {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Burrows' Delta between sources — the stylometry/authorship
+    // distance (Burrows 2002): over the corpus's top-30 function words,
+    // Δ(a,b) = mean_w |z_w(a) − z_w(b)| of per-source relative-
+    // frequency z-scores — the "same pipeline, different author/
+    // boilerplate?" readout q291's topic-level JSD can't give (Delta
+    // normalizes each word by its cross-source spread, so it reads
+    // STYLE, not topic mass). Exactness discipline: relative
+    // frequencies land as exact micro-frequency longs (c·1e6 DIV N_s —
+    // integer division, both engines); per-word spread D = k·ΣF²−(ΣF)²
+    // is exact DECIMAL; each |z_a − z_b| = k·|F_a−F_b|/√D folds as a
+    // micro-long (floor(x·1e6+0.5)), so the 30-term per-pair sum is an
+    // EXACT integer sum — no order-sensitive float fold anywhere. A
+    // word with zero spread (D = 0 ⟹ every source identical) is
+    // defined to contribute 0. Scale shape: one tokenize pass to
+    // (source, word) counts; the top-30 cut, the 30×|sources| dense
+    // grid, and the pair frame are all dimension-sized.
+    "q320_burrows_delta" -> ((s, d) => {
+      val cnt = Tables.documents(s, d)
+        .select(col("source"), explode(Text.words(col("text"))).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("source"), col("w"))
+        .agg(count(lit(1)).as("c"))
+      val top = cnt.groupBy(col("w"))
+        .agg(sum(col("c")).as("cw"))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("cw").desc, col("w"))))
+        .filter(col("rk") <= 30)
+        .select(col("w"))
+      val ns = cnt.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
+      // dense 30 × |sources| grid: absent (source, word) pairs are
+      // REAL zeros in the style profile, not missing rows.
+      val grid = broadcast(top).crossJoin(broadcast(ns))
+        .join(cnt, Seq("source", "w"), "left")
+        .select(col("source"), col("w"),
+          expr("coalesce(c, 0L) * 1000000L DIV n_s").as("f"))
+      val wWord = Window.partitionBy(col("w"))
+      val stats = grid
+        .withColumn("k", count(lit(1)).over(wWord))
+        .withColumn("sf", sum(col("f")).over(wWord))
+        .withColumn("sf2", sum(col("f").cast("decimal(38,0)")
+          * col("f").cast("decimal(38,0)")).over(wWord))
+        .withColumn("dd", col("k").cast("decimal(38,0)") * col("sf2")
+          - col("sf").cast("decimal(38,0)")
+            * col("sf").cast("decimal(38,0)"))
+      val b = stats.select(col("w").as("w_b"), col("source").as("source_b"),
+        col("f").as("f_b"))
+      stats.join(b,
+          col("w") === col("w_b") && col("source") < col("source_b"))
+        .withColumn("term_micro", when(col("dd") > 0,
+          floor(col("k").cast("double") * abs(col("f") - col("f_b"))
+            .cast("double") * 1e6
+            / sqrt(col("dd").cast("double")) + 0.5).cast("long"))
+          .otherwise(0L))
+        .groupBy(col("source").as("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("term_micro")).as("sum_micro"))
+        .select(col("source_a"), col("source_b"), col("n_words"),
+          (col("sum_micro").cast("double") / 1e6
+            / col("n_words").cast("double")).as("delta"))
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
+    // Church-Gale word burstiness — "does this word spread evenly or
+    // clump into few documents?", the df-vs-cf diagnostic a stopword
+    // or keyword list is built from (uniform function words have
+    // cf/df ≈ 1·docs-share; topical/bursty words recur heavily inside
+    // few docs). Exact ratios only: cf, df exact longs; burstiness =
+    // cf/df and df_share = df/|docs| are single divisions. Top-100 by
+    // (cf desc, word) — a total order. Scale shape: one tokenize pass
+    // to (word, doc) then map-side-combined word aggregates; the
+    // top-100 cut is one TakeOrdered heap; |docs| is a 1-row
+    // broadcast.
+    "q325_word_burstiness" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(Text.words(col("text"))).as("w"))
+        .filter(col("w") =!= "")
+      val ndocs = Tables.documents(s, d)
+        .agg(count(lit(1)).as("n_docs"))
+      tok.groupBy(col("w"))
+        .agg(count(lit(1)).as("cf"), countDistinct(col("doc_id")).as("df"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("cf").desc, col("w"))).cast("long"))
+        .filter(col("rank") <= 100L)
+        .crossJoin(broadcast(ndocs))
+        .select(col("rank"), col("w").as("word"), col("cf"), col("df"),
+          snap6(col("cf").cast("double") / col("df").cast("double"))
+            .as("burstiness"),
+          snap6(col("df").cast("double") / col("n_docs").cast("double"))
+            .as("df_share"))
+        .orderBy(col("rank"))
+    }),
+
     // Kneser-Ney bigram perplexity — the real LM behind CCNet-style
     // quality filtering (KenLM is interpolated KN), upgrading q197's
     // unigram: P(w2|w1) = max(c(w1w2)−D, 0)/c(w1·)
@@ -934,6 +1027,58 @@ object CorpusSignals extends QueryModule {
   }
 
   def oracle: Map[String, String] = Map(
+    "q320_burrows_delta" ->
+      """WITH tok AS (SELECT source, unnest(string_split(lower(trim(
+        |      regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS w
+        |  FROM documents),
+        |cnt AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c
+        |  FROM tok WHERE w <> '' GROUP BY 1, 2),
+        |top AS (SELECT w FROM (SELECT w,
+        |    row_number() OVER (ORDER BY sum(c) DESC, w) AS rk
+        |  FROM cnt GROUP BY w) WHERE rk <= 30),
+        |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s
+        |  FROM cnt GROUP BY 1),
+        |grid AS (SELECT ns.source, top.w,
+        |    (coalesce(cnt.c, 0) * 1000000) // ns.n_s AS f
+        |  FROM top CROSS JOIN ns
+        |  LEFT JOIN cnt ON cnt.source = ns.source AND cnt.w = top.w),
+        |st AS (SELECT source, w, f,
+        |    CAST(count(*) OVER (PARTITION BY w) AS BIGINT) AS k,
+        |    CAST(sum(f) OVER (PARTITION BY w) AS BIGINT) AS sf,
+        |    sum(CAST(f AS HUGEINT) * CAST(f AS HUGEINT))
+        |      OVER (PARTITION BY w) AS sf2
+        |  FROM grid),
+        |dd AS (SELECT *, CAST(k AS HUGEINT) * sf2
+        |    - CAST(sf AS HUGEINT) * CAST(sf AS HUGEINT) AS d2 FROM st),
+        |pr AS (SELECT a.source AS source_a, b.source AS source_b,
+        |    CASE WHEN a.d2 > 0 THEN
+        |      CAST(floor(CAST(a.k AS DOUBLE)
+        |        * CAST(abs(a.f - b.f) AS DOUBLE) * 1e6
+        |        / sqrt(CAST(a.d2 AS DOUBLE)) + 0.5) AS BIGINT)
+        |    ELSE 0 END AS tm
+        |  FROM dd a JOIN dd b ON a.w = b.w AND a.source < b.source)
+        |SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(sum(tm) AS DOUBLE) / 1e6 / CAST(count(*) AS DOUBLE)
+        |    AS delta
+        |FROM pr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q325_word_burstiness" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(lower(trim(
+        |      regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS w
+        |  FROM documents),
+        |g AS (SELECT w, CAST(count(*) AS BIGINT) AS cf,
+        |    CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |  FROM tok WHERE w <> '' GROUP BY 1),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |r AS (SELECT *, CAST(row_number() OVER (ORDER BY cf DESC, w)
+        |    AS BIGINT) AS rank FROM g)
+        |SELECT rank, w AS word, cf, df,
+        |  floor(CAST(cf AS DOUBLE) / CAST(df AS DOUBLE) * 1e6 + 0.5)
+        |    / 1e6 AS burstiness,
+        |  floor(CAST(df AS DOUBLE) / CAST(n_docs AS DOUBLE) * 1e6 + 0.5)
+        |    / 1e6 AS df_share
+        |FROM r, nd WHERE rank <= 100 ORDER BY rank""".stripMargin,
+
     "q234_bpe_pairs" ->
       """WITH wds AS (SELECT unnest(string_split(lower(trim(
         |      regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS w

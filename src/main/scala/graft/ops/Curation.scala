@@ -641,6 +641,49 @@ object Curation extends QueryModule {
     // allocations are floor(B·share), 6-snapped fractions alongside.
     // Scale shape: one corpus pass map-side combines the per-source
     // moments; everything after is the bounded source frame.
+    // Hash-uniformity audit of the shared-md5 bucketing recipe — the
+    // trust-but-verify for every splitter/sampler in this tier (q100
+    // splits, q137/q198 samples, q257 folds, q319 selection all ride
+    // `md5(id) mod m`): discrete KS-vs-uniform and χ² over the
+    // occupied buckets at m ∈ {64, 256}. EXACT: the KS sup folds as
+    // max |cum·m − (b+1)·N| over integer cross-products; χ² folds as
+    // (m·Σc² − N²)/N with Σc² exact DECIMAL — both single final
+    // divisions. Statistic is defined over OCCUPIED buckets (an empty
+    // bucket's boundary is invisible to it; buckets_hit is emitted so
+    // a reader sees occupancy). Scale shape: one pass to ≤m·2 bucket
+    // counts, windows over that bounded frame.
+    "q321_hash_uniformity" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      def dec(c: Column): Column = c.cast("decimal(38,0)")
+      val cnts = Tables.documents(s, d)
+        .select(col("doc_id"),
+          conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
+            .cast("long").as("h"),
+          explode(array(lit(64L), lit(256L))).as("m"))
+        .select(col("m"), pmod(col("h"), col("m")).as("b"))
+        .groupBy(col("m"), col("b"))
+        .agg(count(lit(1)).as("c"))
+      val wM = Window.partitionBy(col("m"))
+      val wCum = Window.partitionBy(col("m")).orderBy(col("b"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cnts
+        .withColumn("n", sum(col("c")).over(wM))
+        .withColumn("hit", count(lit(1)).over(wM))
+        .withColumn("cum", sum(col("c")).over(wCum))
+        .withColumn("ks_scaled",
+          abs(col("cum") * col("m") - (col("b") + 1L) * col("n")))
+        .withColumn("sum_c2", sum(dec(col("c")) * dec(col("c"))).over(wM))
+        .groupBy(col("m"))
+        .agg(max(col("n")).as("n_docs"),
+          max(col("hit")).as("buckets_hit"),
+          snap6(max(col("ks_scaled")).cast("double")
+            / (max(col("n")) * col("m")).cast("double")).as("ks_stat"),
+          snap6((dec(max(col("m"))) * max(col("sum_c2"))
+            - dec(max(col("n"))) * dec(max(col("n")))).cast("double")
+            / max(col("n")).cast("double")).as("chi2"))
+        .orderBy(col("m"))
+    }),
+
     // Gumbel top-k weighted selection — sampling k docs WITHOUT
     // replacement with probability ∝ weight, as one deterministic
     // rank (the Gumbel-max trick: argtop-k of ln w + Gumbel noise is
@@ -844,6 +887,32 @@ object Curation extends QueryModule {
     redactTransform(docs).orderBy(col("doc_id"))
 
   def oracle: Map[String, String] = Map(
+    "q321_hash_uniformity" ->
+      """WITH h AS (SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+        |      1, 12))::BIGINT AS hv
+        |  FROM documents),
+        |e AS (SELECT m, hv % m AS b
+        |  FROM h, (VALUES (64), (256)) AS t(m)),
+        |c AS (SELECT m, b, CAST(count(*) AS BIGINT) AS c
+        |  FROM e GROUP BY 1, 2),
+        |w AS (SELECT m, b, c,
+        |    CAST(sum(c) OVER (PARTITION BY m) AS BIGINT) AS n,
+        |    CAST(count(*) OVER (PARTITION BY m) AS BIGINT) AS hit,
+        |    CAST(sum(c) OVER (PARTITION BY m ORDER BY b ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT))
+        |      OVER (PARTITION BY m) AS sc2
+        |  FROM c)
+        |SELECT CAST(m AS BIGINT) AS m, max(n) AS n_docs,
+        |  max(hit) AS buckets_hit,
+        |  floor(CAST(max(abs(cum * m - (b + 1) * n)) AS DOUBLE)
+        |    / CAST(max(n) * m AS DOUBLE) * 1e6 + 0.5) / 1e6 AS ks_stat,
+        |  floor(CAST(CAST(m AS HUGEINT) * max(sc2)
+        |      - CAST(max(n) AS HUGEINT) * CAST(max(n) AS HUGEINT)
+        |      AS DOUBLE)
+        |    / CAST(max(n) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS chi2
+        |FROM w GROUP BY m ORDER BY m""".stripMargin,
+
     "q319_gumbel_topk" ->
       """WITH h AS (SELECT doc_id, source, n_chars,
         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))

@@ -230,6 +230,38 @@ object TextAnalysis extends QueryModule {
         .orderBy(col("lang"), col("r"))
     }),
 
+    // Chao1 species-richness estimate per language — "how much
+    // vocabulary have we NOT seen yet?", the finite-sample answer to
+    // q284's Heaps-law growth fit (Heaps extrapolates the curve; Chao1
+    // lower-bounds the asymptote from singletons/doubletons alone, and
+    // Good's coverage Ĉ = 1 − N₁/N says what fraction of token mass
+    // the observed vocab already explains — the "is more crawling
+    // worth it" number). Bias-corrected form V + N₁(N₁−1)/(2(N₂+1))
+    // is total on N₂ = 0. Exact longs, two single divisions. Scale
+    // shape: tokenize → (lang, word) counts → ≤|langs| fold.
+    "q323_chao_richness" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      val cnt = Tables.documents(s, d)
+        .select(col("lang"), explode(Text.words(col("text"))).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("lang"), col("w"))
+        .agg(count(lit(1)).as("c"))
+      cnt.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_types"),
+          sum(col("c")).as("n_tokens"),
+          sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("c") === 2L, 1L).otherwise(0L)).as("n2"))
+        .select(col("lang"), col("n_types"), col("n_tokens"),
+          col("n1"), col("n2"),
+          snap6(col("n_types").cast("double")
+            + (col("n1") * (col("n1") - 1L)).cast("double")
+              / (lit(2L) * (col("n2") + 1L)).cast("double"))
+            .as("chao1"),
+          snap6(lit(1.0) - col("n1").cast("double")
+            / col("n_tokens").cast("double")).as("good_coverage"))
+        .orderBy(col("lang"))
+    }),
+
     // token counting + lexical stats: whitespace tokens, a BPE-ish regex
     // token count (letters|digits|single other-char), type/token ratio.
     "q64_token_stats" -> ((s, d) =>
@@ -786,6 +818,27 @@ object TextAnalysis extends QueryModule {
         |    AS score,
         |  score_int >= 0 AS keep
         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "q323_chao_richness" ->
+      """WITH ws AS (SELECT lang, unnest(string_split(lower(trim(
+        |      regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS w
+        |  FROM documents),
+        |cnt AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS c
+        |  FROM ws WHERE w <> '' GROUP BY 1, 2),
+        |g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_types,
+        |    CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n1,
+        |    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n2
+        |  FROM cnt GROUP BY 1)
+        |SELECT lang, n_types, n_tokens, n1, n2,
+        |  floor((CAST(n_types AS DOUBLE) + CAST(n1 * (n1 - 1) AS DOUBLE)
+        |    / CAST(2 * (n2 + 1) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS chao1,
+        |  floor((CAST(1 AS DOUBLE) - CAST(n1 AS DOUBLE)
+        |    / CAST(n_tokens AS DOUBLE)) * 1e6 + 0.5) / 1e6
+        |    AS good_coverage
+        |FROM g ORDER BY lang""".stripMargin,
 
     "q314_renyi_spectrum" ->
       """WITH ws AS (SELECT lang, unnest(string_split(lower(trim(

@@ -1224,6 +1224,62 @@ object Aggregates extends QueryModule {
         .orderBy(col("event_type"))
     }),
 
+    // Intraclass correlation ICC(1) of event value within users, per
+    // event type — "is value a USER trait or per-event noise?", the
+    // variance-decomposition readout behind any per-user aggregation
+    // decision (ICC ≈ 0 ⟹ user means are noise, don't stratify;
+    // ICC high ⟹ user is the unit of analysis — the q305 Theil
+    // between/within split, done as a proper variance component with
+    // the unbalanced-design k₀). Exactness: the one
+    // varying-denominator fold (Σ S_g²/n_g across ~|users| groups —
+    // which would be an order-sensitive float sum) is defined in
+    // MICRO-UNITS VIA INTEGER DIVISION, (S_g²·100) DIV n_g, making
+    // the cross-group sum an EXACT DECIMAL (the q119 integer-space
+    // rule; truncation bias ≤ |users|·10⁻⁶ value², far under the
+    // 6-snap). k₀ likewise folds as one integer division. Scale
+    // shape: one corpus pass to (type, user) moments, map-side
+    // combined; the ICC folds the per-type frame.
+    "q324_icc_users" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      def dec(c: Column): Column = c.cast("decimal(38,0)")
+      val perUser = Tables.events(s, d)
+        .select(col("event_type"), col("user_id"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("ng"), sum(col("cents")).as("sg"),
+          sum(dec(col("cents")) * dec(col("cents"))).as("sxx"))
+        .withColumn("tg",
+          expr("(CAST(sg AS DECIMAL(38,0)) * CAST(sg AS DECIMAL(38,0))"
+            + " * 100) DIV ng"))
+      perUser.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("g"), sum(col("ng")).as("n"),
+          sum(dec(col("sg"))).as("t"),
+          sum(col("sxx")).as("sx2"),
+          sum(dec(col("tg"))).as("tb_micro"),
+          sum(dec(col("ng")) * dec(col("ng"))).as("sn2"))
+        .filter(col("g") > 1L && col("n") > col("g"))
+        .withColumn("grand_micro",
+          expr("(t * t * 100) DIV CAST(n AS DECIMAL(38,0))"))
+        .withColumn("ssb_micro", col("tb_micro") - col("grand_micro"))
+        .withColumn("ssw_micro",
+          col("sx2") * lit(100L) - col("tb_micro"))
+        .withColumn("msb", col("ssb_micro").cast("double") / 1e6
+          / (col("g") - 1L).cast("double"))
+        .withColumn("msw", col("ssw_micro").cast("double") / 1e6
+          / (col("n") - col("g")).cast("double"))
+        .withColumn("k0", expr("((CAST(n AS DECIMAL(38,0)) * n - sn2)"
+          + " * 1000000) DIV (CAST(n AS DECIMAL(38,0)) * (g - 1))")
+          .cast("double") / 1e6)
+        .withColumn("den",
+          col("msb") + (col("k0") - lit(1.0)) * col("msw"))
+        .select(col("event_type"), col("g").as("n_users"),
+          col("n").as("n_rows"), snap6(col("msb")).as("msb"),
+          snap6(col("msw")).as("msw"), snap6(col("k0")).as("k0"),
+          when(col("den") =!= 0.0,
+            snap6((col("msb") - col("msw")) / col("den"))).as("icc"))
+        .orderBy(col("event_type"))
+    }),
+
     "q308_basket_rules" -> ((s, d) => {
       def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
       def dec(c: Column): Column = c.cast("decimal(38,0)")
@@ -1891,6 +1947,45 @@ object Aggregates extends QueryModule {
         |  floor(CAST(sg AS DOUBLE) / (CAST(x_tot AS DOUBLE) * 1e6)
         |    * 1e6 + 0.5) / 1e6 AS theil_total
         |FROM g ORDER BY c_nationkey""".stripMargin,
+
+    "q324_icc_users" ->
+      """WITH pu AS (SELECT event_type, user_id,
+        |    CAST(count(*) AS BIGINT) AS ng,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS sg,
+        |    sum(CAST(floor(value * 100 + 0.5) AS HUGEINT)
+        |      * CAST(floor(value * 100 + 0.5) AS HUGEINT)) AS sxx
+        |  FROM events GROUP BY 1, 2),
+        |tg AS (SELECT *, (CAST(sg AS HUGEINT) * CAST(sg AS HUGEINT)
+        |    * 100) // ng AS tgv FROM pu),
+        |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS g,
+        |    CAST(sum(ng) AS BIGINT) AS n,
+        |    sum(CAST(sg AS HUGEINT)) AS t,
+        |    sum(sxx) AS sx2,
+        |    sum(tgv) AS tb_micro,
+        |    sum(CAST(ng AS HUGEINT) * CAST(ng AS HUGEINT)) AS sn2
+        |  FROM tg GROUP BY 1),
+        |f AS (SELECT *,
+        |    tb_micro - (t * t * 100) // CAST(n AS HUGEINT) AS ssb_micro,
+        |    sx2 * 100 - tb_micro AS ssw_micro,
+        |    ((CAST(n AS HUGEINT) * CAST(n AS HUGEINT) - sn2) * 1000000)
+        |      // (CAST(n AS HUGEINT) * CAST(g - 1 AS HUGEINT)) AS k0m
+        |  FROM g WHERE g > 1 AND n > g),
+        |m AS (SELECT event_type, g, n,
+        |    CAST(ssb_micro AS DOUBLE) / 1e6 / CAST(g - 1 AS DOUBLE)
+        |      AS msb,
+        |    CAST(ssw_micro AS DOUBLE) / 1e6 / CAST(n - g AS DOUBLE)
+        |      AS msw,
+        |    CAST(k0m AS DOUBLE) / 1e6 AS k0
+        |  FROM f)
+        |SELECT event_type, g AS n_users, n AS n_rows,
+        |  floor(msb * 1e6 + 0.5) / 1e6 AS msb,
+        |  floor(msw * 1e6 + 0.5) / 1e6 AS msw,
+        |  floor(k0 * 1e6 + 0.5) / 1e6 AS k0,
+        |  CASE WHEN msb + (k0 - CAST(1 AS DOUBLE)) * msw <> 0 THEN
+        |    floor((msb - msw) / (msb + (k0 - CAST(1 AS DOUBLE)) * msw)
+        |      * 1e6 + 0.5) / 1e6 END AS icc
+        |FROM m ORDER BY event_type""".stripMargin,
 
     "q317_trend_test" ->
       """WITH lv AS (SELECT l_linestatus,

@@ -772,6 +772,60 @@ object Temporal extends QueryModule {
         .orderBy(col("event_type"))
     }),
 
+    // Wald-Wolfowitz runs test per event stream — "is the daily volume
+    // sequence RANDOM around its mean, or does it streak?" (trend and
+    // oscillation both fail it; the nonparametric randomness check
+    // none of q237/q295/q312's level-shift detectors ask). Sign =
+    // strictly-above-mean via the exact cross-multiplication
+    // n_d·D > S (never a float mean); runs counted by one lag over
+    // the day order; E[R] = 1 + 2n₁n₂/D and Var[R] =
+    // 2n₁n₂(2n₁n₂−D)/(D²(D−1)) are single divisions of exact DECIMAL
+    // products; z² NULL-guarded on one-sided streams (n₁ or n₂ = 0)
+    // and D ≤ 1. Scale shape: one corpus pass to the ≤|days| daily
+    // frame, a lag window over it, a bounded fold.
+    "q322_runs_test" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      def dec(c: Column): Column = c.cast("decimal(38,0)")
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val wT = Window.partitionBy(col("event_type"))
+      val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val marked = daily
+        .withColumn("dd", count(lit(1)).over(wT))
+        .withColumn("s_tot", sum(col("n")).over(wT))
+        .withColumn("above", col("n") * col("dd") > col("s_tot"))
+        .withColumn("flip", when(lag(col("above"), 1).over(wOrd).isNull
+          || lag(col("above"), 1).over(wOrd) =!= col("above"), 1L)
+          .otherwise(0L))
+      marked.groupBy(col("event_type"))
+        .agg(max(col("dd")).as("n_days"),
+          sum(when(col("above"), 1L).otherwise(0L)).as("n_above"),
+          sum(col("flip")).as("n_runs"))
+        .withColumn("n_below", col("n_days") - col("n_above"))
+        .withColumn("p2", dec(lit(2L)) * dec(col("n_above"))
+          * dec(col("n_below")))
+        .withColumn("e_runs", snap6(lit(1.0)
+          + col("p2").cast("double") / col("n_days").cast("double")))
+        // p2 = D exactly (D = 2, one day each side) zeroes the
+        // variance — NULL, never ±inf (the r12 degenerate rule).
+        .withColumn("z2", when(
+          col("n_above") > 0L && col("n_below") > 0L && col("n_days") > 1L
+            && col("p2") > dec(col("n_days")),
+          snap6(
+            (col("n_runs").cast("double") - (lit(1.0)
+              + col("p2").cast("double") / col("n_days").cast("double")))
+            * (col("n_runs").cast("double") - (lit(1.0)
+              + col("p2").cast("double") / col("n_days").cast("double")))
+            / ((col("p2") * (col("p2") - dec(col("n_days"))))
+              .cast("double")
+              / (dec(col("n_days")) * dec(col("n_days"))
+                * dec(col("n_days") - 1L)).cast("double")))))
+        .select(col("event_type"), col("n_days"), col("n_above"),
+          col("n_runs"), col("e_runs"), col("z2"))
+        .orderBy(col("event_type"))
+    }),
+
     // Nelson-Aalen cumulative hazard — the estimator-side complement
     // of q232 (KM estimates survival S(t) multiplicatively; NA
     // estimates cumulative hazard H(t) = Σ d_i/r_i additively, the
@@ -1851,6 +1905,49 @@ object Temporal extends QueryModule {
         |  CAST(s_total AS DOUBLE) / CAST(n_days AS DOUBLE) AS daily_mean,
         |  day AS ph_day, floor(exc * 1e6 + 0.5) / 1e6 AS ph_stat
         |FROM p WHERE rn = 1 ORDER BY event_type""".stripMargin,
+
+    "q322_runs_test" ->
+      """WITH dly AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |mk AS (SELECT event_type, day, n,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+        |      AS dd,
+        |    CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT)
+        |      AS s_tot
+        |  FROM dly),
+        |ab AS (SELECT event_type, day, dd,
+        |    n * dd > s_tot AS above
+        |  FROM mk),
+        |fl AS (SELECT event_type, dd, above,
+        |    CASE WHEN lag(above) OVER (PARTITION BY event_type
+        |        ORDER BY day) IS DISTINCT FROM above THEN 1 ELSE 0 END
+        |      AS flip
+        |  FROM ab),
+        |g AS (SELECT event_type, CAST(max(dd) AS BIGINT) AS n_days,
+        |    CAST(sum(CASE WHEN above THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_above,
+        |    CAST(sum(flip) AS BIGINT) AS n_runs
+        |  FROM fl GROUP BY 1),
+        |p AS (SELECT *, n_days - n_above AS n_below,
+        |    CAST(2 AS HUGEINT) * CAST(n_above AS HUGEINT)
+        |      * CAST(n_days - n_above AS HUGEINT) AS p2
+        |  FROM g)
+        |SELECT event_type, n_days, n_above, n_runs,
+        |  floor((CAST(1 AS DOUBLE) + CAST(p2 AS DOUBLE)
+        |    / CAST(n_days AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS e_runs,
+        |  CASE WHEN n_above > 0 AND n_below > 0 AND n_days > 1
+        |      AND p2 > n_days THEN
+        |    floor((CAST(n_runs AS DOUBLE) - (CAST(1 AS DOUBLE)
+        |        + CAST(p2 AS DOUBLE) / CAST(n_days AS DOUBLE)))
+        |      * (CAST(n_runs AS DOUBLE) - (CAST(1 AS DOUBLE)
+        |        + CAST(p2 AS DOUBLE) / CAST(n_days AS DOUBLE)))
+        |      / (CAST(p2 * (p2 - CAST(n_days AS HUGEINT)) AS DOUBLE)
+        |        / CAST(CAST(n_days AS HUGEINT)
+        |          * CAST(n_days AS HUGEINT)
+        |          * CAST(n_days - 1 AS HUGEINT) AS DOUBLE))
+        |      * 1e6 + 0.5) / 1e6 END AS z2
+        |FROM p ORDER BY event_type""".stripMargin,
 
     "q313_nelson_aalen" ->
       """WITH u AS (SELECT user_id,
