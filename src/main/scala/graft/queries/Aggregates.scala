@@ -1224,6 +1224,64 @@ object Aggregates extends QueryModule {
         .orderBy(col("event_type"))
     }),
 
+    // Brown-Forsythe variance-equality test across event types — "do
+    // the k value distributions share a SCALE?" (q290 Kruskal-Wallis
+    // asks location; this asks spread, median-centered so heavy tails
+    // don't fake a signal — the robust Levene variant). Exactness: the
+    // per-row deviation |value − median| is a double of identical
+    // operands both engines (median = percentile(value, 0.5) rounded
+    // to 4, the q132 recipe), immediately frozen to a MICRO-UNIT LONG
+    // (floor(z·1e6 + 0.5)) so every Σ is an exact DECIMAL; the
+    // between-group fold with varying denominators (Σ sz_j²/n_j) uses
+    // the q324 integer-division micro trick; the F ratio
+    // SSB·(N−k) / (SSW·(k−1)) cancels the µ² scale entirely — exact
+    // decimal products, ONE double division. Scale shape: the median
+    // frame is ≤|types| rows broadcast back; one corpus pass to
+    // per-type micro-moments; the test folds the bounded type frame.
+    "q327_brown_forsythe" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      def dec(c: Column): Column = c.cast("decimal(38,0)")
+      // exact integer division in DECIMAL space: Spark's `DIV`
+      // (IntegralDivide) returns a LONG and silently WRAPS past 2^63
+      // (measured: 4e24 DIV 2000 → garbage), so the q324 micro trick
+      // must divide as (a − a mod b)/b — the remainder subtraction
+      // makes the decimal quotient integral, hence exactly
+      // representable, hence un-rounded. DuckDB's `//` is HUGEINT and
+      // needs no such care.
+      def idiv(a: Column, b: Column): Column =
+        ((dec(a) - pmod(dec(a), dec(b))) / dec(b)).cast("decimal(38,0)")
+      val med = Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(round(expr("percentile(value, 0.5)"), 4).as("med"))
+      val perType = Tables.events(s, d)
+        .join(broadcast(med), "event_type")
+        .select(col("event_type"),
+          floor(abs(col("value") - col("med")) * 1e6 + 0.5).cast("long")
+            .as("zmu"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("ng"), sum(dec(col("zmu"))).as("sz"),
+          sum(dec(col("zmu")) * dec(col("zmu"))).as("szz"))
+        .withColumn("tb", idiv(col("sz") * col("sz"), col("ng")))
+      perType
+        .agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
+          sum(dec(col("sz"))).as("t"),
+          sum(col("szz")).as("szz_all"),
+          sum(dec(col("tb"))).as("tb_all"))
+        .filter(col("k") > 1L && col("n") > col("k"))
+        .withColumn("ssb",
+          col("tb_all") - idiv(col("t") * col("t"), col("n")))
+        .withColumn("ssw", col("szz_all") - col("tb_all"))
+        .select(col("k").as("n_groups"), col("n").as("n_rows"),
+          snap6(col("ssb").cast("double") / 1e12
+            / (col("k") - 1L).cast("double")).as("msb_dev"),
+          snap6(col("ssw").cast("double") / 1e12
+            / (col("n") - col("k")).cast("double")).as("msw_dev"),
+          when(col("ssw") > 0,
+            snap6((col("ssb") * dec(col("n") - col("k"))).cast("double")
+              / (col("ssw") * dec(col("k") - 1L)).cast("double")))
+            .as("f_stat"))
+    }),
+
     // Intraclass correlation ICC(1) of event value within users, per
     // event type — "is value a USER trait or per-event noise?", the
     // variance-decomposition readout behind any per-user aggregation
@@ -1242,6 +1300,12 @@ object Aggregates extends QueryModule {
     "q324_icc_users" -> ((s, d) => {
       def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
       def dec(c: Column): Column = c.cast("decimal(38,0)")
+      // see q327: Spark's DIV wraps past 2^63, so integer division
+      // runs in DECIMAL space as (a − a mod b)/b — exact and
+      // overflow-safe to 10³² (the grand term t²·100/N passes 2^63
+      // well inside a real corpus).
+      def idiv(a: Column, b: Column): Column =
+        ((dec(a) - pmod(dec(a), dec(b))) / dec(b)).cast("decimal(38,0)")
       val perUser = Tables.events(s, d)
         .select(col("event_type"), col("user_id"),
           floor(col("value") * 100 + 0.5).cast("long").as("cents"))
@@ -1249,8 +1313,7 @@ object Aggregates extends QueryModule {
         .agg(count(lit(1)).as("ng"), sum(col("cents")).as("sg"),
           sum(dec(col("cents")) * dec(col("cents"))).as("sxx"))
         .withColumn("tg",
-          expr("(CAST(sg AS DECIMAL(38,0)) * CAST(sg AS DECIMAL(38,0))"
-            + " * 100) DIV ng"))
+          idiv(dec(col("sg")) * dec(col("sg")) * lit(100L), col("ng")))
       perUser.groupBy(col("event_type"))
         .agg(count(lit(1)).as("g"), sum(col("ng")).as("n"),
           sum(dec(col("sg"))).as("t"),
@@ -1259,7 +1322,7 @@ object Aggregates extends QueryModule {
           sum(dec(col("ng")) * dec(col("ng"))).as("sn2"))
         .filter(col("g") > 1L && col("n") > col("g"))
         .withColumn("grand_micro",
-          expr("(t * t * 100) DIV CAST(n AS DECIMAL(38,0))"))
+          idiv(col("t") * col("t") * lit(100L), col("n")))
         .withColumn("ssb_micro", col("tb_micro") - col("grand_micro"))
         .withColumn("ssw_micro",
           col("sx2") * lit(100L) - col("tb_micro"))
@@ -1267,9 +1330,9 @@ object Aggregates extends QueryModule {
           / (col("g") - 1L).cast("double"))
         .withColumn("msw", col("ssw_micro").cast("double") / 1e6
           / (col("n") - col("g")).cast("double"))
-        .withColumn("k0", expr("((CAST(n AS DECIMAL(38,0)) * n - sn2)"
-          + " * 1000000) DIV (CAST(n AS DECIMAL(38,0)) * (g - 1))")
-          .cast("double") / 1e6)
+        .withColumn("k0",
+          idiv((dec(col("n")) * dec(col("n")) - col("sn2")) * lit(1000000L),
+            dec(col("n")) * dec(col("g") - 1L)).cast("double") / 1e6)
         .withColumn("den",
           col("msb") + (col("k0") - lit(1.0)) * col("msw"))
         .select(col("event_type"), col("g").as("n_users"),
@@ -1947,6 +2010,39 @@ object Aggregates extends QueryModule {
         |  floor(CAST(sg AS DOUBLE) / (CAST(x_tot AS DOUBLE) * 1e6)
         |    * 1e6 + 0.5) / 1e6 AS theil_total
         |FROM g ORDER BY c_nationkey""".stripMargin,
+
+    "q327_brown_forsythe" ->
+      """WITH med AS (SELECT event_type,
+        |    round(quantile_cont(value, 0.5), 4) AS med
+        |  FROM events GROUP BY 1),
+        |z AS (SELECT e.event_type,
+        |    CAST(floor(abs(e.value - m.med) * 1e6 + 0.5) AS BIGINT)
+        |      AS zmu
+        |  FROM events e JOIN med m USING (event_type)),
+        |pt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS ng,
+        |    sum(CAST(zmu AS HUGEINT)) AS sz,
+        |    sum(CAST(zmu AS HUGEINT) * CAST(zmu AS HUGEINT)) AS szz
+        |  FROM z GROUP BY 1),
+        |tb AS (SELECT *, (sz * sz) // CAST(ng AS HUGEINT) AS tbv
+        |  FROM pt),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(ng) AS BIGINT) AS n,
+        |    sum(sz) AS t, sum(szz) AS szz_all, sum(tbv) AS tb_all
+        |  FROM tb),
+        |f AS (SELECT *,
+        |    tb_all - (t * t) // CAST(n AS HUGEINT) AS ssb,
+        |    szz_all - tb_all AS ssw
+        |  FROM g WHERE k > 1 AND n > k)
+        |SELECT k AS n_groups, n AS n_rows,
+        |  floor(CAST(ssb AS DOUBLE) / 1e12 / CAST(k - 1 AS DOUBLE)
+        |    * 1e6 + 0.5) / 1e6 AS msb_dev,
+        |  floor(CAST(ssw AS DOUBLE) / 1e12 / CAST(n - k AS DOUBLE)
+        |    * 1e6 + 0.5) / 1e6 AS msw_dev,
+        |  CASE WHEN ssw > 0 THEN
+        |    floor(CAST(ssb * CAST(n - k AS HUGEINT) AS DOUBLE)
+        |      / CAST(ssw * CAST(k - 1 AS HUGEINT) AS DOUBLE)
+        |      * 1e6 + 0.5) / 1e6 END AS f_stat
+        |FROM f""".stripMargin,
 
     "q324_icc_users" ->
       """WITH pu AS (SELECT event_type, user_id,

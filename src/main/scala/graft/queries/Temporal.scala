@@ -772,6 +772,108 @@ object Temporal extends QueryModule {
         .orderBy(col("event_type"))
     }),
 
+    // Kendall's W — concordance of the k event types' day rankings
+    // ("do all feeds agree which days were big?", the k-ranker
+    // agreement q288's pairwise τ only answers two-at-a-time; W = 1 ⟺
+    // identical rankings, 0 ⟺ no agreement). Dense grid: |days|×|types|
+    // with REAL zeros for absent cells (an absent day ranks low, it
+    // doesn't vanish). Tie-aware: average ranks as exact 2·rank longs
+    // (the q231/q290 RANGE-window trick), per-type tie term
+    // ΣT = Σ(t³−t) folded in the same pass via ca·(cv²−1); the scaled
+    // numerator Σ(R2_d − k(n+1))² and denominator k²(n³−n) − k·ΣT are
+    // exact DECIMAL (W = 3·num/denom after the 4× rank2 scaling
+    // cancels), ONE double division, 6-snapped. Scale shape: everything
+    // after the daily aggregation lives on the bounded |days|·|types|
+    // grid.
+    "q326_kendall_w" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      def dec(c: Column): Column = c.cast("decimal(38,0)")
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val days = daily.select(col("day")).distinct()
+      val types = daily.select(col("event_type")).distinct()
+      val grid = broadcast(days).crossJoin(broadcast(types))
+        .join(daily, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+          coalesce(col("n"), lit(0L)).as("n"))
+      // tie-aware doubled ranks within each type, over the day grid
+      val wVal = Window.partitionBy(col("event_type"), col("n"))
+      val wOrd = Window.partitionBy(col("event_type")).orderBy(col("n"))
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val ranked = grid
+        .withColumn("cv", count(lit(1)).over(wVal))
+        .withColumn("cum", count(lit(1)).over(wOrd))
+        .withColumn("rank2",
+          lit(2L) * (col("cum") - col("cv")) + col("cv") + 1L)
+      val wAll = Window.partitionBy()
+      val byDay = ranked.groupBy(col("day"))
+        .agg(sum(col("rank2")).as("r2d"), count(lit(1)).as("k"))
+      // per-type tie mass Σ(t³−t), folded without a per-value regroup
+      val ties = ranked.groupBy(col("event_type"), col("n"))
+        .agg(max(col("cv")).as("t"))
+        .groupBy(col("event_type"))
+        .agg(sum(dec(col("t")) * (dec(col("t")) * dec(col("t")) - 1L))
+          .as("tj"))
+        .agg(sum(col("tj")).as("t_sum"), count(lit(1)).as("k2"))
+      byDay
+        .withColumn("nn", count(lit(1)).over(wAll))
+        .withColumn("s4", sum(
+          (dec(col("r2d")) - dec(col("k")) * dec(col("nn") + 1L))
+            * (dec(col("r2d")) - dec(col("k")) * dec(col("nn") + 1L)))
+          .over(wAll))
+        .groupBy(col("k"), col("nn"), col("s4"))
+        .agg(count(lit(1)).as("n_days_check"))
+        .crossJoin(broadcast(ties))
+        .select(col("k").as("n_rankers"), col("nn").as("n_days"),
+          when(dec(col("k")) * dec(col("k"))
+              * (dec(col("nn")) * dec(col("nn")) * dec(col("nn"))
+                - dec(col("nn")))
+              - dec(col("k")) * col("t_sum") > 0,
+            snap6((lit(3.0) * col("s4").cast("double"))
+              / (dec(col("k")) * dec(col("k"))
+                * (dec(col("nn")) * dec(col("nn")) * dec(col("nn"))
+                  - dec(col("nn")))
+                - dec(col("k")) * col("t_sum")).cast("double")))
+            .as("kendall_w"))
+    }),
+
+    // Index-of-dispersion monitor per event stream — "is daily volume
+    // Poisson (VMR ≈ 1), or over-dispersed/bursty?" — the
+    // distributional-shape check q237/q312 (level) and q322
+    // (randomness of signs) don't make. Both the variance-to-mean
+    // ratio and the χ² dispersion statistic Σ(n_d−mean)²/mean fold
+    // through exact cross-products: Σ(n·D − S)² is exact DECIMAL, so
+    // VMR = (DΣn²−S²)/((D−1)S) and χ² = Σ(nD−S)²/(D·S) are single
+    // divisions of exact operands. Scale shape: one corpus pass to
+    // the ≤|days| frame, one bounded fold.
+    "q328_poisson_dispersion" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      def dec(c: Column): Column = c.cast("decimal(38,0)")
+      Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("dd"), sum(col("n")).as("s_tot"),
+          sum(dec(col("n")) * dec(col("n"))).as("sn2"))
+        .filter(col("dd") > 1L && col("s_tot") > 0L)
+        .select(col("event_type"), col("dd").as("n_days"),
+          col("s_tot").as("n_events"),
+          snap6(col("s_tot").cast("double") / col("dd").cast("double"))
+            .as("daily_mean"),
+          snap6((dec(col("dd")) * col("sn2")
+            - dec(col("s_tot")) * dec(col("s_tot"))).cast("double")
+            / ((col("dd") - 1L).cast("double")
+              * col("s_tot").cast("double"))).as("vmr"),
+          // χ² = Σ(n_d − m)²/m = (DΣn² − S²)/S; χ²/(D−1) equals the
+          // VMR above — both emitted because monitors threshold the
+          // raw χ² against a df-dependent bound.
+          snap6((dec(col("dd")) * col("sn2")
+            - dec(col("s_tot")) * dec(col("s_tot"))).cast("double")
+            / col("s_tot").cast("double")).as("chi2"))
+        .orderBy(col("event_type"))
+    }),
+
     // Wald-Wolfowitz runs test per event stream — "is the daily volume
     // sequence RANDOM around its mean, or does it streak?" (trend and
     // oscillation both fail it; the nonparametric randomness check
@@ -1905,6 +2007,74 @@ object Temporal extends QueryModule {
         |  CAST(s_total AS DOUBLE) / CAST(n_days AS DOUBLE) AS daily_mean,
         |  day AS ph_day, floor(exc * 1e6 + 0.5) / 1e6 AS ph_stat
         |FROM p WHERE rn = 1 ORDER BY event_type""".stripMargin,
+
+    "q326_kendall_w" ->
+      """WITH dly AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |dys AS (SELECT DISTINCT day FROM dly),
+        |tps AS (SELECT DISTINCT event_type FROM dly),
+        |grid AS (SELECT t.event_type, d.day, coalesce(dly.n, 0) AS n
+        |  FROM dys d CROSS JOIN tps t
+        |  LEFT JOIN dly ON dly.event_type = t.event_type
+        |    AND dly.day = d.day),
+        |rk AS (SELECT event_type, day, n,
+        |    CAST(count(*) OVER (PARTITION BY event_type, n) AS BIGINT)
+        |      AS cv,
+        |    CAST(count(*) OVER (PARTITION BY event_type ORDER BY n
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum
+        |  FROM grid),
+        |r2 AS (SELECT event_type, day, n, cv,
+        |    2 * (cum - cv) + cv + 1 AS rank2 FROM rk),
+        |bd AS (SELECT day, CAST(sum(rank2) AS BIGINT) AS r2d,
+        |    CAST(count(*) AS BIGINT) AS k FROM r2 GROUP BY 1),
+        |st AS (SELECT r2d, k, CAST(count(*) OVER () AS BIGINT) AS nn
+        |  FROM bd),
+        |s4 AS (SELECT CAST(max(k) AS BIGINT) AS k,
+        |    CAST(max(nn) AS BIGINT) AS nn,
+        |    sum((CAST(r2d AS HUGEINT)
+        |        - CAST(k AS HUGEINT) * CAST(nn + 1 AS HUGEINT))
+        |      * (CAST(r2d AS HUGEINT)
+        |        - CAST(k AS HUGEINT) * CAST(nn + 1 AS HUGEINT))) AS s4
+        |  FROM st),
+        |ties AS (SELECT sum(tsum) AS t_sum FROM (
+        |  SELECT event_type, sum(CAST(t AS HUGEINT)
+        |      * (CAST(t AS HUGEINT) * CAST(t AS HUGEINT) - 1)) AS tsum
+        |  FROM (SELECT event_type, n, max(cv) AS t FROM rk
+        |    GROUP BY 1, 2) GROUP BY 1))
+        |SELECT k AS n_rankers, nn AS n_days,
+        |  CASE WHEN CAST(k AS HUGEINT) * CAST(k AS HUGEINT)
+        |      * (CAST(nn AS HUGEINT) * CAST(nn AS HUGEINT)
+        |        * CAST(nn AS HUGEINT) - CAST(nn AS HUGEINT))
+        |      - CAST(k AS HUGEINT) * t_sum > 0 THEN
+        |    floor(CAST(3 AS DOUBLE) * CAST(s4 AS DOUBLE)
+        |      / CAST(CAST(k AS HUGEINT) * CAST(k AS HUGEINT)
+        |        * (CAST(nn AS HUGEINT) * CAST(nn AS HUGEINT)
+        |          * CAST(nn AS HUGEINT) - CAST(nn AS HUGEINT))
+        |        - CAST(k AS HUGEINT) * t_sum AS DOUBLE) * 1e6 + 0.5)
+        |      / 1e6 END AS kendall_w
+        |FROM s4, ties""".stripMargin,
+
+    "q328_poisson_dispersion" ->
+      """WITH dly AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS dd,
+        |    CAST(sum(n) AS BIGINT) AS s_tot,
+        |    sum(CAST(n AS HUGEINT) * CAST(n AS HUGEINT)) AS sn2
+        |  FROM dly GROUP BY 1)
+        |SELECT event_type, dd AS n_days, s_tot AS n_events,
+        |  floor(CAST(s_tot AS DOUBLE) / CAST(dd AS DOUBLE) * 1e6 + 0.5)
+        |    / 1e6 AS daily_mean,
+        |  floor(CAST(CAST(dd AS HUGEINT) * sn2 - CAST(s_tot AS HUGEINT)
+        |      * CAST(s_tot AS HUGEINT) AS DOUBLE)
+        |    / (CAST(dd - 1 AS DOUBLE) * CAST(s_tot AS DOUBLE))
+        |    * 1e6 + 0.5) / 1e6 AS vmr,
+        |  floor(CAST(CAST(dd AS HUGEINT) * sn2 - CAST(s_tot AS HUGEINT)
+        |      * CAST(s_tot AS HUGEINT) AS DOUBLE)
+        |    / CAST(s_tot AS DOUBLE) * 1e6 + 0.5) / 1e6 AS chi2
+        |FROM g WHERE dd > 1 AND s_tot > 0 ORDER BY event_type""".stripMargin,
 
     "q322_runs_test" ->
       """WITH dly AS (SELECT event_type, CAST(ts AS DATE) AS day,
