@@ -631,6 +631,84 @@ object CorpusSignals extends QueryModule {
           snap6((dec(col("n1") + 1L) * dec(col("n2") + 1L))
             .cast("double") / (col("m") + 1L).cast("double") - 1.0)
             .as("chapman_est"))
+    }),
+
+    // Keyness with FDR control — "which tokens are SIGNIFICANTLY
+    // over/under-represented in source src0 vs the rest of the
+    // corpus?", the corpus-linguistics screen (Dunning 1993 G²
+    // log-likelihood keyness) with Benjamini-Hochberg step-up across
+    // the whole vocabulary, the multiple-testing discipline q291's
+    // raw divergences and q320's effect sizes both skip (test one
+    // source against 10⁶ vocabulary items and 5% of "significant"
+    // raw hits are noise — BH caps the expected false-discovery
+    // share at α=0.05). Exactness: G² = 2(a·ln(a/Eₐ) + b·ln(b/E_b))
+    // folds as count × micro-nat longs of exact DECIMAL-product
+    // ratios (ln(a/Eₐ) = ln(a(A+B)) − ln(A(a+b)), the q291 recipe);
+    // p = 2(1−Φ(√G²)) — exact for a 1-df χ² — via the Abramowitz &
+    // Stegun 26.2.17 polynomial (|ε| < 7.5e-8, far inside the 1e-6
+    // snap), identical per-row double formula both engines; the BH
+    // step-up is one rank window (p asc, token tie-break) with
+    // k* = max{k : p₍ₖ₎ ≤ kα/m} riding the same exchange, compared
+    // as p·m ≤ k·α so no per-rank division. Scale shape: one corpus
+    // tokenize pass to per-token (a, b) counts (map-side combined),
+    // scalar totals broadcast back; the rank window is a single
+    // range-partitioned sort of the VOCABULARY frame (tokens, not
+    // corpus rows); output is top-15 by G² with the BH verdict.
+    "q329_keyness_fdr" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      def dec(c: Column): Column = c.cast("decimal(38,0)")
+      def ln6(c: Column): Column =
+        floor(log(c.cast("double")) * 1e6 + 0.5).cast("long")
+      val cnt = Tables.documents(s, d)
+        .select((col("source") === "src0").as("focus"),
+          explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("tok"))
+        .agg(sum(when(col("focus"), 1L).otherwise(0L)).as("a"),
+          sum(when(col("focus"), 0L).otherwise(1L)).as("b"))
+      val tot = cnt.agg(sum(col("a")).as("na"), sum(col("b")).as("nb"))
+      val g2 = cnt.crossJoin(broadcast(tot))
+        .filter(col("a") + col("b") >= 5L)
+        .withColumn("g2",
+          (lit(2L) * (when(col("a") > 0L, dec(col("a"))
+              * (ln6(dec(col("a")) * dec(col("na") + col("nb")))
+                - ln6(dec(col("na")) * dec(col("a") + col("b")))))
+              .otherwise(lit(0L).cast("decimal(38,0)"))
+            + when(col("b") > 0L, dec(col("b"))
+              * (ln6(dec(col("b")) * dec(col("na") + col("nb")))
+                - ln6(dec(col("nb")) * dec(col("a") + col("b")))))
+              .otherwise(lit(0L).cast("decimal(38,0)"))))
+            .cast("double") / 1e6)
+      // A&S 26.2.17 upper-tail Φ̄(z) with t = 1/(1 + 0.2316419·z);
+      // p(χ²₁ ≥ g2) = 2·Φ̄(√g2). Same literals spelled in the oracle.
+      val z = sqrt(col("g2"))
+      val base = lit(1.0) + lit(0.2316419) * z
+      val p = when(col("g2") <= 0.0, lit(1.0)).otherwise(
+        lit(2.0) * (lit(0.3989422804014327) * exp(-col("g2") / lit(2.0)))
+          * (lit(0.319381530) / base
+            - lit(0.356563782) * pow(base, lit(-2.0))
+            + lit(1.781477937) * pow(base, lit(-3.0))
+            - lit(1.821255978) * pow(base, lit(-4.0))
+            + lit(1.330274429) * pow(base, lit(-5.0))))
+      val wRank = Window.orderBy(col("pval"), col("tok"))
+      val wAll = Window.partitionBy()
+      // rk/m/k* all ride the ONE single-partition vocabulary exchange
+      // the rank itself needs (no second shuffle).
+      val ranked = g2.withColumn("pval", p)
+        .withColumn("rk", row_number().over(wRank).cast("long"))
+        .withColumn("m", count(lit(1)).over(wAll))
+        .withColumn("k_star", coalesce(max(when(
+            col("pval") * col("m").cast("double")
+              <= col("rk").cast("double") * lit(0.05), col("rk")))
+          .over(wAll), lit(0L)))
+      ranked
+        .select(col("tok"), col("a").as("cnt_focus"),
+          col("b").as("cnt_rest"), snap6(col("g2")).as("g2"),
+          snap6(col("pval")).as("p_value"), col("rk").as("p_rank"),
+          col("m").as("n_tested"), col("k_star").as("n_rejected"),
+          (col("rk") <= col("k_star")).as("rejected"))
+        .orderBy(col("g2").desc, col("tok"))
+        .limit(15)
     })
   )
 
@@ -1575,6 +1653,59 @@ object CorpusSignals extends QueryModule {
         |  floor((CAST(CAST(n1 + 1 AS HUGEINT) * CAST(n2 + 1 AS HUGEINT)
         |      AS DOUBLE) / CAST(m + 1 AS DOUBLE) - 1.0::DOUBLE)
         |    * 1e6 + 0.5) / 1e6 AS chapman_est
-        |FROM a""".stripMargin
+        |FROM a""".stripMargin,
+
+    "q329_keyness_fdr" ->
+      """WITH tk AS (SELECT source = 'src0' AS focus,
+        |    unnest(string_split(text, ' ')) AS tok FROM documents),
+        |cnt AS (SELECT tok,
+        |    CAST(sum(CASE WHEN focus THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN focus THEN 0 ELSE 1 END) AS BIGINT) AS b
+        |  FROM tk WHERE tok <> '' GROUP BY 1),
+        |tot AS (SELECT CAST(sum(a) AS BIGINT) AS na,
+        |    CAST(sum(b) AS BIGINT) AS nb FROM cnt),
+        |g AS (SELECT tok, a, b,
+        |    CAST(2 * (CASE WHEN a > 0 THEN CAST(a AS HUGEINT)
+        |        * (CAST(floor(ln(CAST(CAST(a AS HUGEINT) * (na + nb)
+        |            AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+        |          - CAST(floor(ln(CAST(CAST(na AS HUGEINT) * (a + b)
+        |              AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)) ELSE 0 END
+        |      + CASE WHEN b > 0 THEN CAST(b AS HUGEINT)
+        |        * (CAST(floor(ln(CAST(CAST(b AS HUGEINT) * (na + nb)
+        |            AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+        |          - CAST(floor(ln(CAST(CAST(nb AS HUGEINT) * (a + b)
+        |              AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)) ELSE 0 END)
+        |      AS DOUBLE) / 1e6 AS g2
+        |  FROM cnt, tot WHERE a + b >= 5),
+        |p AS (SELECT tok, a, b, g2,
+        |    CASE WHEN g2 <= 0 THEN 1.0::DOUBLE ELSE
+        |      2.0::DOUBLE * (0.3989422804014327::DOUBLE
+        |        * exp(-g2 / 2.0::DOUBLE))
+        |      * (0.319381530::DOUBLE / (1.0::DOUBLE
+        |          + 0.2316419::DOUBLE * sqrt(g2))
+        |        - 0.356563782::DOUBLE * pow(1.0::DOUBLE
+        |          + 0.2316419::DOUBLE * sqrt(g2), -2.0::DOUBLE)
+        |        + 1.781477937::DOUBLE * pow(1.0::DOUBLE
+        |          + 0.2316419::DOUBLE * sqrt(g2), -3.0::DOUBLE)
+        |        - 1.821255978::DOUBLE * pow(1.0::DOUBLE
+        |          + 0.2316419::DOUBLE * sqrt(g2), -4.0::DOUBLE)
+        |        + 1.330274429::DOUBLE * pow(1.0::DOUBLE
+        |          + 0.2316419::DOUBLE * sqrt(g2), -5.0::DOUBLE)) END
+        |      AS pval
+        |  FROM g),
+        |rk AS (SELECT *,
+        |    CAST(row_number() OVER (ORDER BY pval, tok) AS BIGINT)
+        |      AS rk,
+        |    CAST(count(*) OVER () AS BIGINT) AS m
+        |  FROM p),
+        |ks AS (SELECT coalesce(max(CASE WHEN pval * CAST(m AS DOUBLE)
+        |      <= CAST(rk AS DOUBLE) * 0.05::DOUBLE THEN rk END),
+        |    CAST(0 AS BIGINT)) AS k_star FROM rk)
+        |SELECT tok, a AS cnt_focus, b AS cnt_rest,
+        |  floor(g2 * 1e6 + 0.5) / 1e6 AS g2,
+        |  floor(pval * 1e6 + 0.5) / 1e6 AS p_value,
+        |  rk AS p_rank, m AS n_tested, k_star AS n_rejected,
+        |  rk <= k_star AS rejected
+        |FROM rk, ks ORDER BY g2 DESC, tok LIMIT 15""".stripMargin
   )
 }

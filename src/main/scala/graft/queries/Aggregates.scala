@@ -1433,6 +1433,112 @@ object Aggregates extends QueryModule {
         .select(col("type_a"), col("type_b"), col("n_grid"),
           snap6(col("w1_raw")).as("w1_distance"))
         .orderBy(col("type_a"), col("type_b"))
+    }),
+
+    // Cliff's delta per order priority vs the rest — the ORDINAL
+    // effect size (Cliff 1993): δ = (#{x>y} − #{x<y})/(n₁n₂) over all
+    // cross pairs, the robust "how big is the difference" companion
+    // to q231's Mann-Whitney significance (U says WHETHER priorities
+    // shift price mass; δ says BY HOW MUCH, insensitive to outliers
+    // where q33's means are not). Never pairwise: per distinct price
+    // v, #{rest < v} = (cumAll<v) − (cumGrp<v), so both pair counts
+    // fold as Σ n_grp(v)·(bounded cum diffs) — exact DECIMAL
+    // cross-products from TWO rank-style prefix sums (one over the
+    // distinct-value frame, one per (priority, value)), a single
+    // division at the end. Magnitude bins are the Romano et al. 2006
+    // thresholds on the SNAPPED δ. Scale shape: value-level frames
+    // only (≈|distinct prices|), range-partitioned prefix-sum
+    // windows, no row² anywhere.
+    "q331_cliffs_delta" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      def dec(c: Column): Column = c.cast("decimal(38,0)")
+      val ords = Tables.orders(s, d)
+        .select(col("o_orderpriority").as("prio"),
+          col("o_totalprice").as("v"))
+      val vt = ords.groupBy(col("v")).agg(count(lit(1)).as("nv"))
+        .withColumn("cum_le", sum(col("nv")).over(Window.orderBy(col("v"))))
+        .withColumn("n_all", sum(col("nv")).over(Window.partitionBy()))
+      val pv = ords.groupBy(col("prio"), col("v"))
+        .agg(count(lit(1)).as("np"))
+        .withColumn("cump_le", sum(col("np")).over(
+          Window.partitionBy(col("prio")).orderBy(col("v"))))
+        .withColumn("n_p", sum(col("np")).over(
+          Window.partitionBy(col("prio"))))
+      pv.join(vt, "v")
+        .withColumn("b_lt",
+          (col("cum_le") - col("nv")) - (col("cump_le") - col("np")))
+        .withColumn("b_gt",
+          (col("n_all") - col("cum_le")) - (col("n_p") - col("cump_le")))
+        .groupBy(col("prio"))
+        .agg(max(col("n_p")).as("n_focus"), max(col("n_all")).as("n_all"),
+          sum(dec(col("np")) * dec(col("b_lt"))).as("gt_pairs"),
+          sum(dec(col("np")) * dec(col("b_gt"))).as("lt_pairs"))
+        .withColumn("delta6", snap6((col("gt_pairs") - col("lt_pairs"))
+          .cast("double") / (dec(col("n_focus"))
+            * dec(col("n_all") - col("n_focus"))).cast("double")))
+        .select(col("prio").as("o_orderpriority"), col("n_focus"),
+          (col("n_all") - col("n_focus")).as("n_rest"),
+          col("gt_pairs").cast("long").as("gt_pairs"),
+          col("lt_pairs").cast("long").as("lt_pairs"),
+          col("delta6").as("cliffs_delta"),
+          when(abs(col("delta6")) < 0.147, "negligible")
+            .when(abs(col("delta6")) < 0.33, "small")
+            .when(abs(col("delta6")) < 0.474, "medium")
+            .otherwise("large").as("magnitude"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // Cronbach's alpha over the event-type "instrument" — internal
+    // consistency of the k = |event types| per-user activity scores
+    // ("do the five signals move together across users, i.e. does
+    // 'activity' behave like ONE latent trait?"), the psychometric
+    // reliability readout q324's ICC (absolute agreement on one
+    // score) doesn't give. Dense user × type grid with REAL zeros
+    // (an inactive user scores 0, it doesn't vanish); item and
+    // total-score variance numerators are exact DECIMAL
+    // U·Σs² − (Σs)² sharing the U² denominator, so
+    // α = k(num_tot − Σnum_item) / ((k−1)·num_tot) is ONE division
+    // of exact operands, 6-snapped. Scale shape: one corpus pass to
+    // per-(user, type) counts; the grid is |users| × |bounded type
+    // set| via broadcast cross join; readout folds are counters.
+    "q333_cronbach_alpha" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      def dec(c: Column): Column = c.cast("decimal(38,0)")
+      val ev = Tables.events(s, d)
+      val users = ev.select(col("user_id")).distinct()
+      val types = ev.select(col("event_type")).distinct()
+      val filled = users.crossJoin(broadcast(types))
+        .join(ev.groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("c")),
+          Seq("user_id", "event_type"), "left")
+        .select(col("user_id"), col("event_type"),
+          coalesce(col("c"), lit(0L)).as("c"))
+      val items = filled.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("u"), sum(col("c")).as("sc"),
+          sum(dec(col("c")) * dec(col("c"))).as("sc2"))
+        .agg(count(lit(1)).as("k"), max(col("u")).as("n_users"),
+          sum(dec(col("u")) * col("sc2")
+            - dec(col("sc")) * dec(col("sc"))).as("num_items"))
+      val total = filled.groupBy(col("user_id"))
+        .agg(sum(col("c")).as("s"))
+        .agg(count(lit(1)).as("u2"), sum(col("s")).as("ss"),
+          sum(dec(col("s")) * dec(col("s"))).as("ss2"))
+        .select((dec(col("u2")) * col("ss2")
+          - dec(col("ss")) * dec(col("ss"))).as("num_tot"),
+          col("u2"))
+      items.crossJoin(broadcast(total))
+        .select(col("k").as("n_items"), col("n_users"),
+          snap6(col("num_items").cast("double")
+            / (dec(col("u2")) * dec(col("u2"))).cast("double"))
+            .as("sum_item_var"),
+          snap6(col("num_tot").cast("double")
+            / (dec(col("u2")) * dec(col("u2"))).cast("double"))
+            .as("total_var"),
+          when(col("num_tot") > 0,
+            snap6((dec(col("k")) * (col("num_tot") - col("num_items")))
+              .cast("double")
+              / (dec(col("k") - 1L) * col("num_tot")).cast("double")))
+            .as("cronbach_alpha"))
     })
   )
 
@@ -2206,6 +2312,91 @@ object Aggregates extends QueryModule {
         |SELECT t AS type_a, t_b AS type_b, n_grid,
         |  floor(CAST(s6 AS DOUBLE) / 1e6 * 1e6 + 0.5) / 1e6
         |    AS w1_distance
-        |FROM s ORDER BY type_a, type_b""".stripMargin
+        |FROM s ORDER BY type_a, type_b""".stripMargin,
+
+    "q331_cliffs_delta" ->
+      """WITH o AS (SELECT o_orderpriority AS prio, o_totalprice AS v
+        |  FROM orders),
+        |vt AS (SELECT v, CAST(count(*) AS BIGINT) AS nv FROM o
+        |  GROUP BY 1),
+        |vc AS (SELECT v, nv,
+        |    CAST(sum(nv) OVER (ORDER BY v) AS BIGINT) AS cum_le,
+        |    CAST(sum(nv) OVER () AS BIGINT) AS n_all
+        |  FROM vt),
+        |pv AS (SELECT prio, v, CAST(count(*) AS BIGINT) AS np FROM o
+        |  GROUP BY 1, 2),
+        |pc AS (SELECT prio, v, np,
+        |    CAST(sum(np) OVER (PARTITION BY prio ORDER BY v) AS BIGINT)
+        |      AS cump_le,
+        |    CAST(sum(np) OVER (PARTITION BY prio) AS BIGINT) AS n_p
+        |  FROM pv),
+        |j AS (SELECT pc.prio, pc.np,
+        |    (vc.cum_le - vc.nv) - (pc.cump_le - pc.np) AS b_lt,
+        |    (vc.n_all - vc.cum_le) - (pc.n_p - pc.cump_le) AS b_gt,
+        |    pc.n_p, vc.n_all
+        |  FROM pc JOIN vc ON pc.v = vc.v),
+        |g AS (SELECT prio, max(n_p) AS n_focus, max(n_all) AS n_all,
+        |    sum(CAST(np AS HUGEINT) * CAST(b_lt AS HUGEINT)) AS gt_pairs,
+        |    sum(CAST(np AS HUGEINT) * CAST(b_gt AS HUGEINT)) AS lt_pairs
+        |  FROM j GROUP BY 1),
+        |f AS (SELECT *, floor(CAST(gt_pairs - lt_pairs AS DOUBLE)
+        |    / CAST(CAST(n_focus AS HUGEINT)
+        |      * CAST(n_all - n_focus AS HUGEINT) AS DOUBLE)
+        |    * 1e6 + 0.5) / 1e6 AS delta6
+        |  FROM g)
+        |SELECT prio AS o_orderpriority, n_focus,
+        |  CAST(n_all - n_focus AS BIGINT) AS n_rest,
+        |  CAST(gt_pairs AS BIGINT) AS gt_pairs,
+        |  CAST(lt_pairs AS BIGINT) AS lt_pairs,
+        |  delta6 AS cliffs_delta,
+        |  CASE WHEN abs(delta6) < 0.147::DOUBLE THEN 'negligible'
+        |    WHEN abs(delta6) < 0.33::DOUBLE THEN 'small'
+        |    WHEN abs(delta6) < 0.474::DOUBLE THEN 'medium'
+        |    ELSE 'large' END AS magnitude
+        |FROM f ORDER BY o_orderpriority""".stripMargin,
+
+    "q333_cronbach_alpha" ->
+      """WITH ev AS (SELECT user_id, event_type FROM events),
+        |grid AS (SELECT u.user_id, t.event_type
+        |  FROM (SELECT DISTINCT user_id FROM ev) u
+        |  CROSS JOIN (SELECT DISTINCT event_type FROM ev) t),
+        |cnt AS (SELECT user_id, event_type,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM ev GROUP BY 1, 2),
+        |fl AS (SELECT g.user_id, g.event_type,
+        |    coalesce(c.c, 0) AS c
+        |  FROM grid g LEFT JOIN cnt c
+        |    ON g.user_id = c.user_id AND g.event_type = c.event_type),
+        |it AS (SELECT event_type, CAST(count(*) AS BIGINT) AS u,
+        |    CAST(sum(c) AS BIGINT) AS sc,
+        |    sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS sc2
+        |  FROM fl GROUP BY 1),
+        |ia AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(max(u) AS BIGINT) AS n_users,
+        |    sum(CAST(u AS HUGEINT) * sc2
+        |      - CAST(sc AS HUGEINT) * CAST(sc AS HUGEINT)) AS num_items
+        |  FROM it),
+        |us AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS s FROM fl
+        |  GROUP BY 1),
+        |ta AS (SELECT CAST(count(*) AS BIGINT) AS u2,
+        |    CAST(sum(s) AS BIGINT) AS ss,
+        |    sum(CAST(s AS HUGEINT) * CAST(s AS HUGEINT)) AS ss2
+        |  FROM us),
+        |tn AS (SELECT CAST(u2 AS HUGEINT) * ss2
+        |    - CAST(ss AS HUGEINT) * CAST(ss AS HUGEINT) AS num_tot, u2
+        |  FROM ta)
+        |SELECT k AS n_items, n_users,
+        |  floor(CAST(num_items AS DOUBLE) / CAST(CAST(u2 AS HUGEINT)
+        |    * CAST(u2 AS HUGEINT) AS DOUBLE) * 1e6 + 0.5) / 1e6
+        |    AS sum_item_var,
+        |  floor(CAST(num_tot AS DOUBLE) / CAST(CAST(u2 AS HUGEINT)
+        |    * CAST(u2 AS HUGEINT) AS DOUBLE) * 1e6 + 0.5) / 1e6
+        |    AS total_var,
+        |  CASE WHEN num_tot > 0 THEN
+        |    floor(CAST(CAST(k AS HUGEINT) * (num_tot - num_items)
+        |        AS DOUBLE)
+        |      / CAST(CAST(k - 1 AS HUGEINT) * num_tot AS DOUBLE)
+        |      * 1e6 + 0.5) / 1e6 END AS cronbach_alpha
+        |FROM ia, tn""".stripMargin
   )
 }

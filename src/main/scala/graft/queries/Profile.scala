@@ -1113,6 +1113,61 @@ object Profile extends QueryModule {
           (abs(col("est_raw") - col("exact_users").cast("double"))
             / col("exact_users").cast("double")).as("rel_err"))
         .orderBy(col("event_type"))
+    }),
+
+    // Empirical-Bayes shrinkage of per-user purchase rates — the
+    // beta-binomial James-Stein move every leaderboard needs: a
+    // 2-event user at 50% must NOT outrank a 100-event user at 30%,
+    // so each raw rate x/n is pulled toward the population with
+    // strength α+β learned from the population itself (method of
+    // moments on the rate distribution: α+β = m(1−m)/v − 1, posterior
+    // mean (x+α)/(n+α+β)). Exactness: per-user rates enter the moment
+    // fit as exact micro-rate longs (x·1e6 DIV n — the q320 integer-
+    // division recipe), so m and v are single divisions of exact
+    // DECIMAL sums and every downstream double (α, β, shrunken rate)
+    // is the same arithmetic expression of exact operands on both
+    // engines; degenerate fits (v = 0 or non-positive α+β) yield NULL
+    // identically. Scale shape: one corpus pass to per-user counters
+    // (map-side combined), a 1-row moment frame broadcast back,
+    // per-row posterior means, TakeOrdered top-20.
+    "q332_eb_shrinkage" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      def dec(c: Column): Column = c.cast("decimal(38,0)")
+      val per = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("x"))
+        .withColumn("rmu", expr("x * 1000000L DIV n"))
+      val fit = per.agg(count(lit(1)).as("uu"),
+          sum(dec(col("rmu"))).as("s1"),
+          sum(dec(col("rmu")) * dec(col("rmu"))).as("s2"))
+        .select(col("uu"),
+          (col("s1").cast("double")
+            / (col("uu").cast("double") * 1e6)).as("m"),
+          ((dec(col("uu")) * col("s2") - col("s1") * col("s1"))
+            .cast("double")
+            / (col("uu").cast("double") * col("uu").cast("double")
+              * 1e12)).as("v"))
+        .select(col("uu"), col("m"), col("v"),
+          when(col("v") > 0.0,
+            col("m") * (lit(1.0) - col("m")) / col("v") - 1.0)
+            .as("ab"))
+      per.crossJoin(broadcast(fit))
+        .withColumn("alpha",
+          when(col("ab") > 0.0, col("m") * col("ab")))
+        .select(col("user_id"), col("n"), col("x"),
+          snap6(col("x").cast("double") / col("n").cast("double"))
+            .as("raw_rate"),
+          snap6(col("alpha")).as("alpha"),
+          snap6(when(col("ab") > 0.0,
+            (lit(1.0) - col("m")) * col("ab"))).as("beta"),
+          snap6(when(col("ab") > 0.0,
+            (col("x").cast("double") + col("alpha"))
+              / (col("n").cast("double") + col("ab"))))
+            .as("shrunk_rate"))
+        .orderBy(col("shrunk_rate").desc, col("user_id"))
+        .limit(20)
     })
   )
 
@@ -1822,6 +1877,37 @@ object Profile extends QueryModule {
         |      (SELECT DISTINCT c_custkey FROM customer) c
         |      ON o.o_custkey = c.c_custkey
         |      WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL))
-        |ORDER BY relation""".stripMargin
+        |ORDER BY relation""".stripMargin,
+
+    "q332_eb_shrinkage" ->
+      """WITH per AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT *, x * 1000000 // n AS rmu FROM per),
+        |f AS (SELECT CAST(count(*) AS BIGINT) AS uu,
+        |    sum(CAST(rmu AS HUGEINT)) AS s1,
+        |    sum(CAST(rmu AS HUGEINT) * CAST(rmu AS HUGEINT)) AS s2
+        |  FROM r),
+        |f2 AS (SELECT uu,
+        |    CAST(s1 AS DOUBLE) / (CAST(uu AS DOUBLE) * 1e6) AS m,
+        |    CAST(CAST(uu AS HUGEINT) * s2 - s1 * s1 AS DOUBLE)
+        |      / (CAST(uu AS DOUBLE) * CAST(uu AS DOUBLE) * 1e12) AS v
+        |  FROM f),
+        |f3 AS (SELECT uu, m, v, CASE WHEN v > 0 THEN
+        |    m * (1.0::DOUBLE - m) / v - 1.0::DOUBLE END AS ab
+        |  FROM f2)
+        |SELECT user_id, n, x,
+        |  floor(CAST(x AS DOUBLE) / CAST(n AS DOUBLE) * 1e6 + 0.5)
+        |    / 1e6 AS raw_rate,
+        |  CASE WHEN ab > 0 THEN floor(m * ab * 1e6 + 0.5) / 1e6 END
+        |    AS alpha,
+        |  CASE WHEN ab > 0 THEN floor((1.0::DOUBLE - m) * ab * 1e6
+        |    + 0.5) / 1e6 END AS beta,
+        |  CASE WHEN ab > 0 THEN floor((CAST(x AS DOUBLE) + m * ab)
+        |    / (CAST(n AS DOUBLE) + ab) * 1e6 + 0.5) / 1e6 END
+        |    AS shrunk_rate
+        |FROM r, f3 ORDER BY shrunk_rate DESC, user_id
+        |LIMIT 20""".stripMargin
   )
 }

@@ -1638,6 +1638,65 @@ object Temporal extends QueryModule {
             .cast("double")
             / (lit(7.0) * col("ndw").cast("double"))).as("residual"))
         .orderBy(col("event_type"), col("day"))
+    }),
+
+    // EWMA control chart per event stream (Roberts 1959 / Phase-I:
+    // center line and σ from the series itself) — the small-shift
+    // monitor between q237's CUSUM (cumulative) and q312's
+    // Page-Hinkley (drift): EWMA_t = λ·x_t + (1−λ)·EWMA_{t−1} seeded
+    // at μ₀, flagged when |EWMA_t − μ₀| exceeds
+    // L·σ·√(λ/(2−λ)·(1−(1−λ)^{2t})), L = 3. λ = 1/2 (the fast-
+    // response end of the standard 0.05–0.5 band) is chosen
+    // DYADICALLY: with (1−λ) = 1/2, 2^t·EWMA_t = Σ_{j≤t} n_j·2^{j−1}
+    // + μ₀, so the recurrence becomes ONE cumulative window sum of
+    // exact longs n_j·2^{j−1} and EWMA_t = (dd·cum_t + S)/(dd·2^t)
+    // is a single division of exact DECIMALs — no order-sensitive
+    // float fold, no per-row recursion. The out-of-control flag is
+    // fully integer: both sides share denominator dd²·4^t, so
+    // |EWMA−μ₀| > limit ⟺ (dd·cum + S − 2^t·S)² >
+    // 3·(dd·Σn²−S²)·(4^t−1) — an exact DECIMAL comparison, immune
+    // to both engines' sqrt. Exponents are calendar-bounded (t ≤
+    // |days|; 2^{t−1} exact in a long to t = 63 — an unbounded
+    // horizon would clip to a trailing ~50-row window where 2^{−50}
+    // is far below the 1e-6 snap). Scale shape: one corpus pass to
+    // the ≤|days|·|types| daily frame; every window runs on that
+    // dimension frame.
+    "q330_ewma_chart" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      def dec(c: Column): Column = c.cast("decimal(38,0)")
+      val wT = Window.partitionBy(col("event_type"))
+      val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("dd", count(lit(1)).over(wT))
+        .withColumn("s_tot", sum(col("n")).over(wT))
+        .withColumn("sn2", sum(dec(col("n")) * dec(col("n"))).over(wT))
+        .withColumn("t", row_number().over(wOrd).cast("long"))
+        .withColumn("w2", pow(lit(2.0), col("t") - 1L).cast("long"))
+        .withColumn("cum", sum(dec(col("n")) * dec(col("w2"))).over(wOrd))
+        .withColumn("num",
+          dec(col("dd")) * col("cum") + dec(col("s_tot"))
+            - dec(lit(2L) * col("w2")) * dec(col("s_tot")))
+        .withColumn("p4", dec(lit(2L) * col("w2")) * dec(lit(2L) * col("w2")))
+        .select(col("event_type"), col("day"), col("n"), col("t"),
+          snap6((dec(col("dd")) * col("cum") + dec(col("s_tot")))
+            .cast("double")
+            / (dec(col("dd")) * dec(lit(2L) * col("w2"))).cast("double"))
+            .as("ewma"),
+          snap6(col("s_tot").cast("double") / col("dd").cast("double"))
+            .as("center"),
+          snap6(sqrt((lit(3L).cast("decimal(38,0)")
+              * (dec(col("dd")) * col("sn2")
+                - dec(col("s_tot")) * dec(col("s_tot")))
+              * (col("p4") - 1L)).cast("double")
+            / (dec(col("dd")) * dec(col("dd")) * col("p4")).cast("double")))
+            .as("limit3s"),
+          (col("num") * col("num") > lit(3L).cast("decimal(38,0)")
+            * (dec(col("dd")) * col("sn2")
+              - dec(col("s_tot")) * dec(col("s_tot")))
+            * (col("p4") - 1L)).as("out_of_control"))
+        .orderBy(col("event_type"), col("day"))
     })
   )
 
@@ -2706,6 +2765,44 @@ object Temporal extends QueryModule {
         |  CAST(cohort_size AS BIGINT) AS cohort_size,
         |  CAST(active_users AS DOUBLE) / CAST(cohort_size AS DOUBLE)
         |    AS retention
-        |FROM r ORDER BY cohort_week, week_offset""".stripMargin
+        |FROM r ORDER BY cohort_week, week_offset""".stripMargin,
+
+    "q330_ewma_chart" ->
+      """WITH dly AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, day, n,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+        |      AS dd,
+        |    CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT)
+        |      AS s_tot,
+        |    sum(CAST(n AS HUGEINT) * CAST(n AS HUGEINT))
+        |      OVER (PARTITION BY event_type) AS sn2,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY day) AS BIGINT) AS t
+        |  FROM dly),
+        |w AS (SELECT *, CAST(pow(2.0::DOUBLE, t - 1) AS BIGINT) AS w2,
+        |    sum(CAST(n AS HUGEINT) * CAST(pow(2.0::DOUBLE, t - 1)
+        |      AS HUGEINT)) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM st),
+        |f AS (SELECT *,
+        |    CAST(dd AS HUGEINT) * cum + s_tot
+        |      - CAST(2 * w2 AS HUGEINT) * CAST(s_tot AS HUGEINT) AS num,
+        |    CAST(2 * w2 AS HUGEINT) * CAST(2 * w2 AS HUGEINT) AS p4,
+        |    CAST(dd AS HUGEINT) * sn2
+        |      - CAST(s_tot AS HUGEINT) * CAST(s_tot AS HUGEINT) AS vnum
+        |  FROM w)
+        |SELECT event_type, day, n, t,
+        |  floor(CAST(CAST(dd AS HUGEINT) * cum + s_tot AS DOUBLE)
+        |    / CAST(CAST(dd AS HUGEINT) * (2 * w2) AS DOUBLE)
+        |    * 1e6 + 0.5) / 1e6 AS ewma,
+        |  floor(CAST(s_tot AS DOUBLE) / CAST(dd AS DOUBLE) * 1e6 + 0.5)
+        |    / 1e6 AS center,
+        |  floor(sqrt(CAST(3 * vnum * (p4 - 1) AS DOUBLE)
+        |    / CAST(CAST(dd AS HUGEINT) * CAST(dd AS HUGEINT) * p4
+        |      AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS limit3s,
+        |  num * num > 3 * vnum * (p4 - 1) AS out_of_control
+        |FROM f ORDER BY event_type, day""".stripMargin
   )
 }
