@@ -1168,6 +1168,111 @@ object Profile extends QueryModule {
             .as("shrunk_rate"))
         .orderBy(col("shrunk_rate").desc, col("user_id"))
         .limit(20)
+    }),
+
+    // t-closeness audit (Li-Li-Venkatasubramanian) — the third rung
+    // of the privacy ladder above q226's k-anonymity (class SIZE) and
+    // q248's l-diversity (sensitive-value VARIETY): how far does each
+    // quasi-identifier class's distribution of the ORDERED sensitive
+    // attribute (account-balance decile) sit from the global one,
+    // as the ordered-attribute EMD D = Σᵢ|Σ_{j≤i}(p_j − q_j)|/(m−1)?
+    // (l-diverse classes can still leak: 'all balances in this class
+    // are top-decile' passes l-diversity and fails t-closeness.)
+    // Exactness: deciles come from ntile(10) over the unique total
+    // order (c_acctbal, c_custkey) — identical ANSI bucketing both
+    // engines; the running gap scales by n_class·N to the exact
+    // DECIMAL R_i = Σ_{j≤i}(c_j·N − g_j·n_class) over a DENSE
+    // class×decile grid (absent deciles are REAL zeros), so the per-
+    // class EMD is one double division of exact operands. Scale
+    // shape: the ntile is a rank-style global sort (range-partition
+    // at scale); everything after lives on ≤|classes|×10 frames.
+    "q335_t_closeness" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      def dec(c: Column): Column = c.cast("decimal(38,0)")
+      val cust = Tables.customer(s, d)
+        .withColumn("dec10", ntile(10).over(
+          Window.orderBy(col("c_acctbal"), col("c_custkey")))
+          .cast("long"))
+      val glob = cust.groupBy(col("dec10")).agg(count(lit(1)).as("g"))
+        .withColumn("n_tot", sum(col("g")).over(Window.partitionBy()))
+      val cls = cust
+        .groupBy(col("c_nationkey"), col("c_mktsegment"), col("dec10"))
+        .agg(count(lit(1)).as("c"))
+      val wCls = Window.partitionBy(col("c_nationkey"), col("c_mktsegment"))
+      val wCum = wCls.orderBy(col("dec10"))
+      cls.select(col("c_nationkey"), col("c_mktsegment")).distinct()
+        .crossJoin(broadcast(glob))
+        .join(cls, Seq("c_nationkey", "c_mktsegment", "dec10"), "left")
+        .select(col("c_nationkey"), col("c_mktsegment"), col("dec10"),
+          col("g"), col("n_tot"), coalesce(col("c"), lit(0L)).as("c"))
+        .withColumn("n_cls", sum(col("c")).over(wCls))
+        .withColumn("ri", sum(dec(col("c")) * dec(col("n_tot"))
+          - dec(col("g")) * dec(col("n_cls"))).over(wCum))
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(max(col("n_cls")).as("class_size"),
+          max(col("n_tot")).as("ntv"), count(lit(1)).as("m"),
+          sum(abs(col("ri"))).as("sabs"))
+        .withColumn("t_emd", snap6(col("sabs").cast("double")
+          / (dec(col("m") - 1L) * dec(col("class_size"))
+            * dec(col("ntv"))).cast("double")))
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          col("class_size"), col("t_emd"),
+          (col("t_emd") > 0.2).as("violates_t02"))
+        .orderBy(col("c_nationkey"), col("c_mktsegment"))
+    }),
+
+    // Information gain of each order attribute for the above-mean-
+    // price label — the feature-selection screen ("which column
+    // PREDICTS high-value orders?") behind decision-tree splits and
+    // leakage audits, the supervised complement of q262's pairwise
+    // mutual information. Pure micro-nat integer algebra (the q304
+    // recipe): with exact-cent prices, the label (pc·N > Σpc) is an
+    // exact cross-product comparison; IG·N·1e6 = [N·ln6(N) −
+    // Σ_l c_l·ln6(c_l)] − Σ_v[n_v·ln6(n_v) − Σ_l c_vl·ln6(c_vl)] —
+    // every operand an exact DECIMAL count×µnat, ONE division per
+    // feature. Scale shape: one corpus pass fans out 3 feature rows
+    // (map-side combined into the ≤Σ|domains|×2 count frame); the
+    // label-entropy 1-row frame broadcasts back; output is 3 rows.
+    "q337_info_gain" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      def dec(c: Column): Column = c.cast("decimal(38,0)")
+      def ln6(c: Column): Column =
+        floor(log(c.cast("double")) * 1e6 + 0.5).cast("long")
+      val o = Tables.orders(s, d).select(
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("pc"),
+        col("o_orderpriority"), col("o_orderstatus"),
+        month(col("o_orderdate")).cast("string").as("omonth"))
+      val tot = o.agg(count(lit(1)).as("nn"), sum(col("pc")).as("spc"))
+      val lab = o.crossJoin(broadcast(tot))
+        .withColumn("label",
+          dec(col("pc")) * dec(col("nn")) > dec(col("spc")))
+      val hLab = lab.groupBy(col("label")).agg(count(lit(1)).as("cl"))
+        .agg(sum(col("cl")).as("nn2"),
+          sum(dec(col("cl")) * ln6(col("cl"))).as("sll"))
+        .select(col("nn2"),
+          (dec(col("nn2")) * ln6(col("nn2")) - col("sll")).as("h_num"))
+      val melted = lab.select(col("label"), explode(map(
+        lit("priority"), col("o_orderpriority"),
+        lit("status"), col("o_orderstatus"),
+        lit("month"), col("omonth"))).as(Seq("feature", "value")))
+      melted.groupBy(col("feature"), col("value"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("feature"), col("value"))
+        .agg(sum(col("c")).as("nv"),
+          sum(dec(col("c")) * ln6(col("c"))).as("slc"))
+        .groupBy(col("feature"))
+        .agg(count(lit(1)).as("n_values"),
+          sum(dec(col("nv")) * ln6(col("nv")) - col("slc"))
+            .as("cond_num"))
+        .crossJoin(broadcast(hLab))
+        .select(col("feature"), col("n_values"),
+          snap6(col("h_num").cast("double")
+            / (col("nn2").cast("double") * 1e6)).as("h_label"),
+          snap6(col("cond_num").cast("double")
+            / (col("nn2").cast("double") * 1e6)).as("h_cond"),
+          snap6((col("h_num") - col("cond_num")).cast("double")
+            / (col("nn2").cast("double") * 1e6)).as("info_gain"))
+        .orderBy(col("info_gain").desc, col("feature"))
     })
   )
 
@@ -1908,6 +2013,92 @@ object Profile extends QueryModule {
         |    / (CAST(n AS DOUBLE) + ab) * 1e6 + 0.5) / 1e6 END
         |    AS shrunk_rate
         |FROM r, f3 ORDER BY shrunk_rate DESC, user_id
-        |LIMIT 20""".stripMargin
+        |LIMIT 20""".stripMargin,
+
+    "q335_t_closeness" ->
+      """WITH cu AS (SELECT c_nationkey, c_mktsegment,
+        |    CAST(ntile(10) OVER (ORDER BY c_acctbal, c_custkey)
+        |      AS BIGINT) AS dec10
+        |  FROM customer),
+        |gl AS (SELECT dec10, CAST(count(*) AS BIGINT) AS g FROM cu
+        |  GROUP BY 1),
+        |gt AS (SELECT dec10, g, CAST(sum(g) OVER () AS BIGINT)
+        |    AS n_tot FROM gl),
+        |cl AS (SELECT c_nationkey, c_mktsegment, dec10,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM cu GROUP BY 1, 2, 3),
+        |cls AS (SELECT DISTINCT c_nationkey, c_mktsegment FROM cl),
+        |grid AS (SELECT cls.c_nationkey, cls.c_mktsegment, gt.dec10,
+        |    gt.g, gt.n_tot, coalesce(cl.c, 0) AS c
+        |  FROM cls CROSS JOIN gt LEFT JOIN cl
+        |    ON cl.c_nationkey = cls.c_nationkey
+        |    AND cl.c_mktsegment = cls.c_mktsegment
+        |    AND cl.dec10 = gt.dec10),
+        |w1 AS (SELECT *, CAST(sum(c) OVER (PARTITION BY c_nationkey,
+        |    c_mktsegment) AS BIGINT) AS n_cls FROM grid),
+        |w2 AS (SELECT *, sum(CAST(c AS HUGEINT) * n_tot
+        |      - CAST(g AS HUGEINT) * n_cls)
+        |    OVER (PARTITION BY c_nationkey, c_mktsegment
+        |      ORDER BY dec10) AS ri
+        |  FROM w1),
+        |g2 AS (SELECT c_nationkey, c_mktsegment,
+        |    CAST(max(n_cls) AS BIGINT) AS class_size,
+        |    CAST(max(n_tot) AS BIGINT) AS ntv,
+        |    CAST(count(*) AS BIGINT) AS m, sum(abs(ri)) AS sabs
+        |  FROM w2 GROUP BY 1, 2),
+        |f AS (SELECT *, floor(CAST(sabs AS DOUBLE)
+        |    / CAST(CAST(m - 1 AS HUGEINT) * class_size * ntv
+        |      AS DOUBLE) * 1e6 + 0.5) / 1e6 AS t_emd
+        |  FROM g2)
+        |SELECT c_nationkey, c_mktsegment, class_size, t_emd,
+        |  t_emd > 0.2::DOUBLE AS violates_t02
+        |FROM f ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+
+    "q337_info_gain" ->
+      """WITH o AS (SELECT CAST(floor(o_totalprice * 100 + 0.5)
+        |      AS BIGINT) AS pc,
+        |    o_orderpriority, o_orderstatus,
+        |    CAST(month(o_orderdate) AS VARCHAR) AS omonth
+        |  FROM orders),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS nn,
+        |    CAST(sum(pc) AS BIGINT) AS spc FROM o),
+        |l AS (SELECT CAST(pc AS HUGEINT) * nn > spc AS label,
+        |    o_orderpriority, o_orderstatus, omonth
+        |  FROM o, t),
+        |hl AS (SELECT CAST(count(*) AS BIGINT) AS cl FROM l
+        |  GROUP BY label),
+        |hn AS (SELECT CAST(sum(cl) AS BIGINT) AS nn2,
+        |    sum(CAST(cl AS HUGEINT) * CAST(floor(ln(CAST(cl AS DOUBLE))
+        |      * 1e6 + 0.5) AS BIGINT)) AS sll
+        |  FROM hl),
+        |h AS (SELECT nn2, CAST(nn2 AS HUGEINT)
+        |    * CAST(floor(ln(CAST(nn2 AS DOUBLE)) * 1e6 + 0.5)
+        |      AS BIGINT) - sll AS h_num
+        |  FROM hn),
+        |m AS (SELECT label, 'priority' AS feature,
+        |    o_orderpriority AS value FROM l
+        |  UNION ALL SELECT label, 'status', o_orderstatus FROM l
+        |  UNION ALL SELECT label, 'month', omonth FROM l),
+        |c1 AS (SELECT feature, value, label,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM m GROUP BY 1, 2, 3),
+        |c2 AS (SELECT feature, value, CAST(sum(c) AS BIGINT) AS nv,
+        |    sum(CAST(c AS HUGEINT) * CAST(floor(ln(CAST(c AS DOUBLE))
+        |      * 1e6 + 0.5) AS BIGINT)) AS slc
+        |  FROM c1 GROUP BY 1, 2),
+        |c3 AS (SELECT feature, CAST(count(*) AS BIGINT) AS n_values,
+        |    sum(CAST(nv AS HUGEINT)
+        |      * CAST(floor(ln(CAST(nv AS DOUBLE)) * 1e6 + 0.5)
+        |        AS BIGINT) - slc) AS cond_num
+        |  FROM c2 GROUP BY 1)
+        |SELECT feature, n_values,
+        |  floor(CAST(h_num AS DOUBLE) / (CAST(nn2 AS DOUBLE) * 1e6)
+        |    * 1e6 + 0.5) / 1e6 AS h_label,
+        |  floor(CAST(cond_num AS DOUBLE) / (CAST(nn2 AS DOUBLE) * 1e6)
+        |    * 1e6 + 0.5) / 1e6 AS h_cond,
+        |  floor(CAST(h_num - cond_num AS DOUBLE)
+        |    / (CAST(nn2 AS DOUBLE) * 1e6) * 1e6 + 0.5) / 1e6
+        |    AS info_gain
+        |FROM c3, h ORDER BY info_gain DESC, feature""".stripMargin
   )
 }

@@ -1697,6 +1697,157 @@ object Temporal extends QueryModule {
               - dec(col("s_tot")) * dec(col("s_tot")))
             * (col("p4") - 1L)).as("out_of_control"))
         .orderBy(col("event_type"), col("day"))
+    }),
+
+    // Durbin-Watson statistic on the OLS-detrended daily series per
+    // event type — "after removing the linear trend, are the
+    // residuals serially correlated?" (DW ≈ 2 = none, → 0 = positive,
+    // → 4 = negative) — the MODEL-ADEQUACY check behind q240's
+    // Theil-Sen and q162's forecast that neither makes: a trend fit
+    // on autocorrelated noise has understated errors. Fully exact:
+    // with integer day rank t and count n, the OLS residual scaled
+    // by D·den (den = D·Σt²−(Σt)², slope numerator bn = D·Σtn−ΣtΣn)
+    // is the INTEGER E_t = n_t·D·den − (Σn·den − bn·Σt) − D·bn·t,
+    // and the scale cancels in DW = Σ(E_t−E_{t−1})²/ΣE_t² — exact
+    // DECIMAL sums, one double division (operands stay inside 38
+    // digits to ~2 years of days; longer horizons would snap E_t to
+    // micro-units first). Scale shape: one corpus pass to the
+    // calendar-bounded daily frame; windows on the dimension frame.
+    "q334_durbin_watson" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      def dec(c: Column): Column = c.cast("decimal(38,0)")
+      val wT = Window.partitionBy(col("event_type"))
+      val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("t", row_number().over(wOrd).cast("long"))
+        .withColumn("dd", count(lit(1)).over(wT))
+        .withColumn("st", sum(col("t")).over(wT))
+        .withColumn("st2", sum(col("t") * col("t")).over(wT))
+        .withColumn("sn", sum(col("n")).over(wT))
+        .withColumn("stn", sum(col("t") * col("n")).over(wT))
+        .withColumn("den",
+          dec(col("dd")) * dec(col("st2")) - dec(col("st")) * dec(col("st")))
+        .withColumn("bn",
+          dec(col("dd")) * dec(col("stn")) - dec(col("st")) * dec(col("sn")))
+        .withColumn("e", dec(col("n")) * dec(col("dd")) * col("den")
+          - (dec(col("sn")) * col("den") - col("bn") * dec(col("st")))
+          - dec(col("dd")) * col("bn") * dec(col("t")))
+        .withColumn("ep", lag(col("e"), 1).over(wOrd))
+        .groupBy(col("event_type"))
+        .agg(max(col("dd")).as("n_days"),
+          max(col("bn")).as("bnv"), max(col("den")).as("denv"),
+          sum(col("e") * col("e")).as("se2"),
+          sum(when(col("ep").isNotNull,
+            (col("e") - col("ep")) * (col("e") - col("ep"))))
+            .as("sd2"))
+        .withColumn("dw6", when(col("se2") > 0,
+          snap6(col("sd2").cast("double") / col("se2").cast("double"))))
+        .select(col("event_type"), col("n_days"),
+          snap6(col("bnv").cast("double") / col("denv").cast("double"))
+            .as("trend_slope"),
+          col("dw6").as("durbin_watson"),
+          when(col("dw6").isNull, "degenerate")
+            .when(col("dw6") < 1.5, "positive_autocorr")
+            .when(col("dw6") > 2.5, "negative_autocorr")
+            .otherwise("none").as("verdict"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Seasonal-naive forecast backtest per event type — MASE
+    // (Hyndman-Koehler), THE scale-free forecast-accuracy metric:
+    // the weekly-naive forecast x̂_t = x_{t−7} scored against the
+    // one-step naive's in-sample MAE, so MASE < 1 ⟺ weekly
+    // seasonality genuinely predicts (the honest readout q211's
+    // seasonality index and q311's decomposition both stop short
+    // of). Exact: both MAEs are ratios of integer |Δ| sums, so
+    // MASE = (S₇·D₁)/(S₁·D₇) is ONE division of exact DECIMAL
+    // cross-products; degenerate streams (S₁ = 0 or < 8 days) yield
+    // NULL identically. Scale shape: one corpus pass to the daily
+    // frame, two lag windows on it, a bounded fold.
+    "q336_mase_backtest" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      def dec(c: Column): Column = c.cast("decimal(38,0)")
+      val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("l1", lag(col("n"), 1).over(wOrd))
+        .withColumn("l7", lag(col("n"), 7).over(wOrd))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(when(col("l1").isNotNull, abs(col("n") - col("l1"))))
+            .as("s1"),
+          count(col("l1")).as("d1"),
+          sum(when(col("l7").isNotNull, abs(col("n") - col("l7"))))
+            .as("s7"),
+          count(col("l7")).as("d7"))
+        .select(col("event_type"), col("n_days"),
+          when(col("d7") > 0,
+            snap6(col("s7").cast("double") / col("d7").cast("double")))
+            .as("mae_seasonal"),
+          when(col("d1") > 0,
+            snap6(col("s1").cast("double") / col("d1").cast("double")))
+            .as("mae_naive"),
+          when(col("d7") > 0 && col("s1") > 0,
+            snap6((dec(col("s7")) * dec(col("d1"))).cast("double")
+              / (dec(col("s1")) * dec(col("d7"))).cast("double")))
+            .as("mase"))
+        .orderBy(col("event_type"))
+    }),
+
+    // SAX symbolic motifs per event stream (Lin/Keogh symbolic
+    // aggregate approximation): z-normalize the daily series,
+    // discretize into 4 symbols at the standard-normal quartile
+    // breakpoints ±0.6745, slide a 3-day window, and report each
+    // stream's dominant symbolic word — the "what shape repeats?"
+    // primitive behind motif discovery that q293's event trigrams
+    // (categorical) and q256's ACF (linear) don't give. The
+    // discretization is EXACT integer algebra: z_t < ±0.6745 ⟺
+    // sign(D·n_t − S) and 10⁸·(D·n_t − S)² vs 45495025·(D·Σn²−S²)
+    // (0.6745² = 0.45495025 exactly), so no engine ever computes a
+    // float z — symbols, words, and counts are all hash-exact.
+    // Scale shape: one corpus pass to the daily frame; lag windows
+    // and the per-(type, word) count run on dimension frames;
+    // top-1 via one rank window.
+    "q338_sax_motifs" -> ((s, d) => {
+      def dec(c: Column): Column = c.cast("decimal(38,0)")
+      val wT = Window.partitionBy(col("event_type"))
+      val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val sym = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("dd", count(lit(1)).over(wT))
+        .withColumn("s_tot", sum(col("n")).over(wT))
+        .withColumn("sn2", sum(dec(col("n")) * dec(col("n"))).over(wT))
+        .withColumn("zn", dec(col("dd")) * dec(col("n")) - dec(col("s_tot")))
+        .withColumn("vnum", dec(col("dd")) * col("sn2")
+          - dec(col("s_tot")) * dec(col("s_tot")))
+        .withColumn("outer", lit(100000000L).cast("decimal(38,0)")
+          * col("zn") * col("zn") > lit(45495025L).cast("decimal(38,0)")
+          * col("vnum"))
+        .withColumn("sym",
+          when(col("zn") < 0 && col("outer"), "a")
+            .when(col("zn") < 0, "b")
+            .when(!col("outer"), "c")
+            .otherwise("d"))
+      val words = sym
+        .withColumn("s2", lag(col("sym"), 2).over(wOrd))
+        .withColumn("s1", lag(col("sym"), 1).over(wOrd))
+        .filter(col("s2").isNotNull)
+        .select(col("event_type"),
+          concat(col("s2"), col("s1"), col("sym")).as("word"))
+        .groupBy(col("event_type"), col("word"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("n_windows", sum(col("cnt")).over(wT))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("event_type"))
+            .orderBy(col("cnt").desc, col("word"))))
+      words.filter(col("rk") === 1)
+        .select(col("event_type"), col("word").as("top_motif"),
+          col("cnt").as("motif_count"), col("n_windows"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -2803,6 +2954,128 @@ object Temporal extends QueryModule {
         |    / CAST(CAST(dd AS HUGEINT) * CAST(dd AS HUGEINT) * p4
         |      AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS limit3s,
         |  num * num > 3 * vnum * (p4 - 1) AS out_of_control
-        |FROM f ORDER BY event_type, day""".stripMargin
+        |FROM f ORDER BY event_type, day""".stripMargin,
+
+    "q334_durbin_watson" ->
+      """WITH dly AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, day, n,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY day) AS BIGINT) AS t,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+        |      AS dd,
+        |    CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS sn
+        |  FROM dly),
+        |s2 AS (SELECT *,
+        |    CAST(sum(t) OVER (PARTITION BY event_type) AS BIGINT)
+        |      AS stt,
+        |    CAST(sum(t * t) OVER (PARTITION BY event_type) AS BIGINT)
+        |      AS st2,
+        |    CAST(sum(t * n) OVER (PARTITION BY event_type) AS BIGINT)
+        |      AS stn
+        |  FROM st),
+        |e AS (SELECT *,
+        |    CAST(dd AS HUGEINT) * st2 - CAST(stt AS HUGEINT) * stt
+        |      AS den,
+        |    CAST(dd AS HUGEINT) * stn - CAST(stt AS HUGEINT) * sn
+        |      AS bn
+        |  FROM s2),
+        |r AS (SELECT event_type, day, dd, bn, den,
+        |    CAST(n AS HUGEINT) * dd * den
+        |      - (CAST(sn AS HUGEINT) * den - bn * stt)
+        |      - CAST(dd AS HUGEINT) * bn * t AS ev
+        |  FROM e),
+        |l AS (SELECT *, lag(ev) OVER (PARTITION BY event_type
+        |    ORDER BY day) AS ep FROM r),
+        |g AS (SELECT event_type, CAST(max(dd) AS BIGINT) AS n_days,
+        |    max(bn) AS bnv, max(den) AS denv,
+        |    sum(ev * ev) AS se2,
+        |    sum(CASE WHEN ep IS NOT NULL
+        |      THEN (ev - ep) * (ev - ep) END) AS sd2
+        |  FROM l GROUP BY 1),
+        |f AS (SELECT *, CASE WHEN se2 > 0 THEN
+        |    floor(CAST(sd2 AS DOUBLE) / CAST(se2 AS DOUBLE) * 1e6
+        |      + 0.5) / 1e6 END AS dw6
+        |  FROM g)
+        |SELECT event_type, n_days,
+        |  floor(CAST(bnv AS DOUBLE) / CAST(denv AS DOUBLE) * 1e6 + 0.5)
+        |    / 1e6 AS trend_slope,
+        |  dw6 AS durbin_watson,
+        |  CASE WHEN dw6 IS NULL THEN 'degenerate'
+        |    WHEN dw6 < 1.5::DOUBLE THEN 'positive_autocorr'
+        |    WHEN dw6 > 2.5::DOUBLE THEN 'negative_autocorr'
+        |    ELSE 'none' END AS verdict
+        |FROM f ORDER BY event_type""".stripMargin,
+
+    "q336_mase_backtest" ->
+      """WITH dly AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |lg AS (SELECT event_type, n,
+        |    lag(n, 1) OVER (PARTITION BY event_type ORDER BY day) AS l1,
+        |    lag(n, 7) OVER (PARTITION BY event_type ORDER BY day) AS l7
+        |  FROM dly),
+        |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(CASE WHEN l1 IS NOT NULL THEN abs(n - l1) END)
+        |      AS BIGINT) AS s1,
+        |    CAST(count(l1) AS BIGINT) AS d1,
+        |    CAST(sum(CASE WHEN l7 IS NOT NULL THEN abs(n - l7) END)
+        |      AS BIGINT) AS s7,
+        |    CAST(count(l7) AS BIGINT) AS d7
+        |  FROM lg GROUP BY 1)
+        |SELECT event_type, n_days,
+        |  CASE WHEN d7 > 0 THEN floor(CAST(s7 AS DOUBLE)
+        |    / CAST(d7 AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS mae_seasonal,
+        |  CASE WHEN d1 > 0 THEN floor(CAST(s1 AS DOUBLE)
+        |    / CAST(d1 AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS mae_naive,
+        |  CASE WHEN d7 > 0 AND s1 > 0 THEN
+        |    floor(CAST(CAST(s7 AS HUGEINT) * d1 AS DOUBLE)
+        |      / CAST(CAST(s1 AS HUGEINT) * d7 AS DOUBLE) * 1e6 + 0.5)
+        |    / 1e6 END AS mase
+        |FROM g ORDER BY event_type""".stripMargin,
+
+    "q338_sax_motifs" ->
+      """WITH dly AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, day, n,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+        |      AS dd,
+        |    CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT)
+        |      AS s_tot,
+        |    sum(CAST(n AS HUGEINT) * CAST(n AS HUGEINT))
+        |      OVER (PARTITION BY event_type) AS sn2
+        |  FROM dly),
+        |sy AS (SELECT event_type, day,
+        |    CASE WHEN CAST(dd AS HUGEINT) * n - s_tot < 0
+        |        AND 100000000 * (CAST(dd AS HUGEINT) * n - s_tot)
+        |          * (CAST(dd AS HUGEINT) * n - s_tot)
+        |          > 45495025 * (CAST(dd AS HUGEINT) * sn2
+        |            - CAST(s_tot AS HUGEINT) * s_tot) THEN 'a'
+        |      WHEN CAST(dd AS HUGEINT) * n - s_tot < 0 THEN 'b'
+        |      WHEN NOT (100000000 * (CAST(dd AS HUGEINT) * n - s_tot)
+        |          * (CAST(dd AS HUGEINT) * n - s_tot)
+        |          > 45495025 * (CAST(dd AS HUGEINT) * sn2
+        |            - CAST(s_tot AS HUGEINT) * s_tot)) THEN 'c'
+        |      ELSE 'd' END AS sym
+        |  FROM st),
+        |w AS (SELECT event_type,
+        |    lag(sym, 2) OVER (PARTITION BY event_type ORDER BY day)
+        |      || lag(sym, 1) OVER (PARTITION BY event_type
+        |        ORDER BY day) || sym AS word,
+        |    lag(sym, 2) OVER (PARTITION BY event_type ORDER BY day)
+        |      AS s2
+        |  FROM sy),
+        |c AS (SELECT event_type, word, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM w WHERE s2 IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT *, CAST(sum(cnt) OVER (PARTITION BY event_type)
+        |      AS BIGINT) AS n_windows,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY cnt DESC, word) AS rk
+        |  FROM c)
+        |SELECT event_type, word AS top_motif, cnt AS motif_count,
+        |  n_windows
+        |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin
   )
 }
