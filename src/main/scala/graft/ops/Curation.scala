@@ -748,6 +748,36 @@ object Curation extends QueryModule {
           snap6(col("share")).as("alloc_share"),
           floor(col("share") * budget).cast("long").as("alloc_n"))
         .orderBy(col("source"))
+    }),
+
+    // Weighted sampling WITHOUT replacement (Efraimidis-Spirakis
+    // 2006) — draw a k-doc sample where inclusion odds follow a
+    // weight column (n_chars: favor long documents), the one-pass
+    // distributed sampler a "pick proportionally, no duplicates"
+    // curation step needs (rate-based q105 can't hit exact k;
+    // q105-style per-group limits can't weight). E-S: each row gets
+    // key u^(1/w) and the top-k keys ARE a weighted sample without
+    // replacement — equivalently min-k on −ln(u)/w. Determinism:
+    // u is the shared-md5 integer micro-uniform (q252 recipe), the
+    // key numerator is the exact µnat long 13815511 − ln6(u+1)
+    // (= −ln((u+1)/1e6)·1e6 snapped), so the sort key is a single
+    // double division of exact longs — identical both engines.
+    // Scale shape: one corpus pass computing keys, TakeOrdered k —
+    // no shuffle beyond the top-k.
+    "q343_weighted_sample" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("u", pmod(conv(substring(md5(concat(
+          col("doc_id").cast("string"), lit(":es"))), 1, 8), 16, 10)
+          .cast("long"), lit(1000000L)))
+        .withColumn("key6", (lit(13815511L)
+          - floor(log((col("u") + 1L).cast("double")) * 1e6 + 0.5)
+            .cast("long")).cast("double") / col("n_chars").cast("double"))
+        .select(col("doc_id"), col("source"), col("n_chars"), col("u"),
+          snap6(col("key6")).as("es_key"))
+        .orderBy(col("es_key"), col("doc_id"))
+        .limit(20)
     })
   )
 
@@ -1333,6 +1363,17 @@ object Curation extends QueryModule {
         |    >= len(x.ws_a) + len(b.ws) - len(list_intersect(x.ws_a, b.ws))
         |    AS leaky
         |FROM x JOIN w b ON x.neg_id = b.doc_id
-        |ORDER BY x.doc_id, x.j""".stripMargin
+        |ORDER BY x.doc_id, x.j""".stripMargin,
+
+    "q343_weighted_sample" ->
+      """WITH k AS (SELECT doc_id, source, n_chars,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':es'),
+        |      1, 8))::BIGINT % 1000000 AS u
+        |  FROM documents)
+        |SELECT doc_id, source, n_chars, u,
+        |  floor(CAST(13815511 - CAST(floor(ln(CAST(u + 1 AS DOUBLE))
+        |      * 1e6 + 0.5) AS BIGINT) AS DOUBLE)
+        |    / CAST(n_chars AS DOUBLE) * 1e6 + 0.5) / 1e6 AS es_key
+        |FROM k ORDER BY es_key, doc_id LIMIT 20""".stripMargin
   )
 }

@@ -1539,6 +1539,164 @@ object Aggregates extends QueryModule {
               .cast("double")
               / (dec(col("k") - 1L) * col("num_tot")).cast("double")))
             .as("cronbach_alpha"))
+    }),
+
+    // Cochran's Q across the k event-type "treatments" — do the k
+    // BINARY per-user reach flags (did user u fire type t on the
+    // probe day 2024-01-05?) share one success rate, the k-sample
+    // McNemar that completes the agreement family (q333's alpha
+    // treats the scores as continuous; Q asks the matched-binary
+    // question)? Day-level reach keeps the design non-degenerate at
+    // every SF: lifetime reach saturates to all-ones (every R_i = k
+    // ⟹ denominator exactly 0), while per-user DAILY density is
+    // scale-invariant in this corpus. Exact throughout: since
+    // ΣC_j = ΣR_i = N, the textbook form collapses to
+    // Q = (k−1)·(k·ΣC_j² − N²) / (k·ΣR_i − ΣR_i²) — column sums C_j,
+    // row sums R_i over ALL subjects (zero-row users count), and N
+    // are integers from ONE distinct-pair pass, both Σ folds exact
+    // DECIMAL, one double division at the end. Scale shape: corpus →
+    // distinct (user, type) probe-day pairs (map-side combined); row
+    // sums on the user frame, column sums on the bounded type frame;
+    // output is one row.
+    "q339_cochrans_q" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      def dec(c: Column): Column = c.cast("decimal(38,0)")
+      val ev = Tables.events(s, d)
+      val pairs = ev
+        .filter(to_date(col("ts")) === lit("2024-01-05").cast("date"))
+        .select(col("user_id"), col("event_type")).distinct()
+      val rows = ev.select(col("user_id")).distinct()
+        .join(pairs.groupBy(col("user_id")).agg(count(lit(1)).as("r")),
+          Seq("user_id"), "left")
+        .select(coalesce(col("r"), lit(0L)).as("r"))
+        .agg(count(lit(1)).as("n_users"), sum(col("r")).as("nn"),
+          sum(dec(col("r")) * dec(col("r"))).as("sr2"))
+      val cols = pairs.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cj"))
+        .agg(count(lit(1)).as("k"),
+          sum(dec(col("cj")) * dec(col("cj"))).as("sc2"))
+      cols.crossJoin(broadcast(rows))
+        .select(col("k").as("n_treatments"), col("n_users"),
+          (col("k") - 1L).as("df"),
+          when(dec(col("k")) * dec(col("nn")) - col("sr2") > 0,
+            snap6((dec(col("k") - 1L) * (dec(col("k")) * col("sc2")
+                - dec(col("nn")) * dec(col("nn")))).cast("double")
+              / (dec(col("k")) * dec(col("nn")) - col("sr2"))
+                .cast("double"))).as("q_stat"))
+    }),
+
+    // McNemar's test on paired per-user purchase reach, probe day 5
+    // vs probe day 25 — "did conversion CHANGE within users?" — the
+    // paired-proportion test an unpaired q143-style A/B gets wrong
+    // when the same users sit in both windows (only the DISCORDANT
+    // users carry information). Single-day probes keep the paired
+    // flags non-degenerate at every SF (half-month reach saturates
+    // to all-ones in this corpus — b = c = 0 and the test dies; a
+    // day's reach sits mid-range and is density-, not volume-,
+    // scaled). Both the raw χ² = (b−c)²/(b+c) and Edwards'
+    // continuity-corrected (|b−c|−1)²/(b+c) are single divisions of
+    // exact integers; b+c = 0 yields NULL identically. Scale shape:
+    // one corpus pass to per-user probe flags (map-side combined),
+    // a 4-cell fold, one row out.
+    "q340_mcnemar" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      def dec(c: Column): Column = c.cast("decimal(38,0)")
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase"
+            && to_date(col("ts")) === lit("2024-01-05").cast("date"),
+          1L).otherwise(0L)).as("p1"),
+          max(when(col("event_type") === "purchase"
+            && to_date(col("ts")) === lit("2024-01-25").cast("date"),
+          1L).otherwise(0L)).as("p2"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(when(col("p1") === 1L && col("p2") === 0L, 1L)
+            .otherwise(0L)).as("b"),
+          sum(when(col("p1") === 0L && col("p2") === 1L, 1L)
+            .otherwise(0L)).as("c"))
+        .select(col("n_users"), col("b").as("n_lost"),
+          col("c").as("n_gained"),
+          when(col("b") + col("c") > 0,
+            snap6(((col("b") - col("c")) * (col("b") - col("c")))
+              .cast("double")
+              / (col("b") + col("c")).cast("double"))).as("chi2"),
+          when(col("b") + col("c") > 0,
+            snap6(((abs(col("b") - col("c")) - 1L)
+              * (abs(col("b") - col("c")) - 1L)).cast("double")
+              / (col("b") + col("c")).cast("double"))).as("chi2_cc"))
+    }),
+
+    // Jonckheere-Terpstra ordered-alternative test — "does order
+    // price TREND across the five priorities in their natural
+    // order?" — strictly sharper than q290's Kruskal-Wallis when the
+    // alternative is ordered (KW spends power on every permutation
+    // of group means; JT only on the monotone one). Never pairwise
+    // in rows: the doubled statistic JT2 = Σ_{i<j} Σ_v
+    // np_j(v)·(2·cum_i(<v) + np_i(v)) folds over a DENSE
+    // group×distinct-value grid (one prefix-sum window per group,
+    // then one self-join on value across the 10 ordered group
+    // pairs — value-level frames only). Null moments are the exact
+    // tie-corrected Hollander-Wolfe forms: E2 = (N²−Σn_i²)/2 and
+    // 72·Var = A + 2·B/(N(N−1)(N−2)) + 9·C/(N(N−1)) with A, B, C
+    // pure integer sums over group sizes and pooled tie groups — all
+    // DECIMAL-exact, two double divisions (Var, z) at the end.
+    // Scale shape: value-level grid ≈ |distinct prices|×|groups|;
+    // the pair join carries bounded group fan-out, never rows².
+    "q341_jonckheere" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      def dec(c: Column): Column = c.cast("decimal(38,0)")
+      val o = Tables.orders(s, d)
+        .select(col("o_orderpriority").as("g"), col("o_totalprice").as("v"))
+      val pv = o.groupBy(col("g"), col("v")).agg(count(lit(1)).as("np"))
+      val grid = pv.select(col("v")).distinct()
+        .crossJoin(broadcast(pv.select(col("g")).distinct()))
+        .join(pv, Seq("g", "v"), "left")
+        .select(col("g"), col("v"), coalesce(col("np"), lit(0L)).as("np"))
+        .withColumn("cumle", sum(col("np")).over(
+          Window.partitionBy(col("g")).orderBy(col("v"))))
+      val b = grid.select(col("g").as("gb"), col("v").as("vb"),
+        col("np").as("npb"), col("cumle").as("cumleb"))
+      val jt = grid.join(b, col("v") === col("vb") && col("g") < col("gb"))
+        .filter(col("npb") > 0)
+        .agg(sum(dec(col("npb"))
+          * (lit(2L).cast("decimal(38,0)")
+              * (col("cumle") - col("np")).cast("decimal(38,0)")
+            + dec(col("np")))).as("jt2"))
+      // group sizes and pooled tie groups for the exact null moments
+      val gs = o.groupBy(col("g")).agg(count(lit(1)).as("ni"))
+        .agg(count(lit(1)).as("n_groups"), sum(col("ni")).as("nn"),
+          sum(dec(col("ni")) * dec(col("ni"))).as("sn2"),
+          sum(dec(col("ni")) * dec(col("ni") - 1L)).as("sn11"),
+          sum(dec(col("ni")) * dec(col("ni") - 1L)
+            * dec(lit(2L) * col("ni") + 5L)).as("sn25"),
+          sum(dec(col("ni")) * dec(col("ni") - 1L)
+            * dec(col("ni") - 2L)).as("sn12"))
+      val ts = o.groupBy(col("v")).agg(count(lit(1)).as("tj"))
+        .agg(sum(dec(col("tj")) * dec(col("tj") - 1L)).as("st11"),
+          sum(dec(col("tj")) * dec(col("tj") - 1L)
+            * dec(lit(2L) * col("tj") + 5L)).as("st25"),
+          sum(dec(col("tj")) * dec(col("tj") - 1L)
+            * dec(col("tj") - 2L)).as("st12"))
+      jt.crossJoin(broadcast(gs)).crossJoin(broadcast(ts))
+        .withColumn("e2", (dec(col("nn")) * dec(col("nn")) - col("sn2"))
+          .cast("double") / 2.0)
+        .withColumn("vvar",
+          (dec(col("nn")) * dec(col("nn") - 1L)
+            * dec(lit(2L) * col("nn") + 5L) - col("sn25") - col("st25"))
+            .cast("double") / 72.0
+          + (col("sn12") * col("st12")).cast("double")
+            / (lit(36.0) * (dec(col("nn")) * dec(col("nn") - 1L)
+              * dec(col("nn") - 2L)).cast("double"))
+          + (col("sn11") * col("st11")).cast("double")
+            / (lit(8.0) * (dec(col("nn")) * dec(col("nn") - 1L))
+              .cast("double")))
+        .select(col("n_groups"), col("nn").as("n_total"),
+          col("jt2").cast("long").as("jt2"),
+          snap6(col("e2")).as("e_jt2"),
+          snap6(col("vvar")).as("var_jt"),
+          when(col("vvar") > 0.0,
+            snap6((col("jt2").cast("double") - col("e2"))
+              / (lit(2.0) * sqrt(col("vvar"))))).as("z"))
     })
   )
 
@@ -2397,6 +2555,109 @@ object Aggregates extends QueryModule {
         |        AS DOUBLE)
         |      / CAST(CAST(k - 1 AS HUGEINT) * num_tot AS DOUBLE)
         |      * 1e6 + 0.5) / 1e6 END AS cronbach_alpha
-        |FROM ia, tn""".stripMargin
+        |FROM ia, tn""".stripMargin,
+
+    "q339_cochrans_q" ->
+      """WITH p AS (SELECT DISTINCT user_id, event_type FROM events
+        |  WHERE CAST(ts AS DATE) = DATE '2024-01-05'),
+        |r AS (SELECT coalesce(pr.rr, 0) AS rr
+        |  FROM (SELECT DISTINCT user_id FROM events) au
+        |  LEFT JOIN (SELECT user_id, CAST(count(*) AS BIGINT) AS rr
+        |    FROM p GROUP BY 1) pr ON au.user_id = pr.user_id),
+        |ra AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |    CAST(sum(rr) AS BIGINT) AS nn,
+        |    sum(CAST(rr AS HUGEINT) * CAST(rr AS HUGEINT)) AS sr2
+        |  FROM r),
+        |cc AS (SELECT event_type, CAST(count(*) AS BIGINT) AS cj
+        |  FROM p GROUP BY 1),
+        |ca AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |    sum(CAST(cj AS HUGEINT) * CAST(cj AS HUGEINT)) AS sc2
+        |  FROM cc)
+        |SELECT k AS n_treatments, n_users,
+        |  CAST(k - 1 AS BIGINT) AS df,
+        |  CASE WHEN CAST(k AS HUGEINT) * nn - sr2 > 0 THEN
+        |    floor(CAST(CAST(k - 1 AS HUGEINT) * (CAST(k AS HUGEINT)
+        |        * sc2 - CAST(nn AS HUGEINT) * nn) AS DOUBLE)
+        |      / CAST(CAST(k AS HUGEINT) * nn - sr2 AS DOUBLE)
+        |      * 1e6 + 0.5) / 1e6 END AS q_stat
+        |FROM ca, ra""".stripMargin,
+
+    "q340_mcnemar" ->
+      """WITH g AS (SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase'
+        |      AND CAST(ts AS DATE) = DATE '2024-01-05' THEN 1
+        |      ELSE 0 END) AS p1,
+        |    max(CASE WHEN event_type = 'purchase'
+        |      AND CAST(ts AS DATE) = DATE '2024-01-25' THEN 1
+        |      ELSE 0 END) AS p2
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |    CAST(sum(CASE WHEN p1 = 1 AND p2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN p1 = 0 AND p2 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c
+        |  FROM g)
+        |SELECT n_users, b AS n_lost, c AS n_gained,
+        |  CASE WHEN b + c > 0 THEN floor(CAST((b - c) * (b - c)
+        |    AS DOUBLE) / CAST(b + c AS DOUBLE) * 1e6 + 0.5) / 1e6 END
+        |    AS chi2,
+        |  CASE WHEN b + c > 0 THEN
+        |    floor(CAST((abs(b - c) - 1) * (abs(b - c) - 1) AS DOUBLE)
+        |      / CAST(b + c AS DOUBLE) * 1e6 + 0.5) / 1e6 END
+        |    AS chi2_cc
+        |FROM a""".stripMargin,
+
+    "q341_jonckheere" ->
+      """WITH o AS (SELECT o_orderpriority AS g, o_totalprice AS v
+        |  FROM orders),
+        |pv AS (SELECT g, v, CAST(count(*) AS BIGINT) AS np FROM o
+        |  GROUP BY 1, 2),
+        |grid AS (SELECT gg.g, vv.v, coalesce(pv.np, 0) AS np
+        |  FROM (SELECT DISTINCT v FROM pv) vv
+        |  CROSS JOIN (SELECT DISTINCT g FROM pv) gg
+        |  LEFT JOIN pv ON pv.g = gg.g AND pv.v = vv.v),
+        |cg AS (SELECT g, v, np,
+        |    CAST(sum(np) OVER (PARTITION BY g ORDER BY v) AS BIGINT)
+        |      AS cumle
+        |  FROM grid),
+        |jt AS (SELECT sum(CAST(b.np AS HUGEINT)
+        |    * (2 * CAST(a.cumle - a.np AS HUGEINT) + a.np)) AS jt2
+        |  FROM cg a JOIN cg b ON a.v = b.v AND a.g < b.g
+        |  WHERE b.np > 0),
+        |gs0 AS (SELECT g, CAST(count(*) AS BIGINT) AS ni FROM o
+        |  GROUP BY 1),
+        |gs AS (SELECT CAST(count(*) AS BIGINT) AS n_groups,
+        |    CAST(sum(ni) AS BIGINT) AS nn,
+        |    sum(CAST(ni AS HUGEINT) * ni) AS sn2,
+        |    sum(CAST(ni AS HUGEINT) * (ni - 1)) AS sn11,
+        |    sum(CAST(ni AS HUGEINT) * (ni - 1) * (2 * ni + 5))
+        |      AS sn25,
+        |    sum(CAST(ni AS HUGEINT) * (ni - 1) * (ni - 2)) AS sn12
+        |  FROM gs0),
+        |ts0 AS (SELECT v, CAST(count(*) AS BIGINT) AS tj FROM o
+        |  GROUP BY 1),
+        |tsx AS (SELECT sum(CAST(tj AS HUGEINT) * (tj - 1)) AS st11,
+        |    sum(CAST(tj AS HUGEINT) * (tj - 1) * (2 * tj + 5))
+        |      AS st25,
+        |    sum(CAST(tj AS HUGEINT) * (tj - 1) * (tj - 2)) AS st12
+        |  FROM ts0),
+        |f AS (SELECT n_groups, nn, jt2,
+        |    CAST(CAST(nn AS HUGEINT) * nn - sn2 AS DOUBLE)
+        |      / 2.0::DOUBLE AS e2,
+        |    CAST(CAST(nn AS HUGEINT) * (nn - 1) * (2 * nn + 5)
+        |        - sn25 - st25 AS DOUBLE) / 72.0::DOUBLE
+        |      + CAST(sn12 * st12 AS DOUBLE) / (36.0::DOUBLE
+        |        * CAST(CAST(nn AS HUGEINT) * (nn - 1) * (nn - 2)
+        |          AS DOUBLE))
+        |      + CAST(sn11 * st11 AS DOUBLE) / (8.0::DOUBLE
+        |        * CAST(CAST(nn AS HUGEINT) * (nn - 1) AS DOUBLE))
+        |      AS vvar
+        |  FROM gs, tsx, jt)
+        |SELECT n_groups, nn AS n_total, CAST(jt2 AS BIGINT) AS jt2,
+        |  floor(e2 * 1e6 + 0.5) / 1e6 AS e_jt2,
+        |  floor(vvar * 1e6 + 0.5) / 1e6 AS var_jt,
+        |  CASE WHEN vvar > 0 THEN floor((CAST(jt2 AS DOUBLE) - e2)
+        |    / (2.0::DOUBLE * sqrt(vvar)) * 1e6 + 0.5) / 1e6 END AS z
+        |FROM f""".stripMargin
   )
 }

@@ -298,6 +298,67 @@ object Graph extends QueryModule {
                 .cast("double"))
               * sqrt((dec(col("e")) * col("svv") - col("sv") * col("sv"))
                 .cast("double")))).as("assortativity"))
+    }),
+
+    // Rich-club coefficient sweep over the q166 thresholded nation-
+    // trade graph — "do the HUBS trade with each other?" φ(k) =
+    // 2·E_{>k}/(N_{>k}(N_{>k}−1)) over nodes of degree > k for a
+    // fixed k ladder, the hub-interconnection readout q298's global
+    // assortativity compresses into one number (a graph can be
+    // disassortative overall yet still have a dense hub core —
+    // Colizza et al. 2006; the randomized-rewiring normalization is
+    // out of scope and noted as such). All counts exact integers on
+    // the bounded nation graph; one double division per k, N < 2
+    // rungs NULL identically. Scale shape: the corpus collapses to
+    // the bounded edge list once (the q166 aggregate-first shape);
+    // the sweep is |ladder| scans of that dimension frame.
+    "q342_rich_club" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val ord = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"))
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey").as("src"))
+      val sup = Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_nationkey").as("dst"))
+      val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("cnt"))
+      val bound = pairs.agg(
+        round(percentile(col("cnt"), lit(0.75)), 6).as("thr"))
+      val e = pairs.crossJoin(broadcast(bound))
+        .filter(col("cnt") >= col("thr"))
+        .select(col("u"), col("v"))
+      val deg = e.select(col("u").as("node"))
+        .union(e.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+      val ks = Tables.nation(s, d).sparkSession
+        .range(0, 6).select((col("id") * 2).as("k"))
+      val rich = ks.crossJoin(broadcast(deg))
+        .filter(col("degree") > col("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("n_rich"))
+      val eRich = ks.crossJoin(broadcast(
+          e.join(deg.withColumnRenamed("node", "u")
+              .withColumnRenamed("degree", "du"), Seq("u"))
+            .join(deg.withColumnRenamed("node", "v")
+              .withColumnRenamed("degree", "dv"), Seq("v"))))
+        .filter(col("du") > col("k") && col("dv") > col("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("e_rich"))
+      ks.join(rich, Seq("k"), "left")
+        .join(eRich, Seq("k"), "left")
+        .select(col("k"),
+          coalesce(col("n_rich"), lit(0L)).as("n_rich"),
+          coalesce(col("e_rich"), lit(0L)).as("e_rich"),
+          when(coalesce(col("n_rich"), lit(0L)) >= 2,
+            snap6((coalesce(col("e_rich"), lit(0L)) * 2L).cast("double")
+              / (col("n_rich") * (col("n_rich") - 1L)).cast("double")))
+            .as("phi"))
+        .orderBy(col("k"))
     })
   )
 
@@ -458,6 +519,38 @@ object Graph extends QueryModule {
         |    / (sqrt(CAST(e * suu - su * su AS DOUBLE))
         |      * sqrt(CAST(e * svv - sv * sv AS DOUBLE))) * 1e6 + 0.5)
         |    / 1e6 AS assortativity
-        |FROM m""".stripMargin
+        |FROM m""".stripMargin,
+
+    "q342_rich_club" ->
+      """WITH p AS (SELECT least(c.c_nationkey, s.s_nationkey) AS u,
+        |    greatest(c.c_nationkey, s.s_nationkey) AS v, count(*) AS cnt
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  WHERE c.c_nationkey <> s.s_nationkey
+        |  GROUP BY 1, 2),
+        |b AS (SELECT round(quantile_cont(cnt, 0.75), 6) AS thr FROM p),
+        |e AS (SELECT u, v FROM p, b WHERE cnt >= thr),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+        |    SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        |  GROUP BY node),
+        |ks AS (SELECT CAST(k AS BIGINT) AS k
+        |  FROM (VALUES (0), (2), (4), (6), (8), (10)) t(k)),
+        |nr AS (SELECT k, CAST(count(*) AS BIGINT) AS n_rich
+        |  FROM ks, deg WHERE degree > k GROUP BY 1),
+        |er AS (SELECT k, CAST(count(*) AS BIGINT) AS e_rich
+        |  FROM ks, (SELECT e.u, e.v, du.degree AS du, dv.degree AS dv
+        |    FROM e JOIN deg du ON e.u = du.node
+        |    JOIN deg dv ON e.v = dv.node) x
+        |  WHERE x.du > k AND x.dv > k GROUP BY 1)
+        |SELECT ks.k, coalesce(nr.n_rich, 0) AS n_rich,
+        |  coalesce(er.e_rich, 0) AS e_rich,
+        |  CASE WHEN coalesce(nr.n_rich, 0) >= 2 THEN
+        |    floor(CAST(coalesce(er.e_rich, 0) * 2 AS DOUBLE)
+        |      / CAST(nr.n_rich * (nr.n_rich - 1) AS DOUBLE)
+        |      * 1e6 + 0.5) / 1e6 END AS phi
+        |FROM ks LEFT JOIN nr ON ks.k = nr.k
+        |LEFT JOIN er ON ks.k = er.k
+        |ORDER BY ks.k""".stripMargin
   )
 }
