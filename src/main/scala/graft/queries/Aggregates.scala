@@ -1692,8 +1692,17 @@ object Aggregates extends QueryModule {
               .cast("double")))
         .select(col("n_groups"), col("nn").as("n_total"),
           col("jt2").cast("long").as("jt2"),
-          snap6(col("e2")).as("e_jt2"),
-          snap6(col("vvar")).as("var_jt"),
+          // e2 is one exact division of DECIMAL operands (never an
+          // order-sensitive fold) — emitted UNSNAPPED: snap6's
+          // floor-long would overflow at N ≥ ~4·10⁶ rows (e2 ~ N²/2).
+          col("e2").as("e_jt2"),
+          // sd, not Var: Var ~ N³ overflows snap6's long at sf0.1
+          // (floor(9e13·1e6) > 2⁶³ — measured); the standard error
+          // is the number a monitor thresholds anyway, and its
+          // centi-snap stays inside a long to N ~ 10¹² rows.
+          when(col("vvar") > 0.0,
+            floor(sqrt(col("vvar")) * 100.0 + 0.5) / 100.0)
+            .as("sd_jt"),
           when(col("vvar") > 0.0,
             snap6((col("jt2").cast("double") - col("e2"))
               / (lit(2.0) * sqrt(col("vvar"))))).as("z"))
@@ -2654,8 +2663,10 @@ object Aggregates extends QueryModule {
         |      AS vvar
         |  FROM gs, tsx, jt)
         |SELECT n_groups, nn AS n_total, CAST(jt2 AS BIGINT) AS jt2,
-        |  floor(e2 * 1e6 + 0.5) / 1e6 AS e_jt2,
-        |  floor(vvar * 1e6 + 0.5) / 1e6 AS var_jt,
+        |  e2 AS e_jt2,
+        |  CASE WHEN vvar > 0 THEN
+        |    floor(sqrt(vvar) * 100.0::DOUBLE + 0.5) / 100.0::DOUBLE
+        |  END AS sd_jt,
         |  CASE WHEN vvar > 0 THEN floor((CAST(jt2 AS DOUBLE) - e2)
         |    / (2.0::DOUBLE * sqrt(vvar)) * 1e6 + 0.5) / 1e6 END AS z
         |FROM f""".stripMargin
