@@ -778,6 +778,64 @@ object Curation extends QueryModule {
           snap6(col("key6")).as("es_key"))
         .orderBy(col("es_key"), col("doc_id"))
         .limit(20)
+    }),
+
+    // Quantile normalization across sources — force every source's
+    // length distribution onto the GLOBAL one (the bioinformatics /
+    // score-harmonization move: a doc at its source's p-th length
+    // quantile is replaced by the global p-th quantile length), the
+    // distribution-level fix q104's mixing weights and q233's
+    // temperature can't make (they reweight counts; this aligns
+    // SHAPES, so no source dominates a length-sensitive filter just
+    // because it writes longer). Exact rational interpolation: with
+    // in-source rank r of n_s and global rank R of N (both over the
+    // unique (n_chars, doc_id) order), the target position is
+    // 1 + (r−1)(N−1)/(n_s−1) — integer quotient + remainder, so the
+    // interpolated value·den = v₀·den + (v₁−v₀)·rem is an exact
+    // LONG per doc (v₁ via lead on the global rank frame), per-source
+    // sums are exact DECIMAL (den is constant within a source), and
+    // each emitted mean is one double division. Singleton sources
+    // map to the global median (q = 1/2). Scale shape: two
+    // rank-style sorts (per-source window + global), one join on the
+    // computed global index, per-source folds.
+    "q344_quantile_norm" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      def dec(c: Column): Column = c.cast("decimal(38,0)")
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val wSrc = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars"), col("doc_id"))
+      val wGlob = Window.orderBy(col("rk"))
+      val glob = docs
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("n_chars"), col("doc_id"))).cast("long"))
+        .select(col("rk"), col("n_chars").as("v"))
+        .withColumn("v1", coalesce(lead(col("v"), 1).over(wGlob), col("v")))
+      val ranked = docs
+        .withColumn("rn", row_number().over(wSrc).cast("long"))
+        .withColumn("ns", count(lit(1)).over(
+          Window.partitionBy(col("source"))))
+        .withColumn("nn", count(lit(1)).over(Window.partitionBy()))
+        .withColumn("den",
+          when(col("ns") > 1L, col("ns") - 1L).otherwise(2L))
+        .withColumn("rnum",
+          when(col("ns") > 1L, (col("rn") - 1L) * (col("nn") - 1L))
+            .otherwise(col("nn") - 1L))
+        .withColumn("idx0", lit(1L) + expr("rnum DIV den"))
+        .withColumn("rem", expr("rnum % den"))
+      ranked.join(glob, col("idx0") === col("rk"))
+        .withColumn("qn_num", dec(col("v")) * dec(col("den"))
+          + dec(col("v1") - col("v")) * dec(col("rem")))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), max(col("den")).as("dn"),
+          sum(col("n_chars")).as("sc"), sum(col("qn_num")).as("sq"))
+        .select(col("source"), col("n_docs"),
+          snap6(col("sc").cast("double") / col("n_docs").cast("double"))
+            .as("mean_chars"),
+          snap6(col("sq").cast("double")
+            / (dec(col("n_docs")) * dec(col("dn"))).cast("double"))
+            .as("mean_qnorm"))
+        .orderBy(col("source"))
     })
   )
 
@@ -1374,6 +1432,42 @@ object Curation extends QueryModule {
         |  floor(CAST(13815511 - CAST(floor(ln(CAST(u + 1 AS DOUBLE))
         |      * 1e6 + 0.5) AS BIGINT) AS DOUBLE)
         |    / CAST(n_chars AS DOUBLE) * 1e6 + 0.5) / 1e6 AS es_key
-        |FROM k ORDER BY es_key, doc_id LIMIT 20""".stripMargin
+        |FROM k ORDER BY es_key, doc_id LIMIT 20""".stripMargin,
+
+    "q344_quantile_norm" ->
+      """WITH docs AS (SELECT doc_id, source, n_chars FROM documents),
+        |g AS (SELECT CAST(row_number() OVER (ORDER BY n_chars, doc_id)
+        |      AS BIGINT) AS rk, n_chars AS v
+        |  FROM docs),
+        |g2 AS (SELECT rk, v,
+        |    coalesce(lead(v) OVER (ORDER BY rk), v) AS v1
+        |  FROM g),
+        |r AS (SELECT doc_id, source, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars, doc_id) AS BIGINT) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS ns,
+        |    CAST(count(*) OVER () AS BIGINT) AS nn
+        |  FROM docs),
+        |r2 AS (SELECT *,
+        |    CASE WHEN ns > 1 THEN ns - 1 ELSE 2 END AS den,
+        |    CASE WHEN ns > 1 THEN (rn - 1) * (nn - 1) ELSE nn - 1 END
+        |      AS rnum
+        |  FROM r),
+        |r3 AS (SELECT *, 1 + rnum // den AS idx0, rnum % den AS rem
+        |  FROM r2),
+        |j AS (SELECT r3.source, r3.n_chars, r3.den,
+        |    CAST(g2.v AS HUGEINT) * r3.den
+        |      + CAST(g2.v1 - g2.v AS HUGEINT) * r3.rem AS qn_num
+        |  FROM r3 JOIN g2 ON r3.idx0 = g2.rk),
+        |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(max(den) AS BIGINT) AS dn,
+        |    CAST(sum(n_chars) AS BIGINT) AS sc, sum(qn_num) AS sq
+        |  FROM j GROUP BY 1)
+        |SELECT source, n_docs,
+        |  floor(CAST(sc AS DOUBLE) / CAST(n_docs AS DOUBLE) * 1e6
+        |    + 0.5) / 1e6 AS mean_chars,
+        |  floor(CAST(sq AS DOUBLE) / CAST(CAST(n_docs AS HUGEINT) * dn
+        |    AS DOUBLE) * 1e6 + 0.5) / 1e6 AS mean_qnorm
+        |FROM a ORDER BY source""".stripMargin
   )
 }

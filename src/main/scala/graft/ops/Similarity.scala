@@ -999,6 +999,53 @@ object Similarity extends QueryModule {
           (min(col("r6")).cast("double") / 1e6).as("min_ratio"),
           (max(col("r6")).cast("double") / 1e6).as("max_ratio"))
         .orderBy(col("label"))
+    }),
+
+    // Simplified silhouette of the embedding labels (Rousseeuw's
+    // cluster-quality score in its centroid form — a(i) = distance
+    // to own centroid, b(i) = nearest OTHER centroid, s = (b−a)/
+    // max(a,b)) — the clustering EVAL the q119/q123 cluster builders
+    // and q169's retrieval NDCG don't give: are the given labels
+    // actually separated in embedding space? Centroid form keeps it
+    // scale-sane (the classic all-pairs silhouette is O(n²)). Exact
+    // construction: components quantize to micro-int longs, so per-
+    // label per-dim sums S_ld are exact and the squared distance
+    // numerator Σ_d(x6_d·cnt_l − S_ld)² is exact DECIMAL — each
+    // distance is ONE sqrt of a single division, each s_i freezes to
+    // a micro-long before the per-label mean (the q169 fold rule).
+    // Scale shape: centroid stats are a bounded |labels|×|dims|
+    // frame broadcast back; the distance pass fans each vector row
+    // out |labels|× per dim — linear in vectors with a bounded
+    // constant; means fold on the label frame.
+    "q347_silhouette" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      def dec(c: Column): Column = c.cast("decimal(38,0)")
+      val x = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          posexplode(dvec(col("embedding"))).as(Seq("dim", "xv")))
+        .withColumn("x6", floor(col("xv") * 1e6 + 0.5).cast("long"))
+        .select(col("vec_id"), col("label"), col("dim"), col("x6"))
+      val cent = x.groupBy(col("label").as("cl"), col("dim"))
+        .agg(sum(col("x6")).as("sld"), count(lit(1)).as("cnt"))
+      val dists = x.join(broadcast(cent), Seq("dim"))
+        .withColumn("diff", dec(col("x6")) * dec(col("cnt")) - col("sld"))
+        .groupBy(col("vec_id"), col("label"), col("cl"), col("cnt"))
+        .agg(sum(col("diff") * col("diff")).as("num"))
+        .select(col("vec_id"), col("label"), col("cl"),
+          (sqrt(col("num").cast("double"))
+            / (col("cnt").cast("double") * 1e6)).as("dist"))
+      val sil = dists.groupBy(col("vec_id"), col("label"))
+        .agg(max(when(col("label") === col("cl"), col("dist"))).as("a"),
+          min(when(col("label") =!= col("cl"), col("dist"))).as("b"))
+        .withColumn("s6", when(greatest(col("a"), col("b")) > 0.0,
+          floor((col("b") - col("a")) / greatest(col("a"), col("b"))
+            * 1e6 + 0.5).cast("long")).otherwise(0L))
+      sil.groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          snap6(sum(col("s6")).cast("double")
+            / (count(lit(1)).cast("double") * 1e6))
+            .as("mean_silhouette"))
+        .orderBy(col("label"))
     })
   )
 
@@ -1609,6 +1656,39 @@ object Similarity extends QueryModule {
         |FROM ranked WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
 
-    "q297_jl_distortion" -> JlOracleSql
+    "q297_jl_distortion" -> JlOracleSql,
+
+    "q347_silhouette" ->
+      """WITH x AS (SELECT vec_id, label,
+        |    unnest(range(0, len(embedding))) AS dim,
+        |    CAST(floor(unnest(embedding::DOUBLE[]) * 1e6 + 0.5)
+        |      AS BIGINT) AS x6
+        |  FROM embeddings),
+        |cent AS (SELECT label AS cl, dim, CAST(sum(x6) AS BIGINT)
+        |      AS sld,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM x GROUP BY 1, 2),
+        |ds AS (SELECT x.vec_id, x.label, c.cl, c.cnt,
+        |    sum((CAST(x.x6 AS HUGEINT) * c.cnt - c.sld)
+        |      * (CAST(x.x6 AS HUGEINT) * c.cnt - c.sld)) AS num
+        |  FROM x JOIN cent c ON x.dim = c.dim
+        |  GROUP BY 1, 2, 3, 4),
+        |dd AS (SELECT vec_id, label, cl,
+        |    sqrt(CAST(num AS DOUBLE)) / (CAST(cnt AS DOUBLE) * 1e6)
+        |      AS dist
+        |  FROM ds),
+        |ab AS (SELECT vec_id, label,
+        |    max(CASE WHEN label = cl THEN dist END) AS a,
+        |    min(CASE WHEN label <> cl THEN dist END) AS b
+        |  FROM dd GROUP BY 1, 2),
+        |s AS (SELECT label, CASE WHEN greatest(a, b) > 0 THEN
+        |    CAST(floor((b - a) / greatest(a, b) * 1e6 + 0.5)
+        |      AS BIGINT) ELSE 0 END AS s6
+        |  FROM ab)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  floor(CAST(sum(s6) AS DOUBLE)
+        |    / (CAST(count(*) AS DOUBLE) * 1e6) * 1e6 + 0.5) / 1e6
+        |    AS mean_silhouette
+        |FROM s GROUP BY 1 ORDER BY label""".stripMargin
   )
 }

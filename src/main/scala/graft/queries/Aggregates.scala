@@ -1706,6 +1706,64 @@ object Aggregates extends QueryModule {
           when(col("vvar") > 0.0,
             snap6((col("jt2").cast("double") - col("e2"))
               / (lit(2.0) * sqrt(col("vvar"))))).as("z"))
+    }),
+
+    // CUPED variance reduction (Deng et al. 2013) — the modern
+    // experimentation workhorse: use each user's PRE-period activity
+    // as a control covariate, θ = cov(pre, post)/var(pre), and the
+    // adjusted metric's variance drops by exactly ρ² — this query
+    // reports how much an A/B test on this population would gain
+    // (q143 runs the test; CUPED is why mature platforms need ~half
+    // the sample). All moments are exact DECIMAL cross-products of
+    // per-user integer counts (U·Σxy − ΣxΣy etc.), so θ, var(post),
+    // ρ², and var(adj) = var(post)·(1−ρ²) are arithmetic expressions
+    // of exact operands — identical both engines, 6-snapped.
+    // Degenerate pre-periods (var(pre) = 0) yield NULL identically.
+    // Scale shape: one corpus pass to per-user (pre, post) counters
+    // (map-side combined), a 6-counter fold, one row out.
+    "q345_cuped" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      def dec(c: Column): Column = c.cast("decimal(38,0)")
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(sum(when(to_date(col("ts"))
+            <= lit("2024-01-15").cast("date"), 1L).otherwise(0L))
+            .as("x"),
+          sum(when(to_date(col("ts"))
+            > lit("2024-01-15").cast("date"), 1L).otherwise(0L))
+            .as("y"))
+        .agg(count(lit(1)).as("uu"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"),
+          sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+          sum(dec(col("y")) * dec(col("y"))).as("syy"),
+          sum(dec(col("x")) * dec(col("y"))).as("sxy"))
+        .withColumn("cnum", dec(col("uu")) * col("sxy")
+          - dec(col("sx")) * dec(col("sy")))
+        .withColumn("dx", dec(col("uu")) * col("sxx")
+          - dec(col("sx")) * dec(col("sx")))
+        .withColumn("dy", dec(col("uu")) * col("syy")
+          - dec(col("sy")) * dec(col("sy")))
+        .select(col("uu").as("n_users"),
+          when(col("dx") > 0, snap6(col("cnum").cast("double")
+            / col("dx").cast("double"))).as("theta"),
+          snap6(col("dy").cast("double")
+            / (col("uu").cast("double") * col("uu").cast("double")))
+            .as("var_post"),
+          // ρ² squares AFTER the exact→double cast: a DECIMAL square
+          // of cnum ~ U·Σxy would overflow 38 digits at ~10⁹ users,
+          // while the double square of the exact value is the same
+          // deterministic op both engines.
+          when(col("dx") > 0 && col("dy") > 0,
+            snap6(col("cnum").cast("double") * col("cnum").cast("double")
+              / (col("dx").cast("double") * col("dy").cast("double"))))
+            .as("rho2"),
+          when(col("dx") > 0 && col("dy") > 0,
+            snap6(col("dy").cast("double")
+              / (col("uu").cast("double") * col("uu").cast("double"))
+              * (lit(1.0)
+                - col("cnum").cast("double") * col("cnum").cast("double")
+                / (col("dx").cast("double") * col("dy").cast("double")))))
+            .as("var_adjusted"))
     })
   )
 
@@ -2669,6 +2727,46 @@ object Aggregates extends QueryModule {
         |  END AS sd_jt,
         |  CASE WHEN vvar > 0 THEN floor((CAST(jt2 AS DOUBLE) - e2)
         |    / (2.0::DOUBLE * sqrt(vvar)) * 1e6 + 0.5) / 1e6 END AS z
-        |FROM f""".stripMargin
+        |FROM f""".stripMargin,
+
+    "q345_cuped" ->
+      """WITH g AS (SELECT user_id,
+        |    CAST(sum(CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-15'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN CAST(ts AS DATE) > DATE '2024-01-15'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS uu,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(y AS HUGEINT) * y) AS syy,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy
+        |  FROM g),
+        |b AS (SELECT uu,
+        |    CAST(uu AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+        |      AS cnum,
+        |    CAST(uu AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+        |      AS dx,
+        |    CAST(uu AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy
+        |      AS dy
+        |  FROM a)
+        |SELECT uu AS n_users,
+        |  CASE WHEN dx > 0 THEN floor(CAST(cnum AS DOUBLE)
+        |    / CAST(dx AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS theta,
+        |  floor(CAST(dy AS DOUBLE)
+        |    / (CAST(uu AS DOUBLE) * CAST(uu AS DOUBLE)) * 1e6 + 0.5)
+        |    / 1e6 AS var_post,
+        |  CASE WHEN dx > 0 AND dy > 0 THEN
+        |    floor(CAST(cnum AS DOUBLE) * CAST(cnum AS DOUBLE)
+        |      / (CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE)) * 1e6 + 0.5)
+        |    / 1e6 END AS rho2,
+        |  CASE WHEN dx > 0 AND dy > 0 THEN
+        |    floor(CAST(dy AS DOUBLE)
+        |      / (CAST(uu AS DOUBLE) * CAST(uu AS DOUBLE))
+        |      * (1.0::DOUBLE - CAST(cnum AS DOUBLE)
+        |        * CAST(cnum AS DOUBLE) / (CAST(dx AS DOUBLE)
+        |          * CAST(dy AS DOUBLE))) * 1e6 + 0.5) / 1e6 END
+        |    AS var_adjusted
+        |FROM b""".stripMargin
   )
 }

@@ -1848,6 +1848,58 @@ object Temporal extends QueryModule {
         .select(col("event_type"), col("word").as("top_motif"),
           col("cnt").as("motif_count"), col("n_windows"))
         .orderBy(col("event_type"))
+    }),
+
+    // Periodogram of the daily series per event type — spectral power
+    // at cycle counts k = 1..7 over the observed window, the
+    // FREQUENCY-domain periodicity readout (which rhythm dominates?)
+    // complementing q256's fixed-lag ACF and q211's calendar-keyed
+    // seasonality index: P(k) = (Σₜ n_t·cos(2πkt/D))² +
+    // (Σₜ n_t·sin(2πkt/D))². Determinism: each trig value snaps to a
+    // micro-unit long BEFORE the fold (the q110/q169 rule — a double
+    // Σ over days would be order-sensitive), so both sums are exact
+    // DECIMAL count×µtrig, P folds exactly, power = P/(10¹²·D) and
+    // share = P_k/ΣP are single divisions, and the dominant flag
+    // ranks on the EXACT DECIMAL P (tie → smaller k). 2π is spelled
+    // 6.283185307179586 in both engines. Scale shape: one corpus
+    // pass to the calendar-bounded daily frame; the k-ladder is a
+    // 7× fan-out of that dimension frame.
+    "q346_periodogram" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      def dec(c: Column): Column = c.cast("decimal(38,0)")
+      val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val wT = Window.partitionBy(col("event_type"))
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("t", row_number().over(wOrd).cast("long"))
+        .withColumn("dd", count(lit(1)).over(wT))
+      daily
+        .select(col("event_type"), col("n"), col("t"), col("dd"),
+          explode(sequence(lit(1L), lit(7L))).as("k"))
+        .withColumn("ang", lit(6.283185307179586)
+          * col("k").cast("double") * col("t").cast("double")
+          / col("dd").cast("double"))
+        .withColumn("c6", floor(cos(col("ang")) * 1e6 + 0.5).cast("long"))
+        .withColumn("s6", floor(sin(col("ang")) * 1e6 + 0.5).cast("long"))
+        .groupBy(col("event_type"), col("k"))
+        .agg(max(col("dd")).as("dd"),
+          sum(dec(col("n")) * dec(col("c6"))).as("sc"),
+          sum(dec(col("n")) * dec(col("s6"))).as("ss"))
+        .withColumn("p", col("sc") * col("sc") + col("ss") * col("ss"))
+        .withColumn("ptot", sum(col("p")).over(
+          Window.partitionBy(col("event_type"))))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("event_type"))
+            .orderBy(col("p").desc, col("k"))))
+        .select(col("event_type"), col("k").as("cycles"),
+          snap6(col("p").cast("double")
+            / (lit(1e12) * col("dd").cast("double"))).as("power"),
+          when(col("ptot") > 0,
+            snap6(col("p").cast("double") / col("ptot").cast("double")))
+            .as("power_share"),
+          (col("rk") === 1).as("dominant"))
+        .orderBy(col("event_type"), col("cycles"))
     })
   )
 
@@ -3076,6 +3128,44 @@ object Temporal extends QueryModule {
         |  FROM c)
         |SELECT event_type, word AS top_motif, cnt AS motif_count,
         |  n_windows
-        |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin
+        |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin,
+
+    "q346_periodogram" ->
+      """WITH dly AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, n,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY day) AS BIGINT) AS t,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+        |      AS dd
+        |  FROM dly),
+        |f AS (SELECT event_type, n, t, dd, CAST(k AS BIGINT) AS k
+        |  FROM st, range(1, 8) r(k)),
+        |tr AS (SELECT *,
+        |    CAST(floor(cos(6.283185307179586::DOUBLE
+        |      * CAST(k AS DOUBLE) * CAST(t AS DOUBLE)
+        |      / CAST(dd AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS c6,
+        |    CAST(floor(sin(6.283185307179586::DOUBLE
+        |      * CAST(k AS DOUBLE) * CAST(t AS DOUBLE)
+        |      / CAST(dd AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS s6
+        |  FROM f),
+        |g AS (SELECT event_type, k, CAST(max(dd) AS BIGINT) AS dd,
+        |    sum(CAST(n AS HUGEINT) * c6) AS sc,
+        |    sum(CAST(n AS HUGEINT) * s6) AS ss
+        |  FROM tr GROUP BY 1, 2),
+        |p AS (SELECT *, sc * sc + ss * ss AS p FROM g),
+        |w AS (SELECT *, sum(p) OVER (PARTITION BY event_type) AS ptot,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY p DESC, k) AS rk
+        |  FROM p)
+        |SELECT event_type, k AS cycles,
+        |  floor(CAST(p AS DOUBLE) / (1e12 * CAST(dd AS DOUBLE))
+        |    * 1e6 + 0.5) / 1e6 AS power,
+        |  CASE WHEN ptot > 0 THEN floor(CAST(p AS DOUBLE)
+        |    / CAST(ptot AS DOUBLE) * 1e6 + 0.5) / 1e6 END
+        |    AS power_share,
+        |  rk = 1 AS dominant
+        |FROM w ORDER BY event_type, cycles""".stripMargin
   )
 }
