@@ -1764,6 +1764,46 @@ object Aggregates extends QueryModule {
                 - col("cnum").cast("double") * col("cnum").cast("double")
                 / (col("dx").cast("double") * col("dy").cast("double")))))
             .as("var_adjusted"))
+    }),
+
+    // Hill tail-index ladder on order prices — "how heavy is the
+    // price tail?" α̂(k) = k·10⁶ / Σᵢ₌₁..k (ln x₍ᵢ₎ − ln x₍ₖ₊₁₎) over
+    // the top-k order statistics, read at k ∈ {50, 100, 200} (the
+    // Hill-plot stability check): the continuous-value tail
+    // diagnostic q245's Zipf slope (token ranks) and q318's
+    // L-moments (whole-distribution shape) don't give — extreme
+    // quantile extrapolation and "is variance even finite?" both
+    // key off α. Exactness: each ln snaps to a µnat long, the
+    // excess sum is Σl6 − k·l6_ref of exact longs, and γ (mean log
+    // excess = 1/α) and α are single divisions. Scale shape: one
+    // rank-style sort (TakeOrdered-sized: only the top max-k+1
+    // ranks survive the filter), a 3-rung ladder over it.
+    "q351_hill_tail" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      def dec(c: Column): Column = c.cast("decimal(38,0)")
+      val ranked = Tables.orders(s, d)
+        .select(col("o_totalprice").as("x"), col("o_orderkey"))
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("x").desc, col("o_orderkey"))).cast("long"))
+        .filter(col("rn") <= 201L)
+        .withColumn("l6", floor(log(col("x")) * 1e6 + 0.5).cast("long"))
+      val ks = ranked.sparkSession.range(0, 3)
+        .select((lit(50L) * pow(lit(2.0), col("id")).cast("long"))
+          .as("k"))
+      val refs = ks.join(ranked.select((col("rn") - 1L).as("k"),
+        col("l6").as("l6ref"), col("x").as("x_ref")), Seq("k"))
+      ks.crossJoin(broadcast(ranked))
+        .filter(col("rn") <= col("k"))
+        .groupBy(col("k")).agg(sum(col("l6")).as("sl"))
+        .join(refs, Seq("k"))
+        .withColumn("exc", col("sl") - col("k") * col("l6ref"))
+        .select(col("k"), col("x_ref").as("threshold_price"),
+          when(col("exc") > 0, snap6(col("exc").cast("double")
+            / (col("k").cast("double") * 1e6))).as("gamma"),
+          when(col("exc") > 0, snap6(
+            (col("k").cast("double") * 1e6)
+              / col("exc").cast("double"))).as("hill_alpha"))
+        .orderBy(col("k"))
     })
   )
 
@@ -2767,6 +2807,32 @@ object Aggregates extends QueryModule {
         |        * CAST(cnum AS DOUBLE) / (CAST(dx AS DOUBLE)
         |          * CAST(dy AS DOUBLE))) * 1e6 + 0.5) / 1e6 END
         |    AS var_adjusted
-        |FROM b""".stripMargin
+        |FROM b""".stripMargin,
+
+    "q351_hill_tail" ->
+      """WITH rk AS (SELECT o_totalprice AS x,
+        |    CAST(row_number() OVER (ORDER BY o_totalprice DESC,
+        |      o_orderkey) AS BIGINT) AS rn
+        |  FROM orders),
+        |top AS (SELECT x, rn,
+        |    CAST(floor(ln(x) * 1e6 + 0.5) AS BIGINT) AS l6
+        |  FROM rk WHERE rn <= 201),
+        |ks AS (SELECT CAST(k AS BIGINT) AS k
+        |  FROM (VALUES (50), (100), (200)) t(k)),
+        |sl AS (SELECT ks.k, CAST(sum(top.l6) AS BIGINT) AS sl
+        |  FROM ks JOIN top ON top.rn <= ks.k GROUP BY 1),
+        |rf AS (SELECT ks.k, top.l6 AS l6ref, top.x AS x_ref
+        |  FROM ks JOIN top ON top.rn = ks.k + 1),
+        |f AS (SELECT sl.k, rf.x_ref,
+        |    sl.sl - sl.k * rf.l6ref AS exc
+        |  FROM sl JOIN rf ON sl.k = rf.k)
+        |SELECT k, x_ref AS threshold_price,
+        |  CASE WHEN exc > 0 THEN floor(CAST(exc AS DOUBLE)
+        |    / (CAST(k AS DOUBLE) * 1e6) * 1e6 + 0.5) / 1e6 END
+        |    AS gamma,
+        |  CASE WHEN exc > 0 THEN floor((CAST(k AS DOUBLE) * 1e6)
+        |    / CAST(exc AS DOUBLE) * 1e6 + 0.5) / 1e6 END
+        |    AS hill_alpha
+        |FROM f ORDER BY k""".stripMargin
   )
 }

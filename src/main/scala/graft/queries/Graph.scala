@@ -359,6 +359,76 @@ object Graph extends QueryModule {
               / (col("n_rich") * (col("n_rich") - 1L)).cast("double")))
             .as("phi"))
         .orderBy(col("k"))
+    }),
+
+    // Newman modularity of the REGION partition over the q166
+    // thresholded nation-trade graph — "do regions form trade
+    // communities?" Q = Σ_c [E_c/M − (K_c/2M)²], the partition-
+    // quality score that completes the graph-eval family (q166
+    // clustering is per-node, q298 assortativity is degree-level,
+    // q342 rich-club is hub-level — modularity grades a GIVEN
+    // community assignment). Every per-community term shares the
+    // denominator 4M², so term_c = (4M·E_c − K_c²)/(4M²) folds as
+    // exact integers and the total is one division of the exact
+    // numerator sum. Scale shape: the corpus collapses to the
+    // bounded edge list once; community joins ride the ≤|nations|
+    // map broadcast; output is |regions| rows.
+    "q350_modularity" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      def dec(c: Column): Column = c.cast("decimal(38,0)")
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val ord = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"))
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey").as("src"))
+      val sup = Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_nationkey").as("dst"))
+      val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("cnt"))
+      val bound = pairs.agg(
+        round(percentile(col("cnt"), lit(0.75)), 6).as("thr"))
+      val nmap = Tables.nation(s, d)
+        .select(col("n_nationkey").as("node"),
+          col("n_regionkey").as("reg"))
+      val e = pairs.crossJoin(broadcast(bound))
+        .filter(col("cnt") >= col("thr"))
+        .select(col("u"), col("v"))
+        .join(broadcast(nmap.select(col("node").as("u"),
+          col("reg").as("reg_u"))), Seq("u"))
+        .join(broadcast(nmap.select(col("node").as("v"),
+          col("reg").as("reg_v"))), Seq("v"))
+      val m = e.agg(count(lit(1)).as("mm"))
+      val within = e.filter(col("reg_u") === col("reg_v"))
+        .groupBy(col("reg_u").as("reg")).agg(count(lit(1)).as("ec"))
+      val ksum = e.select(col("reg_u").as("reg"))
+        .union(e.select(col("reg_v").as("reg")))
+        .groupBy(col("reg")).agg(count(lit(1)).as("kc"))
+      Tables.region(s, d)
+        .select(col("r_regionkey").as("reg"), col("r_name"))
+        .join(ksum, Seq("reg"), "left")
+        .join(within, Seq("reg"), "left")
+        .crossJoin(broadcast(m))
+        .select(col("reg").as("r_regionkey"), col("r_name"),
+          coalesce(col("ec"), lit(0L)).as("e_within"),
+          coalesce(col("kc"), lit(0L)).as("degree_sum"), col("mm"),
+          (dec(lit(4L) * col("mm")) * dec(coalesce(col("ec"), lit(0L)))
+            - dec(coalesce(col("kc"), lit(0L)))
+              * dec(coalesce(col("kc"), lit(0L)))).as("tnum"))
+        .withColumn("q_term", snap6(col("tnum").cast("double")
+          / (dec(lit(4L) * col("mm")) * dec(col("mm"))).cast("double")))
+        .withColumn("q_total", snap6(
+          sum(col("tnum")).over(Window.partitionBy()).cast("double")
+            / (dec(lit(4L) * col("mm")) * dec(col("mm"))).cast("double")))
+        .select(col("r_regionkey"), col("r_name"), col("e_within"),
+          col("degree_sum"), col("mm").as("n_edges"), col("q_term"),
+          col("q_total"))
+        .orderBy(col("r_regionkey"))
     })
   )
 
@@ -551,6 +621,47 @@ object Graph extends QueryModule {
         |      * 1e6 + 0.5) / 1e6 END AS phi
         |FROM ks LEFT JOIN nr ON ks.k = nr.k
         |LEFT JOIN er ON ks.k = er.k
-        |ORDER BY ks.k""".stripMargin
+        |ORDER BY ks.k""".stripMargin,
+
+    "q350_modularity" ->
+      """WITH p AS (SELECT least(c.c_nationkey, s.s_nationkey) AS u,
+        |    greatest(c.c_nationkey, s.s_nationkey) AS v, count(*) AS cnt
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  WHERE c.c_nationkey <> s.s_nationkey
+        |  GROUP BY 1, 2),
+        |b AS (SELECT round(quantile_cont(cnt, 0.75), 6) AS thr FROM p),
+        |e0 AS (SELECT u, v FROM p, b WHERE cnt >= thr),
+        |e AS (SELECT e0.u, e0.v, nu.n_regionkey AS reg_u,
+        |    nv.n_regionkey AS reg_v
+        |  FROM e0 JOIN nation nu ON e0.u = nu.n_nationkey
+        |  JOIN nation nv ON e0.v = nv.n_nationkey),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS mm FROM e),
+        |wi AS (SELECT reg_u AS reg, CAST(count(*) AS BIGINT) AS ec
+        |  FROM e WHERE reg_u = reg_v GROUP BY 1),
+        |ks AS (SELECT reg, CAST(count(*) AS BIGINT) AS kc FROM (
+        |    SELECT reg_u AS reg FROM e
+        |    UNION ALL SELECT reg_v FROM e) GROUP BY 1),
+        |f AS (SELECT r.r_regionkey, r.r_name,
+        |    coalesce(wi.ec, 0) AS e_within,
+        |    coalesce(ks.kc, 0) AS degree_sum, m.mm,
+        |    CAST(4 * m.mm AS HUGEINT) * coalesce(wi.ec, 0)
+        |      - CAST(coalesce(ks.kc, 0) AS HUGEINT)
+        |        * coalesce(ks.kc, 0) AS tnum
+        |  FROM region r
+        |  LEFT JOIN ks ON r.r_regionkey = ks.reg
+        |  LEFT JOIN wi ON r.r_regionkey = wi.reg
+        |  CROSS JOIN m)
+        |SELECT r_regionkey, r_name,
+        |  CAST(e_within AS BIGINT) AS e_within,
+        |  CAST(degree_sum AS BIGINT) AS degree_sum,
+        |  mm AS n_edges,
+        |  floor(CAST(tnum AS DOUBLE) / CAST(CAST(4 * mm AS HUGEINT)
+        |    * mm AS DOUBLE) * 1e6 + 0.5) / 1e6 AS q_term,
+        |  floor(CAST(sum(tnum) OVER () AS DOUBLE)
+        |    / CAST(CAST(4 * mm AS HUGEINT) * mm AS DOUBLE)
+        |    * 1e6 + 0.5) / 1e6 AS q_total
+        |FROM f ORDER BY r_regionkey""".stripMargin
   )
 }

@@ -1273,6 +1273,118 @@ object Profile extends QueryModule {
           snap6((col("h_num") - col("cond_num")).cast("double")
             / (col("nn2").cast("double") * 1e6)).as("info_gain"))
         .orderBy(col("info_gain").desc, col("feature"))
+    }),
+
+    // Brier score + Murphy decomposition — forecast VERIFICATION:
+    // score each user's first-half purchase rate as a probability
+    // forecast of the day-25 purchase probe, then split the Brier
+    // score into reliability (calibration error — what q294's
+    // isotonic fit would remove), resolution (discrimination), and
+    // uncertainty (the irreducible base-rate term): the standard
+    // decomposition Brier = REL − RES + UNC that says WHY a score is
+    // bad, not just THAT it is. Exactness: forecasts are micro-rate
+    // longs (x·1e6 DIV n), the Brier numerator Σ(pm − o·10⁶)² is an
+    // exact DECIMAL fold, and the per-bin varying-denominator terms
+    // freeze to NANO-units via exact decimal integer division (the
+    // q324/q327 idiv — truncation ≤ |bins|·10⁻⁹, far under the
+    // snap) before their cross-bin sums. Scale shape: one corpus
+    // pass to per-user counters; the decomposition runs on the
+    // ≤11-bin frame; one row out.
+    "q348_brier_decomposition" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      def dec(c: Column): Column = c.cast("decimal(38,0)")
+      def idiv(a: Column, b: Column): Column =
+        ((dec(a) - pmod(dec(a), dec(b))) / dec(b)).cast("decimal(38,0)")
+      val per = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(sum(when(to_date(col("ts"))
+            <= lit("2024-01-15").cast("date"), 1L).otherwise(0L))
+            .as("n1"),
+          sum(when(col("event_type") === "purchase"
+            && to_date(col("ts")) <= lit("2024-01-15").cast("date"),
+            1L).otherwise(0L)).as("x1"),
+          max(when(col("event_type") === "purchase"
+            && to_date(col("ts")) === lit("2024-01-25").cast("date"),
+            1L).otherwise(0L)).as("o"))
+        .filter(col("n1") > 0L)
+        .withColumn("pm", expr("x1 * 1000000L DIV n1"))
+        .withColumn("bin", least(expr("pm DIV 100000"), lit(9L)))
+      val bins = per.groupBy(col("bin"))
+        .agg(count(lit(1)).as("nb"), sum(col("pm")).as("sb"),
+          sum(col("o")).as("xb"))
+      val tot = per.agg(count(lit(1)).as("uu"), sum(col("o")).as("xx"),
+        sum((dec(col("pm")) - dec(col("o")) * lit(1000000L))
+          * (dec(col("pm")) - dec(col("o")) * lit(1000000L)))
+          .as("bnum"))
+      bins.crossJoin(broadcast(tot))
+        .withColumn("rel9", idiv(
+          (col("sb") - dec(col("xb")) * lit(1000000L))
+            * (col("sb") - dec(col("xb")) * lit(1000000L)),
+          dec(col("nb")) * lit(1000L)))
+        .withColumn("res9", idiv(
+          (dec(col("xb")) * dec(col("uu"))
+            - dec(col("xx")) * dec(col("nb")))
+          * (dec(col("xb")) * dec(col("uu"))
+            - dec(col("xx")) * dec(col("nb")))
+          * lit(1000000000L), dec(col("nb"))))
+        .groupBy(col("uu"), col("xx"), col("bnum"))
+        .agg(count(lit(1)).as("n_bins"), sum(col("rel9")).as("srel"),
+          sum(col("res9")).as("sres"))
+        .select(col("uu").as("n_users"), col("n_bins"),
+          snap6(col("bnum").cast("double")
+            / (col("uu").cast("double") * 1e12)).as("brier"),
+          snap6(col("srel").cast("double")
+            / (col("uu").cast("double") * 1e9)).as("reliability"),
+          snap6(col("sres").cast("double")
+            / (col("uu").cast("double") * col("uu").cast("double")
+              * col("uu").cast("double") * 1e9)).as("resolution"),
+          snap6((dec(col("xx")) * dec(col("uu") - col("xx")))
+            .cast("double")
+            / (col("uu").cast("double") * col("uu").cast("double")))
+            .as("uncertainty"))
+    }),
+
+    // Cumulative gains / lift table — the model-eval readout for
+    // "rank users by first-half activity, how fast do we capture the
+    // day-25 purchasers?" (the decile chart every targeting model
+    // ships with; q169's NDCG grades a retrieval ranking, this
+    // grades a PROPENSITY ranking against conversion). Deciles come
+    // from ntile(10) over the unique (score DESC, user_id) order —
+    // identical ANSI bucketing both engines; cumulative positives
+    // ride one ordered window; gain = cumX/X and lift =
+    // cumX·U/(X·cumN) are single divisions of exact longs. Scale
+    // shape: one corpus pass to per-user counters, a rank-style
+    // global sort, ≤10-row readout.
+    "q349_cumulative_gains" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      def dec(c: Column): Column = c.cast("decimal(38,0)")
+      val per = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(sum(when(to_date(col("ts"))
+            <= lit("2024-01-15").cast("date"), 1L).otherwise(0L))
+            .as("score"),
+          max(when(col("event_type") === "purchase"
+            && to_date(col("ts")) === lit("2024-01-25").cast("date"),
+            1L).otherwise(0L)).as("o"))
+        .withColumn("dec10", ntile(10).over(
+          Window.orderBy(col("score").desc, col("user_id")))
+          .cast("long"))
+      val wCum = Window.orderBy(col("dec10"))
+      per.groupBy(col("dec10"))
+        .agg(count(lit(1)).as("n"), sum(col("o")).as("x"))
+        .withColumn("cum_n", sum(col("n")).over(wCum))
+        .withColumn("cum_x", sum(col("x")).over(wCum))
+        .withColumn("uu", sum(col("n")).over(Window.partitionBy()))
+        .withColumn("xx", sum(col("x")).over(Window.partitionBy()))
+        .select(col("dec10").as("decile"), col("n").as("n_users"),
+          col("x").as("n_positive"), col("cum_x").as("cum_positive"),
+          when(col("xx") > 0, snap6(col("cum_x").cast("double")
+            / col("xx").cast("double"))).as("gain"),
+          when(col("xx") > 0, snap6(
+            (dec(col("cum_x")) * dec(col("uu"))).cast("double")
+              / (dec(col("xx")) * dec(col("cum_n"))).cast("double")))
+            .as("lift"))
+        .orderBy(col("decile"))
     })
   )
 
@@ -2099,6 +2211,83 @@ object Profile extends QueryModule {
         |  floor(CAST(h_num - cond_num AS DOUBLE)
         |    / (CAST(nn2 AS DOUBLE) * 1e6) * 1e6 + 0.5) / 1e6
         |    AS info_gain
-        |FROM c3, h ORDER BY info_gain DESC, feature""".stripMargin
+        |FROM c3, h ORDER BY info_gain DESC, feature""".stripMargin,
+
+    "q348_brier_decomposition" ->
+      """WITH per0 AS (SELECT user_id,
+        |    CAST(sum(CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-15'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      AND CAST(ts AS DATE) <= DATE '2024-01-15' THEN 1
+        |      ELSE 0 END) AS BIGINT) AS x1,
+        |    CAST(max(CASE WHEN event_type = 'purchase'
+        |      AND CAST(ts AS DATE) = DATE '2024-01-25' THEN 1
+        |      ELSE 0 END) AS BIGINT) AS o
+        |  FROM events GROUP BY 1),
+        |per AS (SELECT *, x1 * 1000000 // n1 AS pm,
+        |    least(x1 * 1000000 // n1 // 100000, 9) AS bin
+        |  FROM per0 WHERE n1 > 0),
+        |b AS (SELECT bin, CAST(count(*) AS BIGINT) AS nb,
+        |    CAST(sum(pm) AS BIGINT) AS sb,
+        |    CAST(sum(o) AS BIGINT) AS xb
+        |  FROM per GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS uu,
+        |    CAST(sum(o) AS BIGINT) AS xx,
+        |    sum((CAST(pm AS HUGEINT) - CAST(o AS HUGEINT) * 1000000)
+        |      * (CAST(pm AS HUGEINT) - CAST(o AS HUGEINT) * 1000000))
+        |      AS bnum
+        |  FROM per),
+        |c AS (SELECT bin, nb, sb, xb, uu, xx, bnum,
+        |    (CAST(sb AS HUGEINT) - CAST(xb AS HUGEINT) * 1000000)
+        |      * (CAST(sb AS HUGEINT) - CAST(xb AS HUGEINT) * 1000000)
+        |      // (CAST(nb AS HUGEINT) * 1000) AS rel9,
+        |    (CAST(xb AS HUGEINT) * uu - CAST(xx AS HUGEINT) * nb)
+        |      * (CAST(xb AS HUGEINT) * uu - CAST(xx AS HUGEINT) * nb)
+        |      * 1000000000 // CAST(nb AS HUGEINT) AS res9
+        |  FROM b, t),
+        |g AS (SELECT uu, xx, bnum, CAST(count(*) AS BIGINT) AS n_bins,
+        |    sum(rel9) AS srel, sum(res9) AS sres
+        |  FROM c GROUP BY 1, 2, 3)
+        |SELECT uu AS n_users, n_bins,
+        |  floor(CAST(bnum AS DOUBLE) / (CAST(uu AS DOUBLE) * 1e12)
+        |    * 1e6 + 0.5) / 1e6 AS brier,
+        |  floor(CAST(srel AS DOUBLE) / (CAST(uu AS DOUBLE) * 1e9)
+        |    * 1e6 + 0.5) / 1e6 AS reliability,
+        |  floor(CAST(sres AS DOUBLE) / (CAST(uu AS DOUBLE)
+        |    * CAST(uu AS DOUBLE) * CAST(uu AS DOUBLE) * 1e9)
+        |    * 1e6 + 0.5) / 1e6 AS resolution,
+        |  floor(CAST(CAST(xx AS HUGEINT) * (uu - xx) AS DOUBLE)
+        |    / (CAST(uu AS DOUBLE) * CAST(uu AS DOUBLE)) * 1e6 + 0.5)
+        |    / 1e6 AS uncertainty
+        |FROM g""".stripMargin,
+
+    "q349_cumulative_gains" ->
+      """WITH per AS (SELECT user_id,
+        |    CAST(sum(CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-15'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS score,
+        |    CAST(max(CASE WHEN event_type = 'purchase'
+        |      AND CAST(ts AS DATE) = DATE '2024-01-25' THEN 1
+        |      ELSE 0 END) AS BIGINT) AS o
+        |  FROM events GROUP BY 1),
+        |dq AS (SELECT *, CAST(ntile(10) OVER (ORDER BY score DESC,
+        |    user_id) AS BIGINT) AS dec10 FROM per),
+        |g AS (SELECT dec10, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(o) AS BIGINT) AS x
+        |  FROM dq GROUP BY 1),
+        |c AS (SELECT *,
+        |    CAST(sum(n) OVER (ORDER BY dec10) AS BIGINT) AS cum_n,
+        |    CAST(sum(x) OVER (ORDER BY dec10) AS BIGINT) AS cum_x,
+        |    CAST(sum(n) OVER () AS BIGINT) AS uu,
+        |    CAST(sum(x) OVER () AS BIGINT) AS xx
+        |  FROM g)
+        |SELECT dec10 AS decile, n AS n_users, x AS n_positive,
+        |  cum_x AS cum_positive,
+        |  CASE WHEN xx > 0 THEN floor(CAST(cum_x AS DOUBLE)
+        |    / CAST(xx AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS gain,
+        |  CASE WHEN xx > 0 THEN
+        |    floor(CAST(CAST(cum_x AS HUGEINT) * uu AS DOUBLE)
+        |      / CAST(CAST(xx AS HUGEINT) * cum_n AS DOUBLE)
+        |      * 1e6 + 0.5) / 1e6 END AS lift
+        |FROM c ORDER BY decile""".stripMargin
   )
 }

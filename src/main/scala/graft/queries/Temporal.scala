@@ -1900,6 +1900,54 @@ object Temporal extends QueryModule {
             .as("power_share"),
           (col("rk") === 1).as("dominant"))
         .orderBy(col("event_type"), col("cycles"))
+    }),
+
+    // Day-over-day top-k churn — Jaccard overlap of consecutive
+    // shipping days' top-10 parts by shipped quantity, the
+    // "heavy-hitter STABILITY" monitor (q287 finds today's heavy
+    // hitters; this says whether yesterday's list still holds — a
+    // routing/caching layer keyed on hot parts needs the churn rate,
+    // not the list). Quantities are integral doubles cast to exact
+    // longs; each day's top-10 is one rank window (qty DESC, partkey
+    // tie-break); "next day" is the next OBSERVED day via lead on
+    // the distinct-day frame (calendar gaps don't fake churn); the
+    // overlap count is an equi-join on (next_day, part) between two
+    // ≤10-row-per-day frames; Jaccard = c/(k₁+k₂−c) exact. Scale
+    // shape: one corpus pass to (day, part) sums (map-side
+    // combined); everything after lives on ≤10·|days| frames.
+    "q352_topk_churn" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      val daily = Tables.lineitem(s, d)
+        .groupBy(to_date(col("l_shipdate")).as("day"), col("l_partkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("qty"))
+      val topk = daily
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("day"))
+            .orderBy(col("qty").desc, col("l_partkey"))))
+        .filter(col("rk") <= 10)
+        .select(col("day"), col("l_partkey"))
+      val sizes = topk.groupBy(col("day")).agg(count(lit(1)).as("kk"))
+      val nextDay = sizes
+        .withColumn("next_day", lead(col("day"), 1).over(
+          Window.orderBy(col("day"))))
+        .filter(col("next_day").isNotNull)
+      val common = topk.as("a")
+        .join(nextDay.select(col("day"), col("next_day")), Seq("day"))
+        .join(topk.select(col("day").as("next_day"),
+          col("l_partkey")), Seq("next_day", "l_partkey"))
+        .groupBy(col("day")).agg(count(lit(1)).as("c"))
+      nextDay
+        .join(sizes.select(col("day").as("next_day"),
+          col("kk").as("k2")), Seq("next_day"))
+        .join(common, Seq("day"), "left")
+        .select(col("day"), col("next_day"), col("kk").as("k_today"),
+          col("k2").as("k_next"),
+          coalesce(col("c"), lit(0L)).as("n_common"),
+          snap6(coalesce(col("c"), lit(0L)).cast("double")
+            / (col("kk") + col("k2")
+              - coalesce(col("c"), lit(0L))).cast("double"))
+            .as("jaccard"))
+        .orderBy(col("day"))
     })
   )
 
@@ -3166,6 +3214,35 @@ object Temporal extends QueryModule {
         |    / CAST(ptot AS DOUBLE) * 1e6 + 0.5) / 1e6 END
         |    AS power_share,
         |  rk = 1 AS dominant
-        |FROM w ORDER BY event_type, cycles""".stripMargin
+        |FROM w ORDER BY event_type, cycles""".stripMargin,
+
+    "q352_topk_churn" ->
+      """WITH dly AS (SELECT CAST(l_shipdate AS DATE) AS day,
+        |    l_partkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+        |      AS qty
+        |  FROM lineitem GROUP BY 1, 2),
+        |tk AS (SELECT day, l_partkey FROM (SELECT *,
+        |    row_number() OVER (PARTITION BY day
+        |      ORDER BY qty DESC, l_partkey) AS rk
+        |  FROM dly) WHERE rk <= 10),
+        |sz AS (SELECT day, CAST(count(*) AS BIGINT) AS kk FROM tk
+        |  GROUP BY 1),
+        |nx AS (SELECT day, kk,
+        |    lead(day) OVER (ORDER BY day) AS next_day
+        |  FROM sz),
+        |nn AS (SELECT * FROM nx WHERE next_day IS NOT NULL),
+        |cm AS (SELECT a.day, CAST(count(*) AS BIGINT) AS c
+        |  FROM tk a JOIN nn ON a.day = nn.day
+        |  JOIN tk b ON b.day = nn.next_day
+        |    AND b.l_partkey = a.l_partkey
+        |  GROUP BY 1)
+        |SELECT nn.day, nn.next_day, nn.kk AS k_today,
+        |  s2.kk AS k_next, coalesce(cm.c, 0) AS n_common,
+        |  floor(CAST(coalesce(cm.c, 0) AS DOUBLE)
+        |    / CAST(nn.kk + s2.kk - coalesce(cm.c, 0) AS DOUBLE)
+        |    * 1e6 + 0.5) / 1e6 AS jaccard
+        |FROM nn JOIN sz s2 ON s2.day = nn.next_day
+        |LEFT JOIN cm ON cm.day = nn.day
+        |ORDER BY nn.day""".stripMargin
   )
 }
