@@ -1046,6 +1046,56 @@ object Similarity extends QueryModule {
             / (count(lit(1)).cast("double") * 1e6))
             .as("mean_silhouette"))
         .orderBy(col("label"))
+    }),
+
+    // Embedding anisotropy audit (Ethayarajh-style) — how far is the
+    // embedding cloud from isotropic? mean cosine of every vector to
+    // the corpus centroid: ≈0 for a healthy centered space, →1 when
+    // everything points one way (the "narrow cone" pathology that
+    // silently breaks cosine retrieval — the space-level health
+    // check q70/q76's per-query scores can't see). Exact
+    // construction: micro-int components make the per-dim sums S_d
+    // exact, so dot(x, m), ‖x‖², and ‖m‖² all carry as exact DECIMAL
+    // numerators over SHARED power-of-ten denominators — each cosine
+    // is one division + sqrt of exact operands, frozen to a µ-long
+    // before the corpus mean (q169 rule). Scale shape: two corpus
+    // passes over the (vec, dim) frame (one for S_d — a bounded
+    // |dims| aggregate broadcast back — one for the scores);
+    // everything folds map-side; one row out.
+    "q354_anisotropy" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      def dec(c: Column): Column = c.cast("decimal(38,0)")
+      val x = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          posexplode(dvec(col("embedding"))).as(Seq("dim", "xv")))
+        .withColumn("x6", floor(col("xv") * 1e6 + 0.5).cast("long"))
+        .select(col("vec_id"), col("dim"), col("x6"))
+      val cent = x.groupBy(col("dim"))
+        .agg(sum(col("x6")).as("sd"), count(lit(1)).as("n"))
+      val mnorm = cent.agg(max(col("n")).as("nv"),
+        count(lit(1)).as("ndims"),
+        sum(dec(col("sd")) * dec(col("sd"))).as("m2"))
+      val per = x.join(broadcast(cent.select(col("dim"), col("sd"))),
+          Seq("dim"))
+        .groupBy(col("vec_id"))
+        .agg(sum(dec(col("x6")) * col("sd")).as("dt"),
+          sum(dec(col("x6")) * dec(col("x6"))).as("x2"))
+      per.crossJoin(broadcast(mnorm))
+        .withColumn("c6", when(col("x2") > 0 && col("m2") > 0,
+          floor(col("dt").cast("double")
+            / (sqrt(col("x2").cast("double"))
+              * sqrt(col("m2").cast("double"))) * 1e6 + 0.5)
+            .cast("long")).otherwise(0L))
+        .withColumn("nrm6", floor(sqrt(col("x2").cast("double"))
+          + 0.5).cast("long"))
+        .groupBy(col("nv"), col("ndims"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(col("c6")).as("sc6"), sum(col("nrm6")).as("sn6"))
+        .select(col("n_vecs"), col("ndims").as("n_dims"),
+          snap6(col("sn6").cast("double")
+            / (col("n_vecs").cast("double") * 1e6)).as("mean_norm"),
+          snap6(col("sc6").cast("double")
+            / (col("n_vecs").cast("double") * 1e6)).as("anisotropy"))
     })
   )
 
@@ -1689,6 +1739,41 @@ object Similarity extends QueryModule {
         |  floor(CAST(sum(s6) AS DOUBLE)
         |    / (CAST(count(*) AS DOUBLE) * 1e6) * 1e6 + 0.5) / 1e6
         |    AS mean_silhouette
-        |FROM s GROUP BY 1 ORDER BY label""".stripMargin
+        |FROM s GROUP BY 1 ORDER BY label""".stripMargin,
+
+    "q354_anisotropy" ->
+      """WITH x AS (SELECT vec_id,
+        |    unnest(range(0, len(embedding))) AS dim,
+        |    CAST(floor(unnest(embedding::DOUBLE[]) * 1e6 + 0.5)
+        |      AS BIGINT) AS x6
+        |  FROM embeddings),
+        |cent AS (SELECT dim, CAST(sum(x6) AS BIGINT) AS sd,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM x GROUP BY 1),
+        |mn AS (SELECT CAST(max(n) AS BIGINT) AS nv,
+        |    CAST(count(*) AS BIGINT) AS ndims,
+        |    sum(CAST(sd AS HUGEINT) * sd) AS m2
+        |  FROM cent),
+        |per AS (SELECT x.vec_id,
+        |    sum(CAST(x.x6 AS HUGEINT) * c.sd) AS dt,
+        |    sum(CAST(x.x6 AS HUGEINT) * x.x6) AS x2
+        |  FROM x JOIN cent c ON x.dim = c.dim
+        |  GROUP BY 1),
+        |s AS (SELECT nv, ndims,
+        |    CASE WHEN x2 > 0 AND m2 > 0 THEN
+        |      CAST(floor(CAST(dt AS DOUBLE)
+        |        / (sqrt(CAST(x2 AS DOUBLE)) * sqrt(CAST(m2 AS DOUBLE)))
+        |        * 1e6 + 0.5) AS BIGINT) ELSE 0 END AS c6,
+        |    CAST(floor(sqrt(CAST(x2 AS DOUBLE)) + 0.5) AS BIGINT)
+        |      AS nrm6
+        |  FROM per, mn)
+        |SELECT CAST(count(*) AS BIGINT) AS n_vecs, ndims AS n_dims,
+        |  floor(CAST(sum(nrm6) AS DOUBLE)
+        |    / (CAST(count(*) AS DOUBLE) * 1e6) * 1e6 + 0.5) / 1e6
+        |    AS mean_norm,
+        |  floor(CAST(sum(c6) AS DOUBLE)
+        |    / (CAST(count(*) AS DOUBLE) * 1e6) * 1e6 + 0.5) / 1e6
+        |    AS anisotropy
+        |FROM s GROUP BY ndims""".stripMargin
   )
 }

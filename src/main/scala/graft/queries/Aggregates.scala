@@ -1804,6 +1804,48 @@ object Aggregates extends QueryModule {
             (col("k").cast("double") * 1e6)
               / col("exc").cast("double"))).as("hill_alpha"))
         .orderBy(col("k"))
+    }),
+
+    // ABC / Pareto classification of parts by revenue — the
+    // inventory-control staple ("A-parts: the ~20% carrying 80% of
+    // revenue get tight control"), the CLASSIFICATION complement of
+    // q213's raw concentration index: rank parts by exact-cent
+    // revenue, classify by INCLUSIVE cumulative share with pure
+    // integer cross-multiplications (cum·100 ≤ 80·total → A,
+    // ≤ 95·total → B, else C — no float share is ever compared),
+    // and report each class's part count and revenue share. Scale
+    // shape: one corpus pass to per-part cents (map-side combined),
+    // one rank-style prefix-sum sort over the PART frame, a 3-row
+    // fold.
+    "q355_abc_analysis" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      def dec(c: Column): Column = c.cast("decimal(38,0)")
+      val rev = Tables.lineitem(s, d)
+        .select(col("l_partkey"),
+          floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+            .as("cents"))
+        .groupBy(col("l_partkey")).agg(sum(col("cents")).as("rev"))
+      val wCum = Window.orderBy(col("rev").desc, col("l_partkey"))
+      rev
+        .withColumn("cum", sum(col("rev")).over(
+          wCum.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("tot", sum(col("rev")).over(Window.partitionBy()))
+        .withColumn("cls",
+          when(dec(col("cum")) * 100L <= dec(col("tot")) * 80L, "A")
+            .when(dec(col("cum")) * 100L <= dec(col("tot")) * 95L, "B")
+            .otherwise("C"))
+        .groupBy(col("cls"))
+        .agg(count(lit(1)).as("n_parts"), sum(col("rev")).as("class_rev"))
+        .withColumn("all_parts",
+          sum(col("n_parts")).over(Window.partitionBy()))
+        .withColumn("all_rev",
+          sum(col("class_rev")).over(Window.partitionBy()))
+        .select(col("cls").as("abc_class"), col("n_parts"),
+          snap6(col("n_parts").cast("double")
+            / col("all_parts").cast("double")).as("part_share"),
+          snap6(col("class_rev").cast("double")
+            / col("all_rev").cast("double")).as("revenue_share"))
+        .orderBy(col("abc_class"))
     })
   )
 
@@ -2833,6 +2875,38 @@ object Aggregates extends QueryModule {
         |  CASE WHEN exc > 0 THEN floor((CAST(k AS DOUBLE) * 1e6)
         |    / CAST(exc AS DOUBLE) * 1e6 + 0.5) / 1e6 END
         |    AS hill_alpha
-        |FROM f ORDER BY k""".stripMargin
+        |FROM f ORDER BY k""".stripMargin,
+
+    "q355_abc_analysis" ->
+      """WITH rev AS (SELECT l_partkey,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5)
+        |      AS BIGINT)) AS BIGINT) AS rev
+        |  FROM lineitem GROUP BY 1),
+        |c AS (SELECT *,
+        |    CAST(sum(rev) OVER (ORDER BY rev DESC, l_partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum,
+        |    CAST(sum(rev) OVER () AS BIGINT) AS tot
+        |  FROM rev),
+        |cl AS (SELECT *,
+        |    CASE WHEN CAST(cum AS HUGEINT) * 100 <= CAST(tot
+        |        AS HUGEINT) * 80 THEN 'A'
+        |      WHEN CAST(cum AS HUGEINT) * 100 <= CAST(tot
+        |        AS HUGEINT) * 95 THEN 'B'
+        |      ELSE 'C' END AS cls
+        |  FROM c),
+        |g AS (SELECT cls, CAST(count(*) AS BIGINT) AS n_parts,
+        |    CAST(sum(rev) AS BIGINT) AS class_rev
+        |  FROM cl GROUP BY 1),
+        |t AS (SELECT *, CAST(sum(n_parts) OVER () AS BIGINT)
+        |      AS all_parts,
+        |    CAST(sum(class_rev) OVER () AS BIGINT) AS all_rev
+        |  FROM g)
+        |SELECT cls AS abc_class, n_parts,
+        |  floor(CAST(n_parts AS DOUBLE) / CAST(all_parts AS DOUBLE)
+        |    * 1e6 + 0.5) / 1e6 AS part_share,
+        |  floor(CAST(class_rev AS DOUBLE) / CAST(all_rev AS DOUBLE)
+        |    * 1e6 + 0.5) / 1e6 AS revenue_share
+        |FROM t ORDER BY abc_class""".stripMargin
   )
 }

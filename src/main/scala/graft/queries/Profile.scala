@@ -1385,6 +1385,42 @@ object Profile extends QueryModule {
               / (dec(col("xx")) * dec(col("cum_n"))).cast("double")))
             .as("lift"))
         .orderBy(col("decile"))
+    }),
+
+    // Gaussian kernel density of account balances at a fixed 11-point
+    // grid (h = 500) — the SHAPE readout between q18's histogram
+    // (blocky) and q39b's quantiles (inverse view): multimodality and
+    // tail mass show directly, and a fixed evaluation grid is exactly
+    // how a distributed KDE should run (never pairwise — each corpus
+    // row contributes to 11 grid cells, a bounded fan-out). Each
+    // kernel value exp(−(x−g)²/2h²) freezes to a NANO-unit long
+    // before the fold (the q169 rule — a double Σ over rows would be
+    // order-sensitive), so the grid sums are exact DECIMAL and each
+    // density Σ/(n·h·√2π·10⁹) is one division of exact operands
+    // (√2π spelled 2.5066282746310002 both engines), emitted
+    // UNSNAPPED (single deterministic division; snapping ~1e-4
+    // densities at 1e-6 would erase the signal). Scale shape: one
+    // corpus pass with an 11× bounded fan-out, grid-keyed map-side
+    // combine, 11 rows out.
+    "q353_kde" -> ((s, d) => {
+      def dec(c: Column): Column = c.cast("decimal(38,0)")
+      Tables.customer(s, d)
+        .select(col("c_acctbal").as("x"),
+          explode(sequence(lit(0L), lit(10L))).as("gi"))
+        .withColumn("g", lit(-1000.0) + col("gi").cast("double") * 1100.0)
+        .withColumn("k9", floor(
+          exp(-(col("x") - col("g")) * (col("x") - col("g"))
+            / lit(500000.0)) * 1e9 + 0.5).cast("long"))
+        .groupBy(col("gi"), col("g"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("k9"))).as("sk"))
+        .select(col("g").as("grid_point"), col("n").as("n_rows"),
+          // h·√2π·10⁹ pre-folded to ONE literal: a 3-constant chain
+          // lets DuckDB's constant folder reassociate and land 1 ulp
+          // off Spark's left-assoc runtime product (measured).
+          (col("sk").cast("double")
+            / (col("n").cast("double") * lit(1253314137315.5002)))
+            .as("density"))
+        .orderBy(col("grid_point"))
     })
   )
 
@@ -2288,6 +2324,22 @@ object Profile extends QueryModule {
         |    floor(CAST(CAST(cum_x AS HUGEINT) * uu AS DOUBLE)
         |      / CAST(CAST(xx AS HUGEINT) * cum_n AS DOUBLE)
         |      * 1e6 + 0.5) / 1e6 END AS lift
-        |FROM c ORDER BY decile""".stripMargin
+        |FROM c ORDER BY decile""".stripMargin,
+
+    "q353_kde" ->
+      """WITH f AS (SELECT c_acctbal AS x, CAST(gi AS BIGINT) AS gi,
+        |    -1000.0::DOUBLE + CAST(gi AS DOUBLE) * 1100.0::DOUBLE AS g
+        |  FROM customer, range(0, 11) r(gi)),
+        |k AS (SELECT gi, g,
+        |    CAST(floor(exp(-(x - g) * (x - g) / 500000.0::DOUBLE)
+        |      * 1e9 + 0.5) AS BIGINT) AS k9
+        |  FROM f),
+        |a AS (SELECT gi, g, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(k9 AS HUGEINT)) AS sk
+        |  FROM k GROUP BY 1, 2)
+        |SELECT g AS grid_point, n AS n_rows,
+        |  CAST(sk AS DOUBLE) / (CAST(n AS DOUBLE)
+        |    * 1253314137315.5002::DOUBLE) AS density
+        |FROM a ORDER BY grid_point""".stripMargin
   )
 }

@@ -1948,6 +1948,58 @@ object Temporal extends QueryModule {
               - coalesce(col("c"), lit(0L))).cast("double"))
             .as("jaccard"))
         .orderBy(col("day"))
+    }),
+
+    // AR(1) one-step backtest per event stream — fit x_t = a + φ·
+    // x_{t−1} by OLS on the lag pairs and score its one-step-ahead
+    // MAE against the naive carry-forward: "does yesterday's level
+    // LINEARLY predict today better than just repeating it?" — the
+    // autoregressive rung between q336's fixed seasonal-naive and
+    // q162's trend forecast. Fully exact (the q334 residual
+    // recipe): on the n lag pairs, den = nΣx² − (Σx)², φnum = nΣxy
+    // − ΣxΣy, and the scaled residual E_t = y_t·n·den − (Σy·den −
+    // φnum·Σx) − n·φnum·x_t is an exact INTEGER whose scale cancels
+    // in the MAE ratio: skill = 1 − (Σ|E|·Σ|Δ|⁻¹-free cross-product
+    // form) — one division of exact DECIMALs. Scale shape: one
+    // corpus pass to the daily frame, one lag window, bounded folds.
+    "q356_ar1_backtest" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      def dec(c: Column): Column = c.cast("decimal(38,0)")
+      val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val prs = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("y"))
+        .withColumn("x", lag(col("y"), 1).over(wOrd))
+        .filter(col("x").isNotNull)
+      val wT = Window.partitionBy(col("event_type"))
+      prs
+        .withColumn("n", count(lit(1)).over(wT))
+        .withColumn("sx", sum(col("x")).over(wT))
+        .withColumn("sy", sum(col("y")).over(wT))
+        .withColumn("sxx", sum(dec(col("x")) * dec(col("x"))).over(wT))
+        .withColumn("sxy", sum(dec(col("x")) * dec(col("y"))).over(wT))
+        .withColumn("den",
+          dec(col("n")) * col("sxx") - dec(col("sx")) * dec(col("sx")))
+        .withColumn("phn",
+          dec(col("n")) * col("sxy") - dec(col("sx")) * dec(col("sy")))
+        .withColumn("e", dec(col("y")) * dec(col("n")) * col("den")
+          - (dec(col("sy")) * col("den") - col("phn") * dec(col("sx")))
+          - dec(col("n")) * col("phn") * dec(col("x")))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n_pairs"),
+          max(col("phn")).as("phnv"), max(col("den")).as("denv"),
+          sum(abs(col("e"))).as("sae"),
+          sum(abs(dec(col("y")) - dec(col("x")))).as("snaive"))
+        .select(col("event_type"), col("n_pairs"),
+          when(col("denv") > 0, snap6(col("phnv").cast("double")
+            / col("denv").cast("double"))).as("phi"),
+          // mae_ar/mae_naive = Σ|E| / (n·den·Σ|Δ|) — the n·den
+          // residual scale divides back out against the naive MAE
+          when(col("denv") > 0 && col("snaive") > 0,
+            snap6(lit(1.0) - col("sae").cast("double")
+              / (dec(col("n_pairs")) * col("denv") * col("snaive"))
+                .cast("double"))).as("skill_vs_naive"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -3243,6 +3295,51 @@ object Temporal extends QueryModule {
         |    * 1e6 + 0.5) / 1e6 AS jaccard
         |FROM nn JOIN sz s2 ON s2.day = nn.next_day
         |LEFT JOIN cm ON cm.day = nn.day
-        |ORDER BY nn.day""".stripMargin
+        |ORDER BY nn.day""".stripMargin,
+
+    "q356_ar1_backtest" ->
+      """WITH dly AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |pr AS (SELECT event_type, day, y,
+        |    lag(y) OVER (PARTITION BY event_type ORDER BY day) AS x
+        |  FROM dly),
+        |p AS (SELECT * FROM pr WHERE x IS NOT NULL),
+        |st AS (SELECT event_type, day, y, x,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+        |      AS n,
+        |    CAST(sum(x) OVER (PARTITION BY event_type) AS BIGINT)
+        |      AS sx,
+        |    CAST(sum(y) OVER (PARTITION BY event_type) AS BIGINT)
+        |      AS sy,
+        |    sum(CAST(x AS HUGEINT) * x)
+        |      OVER (PARTITION BY event_type) AS sxx,
+        |    sum(CAST(x AS HUGEINT) * y)
+        |      OVER (PARTITION BY event_type) AS sxy
+        |  FROM p),
+        |e AS (SELECT *,
+        |    CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+        |      AS den,
+        |    CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+        |      AS phn
+        |  FROM st),
+        |r AS (SELECT event_type, n, phn, den,
+        |    CAST(y AS HUGEINT) * n * den
+        |      - (CAST(sy AS HUGEINT) * den - phn * sx)
+        |      - CAST(n AS HUGEINT) * phn * x AS ev,
+        |    CAST(y AS HUGEINT) - x AS dv
+        |  FROM e),
+        |g AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n_pairs,
+        |    max(phn) AS phnv, max(den) AS denv,
+        |    sum(abs(ev)) AS sae, sum(abs(dv)) AS snaive
+        |  FROM r GROUP BY 1)
+        |SELECT event_type, n_pairs,
+        |  CASE WHEN denv > 0 THEN floor(CAST(phnv AS DOUBLE)
+        |    / CAST(denv AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS phi,
+        |  CASE WHEN denv > 0 AND snaive > 0 THEN
+        |    floor((1.0::DOUBLE - CAST(sae AS DOUBLE)
+        |      / CAST(CAST(n_pairs AS HUGEINT) * denv * snaive
+        |        AS DOUBLE)) * 1e6 + 0.5) / 1e6 END AS skill_vs_naive
+        |FROM g ORDER BY event_type""".stripMargin
   )
 }
