@@ -1846,6 +1846,140 @@ object Aggregates extends QueryModule {
           snap6(col("class_rev").cast("double")
             / col("all_rev").cast("double")).as("revenue_share"))
         .orderBy(col("abc_class"))
+    }),
+
+    // Simpson's-paradox screen — does the quantity-vs-discount slope
+    // REVERSE sign inside any return-flag group relative to the
+    // pooled slope? (The aggregation trap every dashboard walks
+    // into: q212 fits the pooled response; this checks whether the
+    // pooled sign even survives stratification.) Slopes are exact
+    // rationals (nΣxy − ΣxΣy)/(nΣxx − (Σx)²) on integer-scaled
+    // discounts; the reversal flag compares INTEGER numerator signs
+    // (denominators are positive), so the boolean is exact, never a
+    // float-sign artifact. Scale shape: one corpus pass to per-group
+    // moment counters (map-side combined), a bounded group frame ×
+    // broadcast pooled row.
+    "q358_simpsons_check" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      def dec(c: Column): Column = c.cast("decimal(38,0)")
+      val li = Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("g"),
+          floor(col("l_discount") * 100 + 0.5).cast("long").as("x"),
+          col("l_quantity").cast("long").as("y"))
+      def moments(df: DataFrame): DataFrame = df
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"),
+          sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+          sum(dec(col("x")) * dec(col("y"))).as("sxy"))
+        .select(col("n"),
+          (dec(col("n")) * col("sxy") - dec(col("sx")) * dec(col("sy")))
+            .as("num"),
+          (dec(col("n")) * col("sxx") - dec(col("sx")) * dec(col("sx")))
+            .as("den"))
+      val pooled = moments(li)
+        .select(col("num").as("num_all"), col("den").as("den_all"))
+      val grps = li.groupBy(col("g"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"),
+          sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+          sum(dec(col("x")) * dec(col("y"))).as("sxy"))
+        .select(col("g"), col("n"),
+          (dec(col("n")) * col("sxy") - dec(col("sx")) * dec(col("sy")))
+            .as("num"),
+          (dec(col("n")) * col("sxx") - dec(col("sx")) * dec(col("sx")))
+            .as("den"))
+      grps.crossJoin(broadcast(pooled))
+        .select(col("g").as("l_returnflag"), col("n").as("n_rows"),
+          when(col("den") > 0, snap6(col("num").cast("double")
+            / col("den").cast("double"))).as("slope_group"),
+          when(col("den_all") > 0, snap6(col("num_all").cast("double")
+            / col("den_all").cast("double"))).as("slope_pooled"),
+          (col("num") > 0 && col("num_all") < 0
+            || col("num") < 0 && col("num_all") > 0)
+            .as("sign_reversed"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Partial correlation ρ(quantity, price | discount) — does the
+    // quantity-price relationship survive CONTROLLING for discount?
+    // (q236's Spearman and q167's rolling Pearson are bivariate; the
+    // partial is the first rung of causal hygiene — a correlation
+    // that vanishes given a confounder was never structural.) All
+    // three pairwise r's come from one 9-counter exact-moment fold;
+    // ρ_xy·z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)) is a single
+    // deterministic double expression of the exact cross-products
+    // (each r² expressed as num²/(den_a·den_b) of exact DECIMAL
+    // casts). Scale shape: one corpus pass, one row out.
+    "q359_partial_corr" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      def dec(c: Column): Column = c.cast("decimal(38,0)")
+      Tables.lineitem(s, d)
+        .select(col("l_quantity").cast("long").as("x"),
+          floor(col("l_extendedprice")).cast("long").as("y"),
+          floor(col("l_discount") * 100 + 0.5).cast("long").as("z"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("z")).as("sz"),
+          sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+          sum(dec(col("y")) * dec(col("y"))).as("syy"),
+          sum(dec(col("z")) * dec(col("z"))).as("szz"),
+          sum(dec(col("x")) * dec(col("y"))).as("sxy"),
+          sum(dec(col("x")) * dec(col("z"))).as("sxz"),
+          sum(dec(col("y")) * dec(col("z"))).as("syz"))
+        .withColumn("cxy", (dec(col("n")) * col("sxy")
+          - dec(col("sx")) * dec(col("sy"))).cast("double"))
+        .withColumn("cxz", (dec(col("n")) * col("sxz")
+          - dec(col("sx")) * dec(col("sz"))).cast("double"))
+        .withColumn("cyz", (dec(col("n")) * col("syz")
+          - dec(col("sy")) * dec(col("sz"))).cast("double"))
+        .withColumn("vx", (dec(col("n")) * col("sxx")
+          - dec(col("sx")) * dec(col("sx"))).cast("double"))
+        .withColumn("vy", (dec(col("n")) * col("syy")
+          - dec(col("sy")) * dec(col("sy"))).cast("double"))
+        .withColumn("vz", (dec(col("n")) * col("szz")
+          - dec(col("sz")) * dec(col("sz"))).cast("double"))
+        .withColumn("rxy", col("cxy") / sqrt(col("vx") * col("vy")))
+        .withColumn("rxz", col("cxz") / sqrt(col("vx") * col("vz")))
+        .withColumn("ryz", col("cyz") / sqrt(col("vy") * col("vz")))
+        .select(col("n").as("n_rows"), snap6(col("rxy")).as("r_xy"),
+          snap6(col("rxz")).as("r_xz"), snap6(col("ryz")).as("r_yz"),
+          when((lit(1.0) - col("rxz") * col("rxz")) > 0.0
+              && (lit(1.0) - col("ryz") * col("ryz")) > 0.0,
+            snap6((col("rxy") - col("rxz") * col("ryz"))
+              / sqrt((lit(1.0) - col("rxz") * col("rxz"))
+                * (lit(1.0) - col("ryz") * col("ryz")))))
+            .as("partial_r_xy_given_z"))
+    }),
+
+    // Per-part price-dispersion audit — parts whose unit price
+    // varies most across line items (CV² of the per-unit price in
+    // exact cents), the price-integrity screen behind "same part,
+    // wildly different charges" (q205 finds duplicate payments;
+    // this finds INCONSISTENT pricing): CV² = (nΣp² − (Σp)²)/(Σp)²
+    // is a single division of exact DECIMAL cross-products per
+    // part, top-15 by (snapped CV² DESC, part) with a minimum
+    // support of 5 line items. Scale shape: one corpus pass to
+    // per-part moment counters (map-side combined), TakeOrdered.
+    "q360_price_dispersion" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      def dec(c: Column): Column = c.cast("decimal(38,0)")
+      Tables.lineitem(s, d)
+        .filter(col("l_quantity") > 0)
+        .select(col("l_partkey"),
+          floor(col("l_extendedprice") * 100 / col("l_quantity") + 0.5)
+            .cast("long").as("unit_cents"))
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n"), sum(col("unit_cents")).as("sp"),
+          sum(dec(col("unit_cents")) * dec(col("unit_cents"))).as("sp2"))
+        .filter(col("n") >= 5L && col("sp") > 0L)
+        .select(col("l_partkey"), col("n").as("n_lines"),
+          snap6(col("sp").cast("double") / (col("n").cast("double")
+            * 100.0)).as("mean_unit_price"),
+          snap6((dec(col("n")) * col("sp2")
+            - dec(col("sp")) * dec(col("sp"))).cast("double")
+            / (dec(col("sp")) * dec(col("sp"))).cast("double"))
+            .as("cv2"))
+        .orderBy(col("cv2").desc, col("l_partkey"))
+        .limit(15)
     })
   )
 
@@ -2907,6 +3041,108 @@ object Aggregates extends QueryModule {
         |    * 1e6 + 0.5) / 1e6 AS part_share,
         |  floor(CAST(class_rev AS DOUBLE) / CAST(all_rev AS DOUBLE)
         |    * 1e6 + 0.5) / 1e6 AS revenue_share
-        |FROM t ORDER BY abc_class""".stripMargin
+        |FROM t ORDER BY abc_class""".stripMargin,
+
+    "q358_simpsons_check" ->
+      """WITH li AS (SELECT l_returnflag AS g,
+        |    CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS x,
+        |    CAST(l_quantity AS BIGINT) AS y
+        |  FROM lineitem),
+        |pooled AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(y) AS BIGINT) AS sy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy
+        |  FROM li),
+        |pl AS (SELECT CAST(n AS HUGEINT) * sxy
+        |      - CAST(sx AS HUGEINT) * sy AS num_all,
+        |    CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+        |      AS den_all
+        |  FROM pooled),
+        |g0 AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(y) AS BIGINT) AS sy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy
+        |  FROM li GROUP BY 1),
+        |gg AS (SELECT g, n,
+        |    CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+        |      AS num,
+        |    CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+        |      AS den
+        |  FROM g0)
+        |SELECT g AS l_returnflag, n AS n_rows,
+        |  CASE WHEN den > 0 THEN floor(CAST(num AS DOUBLE)
+        |    / CAST(den AS DOUBLE) * 1e6 + 0.5) / 1e6 END
+        |    AS slope_group,
+        |  CASE WHEN den_all > 0 THEN floor(CAST(num_all AS DOUBLE)
+        |    / CAST(den_all AS DOUBLE) * 1e6 + 0.5) / 1e6 END
+        |    AS slope_pooled,
+        |  (num > 0 AND num_all < 0) OR (num < 0 AND num_all > 0)
+        |    AS sign_reversed
+        |FROM gg, pl ORDER BY l_returnflag""".stripMargin,
+
+    "q359_partial_corr" ->
+      """WITH li AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(floor(l_extendedprice) AS BIGINT) AS y,
+        |    CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS z
+        |  FROM lineitem),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(z) AS BIGINT) AS sz,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(y AS HUGEINT) * y) AS syy,
+        |    sum(CAST(z AS HUGEINT) * z) AS szz,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |    sum(CAST(x AS HUGEINT) * z) AS sxz,
+        |    sum(CAST(y AS HUGEINT) * z) AS syz
+        |  FROM li),
+        |c AS (SELECT n,
+        |    CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+        |      AS DOUBLE) AS cxy,
+        |    CAST(CAST(n AS HUGEINT) * sxz - CAST(sx AS HUGEINT) * sz
+        |      AS DOUBLE) AS cxz,
+        |    CAST(CAST(n AS HUGEINT) * syz - CAST(sy AS HUGEINT) * sz
+        |      AS DOUBLE) AS cyz,
+        |    CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+        |      AS DOUBLE) AS vx,
+        |    CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy
+        |      AS DOUBLE) AS vy,
+        |    CAST(CAST(n AS HUGEINT) * szz - CAST(sz AS HUGEINT) * sz
+        |      AS DOUBLE) AS vz
+        |  FROM m),
+        |r AS (SELECT n, cxy / sqrt(vx * vy) AS rxy,
+        |    cxz / sqrt(vx * vz) AS rxz, cyz / sqrt(vy * vz) AS ryz
+        |  FROM c)
+        |SELECT n AS n_rows,
+        |  floor(rxy * 1e6 + 0.5) / 1e6 AS r_xy,
+        |  floor(rxz * 1e6 + 0.5) / 1e6 AS r_xz,
+        |  floor(ryz * 1e6 + 0.5) / 1e6 AS r_yz,
+        |  CASE WHEN (1.0::DOUBLE - rxz * rxz) > 0
+        |      AND (1.0::DOUBLE - ryz * ryz) > 0 THEN
+        |    floor((rxy - rxz * ryz)
+        |      / sqrt((1.0::DOUBLE - rxz * rxz)
+        |        * (1.0::DOUBLE - ryz * ryz)) * 1e6 + 0.5) / 1e6 END
+        |    AS partial_r_xy_given_z
+        |FROM r""".stripMargin,
+
+    "q360_price_dispersion" ->
+      """WITH u AS (SELECT l_partkey,
+        |    CAST(floor(l_extendedprice * 100 / l_quantity + 0.5)
+        |      AS BIGINT) AS unit_cents
+        |  FROM lineitem WHERE l_quantity > 0),
+        |g AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(unit_cents) AS BIGINT) AS sp,
+        |    sum(CAST(unit_cents AS HUGEINT) * unit_cents) AS sp2
+        |  FROM u GROUP BY 1)
+        |SELECT l_partkey, n AS n_lines,
+        |  floor(CAST(sp AS DOUBLE) / (CAST(n AS DOUBLE)
+        |    * 100.0::DOUBLE) * 1e6 + 0.5) / 1e6 AS mean_unit_price,
+        |  floor(CAST(CAST(n AS HUGEINT) * sp2 - CAST(sp AS HUGEINT)
+        |      * sp AS DOUBLE) / CAST(CAST(sp AS HUGEINT) * sp
+        |      AS DOUBLE) * 1e6 + 0.5) / 1e6 AS cv2
+        |FROM g WHERE n >= 5 AND sp > 0
+        |ORDER BY cv2 DESC, l_partkey LIMIT 15""".stripMargin
   )
 }

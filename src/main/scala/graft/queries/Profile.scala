@@ -1421,6 +1421,62 @@ object Profile extends QueryModule {
             / (col("n").cast("double") * lit(1253314137315.5002)))
             .as("density"))
         .orderBy(col("grid_point"))
+    }),
+
+    // Mahalanobis outliers in (quantity, price-dollars) — the
+    // MULTIVARIATE outlier screen q155's per-column MAD can't make
+    // (a 50-unit order at a 50-unit price is normal; a 1-unit order
+    // at a 50-unit total is not — only the covariance sees it):
+    // d² = (Syy·dx² − 2Sxy·dx·dy + Sxx·dy²)/det over the exact
+    // centered coordinates dx = n·x − Σx. The moment matrix entries
+    // and det are exact DECIMAL cross-products; each d² is ONE
+    // deterministic double expression of those exact operands (no
+    // order-sensitive fold — the operands would overflow 38 digits
+    // if the numerator stayed in DECIMAL at 10× scale, measured
+    // class), 6-snapped, TakeOrdered top-10. Scale shape: one
+    // 5-counter moment fold broadcast back, per-row arithmetic,
+    // top-k. Degenerate covariance (det ≤ 0) yields no rows
+    // identically.
+    "q357_mahalanobis" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      def dec(c: Column): Column = c.cast("decimal(38,0)")
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("long").as("x"),
+          floor(col("l_extendedprice")).cast("long").as("y"))
+      val m = li.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"),
+          sum(dec(col("x")) * dec(col("x"))).as("sxx2"),
+          sum(dec(col("y")) * dec(col("y"))).as("syy2"),
+          sum(dec(col("x")) * dec(col("y"))).as("sxy2"))
+        .select(col("n"), col("sx"), col("sy"),
+          (dec(col("n")) * col("sxx2") - dec(col("sx")) * dec(col("sx")))
+            .as("sxx"),
+          (dec(col("n")) * col("syy2") - dec(col("sy")) * dec(col("sy")))
+            .as("syy"),
+          (dec(col("n")) * col("sxy2") - dec(col("sx")) * dec(col("sy")))
+            .as("sxy"))
+      li.crossJoin(broadcast(m))
+        // det in DOUBLE of the exact entries — the DECIMAL product
+        // sxx·syy would overflow 38 digits at 10× scale
+        .filter(col("sxx").cast("double") * col("syy").cast("double")
+          - col("sxy").cast("double") * col("sxy").cast("double") > 0.0)
+        .withColumn("dx", (dec(col("n")) * dec(col("x"))
+          - dec(col("sx"))).cast("double"))
+        .withColumn("dy", (dec(col("n")) * dec(col("y"))
+          - dec(col("sy"))).cast("double"))
+        .withColumn("d2", (col("syy").cast("double") * col("dx")
+            * col("dx")
+          - lit(2.0) * col("sxy").cast("double") * col("dx") * col("dy")
+          + col("sxx").cast("double") * col("dy") * col("dy"))
+          / (col("sxx").cast("double") * col("syy").cast("double")
+            - col("sxy").cast("double") * col("sxy").cast("double")))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("x").as("quantity"), col("y").as("price_dollars"),
+          snap6(col("d2")).as("mahalanobis_d2"))
+        .orderBy(col("mahalanobis_d2").desc, col("l_orderkey"),
+          col("l_linenumber"))
+        .limit(10)
     })
   )
 
@@ -2340,6 +2396,44 @@ object Profile extends QueryModule {
         |SELECT g AS grid_point, n AS n_rows,
         |  CAST(sk AS DOUBLE) / (CAST(n AS DOUBLE)
         |    * 1253314137315.5002::DOUBLE) AS density
-        |FROM a ORDER BY grid_point""".stripMargin
+        |FROM a ORDER BY grid_point""".stripMargin,
+
+    "q357_mahalanobis" ->
+      """WITH li AS (SELECT l_orderkey, l_linenumber,
+        |    CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(floor(l_extendedprice) AS BIGINT) AS y
+        |  FROM lineitem),
+        |m0 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(y) AS BIGINT) AS sy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx2,
+        |    sum(CAST(y AS HUGEINT) * y) AS syy2,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy2
+        |  FROM li),
+        |m AS (SELECT n, sx, sy,
+        |    CAST(n AS HUGEINT) * sxx2 - CAST(sx AS HUGEINT) * sx
+        |      AS sxx,
+        |    CAST(n AS HUGEINT) * syy2 - CAST(sy AS HUGEINT) * sy
+        |      AS syy,
+        |    CAST(n AS HUGEINT) * sxy2 - CAST(sx AS HUGEINT) * sy
+        |      AS sxy
+        |  FROM m0),
+        |r AS (SELECT li.l_orderkey, li.l_linenumber, li.x, li.y,
+        |    CAST(CAST(n AS HUGEINT) * li.x - sx AS DOUBLE) AS dx,
+        |    CAST(CAST(n AS HUGEINT) * li.y - sy AS DOUBLE) AS dy,
+        |    CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd,
+        |    CAST(sxy AS DOUBLE) AS sxyd
+        |  FROM li, m
+        |  WHERE CAST(sxx AS DOUBLE) * CAST(syy AS DOUBLE)
+        |    - CAST(sxy AS DOUBLE) * CAST(sxy AS DOUBLE) > 0),
+        |f AS (SELECT l_orderkey, l_linenumber, x, y,
+        |    (syyd * dx * dx - 2.0::DOUBLE * sxyd * dx * dy
+        |      + sxxd * dy * dy) / (sxxd * syyd - sxyd * sxyd) AS d2
+        |  FROM r)
+        |SELECT l_orderkey, l_linenumber, x AS quantity,
+        |  y AS price_dollars,
+        |  floor(d2 * 1e6 + 0.5) / 1e6 AS mahalanobis_d2
+        |FROM f ORDER BY mahalanobis_d2 DESC, l_orderkey, l_linenumber
+        |LIMIT 10""".stripMargin
   )
 }
