@@ -239,6 +239,19 @@ final class Frame private (val df: DataFrame) {
   /** Per-language TF-IDF top terms (q110). */
   def tfidfTopK(): Frame = Frame(graft.ops.CorpusSignals.tfidfTopK(df))
 
+  /** Weighted sample WITHOUT replacement (Efraimidis-Spirakis top-k
+    * on u^(1/w), weights = n_chars) — exact-k, deterministic across
+    * runs/engines/partitionings (q343).
+    */
+  def weightedSample(k: Int = 20): Frame =
+    Frame(graft.ops.Curation.weightedSample(df, k))
+
+  /** Quantile-normalize per-source length distributions onto the
+    * global one by exact rational interpolation (q344).
+    */
+  def quantileNormalize(): Frame =
+    Frame(graft.ops.Curation.quantileNormalize(df))
+
   /** Fixed-size overlapping chunks for retrieval indexing (q122 tier). */
   def chunkDocs(): Frame = Frame(graft.ops.TextAnalysis.chunkDocs(df))
 

@@ -709,6 +709,42 @@ object CorpusSignals extends QueryModule {
           (col("rk") <= col("k_star")).as("rejected"))
         .orderBy(col("g2").desc, col("tok"))
         .limit(15)
+    }),
+
+    // Corpus novelty curve — split the corpus into 10 ingestion
+    // buckets (doc_id order = arrival order) and read, per bucket,
+    // the fraction of its DISTINCT 3-shingles never seen in any
+    // earlier bucket: the "is new data still new?" decay every
+    // data-acquisition pipeline budgets against (q284's Heaps
+    // exponent fits the aggregate curve; this localizes WHERE the
+    // novelty comes from — a flat late tail means more of the same
+    // source adds nothing). Exact set logic: per shingle ONE
+    // min-bucket aggregate; per (bucket, shingle) presence is
+    // distinct-counted; novel ⟺ bucket = min_bucket; the rate is
+    // one division of exact longs. Scale shape: one tokenize pass
+    // to (shingle-hash, bucket) pairs (map-side combined), a
+    // shingle-keyed aggregate, a ≤10-row readout.
+    "q363_novelty_curve" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      val sh = Tables.documents(s, d)
+        .withColumn("ws", Text.words(col("text")))
+        .filter(size(col("ws")) >= 3)
+        .withColumn("bkt", ntile(10).over(
+          Window.orderBy(col("doc_id"))).cast("long"))
+        .select(col("bkt"), explode(Text.shingles3(col("ws"))).as("g"))
+        .select(col("bkt"), xxhash64(col("g")).as("h"))
+        .distinct()
+      sh.groupBy(col("h")).agg(min(col("bkt")).as("first_bkt"))
+        .join(sh, Seq("h"))
+        .groupBy(col("bkt"))
+        .agg(count(lit(1)).as("n_distinct"),
+          sum(when(col("first_bkt") === col("bkt"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .select(col("bkt").as("bucket"), col("n_distinct"),
+          col("n_novel"),
+          snap6(col("n_novel").cast("double")
+            / col("n_distinct").cast("double")).as("novelty_rate"))
+        .orderBy(col("bucket"))
     })
   )
 
@@ -1706,6 +1742,27 @@ object CorpusSignals extends QueryModule {
         |  floor(pval * 1e6 + 0.5) / 1e6 AS p_value,
         |  rk AS p_rank, m AS n_tested, k_star AS n_rejected,
         |  rk <= k_star AS rejected
-        |FROM rk, ks ORDER BY g2 DESC, tok LIMIT 15""".stripMargin
+        |FROM rk, ks ORDER BY g2 DESC, tok LIMIT 15""".stripMargin,
+
+    "q363_novelty_curve" ->
+      """WITH ws AS (SELECT doc_id, string_split(lower(trim(
+        |      regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+        |  FROM documents),
+        |bk AS (SELECT doc_id,
+        |    CAST(ntile(10) OVER (ORDER BY doc_id) AS BIGINT) AS bkt, w
+        |  FROM ws WHERE len(w) >= 3),
+        |sh AS (SELECT DISTINCT bkt, unnest(list_transform(
+        |    range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+        |  FROM bk),
+        |fb AS (SELECT g, min(bkt) AS first_bkt FROM sh GROUP BY 1),
+        |j AS (SELECT sh.bkt, CAST(count(*) AS BIGINT) AS n_distinct,
+        |    CAST(sum(CASE WHEN fb.first_bkt = sh.bkt THEN 1 ELSE 0
+        |      END) AS BIGINT) AS n_novel
+        |  FROM sh JOIN fb ON sh.g = fb.g GROUP BY 1)
+        |SELECT bkt AS bucket, n_distinct, n_novel,
+        |  floor(CAST(n_novel AS DOUBLE) / CAST(n_distinct AS DOUBLE)
+        |    * 1e6 + 0.5) / 1e6 AS novelty_rate
+        |FROM j ORDER BY bucket""".stripMargin
   )
 }

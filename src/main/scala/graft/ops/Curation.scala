@@ -764,21 +764,8 @@ object Curation extends QueryModule {
     // double division of exact longs — identical both engines.
     // Scale shape: one corpus pass computing keys, TakeOrdered k —
     // no shuffle beyond the top-k.
-    "q343_weighted_sample" -> ((s, d) => {
-      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
-      Tables.documents(s, d)
-        .select(col("doc_id"), col("source"), col("n_chars"))
-        .withColumn("u", pmod(conv(substring(md5(concat(
-          col("doc_id").cast("string"), lit(":es"))), 1, 8), 16, 10)
-          .cast("long"), lit(1000000L)))
-        .withColumn("key6", (lit(13815511L)
-          - floor(log((col("u") + 1L).cast("double")) * 1e6 + 0.5)
-            .cast("long")).cast("double") / col("n_chars").cast("double"))
-        .select(col("doc_id"), col("source"), col("n_chars"), col("u"),
-          snap6(col("key6")).as("es_key"))
-        .orderBy(col("es_key"), col("doc_id"))
-        .limit(20)
-    }),
+    "q343_weighted_sample" -> ((s, d) =>
+      weightedSample(Tables.documents(s, d), 20)),
 
     // Quantile normalization across sources — force every source's
     // length distribution onto the GLOBAL one (the bioinformatics /
@@ -798,11 +785,41 @@ object Curation extends QueryModule {
     // map to the global median (q = 1/2). Scale shape: two
     // rank-style sorts (per-source window + global), one join on the
     // computed global index, per-source folds.
-    "q344_quantile_norm" -> ((s, d) => {
-      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
-      def dec(c: Column): Column = c.cast("decimal(38,0)")
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), col("source"), col("n_chars"))
+    "q344_quantile_norm" -> ((s, d) =>
+      quantileNormalize(Tables.documents(s, d)))
+  )
+
+  /** Efraimidis-Spirakis weighted sampling without replacement (q343):
+    * top-k on u^(1/w) ⟺ min-k on −ln(u)/w, u from the shared-md5
+    * micro-uniform, weights = n_chars. Exposed on [[graft.api.Frame]]
+    * as `weightedSample(k)`.
+    */
+  private[graft] def weightedSample(docs: DataFrame, k: Int): DataFrame = {
+    def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+    docs
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("u", pmod(conv(substring(md5(concat(
+        col("doc_id").cast("string"), lit(":es"))), 1, 8), 16, 10)
+        .cast("long"), lit(1000000L)))
+      .withColumn("key6", (lit(13815511L)
+        - floor(log((col("u") + 1L).cast("double")) * 1e6 + 0.5)
+          .cast("long")).cast("double") / col("n_chars").cast("double"))
+      .select(col("doc_id"), col("source"), col("n_chars"), col("u"),
+        snap6(col("key6")).as("es_key"))
+      .orderBy(col("es_key"), col("doc_id"))
+      .limit(k)
+  }
+
+  /** Cross-source quantile normalization (q344): per-source length
+    * ranks mapped onto the global distribution by exact rational
+    * interpolation. Exposed on [[graft.api.Frame]] as
+    * `quantileNormalize()`.
+    */
+  private[graft] def quantileNormalize(docsIn: DataFrame): DataFrame = {
+    def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val docs = docsIn
+      .select(col("doc_id"), col("source"), col("n_chars"))
       val wSrc = Window.partitionBy(col("source"))
         .orderBy(col("n_chars"), col("doc_id"))
       val wGlob = Window.orderBy(col("rk"))
@@ -836,8 +853,7 @@ object Curation extends QueryModule {
             / (dec(col("n_docs")) * dec(col("dn"))).cast("double"))
             .as("mean_qnorm"))
         .orderBy(col("source"))
-    })
-  )
+  }
 
   /** Exact-n per-group sampling — the eval-set constructor q105's
     * rate-based stratified sample can't give you: exactly 5 documents

@@ -1980,6 +1980,45 @@ object Aggregates extends QueryModule {
             .as("cv2"))
         .orderBy(col("cv2").desc, col("l_partkey"))
         .limit(15)
+    }),
+
+    // Pareto-knee detection on the part-revenue concentration curve
+    // (Kneedle's geometric core: the knee is the rank maximizing the
+    // normalized gap between cumulative revenue share and the
+    // diagonal) — turns q355's fixed 80/95 ABC thresholds into a
+    // DATA-CHOSEN cut ("control exactly the parts before the knee").
+    // The gap ordering is fully exact: gap = cum·P − rank·T is an
+    // exact DECIMAL cross-product, argmax ranks on it directly
+    // (tie → smaller rank); shares are single divisions. Scale
+    // shape: one corpus pass to per-part cents, one rank-style
+    // prefix-sum sort of the part frame, a 1-row argmax readout.
+    "q364_pareto_knee" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      def dec(c: Column): Column = c.cast("decimal(38,0)")
+      val wOrd = Window.orderBy(col("rev").desc, col("l_partkey"))
+      Tables.lineitem(s, d)
+        .select(col("l_partkey"),
+          floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+            .as("cents"))
+        .groupBy(col("l_partkey")).agg(sum(col("cents")).as("rev"))
+        .withColumn("rk", row_number().over(wOrd).cast("long"))
+        .withColumn("cum", sum(col("rev")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("tot", sum(col("rev")).over(Window.partitionBy()))
+        .withColumn("np", count(lit(1)).over(Window.partitionBy()))
+        .withColumn("gap",
+          dec(col("cum")) * dec(col("np")) - dec(col("rk")) * dec(col("tot")))
+        .withColumn("sel", row_number().over(
+          Window.orderBy(col("gap").desc, col("rk"))))
+        .filter(col("sel") === 1)
+        .select(col("rk").as("knee_rank"), col("np").as("n_parts"),
+          snap6(col("rk").cast("double") / col("np").cast("double"))
+            .as("knee_part_share"),
+          snap6(col("cum").cast("double") / col("tot").cast("double"))
+            .as("knee_rev_share"),
+          snap6(col("gap").cast("double")
+            / (dec(col("np")) * dec(col("tot"))).cast("double"))
+            .as("max_gap"))
     })
   )
 
@@ -3143,6 +3182,35 @@ object Aggregates extends QueryModule {
         |      * sp AS DOUBLE) / CAST(CAST(sp AS HUGEINT) * sp
         |      AS DOUBLE) * 1e6 + 0.5) / 1e6 AS cv2
         |FROM g WHERE n >= 5 AND sp > 0
-        |ORDER BY cv2 DESC, l_partkey LIMIT 15""".stripMargin
+        |ORDER BY cv2 DESC, l_partkey LIMIT 15""".stripMargin,
+
+    "q364_pareto_knee" ->
+      """WITH rev AS (SELECT l_partkey,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5)
+        |      AS BIGINT)) AS BIGINT) AS rev
+        |  FROM lineitem GROUP BY 1),
+        |c AS (SELECT l_partkey, rev,
+        |    CAST(row_number() OVER (ORDER BY rev DESC, l_partkey)
+        |      AS BIGINT) AS rk,
+        |    CAST(sum(rev) OVER (ORDER BY rev DESC, l_partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum,
+        |    CAST(sum(rev) OVER () AS BIGINT) AS tot,
+        |    CAST(count(*) OVER () AS BIGINT) AS np
+        |  FROM rev),
+        |g AS (SELECT *, CAST(cum AS HUGEINT) * np
+        |    - CAST(rk AS HUGEINT) * tot AS gap
+        |  FROM c),
+        |r AS (SELECT *, row_number() OVER (ORDER BY gap DESC, rk)
+        |      AS sel
+        |  FROM g)
+        |SELECT rk AS knee_rank, np AS n_parts,
+        |  floor(CAST(rk AS DOUBLE) / CAST(np AS DOUBLE) * 1e6 + 0.5)
+        |    / 1e6 AS knee_part_share,
+        |  floor(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) * 1e6 + 0.5)
+        |    / 1e6 AS knee_rev_share,
+        |  floor(CAST(gap AS DOUBLE) / CAST(CAST(np AS HUGEINT) * tot
+        |    AS DOUBLE) * 1e6 + 0.5) / 1e6 AS max_gap
+        |FROM r WHERE sel = 1""".stripMargin
   )
 }

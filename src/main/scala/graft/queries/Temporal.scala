@@ -2000,6 +2000,94 @@ object Temporal extends QueryModule {
               / (dec(col("n_pairs")) * col("denv") * col("snaive"))
                 .cast("double"))).as("skill_vs_naive"))
         .orderBy(col("event_type"))
+    }),
+
+    // Weekly growth accounting — every product team's four-bucket
+    // user ledger: each active user-week is NEW (first week ever),
+    // RETAINED (also active last week), or RESURRECTED (active, not
+    // last week, not new); CHURNED counts last week's actives who
+    // went dark. The identity actives_t = new + retained +
+    // resurrected and quick ratio (new+res)/churned fall out — the
+    // flow decomposition q286's cohort retention (stock view) and
+    // q126 don't give. All flags are exact set logic on the distinct
+    // (user, week) frame: prev-week membership via one lag-key self
+    // join, first week via a per-user min. Scale shape: corpus →
+    // distinct user-weeks (map-side combined); joins are
+    // user-week-keyed equi-joins; readout is ≤|weeks| rows.
+    "q361_growth_accounting" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      val uw = Tables.events(s, d)
+        .select(col("user_id"),
+          floor(datediff(to_date(col("ts")),
+            lit("2024-01-01").cast("date")) / 7).cast("long").as("wk"))
+        .distinct()
+      val first = uw.groupBy(col("user_id")).agg(min(col("wk")).as("fw"))
+      val prev = uw.select(col("user_id"), (col("wk") + 1L).as("wk"),
+        lit(1L).as("was_active"))
+      val cur = uw.join(first, Seq("user_id"))
+        .join(prev, Seq("user_id", "wk"), "left")
+        .select(col("wk"),
+          when(col("wk") === col("fw"), 1L).otherwise(0L).as("is_new"),
+          when(col("wk") =!= col("fw")
+            && col("was_active").isNotNull, 1L).otherwise(0L)
+            .as("is_ret"),
+          when(col("wk") =!= col("fw")
+            && col("was_active").isNull, 1L).otherwise(0L)
+            .as("is_res"))
+        .groupBy(col("wk"))
+        .agg(count(lit(1)).as("actives"), sum(col("is_new")).as("new_u"),
+          sum(col("is_ret")).as("retained"),
+          sum(col("is_res")).as("resurrected"))
+      val churn = uw.select(col("user_id"), (col("wk") + 1L).as("wk"))
+        .join(uw.select(col("user_id"), col("wk"),
+          lit(1L).as("still")), Seq("user_id", "wk"), "left")
+        .groupBy(col("wk"))
+        .agg(sum(when(col("still").isNull, 1L).otherwise(0L))
+          .as("churned"))
+      cur.join(churn, Seq("wk"), "left")
+        .select(col("wk").as("week"), col("actives"), col("new_u"),
+          col("retained"), col("resurrected"),
+          coalesce(col("churned"), lit(0L)).as("churned"),
+          when(coalesce(col("churned"), lit(0L)) > 0,
+            snap6((col("new_u") + col("resurrected")).cast("double")
+              / col("churned").cast("double"))).as("quick_ratio"))
+        .orderBy(col("week"))
+    }),
+
+    // DAU/WAU stickiness — "of the people active in the trailing
+    // 7 days, what share showed up TODAY?" — the engagement-depth
+    // ratio (bounded 0..1, the industry habit metric) that q126's
+    // churn and q361's weekly ledger don't read. The trailing
+    // 7-day distinct count is EXACT via a bounded day-offset
+    // fan-out: each distinct (user, day) row casts membership onto
+    // days d..d+6 (7×, calendar-bounded), one distinct per (window
+    // day, user), never a sliding COUNT DISTINCT window. Emitted
+    // only for days with a FULL trailing week (the first 6 days
+    // would understate WAU). Scale shape: corpus → distinct
+    // user-days (map-side combined), 7× bounded fan-out, per-day
+    // counts; ≤|days| rows out.
+    "q362_dau_wau" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      val ud = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+      val wau = ud
+        .select(col("user_id"),
+          explode(sequence(lit(0), lit(6))).as("off"),
+          col("day"))
+        .select(col("user_id"), date_add(col("day"), col("off")).as("day"))
+        .distinct()
+        .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+      val span = ud.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      dau.join(wau, Seq("day"))
+        .crossJoin(broadcast(span))
+        .filter(datediff(col("day"), col("d0")) >= 6
+          && col("day") <= col("d1"))
+        .select(col("day"), col("dau"), col("wau"),
+          snap6(col("dau").cast("double") / col("wau").cast("double"))
+            .as("stickiness"))
+        .orderBy(col("day"))
     })
   )
 
@@ -3340,6 +3428,58 @@ object Temporal extends QueryModule {
         |    floor((1.0::DOUBLE - CAST(sae AS DOUBLE)
         |      / CAST(CAST(n_pairs AS HUGEINT) * denv * snaive
         |        AS DOUBLE)) * 1e6 + 0.5) / 1e6 END AS skill_vs_naive
-        |FROM g ORDER BY event_type""".stripMargin
+        |FROM g ORDER BY event_type""".stripMargin,
+
+    "q361_growth_accounting" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |    CAST((CAST(ts AS DATE) - DATE '2024-01-01') // 7
+        |      AS BIGINT) AS wk
+        |  FROM events),
+        |fw AS (SELECT user_id, min(wk) AS fw FROM uw GROUP BY 1),
+        |cur AS (SELECT u.wk,
+        |    CASE WHEN u.wk = f.fw THEN 1 ELSE 0 END AS is_new,
+        |    CASE WHEN u.wk <> f.fw AND p.user_id IS NOT NULL THEN 1
+        |      ELSE 0 END AS is_ret,
+        |    CASE WHEN u.wk <> f.fw AND p.user_id IS NULL THEN 1
+        |      ELSE 0 END AS is_res
+        |  FROM uw u JOIN fw f ON u.user_id = f.user_id
+        |  LEFT JOIN uw p ON p.user_id = u.user_id
+        |    AND p.wk + 1 = u.wk),
+        |g AS (SELECT wk, CAST(count(*) AS BIGINT) AS actives,
+        |    CAST(sum(is_new) AS BIGINT) AS new_u,
+        |    CAST(sum(is_ret) AS BIGINT) AS retained,
+        |    CAST(sum(is_res) AS BIGINT) AS resurrected
+        |  FROM cur GROUP BY 1),
+        |ch AS (SELECT a.wk + 1 AS wk,
+        |    CAST(sum(CASE WHEN b.user_id IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS churned
+        |  FROM uw a LEFT JOIN uw b ON b.user_id = a.user_id
+        |    AND b.wk = a.wk + 1
+        |  GROUP BY 1)
+        |SELECT g.wk AS week, actives, new_u, retained, resurrected,
+        |  coalesce(ch.churned, 0) AS churned,
+        |  CASE WHEN coalesce(ch.churned, 0) > 0 THEN
+        |    floor(CAST(new_u + resurrected AS DOUBLE)
+        |      / CAST(ch.churned AS DOUBLE) * 1e6 + 0.5) / 1e6 END
+        |    AS quick_ratio
+        |FROM g LEFT JOIN ch ON g.wk = ch.wk ORDER BY week""".stripMargin,
+
+    "q362_dau_wau" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |  FROM events),
+        |dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud
+        |  GROUP BY 1),
+        |f AS (SELECT DISTINCT user_id,
+        |    day + CAST(off AS INTEGER) AS day
+        |  FROM ud, range(0, 7) r(off)),
+        |wau AS (SELECT day, CAST(count(*) AS BIGINT) AS wau FROM f
+        |  GROUP BY 1),
+        |sp AS (SELECT min(day) AS d0, max(day) AS d1 FROM ud)
+        |SELECT dau.day, dau.dau, wau.wau,
+        |  floor(CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE) * 1e6
+        |    + 0.5) / 1e6 AS stickiness
+        |FROM dau JOIN wau ON dau.day = wau.day, sp
+        |WHERE dau.day - d0 >= 6 AND dau.day <= d1
+        |ORDER BY dau.day""".stripMargin
   )
 }

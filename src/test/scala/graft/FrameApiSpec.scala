@@ -268,4 +268,15 @@ class FrameApiSpec extends AnyFunSuite {
     assert(docs.tfidfTopK().count() > 0)
     assert(docs.chunkDocs().count() > 0)
   }
+
+  test("weightedSample/quantileNormalize facades match their queries") {
+    sameRows(docs.weightedSample(20).df,
+      SparkEntry.queries("q343_weighted_sample")(spark, sf))
+    sameRows(docs.quantileNormalize().df,
+      SparkEntry.queries("q344_quantile_norm")(spark, sf))
+    // a smaller k is a strict prefix of the k=20 sample
+    val k5 = docs.weightedSample(5).df.collect().map(_.getLong(0))
+    val k20 = docs.weightedSample(20).df.collect().map(_.getLong(0))
+    assert(k20.take(5).sameElements(k5))
+  }
 }
