@@ -745,6 +745,44 @@ object CorpusSignals extends QueryModule {
           snap6(col("n_novel").cast("double")
             / col("n_distinct").cast("double")).as("novelty_rate"))
         .orderBy(col("bucket"))
+    }),
+
+    // Source vocabulary-overlap matrix — set Jaccard of the distinct
+    // token vocabularies for every source pair, the SET companion to
+    // q291's mass-weighted JSD (JSD reads how differently two
+    // sources USE shared words; this reads whether they share words
+    // at all — the first question when deciding if two crawls are
+    // the same feed). Built on the FULL pair grid (a disjoint-
+    // vocabulary pair emits jaccard = 0, not a missing row — the
+    // q291-review lesson): per-source vocab sizes cross-join on the
+    // bounded source frame, shared counts from one token-keyed
+    // equi-join, |∪| = nₐ+n_b−c exact. Scale shape: one tokenize
+    // pass to distinct (source, token) (map-side combined); the
+    // pair join is token-keyed with bounded source fan-out; the
+    // grid is |sources|² — a curated bounded set.
+    "q367_vocab_overlap" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      val st = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .distinct()
+      val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("nv"))
+      val shared = st.join(
+          st.select(col("source").as("sb"), col("tok")), Seq("tok"))
+        .filter(col("source") < col("sb"))
+        .groupBy(col("source").as("source_a"), col("sb").as("source_b"))
+        .agg(count(lit(1)).as("c"))
+      broadcast(sizes.select(col("source").as("source_a"),
+          col("nv").as("na")))
+        .crossJoin(broadcast(sizes.select(col("source").as("source_b"),
+          col("nv").as("nb"))))
+        .filter(col("source_a") < col("source_b"))
+        .join(shared, Seq("source_a", "source_b"), "left")
+        .select(col("source_a"), col("source_b"), col("na"), col("nb"),
+          coalesce(col("c"), lit(0L)).as("shared_vocab"))
+        .withColumn("jaccard", snap6(col("shared_vocab").cast("double")
+          / (col("na") + col("nb") - col("shared_vocab")).cast("double")))
+        .orderBy(col("source_a"), col("source_b"))
     })
   )
 
@@ -1763,6 +1801,29 @@ object CorpusSignals extends QueryModule {
         |SELECT bkt AS bucket, n_distinct, n_novel,
         |  floor(CAST(n_novel AS DOUBLE) / CAST(n_distinct AS DOUBLE)
         |    * 1e6 + 0.5) / 1e6 AS novelty_rate
-        |FROM j ORDER BY bucket""".stripMargin
+        |FROM j ORDER BY bucket""".stripMargin,
+
+    "q367_vocab_overlap" ->
+      """WITH st AS (SELECT DISTINCT source,
+        |    unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |f AS (SELECT source, tok FROM st WHERE tok <> ''),
+        |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS nv FROM f
+        |  GROUP BY 1),
+        |sh AS (SELECT a.source AS source_a, b.source AS source_b,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM f a JOIN f b ON a.tok = b.tok AND a.source < b.source
+        |  GROUP BY 1, 2),
+        |grid AS (SELECT a.source AS source_a, b.source AS source_b,
+        |    a.nv AS na, b.nv AS nb
+        |  FROM sz a CROSS JOIN sz b WHERE a.source < b.source)
+        |SELECT g.source_a, g.source_b, g.na, g.nb,
+        |  coalesce(sh.c, 0) AS shared_vocab,
+        |  floor(CAST(coalesce(sh.c, 0) AS DOUBLE)
+        |    / CAST(g.na + g.nb - coalesce(sh.c, 0) AS DOUBLE)
+        |    * 1e6 + 0.5) / 1e6 AS jaccard
+        |FROM grid g LEFT JOIN sh ON g.source_a = sh.source_a
+        |  AND g.source_b = sh.source_b
+        |ORDER BY g.source_a, g.source_b""".stripMargin
   )
 }

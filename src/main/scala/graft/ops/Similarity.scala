@@ -1096,6 +1096,83 @@ object Similarity extends QueryModule {
             / (col("n_vecs").cast("double") * 1e6)).as("mean_norm"),
           snap6(col("sc6").cast("double")
             / (col("n_vecs").cast("double") * 1e6)).as("anisotropy"))
+    }),
+
+    // Label-MRR of exact cosine retrieval — at what rank does the
+    // first SAME-LABEL neighbor appear? Mean reciprocal rank per
+    // probe label over a 50-probe panel: the "does similarity find
+    // my class" retrieval eval between q71's recall (set overlap)
+    // and q169's NDCG (graded list) — MRR is the metric when one
+    // relevant hit suffices. The probe panel is bounded (the honest
+    // eval-sample shape at any corpus size: |probes|×n scored pairs
+    // off a broadcast probe side); first-hit rank is a min over the
+    // rank window; reciprocal ranks freeze to µ-longs before the
+    // per-label mean (q169 rule). Probes with no same-label neighbor
+    // contribute rr = 0 (standard MRR).
+    "q365_label_mrr" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      val corpus = withNorm(Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), dvec(col("embedding")).as("emb")))
+      val probes = corpus.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+          col("emb").as("q_emb"), col("nrm").as("q_nrm"))
+      val ranked = corpus.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("q_label"), col("label"),
+          pairCosine.as("cos_sim"), col("vec_id"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("cos_sim").desc, col("vec_id"))))
+      ranked
+        .groupBy(col("query_id"), col("q_label"))
+        .agg(min(when(col("label") === col("q_label"), col("rk")))
+          .as("first_hit"))
+        .withColumn("rr6", coalesce(
+          expr("1000000L DIV first_hit"), lit(0L)))
+        .groupBy(col("q_label"))
+        .agg(count(lit(1)).as("n_probes"),
+          snap6(sum(col("rr6")).cast("double")
+            / (count(lit(1)).cast("double") * 1e6)).as("mrr"),
+          snap6(avg(col("first_hit").cast("double"))).as("mean_first_hit"))
+        .orderBy(col("q_label"))
+    }),
+
+    // k-NN classification accuracy (k = 5, majority vote, ties →
+    // smaller label) over the same 50-probe panel — the END-TO-END
+    // readout of embedding quality (q347's silhouette scores
+    // geometry; this scores the decision a retrieval system would
+    // actually make). Vote counting is exact set logic on the top-5
+    // window; the majority is one (count DESC, label) rank; accuracy
+    // is a division of exact longs. Same bounded-probe scale shape
+    // as q365.
+    "q366_knn_accuracy" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      val corpus = withNorm(Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), dvec(col("embedding")).as("emb")))
+      val probes = corpus.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+          col("emb").as("q_emb"), col("nrm").as("q_nrm"))
+      val top5 = corpus.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("q_label"), col("label"),
+          pairCosine.as("cos_sim"), col("vec_id"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("cos_sim").desc, col("vec_id"))))
+        .filter(col("rk") <= 5)
+      val pred = top5.groupBy(col("query_id"), col("q_label"), col("label"))
+        .agg(count(lit(1)).as("votes"))
+        .withColumn("vr", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("votes").desc, col("label"))))
+        .filter(col("vr") === 1)
+      pred.groupBy(col("q_label"))
+        .agg(count(lit(1)).as("n_probes"),
+          sum(when(col("label") === col("q_label"), 1L).otherwise(0L))
+            .as("n_correct"))
+        .withColumn("accuracy", snap6(col("n_correct").cast("double")
+          / col("n_probes").cast("double")))
+        .orderBy(col("q_label"))
     })
   )
 
@@ -1774,6 +1851,60 @@ object Similarity extends QueryModule {
         |  floor(CAST(sum(c6) AS DOUBLE)
         |    / (CAST(count(*) AS DOUBLE) * 1e6) * 1e6 + 0.5) / 1e6
         |    AS anisotropy
-        |FROM s GROUP BY ndims""".stripMargin
+        |FROM s GROUP BY ndims""".stripMargin,
+
+    "q365_label_mrr" ->
+      """WITH t AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, label AS q_label,
+        |    emb AS q_emb
+        |  FROM t WHERE vec_id < 50),
+        |sc AS (SELECT query_id, q_label, t.label, t.vec_id,
+        |    list_dot_product(emb, q_emb)
+        |      / (sqrt(list_dot_product(emb, emb))
+        |        * sqrt(list_dot_product(q_emb, q_emb))) AS cos_sim
+        |  FROM t CROSS JOIN q WHERE t.vec_id <> query_id),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos_sim DESC, vec_id) AS rk FROM sc),
+        |fh AS (SELECT query_id, q_label,
+        |    CAST(min(CASE WHEN label = q_label THEN rk END)
+        |      AS BIGINT) AS first_hit
+        |  FROM rk GROUP BY 1, 2),
+        |rr AS (SELECT q_label,
+        |    coalesce(1000000 // first_hit, 0) AS rr6, first_hit
+        |  FROM fh)
+        |SELECT q_label, CAST(count(*) AS BIGINT) AS n_probes,
+        |  floor(CAST(sum(rr6) AS DOUBLE)
+        |    / (CAST(count(*) AS DOUBLE) * 1e6) * 1e6 + 0.5) / 1e6
+        |    AS mrr,
+        |  floor(avg(CAST(first_hit AS DOUBLE)) * 1e6 + 0.5) / 1e6
+        |    AS mean_first_hit
+        |FROM rr GROUP BY 1 ORDER BY q_label""".stripMargin,
+
+    "q366_knn_accuracy" ->
+      """WITH t AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, label AS q_label,
+        |    emb AS q_emb
+        |  FROM t WHERE vec_id < 50),
+        |sc AS (SELECT query_id, q_label, t.label, t.vec_id,
+        |    list_dot_product(emb, q_emb)
+        |      / (sqrt(list_dot_product(emb, emb))
+        |        * sqrt(list_dot_product(q_emb, q_emb))) AS cos_sim
+        |  FROM t CROSS JOIN q WHERE t.vec_id <> query_id),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos_sim DESC, vec_id) AS rk FROM sc),
+        |t5 AS (SELECT query_id, q_label, label,
+        |    CAST(count(*) AS BIGINT) AS votes
+        |  FROM rk WHERE rk <= 5 GROUP BY 1, 2, 3),
+        |pr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY votes DESC, label) AS vr FROM t5)
+        |SELECT q_label, CAST(count(*) AS BIGINT) AS n_probes,
+        |  CAST(sum(CASE WHEN label = q_label THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_correct,
+        |  floor(CAST(sum(CASE WHEN label = q_label THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / CAST(count(*) AS DOUBLE) * 1e6 + 0.5) / 1e6
+        |    AS accuracy
+        |FROM pr WHERE vr = 1 GROUP BY 1 ORDER BY q_label""".stripMargin
   )
 }
