@@ -719,6 +719,39 @@ object TextAnalysis extends QueryModule {
           col("mx").getField("bg").as("top_bigram"),
           col("mx").getField("c").as("top_count"))
         .orderBy(col("lang"))
+    }),
+
+    // Language-ID confusion matrix — the ERROR STRUCTURE of q66's
+    // stopword-profile classifier (q66 scores per-document hits;
+    // this aggregates gold × predicted cells with per-gold recall
+    // shares), the eval a routing pipeline reads before trusting a
+    // language gate: which languages leak into which (zh has no
+    // profile here, so its whole row is structural leakage — visible
+    // in the matrix, invisible in an accuracy scalar). Exact counts,
+    // one division per cell against the gold-row total. Scale shape:
+    // one corpus pass (the per-row classifier is a codegen'd filter
+    // chain), map-side-combined cell counts, ≤|langs|² rows.
+    "q368_langid_confusion" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      val hits = profiles.map { case (l, ws) =>
+        l -> expr(s"CAST(size(filter(wrds, w -> w IN ${inList(ws)})) AS LONG)")
+      }
+      val Seq(en, de, es, fr) = hits.map(_._2)
+      val best = greatest(en, de, es, fr)
+      Tables.documents(s, d)
+        .withColumn("wrds", Text.words(col("text")))
+        .select(col("lang"),
+          when(best === 0, "und")
+            .when(en === best, "en").when(de === best, "de")
+            .when(es === best, "es").otherwise("fr").as("pred_lang"))
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("n_gold",
+          sum(col("n")).over(Window.partitionBy(col("lang"))))
+        .select(col("lang"), col("pred_lang"), col("n"), col("n_gold"),
+          snap6(col("n").cast("double") / col("n_gold").cast("double"))
+            .as("gold_share"))
+        .orderBy(col("lang"), col("pred_lang"))
     })
   )
 
@@ -1267,6 +1300,32 @@ object TextAnalysis extends QueryModule {
         |  CAST(h_num AS DOUBLE) / (CAST(n_bigrams AS DOUBLE) * 1e6)
         |    AS entropy,
         |  top_bigram, top_count
-        |FROM a JOIN tp ON a.lang = tp.lang ORDER BY a.lang""".stripMargin
+        |FROM a JOIN tp ON a.lang = tp.lang ORDER BY a.lang""".stripMargin,
+
+    "q368_langid_confusion" -> (wordsCte + s""",
+        |h AS (SELECT lang,
+        |  ${profiles.map { case (l, ws) =>
+             s"len(list_filter(wrds, w -> w IN ${inList(ws)})) AS ${l}_hits"
+           }.mkString(",\n|  ")}
+        |  FROM w),
+        |p AS (SELECT lang,
+        |  CASE WHEN greatest(en_hits, de_hits, es_hits, fr_hits) = 0
+        |      THEN 'und'
+        |    WHEN en_hits = greatest(en_hits, de_hits, es_hits,
+        |      fr_hits) THEN 'en'
+        |    WHEN de_hits = greatest(en_hits, de_hits, es_hits,
+        |      fr_hits) THEN 'de'
+        |    WHEN es_hits = greatest(en_hits, de_hits, es_hits,
+        |      fr_hits) THEN 'es'
+        |    ELSE 'fr' END AS pred_lang
+        |  FROM h),
+        |c AS (SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+        |  FROM p GROUP BY 1, 2),
+        |g AS (SELECT *, CAST(sum(n) OVER (PARTITION BY lang)
+        |    AS BIGINT) AS n_gold FROM c)
+        |SELECT lang, pred_lang, n, n_gold,
+        |  floor(CAST(n AS DOUBLE) / CAST(n_gold AS DOUBLE) * 1e6
+        |    + 0.5) / 1e6 AS gold_share
+        |FROM g ORDER BY lang, pred_lang""".stripMargin)
   )
 }

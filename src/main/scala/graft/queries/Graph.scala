@@ -429,6 +429,49 @@ object Graph extends QueryModule {
           col("degree_sum"), col("mm").as("n_edges"), col("q_term"),
           col("q_total"))
         .orderBy(col("r_regionkey"))
+    }),
+
+    // Weak-tie audit (Granovetter) over the q166 trade graph — per
+    // edge, its SUPPORT (common-neighbor count): support-0 edges are
+    // bridges between otherwise-unconnected neighborhoods, the
+    // links a resilience/trust analysis treats differently from
+    // embedded ones (q166 counts triangles per NODE; this reads the
+    // same structure per EDGE). Support = one 2-path equi-join on
+    // the symmetrized adjacency, exact counts; output is every edge
+    // with its support and weak flag. Scale shape: corpus → bounded
+    // edge list once; the 2-path join carries degree-bounded
+    // fan-out on the dimension-sized graph.
+    "q371_weak_ties" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val ord = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"))
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey").as("src"))
+      val sup = Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_nationkey").as("dst"))
+      val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("cnt"))
+      val bound = pairs.agg(
+        round(percentile(col("cnt"), lit(0.75)), 6).as("thr"))
+      val e = pairs.crossJoin(broadcast(bound))
+        .filter(col("cnt") >= col("thr"))
+        .select(col("u"), col("v"))
+      val adj = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val nbrU = adj.select(col("u"), col("v").as("w"))
+      val nbrV = adj.select(col("u").as("v"), col("v").as("w"))
+      val support = e.join(nbrU, Seq("u")).join(nbrV, Seq("v", "w"))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("sup"))
+      e.join(support, Seq("u", "v"), "left")
+        .select(col("u"), col("v"),
+          coalesce(col("sup"), lit(0L)).as("support"),
+          (coalesce(col("sup"), lit(0L)) === 0L).as("is_weak_tie"))
+        .orderBy(col("u"), col("v"))
     })
   )
 
@@ -662,6 +705,26 @@ object Graph extends QueryModule {
         |  floor(CAST(sum(tnum) OVER () AS DOUBLE)
         |    / CAST(CAST(4 * mm AS HUGEINT) * mm AS DOUBLE)
         |    * 1e6 + 0.5) / 1e6 AS q_total
-        |FROM f ORDER BY r_regionkey""".stripMargin
+        |FROM f ORDER BY r_regionkey""".stripMargin,
+
+    "q371_weak_ties" ->
+      """WITH p AS (SELECT least(c.c_nationkey, s.s_nationkey) AS u,
+        |    greatest(c.c_nationkey, s.s_nationkey) AS v, count(*) AS cnt
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  WHERE c.c_nationkey <> s.s_nationkey
+        |  GROUP BY 1, 2),
+        |b AS (SELECT round(quantile_cont(cnt, 0.75), 6) AS thr FROM p),
+        |e AS (SELECT u, v FROM p, b WHERE cnt >= thr),
+        |adj AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+        |sup AS (SELECT e.u, e.v, CAST(count(*) AS BIGINT) AS sup
+        |  FROM e JOIN adj a1 ON a1.u = e.u
+        |  JOIN adj a2 ON a2.u = e.v AND a2.v = a1.v
+        |  GROUP BY 1, 2)
+        |SELECT e.u, e.v, coalesce(sup.sup, 0) AS support,
+        |  coalesce(sup.sup, 0) = 0 AS is_weak_tie
+        |FROM e LEFT JOIN sup ON e.u = sup.u AND e.v = sup.v
+        |ORDER BY e.u, e.v""".stripMargin
   )
 }

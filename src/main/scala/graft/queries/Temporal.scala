@@ -2088,6 +2088,71 @@ object Temporal extends QueryModule {
           snap6(col("dau").cast("double") / col("wau").cast("double"))
             .as("stickiness"))
         .orderBy(col("day"))
+    }),
+
+    // Maximum drawdown of the daily-revenue level series — "worst
+    // peak-to-trough decline", the risk readout behind any revenue
+    // or throughput SLO (q237's CUSUM flags level SHIFTS; drawdown
+    // quantifies the worst realized one, in money). All exact cents:
+    // running peak via a cumulative max window, drawdown = peak −
+    // level per day, argmax via one (drawdown DESC, day) rank —
+    // earliest trough on ties; the percentage is one division of
+    // exact longs. Scale shape: one corpus pass to the calendar-
+    // bounded daily frame, ordered windows on it, one row out.
+    "q369_max_drawdown" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      val wOrd = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+          .as("rev"))
+        .withColumn("peak", max(col("rev")).over(wOrd))
+        .withColumn("dd", col("peak") - col("rev"))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("dd").desc, col("day"))))
+        .filter(col("rk") === 1)
+        .select(col("day").as("trough_day"),
+          snap6(col("rev").cast("double") / 100.0).as("trough_revenue"),
+          snap6(col("peak").cast("double") / 100.0).as("peak_revenue"),
+          snap6(col("dd").cast("double") / 100.0).as("max_drawdown"),
+          when(col("peak") > 0, snap6(col("dd").cast("double")
+            / col("peak").cast("double"))).as("drawdown_frac"))
+    }),
+
+    // VaR / CVaR of day-over-day revenue changes at 95% — "how bad
+    // is a bad day?" (VaR = the 5% worst daily move; CVaR = the
+    // MEAN of the tail beyond it, the coherent version risk desks
+    // actually use): the tail-risk readout q369's drawdown (one
+    // worst path) and q318's L-moments (whole shape) bracket but
+    // don't give. Fully exact: deltas are exact cents, the tail is
+    // a rank selection (k = ceil(5% of n) via integer arithmetic:
+    // k = (n+19) DIV 20 — never a float quantile), VaR is the
+    // k-th order statistic and CVaR one division of the exact tail
+    // sum. Scale shape: one corpus pass to the daily frame, a lag,
+    // one rank-style sort of the ≤|days| frame, one row out.
+    "q370_var_cvar" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      def dec(c: Column): Column = c.cast("decimal(38,0)")
+      val deltas = Tables.orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+          .as("rev"))
+        .withColumn("dlt",
+          col("rev") - lag(col("rev"), 1).over(Window.orderBy(col("day"))))
+        .filter(col("dlt").isNotNull)
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("dlt"), col("day"))).cast("long"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+        .withColumn("k", expr("(n + 19) DIV 20"))
+      deltas
+        .groupBy(col("n"), col("k"))
+        .agg(max(when(col("rk") === col("k"), col("dlt"))).as("var_c"),
+          sum(when(col("rk") <= col("k"), dec(col("dlt")))).as("tail_sum"))
+        .select(col("n").as("n_days"), col("k").as("tail_days"),
+          snap6(col("var_c").cast("double") / 100.0).as("var95"),
+          snap6(col("tail_sum").cast("double")
+            / (col("k").cast("double") * 100.0)).as("cvar95"))
     })
   )
 
@@ -3384,6 +3449,50 @@ object Temporal extends QueryModule {
         |FROM nn JOIN sz s2 ON s2.day = nn.next_day
         |LEFT JOIN cm ON cm.day = nn.day
         |ORDER BY nn.day""".stripMargin,
+
+    "q369_max_drawdown" ->
+      """WITH dly AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1),
+        |p AS (SELECT *, CAST(max(rev) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS peak FROM dly),
+        |dd AS (SELECT *, peak - rev AS dd,
+        |    row_number() OVER (ORDER BY peak - rev DESC, day) AS rk
+        |  FROM p)
+        |SELECT day AS trough_day,
+        |  floor(CAST(rev AS DOUBLE) / 100.0::DOUBLE * 1e6 + 0.5) / 1e6
+        |    AS trough_revenue,
+        |  floor(CAST(peak AS DOUBLE) / 100.0::DOUBLE * 1e6 + 0.5)
+        |    / 1e6 AS peak_revenue,
+        |  floor(CAST(dd AS DOUBLE) / 100.0::DOUBLE * 1e6 + 0.5) / 1e6
+        |    AS max_drawdown,
+        |  CASE WHEN peak > 0 THEN floor(CAST(dd AS DOUBLE)
+        |    / CAST(peak AS DOUBLE) * 1e6 + 0.5) / 1e6 END
+        |    AS drawdown_frac
+        |FROM dd WHERE rk = 1""".stripMargin,
+
+    "q370_var_cvar" ->
+      """WITH dly AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1),
+        |dl AS (SELECT day, rev - lag(rev) OVER (ORDER BY day) AS dlt
+        |  FROM dly),
+        |f AS (SELECT day, dlt FROM dl WHERE dlt IS NOT NULL),
+        |r AS (SELECT *, CAST(row_number() OVER (ORDER BY dlt, day)
+        |      AS BIGINT) AS rk,
+        |    CAST(count(*) OVER () AS BIGINT) AS n
+        |  FROM f),
+        |k AS (SELECT *, (n + 19) // 20 AS k FROM r)
+        |SELECT n AS n_days, CAST(max(k) AS BIGINT) AS tail_days,
+        |  floor(CAST(max(CASE WHEN rk = k THEN dlt END) AS DOUBLE)
+        |    / 100.0::DOUBLE * 1e6 + 0.5) / 1e6 AS var95,
+        |  floor(CAST(sum(CASE WHEN rk <= k THEN CAST(dlt AS HUGEINT)
+        |    END) AS DOUBLE) / (CAST(max(k) AS DOUBLE) * 100.0::DOUBLE)
+        |    * 1e6 + 0.5) / 1e6 AS cvar95
+        |FROM k GROUP BY n""".stripMargin,
 
     "q356_ar1_backtest" ->
       """WITH dly AS (SELECT event_type, CAST(ts AS DATE) AS day,
