@@ -2019,6 +2019,52 @@ object Aggregates extends QueryModule {
           snap6(col("gap").cast("double")
             / (dec(col("np")) * dec(col("tot"))).cast("double"))
             .as("max_gap"))
+    }),
+
+    // Empirical upper-tail dependence λ̂ = P(price > q95 | quantity >
+    // q95) — do EXTREMES co-occur? The tail question q359's partial
+    // correlation (a center statistic) cannot answer: two variables
+    // can be globally uncorrelated yet tail-dependent (the risk-
+    // compounding case) or the reverse. Thresholds are ORDER
+    // STATISTICS, never float quantiles: rank k = ceil(0.95·n) =
+    // (19n+19) DIV 20 in pure integers, the threshold is the
+    // smallest value whose cumulative count reaches k (= the k-th
+    // order statistic), exceedance is strict >, and
+    // λ̂ is one division of exact counts. Scale shape: thresholds
+    // come off the DEDUPED value frames (smallest v whose cumulative
+    // count reaches k — identical to the row-rank order statistic
+    // because exceedance is strict, but the exchange carries
+    // map-side-combined value counts, never a corpus-wide row sort:
+    // the row_number formulation measured 10.3× at 10× data, this
+    // one is sublinear), broadcast back as 1-row frames; one
+    // counting pass, one row out.
+    "q374_tail_dependence" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      val li = Tables.lineitem(s, d)
+        .select(col("l_quantity").cast("long").as("x"),
+          floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("y"))
+      def thresh(c: String): DataFrame = li
+        .groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col(c))))
+        .withColumn("n", sum(col("cnt")).over(Window.partitionBy()))
+        .filter(col("cum") >= expr("(19 * n + 19) DIV 20")
+          && col("cum") - col("cnt") < expr("(19 * n + 19) DIV 20"))
+        .select(col(c).as(s"q_$c"), col("n"))
+      li.crossJoin(broadcast(thresh("x")))
+        .crossJoin(broadcast(thresh("y").drop("n")))
+        .agg(max(col("n")).as("n_rows"), max(col("q_x")).as("q95_qty"),
+          max(col("q_y")).as("q95_cents"),
+          sum(when(col("x") > col("q_x"), 1L).otherwise(0L))
+            .as("n_x_exceed"),
+          sum(when(col("y") > col("q_y"), 1L).otherwise(0L))
+            .as("n_y_exceed"),
+          sum(when(col("x") > col("q_x") && col("y") > col("q_y"), 1L)
+            .otherwise(0L)).as("n_joint"))
+        .select(col("n_rows"), col("q95_qty"), col("q95_cents"),
+          col("n_x_exceed"), col("n_y_exceed"), col("n_joint"),
+          when(col("n_x_exceed") > 0,
+            snap6(col("n_joint").cast("double")
+              / col("n_x_exceed").cast("double"))).as("lambda_upper"))
     })
   )
 
@@ -3211,6 +3257,41 @@ object Aggregates extends QueryModule {
         |    / 1e6 AS knee_rev_share,
         |  floor(CAST(gap AS DOUBLE) / CAST(CAST(np AS HUGEINT) * tot
         |    AS DOUBLE) * 1e6 + 0.5) / 1e6 AS max_gap
-        |FROM r WHERE sel = 1""".stripMargin
+        |FROM r WHERE sel = 1""".stripMargin,
+
+    "q374_tail_dependence" ->
+      """WITH li AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+        |  FROM lineitem),
+        |tx AS (SELECT x AS q_x, n FROM (SELECT x,
+        |    CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(sum(count(*)) OVER (ORDER BY x) AS BIGINT) AS cum,
+        |    CAST(sum(count(*)) OVER () AS BIGINT) AS n
+        |  FROM li GROUP BY x)
+        |  WHERE cum >= (19 * n + 19) // 20
+        |    AND cum - cnt < (19 * n + 19) // 20),
+        |ty AS (SELECT y AS q_y FROM (SELECT y,
+        |    CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(sum(count(*)) OVER (ORDER BY y) AS BIGINT) AS cum,
+        |    CAST(sum(count(*)) OVER () AS BIGINT) AS n
+        |  FROM li GROUP BY y)
+        |  WHERE cum >= (19 * n + 19) // 20
+        |    AND cum - cnt < (19 * n + 19) // 20),
+        |a AS (SELECT CAST(max(n) AS BIGINT) AS n_rows,
+        |    CAST(max(q_x) AS BIGINT) AS q95_qty,
+        |    CAST(max(q_y) AS BIGINT) AS q95_cents,
+        |    CAST(sum(CASE WHEN x > q_x THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_x_exceed,
+        |    CAST(sum(CASE WHEN y > q_y THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_y_exceed,
+        |    CAST(sum(CASE WHEN x > q_x AND y > q_y THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_joint
+        |  FROM li, tx, ty)
+        |SELECT n_rows, q95_qty, q95_cents, n_x_exceed, n_y_exceed,
+        |  n_joint,
+        |  CASE WHEN n_x_exceed > 0 THEN floor(CAST(n_joint AS DOUBLE)
+        |    / CAST(n_x_exceed AS DOUBLE) * 1e6 + 0.5) / 1e6 END
+        |    AS lambda_upper
+        |FROM a""".stripMargin
   )
 }

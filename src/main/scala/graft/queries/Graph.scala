@@ -472,6 +472,129 @@ object Graph extends QueryModule {
           coalesce(col("sup"), lit(0L)).as("support"),
           (coalesce(col("sup"), lit(0L)) === 0L).as("is_weak_tie"))
         .orderBy(col("u"), col("v"))
+    }),
+
+    // Harmonic centrality (4-hop-capped) over the q166 trade graph —
+    // Σ_v 1/d(u,v), the closeness variant that handles disconnection
+    // gracefully (unreachable ⇒ 0, no infinite sums) — the DISTANCE
+    // family's entry in the graph tier (q154 ranks by flow, q166 by
+    // local density; harmonic ranks by reach). Shortest paths by
+    // THREE unrolled min-plus rounds over the bounded nation graph
+    // (distances ≤ 4 — the thresholded graph's diameter; capping is
+    // the standard large-graph practice and is labeled in the
+    // column). Exact: distances are integer mins; reciprocals fold
+    // as exact µ-longs 10⁶ DIV d; one division per node. Scale
+    // shape: the corpus collapses to the bounded edge list once;
+    // every round is a dimension-frame self-join.
+    "q372_harmonic_centrality" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val ord = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"))
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey").as("src"))
+      val sup = Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_nationkey").as("dst"))
+      val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("cnt"))
+      val bound = pairs.agg(
+        round(percentile(col("cnt"), lit(0.75)), 6).as("thr"))
+      val e = pairs.crossJoin(broadcast(bound))
+        .filter(col("cnt") >= col("thr"))
+        .select(col("u"), col("v"))
+      // ≤|nations|² edges — collect once and run the capped BFS
+      // driver-side (the q154/q119 pattern: a 3-deep DataFrame
+      // min-plus unroll re-analyzes the 4-table edge subtree 2³+
+      // times and never finishes planning; the heavy stage is the
+      // edge aggregation above, the iteration object is bounded).
+      val edgeRows = e.collect()
+        .map(r => (r.getAs[Number]("u").intValue,
+          r.getAs[Number]("v").intValue))
+      val adjMap = (edgeRows ++ edgeRows.map(_.swap))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+      val nodes = Tables.nation(s, d).select(col("n_nationkey"))
+        .collect().map(_.getAs[Number](0).intValue).sorted
+      val rows = nodes.toSeq.map { src =>
+        var frontier = Set(src)
+        var seen = Set(src)
+        var h6 = 0L
+        var reached = 0L
+        for (depth <- 1 to 4) {
+          frontier = frontier.flatMap(adjMap.getOrElse(_, Set.empty))
+            .diff(seen)
+          seen ++= frontier
+          h6 += frontier.size.toLong * (1000000L / depth)
+          reached += frontier.size
+        }
+        (src, reached, math.floor(h6.toDouble / 1e6 * 1e6 + 0.5) / 1e6)
+      }
+      import s.implicits._
+      rows.toDF("node", "n_reached", "harmonic_4hop")
+        .orderBy(col("node"))
+    }),
+
+    // 3-core extraction by bounded peeling (5 unrolled rounds) —
+    // "the mutually-embedded trading core": repeatedly drop nodes
+    // with fewer than 3 surviving neighbors; what's left is the
+    // 3-core, the cohesion structure q342's rich-club (degree on
+    // the FULL graph) doesn't see — a high-degree node whose
+    // neighbors all leave is not core. Peeling is data-dependent,
+    // so the unroll depth is EVIDENCE-CARRIED: the output's
+    // `converged` column compares round-4 and round-5 survivor
+    // counts — a non-converged run is visible in the result, not a
+    // silent approximation. All rounds are exact set logic on the
+    // bounded graph. Scale shape: corpus → edge list once; five
+    // dimension-frame join rounds.
+    "q373_kcore" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val ord = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"))
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey").as("src"))
+      val sup = Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_nationkey").as("dst"))
+      val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("cnt"))
+      val bound = pairs.agg(
+        round(percentile(col("cnt"), lit(0.75)), 6).as("thr"))
+      val e0 = pairs.crossJoin(broadcast(bound))
+        .filter(col("cnt") >= col("thr"))
+        .select(col("u"), col("v"))
+      // collect the bounded edge list and peel driver-side (q154
+      // pattern — a 5-deep DataFrame unroll re-derives the 4-table
+      // edge join 2⁵ times; measured as a planner hang)
+      val edgeRows = e0.collect()
+        .map(r => (r.getAs[Number]("u").intValue,
+          r.getAs[Number]("v").intValue))
+      def peel(nodes: Set[Int]): Set[Int] = {
+        val live = edgeRows.filter(p =>
+          nodes(p._1) && nodes(p._2))
+        val deg = (live.map(_._1) ++ live.map(_._2))
+          .groupBy(identity).map { case (k, vs) => k -> vs.length }
+        deg.filter(_._2 >= 3).keySet.toSet
+      }
+      val all = (edgeRows.map(_._1) ++ edgeRows.map(_._2)).toSet
+      val r4 = peel(peel(peel(peel(all))))
+      val r5 = peel(r4)
+      val nations = Tables.nation(s, d).select(col("n_nationkey"))
+        .collect().map(_.getAs[Number](0).intValue).sorted
+      import s.implicits._
+      nations.toSeq
+        .map(n => (n, r5(n), r5.size.toLong, r4.size == r5.size))
+        .toDF("node", "in_3core", "core_size", "converged")
+        .orderBy(col("node"))
     })
   )
 
@@ -725,6 +848,85 @@ object Graph extends QueryModule {
         |SELECT e.u, e.v, coalesce(sup.sup, 0) AS support,
         |  coalesce(sup.sup, 0) = 0 AS is_weak_tie
         |FROM e LEFT JOIN sup ON e.u = sup.u AND e.v = sup.v
-        |ORDER BY e.u, e.v""".stripMargin
+        |ORDER BY e.u, e.v""".stripMargin,
+
+    // the three min-plus rounds are unrolled (same convention as the
+    // q154 oracle's unrolled iterations); CTEs MATERIALIZED so each
+    // round's double self-reference doesn't re-expand the 4-table
+    // scan exponentially (measured as a multi-minute stall at sf0.1)
+    "q372_harmonic_centrality" -> (
+      """WITH p AS MATERIALIZED (
+        |  SELECT least(c.c_nationkey, s.s_nationkey) AS u,
+        |    greatest(c.c_nationkey, s.s_nationkey) AS v, count(*) AS cnt
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  WHERE c.c_nationkey <> s.s_nationkey
+        |  GROUP BY 1, 2),
+        |b AS (SELECT round(quantile_cont(cnt, 0.75), 6) AS thr FROM p),
+        |e AS MATERIALIZED (SELECT u, v FROM p, b WHERE cnt >= thr),
+        |adj AS MATERIALIZED (SELECT u, v, CAST(1 AS BIGINT) AS d
+        |  FROM e UNION ALL SELECT v, u, 1 FROM e),
+        |r0 AS MATERIALIZED (SELECT u, v, CAST(min(d) AS BIGINT) AS d
+        |  FROM adj GROUP BY 1, 2),
+        |""".stripMargin
+      + (1 to 3).map { i =>
+          s"""r$i AS MATERIALIZED (
+             |  SELECT u, v, CAST(min(d) AS BIGINT) AS d FROM (
+             |    SELECT u, v, d FROM r${i - 1}
+             |    UNION ALL SELECT a.u, bb.v, a.d + bb.d
+             |    FROM r${i - 1} a JOIN adj bb ON a.v = bb.u
+             |    WHERE a.u <> bb.v) GROUP BY 1, 2),
+             |""".stripMargin
+        }.mkString
+      + """h AS (SELECT n.n_nationkey AS node,
+        |    CAST(count(r3.v) AS BIGINT) AS n_reached,
+        |    CAST(sum(1000000 // r3.d) AS BIGINT) AS h6
+        |  FROM nation n LEFT JOIN r3 ON n.n_nationkey = r3.u
+        |  GROUP BY 1)
+        |SELECT node, n_reached,
+        |  floor(CAST(coalesce(h6, 0) AS DOUBLE) / 1e6 * 1e6 + 0.5)
+        |    / 1e6 AS harmonic_4hop
+        |FROM h ORDER BY node""".stripMargin),
+
+    // five peel rounds unrolled; convergence is carried in the
+    // output. CTEs are MATERIALIZED: inlined, each round re-expands
+    // e0's 4-table scan 2× per reference and the unroll exhausts
+    // file handles (measured: "Too many open files" at round 5).
+    "q373_kcore" -> (
+      """WITH p AS MATERIALIZED (
+        |  SELECT least(c.c_nationkey, s.s_nationkey) AS u,
+        |    greatest(c.c_nationkey, s.s_nationkey) AS v, count(*) AS cnt
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  WHERE c.c_nationkey <> s.s_nationkey
+        |  GROUP BY 1, 2),
+        |b AS (SELECT round(quantile_cont(cnt, 0.75), 6) AS thr FROM p),
+        |e0 AS MATERIALIZED (SELECT u, v FROM p, b WHERE cnt >= thr),
+        |p0 AS MATERIALIZED (SELECT DISTINCT node FROM (
+        |  SELECT u AS node FROM e0
+        |  UNION ALL SELECT v FROM e0)),
+        |""".stripMargin
+      + (1 to 5).map { i =>
+          s"""p$i AS MATERIALIZED (SELECT node FROM (
+             |  SELECT node, count(*) AS deg
+             |  FROM (SELECT e0.u AS node FROM e0
+             |      JOIN p${i - 1} a ON e0.u = a.node
+             |      JOIN p${i - 1} bb ON e0.v = bb.node
+             |    UNION ALL SELECT e0.v FROM e0
+             |      JOIN p${i - 1} a ON e0.u = a.node
+             |      JOIN p${i - 1} bb ON e0.v = bb.node)
+             |  GROUP BY 1) WHERE deg >= 3),
+             |""".stripMargin
+        }.mkString
+      + """cts AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM p4)
+        |    AS n4,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM p5) AS n5)
+        |SELECT n.n_nationkey AS node,
+        |  p5.node IS NOT NULL AS in_3core,
+        |  n5 AS core_size, n4 = n5 AS converged
+        |FROM nation n LEFT JOIN p5 ON n.n_nationkey = p5.node
+        |CROSS JOIN cts ORDER BY node""".stripMargin)
   )
 }
