@@ -202,6 +202,39 @@ class PartitionInvarianceSpec extends AnyFunSuite {
                            // doubles of identical integers
     "q309_sprt_monitor",   // DECIMAL cumsum of count×constant;
                            // exact boundary comparisons
+    // ——— round 12: the catalog's exactness discipline is uniform —
+    // integer/DECIMAL cross-products, micro-unit freezes before any
+    // fold, order statistics by rank selection, driver-side bounded
+    // iteration — so the whole round pins.
+    "q312_page_hinkley", "q313_nelson_aalen", "q314_renyi_spectrum",
+    "q315_good_turing", "q316_winnowing", "q317_trend_test",
+    "q318_l_moments", "q319_gumbel_topk", "q320_burrows_delta",
+    "q321_hash_uniformity", "q322_runs_test", "q323_chao_richness",
+    "q324_icc_users", "q325_word_burstiness", "q326_kendall_w",
+    "q327_brown_forsythe", "q328_poisson_dispersion",
+    "q329_keyness_fdr",    // count×µnat G²; BH rank has total tie-break
+    "q330_ewma_chart",     // dyadic cumulative longs; integer flag
+    "q331_cliffs_delta", "q332_eb_shrinkage", "q333_cronbach_alpha",
+    "q334_durbin_watson",  // exact scaled residuals; scale cancels
+    "q335_t_closeness",    // ntile over unique total order
+    "q336_mase_backtest", "q337_info_gain",
+    "q338_sax_motifs",     // integer discretization; (cnt,word) argmax
+    "q339_cochrans_q", "q340_mcnemar",
+    "q341_jonckheere",     // dense-grid prefix sums; tie-corrected moments
+    "q342_rich_club", "q343_weighted_sample", "q344_quantile_norm",
+    "q345_cuped", "q346_periodogram",
+    "q347_silhouette",     // µ-int centroids; µ-long frozen scores
+    "q348_brier_decomposition", "q349_cumulative_gains",
+    "q350_modularity", "q351_hill_tail", "q352_topk_churn",
+    "q353_kde",            // nano-frozen kernels; one-literal divisor
+    "q354_anisotropy", "q355_abc_analysis", "q356_ar1_backtest",
+    "q357_mahalanobis", "q358_simpsons_check", "q359_partial_corr",
+    "q360_price_dispersion", "q361_growth_accounting", "q362_dau_wau",
+    "q363_novelty_curve", "q364_pareto_knee", "q365_label_mrr",
+    "q366_knn_accuracy", "q367_vocab_overlap", "q368_langid_confusion",
+    "q369_max_drawdown", "q370_var_cvar", "q371_weak_ties",
+    "q372_harmonic_centrality", // driver-side BFS on collected graph
+    "q373_kcore", "q374_tail_dependence",
     "q310_wasserstein",    // exact CDF cross-products; micro-long
                            // interval terms before the pair sum
     "q311_seasonal_decompose") // exact 7y−S₇ numerators, DECIMAL
