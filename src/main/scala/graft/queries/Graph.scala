@@ -595,6 +595,61 @@ object Graph extends QueryModule {
         .map(n => (n, r5(n), r5.size.toLong, r4.size == r5.size))
         .toDF("node", "in_3core", "core_size", "converged")
         .orderBy(col("node"))
+    }),
+
+    // HITS hubs & authorities on the DIRECTED customer-nation →
+    // supplier-nation trade graph (Kleinberg) — who CONSUMES from the
+    // good producers (hubs) vs who PRODUCES for the good consumers
+    // (authorities), the two-sided ranking q154's PageRank (one
+    // score) collapses: 8 mutual-reinforcement rounds, driver-side
+    // on the collected bounded graph (q154/q280 pattern). Cross-
+    // engine exactness without float order: scores live in exact
+    // MICRO-LONGS, each half-round is an integer sum over edges
+    // followed by x·10⁶ DIV max(x) renormalization — per-step
+    // integer truncation, order-free sums; the oracle unrolls the
+    // same 8 rounds as MATERIALIZED CTEs. Scale shape: corpus → the
+    // bounded directed edge list once.
+    "q375_hits" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val ord = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"))
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey").as("src"))
+      val sup = Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_nationkey").as("dst"))
+      val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .filter(col("src") =!= col("dst"))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("cnt"))
+      val bound = pairs.agg(
+        round(percentile(col("cnt"), lit(0.75)), 6).as("thr"))
+      val e = pairs.crossJoin(broadcast(bound))
+        .filter(col("cnt") >= col("thr"))
+        .select(col("src"), col("dst"))
+      val edges = e.collect().map(r =>
+        (r.getAs[Number]("src").intValue, r.getAs[Number]("dst").intValue))
+      val nodes = Tables.nation(s, d).select(col("n_nationkey"))
+        .collect().map(_.getAs[Number](0).intValue).sorted
+      var hub = nodes.map(_ -> 1000000L).toMap
+      var auth = nodes.map(_ -> 1000000L).toMap
+      for (_ <- 1 to 8) {
+        val a0 = nodes.map(n =>
+          n -> edges.filter(_._2 == n).map(p => hub(p._1)).sum).toMap
+        val aMax = math.max(a0.values.max, 1L)
+        auth = a0.map { case (k, v) => k -> v * 1000000L / aMax }
+        val h0 = nodes.map(n =>
+          n -> edges.filter(_._1 == n).map(p => auth(p._2)).sum).toMap
+        val hMax = math.max(h0.values.max, 1L)
+        hub = h0.map { case (k, v) => k -> v * 1000000L / hMax }
+      }
+      import s.implicits._
+      nodes.toSeq.map(n => (n,
+          math.floor(hub(n).toDouble / 1e6 * 1e6 + 0.5) / 1e6,
+          math.floor(auth(n).toDouble / 1e6 * 1e6 + 0.5) / 1e6))
+        .toDF("node", "hub_score", "authority_score")
+        .orderBy(col("node"))
     })
   )
 
@@ -927,6 +982,50 @@ object Graph extends QueryModule {
         |  p5.node IS NOT NULL AS in_3core,
         |  n5 AS core_size, n4 = n5 AS converged
         |FROM nation n LEFT JOIN p5 ON n.n_nationkey = p5.node
-        |CROSS JOIN cts ORDER BY node""".stripMargin)
+        |CROSS JOIN cts ORDER BY node""".stripMargin),
+
+    // eight HITS rounds unrolled as MATERIALIZED CTEs, mirroring the
+    // driver-side micro-long integer arithmetic step for step
+    "q375_hits" -> (
+      """WITH p AS MATERIALIZED (SELECT c.c_nationkey AS src,
+        |    s.s_nationkey AS dst, count(*) AS cnt
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  WHERE c.c_nationkey <> s.s_nationkey
+        |  GROUP BY 1, 2),
+        |b AS (SELECT round(quantile_cont(cnt, 0.75), 6) AS thr FROM p),
+        |e AS MATERIALIZED (SELECT src, dst FROM p, b
+        |  WHERE cnt >= thr),
+        |n0 AS MATERIALIZED (SELECT n_nationkey AS node FROM nation),
+        |h0 AS MATERIALIZED (SELECT node, CAST(1000000 AS BIGINT)
+        |  AS sc FROM n0),
+        |""".stripMargin
+      + (1 to 8).map { i =>
+          s"""ar$i AS MATERIALIZED (SELECT n0.node,
+             |    CAST(coalesce(sum(h${i - 1}.sc), 0) AS BIGINT) AS sc
+             |  FROM n0 LEFT JOIN e ON e.dst = n0.node
+             |  LEFT JOIN h${i - 1} ON h${i - 1}.node = e.src
+             |  GROUP BY 1),
+             |am$i AS (SELECT CASE WHEN max(sc) > 0 THEN max(sc)
+             |  ELSE 1 END AS m FROM ar$i),
+             |a$i AS MATERIALIZED (SELECT node, sc * 1000000 // m AS sc
+             |  FROM ar$i, am$i),
+             |hr$i AS MATERIALIZED (SELECT n0.node,
+             |    CAST(coalesce(sum(a$i.sc), 0) AS BIGINT) AS sc
+             |  FROM n0 LEFT JOIN e ON e.src = n0.node
+             |  LEFT JOIN a$i ON a$i.node = e.dst
+             |  GROUP BY 1),
+             |hm$i AS (SELECT CASE WHEN max(sc) > 0 THEN max(sc)
+             |  ELSE 1 END AS m FROM hr$i),
+             |h$i AS MATERIALIZED (SELECT node, sc * 1000000 // m AS sc
+             |  FROM hr$i, hm$i),
+             |""".stripMargin
+        }.mkString
+      + """f AS (SELECT h8.node, h8.sc AS hs, a8.sc AS asc_
+        |  FROM h8 JOIN a8 ON h8.node = a8.node)
+        |SELECT node, CAST(hs AS DOUBLE) / 1e6 AS hub_score,
+        |  CAST(asc_ AS DOUBLE) / 1e6 AS authority_score
+        |FROM f ORDER BY node""".stripMargin)
   )
 }

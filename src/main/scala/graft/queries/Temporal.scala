@@ -2153,6 +2153,120 @@ object Temporal extends QueryModule {
           snap6(col("var_c").cast("double") / 100.0).as("var95"),
           snap6(col("tail_sum").cast("double")
             / (col("k").cast("double") * 100.0)).as("cvar95"))
+    }),
+
+    // Weibull fit of order fulfillment durations by log-moments —
+    // the PARAMETRIC rung of the survival family (q232/q313/q239 are
+    // nonparametric curves; a fitted shape answers "is fulfillment
+    // hazard increasing (k > 1, aging backlog) or memoryless
+    // (k ≈ 1)?" and extrapolates beyond the observed horizon): for
+    // Weibull, Var[ln X] = π²/6k² and E[ln X] = ln λ − γ/k, so
+    // k̂ = (π/√6)/σ_ln and λ̂ = exp(μ_ln + γ/k̂) — closed-form from
+    // log-moments. Exactness: durations are integer days; each ln
+    // freezes to a µnat long, so μ and σ² are single divisions of
+    // exact DECIMAL sums; k̂/λ̂ are deterministic double expressions
+    // with π/√6 = 1.2825498301618641 and γ = 0.5772156649015329
+    // spelled identically in both engines. Domain contract: the fit
+    // covers orders whose last shipment POSTDATES the order (dur ≥ 1
+    // — this corpus generates independent synthetic dates, so
+    // early-ship orders are outside a duration model's domain);
+    // n_orders reports the fitted support, so the restriction is
+    // visible, not silent. Scale shape: one order-level pass to
+    // per-order durations (map-side max), a 3-counter fold, one row
+    // out.
+    "q376_weibull_fit" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      def dec(c: Column): Column = c.cast("decimal(38,0)")
+      Tables.orders(s, d)
+        .join(Tables.lineitem(s, d)
+          .groupBy(col("l_orderkey"))
+          .agg(max(to_date(col("l_shipdate"))).as("last_ship")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((datediff(col("last_ship"), to_date(col("o_orderdate")))
+          + 1).cast("long").as("dur"))
+        .filter(col("dur") >= 1L)
+        .withColumn("l6",
+          floor(log(col("dur").cast("double")) * 1e6 + 0.5).cast("long"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("l6"))).as("s1"),
+          sum(dec(col("l6")) * dec(col("l6"))).as("s2"))
+        .withColumn("mu",
+          col("s1").cast("double") / (col("n").cast("double") * 1e6))
+        .withColumn("sg", sqrt((dec(col("n")) * col("s2")
+            - col("s1") * col("s1")).cast("double"))
+          / (col("n").cast("double") * 1e6))
+        .select(col("n").as("n_orders"), snap6(col("mu")).as("mu_ln"),
+          snap6(col("sg")).as("sigma_ln"),
+          when(col("sg") > 0.0,
+            snap6(lit(1.2825498301618641) / col("sg"))).as("shape_k"),
+          when(col("sg") > 0.0,
+            snap6(exp(col("mu") + lit(0.5772156649015329)
+              / (lit(1.2825498301618641) / col("sg")))))
+            .as("scale_lambda"))
+    }),
+
+    // Chain-ladder development factors on the order→shipment
+    // "run-off triangle" (the actuarial reserving primitive, read
+    // here as an OPERATIONS forecast: of the value ordered in month
+    // i, how much has shipped by lag k, and what factor grows lag-k
+    // cumulative into lag-k+1?) — the cohort-maturation view q208's
+    // SLA rates and q286's retention don't give. Censoring is
+    // handled the classical way: factor f_k sums only order-months
+    // whose observed horizon reaches lag k+1, so no month
+    // contributes a half-developed number. All exact cents: C(i,k)
+    // cumulates over a bounded lag window; each f_k is ONE division
+    // of exact DECIMAL sums. Scale shape: one corpus pass to the
+    // (order-month, lag) cents frame (map-side combined); everything
+    // after runs on that ≤|months|×|lags| dimension frame.
+    "q377_chain_ladder" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      def dec(c: Column): Column = c.cast("decimal(38,0)")
+      val cells = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((year(col("o_orderdate")) * 12
+            + month(col("o_orderdate"))).cast("long").as("omo"),
+          // this corpus ships some lines BEFORE the order month
+          // (independent synthetic dates) — clamp to lag 0 so
+          // C(i,k) reads "shipped by end of month i+k", never a
+          // silently-dropped negative cell
+          greatest(((year(col("l_shipdate")) * 12
+            + month(col("l_shipdate")))
+            - (year(col("o_orderdate")) * 12
+              + month(col("o_orderdate")))).cast("long"), lit(0L))
+            .as("lag"),
+          floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+            .as("cents"))
+        .groupBy(col("omo"), col("lag")).agg(sum(col("cents")).as("c"))
+      // DENSE (month × lag) grid: a month with a zero-shipment gap
+      // at lag k+1 still carries its cumulative forward, so its
+      // k→k+1 factor term doesn't silently vanish
+      val maxes = cells.agg(max(col("omo") + col("lag")).as("mm"),
+        max(col("lag")).as("ml"))
+      val cum = cells.select(col("omo")).distinct()
+        .crossJoin(broadcast(maxes))
+        .select(col("omo"), col("mm"),
+          explode(sequence(lit(0L), col("ml"))).as("lag"))
+        .join(cells, Seq("omo", "lag"), "left")
+        .select(col("omo"), col("lag"), col("mm"),
+          coalesce(col("c"), lit(0L)).as("c"))
+        .withColumn("cumc", sum(col("c")).over(
+          Window.partitionBy(col("omo")).orderBy(col("lag"))))
+        .withColumn("horizon", col("mm") - col("omo"))
+      val a = cum.select(col("omo"), col("lag"), col("cumc"),
+        col("horizon"))
+      val b = cum.select(col("omo"), (col("lag") - 1L).as("lag"),
+        col("cumc").as("cum_next"))
+      a.join(b, Seq("omo", "lag"))
+        .filter(col("horizon") >= col("lag") + 1L)
+        .groupBy(col("lag"))
+        .agg(count(lit(1)).as("n_months"),
+          sum(dec(col("cumc"))).as("sk"),
+          sum(dec(col("cum_next"))).as("sk1"))
+        .filter(col("sk") > 0)
+        .select(col("lag").as("dev_lag"), col("n_months"),
+          snap6(col("sk1").cast("double") / col("sk").cast("double"))
+            .as("dev_factor"))
+        .orderBy(col("dev_lag"))
     })
   )
 
@@ -3493,6 +3607,71 @@ object Temporal extends QueryModule {
         |    END) AS DOUBLE) / (CAST(max(k) AS DOUBLE) * 100.0::DOUBLE)
         |    * 1e6 + 0.5) / 1e6 AS cvar95
         |FROM k GROUP BY n""".stripMargin,
+
+    "q376_weibull_fit" ->
+      """WITH ls AS (SELECT l_orderkey,
+        |    max(CAST(l_shipdate AS DATE)) AS last_ship
+        |  FROM lineitem GROUP BY 1),
+        |du AS (SELECT CAST(last_ship - CAST(o_orderdate AS DATE) + 1
+        |      AS BIGINT) AS dur
+        |  FROM orders JOIN ls ON o_orderkey = l_orderkey),
+        |l6 AS (SELECT CAST(floor(ln(CAST(dur AS DOUBLE)) * 1e6 + 0.5)
+        |    AS BIGINT) AS l6
+        |  FROM du WHERE dur >= 1),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(l6 AS HUGEINT)) AS s1,
+        |    sum(CAST(l6 AS HUGEINT) * l6) AS s2
+        |  FROM l6),
+        |f AS (SELECT n,
+        |    CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6) AS mu,
+        |    sqrt(CAST(CAST(n AS HUGEINT) * s2 - s1 * s1 AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * 1e6) AS sg
+        |  FROM a)
+        |SELECT n AS n_orders,
+        |  floor(mu * 1e6 + 0.5) / 1e6 AS mu_ln,
+        |  floor(sg * 1e6 + 0.5) / 1e6 AS sigma_ln,
+        |  CASE WHEN sg > 0 THEN floor(1.2825498301618641::DOUBLE / sg
+        |    * 1e6 + 0.5) / 1e6 END AS shape_k,
+        |  CASE WHEN sg > 0 THEN floor(exp(mu + 0.5772156649015329::DOUBLE
+        |    / (1.2825498301618641::DOUBLE / sg)) * 1e6 + 0.5) / 1e6 END
+        |    AS scale_lambda
+        |FROM f""".stripMargin,
+
+    "q377_chain_ladder" ->
+      """WITH cells AS (SELECT
+        |    CAST(year(o_orderdate) * 12 + month(o_orderdate)
+        |      AS BIGINT) AS omo,
+        |    greatest(CAST((year(l_shipdate) * 12 + month(l_shipdate))
+        |      - (year(o_orderdate) * 12 + month(o_orderdate))
+        |      AS BIGINT), 0) AS lag,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5)
+        |      AS BIGINT)) AS BIGINT) AS c
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  GROUP BY 1, 2),
+        |mx AS (SELECT CAST(max(omo + lag) AS BIGINT) AS mm,
+        |    CAST(max(lag) AS BIGINT) AS ml FROM cells),
+        |grid AS (SELECT o.omo, mx.mm,
+        |    CAST(unnest(range(0, mx.ml + 1)) AS BIGINT) AS lag
+        |  FROM (SELECT DISTINCT omo FROM cells) o, mx),
+        |den AS (SELECT grid.omo, grid.lag, grid.mm,
+        |    coalesce(cells.c, 0) AS c
+        |  FROM grid LEFT JOIN cells ON grid.omo = cells.omo
+        |    AND grid.lag = cells.lag),
+        |cm AS (SELECT *, CAST(sum(c) OVER (PARTITION BY omo
+        |      ORDER BY lag) AS BIGINT) AS cumc,
+        |    mm - omo AS horizon
+        |  FROM den),
+        |j AS (SELECT a.lag, a.cumc, b.cumc AS cum_next
+        |  FROM cm a JOIN cm b ON a.omo = b.omo AND b.lag = a.lag + 1
+        |  WHERE a.horizon >= a.lag + 1),
+        |g AS (SELECT lag, CAST(count(*) AS BIGINT) AS n_months,
+        |    sum(CAST(cumc AS HUGEINT)) AS sk,
+        |    sum(CAST(cum_next AS HUGEINT)) AS sk1
+        |  FROM j GROUP BY 1)
+        |SELECT lag AS dev_lag, n_months,
+        |  floor(CAST(sk1 AS DOUBLE) / CAST(sk AS DOUBLE) * 1e6 + 0.5)
+        |    / 1e6 AS dev_factor
+        |FROM g WHERE sk > 0 ORDER BY dev_lag""".stripMargin,
 
     "q356_ar1_backtest" ->
       """WITH dly AS (SELECT event_type, CAST(ts AS DATE) AS day,
