@@ -2065,6 +2065,64 @@ object Aggregates extends QueryModule {
           when(col("n_x_exceed") > 0,
             snap6(col("n_joint").cast("double")
               / col("n_x_exceed").cast("double"))).as("lambda_upper"))
+    }),
+
+    // Decision-stump split finder — the CART primitive: over nine
+    // decile-boundary candidate thresholds on order price, which
+    // split best separates high-priority orders by weighted Gini
+    // impurity? (q337 RANKS whole features by information gain; a
+    // stump finds the actual CUT POINT — the first node any tree
+    // learner would grow, and a one-rule baseline worth reporting
+    // before any heavier model.) Candidates come from ntile
+    // boundaries over the unique (price, orderkey) order; per-
+    // candidate class counts are ONE conditional-aggregation pass
+    // (9× bounded fan-out); the weighted Gini is a deterministic
+    // double expression of exact counts, argmin on (snapped gini,
+    // threshold). Scale shape: one rank-style sort for the
+    // boundaries, one corpus pass for the counts, a 9-row readout.
+    "q378_decision_stump" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("pc"),
+          (col("o_orderpriority") === "1-URGENT"
+            || col("o_orderpriority") === "2-HIGH").as("pos"))
+      val bounds = o
+        .withColumn("dec10", ntile(10).over(
+          Window.orderBy(col("pc"), col("o_orderkey"))).cast("long"))
+        .filter(col("dec10") <= 9L)
+        .groupBy(col("dec10")).agg(max(col("pc")).as("thr"))
+      val cand = o.crossJoin(broadcast(bounds))
+        .groupBy(col("dec10"), col("thr"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("pc") <= col("thr") && col("pos"), 1L)
+            .otherwise(0L)).as("pl"),
+          sum(when(col("pc") <= col("thr") && !col("pos"), 1L)
+            .otherwise(0L)).as("nl"),
+          sum(when(col("pc") > col("thr") && col("pos"), 1L)
+            .otherwise(0L)).as("pr"),
+          sum(when(col("pc") > col("thr") && !col("pos"), 1L)
+            .otherwise(0L)).as("nr"))
+        .withColumn("gini", when(
+          col("pl") + col("nl") > 0 && col("pr") + col("nr") > 0,
+          ((col("pl") + col("nl")).cast("double")
+            - (col("pl").cast("double") * col("pl").cast("double")
+              + col("nl").cast("double") * col("nl").cast("double"))
+              / (col("pl") + col("nl")).cast("double")
+            + (col("pr") + col("nr")).cast("double")
+            - (col("pr").cast("double") * col("pr").cast("double")
+              + col("nr").cast("double") * col("nr").cast("double"))
+              / (col("pr") + col("nr")).cast("double"))
+            / col("n").cast("double")))
+        .withColumn("g6", snap6(col("gini")))
+        .withColumn("best", row_number().over(
+          Window.orderBy(col("g6").asc_nulls_last, col("thr"))) === 1)
+      cand.select(col("dec10").as("decile"),
+          snap6(col("thr").cast("double") / 100.0).as("threshold"),
+          (col("pl") + col("nl")).as("n_left"),
+          col("pl").as("pos_left"), col("pr").as("pos_right"),
+          col("g6").as("weighted_gini"), col("best").as("is_best_split"))
+        .orderBy(col("decile"))
     })
   )
 
@@ -3292,6 +3350,47 @@ object Aggregates extends QueryModule {
         |  CASE WHEN n_x_exceed > 0 THEN floor(CAST(n_joint AS DOUBLE)
         |    / CAST(n_x_exceed AS DOUBLE) * 1e6 + 0.5) / 1e6 END
         |    AS lambda_upper
-        |FROM a""".stripMargin
+        |FROM a""".stripMargin,
+
+    "q378_decision_stump" ->
+      """WITH o AS (SELECT o_orderkey,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS pc,
+        |    o_orderpriority IN ('1-URGENT', '2-HIGH') AS pos
+        |  FROM orders),
+        |bd AS (SELECT dec10, CAST(max(pc) AS BIGINT) AS thr FROM (
+        |    SELECT pc, CAST(ntile(10) OVER (ORDER BY pc, o_orderkey)
+        |      AS BIGINT) AS dec10 FROM o)
+        |  WHERE dec10 <= 9 GROUP BY 1),
+        |c AS (SELECT dec10, thr, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN pc <= thr AND pos THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS pl,
+        |    CAST(sum(CASE WHEN pc <= thr AND NOT pos THEN 1 ELSE 0
+        |      END) AS BIGINT) AS nl,
+        |    CAST(sum(CASE WHEN pc > thr AND pos THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS pr,
+        |    CAST(sum(CASE WHEN pc > thr AND NOT pos THEN 1 ELSE 0
+        |      END) AS BIGINT) AS nr
+        |  FROM o, bd GROUP BY 1, 2),
+        |g AS (SELECT *, CASE WHEN pl + nl > 0 AND pr + nr > 0 THEN
+        |    (CAST(pl + nl AS DOUBLE)
+        |      - (CAST(pl AS DOUBLE) * CAST(pl AS DOUBLE)
+        |        + CAST(nl AS DOUBLE) * CAST(nl AS DOUBLE))
+        |        / CAST(pl + nl AS DOUBLE)
+        |      + CAST(pr + nr AS DOUBLE)
+        |      - (CAST(pr AS DOUBLE) * CAST(pr AS DOUBLE)
+        |        + CAST(nr AS DOUBLE) * CAST(nr AS DOUBLE))
+        |        / CAST(pr + nr AS DOUBLE))
+        |      / CAST(n AS DOUBLE) END AS gini
+        |  FROM c),
+        |sg AS (SELECT *, floor(gini * 1e6 + 0.5) / 1e6 AS g6 FROM g),
+        |r AS (SELECT *, row_number() OVER (ORDER BY g6 ASC NULLS LAST,
+        |    thr) AS rk FROM sg)
+        |SELECT dec10 AS decile,
+        |  floor(CAST(thr AS DOUBLE) / 100.0::DOUBLE * 1e6 + 0.5) / 1e6
+        |    AS threshold,
+        |  CAST(pl + nl AS BIGINT) AS n_left, pl AS pos_left,
+        |  pr AS pos_right, g6 AS weighted_gini,
+        |  rk = 1 AS is_best_split
+        |FROM r ORDER BY decile""".stripMargin
   )
 }

@@ -2267,6 +2267,42 @@ object Temporal extends QueryModule {
           snap6(col("sk1").cast("double") / col("sk").cast("double"))
             .as("dev_factor"))
         .orderBy(col("dev_lag"))
+    }),
+
+    // Record-days audit — how many days set a NEW all-time daily-
+    // volume high, vs the iid expectation H_D = Σ 1/t? (For any
+    // exchangeable series the t-th day is a record with probability
+    // exactly 1/t, so the record COUNT is a distribution-free
+    // trend/regime detector: records ≫ H_D ⟺ growth regime —
+    // the extremes-family companion to q322's runs randomness and
+    // q317's rank trend.) Records are exact set logic (strict > the
+    // running max of all PRIOR days); the expectation folds as
+    // exact µ-longs Σ(10⁶ DIV t) — the same truncated-harmonic
+    // spelling both engines; the ratio is one division. Scale
+    // shape: one corpus pass to the calendar-bounded daily frame,
+    // one ordered window, a bounded fold per type.
+    "q379_record_days" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("prior_max", max(col("n")).over(wOrd))
+        .withColumn("t", row_number().over(
+          Window.partitionBy(col("event_type")).orderBy(col("day")))
+          .cast("long"))
+        .withColumn("is_rec",
+          col("prior_max").isNull || col("n") > col("prior_max"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(when(col("is_rec"), 1L).otherwise(0L)).as("n_records"),
+          sum(expr("1000000L DIV t")).as("h6"))
+        .select(col("event_type"), col("n_days"), col("n_records"),
+          snap6(col("h6").cast("double") / 1e6).as("expected_records"),
+          when(col("h6") > 0, snap6(col("n_records").cast("double")
+            * 1e6 / col("h6").cast("double"))).as("record_ratio"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -3672,6 +3708,30 @@ object Temporal extends QueryModule {
         |  floor(CAST(sk1 AS DOUBLE) / CAST(sk AS DOUBLE) * 1e6 + 0.5)
         |    / 1e6 AS dev_factor
         |FROM g WHERE sk > 0 ORDER BY dev_lag""".stripMargin,
+
+    "q379_record_days" ->
+      """WITH dly AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, day, n,
+        |    max(n) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS prior_max,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY day) AS BIGINT) AS t
+        |  FROM dly),
+        |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(CASE WHEN prior_max IS NULL OR n > prior_max
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_records,
+        |    CAST(sum(1000000 // t) AS BIGINT) AS h6
+        |  FROM w GROUP BY 1)
+        |SELECT event_type, n_days, n_records,
+        |  floor(CAST(h6 AS DOUBLE) / 1e6 * 1e6 + 0.5) / 1e6
+        |    AS expected_records,
+        |  CASE WHEN h6 > 0 THEN floor(CAST(n_records AS DOUBLE) * 1e6
+        |    / CAST(h6 AS DOUBLE) * 1e6 + 0.5) / 1e6 END
+        |    AS record_ratio
+        |FROM g ORDER BY event_type""".stripMargin,
 
     "q356_ar1_backtest" ->
       """WITH dly AS (SELECT event_type, CAST(ts AS DATE) AS day,
