@@ -2123,6 +2123,47 @@ object Aggregates extends QueryModule {
           col("pl").as("pos_left"), col("pr").as("pos_right"),
           col("g6").as("weighted_gini"), col("best").as("is_best_split"))
         .orderBy(col("decile"))
+    }),
+
+    // Lorenz curve points at customer deciles — the CURVE behind
+    // q179's Gini scalar ("the bottom 50% of customers carry X% of
+    // revenue"), the concentration readout a revenue-risk review
+    // actually reads: customers rank ascending by exact-cent spend
+    // (ntile over the unique (spend, custkey) order), each decile
+    // emits its cumulative revenue share and the gap to the
+    // perfect-equality diagonal — both single divisions of exact
+    // DECIMAL sums (gap numerator cum·10 − d·tot is an exact
+    // cross-product). Customers with no orders count at zero spend
+    // (left join — the concentration question includes them).
+    // Scale shape: one corpus pass to per-customer cents, one
+    // rank-style sort, a 10-row readout.
+    "q380_lorenz_curve" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      def dec(c: Column): Column = c.cast("decimal(38,0)")
+      val spend = Tables.customer(s, d).select(col("c_custkey"))
+        .join(Tables.orders(s, d)
+          .groupBy(col("o_custkey"))
+          .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+            .as("cents")),
+          col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"),
+          coalesce(col("cents"), lit(0L)).as("cents"))
+      spend
+        .withColumn("dec10", ntile(10).over(
+          Window.orderBy(col("cents"), col("c_custkey"))).cast("long"))
+        .groupBy(col("dec10"))
+        .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("cs"))
+        .withColumn("cum", sum(col("cs")).over(
+          Window.orderBy(col("dec10"))))
+        .withColumn("tot", sum(col("cs")).over(Window.partitionBy()))
+        .select(col("dec10").as("decile"), col("n_customers"),
+          snap6(col("cum").cast("double") / col("tot").cast("double"))
+            .as("cum_revenue_share"),
+          snap6((dec(col("cum")) * lit(10L) - dec(col("dec10"))
+            * dec(col("tot"))).cast("double")
+            / (dec(col("tot")) * lit(10L)).cast("double"))
+            .as("gap_to_equality"))
+        .orderBy(col("decile"))
     })
   )
 
@@ -3391,6 +3432,32 @@ object Aggregates extends QueryModule {
         |  CAST(pl + nl AS BIGINT) AS n_left, pl AS pos_left,
         |  pr AS pos_right, g6 AS weighted_gini,
         |  rk = 1 AS is_best_split
-        |FROM r ORDER BY decile""".stripMargin
+        |FROM r ORDER BY decile""".stripMargin,
+
+    "q380_lorenz_curve" ->
+      """WITH sp AS (SELECT c.c_custkey,
+        |    CAST(coalesce(o.cents, 0) AS BIGINT) AS cents
+        |  FROM customer c LEFT JOIN (SELECT o_custkey,
+        |      CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+        |        AS BIGINT)) AS BIGINT) AS cents
+        |    FROM orders GROUP BY 1) o
+        |  ON c.c_custkey = o.o_custkey),
+        |dq AS (SELECT *, CAST(ntile(10) OVER (ORDER BY cents,
+        |    c_custkey) AS BIGINT) AS dec10 FROM sp),
+        |g AS (SELECT dec10, CAST(count(*) AS BIGINT) AS n_customers,
+        |    CAST(sum(cents) AS BIGINT) AS cs
+        |  FROM dq GROUP BY 1),
+        |c AS (SELECT *,
+        |    CAST(sum(cs) OVER (ORDER BY dec10) AS BIGINT) AS cum,
+        |    CAST(sum(cs) OVER () AS BIGINT) AS tot
+        |  FROM g)
+        |SELECT dec10 AS decile, n_customers,
+        |  floor(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) * 1e6 + 0.5)
+        |    / 1e6 AS cum_revenue_share,
+        |  floor(CAST(CAST(cum AS HUGEINT) * 10 - CAST(dec10
+        |      AS HUGEINT) * tot AS DOUBLE)
+        |    / CAST(CAST(tot AS HUGEINT) * 10 AS DOUBLE) * 1e6 + 0.5)
+        |    / 1e6 AS gap_to_equality
+        |FROM c ORDER BY decile""".stripMargin
   )
 }
