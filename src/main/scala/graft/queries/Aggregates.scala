@@ -2164,6 +2164,42 @@ object Aggregates extends QueryModule {
             / (dec(col("tot")) * lit(10L)).cast("double"))
             .as("gap_to_equality"))
         .orderBy(col("decile"))
+    }),
+
+    // Process-capability indices Cp/Cpk for line-item quantity
+    // against the spec band [1, 50] — the manufacturing-quality
+    // lens that closes the SPC family (q330's EWMA and q237's CUSUM
+    // watch the process IN TIME; capability asks whether the process
+    // fits its tolerances AT ALL — Cpk < 1 means defects are
+    // structural, not incidental): Cp = (USL−LSL)·n/(6√vnum) and
+    // Cpk = min(USL·n−S, S−LSL·n)/(3√vnum) with vnum = nΣx²−S²,
+    // so both are deterministic double expressions of exact integer
+    // operands; the out-of-spec share is an exact count ratio.
+    // Scale shape: one corpus pass to 4 counters, one row out.
+    "q382_process_capability" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      def dec(c: Column): Column = c.cast("decimal(38,0)")
+      Tables.lineitem(s, d)
+        .select(col("l_quantity").cast("long").as("x"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+          sum(when(col("x") < 1L || col("x") > 50L, 1L).otherwise(0L))
+            .as("n_oos"))
+        .withColumn("vnum",
+          (dec(col("n")) * col("sxx") - dec(col("sx")) * dec(col("sx")))
+            .cast("double"))
+        .select(col("n").as("n_rows"),
+          snap6(col("sx").cast("double") / col("n").cast("double"))
+            .as("mean_qty"),
+          when(col("vnum") > 0.0, snap6(lit(49.0)
+            * col("n").cast("double") / (lit(6.0) * sqrt(col("vnum")))))
+            .as("cp"),
+          when(col("vnum") > 0.0, snap6(
+            least(lit(50L) * col("n") - col("sx"),
+              col("sx") - col("n")).cast("double")
+              / (lit(3.0) * sqrt(col("vnum"))))).as("cpk"),
+          snap6(col("n_oos").cast("double") / col("n").cast("double"))
+            .as("out_of_spec_share"))
     })
   )
 
@@ -3458,6 +3494,31 @@ object Aggregates extends QueryModule {
         |      AS HUGEINT) * tot AS DOUBLE)
         |    / CAST(CAST(tot AS HUGEINT) * 10 AS DOUBLE) * 1e6 + 0.5)
         |    / 1e6 AS gap_to_equality
-        |FROM c ORDER BY decile""".stripMargin
+        |FROM c ORDER BY decile""".stripMargin,
+
+    "q382_process_capability" ->
+      """WITH li AS (SELECT CAST(l_quantity AS BIGINT) AS x
+        |  FROM lineitem),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    CAST(sum(CASE WHEN x < 1 OR x > 50 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_oos
+        |  FROM li),
+        |v AS (SELECT *, CAST(CAST(n AS HUGEINT) * sxx
+        |    - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS vnum FROM a)
+        |SELECT n AS n_rows,
+        |  floor(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) * 1e6 + 0.5)
+        |    / 1e6 AS mean_qty,
+        |  CASE WHEN vnum > 0 THEN floor(49.0::DOUBLE
+        |    * CAST(n AS DOUBLE) / (6.0::DOUBLE * sqrt(vnum))
+        |    * 1e6 + 0.5) / 1e6 END AS cp,
+        |  CASE WHEN vnum > 0 THEN floor(
+        |    CAST(least(50 * n - sx, sx - n) AS DOUBLE)
+        |    / (3.0::DOUBLE * sqrt(vnum)) * 1e6 + 0.5) / 1e6 END
+        |    AS cpk,
+        |  floor(CAST(n_oos AS DOUBLE) / CAST(n AS DOUBLE) * 1e6 + 0.5)
+        |    / 1e6 AS out_of_spec_share
+        |FROM v""".stripMargin
   )
 }

@@ -2303,6 +2303,72 @@ object Temporal extends QueryModule {
           when(col("h6") > 0, snap6(col("n_records").cast("double")
             * 1e6 / col("h6").cast("double"))).as("record_ratio"))
         .orderBy(col("event_type"))
+    }),
+
+    // Restricted mean survival time at τ = 7 days for TIME-TO-FIRST-
+    // PURCHASE — the AREA under the Kaplan-Meier curve up to a fixed
+    // horizon, the one-number survival summary regulators now prefer
+    // over hazard ratios (here: "average purchase-free days within a
+    // user's first week"): completes the survival family (q232
+    // curve, q313 cumulative hazard, q239 group test, q376
+    // parametric fit). The endpoint is first purchase (not q232's
+    // month-end churn, which never fires inside any horizon on this
+    // corpus — a flat curve would exercise nothing); users who never
+    // purchase censor at their observed span. Construction: KM steps
+    // as in q232; each step's survival freezes to a µ-long
+    // S6 = ⌊exp(lnS)·10⁶+½⌋, interval widths are exact integer days
+    // clipped at τ (the segment before the first event time carries
+    // S = 1), so RMST = ΣS6·width/10⁶ is an exact fold with one
+    // division. Scale shape: everything after the per-user pass runs
+    // on the ≤|distinct t| frame.
+    "q381_rmst" -> ((s, d) => {
+      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      val tau = 7L
+      val users = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("first_day"),
+          max(to_date(col("ts"))).as("last_day"),
+          min(when(col("event_type") === "purchase",
+            to_date(col("ts")))).as("first_purchase"))
+        .select(col("user_id"),
+          when(col("first_purchase").isNotNull,
+            datediff(col("first_purchase"), col("first_day")))
+            .otherwise(datediff(col("last_day"), col("first_day")))
+            .cast("long").as("t"),
+          col("first_purchase").isNotNull.as("purchased"))
+      val byT = users.groupBy(col("t"))
+        .agg(sum(when(col("purchased"), 1L).otherwise(0L)).as("d"),
+          sum(when(col("purchased"), 0L).otherwise(1L)).as("c"))
+      val tot = byT.agg(sum(col("d") + col("c")).as("n_users"))
+      val wCum = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val steps = byT.crossJoin(broadcast(tot))
+        .withColumn("cum_all", sum(col("d") + col("c")).over(wCum))
+        .withColumn("at_risk",
+          col("n_users") - col("cum_all") + col("d") + col("c"))
+        .withColumn("term", when(col("d") > 0 && col("at_risk") > col("d"),
+          snap6(log((col("at_risk") - col("d")).cast("double")
+            / col("at_risk").cast("double")))).otherwise(lit(0.0)))
+        .withColumn("ln_survival", sum(col("term")).over(wCum))
+        .withColumn("s6",
+          floor(exp(col("ln_survival")) * 1e6 + 0.5).cast("long"))
+        .withColumn("t_next", coalesce(lead(col("t"), 1).over(
+          Window.orderBy(col("t"))), lit(tau)))
+        .withColumn("width", greatest(least(col("t_next"), lit(tau))
+          - least(col("t"), lit(tau)), lit(0L)))
+        // the pre-first-step segment [0, min(t₁, τ)) survives at 1
+        .withColumn("head_width", when(row_number().over(
+          Window.orderBy(col("t"))) === 1,
+          least(col("t"), lit(tau))).otherwise(0L))
+      steps
+        .agg(max(col("n_users")).as("n_users"),
+          sum(col("head_width") * 1000000L
+            + col("s6") * col("width")).as("a6"))
+        .select(lit(tau).as("tau_days"), col("n_users"),
+          snap6(col("a6").cast("double") / 1e6)
+            .as("rmst_purchase_free_days"),
+          snap6(col("a6").cast("double")
+            / (lit(tau).cast("double") * 1e6)).as("rmst_fraction"))
     })
   )
 
@@ -3732,6 +3798,55 @@ object Temporal extends QueryModule {
         |    / CAST(h6 AS DOUBLE) * 1e6 + 0.5) / 1e6 END
         |    AS record_ratio
         |FROM g ORDER BY event_type""".stripMargin,
+
+    "q381_rmst" ->
+      """WITH u0 AS (SELECT user_id,
+        |    min(CAST(ts AS DATE)) AS first_day,
+        |    max(CAST(ts AS DATE)) AS last_day,
+        |    min(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(ts AS DATE) END) AS first_purchase
+        |  FROM events GROUP BY 1),
+        |u AS (SELECT user_id,
+        |    CAST(CASE WHEN first_purchase IS NOT NULL
+        |      THEN first_purchase - first_day
+        |      ELSE last_day - first_day END AS BIGINT) AS t,
+        |    first_purchase IS NOT NULL AS purchased
+        |  FROM u0),
+        |bt AS (SELECT t,
+        |    CAST(sum(CASE WHEN purchased THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS d,
+        |    CAST(sum(CASE WHEN purchased THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS c
+        |  FROM u GROUP BY 1),
+        |tt AS (SELECT CAST(sum(d + c) AS BIGINT) AS n_users FROM bt),
+        |st AS (SELECT t, d, c, n_users,
+        |    CAST(sum(d + c) OVER (ORDER BY t) AS BIGINT) AS cum_all
+        |  FROM bt, tt),
+        |tm AS (SELECT *, n_users - cum_all + d + c AS at_risk,
+        |    CASE WHEN d > 0 AND n_users - cum_all + d + c > d THEN
+        |      floor(ln(CAST(n_users - cum_all + c AS DOUBLE)
+        |        / CAST(n_users - cum_all + d + c AS DOUBLE))
+        |        * 1e6 + 0.5) / 1e6 ELSE 0.0::DOUBLE END AS term
+        |  FROM st),
+        |ls AS (SELECT *, sum(term) OVER (ORDER BY t) AS ln_survival
+        |  FROM tm),
+        |sg AS (SELECT *,
+        |    CAST(floor(exp(ln_survival) * 1e6 + 0.5) AS BIGINT) AS s6,
+        |    coalesce(lead(t) OVER (ORDER BY t), 7) AS t_next,
+        |    row_number() OVER (ORDER BY t) AS rn
+        |  FROM ls),
+        |w AS (SELECT n_users,
+        |    CASE WHEN rn = 1 THEN least(t, 7) ELSE 0 END * 1000000
+        |      + s6 * greatest(least(t_next, 7) - least(t, 7), 0)
+        |      AS a6
+        |  FROM sg)
+        |SELECT CAST(7 AS BIGINT) AS tau_days,
+        |  CAST(max(n_users) AS BIGINT) AS n_users,
+        |  floor(CAST(sum(a6) AS DOUBLE) / 1e6 * 1e6 + 0.5) / 1e6
+        |    AS rmst_purchase_free_days,
+        |  floor(CAST(sum(a6) AS DOUBLE) / (7.0::DOUBLE * 1e6)
+        |    * 1e6 + 0.5) / 1e6 AS rmst_fraction
+        |FROM w""".stripMargin,
 
     "q356_ar1_backtest" ->
       """WITH dly AS (SELECT event_type, CAST(ts AS DATE) AS day,

@@ -237,6 +237,7 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q373_kcore", "q374_tail_dependence",
     "q375_hits", "q376_weibull_fit", "q377_chain_ladder",
     "q378_decision_stump", "q379_record_days", "q380_lorenz_curve",
+    "q381_rmst", "q382_process_capability",
     "q310_wasserstein",    // exact CDF cross-products; micro-long
                            // interval terms before the pair sum
     "q311_seasonal_decompose") // exact 7y−S₇ numerators, DECIMAL
