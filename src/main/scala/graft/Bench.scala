@@ -56,34 +56,39 @@ object Bench {
   private[graft] def rerunsFor(firstSec: Double): Int =
     if (firstSec <= MedianRerunSec || firstSec >= RunawayCapSec) 0 else 2
 
-  /** End-of-suite runaway retry (round-12, VERDICT r11 #1): the r8
-    * "never re-run runaways" rule was about not TRIPLING a plan
-    * defect's damage mid-suite; at END of suite that rationale
-    * inverts — one retry per runaway bounds the added wall time to
-    * |runaways| × the query's TRUE cost (a real 30 s plan defect costs
-    * one more 30 s run; a phantom produced by a box burst costs its
-    * honest 1-2 s), and it is the only in-run defense that keeps a
-    * 40 s phantom out of the operative total. The retry is gated on a
-    * CLEAN calibration probe — ≤ RetryProbeMax × the run's own floor
-    * (min over all interleaved samples) — so a retry can never be
-    * taken while the burst is still running and read as confirmation;
-    * up to RetryProbeAttempts probes are spent waiting for the box to
-    * quiet down, then the first number stands (marked unretried).
-    * Both numbers are reported ({first, retry}); the RETRY is the
-    * operative per-query figure in "queries" and the total.
+  /** End-of-suite runaway retry (round-12, VERDICT r11 #1; policy
+    * rewritten round 13 per VERDICT r12 #1): the r8 "never re-run
+    * runaways" rule was about not TRIPLING a plan defect's damage
+    * mid-suite; at END of suite that rationale inverts — one retry per
+    * runaway bounds the added wall time to |runaways| × the query's
+    * TRUE cost (a real 30 s plan defect costs one more 30 s run; a
+    * phantom produced by a box burst costs its honest 1-2 s), and it
+    * is the only in-run defense that keeps a 40 s phantom out of the
+    * operative total.
+    *
+    * Round 12 gated the retry on a clean calibration probe
+    * (≤ 1.5 × the run's own floor), which BENCH_r12 proved can never
+    * fire on a warm box — the exact scenario it was built for: one
+    * unusually clean early probe (0.41 s) set the floor while the box
+    * sat in a persistent 0.62-0.83 s warm band, so every retry probe
+    * failed the gate and a 25.75 s phantom (isolated truth: 1.61 s)
+    * stood as the driver's operative number. The gate is gone: every
+    * runaway is ALWAYS retried exactly once, one calibration probe is
+    * taken first purely as EVIDENCE (it joins the calib record — a
+    * still-loud box honestly drags calib_ratio up), and the operative
+    * figure is min(first, retry). A phantom thus costs its honest
+    * 1-2 s; a real 30 s plan defect honestly reads ~30 s twice and
+    * min keeps it ~30 s; and no box state can starve the defense.
     */
-  private[graft] val RetryProbeMax = 1.5
-  private[graft] val RetryProbeAttempts = 3
-
   /** Pure core of the retry pass, injectable for BenchContractSpec's
-    * stall-injection test: `probe` yields a fresh calibration sample,
-    * `rerun` re-times one query. Returns the results with operative
-    * (retried) seconds swapped in, plus the {first, retry} evidence
-    * map for the JSON lines.
+    * stall-injection tests: `probe` yields a fresh calibration sample
+    * (evidence only — its value never gates anything), `rerun`
+    * re-times one query. Returns the results with operative
+    * min(first, retry) seconds swapped in, plus the {first, retry}
+    * evidence map for the JSON lines.
     */
   private[graft] def retryRunaways(
       results: Seq[(String, Double, Double)],
-      calibFloor: Double,
       probe: () => Double,
       rerun: String => Double)
       : (Seq[(String, Double, Double)], Map[String, (Double, Double)]) = {
@@ -91,16 +96,10 @@ object Bench {
     val out = results.map { case r @ (name, sec, mb) =>
       if (sec < RunawayCapSec) r // failures (-1) and normal tier pass through
       else {
-        val clean = Iterator.range(0, RetryProbeAttempts)
-          .map(_ => probe())
-          .find(_ <= RetryProbeMax * calibFloor)
-        clean match {
-          case None => r // box still loud — the single-shot number stands
-          case Some(_) =>
-            val retry = rerun(name)
-            retried += name -> ((sec, retry))
-            (name, retry, mb)
-        }
+        probe() // box-state evidence for the calib record; never a gate
+        val retry = rerun(name)
+        retried += name -> ((sec, retry))
+        (name, math.min(sec, retry), mb)
       }
     }
     (out, retried.result())
@@ -292,15 +291,15 @@ object Bench {
     }
     // end-of-bench calibration sample closes the last probe interval.
     calibSamples += calibObs(spark)
-    // End-of-suite runaway retry pass (VERDICT r11 #1a): each query
-    // whose single-shot read ≥ RunawayCapSec gets ONE retry, taken only
-    // after a calibration probe confirms the box is quiet (≤ 1.5× this
-    // run's own floor). Retry probes are appended to the calib record —
-    // they are honest box observations, and a still-loud box SHOULD
-    // drag calib_ratio up.
+    // End-of-suite runaway retry pass (VERDICT r12 #1): each query
+    // whose single-shot read ≥ RunawayCapSec is ALWAYS retried exactly
+    // once; operative = min(first, retry). A calibration probe is taken
+    // before each retry purely as evidence and appended to the calib
+    // record — a still-loud box SHOULD drag calib_ratio up, but it can
+    // no longer starve the retry (the r12 gate could never fire on a
+    // warm box and let a 25 s phantom stand in BENCH_r12).
     val retryProbes = Seq.newBuilder[CalibObs]
-    val floor = calibSamples.result().map(_.sec).min
-    val (operative, retried) = retryRunaways(results, floor,
+    val (operative, retried) = retryRunaways(results,
       () => { val o = calibObs(spark); retryProbes += o; o.sec },
       name => {
         val t0 = System.nanoTime()
@@ -310,8 +309,15 @@ object Bench {
     val calib = calibSamples.result() ++ retryProbes.result()
     // Full detail first (one line, may exceed the driver's 2000-char
     // stdout-tail capture; kept for humans + the repo bench log) ...
-    println(detailLine(operative, failed, runaway, retried, calib, sfDir,
-      cpus))
+    val detail = detailLine(operative, failed, runaway, retried, calib,
+      sfDir, cpus)
+    println(detail)
+    // ... mirrored out-of-band (VERDICT r12 #6): the driver's stdout
+    // tail truncates the detail line past ~2000 chars (BENCH_r12
+    // spliced the shuffle-MB map mid-object), so the full detail JSON
+    // is also written atomically to a stable path the compact line
+    // references via "detail_path".
+    writeDetailFile(detail)
     // ... then the driver-contract line LAST and COMPACT: the driver
     // parses JSON out of the last ~2000 chars of stdout, so this line
     // must fit there whole (BenchContractSpec pins this under a
@@ -323,6 +329,32 @@ object Bench {
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
+
+  /** Stable path for the full per-run detail JSON (VERDICT r12 #6).
+    * Relative to the working directory — the driver and every local
+    * recipe run sbt from the repo root, so this lands at
+    * /root/repo/tools/bench_last_detail.json.
+    */
+  private[graft] val DetailPath = "tools/bench_last_detail.json"
+
+  /** Atomic write: temp file in the same directory, then ATOMIC_MOVE —
+    * a reader (the driver, bench_diff) can never observe a torn file.
+    */
+  private def writeDetailFile(detail: String): Unit =
+    try {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val target = Paths.get(DetailPath)
+      if (target.getParent != null) Files.createDirectories(target.getParent)
+      val tmp = Files.createTempFile(
+        if (target.getParent != null) target.getParent else Paths.get("."),
+        ".bench_detail", ".tmp")
+      Files.write(tmp, (detail + "\n").getBytes("UTF-8"))
+      Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    } catch { case e: Throwable =>
+      // best-effort mirror: a read-only checkout must not fail the bench
+      System.err.println(s"[bench] detail file write failed: ${e.getMessage}")
+    }
 
   private def jsonList(names: Seq[String]): String =
     names.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -372,12 +404,12 @@ object Bench {
                                  cpus: String): String = {
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
     val totalShuffleMb = results.map(_._3).sum
-    // 20 rows (was 31): round 12's burst-defense fields — calib_ratio,
-    // the per-probe load1/cpu_frac arrays, and the capped
-    // runaway_retry evidence map — cost ~450 worst-case chars; eleven
-    // query rows buy them back (BenchContractSpec re-pins the 1800
-    // budget against the driver's 2000-char stdout tail).
-    val top = results.filter(_._2 >= 0).sortBy(-_._2).take(20).sortBy(_._1)
+    // 19 rows (was 31): round 12's burst-defense fields — calib_ratio,
+    // the per-probe load1/cpu_frac arrays, the capped runaway_retry
+    // evidence map — and round 13's detail_path cost ~490 worst-case
+    // chars; twelve query rows buy them back (BenchContractSpec
+    // re-pins the 1800 budget against the driver's 2000-char tail).
+    val top = results.filter(_._2 >= 0).sortBy(-_._2).take(19).sortBy(_._1)
     val topQs = top.map { case (k, v, _) => f""""$k":$v%.2f""" }
       .mkString("{", ",", "}")
     val omitted = results.length - top.length
@@ -395,6 +427,6 @@ object Bench {
     // rides the detail line. 10 covers every non-pathological run
     // (6 interleaved samples + a few retry probes) uncapped.
     val worst = calib.sortBy(-_.sec).take(10)
-    f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$topQs,"queries_run":${results.length},"queries_omitted_fast":$omitted,"shuffle_mb_total":$totalShuffleMb%.1f,"failed":$failedShown,"failed_count":${failed.length},"runaway":$runawayShown,"runaway_count":${runaway.length},"runaway_retry":${retryJson(retried, 5)},"calib_s":${calibJson(worst)},"calib_ratio":${calibRatioJson(calib)},"load1":${loadJson(worst)},"cpu_frac":${cpuJson(worst)},"cpus":"$cpus","sf":"$sfDir"}"""
+    f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$topQs,"queries_run":${results.length},"queries_omitted_fast":$omitted,"shuffle_mb_total":$totalShuffleMb%.1f,"failed":$failedShown,"failed_count":${failed.length},"runaway":$runawayShown,"runaway_count":${runaway.length},"runaway_retry":${retryJson(retried, 5)},"calib_s":${calibJson(worst)},"calib_ratio":${calibRatioJson(calib)},"load1":${loadJson(worst)},"cpu_frac":${cpuJson(worst)},"cpus":"$cpus","detail_path":"$DetailPath","sf":"$sfDir"}"""
   }
 }
