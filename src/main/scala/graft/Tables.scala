@@ -51,6 +51,45 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+
+  private val nationEdgeCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      DataFrame]()
+
+  /** Directed nation→nation trade pair counts — the graph tier's shared
+    * corpus stage (VERDICT r12 #3). An edge src→dst with weight `cnt`
+    * for every lineitem whose ordering customer sits in nation src and
+    * supplying supplier in nation dst; self-loops (src == dst) are kept
+    * so every consumer can filter or fold them as its algorithm needs.
+    *
+    * This is the ONLY corpus-sized stage of the whole graph tier
+    * (lineitem⋈orders⋈customer⋈supplier → ≤|nations|² rows); before
+    * round 13 nine graph queries each re-ran it independently
+    * (~1.2-1.6 s apiece at sf0.1 — pure duplication at 100 TB). It is
+    * now derived once per (session, sfDir) and `persist()`ed: the first
+    * graph query in a suite pays the joins, every later one starts from
+    * the cached bounded edge list. The cache key carries the session so
+    * per-session configs (e.g. PartitionInvarianceSpec's split-file
+    * session) still derive and persist their own copy under their own
+    * partitioning. The frame is dimension-sized, so the persist costs
+    * a few KB regardless of corpus scale.
+    */
+  def nationEdges(s: SparkSession, d: String): DataFrame =
+    nationEdgeCache.computeIfAbsent((s, d), { _: (SparkSession, String) =>
+      import org.apache.spark.sql.functions.{col, count, lit}
+      lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+        .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, d)
+          .select(col("c_custkey"), col("c_nationkey").as("src")),
+          col("o_custkey") === col("c_custkey"))
+        .join(supplier(s, d)
+          .select(col("s_suppkey"), col("s_nationkey").as("dst")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("src"), col("dst"))
+        .agg(count(lit(1)).as("cnt"))
+        .persist()
+    })
 }
 
 /** A query module contributes named queries plus (optionally) DuckDB oracle

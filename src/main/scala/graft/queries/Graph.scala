@@ -19,6 +19,35 @@ object Graph extends QueryModule {
   /** Damping 0.85, 10 fixed iterations. */
   private val Iters = 10
 
+  /** Undirected non-self pair counts from the shared
+    * [[graft.Tables.nationEdges]] frame (VERDICT r12 #3: one corpus
+    * derivation for the whole tier): summing the two directed cells of
+    * an unordered pair equals counting its undirected rows directly, so
+    * this is exactly the `least/greatest → count` frame the q166 family
+    * derived from the corpus before round 13 — now a dimension-frame
+    * fold over the persisted edge list.
+    */
+  private def undirectedPairs(s: SparkSession, d: String): DataFrame =
+    Tables.nationEdges(s, d).filter(col("src") =!= col("dst"))
+      .groupBy(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** The q166 family's data-driven edge threshold: keep unordered pairs
+    * whose total trade count clears the graph's own 75th percentile
+    * (the raw graph is near-complete, and a fixed constant would stop
+    * discriminating as sf grows). Returns the thresholded (u, v) edge
+    * list — ≤|nations|² rows at any corpus size.
+    */
+  private def thresholdedUndirected(s: SparkSession, d: String): DataFrame = {
+    val pairs = undirectedPairs(s, d)
+    val bound = pairs.agg(
+      round(percentile(col("cnt"), lit(0.75)), 6).as("thr"))
+    pairs.crossJoin(broadcast(bound))
+      .filter(col("cnt") >= col("thr"))
+      .select(col("u"), col("v"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // PageRank over the nation-level trade graph: an edge src→dst for
     // every lineitem whose ordering customer sits in nation src and
@@ -35,19 +64,7 @@ object Graph extends QueryModule {
     // ×, + on the rounded value are IEEE-exact), so ranks stay
     // bit-identical through all 10 iterations.
     "q154_pagerank" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_suppkey"))
-      val ord = Tables.orders(s, d)
-        .select(col("o_orderkey"), col("o_custkey"))
-      val cust = Tables.customer(s, d)
-        .select(col("c_custkey"), col("c_nationkey").as("src"))
-      val sup = Tables.supplier(s, d)
-        .select(col("s_suppkey"), col("s_nationkey").as("dst"))
-      val e0 = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(cust, col("o_custkey") === col("c_custkey"))
-        .join(sup, col("l_suppkey") === col("s_suppkey"))
-        .groupBy(col("src"), col("dst"))
-        .agg(count(lit(1)).as("cnt"))
+      val e0 = Tables.nationEdges(s, d)
       val outdeg = e0.groupBy(col("src")).agg(sum(col("cnt")).as("outw"))
       val edges = e0.join(outdeg, "src")
         .select(col("src"), col("dst"),
@@ -158,26 +175,7 @@ object Graph extends QueryModule {
     // Clustering = 2T/(deg·(deg−1)) from exact longs — one
     // correctly-rounded division, no rounding anywhere.
     "q166_triangles" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_suppkey"))
-      val ord = Tables.orders(s, d)
-        .select(col("o_orderkey"), col("o_custkey"))
-      val cust = Tables.customer(s, d)
-        .select(col("c_custkey"), col("c_nationkey").as("src"))
-      val sup = Tables.supplier(s, d)
-        .select(col("s_suppkey"), col("s_nationkey").as("dst"))
-      val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(cust, col("o_custkey") === col("c_custkey"))
-        .join(sup, col("l_suppkey") === col("s_suppkey"))
-        .filter(col("src") =!= col("dst"))
-        .select(least(col("src"), col("dst")).as("u"),
-          greatest(col("src"), col("dst")).as("v"))
-        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("cnt"))
-      val bound = pairs.agg(
-        round(percentile(col("cnt"), lit(0.75)), 6).as("thr"))
-      val e = pairs.crossJoin(broadcast(bound))
-        .filter(col("cnt") >= col("thr"))
-        .select(col("u"), col("v"))
+      val e = thresholdedUndirected(s, d)
       val tri = e.as("ab").join(e.as("bc"), col("ab.v") === col("bc.u"))
         .join(e.as("ac"),
           col("ac.u") === col("ab.u") && col("ac.v") === col("bc.v"))
@@ -214,26 +212,7 @@ object Graph extends QueryModule {
     // score is one exact-long division. deg-1 neighbors are excluded
     // (ln 1 = 0 — the standard AA domain restriction).
     "q175_link_prediction" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_suppkey"))
-      val ord = Tables.orders(s, d)
-        .select(col("o_orderkey"), col("o_custkey"))
-      val cust = Tables.customer(s, d)
-        .select(col("c_custkey"), col("c_nationkey").as("src"))
-      val sup = Tables.supplier(s, d)
-        .select(col("s_suppkey"), col("s_nationkey").as("dst"))
-      val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(cust, col("o_custkey") === col("c_custkey"))
-        .join(sup, col("l_suppkey") === col("s_suppkey"))
-        .filter(col("src") =!= col("dst"))
-        .select(least(col("src"), col("dst")).as("u"),
-          greatest(col("src"), col("dst")).as("v"))
-        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("cnt"))
-      val bound = pairs.agg(
-        round(percentile(col("cnt"), lit(0.75)), 6).as("thr"))
-      val e = pairs.crossJoin(broadcast(bound))
-        .filter(col("cnt") >= col("thr"))
-        .select(col("u"), col("v"))
+      val e = thresholdedUndirected(s, d)
       val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
       val deg = sym.groupBy(col("u").as("node"))
         .agg(count(lit(1)).as("deg"))
@@ -314,26 +293,7 @@ object Graph extends QueryModule {
     // the sweep is |ladder| scans of that dimension frame.
     "q342_rich_club" -> ((s, d) => {
       def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_suppkey"))
-      val ord = Tables.orders(s, d)
-        .select(col("o_orderkey"), col("o_custkey"))
-      val cust = Tables.customer(s, d)
-        .select(col("c_custkey"), col("c_nationkey").as("src"))
-      val sup = Tables.supplier(s, d)
-        .select(col("s_suppkey"), col("s_nationkey").as("dst"))
-      val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(cust, col("o_custkey") === col("c_custkey"))
-        .join(sup, col("l_suppkey") === col("s_suppkey"))
-        .filter(col("src") =!= col("dst"))
-        .select(least(col("src"), col("dst")).as("u"),
-          greatest(col("src"), col("dst")).as("v"))
-        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("cnt"))
-      val bound = pairs.agg(
-        round(percentile(col("cnt"), lit(0.75)), 6).as("thr"))
-      val e = pairs.crossJoin(broadcast(bound))
-        .filter(col("cnt") >= col("thr"))
-        .select(col("u"), col("v"))
+      val e = thresholdedUndirected(s, d)
       val deg = e.select(col("u").as("node"))
         .union(e.select(col("v").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("degree"))
@@ -376,29 +336,10 @@ object Graph extends QueryModule {
     "q350_modularity" -> ((s, d) => {
       def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
       def dec(c: Column): Column = c.cast("decimal(38,0)")
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_suppkey"))
-      val ord = Tables.orders(s, d)
-        .select(col("o_orderkey"), col("o_custkey"))
-      val cust = Tables.customer(s, d)
-        .select(col("c_custkey"), col("c_nationkey").as("src"))
-      val sup = Tables.supplier(s, d)
-        .select(col("s_suppkey"), col("s_nationkey").as("dst"))
-      val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(cust, col("o_custkey") === col("c_custkey"))
-        .join(sup, col("l_suppkey") === col("s_suppkey"))
-        .filter(col("src") =!= col("dst"))
-        .select(least(col("src"), col("dst")).as("u"),
-          greatest(col("src"), col("dst")).as("v"))
-        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("cnt"))
-      val bound = pairs.agg(
-        round(percentile(col("cnt"), lit(0.75)), 6).as("thr"))
       val nmap = Tables.nation(s, d)
         .select(col("n_nationkey").as("node"),
           col("n_regionkey").as("reg"))
-      val e = pairs.crossJoin(broadcast(bound))
-        .filter(col("cnt") >= col("thr"))
-        .select(col("u"), col("v"))
+      val e = thresholdedUndirected(s, d)
         .join(broadcast(nmap.select(col("node").as("u"),
           col("reg").as("reg_u"))), Seq("u"))
         .join(broadcast(nmap.select(col("node").as("v"),
@@ -420,11 +361,17 @@ object Graph extends QueryModule {
           (dec(lit(4L) * col("mm")) * dec(coalesce(col("ec"), lit(0L)))
             - dec(coalesce(col("kc"), lit(0L)))
               * dec(coalesce(col("kc"), lit(0L)))).as("tnum"))
-        .withColumn("q_term", snap6(col("tnum").cast("double")
-          / (dec(lit(4L) * col("mm")) * dec(col("mm"))).cast("double")))
-        .withColumn("q_total", snap6(
+        // mm = 0 (an empty thresholded graph): modularity of a
+        // partition over zero edges is undefined — NULL, never a
+        // div-0 error
+        .withColumn("q_term", when(col("mm") > 0L,
+          snap6(col("tnum").cast("double")
+            / (dec(lit(4L) * col("mm")) * dec(col("mm")))
+              .cast("double"))))
+        .withColumn("q_total", when(col("mm") > 0L, snap6(
           sum(col("tnum")).over(Window.partitionBy()).cast("double")
-            / (dec(lit(4L) * col("mm")) * dec(col("mm"))).cast("double")))
+            / (dec(lit(4L) * col("mm")) * dec(col("mm")))
+              .cast("double"))))
         .select(col("r_regionkey"), col("r_name"), col("e_within"),
           col("degree_sum"), col("mm").as("n_edges"), col("q_term"),
           col("q_total"))
@@ -442,26 +389,7 @@ object Graph extends QueryModule {
     // edge list once; the 2-path join carries degree-bounded
     // fan-out on the dimension-sized graph.
     "q371_weak_ties" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_suppkey"))
-      val ord = Tables.orders(s, d)
-        .select(col("o_orderkey"), col("o_custkey"))
-      val cust = Tables.customer(s, d)
-        .select(col("c_custkey"), col("c_nationkey").as("src"))
-      val sup = Tables.supplier(s, d)
-        .select(col("s_suppkey"), col("s_nationkey").as("dst"))
-      val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(cust, col("o_custkey") === col("c_custkey"))
-        .join(sup, col("l_suppkey") === col("s_suppkey"))
-        .filter(col("src") =!= col("dst"))
-        .select(least(col("src"), col("dst")).as("u"),
-          greatest(col("src"), col("dst")).as("v"))
-        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("cnt"))
-      val bound = pairs.agg(
-        round(percentile(col("cnt"), lit(0.75)), 6).as("thr"))
-      val e = pairs.crossJoin(broadcast(bound))
-        .filter(col("cnt") >= col("thr"))
-        .select(col("u"), col("v"))
+      val e = thresholdedUndirected(s, d)
       val adj = e.union(e.select(col("v").as("u"), col("u").as("v")))
       val nbrU = adj.select(col("u"), col("v").as("w"))
       val nbrV = adj.select(col("u").as("v"), col("v").as("w"))
@@ -487,27 +415,7 @@ object Graph extends QueryModule {
     // shape: the corpus collapses to the bounded edge list once;
     // every round is a dimension-frame self-join.
     "q372_harmonic_centrality" -> ((s, d) => {
-      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_suppkey"))
-      val ord = Tables.orders(s, d)
-        .select(col("o_orderkey"), col("o_custkey"))
-      val cust = Tables.customer(s, d)
-        .select(col("c_custkey"), col("c_nationkey").as("src"))
-      val sup = Tables.supplier(s, d)
-        .select(col("s_suppkey"), col("s_nationkey").as("dst"))
-      val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(cust, col("o_custkey") === col("c_custkey"))
-        .join(sup, col("l_suppkey") === col("s_suppkey"))
-        .filter(col("src") =!= col("dst"))
-        .select(least(col("src"), col("dst")).as("u"),
-          greatest(col("src"), col("dst")).as("v"))
-        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("cnt"))
-      val bound = pairs.agg(
-        round(percentile(col("cnt"), lit(0.75)), 6).as("thr"))
-      val e = pairs.crossJoin(broadcast(bound))
-        .filter(col("cnt") >= col("thr"))
-        .select(col("u"), col("v"))
+      val e = thresholdedUndirected(s, d)
       // ≤|nations|² edges — collect once and run the capped BFS
       // driver-side (the q154/q119 pattern: a 3-deep DataFrame
       // min-plus unroll re-analyzes the 4-table edge subtree 2³+
@@ -552,26 +460,7 @@ object Graph extends QueryModule {
     // bounded graph. Scale shape: corpus → edge list once; five
     // dimension-frame join rounds.
     "q373_kcore" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_suppkey"))
-      val ord = Tables.orders(s, d)
-        .select(col("o_orderkey"), col("o_custkey"))
-      val cust = Tables.customer(s, d)
-        .select(col("c_custkey"), col("c_nationkey").as("src"))
-      val sup = Tables.supplier(s, d)
-        .select(col("s_suppkey"), col("s_nationkey").as("dst"))
-      val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(cust, col("o_custkey") === col("c_custkey"))
-        .join(sup, col("l_suppkey") === col("s_suppkey"))
-        .filter(col("src") =!= col("dst"))
-        .select(least(col("src"), col("dst")).as("u"),
-          greatest(col("src"), col("dst")).as("v"))
-        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("cnt"))
-      val bound = pairs.agg(
-        round(percentile(col("cnt"), lit(0.75)), 6).as("thr"))
-      val e0 = pairs.crossJoin(broadcast(bound))
-        .filter(col("cnt") >= col("thr"))
-        .select(col("u"), col("v"))
+      val e0 = thresholdedUndirected(s, d)
       // collect the bounded edge list and peel driver-side (q154
       // pattern — a 5-deep DataFrame unroll re-derives the 4-table
       // edge join 2⁵ times; measured as a planner hang)
@@ -610,19 +499,11 @@ object Graph extends QueryModule {
     // same 8 rounds as MATERIALIZED CTEs. Scale shape: corpus → the
     // bounded directed edge list once.
     "q375_hits" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_suppkey"))
-      val ord = Tables.orders(s, d)
-        .select(col("o_orderkey"), col("o_custkey"))
-      val cust = Tables.customer(s, d)
-        .select(col("c_custkey"), col("c_nationkey").as("src"))
-      val sup = Tables.supplier(s, d)
-        .select(col("s_suppkey"), col("s_nationkey").as("dst"))
-      val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(cust, col("o_custkey") === col("c_custkey"))
-        .join(sup, col("l_suppkey") === col("s_suppkey"))
+      // directed variant: the shared frame filtered of self-loops,
+      // thresholded on the DIRECTED pair counts (hub/authority need
+      // edge direction, so no least/greatest fold here).
+      val pairs = Tables.nationEdges(s, d)
         .filter(col("src") =!= col("dst"))
-        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("cnt"))
       val bound = pairs.agg(
         round(percentile(col("cnt"), lit(0.75)), 6).as("thr"))
       val e = pairs.crossJoin(broadcast(bound))
@@ -878,11 +759,13 @@ object Graph extends QueryModule {
         |  CAST(e_within AS BIGINT) AS e_within,
         |  CAST(degree_sum AS BIGINT) AS degree_sum,
         |  mm AS n_edges,
-        |  floor(CAST(tnum AS DOUBLE) / CAST(CAST(4 * mm AS HUGEINT)
-        |    * mm AS DOUBLE) * 1e6 + 0.5) / 1e6 AS q_term,
-        |  floor(CAST(sum(tnum) OVER () AS DOUBLE)
+        |  CASE WHEN mm > 0 THEN
+        |    floor(CAST(tnum AS DOUBLE) / CAST(CAST(4 * mm AS HUGEINT)
+        |    * mm AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS q_term,
+        |  CASE WHEN mm > 0 THEN
+        |    floor(CAST(sum(tnum) OVER () AS DOUBLE)
         |    / CAST(CAST(4 * mm AS HUGEINT) * mm AS DOUBLE)
-        |    * 1e6 + 0.5) / 1e6 AS q_total
+        |    * 1e6 + 0.5) / 1e6 END AS q_total
         |FROM f ORDER BY r_regionkey""".stripMargin,
 
     "q371_weak_ties" ->
