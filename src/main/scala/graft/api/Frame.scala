@@ -255,6 +255,14 @@ final class Frame private (val df: DataFrame) {
   /** Fixed-size overlapping chunks for retrieval indexing (q122 tier). */
   def chunkDocs(): Frame = Frame(graft.ops.TextAnalysis.chunkDocs(df))
 
+  /** Monitoring / statistics tier (round 13, VERDICT r12 #5): drift,
+    * survival, and capability as library calls — each a thin delegate
+    * to the op its oracle-pinned catalog query runs (q224/q225/q381/
+    * q382), so the facade path and the verified path cannot drift.
+    * Heavy-hitter curves are [[topFreq]] above (q287).
+    */
+  def stats: FrameStats = new FrameStats(df)
+
   // §2.2 display / actions
   def show(n: Int = 20): Unit = df.show(n)
   def display(n: Int = 20): Unit = show(n)
@@ -293,4 +301,46 @@ object Frame {
                    user: String, password: String): Frame =
     Frame(graft.sources.Jdbc.read(spark,
       graft.sources.Jdbc.readerOptions(url, Left(table), user, password)))
+}
+
+/** The `frame.stats` sub-surface: monitoring/statistics operators over
+  * whatever frame the caller assembled (pick your own group / value /
+  * time columns — unlike the corpus-wired catalog queries, nothing
+  * here assumes the TPC-H-ish schema). Each method delegates to
+  * [[graft.ops.Stats]], the single implementation the DuckDB-verified
+  * catalog queries also run.
+  */
+final class FrameStats private[api] (df: DataFrame) {
+
+  /** Two-sample KS drift per `group`: max CDF gap of `value` between
+    * the rows where boolean `isA` is true (sample A) and the rest
+    * (q224). Output: (group, n_a, n_b, ks).
+    */
+  def ksDrift(group: String, value: String, isA: String): Frame =
+    Frame(graft.ops.Stats.ksDrift(df, group, value, isA))
+
+  /** PSI drift per `group` over fixed-width `value` buckets
+    * (q225) — buckets empty on either side are excluded and their
+    * row mass reported.
+    */
+  def psiDrift(group: String, value: String, isA: String,
+               bucketWidth: Double = 50.0, maxBucket: Int = 9): Frame =
+    Frame(graft.ops.Stats.psiDrift(df, group, value, isA, bucketWidth,
+      maxBucket))
+
+  /** Kaplan-Meier restricted mean survival time at horizon `tau` over
+    * per-subject rows: `time` = integer event/censor time, `event` =
+    * true ⟺ the event fired (q381; at_risk == d steps survival to
+    * zero). Output: one row (tau_days, n_users, rmst_days,
+    * rmst_fraction).
+    */
+  def survival(time: String, event: String, tau: Long = 7L): Frame =
+    Frame(graft.ops.Stats.kmRmst(df, time, event, tau))
+
+  /** Cp/Cpk process capability of integer-valued `x` against spec
+    * limits [lsl, usl] (q382); zero variance yields NULL indices,
+    * never Infinity.
+    */
+  def capability(x: String, lsl: Long, usl: Long): Frame =
+    Frame(graft.ops.Stats.capability(df, x, lsl, usl))
 }

@@ -731,11 +731,14 @@ object CorpusSignals extends QueryModule {
         .filter(size(col("ws")) >= 3)
         .withColumn("bkt", ntile(10).over(
           Window.orderBy(col("doc_id"))).cast("long"))
+        // dedup on the RAW shingle (ADVICE r12): the oracle dedups the
+        // string, so a Spark-side xxhash64 collision would silently
+        // desync n_distinct between the engines — unlike queries where
+        // both sides hash, the collision would not cancel here.
         .select(col("bkt"), explode(Text.shingles3(col("ws"))).as("g"))
-        .select(col("bkt"), xxhash64(col("g")).as("h"))
         .distinct()
-      sh.groupBy(col("h")).agg(min(col("bkt")).as("first_bkt"))
-        .join(sh, Seq("h"))
+      sh.groupBy(col("g")).agg(min(col("bkt")).as("first_bkt"))
+        .join(sh, Seq("g"))
         .groupBy(col("bkt"))
         .agg(count(lit(1)).as("n_distinct"),
           sum(when(col("first_bkt") === col("bkt"), 1L).otherwise(0L))

@@ -1473,15 +1473,21 @@ object Aggregates extends QueryModule {
         .agg(max(col("n_p")).as("n_focus"), max(col("n_all")).as("n_all"),
           sum(dec(col("np")) * dec(col("b_lt"))).as("gt_pairs"),
           sum(dec(col("np")) * dec(col("b_gt"))).as("lt_pairs"))
-        .withColumn("delta6", snap6((col("gt_pairs") - col("lt_pairs"))
-          .cast("double") / (dec(col("n_focus"))
-            * dec(col("n_all") - col("n_focus"))).cast("double")))
+        // n_all == n_focus (a single class holds every row): there is
+        // no rest group to compare against — delta is NULL, and so is
+        // its magnitude label (an unguarded `otherwise` would read the
+        // NULL comparisons as false and mislabel it "large").
+        .withColumn("delta6", when(col("n_all") > col("n_focus"),
+          snap6((col("gt_pairs") - col("lt_pairs"))
+            .cast("double") / (dec(col("n_focus"))
+              * dec(col("n_all") - col("n_focus"))).cast("double"))))
         .select(col("prio").as("o_orderpriority"), col("n_focus"),
           (col("n_all") - col("n_focus")).as("n_rest"),
           col("gt_pairs").cast("long").as("gt_pairs"),
           col("lt_pairs").cast("long").as("lt_pairs"),
           col("delta6").as("cliffs_delta"),
-          when(abs(col("delta6")) < 0.147, "negligible")
+          when(col("delta6").isNull, lit(null).cast("string"))
+            .when(abs(col("delta6")) < 0.147, "negligible")
             .when(abs(col("delta6")) < 0.33, "small")
             .when(abs(col("delta6")) < 0.474, "medium")
             .otherwise("large").as("magnitude"))
@@ -1534,7 +1540,11 @@ object Aggregates extends QueryModule {
           snap6(col("num_tot").cast("double")
             / (dec(col("u2")) * dec(col("u2"))).cast("double"))
             .as("total_var"),
-          when(col("num_tot") > 0,
+          // k > 1 guard (VERDICT r12 #4): a single-item instrument has
+          // no internal consistency to measure — k−1 = 0 would make
+          // this 0/0 → NaN in Spark's double division, where the
+          // oracle's HUGEINT path errors. NULL on both engines.
+          when(col("num_tot") > 0 && col("k") > 1L,
             snap6((dec(col("k")) * (col("num_tot") - col("num_items")))
               .cast("double")
               / (dec(col("k") - 1L) * col("num_tot")).cast("double")))
@@ -1680,7 +1690,10 @@ object Aggregates extends QueryModule {
       jt.crossJoin(broadcast(gs)).crossJoin(broadcast(ts))
         .withColumn("e2", (dec(col("nn")) * dec(col("nn")) - col("sn2"))
           .cast("double") / 2.0)
-        .withColumn("vvar",
+        // nn ≤ 2: the tie-correction terms divide by nn(nn−1)(nn−2) —
+        // no null variance exists for a 2-row corpus (NULL, never a
+        // div-0 error; Spark ANSI throws even on DOUBLE ÷ 0)
+        .withColumn("vvar", when(col("nn") > 2L,
           (dec(col("nn")) * dec(col("nn") - 1L)
             * dec(lit(2L) * col("nn") + 5L) - col("sn25") - col("st25"))
             .cast("double") / 72.0
@@ -1689,7 +1702,7 @@ object Aggregates extends QueryModule {
               * dec(col("nn") - 2L)).cast("double"))
           + (col("sn11") * col("st11")).cast("double")
             / (lit(8.0) * (dec(col("nn")) * dec(col("nn") - 1L))
-              .cast("double")))
+              .cast("double"))))
         .select(col("n_groups"), col("nn").as("n_total"),
           col("jt2").cast("long").as("jt2"),
           // e2 is one exact division of DECIMAL operands (never an
@@ -1937,9 +1950,14 @@ object Aggregates extends QueryModule {
           - dec(col("sy")) * dec(col("sy"))).cast("double"))
         .withColumn("vz", (dec(col("n")) * col("szz")
           - dec(col("sz")) * dec(col("sz"))).cast("double"))
-        .withColumn("rxy", col("cxy") / sqrt(col("vx") * col("vy")))
-        .withColumn("rxz", col("cxz") / sqrt(col("vx") * col("vz")))
-        .withColumn("ryz", col("cyz") / sqrt(col("vy") * col("vz")))
+        // zero-variance margins have no correlation (NULL, never a
+        // div-0 error — Spark ANSI throws even on DOUBLE ÷ 0)
+        .withColumn("rxy", when(col("vx") > 0.0 && col("vy") > 0.0,
+          col("cxy") / sqrt(col("vx") * col("vy"))))
+        .withColumn("rxz", when(col("vx") > 0.0 && col("vz") > 0.0,
+          col("cxz") / sqrt(col("vx") * col("vz"))))
+        .withColumn("ryz", when(col("vy") > 0.0 && col("vz") > 0.0,
+          col("cyz") / sqrt(col("vy") * col("vz"))))
         .select(col("n").as("n_rows"), snap6(col("rxy")).as("r_xy"),
           snap6(col("rxz")).as("r_xz"), snap6(col("ryz")).as("r_yz"),
           when((lit(1.0) - col("rxz") * col("rxz")) > 0.0
@@ -2116,7 +2134,11 @@ object Aggregates extends QueryModule {
             / col("n").cast("double")))
         .withColumn("g6", snap6(col("gini")))
         .withColumn("best", row_number().over(
-          Window.orderBy(col("g6").asc_nulls_last, col("thr"))) === 1)
+          // dec10 as final tie-break (ADVICE r12): two deciles whose
+          // max price coincides carry identical (g6, thr), and the
+          // arbitrary winner could differ across engines/partitionings.
+          Window.orderBy(col("g6").asc_nulls_last, col("thr"),
+            col("dec10"))) === 1)
       cand.select(col("dec10").as("decile"),
           snap6(col("thr").cast("double") / 100.0).as("threshold"),
           (col("pl") + col("nl")).as("n_left"),
@@ -2176,31 +2198,13 @@ object Aggregates extends QueryModule {
     // so both are deterministic double expressions of exact integer
     // operands; the out-of-spec share is an exact count ratio.
     // Scale shape: one corpus pass to 4 counters, one row out.
-    "q382_process_capability" -> ((s, d) => {
-      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
-      def dec(c: Column): Column = c.cast("decimal(38,0)")
-      Tables.lineitem(s, d)
-        .select(col("l_quantity").cast("long").as("x"))
-        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
-          sum(dec(col("x")) * dec(col("x"))).as("sxx"),
-          sum(when(col("x") < 1L || col("x") > 50L, 1L).otherwise(0L))
-            .as("n_oos"))
-        .withColumn("vnum",
-          (dec(col("n")) * col("sxx") - dec(col("sx")) * dec(col("sx")))
-            .cast("double"))
-        .select(col("n").as("n_rows"),
-          snap6(col("sx").cast("double") / col("n").cast("double"))
-            .as("mean_qty"),
-          when(col("vnum") > 0.0, snap6(lit(49.0)
-            * col("n").cast("double") / (lit(6.0) * sqrt(col("vnum")))))
-            .as("cp"),
-          when(col("vnum") > 0.0, snap6(
-            least(lit(50L) * col("n") - col("sx"),
-              col("sx") - col("n")).cast("double")
-              / (lit(3.0) * sqrt(col("vnum"))))).as("cpk"),
-          snap6(col("n_oos").cast("double") / col("n").cast("double"))
-            .as("out_of_spec_share"))
-    })
+    // Delegates to the library op [[graft.ops.Stats.capability]] (the
+    // Frame.stats facade runs the same code path); spec limits are the
+    // corpus quantity domain [1, 50].
+    "q382_process_capability" -> ((s, d) =>
+      graft.ops.Stats.capability(Tables.lineitem(s, d), "l_quantity",
+          lsl = 1L, usl = 50L)
+        .withColumnRenamed("mean_x", "mean_qty"))
   )
 
   def oracle: Map[String, String] = Map(
@@ -3000,17 +3004,19 @@ object Aggregates extends QueryModule {
         |    sum(CAST(np AS HUGEINT) * CAST(b_lt AS HUGEINT)) AS gt_pairs,
         |    sum(CAST(np AS HUGEINT) * CAST(b_gt AS HUGEINT)) AS lt_pairs
         |  FROM j GROUP BY 1),
-        |f AS (SELECT *, floor(CAST(gt_pairs - lt_pairs AS DOUBLE)
+        |f AS (SELECT *, CASE WHEN n_all > n_focus THEN
+        |    floor(CAST(gt_pairs - lt_pairs AS DOUBLE)
         |    / CAST(CAST(n_focus AS HUGEINT)
         |      * CAST(n_all - n_focus AS HUGEINT) AS DOUBLE)
-        |    * 1e6 + 0.5) / 1e6 AS delta6
+        |    * 1e6 + 0.5) / 1e6 END AS delta6
         |  FROM g)
         |SELECT prio AS o_orderpriority, n_focus,
         |  CAST(n_all - n_focus AS BIGINT) AS n_rest,
         |  CAST(gt_pairs AS BIGINT) AS gt_pairs,
         |  CAST(lt_pairs AS BIGINT) AS lt_pairs,
         |  delta6 AS cliffs_delta,
-        |  CASE WHEN abs(delta6) < 0.147::DOUBLE THEN 'negligible'
+        |  CASE WHEN delta6 IS NULL THEN NULL
+        |    WHEN abs(delta6) < 0.147::DOUBLE THEN 'negligible'
         |    WHEN abs(delta6) < 0.33::DOUBLE THEN 'small'
         |    WHEN abs(delta6) < 0.474::DOUBLE THEN 'medium'
         |    ELSE 'large' END AS magnitude
@@ -3053,7 +3059,7 @@ object Aggregates extends QueryModule {
         |  floor(CAST(num_tot AS DOUBLE) / CAST(CAST(u2 AS HUGEINT)
         |    * CAST(u2 AS HUGEINT) AS DOUBLE) * 1e6 + 0.5) / 1e6
         |    AS total_var,
-        |  CASE WHEN num_tot > 0 THEN
+        |  CASE WHEN num_tot > 0 AND k > 1 THEN
         |    floor(CAST(CAST(k AS HUGEINT) * (num_tot - num_items)
         |        AS DOUBLE)
         |      / CAST(CAST(k - 1 AS HUGEINT) * num_tot AS DOUBLE)
@@ -3147,6 +3153,7 @@ object Aggregates extends QueryModule {
         |f AS (SELECT n_groups, nn, jt2,
         |    CAST(CAST(nn AS HUGEINT) * nn - sn2 AS DOUBLE)
         |      / 2.0::DOUBLE AS e2,
+        |    CASE WHEN nn > 2 THEN
         |    CAST(CAST(nn AS HUGEINT) * (nn - 1) * (2 * nn + 5)
         |        - sn25 - st25 AS DOUBLE) / 72.0::DOUBLE
         |      + CAST(sn12 * st12 AS DOUBLE) / (36.0::DOUBLE
@@ -3154,7 +3161,7 @@ object Aggregates extends QueryModule {
         |          AS DOUBLE))
         |      + CAST(sn11 * st11 AS DOUBLE) / (8.0::DOUBLE
         |        * CAST(CAST(nn AS HUGEINT) * (nn - 1) AS DOUBLE))
-        |      AS vvar
+        |      END AS vvar
         |  FROM gs, tsx, jt)
         |SELECT n_groups, nn AS n_total, CAST(jt2 AS BIGINT) AS jt2,
         |  e2 AS e_jt2,
@@ -3332,8 +3339,13 @@ object Aggregates extends QueryModule {
         |    CAST(CAST(n AS HUGEINT) * szz - CAST(sz AS HUGEINT) * sz
         |      AS DOUBLE) AS vz
         |  FROM m),
-        |r AS (SELECT n, cxy / sqrt(vx * vy) AS rxy,
-        |    cxz / sqrt(vx * vz) AS rxz, cyz / sqrt(vy * vz) AS ryz
+        |r AS (SELECT n,
+        |    CASE WHEN vx > 0 AND vy > 0 THEN cxy / sqrt(vx * vy) END
+        |      AS rxy,
+        |    CASE WHEN vx > 0 AND vz > 0 THEN cxz / sqrt(vx * vz) END
+        |      AS rxz,
+        |    CASE WHEN vy > 0 AND vz > 0 THEN cyz / sqrt(vy * vz) END
+        |      AS ryz
         |  FROM c)
         |SELECT n AS n_rows,
         |  floor(rxy * 1e6 + 0.5) / 1e6 AS r_xy,
@@ -3461,7 +3473,7 @@ object Aggregates extends QueryModule {
         |  FROM c),
         |sg AS (SELECT *, floor(gini * 1e6 + 0.5) / 1e6 AS g6 FROM g),
         |r AS (SELECT *, row_number() OVER (ORDER BY g6 ASC NULLS LAST,
-        |    thr) AS rk FROM sg)
+        |    thr, dec10) AS rk FROM sg)
         |SELECT dec10 AS decile,
         |  floor(CAST(thr AS DOUBLE) / 100.0::DOUBLE * 1e6 + 0.5) / 1e6
         |    AS threshold,

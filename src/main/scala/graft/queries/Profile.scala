@@ -569,30 +569,14 @@ object Profile extends QueryModule {
     // order-free. Determinism: cum counts are exact longs; each CDF
     // value is one correctly-rounded long÷long division; |Δ| and max
     // of identical doubles are bit-stable — no snapping needed.
-    "q224_ks_drift" -> ((s, d) => {
-      val pts = Tables.events(s, d)
+    // Delegates to the library op [[graft.ops.Stats.ksDrift]] (the
+    // Frame.stats facade runs the same code path).
+    "q224_ks_drift" -> ((s, d) =>
+      graft.ops.Stats.ksDrift(Tables.events(s, d)
         .select(col("event_type"), col("value"),
           (to_date(col("ts")) <= lit("2024-01-15").cast("date"))
-            .as("is_a"))
-        .groupBy(col("event_type"), col("value"))
-        .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("ca"),
-          sum(when(col("is_a"), 0L).otherwise(1L)).as("cb"))
-      val wCum = Window.partitionBy(col("event_type")).orderBy(col("value"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wAll = Window.partitionBy(col("event_type"))
-      pts
-        .withColumn("cum_a", sum(col("ca")).over(wCum))
-        .withColumn("cum_b", sum(col("cb")).over(wCum))
-        .withColumn("n_a", sum(col("ca")).over(wAll))
-        .withColumn("n_b", sum(col("cb")).over(wAll))
-        .withColumn("diff", abs(
-          col("cum_a").cast("double") / col("n_a").cast("double")
-            - col("cum_b").cast("double") / col("n_b").cast("double")))
-        .groupBy(col("event_type"))
-        .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
-          max(col("diff")).as("ks"))
-        .orderBy(col("event_type"))
-    }),
+            .as("is_a")),
+        "event_type", "value", "is_a")),
 
     // Population-stability-index drift per event type — the bucketed
     // companion to q224's KS (the score-monitoring staple in risk /
@@ -604,39 +588,15 @@ object Profile extends QueryModule {
     // frame per type; totals via windows over that frame. Determinism:
     // counts/shares exact longs + single divisions; ln is 6-decimal-
     // snapped and the ≤10-term sum snapped once more (q222 recipe).
-    "q225_psi_drift" -> ((s, d) => {
-      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
-      val cells = Tables.events(s, d)
-        .select(col("event_type"),
-          least(floor(col("value") / lit(50.0)), lit(9.0)).cast("long")
-            .as("bucket"),
+    // Delegates to the library op [[graft.ops.Stats.psiDrift]] (the
+    // Frame.stats facade runs the same code path).
+    "q225_psi_drift" -> ((s, d) =>
+      graft.ops.Stats.psiDrift(Tables.events(s, d)
+        .select(col("event_type"), col("value"),
           (to_date(col("ts")) <= lit("2024-01-15").cast("date"))
-            .as("is_a"))
-        .groupBy(col("event_type"), col("bucket"))
-        .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("ca"),
-          sum(when(col("is_a"), 0L).otherwise(1L)).as("cb"))
-      val wAll = Window.partitionBy(col("event_type"))
-      cells
-        .withColumn("n_a", sum(col("ca")).over(wAll))
-        .withColumn("n_b", sum(col("cb")).over(wAll))
-        .withColumn("used", col("ca") > 0 && col("cb") > 0)
-        .withColumn("pa",
-          col("ca").cast("double") / col("n_a").cast("double"))
-        .withColumn("pb",
-          col("cb").cast("double") / col("n_b").cast("double"))
-        .withColumn("term", when(col("used"),
-          (col("pa") - col("pb")) * snap6(log(col("pa") / col("pb"))))
-          .otherwise(lit(0.0)))
-        .groupBy(col("event_type"))
-        .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
-          count(when(col("used"), lit(1))).as("n_buckets_used"),
-          sum(when(not(col("used")), col("ca")).otherwise(0L))
-            .as("rows_a_excluded"),
-          sum(when(not(col("used")), col("cb")).otherwise(0L))
-            .as("rows_b_excluded"),
-          snap6(sum(col("term"))).as("psi"))
-        .orderBy(col("event_type"))
-    }),
+            .as("is_a")),
+        "event_type", "value", "is_a", bucketWidth = 50.0,
+        maxBucket = 9)),
 
     // k-anonymity audit — the privacy readout run before releasing a
     // table: group rows by their quasi-identifier tuple (nation,
@@ -1212,9 +1172,13 @@ object Profile extends QueryModule {
         .agg(max(col("n_cls")).as("class_size"),
           max(col("n_tot")).as("ntv"), count(lit(1)).as("m"),
           sum(abs(col("ri"))).as("sabs"))
-        .withColumn("t_emd", snap6(col("sabs").cast("double")
-          / (dec(col("m") - 1L) * dec(col("class_size"))
-            * dec(col("ntv"))).cast("double")))
+        // m = 1 (the whole corpus collapses to one decile): no
+        // distance is measurable over a single bucket — NULL, never a
+        // decimal div-0 error
+        .withColumn("t_emd", when(col("m") > 1L,
+          snap6(col("sabs").cast("double")
+            / (dec(col("m") - 1L) * dec(col("class_size"))
+              * dec(col("ntv"))).cast("double"))))
         .select(col("c_nationkey"), col("c_mktsegment"),
           col("class_size"), col("t_emd"),
           (col("t_emd") > 0.2).as("violates_t02"))
@@ -2250,9 +2214,10 @@ object Profile extends QueryModule {
         |    CAST(max(n_tot) AS BIGINT) AS ntv,
         |    CAST(count(*) AS BIGINT) AS m, sum(abs(ri)) AS sabs
         |  FROM w2 GROUP BY 1, 2),
-        |f AS (SELECT *, floor(CAST(sabs AS DOUBLE)
+        |f AS (SELECT *, CASE WHEN m > 1 THEN
+        |    floor(CAST(sabs AS DOUBLE)
         |    / CAST(CAST(m - 1 AS HUGEINT) * class_size * ntv
-        |      AS DOUBLE) * 1e6 + 0.5) / 1e6 AS t_emd
+        |      AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS t_emd
         |  FROM g2)
         |SELECT c_nationkey, c_mktsegment, class_size, t_emd,
         |  t_emd > 0.2::DOUBLE AS violates_t02

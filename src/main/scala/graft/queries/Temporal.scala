@@ -1647,25 +1647,34 @@ object Temporal extends QueryModule {
     // at μ₀, flagged when |EWMA_t − μ₀| exceeds
     // L·σ·√(λ/(2−λ)·(1−(1−λ)^{2t})), L = 3. λ = 1/2 (the fast-
     // response end of the standard 0.05–0.5 band) is chosen
-    // DYADICALLY: with (1−λ) = 1/2, 2^t·EWMA_t = Σ_{j≤t} n_j·2^{j−1}
-    // + μ₀, so the recurrence becomes ONE cumulative window sum of
-    // exact longs n_j·2^{j−1} and EWMA_t = (dd·cum_t + S)/(dd·2^t)
-    // is a single division of exact DECIMALs — no order-sensitive
-    // float fold, no per-row recursion. The out-of-control flag is
-    // fully integer: both sides share denominator dd²·4^t, so
-    // |EWMA−μ₀| > limit ⟺ (dd·cum + S − 2^t·S)² >
-    // 3·(dd·Σn²−S²)·(4^t−1) — an exact DECIMAL comparison, immune
-    // to both engines' sqrt. Exponents are calendar-bounded (t ≤
-    // |days|; 2^{t−1} exact in a long to t = 63 — an unbounded
-    // horizon would clip to a trailing ~50-row window where 2^{−50}
-    // is far below the 1e-6 snap). Scale shape: one corpus pass to
-    // the ≤|days|·|types| daily frame; every window runs on that
-    // dimension frame.
+    // DYADICALLY: with (1−λ) = 1/2, 2^k·EWMA_t = Σ_i n_i·2^i over the
+    // trailing k = min(t, 62) observations (+ μ₀ while the window
+    // reaches the seed), so the recurrence becomes ONE bounded-array
+    // fold of exact long weights in DECIMAL and EWMA_t =
+    // (dd·cumw + S)/(dd·2^k) is a single division of exact DECIMALs —
+    // no order-sensitive float fold, no per-row recursion. The
+    // out-of-control flag compares
+    // |EWMA_t − μ₀| > limit3s_t — evaluated on the 1e-6-SNAPPED chart
+    // values (the numbers a chart reader actually compares), which are
+    // hash-verified identical across engines, so the flag is
+    // order-free and deterministic by construction. Horizon guard
+    // (ADVICE r12): the dyadic weights are computed over a TRAILING
+    // 62-observation window (k = min(t, 62)) instead of the full
+    // history — 2^61 is the last long-exact weight, and the truncated
+    // pre-window mass is ≤ max_n·2^{−61}, far below the 1e-6 snap for
+    // any per-day count under ~2^40; the earlier full-history exact-
+    // integer flag overflowed decimal(38)/HUGEINT around t ≈ 50-55
+    // days (Spark → NULL, DuckDB → error: divergent failure modes)
+    // and was safe only because the events corpus spans ~1 month.
+    // Scale shape: one corpus pass to the ≤|days|·|types| daily
+    // frame; every window runs on that dimension frame with a
+    // 62-bounded array per row.
     "q330_ewma_chart" -> ((s, d) => {
       def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
       def dec(c: Column): Column = c.cast("decimal(38,0)")
       val wT = Window.partitionBy(col("event_type"))
       val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val wTrail = wOrd.rowsBetween(-61, 0)
       Tables.events(s, d)
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
         .agg(count(lit(1)).as("n"))
@@ -1673,29 +1682,37 @@ object Temporal extends QueryModule {
         .withColumn("s_tot", sum(col("n")).over(wT))
         .withColumn("sn2", sum(dec(col("n")) * dec(col("n"))).over(wT))
         .withColumn("t", row_number().over(wOrd).cast("long"))
-        .withColumn("w2", pow(lit(2.0), col("t") - 1L).cast("long"))
-        .withColumn("cum", sum(dec(col("n")) * dec(col("w2"))).over(wOrd))
-        .withColumn("num",
-          dec(col("dd")) * col("cum") + dec(col("s_tot"))
-            - dec(lit(2L) * col("w2")) * dec(col("s_tot")))
-        .withColumn("p4", dec(lit(2L) * col("w2")) * dec(lit(2L) * col("w2")))
+        .withColumn("k", least(col("t"), lit(62L)))
+        .withColumn("arr", collect_list(col("n")).over(wTrail))
+        // Σ_i arr[i]·2^i over the chronological trailing window
+        // (0-based i: oldest kept observation carries 2^0, current
+        // carries 2^{k−1}) — exact long weights folded in DECIMAL.
+        .withColumn("cumw", expr(
+          "aggregate(transform(arr, (x, i) -> CAST(x AS DECIMAL(38,0))" +
+            " * CAST(CAST(pow(2D, i) AS BIGINT) AS DECIMAL(38,0)))," +
+            " CAST(0 AS DECIMAL(38,0)), (a, x) -> a + x)"))
+        .withColumn("p2", pow(lit(2.0), col("k")).cast("long"))
+        .withColumn("p4", dec(col("p2")) * dec(col("p2")))
+        // the μ₀ seed term rides only while the window still reaches
+        // the seed (k = t); past that it is ≤ 2^{−62} of the value.
+        .withColumn("nume", dec(col("dd")) * col("cumw")
+          + when(col("t") <= 62L, dec(col("s_tot")))
+            .otherwise(dec(lit(0L))))
+        .withColumn("vnum", lit(3L).cast("decimal(38,0)")
+          * (dec(col("dd")) * col("sn2")
+            - dec(col("s_tot")) * dec(col("s_tot"))))
+        .withColumn("ewma", snap6(col("nume").cast("double")
+          / (dec(col("dd")) * dec(col("p2"))).cast("double")))
+        .withColumn("center",
+          snap6(col("s_tot").cast("double") / col("dd").cast("double")))
+        .withColumn("limit3s", snap6(sqrt(
+          col("vnum").cast("double") * (col("p4") - 1L).cast("double")
+            / ((dec(col("dd")) * dec(col("dd"))).cast("double")
+              * col("p4").cast("double")))))
         .select(col("event_type"), col("day"), col("n"), col("t"),
-          snap6((dec(col("dd")) * col("cum") + dec(col("s_tot")))
-            .cast("double")
-            / (dec(col("dd")) * dec(lit(2L) * col("w2"))).cast("double"))
-            .as("ewma"),
-          snap6(col("s_tot").cast("double") / col("dd").cast("double"))
-            .as("center"),
-          snap6(sqrt((lit(3L).cast("decimal(38,0)")
-              * (dec(col("dd")) * col("sn2")
-                - dec(col("s_tot")) * dec(col("s_tot")))
-              * (col("p4") - 1L)).cast("double")
-            / (dec(col("dd")) * dec(col("dd")) * col("p4")).cast("double")))
-            .as("limit3s"),
-          (col("num") * col("num") > lit(3L).cast("decimal(38,0)")
-            * (dec(col("dd")) * col("sn2")
-              - dec(col("s_tot")) * dec(col("s_tot")))
-            * (col("p4") - 1L)).as("out_of_control"))
+          col("ewma"), col("center"), col("limit3s"),
+          (abs(col("ewma") - col("center")) > col("limit3s"))
+            .as("out_of_control"))
         .orderBy(col("event_type"), col("day"))
     }),
 
@@ -1745,8 +1762,10 @@ object Temporal extends QueryModule {
         .withColumn("dw6", when(col("se2") > 0,
           snap6(col("sd2").cast("double") / col("se2").cast("double"))))
         .select(col("event_type"), col("n_days"),
-          snap6(col("bnv").cast("double") / col("denv").cast("double"))
-            .as("trend_slope"),
+          // denv = D·Σt²−(Σt)² = 0 when the stream has a single day —
+          // no trend is estimable (NULL, never a decimal div-0 error)
+          when(col("denv") > 0, snap6(col("bnv").cast("double")
+            / col("denv").cast("double"))).as("trend_slope"),
           col("dw6").as("durbin_watson"),
           when(col("dw6").isNull, "degenerate")
             .when(col("dw6") < 1.5, "positive_autocorr")
@@ -2321,9 +2340,13 @@ object Temporal extends QueryModule {
     // S = 1), so RMST = ΣS6·width/10⁶ is an exact fold with one
     // division. Scale shape: everything after the per-user pass runs
     // on the ≤|distinct t| frame.
+    // KM/RMST core delegates to [[graft.ops.Stats.kmRmst]] (the
+    // Frame.stats facade runs the same code path), including the
+    // ADVICE-r12 at_risk == d kill step: when every remaining at-risk
+    // user purchases at a time, survival steps to ZERO and stays
+    // zero — carried as a cumulative kill flag because the log-term
+    // recurrence can't express a 0 factor.
     "q381_rmst" -> ((s, d) => {
-      def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
-      val tau = 7L
       val users = Tables.events(s, d)
         .groupBy(col("user_id"))
         .agg(min(to_date(col("ts"))).as("first_day"),
@@ -2336,39 +2359,8 @@ object Temporal extends QueryModule {
             .otherwise(datediff(col("last_day"), col("first_day")))
             .cast("long").as("t"),
           col("first_purchase").isNotNull.as("purchased"))
-      val byT = users.groupBy(col("t"))
-        .agg(sum(when(col("purchased"), 1L).otherwise(0L)).as("d"),
-          sum(when(col("purchased"), 0L).otherwise(1L)).as("c"))
-      val tot = byT.agg(sum(col("d") + col("c")).as("n_users"))
-      val wCum = Window.orderBy(col("t"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val steps = byT.crossJoin(broadcast(tot))
-        .withColumn("cum_all", sum(col("d") + col("c")).over(wCum))
-        .withColumn("at_risk",
-          col("n_users") - col("cum_all") + col("d") + col("c"))
-        .withColumn("term", when(col("d") > 0 && col("at_risk") > col("d"),
-          snap6(log((col("at_risk") - col("d")).cast("double")
-            / col("at_risk").cast("double")))).otherwise(lit(0.0)))
-        .withColumn("ln_survival", sum(col("term")).over(wCum))
-        .withColumn("s6",
-          floor(exp(col("ln_survival")) * 1e6 + 0.5).cast("long"))
-        .withColumn("t_next", coalesce(lead(col("t"), 1).over(
-          Window.orderBy(col("t"))), lit(tau)))
-        .withColumn("width", greatest(least(col("t_next"), lit(tau))
-          - least(col("t"), lit(tau)), lit(0L)))
-        // the pre-first-step segment [0, min(t₁, τ)) survives at 1
-        .withColumn("head_width", when(row_number().over(
-          Window.orderBy(col("t"))) === 1,
-          least(col("t"), lit(tau))).otherwise(0L))
-      steps
-        .agg(max(col("n_users")).as("n_users"),
-          sum(col("head_width") * 1000000L
-            + col("s6") * col("width")).as("a6"))
-        .select(lit(tau).as("tau_days"), col("n_users"),
-          snap6(col("a6").cast("double") / 1e6)
-            .as("rmst_purchase_free_days"),
-          snap6(col("a6").cast("double")
-            / (lit(tau).cast("double") * 1e6)).as("rmst_fraction"))
+      graft.ops.Stats.kmRmst(users, "t", "purchased", tau = 7L)
+        .withColumnRenamed("rmst_days", "rmst_purchase_free_days")
     })
   )
 
@@ -3453,29 +3445,36 @@ object Temporal extends QueryModule {
         |    CAST(row_number() OVER (PARTITION BY event_type
         |      ORDER BY day) AS BIGINT) AS t
         |  FROM dly),
-        |w AS (SELECT *, CAST(pow(2.0::DOUBLE, t - 1) AS BIGINT) AS w2,
-        |    sum(CAST(n AS HUGEINT) * CAST(pow(2.0::DOUBLE, t - 1)
-        |      AS HUGEINT)) OVER (PARTITION BY event_type ORDER BY day
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |w AS (SELECT *, least(t, 62) AS k,
+        |    list(n) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 61 PRECEDING AND CURRENT ROW) AS arr
         |  FROM st),
+        |c AS (SELECT *, CAST(pow(2.0::DOUBLE, k) AS BIGINT) AS p2,
+        |    list_sum(list_transform(arr, (x, i) -> CAST(x AS HUGEINT)
+        |      * CAST(pow(2.0::DOUBLE, i - 1) AS HUGEINT))) AS cumw
+        |  FROM w),
         |f AS (SELECT *,
-        |    CAST(dd AS HUGEINT) * cum + s_tot
-        |      - CAST(2 * w2 AS HUGEINT) * CAST(s_tot AS HUGEINT) AS num,
-        |    CAST(2 * w2 AS HUGEINT) * CAST(2 * w2 AS HUGEINT) AS p4,
-        |    CAST(dd AS HUGEINT) * sn2
-        |      - CAST(s_tot AS HUGEINT) * CAST(s_tot AS HUGEINT) AS vnum
-        |  FROM w)
-        |SELECT event_type, day, n, t,
-        |  floor(CAST(CAST(dd AS HUGEINT) * cum + s_tot AS DOUBLE)
-        |    / CAST(CAST(dd AS HUGEINT) * (2 * w2) AS DOUBLE)
-        |    * 1e6 + 0.5) / 1e6 AS ewma,
-        |  floor(CAST(s_tot AS DOUBLE) / CAST(dd AS DOUBLE) * 1e6 + 0.5)
-        |    / 1e6 AS center,
-        |  floor(sqrt(CAST(3 * vnum * (p4 - 1) AS DOUBLE)
-        |    / CAST(CAST(dd AS HUGEINT) * CAST(dd AS HUGEINT) * p4
-        |      AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS limit3s,
-        |  num * num > 3 * vnum * (p4 - 1) AS out_of_control
-        |FROM f ORDER BY event_type, day""".stripMargin,
+        |    CAST(p2 AS HUGEINT) * CAST(p2 AS HUGEINT) AS p4,
+        |    CAST(dd AS HUGEINT) * cumw + CASE WHEN t <= 62
+        |      THEN CAST(s_tot AS HUGEINT) ELSE 0 END AS nume,
+        |    3 * (CAST(dd AS HUGEINT) * sn2
+        |      - CAST(s_tot AS HUGEINT) * CAST(s_tot AS HUGEINT))
+        |      AS vnum
+        |  FROM c),
+        |g AS (SELECT event_type, day, n, t,
+        |    floor(CAST(nume AS DOUBLE)
+        |      / CAST(CAST(dd AS HUGEINT) * p2 AS DOUBLE)
+        |      * 1e6 + 0.5) / 1e6 AS ewma,
+        |    floor(CAST(s_tot AS DOUBLE) / CAST(dd AS DOUBLE)
+        |      * 1e6 + 0.5) / 1e6 AS center,
+        |    floor(sqrt(CAST(vnum AS DOUBLE) * CAST(p4 - 1 AS DOUBLE)
+        |      / (CAST(CAST(dd AS HUGEINT) * CAST(dd AS HUGEINT)
+        |        AS DOUBLE) * CAST(p4 AS DOUBLE))) * 1e6 + 0.5) / 1e6
+        |      AS limit3s
+        |  FROM f)
+        |SELECT event_type, day, n, t, ewma, center, limit3s,
+        |  abs(ewma - center) > limit3s AS out_of_control
+        |FROM g ORDER BY event_type, day""".stripMargin,
 
     "q334_durbin_watson" ->
       """WITH dly AS (SELECT event_type, CAST(ts AS DATE) AS day,
@@ -3520,8 +3519,9 @@ object Temporal extends QueryModule {
         |      + 0.5) / 1e6 END AS dw6
         |  FROM g)
         |SELECT event_type, n_days,
-        |  floor(CAST(bnv AS DOUBLE) / CAST(denv AS DOUBLE) * 1e6 + 0.5)
-        |    / 1e6 AS trend_slope,
+        |  CASE WHEN denv > 0 THEN
+        |    floor(CAST(bnv AS DOUBLE) / CAST(denv AS DOUBLE) * 1e6 + 0.5)
+        |    / 1e6 END AS trend_slope,
         |  dw6 AS durbin_watson,
         |  CASE WHEN dw6 IS NULL THEN 'degenerate'
         |    WHEN dw6 < 1.5::DOUBLE THEN 'positive_autocorr'
@@ -3828,10 +3828,14 @@ object Temporal extends QueryModule {
         |        / CAST(n_users - cum_all + d + c AS DOUBLE))
         |        * 1e6 + 0.5) / 1e6 ELSE 0.0::DOUBLE END AS term
         |  FROM st),
-        |ls AS (SELECT *, sum(term) OVER (ORDER BY t) AS ln_survival
+        |ls AS (SELECT *, sum(term) OVER (ORDER BY t) AS ln_survival,
+        |    max(CASE WHEN d > 0 AND at_risk <= d THEN 1 ELSE 0 END)
+        |      OVER (ORDER BY t) AS dead
         |  FROM tm),
         |sg AS (SELECT *,
-        |    CAST(floor(exp(ln_survival) * 1e6 + 0.5) AS BIGINT) AS s6,
+        |    CASE WHEN dead = 1 THEN 0 ELSE
+        |      CAST(floor(exp(ln_survival) * 1e6 + 0.5) AS BIGINT) END
+        |      AS s6,
         |    coalesce(lead(t) OVER (ORDER BY t), 7) AS t_next,
         |    row_number() OVER (ORDER BY t) AS rn
         |  FROM ls),

@@ -37,6 +37,203 @@ class DegenerateInputSpec extends AnyFunSuite {
     d
   }
 
+  // ——— round 13 (VERDICT r12 #4): adversarial degenerate corpus for
+  // the q312-q382 stats/eval tier. The q289 lesson — when both engines
+  // agree, the oracle can't see a semantic gap — means every
+  // denominator and rank statistic needs its degenerate branch FORCED:
+  // single-element groups (one user, one rater, one item), zero-
+  // variance strata (constant value/quantity/price), all-tie ranks
+  // (one day), single development year (ship month = order month).
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private lazy val statsDir: String = {
+    import spark.implicits._
+    val d = Paths.get("target/tmp/degenerate_stats").toAbsolutePath.toString
+    Seq((0, "R0")).toDF("r_regionkey", "r_name")
+      .write.mode("overwrite").parquet(s"$d/region.parquet")
+    Seq((0, "N0", 0)).toDF("n_nationkey", "n_name", "n_regionkey")
+      .write.mode("overwrite").parquet(s"$d/nation.parquet")
+    Seq((1L, "C1", 0, 0.0, "SEG"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$d/customer.parquet")
+    Seq((1L, "S1", 0, 0.0))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .write.mode("overwrite").parquet(s"$d/supplier.parquet")
+    Seq((1L, "P1", "B1", "T1", 1, 10.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+        "p_retailprice")
+      .write.mode("overwrite").parquet(s"$d/part.parquet")
+    // two identical-price orders in ONE month from one customer:
+    // zero price variance, one order cohort
+    Seq(
+      (1L, 1L, "O", 100.0, ts("2024-01-10 00:00:00"), "1-URGENT"),
+      (2L, 1L, "O", 100.0, ts("2024-01-20 00:00:00"), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$d/orders.parquet")
+    // constant-quantity lines shipping INSIDE the order month:
+    // zero-variance quantity (Cp/Cpk) and a single development lag
+    // (chain ladder)
+    Seq(
+      (1L, 1L, 1L, 1, 10.0, 100.0, 0.0, 0.0, "N", "O",
+        ts("2024-01-15 00:00:00")),
+      (2L, 1L, 1L, 1, 10.0, 100.0, 0.0, 0.0, "N", "O",
+        ts("2024-01-25 00:00:00")))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    // ONE user, ONE day, ONE event type, constant value: one rater
+    // (Kendall W), one item (Cronbach), one group (ICC), all-tie
+    // ranks, single-day user (survival), zero dispersion
+    Seq(
+      (1L, ts("2024-01-05 09:00:00"), 10L, "click", 7.0, "{}"),
+      (2L, ts("2024-01-05 10:00:00"), 10L, "click", 7.0, "{}"),
+      (3L, ts("2024-01-05 11:00:00"), 10L, "click", 7.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    // exact-duplicate documents from one source
+    Seq(
+      (1L, "aa bb cc dd ee", "en", "s1", 14L),
+      (2L, "aa bb cc dd ee", "en", "s1", 14L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    // an identical vector pair (zero within-pair distance) plus two
+    // orthogonal singletons
+    Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (2L, Seq(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (3L, Seq(0.0f, 1.0f, 0.0f, 0.0f), 1),
+      (4L, Seq(0.0f, 0.0f, 1.0f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  /** Every q312-q382 double column must be NULL or finite on the
+    * degenerate corpus — one NaN/Infinity poisons every global
+    * normalizer it flows into, and Spark's double division yields
+    * ±Inf/NaN where the DuckDB oracle's HUGEINT path errors
+    * (divergent failure modes, invisible at any healthy sf).
+    */
+  private def assertFinite(name: String, rows: Array[org.apache.spark.sql.Row],
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    val doubleIdx = schema.fields.zipWithIndex.collect {
+      case (f, i) if f.dataType ==
+        org.apache.spark.sql.types.DoubleType => (f.name, i)
+    }
+    for (r <- rows; (fn, i) <- doubleIdx; if !r.isNullAt(i)) {
+      val v = r.getDouble(i)
+      assert(!v.isNaN && !v.isInfinite,
+        s"$name: $fn = $v on degenerate input (must be NULL or finite)")
+    }
+  }
+
+  private lazy val statsTier: Seq[String] = SparkEntry.queries.keys.toSeq
+    .filter { n =>
+      "^q(\\d+)".r.findFirstMatchIn(n)
+        .exists { m => val x = m.group(1).toInt; x >= 312 && x <= 382 }
+    }.sorted
+
+  test("q312-q382 sweep: degenerate corpus yields no crash and no NaN/Inf") {
+    assert(statsTier.size >= 60, s"tier unexpectedly small: $statsTier")
+    val problems = statsTier.flatMap { q =>
+      try {
+        val df = SparkEntry.queries(q)(spark, statsDir)
+        assertFinite(q, df.collect(), df.schema)
+        None
+      } catch { case e: Throwable =>
+        Some(s"$q: ${e.getMessage.linesIterator.take(2).mkString(" ")}")
+      }
+    }
+    assert(problems.isEmpty,
+      s"degenerate-corpus failures:\n${problems.mkString("\n")}")
+  }
+
+  test("q326: one rater with all-tie ranks yields NULL kendall_w") {
+    val rows = SparkEntry.queries("q326_kendall_w")(spark, statsDir)
+      .collect()
+    assert(rows.length == 1)
+    val r = rows(0)
+    assert(r.getAs[Long]("n_rankers") == 1L)
+    assert(r.isNullAt(r.fieldIndex("kendall_w")),
+      "k = 1 with a degenerate denominator must yield NULL, not NaN")
+  }
+
+  test("q333: a single-item instrument yields NULL cronbach_alpha") {
+    val rows = SparkEntry.queries("q333_cronbach_alpha")(spark, statsDir)
+      .collect()
+    assert(rows.length == 1)
+    val r = rows(0)
+    assert(r.getAs[Long]("n_items") == 1L)
+    assert(r.isNullAt(r.fieldIndex("cronbach_alpha")),
+      "k = 1 makes alpha 0/0 — must be NULL, never NaN")
+  }
+
+  test("q324: a single user per type is excluded, not divided by zero") {
+    val rows = SparkEntry.queries("q324_icc_users")(spark, statsDir)
+      .collect()
+    assert(rows.isEmpty,
+      "g = 1 group cannot support a between/within split - row must drop")
+  }
+
+  test("q377: a single development lag yields no factors (empty frame)") {
+    val rows = SparkEntry.queries("q377_chain_ladder")(spark, statsDir)
+      .collect()
+    assert(rows.isEmpty,
+      "one dev lag has no k->k+1 transition - factors must be absent")
+  }
+
+  test("q382: zero-variance quantity yields NULL cp and cpk") {
+    val rows = SparkEntry.queries("q382_process_capability")(spark, statsDir)
+      .collect()
+    assert(rows.length == 1)
+    val r = rows(0)
+    assert(r.isNullAt(r.fieldIndex("cp")), "sd = 0 must yield NULL cp")
+    assert(r.isNullAt(r.fieldIndex("cpk")), "sd = 0 must yield NULL cpk")
+    assert(r.getAs[Double]("out_of_spec_share") == 0.0)
+  }
+
+  test("q376: zero log-variance durations yield NULL Weibull shape") {
+    val rows = SparkEntry.queries("q376_weibull_fit")(spark, statsDir)
+      .collect()
+    assert(rows.length == 1)
+    val r = rows(0)
+    assert(r.isNullAt(r.fieldIndex("shape_k")),
+      "sigma_ln = 0 must yield NULL shape, not Infinity")
+    assert(r.isNullAt(r.fieldIndex("scale_lambda")))
+  }
+
+  // q381's at_risk == d step (ADVICE r12): when every remaining
+  // at-risk user purchases at the same time, survival steps to ZERO
+  // there — the area must stop accumulating, not carry the pre-step
+  // survival to the horizon.
+  private lazy val kmDir: String = {
+    import spark.implicits._
+    val d = Paths.get("target/tmp/degenerate_km").toAbsolutePath.toString
+    Seq(
+      (1L, ts("2024-01-01 09:00:00"), 10L, "click", 1.0, "{}"),
+      (2L, ts("2024-01-02 09:00:00"), 10L, "purchase", 1.0, "{}"),
+      (3L, ts("2024-01-01 09:00:00"), 11L, "click", 1.0, "{}"),
+      (4L, ts("2024-01-02 09:00:00"), 11L, "purchase", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    d
+  }
+
+  test("q381: survival steps to zero when all at-risk users purchase") {
+    val rows = SparkEntry.queries("q381_rmst")(spark, kmDir).collect()
+    assert(rows.length == 1)
+    val r = rows(0)
+    assert(r.getAs[Long]("n_users") == 2L)
+    // both users purchase at t = 1: S = 1 on [0,1), S = 0 from t = 1
+    // on, so RMST = 1.0 day (the unfixed skip-the-step recurrence
+    // read 7.0 - full survival to the horizon).
+    assert(r.getAs[Double]("rmst_purchase_free_days") == 1.0,
+      s"at_risk == d step must zero the survival: $r")
+  }
+
   test("q303: a single-doc stratum gets NULL sd and is excluded from shares") {
     val rows = SparkEntry.queries("q303_neyman_allocation")(spark, dir)
       .collect().map(r => r.getAs[String]("source") -> r).toMap

@@ -279,4 +279,42 @@ class FrameApiSpec extends AnyFunSuite {
     val k20 = docs.weightedSample(20).df.collect().map(_.getLong(0))
     assert(k20.take(5).sameElements(k5))
   }
+
+  // ——— round 13 (VERDICT r12 #5): the stats sub-surface ———
+
+  private def eventsHalved = Frame(Tables.events(spark, sf)
+    .select(col("event_type"), col("value"),
+      (to_date(col("ts")) <= lit("2024-01-15").cast("date")).as("is_a")))
+
+  test("stats.ksDrift and stats.psiDrift facades match q224/q225") {
+    sameRows(eventsHalved.stats.ksDrift("event_type", "value", "is_a").df,
+      SparkEntry.queries("q224_ks_drift")(spark, sf))
+    sameRows(eventsHalved.stats
+        .psiDrift("event_type", "value", "is_a", 50.0, 9).df,
+      SparkEntry.queries("q225_psi_drift")(spark, sf))
+  }
+
+  test("stats.survival facade matches q381 modulo the corpus column name") {
+    val users = Tables.events(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("first_day"),
+        max(to_date(col("ts"))).as("last_day"),
+        min(when(col("event_type") === "purchase", to_date(col("ts"))))
+          .as("first_purchase"))
+      .select(
+        when(col("first_purchase").isNotNull,
+          datediff(col("first_purchase"), col("first_day")))
+          .otherwise(datediff(col("last_day"), col("first_day")))
+          .cast("long").as("t"),
+        col("first_purchase").isNotNull.as("purchased"))
+    sameRows(Frame(users).stats.survival("t", "purchased", 7L).df
+        .withColumnRenamed("rmst_days", "rmst_purchase_free_days"),
+      SparkEntry.queries("q381_rmst")(spark, sf))
+  }
+
+  test("stats.capability facade matches q382 modulo the corpus column name") {
+    sameRows(lineitem.stats.capability("l_quantity", 1L, 50L).df
+        .withColumnRenamed("mean_x", "mean_qty"),
+      SparkEntry.queries("q382_process_capability")(spark, sf))
+  }
 }
