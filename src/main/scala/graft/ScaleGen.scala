@@ -102,16 +102,18 @@ object ScaleGen {
         col("source"), length(col("text")).cast("long").as("n_chars")), 16)
 
     // embeddings: cyclic per-copy rotation de-correlates copies while
-    // preserving norms and per-vector value distributions.
+    // preserving norms and per-vector value distributions. Rotation is
+    // rep MOD dim — at copies > dim (the 100× run vs 64-dim vectors) a
+    // raw rep would make the slice length negative.
     val emb0 = t("embeddings")
     val dim = size(col("embedding"))
+    val rot = pmod(col("rep"), dim.cast("long")).cast("int")
     save("embeddings", fan(emb0)
       .withColumn("embedding",
-        when(col("rep") === 0L, col("embedding"))
+        when(rot === 0, col("embedding"))
           .otherwise(concat(
-            slice(col("embedding"), (col("rep") + 1).cast("int"),
-              (dim - col("rep").cast("int"))),
-            slice(col("embedding"), lit(1), col("rep").cast("int")))))
+            slice(col("embedding"), rot + 1, dim - rot),
+            slice(col("embedding"), lit(1), rot))))
       .select(shifted("vec_id", vs) +: emb0.columns.toSeq
         .filter(_ != "vec_id").map(col): _*), 8)
 

@@ -53,6 +53,51 @@ object Dedup extends QueryModule {
           .as("sh"))
   }
 
+  /** Exact prefix-filter candidate pairs for the q62/q91 blocked
+    * near-dup family (round 13 — found by the 100× scale rung): the
+    * old candidate stage was a self-join on (lang, 32-char length
+    * bucket) alone, and length buckets do NOT scale — a growing corpus
+    * adds docs to the SAME buckets, so per-block pairwise work grows
+    * quadratically (the 100× run spilled > 76 GB of shuffle from a
+    * 2 GB corpus and died on disk). Candidates now meet in per-shingle
+    * posting lists restricted to each doc's PREFIX (its ⌊m/2⌋+1
+    * lowest-hash shingles): for Jaccard ≥ 1/2, two sets must share at
+    * least ⌈m/2⌉ shingles, so by pigeonhole their prefixes intersect —
+    * EXACT recall, unlike MinHash bands (q61), which is why q62/q91
+    * can keep their oracle-pinned pair sets bit-identical. The
+    * lang/±1-bucket block condition is part of the pair DEFINITION and
+    * is applied as a filter on the posting-list expansion; posting
+    * lists ride the q216 explode-first shape (one corpus scan, one
+    * shingle-hash exchange, per-token df² expansion bounded by prefix
+    * rarity — linear per unit of corpus, measured at 10× and 100×).
+    */
+  private def blockedPrefixPairs(s: SparkSession, d: String): DataFrame = {
+    val wd = Window.partitionBy(col("doc_id"))
+    val ex = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        Text.words(col("text")).as("words"))
+      .filter(size(col("words")) >= 3)
+      .select(col("doc_id"), col("lang"),
+        (col("n_chars") / 32).cast("long").as("bkt"),
+        explode(Text.shingles3(col("words"))).as("g"))
+      .select(col("doc_id"), col("lang"), col("bkt"),
+        xxhash64(col("g")).as("h"))
+      .withColumn("sz", count(lit(1)).over(wd))
+      .withColumn("pos", row_number().over(wd.orderBy(col("h"))))
+      .filter(col("pos") <= col("sz") / 2 + 1)
+    val cand = ex.groupBy(col("h"))
+      .agg(collect_list(struct(col("doc_id"), col("lang"), col("bkt")))
+        .as("ds"))
+      .select(explode(col("ds")).as("a"), col("ds"))
+      .select(col("a"), explode(col("ds")).as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id")
+        && col("a.lang") === col("b.lang")
+        && abs(col("a.bkt") - col("b.bkt")) <= 1)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifyPairs(cand, shingled(s, d).select(col("doc_id"), col("sh")), 50)
+  }
+
   /** Exact dedup as a reusable library op (the [[graft.api.Frame]]
     * facade's `dedupExact`): normalize → sha256 → keep the lowest-id
     * row per content hash, every input column preserved plus the hash
@@ -535,26 +580,17 @@ object Dedup extends QueryModule {
         .orderBy(col("doc_a"), col("doc_b"))),
 
     // exact n-gram Jaccard near-dup with deterministic blocking: a pair
-    // is compared iff same lang and 32-char length buckets within ±1
-    // (each doc emits bucket k and k+1 — two docs share a key iff
-    // |ka-kb| ≤ 1). Bucket width bounds block size, which bounds the
-    // pairwise work per block: the corpus packs its whole length range
-    // into ~540 chars, so 256-wide buckets degenerate toward all-pairs
-    // (38 s at sf0.1) while 32-wide stays near-linear with identical
-    // output on the planted near-dups (their lengths differ by ≪ 32).
-    "q62_dedup_ngram" -> ((s, d) => {
-      val sh = shingled(s, d)
-      val keyed = sh.select(col("doc_id"), col("lang"),
-          explode(array((col("n_chars") / 32).cast("long"),
-            (col("n_chars") / 32).cast("long") + 1)).as("bkt"))
-      val cand = keyed.as("x").join(keyed.as("y"),
-          col("x.lang") === col("y.lang") && col("x.bkt") === col("y.bkt") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .distinct()
-      verifyPairs(cand, sh.select(col("doc_id"), col("sh")), 50)
-        .orderBy(col("doc_a"), col("doc_b"))
-    }),
+    // is compared iff same lang and 32-char length buckets within ±1,
+    // AND (round 13) their lowest-hash shingle PREFIXES intersect —
+    // the pigeonhole-exact filter that keeps candidate volume linear
+    // in the corpus (length buckets alone stop discriminating as the
+    // corpus grows: every new doc lands in an existing bucket, so
+    // per-block pairwise work grew quadratically — the 100× scale rung
+    // measured > 76 GB of shuffle before the rewrite). The verified
+    // output pair set is IDENTICAL (prefix filtering has exact recall
+    // at Jaccard ≥ 1/2); see [[blockedPrefixPairs]].
+    "q62_dedup_ngram" -> ((s, d) =>
+      blockedPrefixPairs(s, d).orderBy(col("doc_a"), col("doc_b"))),
 
     // embedding-cosine near-dup: pairs whose embedding cosine clears the
     // threshold, candidates blocked by the label column (the precomputed
@@ -593,19 +629,11 @@ object Dedup extends QueryModule {
     // (the Pregel/GraphX shape; iterations = cluster diameter, 1-3 for
     // near-dup graphs), with persist() so lineage doesn't re-derive the
     // edge set per round and only convergence COUNTS reach the driver,
-    // never rows. Edges are q62's blocked ≥0.5-Jaccard pairs; the
+    // never rows. Edges are q62's blocked ≥0.5-Jaccard pairs (via the
+    // prefix-filter candidate stage — see [[blockedPrefixPairs]]); the
     // oracle computes the same closure with a recursive CTE.
     "q91_dedup_clusters" -> ((s, d) => {
-      val sh = shingled(s, d)
-      val keyed = sh.select(col("doc_id"), col("lang"),
-        explode(array((col("n_chars") / 32).cast("long"),
-          (col("n_chars") / 32).cast("long") + 1)).as("bkt"))
-      val cand = keyed.as("x").join(keyed.as("y"),
-          col("x.lang") === col("y.lang") && col("x.bkt") === col("y.bkt") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .distinct()
-      val pairs = verifyPairs(cand, sh.select(col("doc_id"), col("sh")), 50)
+      val pairs = blockedPrefixPairs(s, d)
         .select(col("doc_a"), col("doc_b"))
       val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -796,11 +824,26 @@ object Dedup extends QueryModule {
       // shuffle (bounded: ≤4 chunk rows per doc), the exact verdict is
       // computed per candidate row, and pair dedup happens on the
       // COMPACT (ids, pred, act) projection, never on the arrays.
+      //
+      // Sample cap (round 13 — found by the 100× scale rung): the
+      // chunk-block candidate space is 4 × 2¹⁶ keys, which SATURATES
+      // around 10⁵ docs — past that, per-key occupancy and hence pair
+      // count grow quadratically with the corpus (measured 38× wall
+      // for 10× data before this cap). The eval therefore runs on a
+      // deterministic doc_id-stride sample capped at ~60k docs — the
+      // practice its own purpose implies (tune the predicate on a
+      // sample, commit the banding to the full pass). G = 1 at every
+      // verify/bench sf, so small-corpus results are unchanged; the
+      // stride is mirrored in the DuckDB oracle.
+      val docs0 = Tables.documents(s, d).filter(col("text").isNotNull)
+      val g = docs0.agg(count(lit(1)).as("nd"))
+        .select(expr("CAST((nd + 59999) DIV 60000 AS BIGINT)")
+          .as("gmod"))
       val wh = transform(
         array_distinct(Text.words(coalesce(col("text"), lit("")))),
         w => wordHash(w))
-      val base = Tables.documents(s, d)
-        .filter(col("text").isNotNull)
+      val base = docs0.crossJoin(broadcast(g))
+        .filter(pmod(col("doc_id"), col("gmod")) === 0L)
         .select(col("doc_id"), wh.as("wh"))
         .select(col("doc_id"),
           call_function("graft_simhash", col("wh")).as("simhash"),
@@ -1665,9 +1708,12 @@ object Dedup extends QueryModule {
         |FROM cand GROUP BY bands ORDER BY bands""".stripMargin,
 
     "q263_simhash_eval" ->
-      """WITH w AS (SELECT doc_id,
+      """WITH g AS (SELECT CAST((count(*) + 59999) // 60000 AS BIGINT)
+        |    AS gmod FROM documents WHERE text IS NOT NULL),
+        |w AS (SELECT doc_id,
         |    list_distinct(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS words
-        |  FROM documents WHERE text IS NOT NULL),
+        |  FROM documents, g
+        |  WHERE text IS NOT NULL AND doc_id % gmod = 0),
         |wsets AS (SELECT doc_id,
         |    list_sort(list_distinct(list_transform(words, x ->
         |      ('0x' || substr(md5(x), 1, 15))::BIGINT))) AS u
