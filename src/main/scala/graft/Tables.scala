@@ -88,6 +88,15 @@ object Tables {
           col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("src"), col("dst"))
         .agg(count(lit(1)).as("cnt"))
+        // single-partition cache: the aggregation itself runs fully
+        // parallel (map-side partials + a 32-way reduce), and only the
+        // ≤|nations|² result squeezes into one block. Without this the
+        // cached frame keeps its 32 shuffle partitions and — since AQE
+        // leaves cached-plan output partitioning alone — every tiny
+        // downstream graph stage pays 32-task scheduling and loses the
+        // runtime broadcast conversions the pre-cache plans enjoyed
+        // (measured: q166/q175 ~+0.5-1.0 s each at sf0.1).
+        .repartition(1)
         .persist()
     })
 }
