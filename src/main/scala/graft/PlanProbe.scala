@@ -24,3 +24,25 @@ object PlanProbe {
     spark.stop()
   }
 }
+
+/** Dev utility: list every catalog query whose OPTIMIZED plan contains
+  * an empty-partitionSpec (global) Window node, with the count — the
+  * numbers PlanShapeSpec's bounded-frame window sweep pins. Usage:
+  * `sbt "runMain graft.WindowProbe [sfDir]"`.
+  */
+object WindowProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = Session.builder(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val globals = fn(spark, sfDir).queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+      }.length
+      if (globals > 0) println(s"GLOBALWIN $name $globals")
+    }
+    spark.stop()
+  }
+}

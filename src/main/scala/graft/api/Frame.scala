@@ -255,6 +255,25 @@ final class Frame private (val df: DataFrame) {
   /** Fixed-size overlapping chunks for retrieval indexing (q122 tier). */
   def chunkDocs(): Frame = Frame(graft.ops.TextAnalysis.chunkDocs(df))
 
+  /** Global 1-based rank over a TOTAL order (include a unique
+    * tiebreaker) WITHOUT a single-partition sorted window — the
+    * distributed q101-style prefix-sum rank the r14 decile/cumsum
+    * rewrites run on ([[graft.ops.DistributedRank]]). Appends `rk`
+    * and the frame count `n_all`.
+    */
+  def globalRank(sortCols: Column*): Frame =
+    Frame(graft.ops.DistributedRank.withRank(df, sortCols))
+
+  /** Exact Spark-semantics ntile(k) over a TOTAL order, computed from
+    * [[globalRank]] — byte-identical to `ntile(k).over(Window.orderBy
+    * (...))` including tie splits, with no global window. Appends
+    * `tile` (plus `rk`/`n_all`).
+    */
+  def ntileExact(k: Int, sortCols: Column*): Frame =
+    Frame(graft.ops.DistributedRank.withRank(df, sortCols)
+      .withColumn("tile",
+        graft.ops.DistributedRank.ntileOf("rk", "n_all", k)))
+
   /** Monitoring / statistics tier (round 13, VERDICT r12 #5): drift,
     * survival, and capability as library calls — each a thin delegate
     * to the op its oracle-pinned catalog query runs (q224/q225/q381/

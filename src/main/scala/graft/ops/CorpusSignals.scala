@@ -148,10 +148,11 @@ object CorpusSignals extends QueryModule {
     // per shingle — one vocab-sized aggregation) falls at or before
     // checkpoint k, joined against the broadcast 10-row checkpoint
     // frame; β by q245's OLS recipe (snapped micro-nat ln, DECIMAL
-    // moments, one snapped division). The checkpoint prefix sums ride
-    // a window over the DOC frame — at 100 TB that step decomposes
-    // exactly like q101's distributed prefix sum; everything
-    // shingle-sized is hash-keyed.
+    // moments, one snapped division). The checkpoint position and
+    // prefix sums ride DistributedRank's q101-style distributed
+    // prefix sum over the DOC frame (the r13 global sorted window
+    // funneled every doc through ONE task); everything shingle-sized
+    // is hash-keyed.
     "q284_heaps_law" -> ((s, d) => {
       def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
       def dec(c: Column): Column = c.cast("decimal(19,0)")
@@ -162,13 +163,12 @@ object CorpusSignals extends QueryModule {
           explode(Text.shingles3(col("ws"))).as("w"))
       val firstDoc = toks.groupBy(col("w"))
         .agg(min(col("doc_id")).as("fd"))
-      val wOrd = Window.orderBy(col("doc_id"))
-      val docs = toks.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_toks"))
-        .withColumn("pos", row_number().over(wOrd).cast("long"))
-        .withColumn("cum_toks", sum(col("n_toks")).over(wOrd
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .withColumn("n_docs", count(lit(1)).over(Window.partitionBy()))
+      val docs = DistributedRank.withRank(
+          toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_toks")),
+          Seq(col("doc_id")),
+          sums = Seq("toks" -> col("n_toks")))
+        .select(col("doc_id"), col("n_toks"), col("rk").as("pos"),
+          col("run_toks").as("cum_toks"), col("n_all").as("n_docs"))
       val cps = docs
         .filter(col("pos") * 10L % col("n_docs") < 10L)
         .withColumn("k", expr("CAST(pos * 10 DIV n_docs AS BIGINT)"))
@@ -191,11 +191,16 @@ object CorpusSignals extends QueryModule {
         sum(dec(col("lx"))).as("sx"), sum(dec(col("ly"))).as("sy"),
         sum(dec(col("lx")) * dec(col("lx"))).as("sxx"),
         sum(dec(col("lx")) * dec(col("ly"))).as("sxy"))
+        // a degenerate curve (one checkpoint, or all-equal lx) has no
+        // slope: NULL, never 0/0 = NaN (r14 one-doc-corpus guard;
+        // mirrored in the oracle)
+        .withColumn("den", (dec(col("n_points")) * col("sxx")
+          - col("sx") * col("sx")).cast("double"))
         .select(col("n_points"),
-          snap6((dec(col("n_points")) * col("sxy")
-            - col("sx") * col("sy")).cast("double")
-            / (dec(col("n_points")) * col("sxx")
-              - col("sx") * col("sx")).cast("double")).as("beta"))
+          when(col("den") =!= 0.0,
+            snap6((dec(col("n_points")) * col("sxy")
+              - col("sx") * col("sy")).cast("double") / col("den")))
+            .as("beta"))
       pts.select(col("k"), col("cp_doc"), col("cum_toks"), col("vocab"))
         .crossJoin(broadcast(ols))
         .orderBy(col("k"))
@@ -721,24 +726,39 @@ object CorpusSignals extends QueryModule {
     // source adds nothing). Exact set logic: per shingle ONE
     // min-bucket aggregate; per (bucket, shingle) presence is
     // distinct-counted; novel ⟺ bucket = min_bucket; the rate is
-    // one division of exact longs. Scale shape: one tokenize pass
-    // to (shingle-hash, bucket) pairs (map-side combined), a
-    // shingle-keyed aggregate, a ≤10-row readout.
+    // one division of exact longs. Scale shape: decile bounds come
+    // from DistributedRank over a SLIM (doc_id) projection and ride
+    // back as a broadcast 9-element array (the r13 global ntile
+    // window dragged the text arrays through ONE task); the tokenize
+    // pass probes the bounds per row, and the distinct shuffles
+    // 8-byte shingle hashes, not ~30-byte strings — the shared
+    // 60-bit md5 fold on BOTH engines (r13 rung: the raw-string
+    // distinct dominated q363's 100× wall; a fold collision cancels
+    // cross-engine because the oracle folds identically — the ADVICE
+    // r12 concern was the ONE-SIDED xxhash64, not hashing per se).
     "q363_novelty_curve" -> ((s, d) => {
       def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
-      val sh = Tables.documents(s, d)
+      val docsF = Tables.documents(s, d)
         .withColumn("ws", Text.words(col("text")))
         .filter(size(col("ws")) >= 3)
-        .withColumn("bkt", ntile(10).over(
-          Window.orderBy(col("doc_id"))).cast("long"))
-        // dedup on the RAW shingle (ADVICE r12): the oracle dedups the
-        // string, so a Spark-side xxhash64 collision would silently
-        // desync n_distinct between the engines — unlike queries where
-        // both sides hash, the collision would not cancel here.
-        .select(col("bkt"), explode(Text.shingles3(col("ws"))).as("g"))
+      val bounds = DistributedRank.withRank(docsF.select(col("doc_id")),
+          Seq(col("doc_id")))
+        .withColumn("t", DistributedRank.ntileOf("rk", "n_all", 10))
+        .filter(col("t") <= 9L)
+        .groupBy(col("t")).agg(max(col("doc_id")).as("b"))
+        .agg(sort_array(collect_list(col("b"))).as("bs"))
+      val sh = docsF
+        .crossJoin(broadcast(bounds))
+        .select((lit(1L) + size(filter(col("bs"),
+            b => col("doc_id") > b)).cast("long")).as("bkt"),
+          explode(Text.shingles3(col("ws"))).as("gs"))
+        .select(col("bkt"), Dedup.wordHash(col("gs")).as("g"))
         .distinct()
-      sh.groupBy(col("g")).agg(min(col("bkt")).as("first_bkt"))
-        .join(sh, Seq("g"))
+      // first_bkt as a g-keyed window over the distinct frame (the
+      // q261 one-exchange shape) — the r13 groupBy+join-back planned
+      // a SECOND corpus tokenize for the join's probe side
+      sh.withColumn("first_bkt",
+          min(col("bkt")).over(Window.partitionBy(col("g"))))
         .groupBy(col("bkt"))
         .agg(count(lit(1)).as("n_distinct"),
           sum(when(col("first_bkt") === col("bkt"), 1L).otherwise(0L))
@@ -1376,10 +1396,12 @@ object CorpusSignals extends QueryModule {
         |  FROM pts)
         |SELECT CAST(k AS BIGINT) AS k, cp_doc, cum_toks,
         |  CAST(vocab AS BIGINT) AS vocab, n_points,
-        |  floor(CAST(CAST(n_points AS DECIMAL(19,0)) * sxy - sx * sy
-        |      AS DOUBLE)
-        |    / CAST(CAST(n_points AS DECIMAL(19,0)) * sxx - sx * sx
-        |      AS DOUBLE) * 1e6 + 0.5) / 1e6 AS beta
+        |  CASE WHEN CAST(CAST(n_points AS DECIMAL(19,0)) * sxx - sx * sx
+        |      AS DOUBLE) <> 0
+        |    THEN floor(CAST(CAST(n_points AS DECIMAL(19,0)) * sxy - sx * sy
+        |        AS DOUBLE)
+        |      / CAST(CAST(n_points AS DECIMAL(19,0)) * sxx - sx * sx
+        |        AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS beta
         |FROM pts, ols ORDER BY k""".stripMargin,
 
     "q266_rbo_rankings" ->
@@ -1792,10 +1814,12 @@ object CorpusSignals extends QueryModule {
         |bk AS (SELECT doc_id,
         |    CAST(ntile(10) OVER (ORDER BY doc_id) AS BIGINT) AS bkt, w
         |  FROM ws WHERE len(w) >= 3),
-        |sh AS (SELECT DISTINCT bkt, unnest(list_transform(
+        |shs AS (SELECT bkt, unnest(list_transform(
         |    range(1, len(w) - 1),
-        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gs
         |  FROM bk),
+        |sh AS (SELECT DISTINCT bkt,
+        |    ('0x' || substr(md5(gs), 1, 15))::BIGINT AS g FROM shs),
         |fb AS (SELECT g, min(bkt) AS first_bkt FROM sh GROUP BY 1),
         |j AS (SELECT sh.bkt, CAST(count(*) AS BIGINT) AS n_distinct,
         |    CAST(sum(CASE WHEN fb.first_bkt = sh.bkt THEN 1 ELSE 0

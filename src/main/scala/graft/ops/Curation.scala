@@ -820,19 +820,21 @@ object Curation extends QueryModule {
     def dec(c: Column): Column = c.cast("decimal(38,0)")
     val docs = docsIn
       .select(col("doc_id"), col("source"), col("n_chars"))
-      val wSrc = Window.partitionBy(col("source"))
-        .orderBy(col("n_chars"), col("doc_id"))
-      val wGlob = Window.orderBy(col("rk"))
-      val glob = docs
-        .withColumn("rk", row_number().over(
-          Window.orderBy(col("n_chars"), col("doc_id"))).cast("long"))
+      // Both rank sides ride DistributedRank's q101-style distributed
+      // rank (the r13 form built the global reference distribution
+      // through ONE task's row_number, and the per-source ranks
+      // through one task per source). lead(v) over the global order
+      // becomes a rank→rank+1 self-join of the narrow (rk, v) frame;
+      // the corpus total nn is one column-less (footer-only) count
+      // broadcast back.
+      val glob = DistributedRank.withRank(
+          docs.select(col("n_chars"), col("doc_id")),
+          Seq(col("n_chars"), col("doc_id")))
         .select(col("rk"), col("n_chars").as("v"))
-        .withColumn("v1", coalesce(lead(col("v"), 1).over(wGlob), col("v")))
-      val ranked = docs
-        .withColumn("rn", row_number().over(wSrc).cast("long"))
-        .withColumn("ns", count(lit(1)).over(
-          Window.partitionBy(col("source"))))
-        .withColumn("nn", count(lit(1)).over(Window.partitionBy()))
+      val ranked = DistributedRank.withRank(docs,
+          Seq(col("n_chars"), col("doc_id")),
+          partCols = Seq("source"), rkCol = "rn", nCol = "ns")
+        .crossJoin(broadcast(docs.agg(count(lit(1)).as("nn"))))
         .withColumn("den",
           when(col("ns") > 1L, col("ns") - 1L).otherwise(2L))
         .withColumn("rnum",
@@ -841,6 +843,9 @@ object Curation extends QueryModule {
         .withColumn("idx0", lit(1L) + expr("rnum DIV den"))
         .withColumn("rem", expr("rnum % den"))
       ranked.join(glob, col("idx0") === col("rk"))
+        .join(glob.select((col("rk") - 1L).as("rk1"), col("v").as("vn")),
+          col("idx0") === col("rk1"), "left")
+        .withColumn("v1", coalesce(col("vn"), col("v")))
         .withColumn("qn_num", dec(col("v")) * dec(col("den"))
           + dec(col("v1") - col("v")) * dec(col("rem")))
         .groupBy(col("source"))

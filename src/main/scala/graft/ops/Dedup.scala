@@ -88,6 +88,10 @@ object Dedup extends QueryModule {
     val cand = ex.groupBy(col("h"))
       .agg(collect_list(struct(col("doc_id"), col("lang"), col("bkt")))
         .as("ds"))
+      // drop singleton posting lists before the double explode — the
+      // overwhelming majority (prefix shingles are rare by
+      // construction), and they can't pair (ADVICE r13, q216 shape)
+      .filter(size(col("ds")) >= 2)
       .select(explode(col("ds")).as("a"), col("ds"))
       .select(col("a"), explode(col("ds")).as("b"))
       .filter(col("a.doc_id") < col("b.doc_id")
@@ -821,29 +825,32 @@ object Dedup extends QueryModule {
       // scanned once and the second side is a ReusedExchange — the
       // joined-back alternative (pairs ⋈ sets ⋈ sets) planned three
       // scans of the md5 pipeline. The u arrays ride the candidate
-      // shuffle (bounded: ≤4 chunk rows per doc), the exact verdict is
-      // computed per candidate row, and pair dedup happens on the
-      // COMPACT (ids, pred, act) projection, never on the arrays.
+      // shuffle, the exact verdict is computed per candidate row, and
+      // pair dedup happens on the COMPACT (ids, pred, act) projection,
+      // never on the arrays.
       //
-      // Sample cap (round 13 — found by the 100× scale rung): the
-      // chunk-block candidate space is 4 × 2¹⁶ keys, which SATURATES
-      // around 10⁵ docs — past that, per-key occupancy and hence pair
-      // count grow quadratically with the corpus (measured 38× wall
-      // for 10× data before this cap). The eval therefore runs on a
-      // deterministic doc_id-stride sample capped at ~60k docs — the
-      // practice its own purpose implies (tune the predicate on a
-      // sample, commit the banding to the full pass). G = 1 at every
-      // verify/bench sf, so small-corpus results are unchanged; the
-      // stride is mirrored in the DuckDB oracle.
+      // Occupancy cap (round 14, replacing round 13's count-derived
+      // doc_id-stride sample, whose gmod aggregate cost a THIRD corpus
+      // scan): the chunk-block candidate space is 4 × 2¹⁶ keys, which
+      // SATURATES past ~10⁵ docs — per-key occupancy and hence pair
+      // count then grow quadratically with the corpus (measured 38×
+      // wall for 10× data uncapped). The cap is now STRUCTURAL: keep
+      // the 8 lowest doc_ids per (chunk_id, chunk_val) posting list —
+      // a rank-filtered partitioned window, so WindowGroupLimit bounds
+      // each map task at 8 rows per key BEFORE the shuffle and the
+      // candidate space is ≤ 4·2¹⁶·C(8,2) pairs at ANY corpus size, no
+      // corpus count needed. Keys under 8 docs (every key at the
+      // verify/bench sfs' planted-cluster sizes, bar chance 16-bit
+      // collisions) are untouched; hot keys contribute a bounded,
+      // deterministic candidate sample — the practice the query's own
+      // purpose implies (tune the predicate on a bounded eval, commit
+      // the banding to the full pass). The cap is mirrored in the
+      // DuckDB oracle (QUALIFY row_number over the same posting list).
       val docs0 = Tables.documents(s, d).filter(col("text").isNotNull)
-      val g = docs0.agg(count(lit(1)).as("nd"))
-        .select(expr("CAST((nd + 59999) DIV 60000 AS BIGINT)")
-          .as("gmod"))
       val wh = transform(
         array_distinct(Text.words(coalesce(col("text"), lit("")))),
         w => wordHash(w))
-      val base = docs0.crossJoin(broadcast(g))
-        .filter(pmod(col("doc_id"), col("gmod")) === 0L)
+      val base = docs0
         .select(col("doc_id"), wh.as("wh"))
         .select(col("doc_id"),
           call_function("graft_simhash", col("wh")).as("simhash"),
@@ -853,6 +860,11 @@ object Dedup extends QueryModule {
           shiftrightunsigned(col("simhash"), 16 * c)
             .bitwiseAND(lit(0xFFFFL))
         }: _*)).as(Seq("chunk_id", "chunk_val")))
+        .withColumn("occ", row_number().over(
+          Window.partitionBy(col("chunk_id"), col("chunk_val"))
+            .orderBy(col("doc_id"))))
+        .filter(col("occ") <= 8)
+        .drop("occ")
       chunks.as("x").join(chunks.as("y"),
           col("x.chunk_id") === col("y.chunk_id") &&
             col("x.chunk_val") === col("y.chunk_val") &&
@@ -1708,12 +1720,10 @@ object Dedup extends QueryModule {
         |FROM cand GROUP BY bands ORDER BY bands""".stripMargin,
 
     "q263_simhash_eval" ->
-      """WITH g AS (SELECT CAST((count(*) + 59999) // 60000 AS BIGINT)
-        |    AS gmod FROM documents WHERE text IS NOT NULL),
-        |w AS (SELECT doc_id,
+      """WITH w AS (SELECT doc_id,
         |    list_distinct(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS words
-        |  FROM documents, g
-        |  WHERE text IS NOT NULL AND doc_id % gmod = 0),
+        |  FROM documents
+        |  WHERE text IS NOT NULL),
         |wsets AS (SELECT doc_id,
         |    list_sort(list_distinct(list_transform(words, x ->
         |      ('0x' || substr(md5(x), 1, 15))::BIGINT))) AS u
@@ -1731,7 +1741,9 @@ object Dedup extends QueryModule {
         |  FROM h),
         |ck AS (SELECT doc_id, simhash, unnest([0, 1, 2, 3]) AS chunk_id FROM sim),
         |chunks AS (SELECT doc_id, simhash, chunk_id,
-        |    (simhash >> (16 * chunk_id)) & 65535 AS chunk_val FROM ck),
+        |    (simhash >> (16 * chunk_id)) & 65535 AS chunk_val FROM ck
+        |  QUALIFY row_number() OVER (PARTITION BY chunk_id,
+        |    (simhash >> (16 * chunk_id)) & 65535 ORDER BY doc_id) <= 8),
         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
         |    bit_count(xor(x.simhash, y.simhash)) AS hamming
         |  FROM chunks x JOIN chunks y ON x.chunk_id = y.chunk_id

@@ -40,9 +40,13 @@ object Stats {
       .withColumn("cum_b", sum(col("cb")).over(wCum))
       .withColumn("n_a", sum(col("ca")).over(wAll))
       .withColumn("n_b", sum(col("cb")).over(wAll))
-      .withColumn("diff", abs(
+      // one-sample groups (n_a or n_b = 0) yield ks = NULL, never an
+      // ANSI DIVIDE_BY_ZERO — the q333/q334 NULL-never-error pattern
+      // (ADVICE r13: a group can exist on one side only, e.g. an
+      // event_type first seen after the split date)
+      .withColumn("diff", when(col("n_a") > 0L && col("n_b") > 0L, abs(
         col("cum_a").cast("double") / col("n_a").cast("double")
-          - col("cum_b").cast("double") / col("n_b").cast("double")))
+          - col("cum_b").cast("double") / col("n_b").cast("double"))))
       .groupBy(col(groupCol))
       .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
         max(col("diff")).as("ks"))
@@ -58,6 +62,8 @@ object Stats {
   private[graft] def psiDrift(df: DataFrame, groupCol: String,
       valueCol: String, isACol: String, bucketWidth: Double,
       maxBucket: Int): DataFrame = {
+    require(bucketWidth > 0.0,
+      s"psiDrift bucketWidth must be > 0, got $bucketWidth")
     def snap6(c: org.apache.spark.sql.Column) = floor(c * 1e6 + 0.5) / 1e6
     val cells = df
       .select(col(groupCol),
@@ -72,10 +78,13 @@ object Stats {
       .withColumn("n_a", sum(col("ca")).over(wAll))
       .withColumn("n_b", sum(col("cb")).over(wAll))
       .withColumn("used", col("ca") > 0 && col("cb") > 0)
-      .withColumn("pa",
-        col("ca").cast("double") / col("n_a").cast("double"))
-      .withColumn("pb",
-        col("cb").cast("double") / col("n_b").cast("double"))
+      // the divisions live INSIDE the used guard: used ⇒ ca,cb ≥ 1 ⇒
+      // n_a,n_b ≥ 1, so no ANSI DIVIDE_BY_ZERO for one-sample groups
+      // (ADVICE r13 — the old unconditional pa = ca/n_a threw)
+      .withColumn("pa", when(col("used"),
+        col("ca").cast("double") / col("n_a").cast("double")))
+      .withColumn("pb", when(col("used"),
+        col("cb").cast("double") / col("n_b").cast("double")))
       .withColumn("term", when(col("used"),
         (col("pa") - col("pb")) * snap6(log(col("pa") / col("pb"))))
         .otherwise(lit(0.0)))
@@ -86,7 +95,10 @@ object Stats {
           .as("rows_a_excluded"),
         sum(when(not(col("used")), col("cb")).otherwise(0L))
           .as("rows_b_excluded"),
-        snap6(sum(col("term"))).as("psi"))
+        // one-sample groups report NULL psi (no distance is defined
+        // against an empty sample), mirroring ksDrift
+        when(max(col("n_a")) > 0L && max(col("n_b")) > 0L,
+          snap6(sum(col("term")))).as("psi"))
       .orderBy(col(groupCol))
   }
 
@@ -100,6 +112,7 @@ object Stats {
     */
   private[graft] def kmRmst(df: DataFrame, tCol: String,
       eventCol: String, tau: Long): DataFrame = {
+    require(tau > 0L, s"kmRmst horizon tau must be > 0, got $tau")
     def snap6(c: org.apache.spark.sql.Column) = floor(c * 1e6 + 0.5) / 1e6
     val byT = df
       .select(col(tCol).cast("long").as("t"), col(eventCol).as("ev"))

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{QueryModule, Tables}
+import graft.ops.DistributedRank
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1828,7 +1829,9 @@ object Aggregates extends QueryModule {
     // ≤ 95·total → B, else C — no float share is ever compared),
     // and report each class's part count and revenue share. Scale
     // shape: one corpus pass to per-part cents (map-side combined),
-    // one rank-style prefix-sum sort over the PART frame, a 3-row
+    // then the cumulative revenue rides DistributedRank's q101-style
+    // prefix sum over the PART frame — never a global sorted window
+    // (the r13 form funneled every part through ONE task), a 3-row
     // fold.
     "q355_abc_analysis" -> ((s, d) => {
       def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
@@ -1838,11 +1841,11 @@ object Aggregates extends QueryModule {
           floor(col("l_extendedprice") * 100 + 0.5).cast("long")
             .as("cents"))
         .groupBy(col("l_partkey")).agg(sum(col("cents")).as("rev"))
-      val wCum = Window.orderBy(col("rev").desc, col("l_partkey"))
-      rev
-        .withColumn("cum", sum(col("rev")).over(
-          wCum.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .withColumn("tot", sum(col("rev")).over(Window.partitionBy()))
+      DistributedRank.withRank(rev,
+          Seq(col("rev").desc, col("l_partkey")),
+          sums = Seq("rev" -> col("rev")))
+        .withColumn("cum", col("run_rev"))
+        .withColumn("tot", col("tot_rev"))
         .withColumn("cls",
           when(dec(col("cum")) * 100L <= dec(col("tot")) * 80L, "A")
             .when(dec(col("cum")) * 100L <= dec(col("tot")) * 95L, "B")
@@ -2008,27 +2011,29 @@ object Aggregates extends QueryModule {
     // The gap ordering is fully exact: gap = cum·P − rank·T is an
     // exact DECIMAL cross-product, argmax ranks on it directly
     // (tie → smaller rank); shares are single divisions. Scale
-    // shape: one corpus pass to per-part cents, one rank-style
-    // prefix-sum sort of the part frame, a 1-row argmax readout.
+    // shape: one corpus pass to per-part cents, then rank/cumsum/
+    // totals ride DistributedRank's q101-style prefix sum over the
+    // part frame (the r13 global sorted window funneled every part
+    // through ONE task), and the argmax is a TakeOrdered heap — each
+    // partition forwards one row, never a second global window.
     "q364_pareto_knee" -> ((s, d) => {
       def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
       def dec(c: Column): Column = c.cast("decimal(38,0)")
-      val wOrd = Window.orderBy(col("rev").desc, col("l_partkey"))
-      Tables.lineitem(s, d)
+      val rev = Tables.lineitem(s, d)
         .select(col("l_partkey"),
           floor(col("l_extendedprice") * 100 + 0.5).cast("long")
             .as("cents"))
         .groupBy(col("l_partkey")).agg(sum(col("cents")).as("rev"))
-        .withColumn("rk", row_number().over(wOrd).cast("long"))
-        .withColumn("cum", sum(col("rev")).over(
-          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .withColumn("tot", sum(col("rev")).over(Window.partitionBy()))
-        .withColumn("np", count(lit(1)).over(Window.partitionBy()))
+      DistributedRank.withRank(rev,
+          Seq(col("rev").desc, col("l_partkey")),
+          sums = Seq("rev" -> col("rev")))
+        .withColumn("cum", col("run_rev"))
+        .withColumn("tot", col("tot_rev"))
+        .withColumn("np", col("n_all"))
         .withColumn("gap",
           dec(col("cum")) * dec(col("np")) - dec(col("rk")) * dec(col("tot")))
-        .withColumn("sel", row_number().over(
-          Window.orderBy(col("gap").desc, col("rk"))))
-        .filter(col("sel") === 1)
+        .orderBy(col("gap").desc, col("rk"))
+        .limit(1)
         .select(col("rk").as("knee_rank"), col("np").as("n_parts"),
           snap6(col("rk").cast("double") / col("np").cast("double"))
             .as("knee_part_share"),
@@ -2096,8 +2101,11 @@ object Aggregates extends QueryModule {
     // candidate class counts are ONE conditional-aggregation pass
     // (9× bounded fan-out); the weighted Gini is a deterministic
     // double expression of exact counts, argmin on (snapped gini,
-    // threshold). Scale shape: one rank-style sort for the
-    // boundaries, one corpus pass for the counts, a 9-row readout.
+    // threshold). Scale shape: the decile boundaries come from
+    // DistributedRank (q101-style distributed rank + the exact ntile
+    // formula — the r13 global ntile window funneled every order
+    // through ONE task), one corpus pass for the counts, a 9-row
+    // readout.
     "q378_decision_stump" -> ((s, d) => {
       def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
       val o = Tables.orders(s, d)
@@ -2105,9 +2113,10 @@ object Aggregates extends QueryModule {
           floor(col("o_totalprice") * 100 + 0.5).cast("long").as("pc"),
           (col("o_orderpriority") === "1-URGENT"
             || col("o_orderpriority") === "2-HIGH").as("pos"))
-      val bounds = o
-        .withColumn("dec10", ntile(10).over(
-          Window.orderBy(col("pc"), col("o_orderkey"))).cast("long"))
+      val bounds = DistributedRank.withRank(
+          o.select(col("pc"), col("o_orderkey")),
+          Seq(col("pc"), col("o_orderkey")))
+        .withColumn("dec10", DistributedRank.ntileOf("rk", "n_all", 10))
         .filter(col("dec10") <= 9L)
         .groupBy(col("dec10")).agg(max(col("pc")).as("thr"))
       val cand = o.crossJoin(broadcast(bounds))
@@ -2157,8 +2166,11 @@ object Aggregates extends QueryModule {
     // DECIMAL sums (gap numerator cum·10 − d·tot is an exact
     // cross-product). Customers with no orders count at zero spend
     // (left join — the concentration question includes them).
-    // Scale shape: one corpus pass to per-customer cents, one
-    // rank-style sort, a 10-row readout.
+    // Scale shape: one corpus pass to per-customer cents, deciles
+    // from DistributedRank's distributed rank + exact ntile formula
+    // (the r13 global ntile window funneled every customer through
+    // ONE task), a 10-row readout (whose own cum/tot windows ride
+    // the bounded decile frame).
     "q380_lorenz_curve" -> ((s, d) => {
       def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
       def dec(c: Column): Column = c.cast("decimal(38,0)")
@@ -2170,9 +2182,9 @@ object Aggregates extends QueryModule {
           col("c_custkey") === col("o_custkey"), "left")
         .select(col("c_custkey"),
           coalesce(col("cents"), lit(0L)).as("cents"))
-      spend
-        .withColumn("dec10", ntile(10).over(
-          Window.orderBy(col("cents"), col("c_custkey"))).cast("long"))
+      DistributedRank.withRank(spend,
+          Seq(col("cents"), col("c_custkey")))
+        .withColumn("dec10", DistributedRank.ntileOf("rk", "n_all", 10))
         .groupBy(col("dec10"))
         .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("cs"))
         .withColumn("cum", sum(col("cs")).over(

@@ -265,4 +265,87 @@ class DegenerateInputSpec extends AnyFunSuite {
     assert(r.getAs[Long]("df_star") == 0L)
     assert(r.isNullAt(r.fieldIndex("v_cramer")))
   }
+
+  // ——— round 14: the DistributedRank query rewrites
+  // (q284/q344/q355/q363/q364/q378/q380) on the smallest corpora the
+  // rank machinery can see — a ONE-document corpus (every bucket but
+  // one empty, the rank self-join's lead() has no next rank, ns = 1
+  // forces q344's den = nn - 1 interpolation branch) and the statsDir
+  // all-tied orders (already swept above). DistributedRankSpec pins
+  // the tie/partitioning invariants at the unit level.
+  private lazy val oneDocDir: String = {
+    import spark.implicits._
+    val d = Paths.get("target/tmp/degenerate_onedoc").toAbsolutePath.toString
+    Seq((1L, "aa bb cc dd ee", "en", "s0", 14L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("q344: a one-doc corpus interpolates against itself (no crash)") {
+    val rows = SparkEntry.queries("q344_quantile_norm")(spark, oneDocDir)
+    val got = rows.collect()
+    assertFinite("q344_quantile_norm", got, rows.schema)
+    assert(got.length == 1)
+    val r = got(0)
+    assert(r.getAs[Long]("n_docs") == 1L)
+    // the global distribution is the doc itself: qnorm == its n_chars
+    assert(r.getAs[Double]("mean_qnorm") == 14.0)
+    assert(r.getAs[Double]("mean_chars") == 14.0)
+  }
+
+  test("q363/q284: a one-doc corpus lands in one bucket/checkpoint") {
+    val nov = SparkEntry.queries("q363_novelty_curve")(spark, oneDocDir)
+      .collect()
+    assert(nov.length == 1)
+    // sole doc ranks 1 of 1 → tile 1; all 3 shingles first-seen there
+    assert(nov(0).getAs[Long]("bucket") == 1L)
+    assert(nov(0).getAs[Long]("n_distinct") == 3L)
+    assert(nov(0).getAs[Double]("novelty_rate") == 1.0)
+    val heaps = SparkEntry.queries("q284_heaps_law")(spark, oneDocDir)
+    val hr = heaps.collect()
+    assertFinite("q284_heaps_law", hr, heaps.schema)
+    assert(hr.length == 1 && hr(0).getAs[Long]("vocab") == 3L)
+  }
+
+  // ——— ADVICE r13: the Stats facade's divisions on one-sample groups.
+  // The catalog corpora always populate both samples, so these
+  // branches are only reachable through the public frame.stats path —
+  // ksDrift/psiDrift must yield NULL (the q333/q334 NULL-never-error
+  // pattern), not throw ANSI DIVIDE_BY_ZERO, and the parameterized
+  // denominators must be validated eagerly.
+  test("ksDrift/psiDrift: a one-sample group yields NULL, not an ANSI error") {
+    import spark.implicits._
+    val df = Seq(
+      ("both", 1.0, true), ("both", 2.0, false), ("both", 3.0, true),
+      ("only_a", 1.0, true), ("only_a", 5.0, true),
+      ("only_b", 2.0, false))
+      .toDF("g", "v", "is_a")
+    val ks = graft.ops.Stats.ksDrift(df, "g", "v", "is_a")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(!ks("both").isNullAt(ks("both").fieldIndex("ks")))
+    assert(ks("only_a").isNullAt(ks("only_a").fieldIndex("ks")),
+      "n_b = 0 must yield NULL ks")
+    assert(ks("only_b").isNullAt(ks("only_b").fieldIndex("ks")),
+      "n_a = 0 must yield NULL ks")
+    val psi = graft.ops.Stats.psiDrift(df, "g", "v", "is_a",
+        bucketWidth = 1.0, maxBucket = 8)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(!psi("both").isNullAt(psi("both").fieldIndex("psi")))
+    assert(psi("only_a").isNullAt(psi("only_a").fieldIndex("psi")))
+    assert(psi("only_b").isNullAt(psi("only_b").fieldIndex("psi")))
+  }
+
+  test("psiDrift/kmRmst validate their parameter denominators") {
+    import spark.implicits._
+    val df = Seq(("g", 1.0, true)).toDF("g", "v", "is_a")
+    intercept[IllegalArgumentException] {
+      graft.ops.Stats.psiDrift(df, "g", "v", "is_a",
+        bucketWidth = 0.0, maxBucket = 8)
+    }
+    val surv = Seq((1L, true)).toDF("t", "ev")
+    intercept[IllegalArgumentException] {
+      graft.ops.Stats.kmRmst(surv, "t", "ev", tau = 0L)
+    }
+  }
 }

@@ -269,6 +269,22 @@ class FrameApiSpec extends AnyFunSuite {
     assert(docs.chunkDocs().count() > 0)
   }
 
+  test("globalRank/ntileExact facades match the global window forms") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("n_chars"), col("doc_id"))
+    val slim = docs.df.select(col("doc_id"), col("n_chars"))
+    sameRows(
+      Frame(slim).globalRank(col("n_chars"), col("doc_id")).df
+        .select(col("doc_id"), col("rk")),
+      slim.withColumn("rk", row_number().over(w).cast("long"))
+        .select(col("doc_id"), col("rk")))
+    sameRows(
+      Frame(slim).ntileExact(10, col("n_chars"), col("doc_id")).df
+        .select(col("doc_id"), col("tile")),
+      slim.withColumn("tile", ntile(10).over(w).cast("long"))
+        .select(col("doc_id"), col("tile")))
+  }
+
   test("weightedSample/quantileNormalize facades match their queries") {
     sameRows(docs.weightedSample(20).df,
       SparkEntry.queries("q343_weighted_sample")(spark, sf))

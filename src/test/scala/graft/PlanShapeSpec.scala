@@ -490,11 +490,13 @@ class PlanShapeSpec extends AnyFunSuite {
       // exchange — never a join. q262: one pass to the cell frame;
       // marginals/N are window sums and re-groups OVER THE CELLS.
       // q263: fingerprint AND word-set ride one base frame through
-      // the chunk self-join — 2 scans (one per broadcast-join side,
-      // the q63 shape); the joined-back variant planned 3 scans of
-      // the md5 pipeline.
+      // the capped chunk self-join; the r14 occupancy cap's
+      // rank-filtered window puts BOTH join sides on the same
+      // (chunk_id, chunk_val) exchange, so ReusedExchange collapses
+      // the self-join to ONE corpus scan (r13's count-derived stride
+      // sample planned 3 — the gmod aggregate was a third scan).
       ("q261_rouge_pairs", 1), ("q262_mutual_info", 1),
-      ("q263_simhash_eval", 2),
+      ("q263_simhash_eval", 1),
       // q264: codebook + point subtrees (q243's 2-scan shape).
       // q265/q266: marginals are keyed windows and 1-row broadcasts
       // over the ONE (w1,w2)/(source,term) exchange — ReuseExchange
@@ -802,6 +804,72 @@ class PlanShapeSpec extends AnyFunSuite {
       val cg = codegenString(physical)
       assert(!cg.startsWith("Found 0 WholeStageCodegen"),
         s"$q fell out of whole-stage codegen:\n${cg.take(400)}")
+    }
+  }
+
+  test("global (empty-partitionSpec) windows appear only over bounded frames") {
+    // A window with no partition spec funnels its whole input through
+    // ONE task — the q159 rule. That is fine over a frame whose size
+    // is bounded regardless of corpus scale (a 10-row decile readout,
+    // a ≤|shuffle-partitions| DistributedRank bucket frame, a
+    // calendar/value/vocab dimension) and a scale-killer over an
+    // entity-scale frame (docs/orders/customers/parts) — round 13
+    // shipped seven of the latter (q284/q344/q355/q363/q364/q378/
+    // q380, all rewritten onto DistributedRank in round 14). This
+    // sweep pins, per query, how many global logical Window nodes the
+    // optimized plan contains; every entry below was individually
+    // adjudicated as bounded-frame. A new global window anywhere in
+    // the catalog — or one more in a pinned query — fails here and
+    // must be justified (bounded input) before being added.
+    //
+    // Bounded-frame classes behind the pins:
+    //  - DistributedRank bucket-offset frames (≤ one row per shuffle
+    //    partition): q101 (its own 3-level form), and the r14
+    //    rewrites q284/q344/q355/q363/q364/q378/q380 (plus their
+    //    ≤10-row decile/class readout windows);
+    //  - rank-filtered top-k that WindowGroupLimit bounds map-side:
+    //    q89/q308/q319/q351/q352;
+    //  - dimension-bounded frames (calendar days, distinct bounded
+    //    values, vocab/bucket/cell grids, survival time steps):
+    //    everything else, per the r13 plan audit.
+    val allowed = Map(
+      "q101_seq_pack" -> 1, "q133_vocab_encode" -> 1,
+      "q141_rrf_fusion" -> 2, "q157_chi_square" -> 1,
+      "q167_rolling_corr" -> 4, "q171_churn_hazard" -> 1,
+      "q201_pct_of_parent" -> 1, "q226_kanon_audit" -> 1,
+      "q229_mix_plan" -> 1, "q231_mannwhitney" -> 2,
+      "q232_kaplan_meier" -> 2, "q233_temperature_mix" -> 2,
+      "q235_dsir_weights" -> 1, "q239_logrank" -> 2,
+      "q241_calibration" -> 2, "q245_zipf_slope" -> 1,
+      "q248_ldiversity" -> 1, "q257_kfold_audit" -> 1,
+      "q262_mutual_info" -> 3, "q280_markov_stationary" -> 1,
+      "q284_heaps_law" -> 6, "q289_order_concurrency" -> 1,
+      "q290_kruskal_wallis" -> 3, "q292_cramers_v" -> 2,
+      "q293_event_trigrams" -> 1, "q294_isotonic_response" -> 3,
+      "q300_greedy_coverage" -> 1, "q301_mantel_haenszel" -> 1,
+      "q303_neyman_allocation" -> 1, "q305_theil_decomposition" -> 2,
+      "q308_basket_rules" -> 1, "q309_sprt_monitor" -> 1,
+      "q313_nelson_aalen" -> 2, "q319_gumbel_topk" -> 1,
+      "q320_burrows_delta" -> 2, "q325_word_burstiness" -> 1,
+      "q326_kendall_w" -> 2, "q329_keyness_fdr" -> 3,
+      "q331_cliffs_delta" -> 2, "q335_t_closeness" -> 3,
+      "q344_quantile_norm" -> 2, "q349_cumulative_gains" -> 3,
+      "q350_modularity" -> 1, "q351_hill_tail" -> 2,
+      "q352_topk_churn" -> 2, "q355_abc_analysis" -> 3,
+      "q363_novelty_curve" -> 2, "q364_pareto_knee" -> 4,
+      "q369_max_drawdown" -> 2, "q370_var_cvar" -> 3,
+      "q374_tail_dependence" -> 4, "q378_decision_stump" -> 3,
+      "q380_lorenz_curve" -> 4, "q381_rmst" -> 2,
+      "q89_take_indices" -> 1)
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val globals = fn(spark, sf).queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+      }.length
+      assert(globals == allowed.getOrElse(name, 0),
+        s"$name plans $globals global window(s), pinned " +
+          s"${allowed.getOrElse(name, 0)} — a new empty-partitionSpec " +
+          "window must be adjudicated bounded-frame before whitelisting")
     }
   }
 }
