@@ -9,14 +9,11 @@ Usage:
 file of raw Bench stdout lines (uses the last {"metric":"total"...} line).
 
 Baseline policy (round-9 rework — the r8 postmortem):
-  The operative baseline is the PINNED CLEAN RUN
-  (tools/bench_r10_local.json, 96.66 s / 144 queries at local[32],
-  calib [0.44, 0.35] = 0.88x clean — the builder's final round-9 run;
-  it absorbs the round's post-promotion reworks: q71's post-fix level,
-  q111/q110/q101 single-compute shapes, q63's filter fix. Prior pins
-  bench_r09_local.json (108.40 s) and bench_r08_local.json (122.36 s)
-  are kept for history; the judge's independent re-run of the r8
-  commit read 116.99 s).
+  The operative baseline is the PINNED CLEAN RUN — always the NEWEST
+  tools/bench_r*_local.json (the selftest asserts PINNED_CLEAN is that
+  file and that README's Performance section names it, after both
+  pointers went stale for two rounds — VERDICT r13 #4). Prior pins
+  are kept for history.
   Driver BENCH_r{N}.json files are
   considered as baseline candidates ONLY if they pass a plausibility
   gate: total <= SANITY_FACTOR x the pinned clean total. BENCH_r08.json
@@ -57,7 +54,7 @@ import re
 import sys
 
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-PINNED_CLEAN = os.path.join(HERE, "tools", "bench_r12_local.json")
+PINNED_CLEAN = os.path.join(HERE, "tools", "bench_r14_local.json")
 FALLBACK = os.path.join(HERE, "tools", "bench_r06_baseline.json")
 SANITY_FACTOR = 2.0   # refuse baselines slower than this x the pinned run
 AMBIENT_FACTOR = 2.0  # calib slower than this x clean => contaminated run
@@ -552,7 +549,25 @@ def selftest():
         got = default_baseline(root=d, pinned=pinned, log=quiet,
                                match_nqueries=130)
         assert got == new9, f"size-matched candidate refused: {got}"
-    print("bench_diff selftest: 16/16 ok")
+
+    # 17. pointer freshness (VERDICT r13 #4: PINNED_CLEAN and the
+    #     README's operative-pin paragraph each went stale for two
+    #     rounds): PINNED_CLEAN must be the NEWEST
+    #     tools/bench_r*_local.json, and README.md must name the same
+    #     file. BenchContractSpec mirrors this check in sbt test.
+    pin_glob = glob.glob(os.path.join(HERE, "tools", "bench_r*_local.json"))
+    assert pin_glob, "no bench_r*_local.json pins found"
+
+    def pin_key(p):
+        m = re.search(r"bench_r(\d+)([a-z]?)_local\.json$", p)
+        return (int(m.group(1)), m.group(2))
+    newest_pin = max(pin_glob, key=pin_key)
+    assert os.path.abspath(PINNED_CLEAN) == os.path.abspath(newest_pin), \
+        f"PINNED_CLEAN {PINNED_CLEAN} is stale; newest pin is {newest_pin}"
+    with open(os.path.join(HERE, "README.md")) as f:
+        assert os.path.basename(PINNED_CLEAN) in f.read(), \
+            "README Performance section does not name the operative pin"
+    print("bench_diff selftest: 17/17 ok")
 
 
 def parse_args(argv):
