@@ -46,3 +46,40 @@ object WindowProbe {
     spark.stop()
   }
 }
+
+/** Dev utility: list every catalog query with a PARTITIONED Window
+  * node whose input is un-aggregated corpus rows — the candidate set
+  * for the "few partitions × entity-scale rows each" funnel (the
+  * q344-per-source family). Prints the partition exprs and the leaf
+  * relations below the window; cardinality of the partition keys must
+  * be adjudicated by eye (doc_id/user_id/orderkey partitions are
+  * fine, lang/source/event_type over raw corpus rows are not).
+  * Usage: `sbt "runMain graft.PartWindowProbe [sfDir]"`.
+  */
+object PartWindowProbe {
+  def main(args: Array[String]): Unit = {
+    import org.apache.spark.sql.catalyst.plans.logical
+    val spark = Session.builder(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      fn(spark, sfDir).queryExecution.optimizedPlan.foreach {
+        case w: logical.Window if w.partitionSpec.nonEmpty =>
+          val aggBelow = w.child.collectFirst {
+            case a: logical.Aggregate => a
+            case g: logical.GlobalLimit => g
+          }.isDefined
+          if (!aggBelow) {
+            val parts = w.partitionSpec.map(_.sql).mkString(", ")
+            val leaves = w.child.collectLeaves().map {
+              case r: logical.LogicalPlan => r.nodeName
+            }.mkString("+")
+            println(s"PARTWIN $name [$parts] over $leaves")
+          }
+        case _ =>
+      }
+    }
+    spark.stop()
+  }
+}

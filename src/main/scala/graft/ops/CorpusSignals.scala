@@ -156,11 +156,18 @@ object CorpusSignals extends QueryModule {
     "q284_heaps_law" -> ((s, d) => {
       def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
       def dec(c: Column): Column = c.cast("decimal(19,0)")
+      // the vocab unit is the 60-bit md5 fold of the shingle, hashed
+      // on BOTH engines (the q363 recipe, r14: the raw-string
+      // first-occurrence aggregate dominated the 100× rung's memory —
+      // the fold shuffles 8-byte longs and a collision cancels
+      // cross-engine because the oracle folds identically); per-doc
+      // n_toks counts post-array_distinct rows, so it is unaffected
       val toks = Tables.documents(s, d)
         .withColumn("ws", Text.words(col("text")))
         .filter(size(col("ws")) >= 3)
         .select(col("doc_id"),
           explode(Text.shingles3(col("ws"))).as("w"))
+        .select(col("doc_id"), Dedup.wordHash(col("w")).as("w"))
       val firstDoc = toks.groupBy(col("w"))
         .agg(min(col("doc_id")).as("fd"))
       val docs = DistributedRank.withRank(
@@ -1359,10 +1366,12 @@ object CorpusSignals extends QueryModule {
       """WITH ws AS (SELECT doc_id, string_split(lower(trim(
         |      regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
         |  FROM documents),
-        |tt AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |tts AS (SELECT doc_id, unnest(list_distinct(list_transform(
         |    range(1, len(w) - 1),
-        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS w
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS g
         |  FROM ws WHERE len(w) >= 3),
+        |tt AS (SELECT doc_id,
+        |    ('0x' || substr(md5(g), 1, 15))::BIGINT AS w FROM tts),
         |fd AS (SELECT w, min(doc_id) AS fdoc FROM tt GROUP BY 1),
         |dc AS (SELECT doc_id, count(*) AS n_toks FROM tt GROUP BY 1),
         |dw AS (SELECT doc_id, n_toks,

@@ -511,7 +511,13 @@ object TextAnalysis extends QueryModule {
     // one lead() window, so the whole operator costs ONE
     // (lang, source)-keyed exchange and never a join: at 100 TB the
     // quadratic "each doc vs corpus" form is impossible, but
-    // consecutive-pair scoring is shuffle-linear. Recall, precision,
+    // consecutive-pair scoring is shuffle-linear. Partition
+    // cardinality: the (lang, source) grid is 25 cells on the
+    // synthetic corpus but grows with the REAL source count (a crawl
+    // has thousands of feeds), and the alternative — rank-pairing via
+    // a self-join — would shuffle the hashed arrays three times
+    // instead of once; the single-exchange shape is the deliberate
+    // trade (adjudicated r13/r14). Recall, precision,
     // and F1 are each a single division of exact ints (set-F1 = Dice
     // = 2I/(|A|+|B|), so no compound float chain).
     "q261_rouge_pairs" -> ((s, d) => {
@@ -643,7 +649,15 @@ object TextAnalysis extends QueryModule {
     // tie midpoints stay integers), centered by the integer mean rank
     // n+1, DECIMAL moment sums, one snapped division. TTR ranks order
     // by the EXACT long n_types·1e6 DIV n_words — no float ordering
-    // at rank boundaries.
+    // at rank boundaries. Scale shape (r14): the midpoint rank of a
+    // row depends only on its VALUE, so ranks are computed on the
+    // per-(lang, value) marginal frames — DOMAIN-bounded (x ≤ max
+    // words per doc, y ∈ [0, 1e6] by construction), corpus-
+    // independent — and hash-joined back; the old per-row windows
+    // put corpus/|langs| doc rows through one task per language
+    // (|langs| is a bounded domain, the partitions grow with the
+    // corpus). Three tokenize scans (main + two marginals) is the
+    // q255 statelessness trade.
     "q283_length_ttr_corr" -> ((s, d) => {
       def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
       val base = Tables.documents(s, d)
@@ -652,24 +666,36 @@ object TextAnalysis extends QueryModule {
         .select(col("lang"), size(col("ws")).cast("long").as("x"),
           (size(array_distinct(col("ws"))).cast("long") * 1000000L
             / size(col("ws")).cast("long")).as("y"))
-      def rank2(v: String): Column = {
-        val cv = count(lit(1))
-          .over(Window.partitionBy(col("lang"), col(v)))
-        val cum = count(lit(1))
-          .over(Window.partitionBy(col("lang")).orderBy(col(v))
-            .rangeBetween(Window.unboundedPreceding, Window.currentRow))
-        lit(2L) * (cum - cv) + cv + 1L
-      }
+      // midpoint doubled-rank per (lang, value): 2·(#rows below) +
+      // (#ties) + 1, from a cumulative sum over the bounded marginal
+      def rankMap(v: String): DataFrame = base
+        .groupBy(col("lang"), col(v))
+        .agg(count(lit(1)).as("f"))
+        .withColumn("cum", sum(col("f")).over(
+          Window.partitionBy(col("lang")).orderBy(col(v))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("lang"), col(v),
+          (lit(2L) * (col("cum") - col("f")) + col("f") + 1L)
+            .as(s"r2_$v"))
       def dec(c: Column): Column = c.cast("decimal(19,0)")
+      // doubled midranks sum to n(n+1) exactly (ties included), so the
+      // centered moments reduce algebraically to raw rank products:
+      // Σdxdy = Σr2x·r2y − n(n+1)², Σdx² = Σr2x² − n(n+1)² — no
+      // per-row n column, no fourth tokenize scan
       base
-        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("lang"))))
-        .withColumn("dx", rank2("x") - (col("n") + 1L))
-        .withColumn("dy", rank2("y") - (col("n") + 1L))
+        .join(rankMap("x"), Seq("lang", "x"))
+        .join(rankMap("y"), Seq("lang", "y"))
         .groupBy(col("lang"))
-        .agg(max(col("n")).cast("long").as("n_docs"),
-          sum(dec(col("dx")) * dec(col("dy"))).as("sxy"),
-          sum(dec(col("dx")) * dec(col("dx"))).as("sxx"),
-          sum(dec(col("dy")) * dec(col("dy"))).as("syy"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(dec(col("r2_x")) * dec(col("r2_y"))).as("pxy"),
+          sum(dec(col("r2_x")) * dec(col("r2_x"))).as("pxx"),
+          sum(dec(col("r2_y")) * dec(col("r2_y"))).as("pyy"))
+        .withColumn("c0", dec(col("n_docs")) * dec(col("n_docs") + 1L)
+          * dec(col("n_docs") + 1L))
+        .select(col("lang"), col("n_docs"),
+          (col("pxy") - col("c0")).as("sxy"),
+          (col("pxx") - col("c0")).as("sxx"),
+          (col("pyy") - col("c0")).as("syy"))
         .select(col("lang"), col("n_docs"),
           when(col("sxx") > 0 && col("syy") > 0,
             snap6(col("sxy").cast("double")

@@ -757,10 +757,12 @@ object Aggregates extends QueryModule {
     // Weighted median — the quantity-weighted median unit price per
     // brand: the weighted-quantile primitive plain percentile() can't
     // express (each row counts wt times). NOT a per-group sort to the
-    // driver: one brand-partitioned window sorted on (price, orderkey,
-    // linenumber — a total order, so duplicate prices are
-    // deterministic) carries a cumulative LONG weight (quantities are
-    // integral — exact in any merge order), and the median is the
+    // driver — and (r14) not a brand-partitioned window either:
+    // |brands| = 25 at every scale, so each brand partition carries
+    // corpus/25 rows through ONE sort task. The cumulative LONG
+    // weight (quantities are integral — exact in any merge order) now
+    // rides DistributedRank's prefix sum over the (price, orderkey,
+    // linenumber) total order within each brand; the median is the
     // first row where 2·cum ≥ total, selected by a plain min
     // aggregate. Integer cross-multiplication, no division anywhere
     // until nothing is left to diverge.
@@ -771,16 +773,14 @@ object Aggregates extends QueryModule {
         .select(col("p_brand"), col("l_extendedprice").as("price"),
           col("l_quantity").cast("long").as("wt"),
           col("l_orderkey"), col("l_linenumber"))
-      val w = Window.partitionBy(col("p_brand"))
-        .orderBy(col("price"), col("l_orderkey"), col("l_linenumber"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-      val tot = Window.partitionBy(col("p_brand"))
-      j.withColumn("cum", sum(col("wt")).over(w))
-        .withColumn("w_total", sum(col("wt")).over(tot))
-        .filter(col("cum") * 2 >= col("w_total"))
+      DistributedRank.withRank(j,
+          Seq(col("price"), col("l_orderkey"), col("l_linenumber")),
+          partCols = Seq("p_brand"),
+          sums = Seq("wt" -> col("wt")))
+        .filter(col("run_wt") * 2 >= col("tot_wt"))
         .groupBy(col("p_brand"))
         .agg(min(col("price")).as("weighted_median_price"),
-          max(col("w_total")).as("total_weight"))
+          max(col("tot_wt")).as("total_weight"))
         .orderBy(col("p_brand"))
     }),
 
@@ -1187,19 +1187,22 @@ object Aggregates extends QueryModule {
     // (value, event_id) — a total order; equal values make the weight
     // assignment among ties irrelevant to the SUM only for x, which
     // is the term being weighted, so any tie order yields the same Σ.
-    // Scale shape: one rank window over the type-partitioned exchange,
-    // then a map-side-combined fold to the ≤|types| frame.
+    // Scale shape (r14): ranks ride DistributedRank within each type —
+    // the old type-partitioned window put corpus/|types| rows through
+    // ONE sort task (|event_type| is a bounded domain, the partitions
+    // grow with the corpus); then a map-side-combined fold to the
+    // ≤|types| frame.
     "q318_l_moments" -> ((s, d) => {
       def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
       def dec(c: Column): Column = c.cast("decimal(38,0)")
       // rank on the exact cents (a monotone image of the 2-decimal
       // value, so the order is identical to ordering on value itself)
-      val wOrd = Window.partitionBy(col("event_type"))
-        .orderBy(col("cents"), col("event_id"))
-      val ranked = Tables.events(s, d)
-        .select(col("event_type"), col("event_id"),
-          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
-        .withColumn("r", row_number().over(wOrd).cast("long"))
+      val ranked = DistributedRank.withRank(
+        Tables.events(s, d)
+          .select(col("event_type"), col("event_id"),
+            floor(col("value") * 100 + 0.5).cast("long").as("cents")),
+        Seq(col("cents"), col("event_id")),
+        partCols = Seq("event_type"), rkCol = "r")
       ranked.groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(dec(col("cents"))).as("s0"),

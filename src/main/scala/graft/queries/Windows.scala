@@ -43,6 +43,11 @@ object Windows extends QueryModule {
     // rows) and first/last_value with IGNORE NULLS skipping the
     // deterministic null pattern — the gap-fill shape (carry the last
     // observed reading forward past missing values).
+    // §2.7 surface demo of nth_value/first/last with running frames —
+    // the per-status running scan IS the requested semantic here (a
+    // 3-value partition key over raw orders would be a funnel in a
+    // pipeline operator; for the window-function catalog demo the
+    // partition spec is the point, and users pick their own keys).
     "q45b_window_nth" -> ((s, d) => {
       val w = Window.partitionBy(col("o_orderstatus"))
         .orderBy(col("o_orderkey"))

@@ -537,8 +537,13 @@ class PlanShapeSpec extends AnyFunSuite {
       // twin. q281: signature + exact-verify subtrees (q258 shape).
       ("q280_markov_stationary", 1), ("q281_minhash_k_curve", 2),
       // q282: one pass to the (type, day) cell frame, the 3× α
-      // fan-out rides it. q283: rank windows over one lang exchange.
-      ("q282_dp_epsilon_curve", 1), ("q283_length_ttr_corr", 1),
+      // fan-out rides it. q283 (r14): midpoint ranks come from the
+      // two DOMAIN-bounded (lang, value) marginal frames hash-joined
+      // back — 3 tokenize scans (main + x/y marginals), the q255
+      // statelessness trade; the r13 1-scan form ran the rank
+      // windows per-lang over the per-DOC frame (corpus/|langs|
+      // rows through one task per language).
+      ("q282_dp_epsilon_curve", 1), ("q283_length_ttr_corr", 3),
       // q284: shingle first-occurrence + doc-checkpoint branches.
       ("q284_heaps_law", 2),
       // q285: the all-users leg + three type-pruned stage legs each
