@@ -742,7 +742,11 @@ object Curation extends QueryModule {
           / (col("n_docs").cast("double")
             * (col("n_docs") - 1L).cast("double")))))
         .withColumn("ns", col("n_docs").cast("double") * col("sd"))
-        .withColumn("share", col("ns") / sum(col("ns")).over(wAll))
+        // every stratum zero-variance (Σns = 0) leaves the allocation
+        // undefined → NULL shares, never an ANSI ÷0 (degenerate probe)
+        .withColumn("share",
+          when(sum(col("ns")).over(wAll) > 0,
+            col("ns") / sum(col("ns")).over(wAll)))
         .select(col("source"), col("n_docs"),
           snap6(col("sd")).as("sd_chars"),
           snap6(col("share")).as("alloc_share"),
@@ -1061,7 +1065,8 @@ object Curation extends QueryModule {
         |w AS (SELECT source, n_docs, sd,
         |    CAST(n_docs AS DOUBLE) * sd AS ns
         |  FROM v),
-        |g AS (SELECT *, ns / sum(ns) OVER () AS share FROM w)
+        |g AS (SELECT *, CASE WHEN sum(ns) OVER () > 0 THEN
+        |    ns / sum(ns) OVER () END AS share FROM w)
         |SELECT source, n_docs,
         |  floor(sd * 1e6 + 0.5) / 1e6 AS sd_chars,
         |  floor(share * 1e6 + 0.5) / 1e6 AS alloc_share,

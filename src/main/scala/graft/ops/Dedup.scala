@@ -457,8 +457,11 @@ object Dedup extends QueryModule {
         .select(col("k").cast("long").as("k"),
           expr("shiftleft(CAST(1 AS BIGINT), lm)").as("m_bits"),
           col("n_train"), col("n_neg_probes"), col("false_pos"),
-          (col("false_pos").cast("double")
-            / col("n_neg_probes").cast("double")).as("fpr"),
+          // no held-out-only shingles → FPR unmeasurable → NULL,
+          // never an ANSI ÷0 (degenerate probe: 2-doc corpus)
+          when(col("n_neg_probes") > 0,
+            col("false_pos").cast("double")
+              / col("n_neg_probes").cast("double")).as("fpr"),
           col("n_pos_probes"), col("true_pos"))
         .orderBy(col("m_bits"), col("k"))
     }),
@@ -1617,8 +1620,9 @@ object Dedup extends QueryModule {
         |  FROM pr GROUP BY 1, 2)
         |SELECT CAST(k AS BIGINT) AS k, 1::BIGINT << lm AS m_bits,
         |  n_train, n_neg_probes, false_pos,
-        |  CAST(false_pos AS DOUBLE) / CAST(n_neg_probes AS DOUBLE)
-        |    AS fpr,
+        |  CASE WHEN n_neg_probes > 0 THEN
+        |    CAST(false_pos AS DOUBLE) / CAST(n_neg_probes AS DOUBLE)
+        |  END AS fpr,
         |  n_pos_probes, true_pos
         |FROM ag, nt ORDER BY m_bits, k""".stripMargin,
 

@@ -498,7 +498,6 @@ object Similarity extends QueryModule {
     // size, id range, and cohesion Σ members x·S_final.
     "q119_kmeans" -> ((s, d) => {
       val K = 8
-      val D = 64
       val Iters = 2
       val x = Tables.embeddings(s, d)
         .select(col("vec_id"),
@@ -528,6 +527,9 @@ object Similarity extends QueryModule {
             val s0 = r.getSeq[Long](1)
             (r.getLong(0), 1L, s0.map(v => v * v).sum, s0)
           }.toSeq
+        // dimensionality from the data, not a constant: element_at
+        // past the array end ANSI-throws (degenerate probe, 4-d corpus)
+        val D = cents.map(_._4.length).min
         def assigned = {
           val ca = typedLit(cents)
           val best = array_min(transform(ca, c => {
@@ -976,6 +978,11 @@ object Similarity extends QueryModule {
       val b = e.select((col("vec_id") - 1L).as("bid"),
         col("embedding").as("emb_b"))
       val paired = e.join(b, col("vec_id") === col("bid"))
+        // audit only full-dimensionality vectors: getItem past the
+        // array end ANSI-throws (degenerate probe, 4-d corpus);
+        // mirrored as len() >= JlDims in the generated oracle
+        .filter(size(col("embedding")) >= JlDims &&
+          size(col("emb_b")) >= JlDims)
       val dcols = (0 until JlDims).map(i =>
         col("embedding").getItem(i).cast("double")
           - col("emb_b").getItem(i).cast("double"))
@@ -1209,7 +1216,9 @@ object Similarity extends QueryModule {
     }.mkString(" + ")
     s"""WITH p AS (SELECT a.label,
        |    $dDefs
-       |  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1),
+       |  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+       |  WHERE len(a.embedding) >= ${JlDims}
+       |    AND len(b.embedding) >= ${JlDims}),
        |m AS (SELECT label, $orig2 AS orig2, $proj2 AS proj2 FROM p),
        |r AS (SELECT label,
        |    CAST(floor(proj2 / (CAST(${JlProjDims} AS DOUBLE) * orig2)

@@ -59,7 +59,13 @@ object Aggregates extends QueryModule {
         .orderBy(col("o_orderstatus"))),
 
     // sample stddev/variance + population variants (Spark stddev =
-    // stddev_samp, matching DuckDB).
+    // stddev_samp, matching DuckDB). corr is NOT the builtin
+    // aggregate: Spark's Corr divides by √(xMk·yMk) inside the
+    // aggregate's eval, which ANSI-throws DIVIDE_BY_ZERO the moment a
+    // group has zero variance (degenerate-corpus probe, r14) and no
+    // projection-level guard can reach it — so it is decomposed into
+    // covar_pop/(σx·σy) on the SAME central co-moments, NULL-guarded,
+    // with the identical decomposition mirrored in the oracle.
     "q33_agg_stats" -> ((s, d) =>
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
@@ -68,8 +74,15 @@ object Aggregates extends QueryModule {
           round(stddev_pop(col("l_quantity")), 6).as("sd_pop"),
           round(variance(col("l_quantity")), 6).as("var_samp"),
           round(var_pop(col("l_quantity")), 6).as("var_pop"),
-          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+          covar_pop(col("l_quantity"), col("l_extendedprice")).as("cv"),
+          stddev_pop(col("l_quantity")).as("sq"),
+          stddev_pop(col("l_extendedprice")).as("sp"),
           round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("cov_qp"))
+        .select(col("l_returnflag"), col("sd_samp"), col("sd_pop"),
+          col("var_samp"), col("var_pop"),
+          when(col("sq") * col("sp") > 0,
+            round(col("cv") / (col("sq") * col("sp")), 6)).as("corr_qp"),
+          col("cov_qp"))
         .orderBy(col("l_returnflag"))),
 
     // EXACT distinct counting via bitmaps — the mergeable form: stage 1
@@ -654,8 +667,11 @@ object Aggregates extends QueryModule {
             * (col("n_a") + 1L).cast("decimal(38,0)")).cast("double"))
         .select(col("event_type"), col("n_a"), col("n_b"),
           snap6(col("u2") / lit(2.0)).as("u_stat"),
-          snap6(col("u2") / (lit(2.0) * col("n_a").cast("double")
-            * col("n_b").cast("double"))).as("auc"))
+          // a lone event type has an empty "rest" side: AUC undefined
+          // → NULL, never an ANSI ÷0 (degenerate probe)
+          when(col("n_b") > 0,
+            snap6(col("u2") / (lit(2.0) * col("n_a").cast("double")
+              * col("n_b").cast("double")))).as("auc"))
         .orderBy(col("event_type"))
     }),
 
@@ -735,8 +751,13 @@ object Aggregates extends QueryModule {
           datediff(col("day"), lit("1970-01-01").cast("date"))
             .cast("double").as("x"),
           col("day_sum"))
-      val slope = (col("n_days") * col("sxy") - col("sx") * col("sy")) /
-        (col("n_days") * col("sxx") - col("sx") * col("sx"))
+      // a single-day group has zero x-variance: slope undefined →
+      // NULL, never an ANSI ÷0 (degenerate probe); icept/forecast
+      // propagate the NULL
+      val slope = when(
+        col("n_days") * col("sxx") - col("sx") * col("sx") > 0,
+        (col("n_days") * col("sxy") - col("sx") * col("sy")) /
+          (col("n_days") * col("sxx") - col("sx") * col("sx")))
       daily.groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_days"),
           sum(col("x")).as("sx"),
@@ -759,22 +780,28 @@ object Aggregates extends QueryModule {
     // express (each row counts wt times). NOT a per-group sort to the
     // driver — and (r14) not a brand-partitioned window either:
     // |brands| = 25 at every scale, so each brand partition carries
-    // corpus/25 rows through ONE sort task. The cumulative LONG
-    // weight (quantities are integral — exact in any merge order) now
-    // rides DistributedRank's prefix sum over the (price, orderkey,
-    // linenumber) total order within each brand; the median is the
-    // first row where 2·cum ≥ total, selected by a plain min
-    // aggregate. Integer cross-multiplication, no division anywhere
-    // until nothing is left to diverge.
+    // corpus/25 rows through ONE sort task. The frame that rides
+    // DistributedRank's prefix sum is the (brand, price) WEIGHT
+    // HISTOGRAM, not the raw rows: the median only needs cumulative
+    // weight at distinct-price granularity (the first distinct price
+    // whose inclusive cum crosses tot/2 is exactly the price of the
+    // first crossing ROW — within a tie group cum-before < tot/2 and
+    // group-end cum ≥ the crossing row's), and sum(quantity) is an
+    // exact LONG in any merge order. That bounds the ranked exchange
+    // by |distinct (brand, price)| ≤ |parts|·50 — sublinear in
+    // lineitem and map-side combined (the 300× rung measured the raw
+    // form's two entity exchanges at 1.76× corpus bytes; this one
+    // collapses with the histogram). Prices are unique within brand
+    // after grouping, so (price) alone is the total order. Integer
+    // cross-multiplication, no division anywhere.
     "q177_weighted_median" -> ((s, d) => {
-      val j = Tables.lineitem(s, d)
+      val hist = Tables.lineitem(s, d)
         .join(Tables.part(s, d).select(col("p_partkey"), col("p_brand")),
           col("l_partkey") === col("p_partkey"))
-        .select(col("p_brand"), col("l_extendedprice").as("price"),
-          col("l_quantity").cast("long").as("wt"),
-          col("l_orderkey"), col("l_linenumber"))
-      DistributedRank.withRank(j,
-          Seq(col("price"), col("l_orderkey"), col("l_linenumber")),
+        .groupBy(col("p_brand"), col("l_extendedprice").as("price"))
+        .agg(sum(col("l_quantity").cast("long")).as("wt"))
+      DistributedRank.withRank(hist,
+          Seq(col("price")),
           partCols = Seq("p_brand"),
           sums = Seq("wt" -> col("wt")))
         .filter(col("run_wt") * 2 >= col("tot_wt"))
@@ -1033,8 +1060,11 @@ object Aggregates extends QueryModule {
           / col("n").cast("double"))
         .withColumn("bcn", (dec(col("b")) * dec(col("c"))).cast("double")
           / col("n").cast("double"))
+        // all-concordant tables (Σbc = 0) leave MH undefined → NULL,
+        // never an ANSI ÷0 (degenerate probe)
         .withColumn("mh_or",
-          sum(col("adn")).over(wAll) / sum(col("bcn")).over(wAll))
+          when(sum(col("bcn")).over(wAll) > 0,
+            sum(col("adn")).over(wAll) / sum(col("bcn")).over(wAll)))
         .select(col("p_brand"), col("a"), col("b"), col("c"),
           col("dd").as("d"),
           when(dec(col("b")) * dec(col("c")) > 0,
@@ -2241,8 +2271,9 @@ object Aggregates extends QueryModule {
         |  FROM a, g)
         |SELECT event_type, n_a, n_b,
         |  floor(u2 / CAST(2 AS DOUBLE) * 1e6 + 0.5) / 1e6 AS u_stat,
-        |  floor(u2 / (CAST(2 AS DOUBLE) * CAST(n_a AS DOUBLE)
-        |    * CAST(n_b AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS auc
+        |  CASE WHEN n_b > 0 THEN
+        |    floor(u2 / (CAST(2 AS DOUBLE) * CAST(n_a AS DOUBLE)
+        |      * CAST(n_b AS DOUBLE)) * 1e6 + 0.5) / 1e6 END AS auc
         |FROM u ORDER BY event_type""".stripMargin,
 
     "q236_spearman" ->
@@ -2349,7 +2380,10 @@ object Aggregates extends QueryModule {
         |  round(stddev_pop(l_quantity), 6) AS sd_pop,
         |  round(var_samp(l_quantity), 6) AS var_samp,
         |  round(var_pop(l_quantity), 6) AS var_pop,
-        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+        |  CASE WHEN stddev_pop(l_quantity) * stddev_pop(l_extendedprice) > 0
+        |    THEN round(covar_pop(l_quantity, l_extendedprice)
+        |      / (stddev_pop(l_quantity) * stddev_pop(l_extendedprice)), 6)
+        |  END AS corr_qp,
         |  round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qp
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
@@ -2559,7 +2593,9 @@ object Aggregates extends QueryModule {
         |    max(x) AS max_x
         |  FROM daily GROUP BY event_type),
         |k AS (SELECT event_type, n_days, max_x,
-        |    (n_days * sxy - sx * sy) / (n_days * sxx - sx * sx) AS slope,
+        |    CASE WHEN n_days * sxx - sx * sx > 0 THEN
+        |      (n_days * sxy - sx * sy) / (n_days * sxx - sx * sx)
+        |    END AS slope,
         |    sy, sx
         |  FROM r),
         |f AS (SELECT event_type, n_days, max_x, slope,
@@ -2732,7 +2768,8 @@ object Aggregates extends QueryModule {
         |    CAST(CAST(b AS HUGEINT) * CAST(c AS HUGEINT) AS DOUBLE)
         |      / CAST(n AS DOUBLE) AS bcn
         |  FROM w),
-        |g AS (SELECT *, sum(adn) OVER () / sum(bcn) OVER () AS mh
+        |g AS (SELECT *, CASE WHEN sum(bcn) OVER () > 0 THEN
+        |    sum(adn) OVER () / sum(bcn) OVER () END AS mh
         |  FROM t)
         |SELECT p_brand, a, b, c, d,
         |  CASE WHEN CAST(b AS HUGEINT) * CAST(c AS HUGEINT) > 0 THEN

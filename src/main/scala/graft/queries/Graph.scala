@@ -271,12 +271,16 @@ object Graph extends QueryModule {
             .as("mean_cust_degree"),
           snap6(col("sv").cast("double") / col("e").cast("double"))
             .as("mean_supp_degree"),
-          snap6((dec(col("e")) * col("suv") - col("su") * col("sv"))
-            .cast("double")
-            / (sqrt((dec(col("e")) * col("suu") - col("su") * col("su"))
-                .cast("double"))
-              * sqrt((dec(col("e")) * col("svv") - col("sv") * col("sv"))
-                .cast("double")))).as("assortativity"))
+          // zero degree variance on either side (one hub, one edge)
+          // leaves r undefined → NULL, never an ANSI ÷0
+          when(dec(col("e")) * col("suu") - col("su") * col("su") > 0 &&
+              dec(col("e")) * col("svv") - col("sv") * col("sv") > 0,
+            snap6((dec(col("e")) * col("suv") - col("su") * col("sv"))
+              .cast("double")
+              / (sqrt((dec(col("e")) * col("suu") - col("su") * col("su"))
+                  .cast("double"))
+                * sqrt((dec(col("e")) * col("svv") - col("sv") * col("sv"))
+                  .cast("double"))))).as("assortativity"))
     }),
 
     // Rich-club coefficient sweep over the q166 thresholded nation-
@@ -687,10 +691,11 @@ object Graph extends QueryModule {
         |    / 1e6 AS mean_cust_degree,
         |  floor(CAST(sv AS DOUBLE) / CAST(e AS DOUBLE) * 1e6 + 0.5)
         |    / 1e6 AS mean_supp_degree,
-        |  floor(CAST(e * suv - su * sv AS DOUBLE)
-        |    / (sqrt(CAST(e * suu - su * su AS DOUBLE))
-        |      * sqrt(CAST(e * svv - sv * sv AS DOUBLE))) * 1e6 + 0.5)
-        |    / 1e6 AS assortativity
+        |  CASE WHEN e * suu - su * su > 0 AND e * svv - sv * sv > 0 THEN
+        |    floor(CAST(e * suv - su * sv AS DOUBLE)
+        |      / (sqrt(CAST(e * suu - su * su AS DOUBLE))
+        |        * sqrt(CAST(e * svv - sv * sv AS DOUBLE))) * 1e6 + 0.5)
+        |      / 1e6 END AS assortativity
         |FROM m""".stripMargin,
 
     "q342_rich_club" ->

@@ -282,8 +282,12 @@ object Profile extends QueryModule {
       val m2 = dev.groupBy(col("event_type"))
         .agg(median(col("adev")).as("mad"))
       dev.join(broadcast(m2), "event_type")
+        // MAD = 0 (a constant-valued group) leaves the z undefined —
+        // NULL, never an ANSI ÷0 (degenerate probe); the |z| filter
+        // then drops the group entirely, mirrored in the oracle
         .withColumn("robust_z",
-          (col("value") - col("med")) / (lit(1.4826) * col("mad")))
+          when(col("mad") > 0,
+            (col("value") - col("med")) / (lit(1.4826) * col("mad"))))
         .filter(abs(col("robust_z")) > 3.5)
         .select(col("event_id"), col("event_type"), col("value"),
           col("med"), col("mad"), col("robust_z"))
@@ -2065,7 +2069,8 @@ object Profile extends QueryModule {
         |m2 AS (SELECT event_type, median(adev) AS mad
         |  FROM d GROUP BY 1),
         |z AS (SELECT d.event_id, d.event_type, d.value, d.med, m2.mad,
-        |    (d.value - d.med) / (1.4826::DOUBLE * m2.mad) AS robust_z
+        |    CASE WHEN m2.mad > 0 THEN
+        |      (d.value - d.med) / (1.4826::DOUBLE * m2.mad) END AS robust_z
         |  FROM d JOIN m2 USING (event_type))
         |SELECT event_id, event_type, value, med, mad, robust_z
         |FROM z WHERE abs(robust_z) > 3.5

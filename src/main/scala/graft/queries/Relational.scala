@@ -192,8 +192,12 @@ object Relational extends QueryModule {
       val o = Tables.orders(s, d)
       val bounds = o.agg(min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
       o.crossJoin(broadcast(bounds))
+        // hi == lo (constant column / single row) would ANSI-throw on
+        // the zero bucket width — everything lands in bucket 0 instead
         .withColumn("bucket",
-          least(floor((col("o_totalprice") - col("lo")) / ((col("hi") - col("lo")) / 10)), lit(9)).cast("int"))
+          when(col("hi") > col("lo"),
+            least(floor((col("o_totalprice") - col("lo")) / ((col("hi") - col("lo")) / 10)), lit(9)))
+            .otherwise(lit(0L)).cast("int"))
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n"),
           round(min(col("o_totalprice")), 2).as("bucket_min"),
@@ -448,7 +452,9 @@ object Relational extends QueryModule {
 
     "q18_hist" ->
       """WITH b AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders)
-        |SELECT CAST(least(floor((o_totalprice - lo) / ((hi - lo) / 10)), 9) AS INTEGER) AS bucket,
+        |SELECT CAST(CASE WHEN hi > lo
+        |    THEN least(floor((o_totalprice - lo) / ((hi - lo) / 10)), 9)
+        |    ELSE 0 END AS INTEGER) AS bucket,
         |  count(*) AS n,
         |  round(min(o_totalprice), 2) AS bucket_min,
         |  round(max(o_totalprice), 2) AS bucket_max

@@ -132,7 +132,9 @@ object Strings extends QueryModule {
           // pandas comparator cannot hash ndarray cells.
           array_join(regexp_extract_all(col("p_brand"), lit("\\d"), lit(0)), "|").as("r_all"),
           array_join(split(col("p_name"), " "), "|").as("r_split"),
-          split(col("p_brand"), "#").getItem(1).as("r_split_item"))
+          // get(), not getItem: a '#'-less brand has no element 1 and
+          // getItem ANSI-throws INVALID_ARRAY_INDEX (degenerate probe)
+          expr("get(split(p_brand, '#'), 1)").as("r_split_item"))
         .orderBy(col("p_partkey"))),
 
     "q55_hash_encode" -> ((s, d) =>

@@ -202,15 +202,17 @@ object Temporal extends QueryModule {
         .crossJoin(broadcast(t2.agg(count(lit(1)).as("n2"))))
         .crossJoin(broadcast(t3.agg(count(lit(1)).as("n3"))))
         .select(explode(array(
+          // an empty upstream stage NULLs the rate (ANSI ÷0 guard —
+          // degenerate probe: a corpus with no 'view' events)
           struct(lit("1_view").as("stage"), col("n1").as("n_users"),
-            (col("n1") / col("n0")).as("rate_from_prev"),
-            (col("n1") / col("n0")).as("rate_from_start")),
+            when(col("n0") > 0, col("n1") / col("n0")).as("rate_from_prev"),
+            when(col("n0") > 0, col("n1") / col("n0")).as("rate_from_start")),
           struct(lit("2_click").as("stage"), col("n2").as("n_users"),
-            (col("n2") / col("n1")).as("rate_from_prev"),
-            (col("n2") / col("n0")).as("rate_from_start")),
+            when(col("n1") > 0, col("n2") / col("n1")).as("rate_from_prev"),
+            when(col("n0") > 0, col("n2") / col("n0")).as("rate_from_start")),
           struct(lit("3_purchase").as("stage"), col("n3").as("n_users"),
-            (col("n3") / col("n2")).as("rate_from_prev"),
-            (col("n3") / col("n0")).as("rate_from_start")))).as("r"))
+            when(col("n2") > 0, col("n3") / col("n2")).as("rate_from_prev"),
+            when(col("n0") > 0, col("n3") / col("n0")).as("rate_from_start")))).as("r"))
         .select(col("r.*"))
         .orderBy(col("stage"))
     }),
@@ -3204,11 +3206,14 @@ object Temporal extends QueryModule {
         |    (SELECT count(*) FROM t3) AS n3)
         |SELECT * FROM (
         |  SELECT '1_view' AS stage, CAST(n1 AS BIGINT) AS n_users,
-        |    n1 / n0 AS rate_from_prev, n1 / n0 AS rate_from_start FROM c
+        |    CASE WHEN n0 > 0 THEN n1 / n0 END AS rate_from_prev,
+        |    CASE WHEN n0 > 0 THEN n1 / n0 END AS rate_from_start FROM c
         |  UNION ALL SELECT '2_click', CAST(n2 AS BIGINT),
-        |    n2 / n1, n2 / n0 FROM c
+        |    CASE WHEN n1 > 0 THEN n2 / n1 END,
+        |    CASE WHEN n0 > 0 THEN n2 / n0 END FROM c
         |  UNION ALL SELECT '3_purchase', CAST(n3 AS BIGINT),
-        |    n3 / n2, n3 / n0 FROM c)
+        |    CASE WHEN n2 > 0 THEN n3 / n2 END,
+        |    CASE WHEN n0 > 0 THEN n3 / n0 END FROM c)
         |ORDER BY stage""".stripMargin,
 
     // same zero-padded VARCHAR total-order key; arg_max = max_by.

@@ -46,70 +46,9 @@ class DegenerateInputSpec extends AnyFunSuite {
   // (one day), single development year (ship month = order month).
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
 
-  private lazy val statsDir: String = {
-    import spark.implicits._
-    val d = Paths.get("target/tmp/degenerate_stats").toAbsolutePath.toString
-    Seq((0, "R0")).toDF("r_regionkey", "r_name")
-      .write.mode("overwrite").parquet(s"$d/region.parquet")
-    Seq((0, "N0", 0)).toDF("n_nationkey", "n_name", "n_regionkey")
-      .write.mode("overwrite").parquet(s"$d/nation.parquet")
-    Seq((1L, "C1", 0, 0.0, "SEG"))
-      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal",
-        "c_mktsegment")
-      .write.mode("overwrite").parquet(s"$d/customer.parquet")
-    Seq((1L, "S1", 0, 0.0))
-      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
-      .write.mode("overwrite").parquet(s"$d/supplier.parquet")
-    Seq((1L, "P1", "B1", "T1", 1, 10.0))
-      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size",
-        "p_retailprice")
-      .write.mode("overwrite").parquet(s"$d/part.parquet")
-    // two identical-price orders in ONE month from one customer:
-    // zero price variance, one order cohort
-    Seq(
-      (1L, 1L, "O", 100.0, ts("2024-01-10 00:00:00"), "1-URGENT"),
-      (2L, 1L, "O", 100.0, ts("2024-01-20 00:00:00"), "1-URGENT"))
-      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
-        "o_orderdate", "o_orderpriority")
-      .write.mode("overwrite").parquet(s"$d/orders.parquet")
-    // constant-quantity lines shipping INSIDE the order month:
-    // zero-variance quantity (Cp/Cpk) and a single development lag
-    // (chain ladder)
-    Seq(
-      (1L, 1L, 1L, 1, 10.0, 100.0, 0.0, 0.0, "N", "O",
-        ts("2024-01-15 00:00:00")),
-      (2L, 1L, 1L, 1, 10.0, 100.0, 0.0, 0.0, "N", "O",
-        ts("2024-01-25 00:00:00")))
-      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
-        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
-        "l_returnflag", "l_linestatus", "l_shipdate")
-      .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
-    // ONE user, ONE day, ONE event type, constant value: one rater
-    // (Kendall W), one item (Cronbach), one group (ICC), all-tie
-    // ranks, single-day user (survival), zero dispersion
-    Seq(
-      (1L, ts("2024-01-05 09:00:00"), 10L, "click", 7.0, "{}"),
-      (2L, ts("2024-01-05 10:00:00"), 10L, "click", 7.0, "{}"),
-      (3L, ts("2024-01-05 11:00:00"), 10L, "click", 7.0, "{}"))
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      .write.mode("overwrite").parquet(s"$d/events.parquet")
-    // exact-duplicate documents from one source
-    Seq(
-      (1L, "aa bb cc dd ee", "en", "s1", 14L),
-      (2L, "aa bb cc dd ee", "en", "s1", 14L))
-      .toDF("doc_id", "text", "lang", "source", "n_chars")
-      .write.mode("overwrite").parquet(s"$d/documents.parquet")
-    // an identical vector pair (zero within-pair distance) plus two
-    // orthogonal singletons
-    Seq(
-      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f), 0),
-      (2L, Seq(1.0f, 0.0f, 0.0f, 0.0f), 0),
-      (3L, Seq(0.0f, 1.0f, 0.0f, 0.0f), 1),
-      (4L, Seq(0.0f, 0.0f, 1.0f, 0.0f), 1))
-      .toDF("vec_id", "embedding", "label")
-      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
-    d
-  }
+  // fixture rows live in graft.DegenCorpus (shared with DegenProbe)
+  private lazy val statsDir: String = DegenCorpus.write(spark,
+    Paths.get("target/tmp/degenerate_stats").toAbsolutePath.toString)
 
   /** Every q312-q382 double column must be NULL or finite on the
     * degenerate corpus — one NaN/Infinity poisons every global
@@ -130,14 +69,17 @@ class DegenerateInputSpec extends AnyFunSuite {
     }
   }
 
-  private lazy val statsTier: Seq[String] = SparkEntry.queries.keys.toSeq
-    .filter { n =>
-      "^q(\\d+)".r.findFirstMatchIn(n)
-        .exists { m => val x = m.group(1).toInt; x >= 312 && x <= 382 }
-    }.sorted
+  // round 14: widened from q312-q382 to the WHOLE catalog after a
+  // full-catalog probe (graft.DegenProbe) caught 13 crashes the tier
+  // filter was hiding — 10 ANSI DIVIDE_BY_ZERO denominators (zero
+  // variance / empty strata / lone groups) and 3 out-of-bounds array
+  // indexes (4-d embeddings, '#'-less brand). Every catalog query
+  // must tolerate a pathological single-element corpus.
+  private lazy val statsTier: Seq[String] =
+    SparkEntry.queries.keys.toSeq.sorted
 
-  test("q312-q382 sweep: degenerate corpus yields no crash and no NaN/Inf") {
-    assert(statsTier.size >= 60, s"tier unexpectedly small: $statsTier")
+  test("full-catalog sweep: degenerate corpus yields no crash and no NaN/Inf") {
+    assert(statsTier.size >= 400, s"catalog unexpectedly small: ${statsTier.size}")
     val problems = statsTier.flatMap { q =>
       try {
         val df = SparkEntry.queries(q)(spark, statsDir)
@@ -306,6 +248,17 @@ class DegenerateInputSpec extends AnyFunSuite {
     val hr = heaps.collect()
     assertFinite("q284_heaps_law", hr, heaps.schema)
     assert(hr.length == 1 && hr(0).getAs[Long]("vocab") == 3L)
+  }
+
+  test("q177: an all-equal-price brand medians at the tie, full weight") {
+    // the histogram-granularity rewrite under total ties: both lines
+    // collapse into ONE (brand, price) histogram row whose cum crosses
+    // tot/2 immediately
+    val rows = SparkEntry.queries("q177_weighted_median")(spark, statsDir)
+      .collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[Double]("weighted_median_price") == 100.0)
+    assert(rows(0).getAs[Long]("total_weight") == 20L)
   }
 
   // ——— ADVICE r13: the Stats facade's divisions on one-sample groups.

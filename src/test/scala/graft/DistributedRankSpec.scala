@@ -117,6 +117,34 @@ class DistributedRankSpec extends AnyFunSuite {
     for (r <- got) assert(r.getLong(1) == expected(r.getLong(0)))
   }
 
+  test("weighted-median histogram granularity matches the row-level form") {
+    // The q177 rewrite's claim: the first DISTINCT value whose
+    // inclusive cumulative weight crosses half the group total is
+    // exactly the value of the first crossing ROW — within a tie
+    // group the cum before the group is < tot/2, so the crossing
+    // happens at (or before) the group's last row and min() lands on
+    // the same value. Pinned on heavy value ties × skewed weights,
+    // per group, against the row-level window reference.
+    val df = (1 to 500).map { i =>
+      (i.toLong, s"g${i % 7}", (i % 11).toLong, (i % 13 + 1).toLong)
+    }.toDF("k", "g", "v", "wt")
+    val wCum = Window.partitionBy(col("g")).orderBy(col("v"), col("k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = df
+      .withColumn("cum", sum(col("wt")).over(wCum))
+      .withColumn("tot", sum(col("wt")).over(Window.partitionBy(col("g"))))
+      .filter(col("cum") * 2 >= col("tot"))
+      .groupBy(col("g")).agg(min(col("v")).as("med"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val hist = df.groupBy(col("g"), col("v")).agg(sum(col("wt")).as("wt"))
+    val got = DistributedRank.withRank(hist, Seq(col("v")),
+        partCols = Seq("g"), sums = Seq("wt" -> col("wt")))
+      .filter(col("run_wt") * 2 >= col("tot_wt"))
+      .groupBy(col("g")).agg(min(col("v")).as("med"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == expected)
+  }
+
   test("empty and single-row inputs") {
     val empty = Seq.empty[(Long, Long)].toDF("k", "v")
     assert(DistributedRank.withRank(empty, Seq(col("v"), col("k")))
