@@ -502,9 +502,13 @@ object Similarity extends QueryModule {
       val x = Tables.embeddings(s, d)
         .select(col("vec_id"),
           transform(col("embedding"), v => v.cast("double")).as("x"))
+      // Row-based read, not Encoders.scalaDouble: a global max over an
+      // EMPTY corpus is one NULL row, and the non-nullable double
+      // encoder asserts on it (empty-corpus probe, r14)
       val amaxG = x
         .agg(max(aggregate(col("x"), lit(0.0), (a, v) => greatest(a, abs(v)))))
-        .as(org.apache.spark.sql.Encoders.scalaDouble).collect().headOption
+        .collect().headOption
+        .collect { case r if !r.isNullAt(0) => r.getDouble(0) }
         .getOrElse(0.0)
       if (!(amaxG > 0)) {
         // empty/degenerate corpus: same empty result the oracle's
@@ -874,9 +878,9 @@ object Similarity extends QueryModule {
         .select(col("vec_id"), col("cell"), seedSim.as("sim"))
         .groupBy(col("vec_id"))
         .agg(max_by(col("cell"), struct(col("sim"), -col("cell"))).as("cell"))
-      corpus.join(cellOf, "vec_id")
+      val cellsOut = corpus.join(cellOf, "vec_id")
         .select(col("vec_id"), col("emb"), col("nrm"), col("cell"))
-        .write.mode("overwrite").partitionBy("cell").parquet(dir)
+      cellsOut.write.mode("overwrite").partitionBy("cell").parquet(dir)
       val qw = Window.partitionBy(col("query_id"))
         .orderBy(col("sim").desc, col("cell").asc)
       val probes = corpus.filter(col("vec_id") < NumQueries)
@@ -890,7 +894,9 @@ object Similarity extends QueryModule {
         .collect().map(_.getInt(0)).sorted
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cos_sim").desc, col("vec_id").asc)
-      s.read.parquet(dir)
+      // explicit read-back schema (q81 rationale): an empty corpus
+      // writes no parquet footers and inference would fail the job
+      s.read.schema(cellsOut.schema).parquet(dir)
         .filter(col("cell").isin(probedCells.map(Integer.valueOf): _*))
         .join(broadcast(probes), Seq("cell"))
         .filter(col("vec_id") =!= col("query_id"))

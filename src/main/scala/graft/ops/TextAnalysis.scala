@@ -485,16 +485,20 @@ object TextAnalysis extends QueryModule {
         .agg(sum(col("u")).as("ent_u"))
       def m(name: String, v: Column) =
         struct(lit(name).as("metric"), v.as("value"))
+      // per-doc shares NULL out on an empty corpus (ANSI ÷0 guard,
+      // empty-corpus probe), mirrored as CASE WHEN in the oracle
       base.crossJoin(broadcast(dup)).crossJoin(broadcast(ent))
         .select(explode(array(
-          m("avg_words", col("total_words").cast("double")
-            / col("n_docs").cast("double")),
-          m("exact_dup_share", lit(1.0)
-            - col("n_unique").cast("double") / col("n_docs").cast("double")),
+          m("avg_words", when(col("n_docs") > 0,
+            col("total_words").cast("double")
+              / col("n_docs").cast("double"))),
+          m("exact_dup_share", when(col("n_docs") > 0, lit(1.0)
+            - col("n_unique").cast("double") / col("n_docs").cast("double"))),
           m("lang_entropy_nats", col("ent_u").cast("double") / 1e9),
           m("n_docs", col("n_docs").cast("double")),
-          m("quality_share", col("n_quality").cast("double")
-            / col("n_docs").cast("double")),
+          m("quality_share", when(col("n_docs") > 0,
+            col("n_quality").cast("double")
+              / col("n_docs").cast("double"))),
           m("total_words", col("total_words").cast("double"))))
           .as("r"))
         .select(col("r.metric"), col("r.value"))
@@ -1032,17 +1036,21 @@ object TextAnalysis extends QueryModule {
         |  FROM lp)
         |SELECT metric, value FROM (
         |  SELECT 'avg_words' AS metric,
-        |    CAST(total_words AS DOUBLE) / CAST(n_docs AS DOUBLE) AS value
+        |    CASE WHEN n_docs > 0 THEN
+        |      CAST(total_words AS DOUBLE) / CAST(n_docs AS DOUBLE)
+        |    END AS value
         |  FROM base
         |  UNION ALL SELECT 'exact_dup_share',
-        |    1.0::DOUBLE - CAST(n_unique AS DOUBLE)
-        |      / CAST(n_docs AS DOUBLE)
+        |    CASE WHEN n_docs > 0 THEN 1.0::DOUBLE
+        |      - CAST(n_unique AS DOUBLE) / CAST(n_docs AS DOUBLE) END
         |  FROM base, dup
         |  UNION ALL SELECT 'lang_entropy_nats',
         |    CAST(ent_u AS DOUBLE) / 1e9 FROM ent
         |  UNION ALL SELECT 'n_docs', CAST(n_docs AS DOUBLE) FROM base
         |  UNION ALL SELECT 'quality_share',
-        |    CAST(n_quality AS DOUBLE) / CAST(n_docs AS DOUBLE) FROM base
+        |    CASE WHEN n_docs > 0 THEN
+        |      CAST(n_quality AS DOUBLE) / CAST(n_docs AS DOUBLE) END
+        |  FROM base
         |  UNION ALL SELECT 'total_words', CAST(total_words AS DOUBLE)
         |  FROM base)
         |ORDER BY metric""".stripMargin),

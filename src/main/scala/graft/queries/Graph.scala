@@ -522,11 +522,13 @@ object Graph extends QueryModule {
       for (_ <- 1 to 8) {
         val a0 = nodes.map(n =>
           n -> edges.filter(_._2 == n).map(p => hub(p._1)).sum).toMap
-        val aMax = math.max(a0.values.max, 1L)
+        // maxOption: a zero-node corpus must fall through to the empty
+        // frame, not throw empty.max (empty-corpus probe)
+        val aMax = math.max(a0.values.maxOption.getOrElse(0L), 1L)
         auth = a0.map { case (k, v) => k -> v * 1000000L / aMax }
         val h0 = nodes.map(n =>
           n -> edges.filter(_._1 == n).map(p => auth(p._2)).sum).toMap
-        val hMax = math.max(h0.values.max, 1L)
+        val hMax = math.max(h0.values.maxOption.getOrElse(0L), 1L)
         hub = h0.map { case (k, v) => k -> v * 1000000L / hMax }
       }
       import s.implicits._

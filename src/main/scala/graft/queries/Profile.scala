@@ -374,7 +374,9 @@ object Profile extends QueryModule {
           .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
           .select(lit(name).as("relation"), col("n_refs"),
             col("n_orphans"),
-            (col("n_orphans").cast("double") / col("n_refs"))
+            // empty fact side → rate undefined, NULL not ANSI ÷0
+            when(col("n_refs") > 0,
+              col("n_orphans").cast("double") / col("n_refs"))
               .as("orphan_rate"))
       }
       audit("lineitem.l_orderkey->orders.o_orderkey",
@@ -431,7 +433,9 @@ object Profile extends QueryModule {
       def row(name: String, hit: DataFrame, all: DataFrame) =
         hit.crossJoin(broadcast(all))
           .select(lit(name).as("relation"), col("hit"), col("total"),
-            (col("hit").cast("double") / col("total").cast("double"))
+            // empty relation → share undefined, NULL not ANSI ÷0
+            when(col("total") > 0,
+              col("hit").cast("double") / col("total").cast("double"))
               .as("purge_share"))
       row("customer", nDoomed, custAll)
         .unionByName(row("orders", ordersCnt, ordersAll))
@@ -1846,7 +1850,8 @@ object Profile extends QueryModule {
         |     WHERE l_orderkey IN (SELECT o_orderkey FROM oh)),
         |    (SELECT count(*) FROM lineitem))
         |SELECT relation, hit, total,
-        |  CAST(hit AS DOUBLE) / CAST(total AS DOUBLE) AS purge_share
+        |  CASE WHEN total > 0 THEN
+        |    CAST(hit AS DOUBLE) / CAST(total AS DOUBLE) END AS purge_share
         |FROM r ORDER BY relation""".stripMargin,
 
     // every fractional literal ::DOUBLE (the q168 decimal-literal
@@ -2124,7 +2129,8 @@ object Profile extends QueryModule {
 
     "q180_fk_audit" ->
       """SELECT relation, n_refs, n_orphans,
-        |  CAST(n_orphans AS DOUBLE) / n_refs AS orphan_rate
+        |  CASE WHEN n_refs > 0 THEN
+        |    CAST(n_orphans AS DOUBLE) / n_refs END AS orphan_rate
         |FROM (
         |  SELECT 'lineitem.l_orderkey->orders.o_orderkey' AS relation,
         |    (SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL)

@@ -93,10 +93,13 @@ object IOQueries extends QueryModule {
     // JSON-lines round-trip over the string-heavy documents table.
     "q81_json_roundtrip" -> ((s, d) => {
       val dir = scratch(d, "json")
-      Tables.documents(s, d)
+      val src = Tables.documents(s, d)
         .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
-        .write.mode("overwrite").json(dir)
-      s.read.json(dir)
+      src.write.mode("overwrite").json(dir)
+      // explicit read-back schema: inference over an empty write (a
+      // legal state for a filtered 100 TB stage) has no rows to look
+      // at and fails the whole job; the writer's schema is authoritative
+      s.read.schema(src.schema).json(dir)
         .groupBy(col("lang"))
         .agg(
           count(lit(1)).as("n"),
@@ -132,9 +135,12 @@ object IOQueries extends QueryModule {
     // query reads 1/|partitions| of the data.
     "q84_partitioned_write" -> ((s, d) => {
       val dir = scratch(d, "partitioned")
-      Tables.orders(s, d)
-        .write.mode("overwrite").partitionBy("o_orderstatus").parquet(dir)
-      s.read.parquet(dir)
+      val src = Tables.orders(s, d)
+      src.write.mode("overwrite").partitionBy("o_orderstatus").parquet(dir)
+      // explicit schema (q81 rationale): an all-pruned/empty write
+      // leaves no footer to infer from; partition discovery still
+      // applies and SourcesSpec pins the PartitionFilters pruning
+      s.read.schema(src.schema).parquet(dir)
         .filter(col("o_orderstatus") === "F")
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
@@ -387,13 +393,13 @@ object IOQueries extends QueryModule {
       val dir = scratch(d, "shards")
       val shard = conv(substring(md5(col("doc_id").cast("string")), 1, 15),
         16, 10).cast("long") % 8
-      Tables.documents(s, d)
-        .withColumn("shard", shard)
-        .repartition(col("shard"))
+      val toWrite = Tables.documents(s, d).withColumn("shard", shard)
+      toWrite.repartition(col("shard"))
         .write.mode("overwrite").partitionBy("shard").parquet(dir)
-      s.read.parquet(dir)
-        // partition-dir values re-infer as INT; the manifest keys on
-        // the writer's LONG shard id.
+      // explicit read-back schema (q81 rationale: an empty write has
+      // nothing to infer from) — it also keeps the partition-dir
+      // shard values LONG instead of the discovery default INT.
+      s.read.schema(toWrite.schema).parquet(dir)
         .groupBy(col("shard").cast("long").as("shard"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("total_chars"),

@@ -14,6 +14,42 @@ class EmptyInputSpec extends AnyFunSuite {
   private lazy val empty = Tables.lineitem(spark, sf).filter(lit(false))
   private lazy val li = Tables.lineitem(spark, sf)
 
+  // round 14: the whole catalog must survive a ZERO-ROW corpus (every
+  // table schema-complete but empty). The first full-catalog probe
+  // (graft.DegenProbe --empty) caught 9 crashes: schema inference over
+  // empty round-trip writes (q81/q84/q123/q142 — now read back with
+  // the writer's explicit schema), a non-nullable encoder on a NULL
+  // global max (q119), driver-side empty.max (q375), and 3 more ÷0
+  // denominators (q176/q180/q210).
+  test("full-catalog sweep: empty corpus yields no crash and no NaN/Inf") {
+    val dir = DegenCorpus.write(spark,
+      java.nio.file.Paths.get("target/tmp/empty_corpus")
+        .toAbsolutePath.toString, empty = true)
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    assert(names.size >= 400)
+    val problems = names.flatMap { q =>
+      try {
+        val df = SparkEntry.queries(q)(spark, dir)
+        val doubleIdx = df.schema.fields.zipWithIndex.collect {
+          case (f, i) if f.dataType ==
+            org.apache.spark.sql.types.DoubleType => (f.name, i)
+        }
+        df.collect().flatMap { r =>
+          doubleIdx.collect {
+            case (fn, i) if !r.isNullAt(i) &&
+                (r.getDouble(i).isNaN || r.getDouble(i).isInfinite) =>
+              s"$q: $fn = ${r.getDouble(i)} (must be NULL or finite)"
+          }
+        }.headOption
+      } catch { case e: Throwable =>
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        Some(s"$q: ${msg.linesIterator.take(2).mkString(" ")}")
+      }
+    }
+    assert(problems.isEmpty,
+      s"empty-corpus failures:\n${problems.mkString("\n")}")
+  }
+
   test("grouped agg on empty input yields zero groups; global agg one row") {
     assert(empty.groupBy("l_returnflag").agg(sum("l_quantity")).count() == 0)
     val g = empty.agg(count(lit(1)).as("n"), sum("l_quantity").as("s")).collect()
