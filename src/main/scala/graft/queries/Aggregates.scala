@@ -780,28 +780,30 @@ object Aggregates extends QueryModule {
     // express (each row counts wt times). NOT a per-group sort to the
     // driver — and (r14) not a brand-partitioned window either:
     // |brands| = 25 at every scale, so each brand partition carries
-    // corpus/25 rows through ONE sort task. The frame that rides
-    // DistributedRank's prefix sum is the (brand, price) WEIGHT
-    // HISTOGRAM, not the raw rows: the median only needs cumulative
-    // weight at distinct-price granularity (the first distinct price
-    // whose inclusive cum crosses tot/2 is exactly the price of the
-    // first crossing ROW — within a tie group cum-before < tot/2 and
-    // group-end cum ≥ the crossing row's), and sum(quantity) is an
-    // exact LONG in any merge order. That bounds the ranked exchange
-    // by |distinct (brand, price)| ≤ |parts|·50 — sublinear in
-    // lineitem and map-side combined (the 300× rung measured the raw
-    // form's two entity exchanges at 1.76× corpus bytes; this one
-    // collapses with the histogram). Prices are unique within brand
-    // after grouping, so (price) alone is the total order. Integer
-    // cross-multiplication, no division anywhere.
+    // corpus/25 rows through ONE sort task. The cumulative LONG
+    // weight (quantities are integral — exact in any merge order)
+    // rides DistributedRank's prefix sum over the (price, orderkey,
+    // linenumber) total order within each brand; the median is the
+    // first row where 2·cum ≥ total, selected by a plain min
+    // aggregate. Integer cross-multiplication, no division anywhere.
+    // Considered and rejected (r14): pre-folding to the
+    // (brand, price) weight histogram before the rank — provably the
+    // same median (DistributedRankSpec pins the granularity
+    // equivalence) and the right shape for a QUANTIZED value domain
+    // (2-decimal money: ranked rows collapse to |distinct cents|) —
+    // but this corpus's prices are near-unique doubles (599 281
+    // distinct (brand, price) over 600 000 rows at sf0.1, measured),
+    // so the fold added a full aggregation exchange for a 0.1% row
+    // reduction at every scale.
     "q177_weighted_median" -> ((s, d) => {
-      val hist = Tables.lineitem(s, d)
+      val j = Tables.lineitem(s, d)
         .join(Tables.part(s, d).select(col("p_partkey"), col("p_brand")),
           col("l_partkey") === col("p_partkey"))
-        .groupBy(col("p_brand"), col("l_extendedprice").as("price"))
-        .agg(sum(col("l_quantity").cast("long")).as("wt"))
-      DistributedRank.withRank(hist,
-          Seq(col("price")),
+        .select(col("p_brand"), col("l_extendedprice").as("price"),
+          col("l_quantity").cast("long").as("wt"),
+          col("l_orderkey"), col("l_linenumber"))
+      DistributedRank.withRank(j,
+          Seq(col("price"), col("l_orderkey"), col("l_linenumber")),
           partCols = Seq("p_brand"),
           sums = Seq("wt" -> col("wt")))
         .filter(col("run_wt") * 2 >= col("tot_wt"))

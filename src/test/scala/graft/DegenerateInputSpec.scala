@@ -251,9 +251,8 @@ class DegenerateInputSpec extends AnyFunSuite {
   }
 
   test("q177: an all-equal-price brand medians at the tie, full weight") {
-    // the histogram-granularity rewrite under total ties: both lines
-    // collapse into ONE (brand, price) histogram row whose cum crosses
-    // tot/2 immediately
+    // total ties: the cumulative weight crosses tot/2 inside the one
+    // tie group, so the median is the tied price with the full weight
     val rows = SparkEntry.queries("q177_weighted_median")(spark, statsDir)
       .collect()
     assert(rows.length == 1)

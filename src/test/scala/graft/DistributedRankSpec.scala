@@ -118,9 +118,11 @@ class DistributedRankSpec extends AnyFunSuite {
   }
 
   test("weighted-median histogram granularity matches the row-level form") {
-    // The q177 rewrite's claim: the first DISTINCT value whose
-    // inclusive cumulative weight crosses half the group total is
-    // exactly the value of the first crossing ROW — within a tie
+    // The quantized-domain recipe (evaluated for q177 in r14; kept as
+    // the documented shape for money-typed value columns, where ranked
+    // rows collapse to |distinct cents|): the first DISTINCT value
+    // whose inclusive cumulative weight crosses half the group total
+    // is exactly the value of the first crossing ROW — within a tie
     // group the cum before the group is < tot/2, so the crossing
     // happens at (or before) the group's last row and min() lands on
     // the same value. Pinned on heavy value ties × skewed weights,
