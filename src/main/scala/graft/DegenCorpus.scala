@@ -23,14 +23,30 @@ object DegenCorpus {
   /** Writes the corpus under `dir` (one parquet per table, the same
     * layout as `/root/testdata/sf*`). Idempotent — callers may share
     * one scratch dir. With `empty = true` every table keeps its schema
-    * but carries ZERO rows — the limiting degenerate corpus.
+    * but carries ZERO rows — the limiting degenerate corpus. With
+    * `nulls = true` every PAYLOAD column (strings, text, timestamps,
+    * embedding arrays, props) is NULL while the entity keys keep their
+    * values — the shape of a half-corrupt ingest batch.
     */
   def write(spark: SparkSession, dir: String,
-      empty: Boolean = false): String = {
+      empty: Boolean = false, nulls: Boolean = false): String = {
     import spark.implicits._
+    // key columns stay populated so joins/groupings still route rows;
+    // everything a real feed could deliver as NULL goes NULL
+    val keep = Set("r_regionkey", "n_nationkey", "n_regionkey",
+      "c_custkey", "c_nationkey", "s_suppkey", "s_nationkey",
+      "p_partkey", "o_orderkey", "o_custkey", "l_orderkey",
+      "l_partkey", "l_suppkey", "l_linenumber", "event_id", "user_id",
+      "doc_id", "vec_id", "label")
     implicit class Cut(df: org.apache.spark.sql.DataFrame) {
       def cut: org.apache.spark.sql.DataFrame =
-        if (empty) df.limit(0) else df
+        if (empty) df.limit(0)
+        else if (nulls) df.select(df.schema.fields.map { f =>
+          if (keep(f.name)) org.apache.spark.sql.functions.col(f.name)
+          else org.apache.spark.sql.functions.lit(null)
+            .cast(f.dataType).as(f.name)
+        }.toSeq: _*)
+        else df
     }
     Seq((0, "R0")).toDF("r_regionkey", "r_name").cut
       .write.mode("overwrite").parquet(s"$dir/region.parquet")
@@ -99,8 +115,8 @@ object DegenCorpus {
   * (DegenerateInputSpec's enforced sweep covers q312-q382 plus pinned
   * singles) and print one line per failure/NaN — the candidate list
   * for new degenerate pins. Pass `--empty` to sweep the zero-row
-  * corpus instead. Usage:
-  * `sbt "runMain graft.DegenProbe [--empty] [queryPrefixFilter]"`.
+  * corpus, `--nulls` for the null-payload corpus. Usage:
+  * `sbt "runMain graft.DegenProbe [--empty|--nulls] [queryPrefixFilter]"`.
   */
 object DegenProbe {
   def main(args: Array[String]): Unit = {
@@ -108,11 +124,15 @@ object DegenProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val empty = args.contains("--empty")
-    val prefix = args.filterNot(_ == "--empty").headOption
+    val nulls = args.contains("--nulls")
+    val prefix = args.filterNot(a => a == "--empty" || a == "--nulls")
+      .headOption
     val dir = DegenCorpus.write(spark,
       java.nio.file.Paths.get(
-        if (empty) "target/tmp/degen_probe_empty" else "target/tmp/degen_probe")
-        .toAbsolutePath.toString, empty)
+        if (empty) "target/tmp/degen_probe_empty"
+        else if (nulls) "target/tmp/degen_probe_nulls"
+        else "target/tmp/degen_probe")
+        .toAbsolutePath.toString, empty, nulls)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => prefix.forall(n.startsWith))
     var bad = 0

@@ -59,13 +59,18 @@ object TopKPerKey extends QueryModule {
 
   /** df must have columns (key: Long, measure: Double, tie: Long);
     * returns (key, rank 1..k, measure, tie) — the per-key top k by
-    * (measure desc, tie asc).
+    * (measure desc, tie asc). Rows with a NULL key/measure/tie are
+    * unrankable and excluded up front — the typed encoder's primitive
+    * fields would otherwise throw NOT_NULL_ASSERT_VIOLATION the first
+    * time a half-corrupt batch ships a null measure (null-payload
+    * probe, r14).
     */
   def apply(df: DataFrame, k: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val agg = new TopKAgg(k)
-    df.select(col("key"), col("measure"), col("tie")).as[In]
+    df.select(col("key"), col("measure"), col("tie"))
+      .na.drop("any", Seq("key", "measure", "tie")).as[In]
       .groupByKey(_.key)
       .agg(agg.toColumn.name("top"))
       .toDF("key", "top")

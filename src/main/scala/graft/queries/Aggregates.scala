@@ -1058,10 +1058,14 @@ object Aggregates extends QueryModule {
           cnt(!col("treated") && !col("ret")).as("dd"))
       cells
         .withColumn("n", col("a") + col("b") + col("c") + col("dd"))
-        .withColumn("adn", (dec(col("a")) * dec(col("dd"))).cast("double")
-          / col("n").cast("double"))
-        .withColumn("bcn", (dec(col("b")) * dec(col("c"))).cast("double")
-          / col("n").cast("double"))
+        // an all-NULL stratum (every flag unknowable) has n = 0 —
+        // its MH terms are NULL, never an ANSI ÷0 (null-payload probe)
+        .withColumn("adn", when(col("n") > 0,
+          (dec(col("a")) * dec(col("dd"))).cast("double")
+            / col("n").cast("double")))
+        .withColumn("bcn", when(col("n") > 0,
+          (dec(col("b")) * dec(col("c"))).cast("double")
+            / col("n").cast("double")))
         // all-concordant tables (Σbc = 0) leave MH undefined → NULL,
         // never an ANSI ÷0 (degenerate probe)
         .withColumn("mh_or",
@@ -2225,12 +2229,16 @@ object Aggregates extends QueryModule {
         .withColumn("cum", sum(col("cs")).over(
           Window.orderBy(col("dec10"))))
         .withColumn("tot", sum(col("cs")).over(Window.partitionBy()))
+        // zero total revenue (all-NULL prices) leaves every share
+        // undefined → NULL, never an ANSI ÷0 (null-payload probe)
         .select(col("dec10").as("decile"), col("n_customers"),
-          snap6(col("cum").cast("double") / col("tot").cast("double"))
+          when(col("tot") > 0,
+            snap6(col("cum").cast("double") / col("tot").cast("double")))
             .as("cum_revenue_share"),
-          snap6((dec(col("cum")) * lit(10L) - dec(col("dec10"))
-            * dec(col("tot"))).cast("double")
-            / (dec(col("tot")) * lit(10L)).cast("double"))
+          when(col("tot") > 0,
+            snap6((dec(col("cum")) * lit(10L) - dec(col("dec10"))
+              * dec(col("tot"))).cast("double")
+              / (dec(col("tot")) * lit(10L)).cast("double")))
             .as("gap_to_equality"))
         .orderBy(col("decile"))
     }),
@@ -2765,10 +2773,12 @@ object Aggregates extends QueryModule {
         |  GROUP BY 1),
         |w AS (SELECT *, a + b + c + d AS n FROM cells),
         |t AS (SELECT *,
-        |    CAST(CAST(a AS HUGEINT) * CAST(d AS HUGEINT) AS DOUBLE)
-        |      / CAST(n AS DOUBLE) AS adn,
-        |    CAST(CAST(b AS HUGEINT) * CAST(c AS HUGEINT) AS DOUBLE)
-        |      / CAST(n AS DOUBLE) AS bcn
+        |    CASE WHEN n > 0 THEN
+        |      CAST(CAST(a AS HUGEINT) * CAST(d AS HUGEINT) AS DOUBLE)
+        |        / CAST(n AS DOUBLE) END AS adn,
+        |    CASE WHEN n > 0 THEN
+        |      CAST(CAST(b AS HUGEINT) * CAST(c AS HUGEINT) AS DOUBLE)
+        |        / CAST(n AS DOUBLE) END AS bcn
         |  FROM w),
         |g AS (SELECT *, CASE WHEN sum(bcn) OVER () > 0 THEN
         |    sum(adn) OVER () / sum(bcn) OVER () END AS mh
@@ -3554,12 +3564,14 @@ object Aggregates extends QueryModule {
         |    CAST(sum(cs) OVER () AS BIGINT) AS tot
         |  FROM g)
         |SELECT dec10 AS decile, n_customers,
-        |  floor(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) * 1e6 + 0.5)
-        |    / 1e6 AS cum_revenue_share,
-        |  floor(CAST(CAST(cum AS HUGEINT) * 10 - CAST(dec10
-        |      AS HUGEINT) * tot AS DOUBLE)
-        |    / CAST(CAST(tot AS HUGEINT) * 10 AS DOUBLE) * 1e6 + 0.5)
-        |    / 1e6 AS gap_to_equality
+        |  CASE WHEN tot > 0 THEN
+        |    floor(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) * 1e6 + 0.5)
+        |      / 1e6 END AS cum_revenue_share,
+        |  CASE WHEN tot > 0 THEN
+        |    floor(CAST(CAST(cum AS HUGEINT) * 10 - CAST(dec10
+        |        AS HUGEINT) * tot AS DOUBLE)
+        |      / CAST(CAST(tot AS HUGEINT) * 10 AS DOUBLE) * 1e6 + 0.5)
+        |      / 1e6 END AS gap_to_equality
         |FROM c ORDER BY decile""".stripMargin,
 
     "q382_process_capability" ->

@@ -78,11 +78,11 @@ class DegenerateInputSpec extends AnyFunSuite {
   private lazy val statsTier: Seq[String] =
     SparkEntry.queries.keys.toSeq.sorted
 
-  test("full-catalog sweep: degenerate corpus yields no crash and no NaN/Inf") {
+  private def sweep(dir: String, what: String): Unit = {
     assert(statsTier.size >= 400, s"catalog unexpectedly small: ${statsTier.size}")
     val problems = statsTier.flatMap { q =>
       try {
-        val df = SparkEntry.queries(q)(spark, statsDir)
+        val df = SparkEntry.queries(q)(spark, dir)
         assertFinite(q, df.collect(), df.schema)
         None
       } catch { case e: Throwable =>
@@ -90,7 +90,22 @@ class DegenerateInputSpec extends AnyFunSuite {
       }
     }
     assert(problems.isEmpty,
-      s"degenerate-corpus failures:\n${problems.mkString("\n")}")
+      s"$what-corpus failures:\n${problems.mkString("\n")}")
+  }
+
+  test("full-catalog sweep: degenerate corpus yields no crash and no NaN/Inf") {
+    sweep(statsDir, "degenerate")
+  }
+
+  // the third corpus of the robustness trilogy (single-element /
+  // zero-row / null-payload): every PAYLOAD column NULL, keys intact —
+  // a half-corrupt ingest batch. The r14 probe caught an unrankable
+  // NULL measure killing the q77 typed top-k encoder and two more ÷0
+  // denominators (q301 n=0 strata, q380 zero total revenue).
+  test("full-catalog sweep: null-payload corpus yields no crash and no NaN/Inf") {
+    sweep(DegenCorpus.write(spark,
+      Paths.get("target/tmp/degenerate_nulls").toAbsolutePath.toString,
+      nulls = true), "null-payload")
   }
 
   test("q326: one rater with all-tie ranks yields NULL kendall_w") {
