@@ -415,6 +415,13 @@ object Dedup extends QueryModule {
         .select(col("bkt"),
           conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long")
             .as("h"))
+        // train (×3 consumers) and held both re-derive this frame —
+        // the r13 plan ran the scan+shingle+md5 pipeline 4×. One
+        // per-invocation localCheckpoint (the q300 rationale; never a
+        // cross-run cache) leaves the train/held distincts reading
+        // materialized (bkt, h) rows, and their identical subtrees
+        // collapse to ReusedExchange in the final plan.
+        .localCheckpoint()
       val train = sh.filter(col("bkt") < 80L).select(col("h")).distinct()
       val nTrain = train.agg(count(lit(1)).as("n_train"))
       val held = sh.filter(col("bkt") >= 80L).select(col("h")).distinct()
@@ -758,6 +765,13 @@ object Dedup extends QueryModule {
         .select(col("doc_id"),
           conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long")
             .as("h"))
+        // sets AND sigRows consume shex — without this per-invocation
+        // localCheckpoint each planned its own full scan+shingle+md5
+        // pipeline (2 corpus scans, r13 pin). The checkpoint runs the
+        // pipeline once at construction (timed/verified — recomputed
+        // from parquet on every invocation, the q300 rationale) and
+        // both consumers iterate the materialized (doc_id, h) rows.
+        .localCheckpoint()
       val sets = shex.groupBy(col("doc_id"))
         .agg(array_sort(array_distinct(collect_list(col("h"))))
           .as("sh"))
@@ -1227,12 +1241,26 @@ object Dedup extends QueryModule {
     // a ≤k-row frame; nothing pairwise ever forms. k rounds = k
     // bounded passes, the price of exact greedy at fixed k.
     "q300_greedy_coverage" -> ((s, d) => {
+      // The unrolled greedy k=3 consumes the (doc_id, h) element frame
+      // ~7× (round 1 once, rounds 2-3 twice each through covered +
+      // remaining, plus the final union) — and ReuseExchange can only
+      // collapse some of those into shared exchanges, leaving 5 full
+      // scan+shingle+md5+distinct pipelines in the r13 plan. A
+      // localCheckpoint materializes the element frame ONCE per
+      // invocation (eagerly, inside the timed/verified construction —
+      // NOT a cross-run cache: every bench warmup/timed/retry pass and
+      // every Verify run recomputes it from parquet) and the greedy
+      // rounds iterate over the checkpointed partitions, the guide §5
+      // lineage-cut pattern for iterative consumers. Results are
+      // unchanged: every consumer is an order-insensitive aggregate
+      // with a total-order tie-break.
       val e = Tables.documents(s, d)
         .select(col("doc_id"), Text.words(col("text")).as("words"))
         .filter(size(col("words")) >= 3)
         .select(col("doc_id"), explode(Text.shingles3(col("words"))).as("g"))
         .select(col("doc_id"), xxhash64(col("g")).as("h"))
         .distinct()
+        .localCheckpoint()
       def best(rem: DataFrame, rank: Int): DataFrame =
         rem.groupBy(col("doc_id"))
           .agg(count(lit(1)).as("marginal_gain"))

@@ -82,16 +82,21 @@ object Relational extends QueryModule {
           countDistinct(col("row_id")).as("n_distinct"),
           (min(col("row_id")) >= 0).as("ids_nonneg"))),
 
+    // narrow-sort-then-derive (the q50 §2.3 shape): the range exchange
+    // carries the 4 source columns, not the widened casts (key_str
+    // alone re-encodes every bigint as a string before the shuffle).
     "q07_cast" -> ((s, d) =>
       Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_shipdate"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
         .select(
           col("l_orderkey").cast("string").as("key_str"),
           col("l_linenumber").cast("long").as("line_long"),
           floor(col("l_quantity")).cast("int").as("qty_int"),
           col("l_shipdate").cast("date").as("ship_date"),
           col("l_linenumber").cast("double").as("line_dbl"),
-          col("l_orderkey"), col("l_linenumber"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+          col("l_orderkey"), col("l_linenumber"))),
 
     // limit over a total order → deterministic top slice
     // (TakeOrderedAndProject physical plan, no full sort at scale).

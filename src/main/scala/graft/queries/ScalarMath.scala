@@ -38,9 +38,28 @@ object ScalarMath extends QueryModule {
   private def r6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     floor(c * 1e6 + 0.5) / 1e6
 
+  /** Round-14 shape shared by the whole scalar-expression family:
+    * sort the NARROW input first, derive the wide expression payload
+    * AFTER the range exchange (guide §2.3 "project before the
+    * exchange"). The final `orderBy` is a global sort whose
+    * RangePartitioning exchange previously carried every derived
+    * column (q50: 23 output columns, 59.4 MB shuffled at sf0.1 for a
+    * 6-input-column frame); deriving after the sort shuffles only the
+    * source columns and computes the expressions post-exchange, where
+    * they stay in the same whole-stage-codegen span as the sort's
+    * output. Row content and order are byte-identical: the sort keys
+    * (l_orderkey, l_linenumber) are the lineitem primary key, so the
+    * total order never depended on the derived columns. Catalyst has
+    * no project-through-sort rule in either direction, so the written
+    * shape is the planned shape (plans/r14/q50_math_{before,after}).
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_math" -> ((s, d) =>
       Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"), col("l_tax"), col("l_quantity"),
+          col("l_discount"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
         .select(
           col("l_orderkey"), col("l_linenumber"),
           (col("l_extendedprice") + col("l_tax")).as("f_add"),
@@ -64,11 +83,13 @@ object ScalarMath extends QueryModule {
           factorial(col("l_linenumber")).as("f_factorial"),
           greatest(col("l_quantity"), col("l_linenumber") * 10).as("f_greatest"),
           least(col("l_quantity"), col("l_linenumber") * 10).as("f_least"),
-          pmod(col("l_orderkey"), lit(7L)).as("f_pmod"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+          pmod(col("l_orderkey"), lit(7L)).as("f_pmod"))),
 
     "q51_trig" -> ((s, d) =>
       Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_discount"), col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
         .withColumn("x", col("l_discount") * 10) // 0..1
         .withColumn("y", col("l_quantity") / 50) // 0.02..1
         .select(
@@ -89,8 +110,7 @@ object ScalarMath extends QueryModule {
           // compositions (SURVEY.md §2.9).
           r6(lit(1.0) / tan(col("x") + 1)).as("f_cot"),
           r6(lit(1.0) / cos(col("x"))).as("f_sec"),
-          r6(lit(1.0) / sin(col("x") + 1)).as("f_csc"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+          r6(lit(1.0) / sin(col("x") + 1)).as("f_csc"))),
 
     // rounding-mode catalogue on ties constructed to be exact in binary
     // (n + 0.5 is exactly representable): round is HALF_UP (ties away
@@ -102,6 +122,9 @@ object ScalarMath extends QueryModule {
     // values whose shortest-decimal vs binary reprs disagree.
     "q50b_round_modes" -> ((s, d) =>
       Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
         .withColumn("x", col("l_quantity") + 0.5)
         .select(
           col("l_orderkey"), col("l_linenumber"), col("x"),
@@ -112,8 +135,7 @@ object ScalarMath extends QueryModule {
           rint(col("x")).as("r_rint"),
           rint(col("l_extendedprice")).as("r_rint_price"),
           round(col("l_extendedprice"), -1).as("r_tens"),
-          round(col("l_extendedprice"), -2).as("r_hundreds"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+          round(col("l_extendedprice"), -2).as("r_hundreds"))),
 
     // ANSI-safe try_* family: errors become NULLs instead of failed
     // jobs — at 100 TB one malformed row must not kill a stage.
@@ -126,6 +148,9 @@ object ScalarMath extends QueryModule {
     // HUGEINT arithmetic + TRY_CAST back to BIGINT.
     "q50c_try_family" -> ((s, d) =>
       Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"), col("l_returnflag"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
         .select(
           col("l_orderkey"), col("l_linenumber"),
           expr("try_divide(l_extendedprice, l_linenumber - 1)").as("t_div"),
@@ -155,11 +180,13 @@ object ScalarMath extends QueryModule {
           expr("""try_multiply(1537228672809129301,
             cast(CASE WHEN l_orderkey % 500 = 0 THEN 7 ELSE 1 END as bigint))""")
             .as("t_mul_ovf"),
-          expr("try_element_at(array(l_returnflag), 10)").as("t_elem_oob"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+          expr("try_element_at(array(l_returnflag), 10)").as("t_elem_oob"))),
 
     "q57_conditional" -> ((s, d) =>
       Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_discount"), col("l_tax"), col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
         .withColumn("d_null", nullif(col("l_discount"), lit(0.0)))
         .withColumn("d_nan",
           when(col("l_discount") === 0.0, lit(Double.NaN)).otherwise(col("l_discount")))
@@ -172,11 +199,12 @@ object ScalarMath extends QueryModule {
           isnan(col("d_nan")).as("c_isnan"),
           nanvl(col("d_nan"), lit(-1.0)).as("c_nanvl"),
           nvl(col("d_null"), lit(9.9)).as("c_nvl"),
-          nvl2(col("d_null"), lit("has"), lit("none")).as("c_nvl2"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+          nvl2(col("d_null"), lit("has"), lit("none")).as("c_nvl2"))),
 
     "q59_bitwise" -> ((s, d) =>
       Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
         .select(
           col("l_orderkey"), col("l_linenumber"),
           shiftleft(col("l_linenumber"), 2).as("b_shl"),
@@ -186,8 +214,7 @@ object ScalarMath extends QueryModule {
           (col("l_orderkey").bitwiseAND(255)).as("b_and"),
           (col("l_linenumber").bitwiseOR(8)).as("b_or"),
           (col("l_orderkey").bitwiseXOR(col("l_linenumber"))).as("b_xor"),
-          bit_count(col("l_orderkey")).as("b_popcnt"))
-        .orderBy(col("l_orderkey"), col("l_linenumber")))
+          bit_count(col("l_orderkey")).as("b_popcnt")))
   )
 
   def oracle: Map[String, String] = Map(

@@ -509,10 +509,14 @@ class PlanShapeSpec extends AnyFunSuite {
       ("q267_rouge_l", 1), ("q268_hll_registers", 2),
       ("q269_stem_audit", 1),
       // q270: vocab-build and probe branches carry different split
-      // filters — 2 subtrees by design. q271: band rows self-join
-      // (the q263 carry) — one scan per broadcast-join side.
+      // filters — 2 subtrees by design. q271 (re-pinned round 14):
+      // signature and set sides both read a per-invocation
+      // localCheckpoint of the exploded shingle-hash frame — the one
+      // corpus scan lives in the eager checkpoint, the returned plan
+      // reads the checkpointed RDD (r13 planned the shingle pipeline
+      // once per join side = 2 scans).
       // q272: one pass to the (lang, bigram) frame.
-      ("q270_oov_coverage", 2), ("q271_lsh_tuning", 2),
+      ("q270_oov_coverage", 2), ("q271_lsh_tuning", 0),
       ("q272_char_bigrams", 1),
       // q273: per-doc stats in-row before the one content-hash
       // exchange. q274: the 8-cell grid folds back map-side.
@@ -529,9 +533,11 @@ class PlanShapeSpec extends AnyFunSuite {
       // q278: one kernel pass.
       ("q276_transitivity", 3), ("q277_split_drift", 2),
       ("q278_simhash_bits", 1),
-      // q279: train-filter build, probe side, and the membership
-      // flag each need the shingle pipeline — 3 subtrees.
-      ("q279_bloom_fpr", 3),
+      // q279 (re-pinned round 14): train/held/membership subtrees all
+      // read the per-invocation localCheckpoint of the (bkt, h)
+      // shingle frame — the one corpus scan lives in the eager
+      // checkpoint (r13 ran the shingle pipeline per subtree = 3).
+      ("q279_bloom_fpr", 0),
       // q280: the driver-side iteration's collect() is a separate
       // job; the OUTPUT plan scans events once for the empirical
       // twin. q281: signature + exact-verify subtrees (q258 shape).
@@ -588,10 +594,13 @@ class PlanShapeSpec extends AnyFunSuite {
       // the distinct edge frame, never a join-back. q299: one pass
       // to the daily frame, the 5-scale fan-out is an explode.
       ("q298_degree_assortativity", 2), ("q299_haar_anomaly", 1),
-      // q300: unrolled greedy k=3 — round 1 consumes the shingle
-      // frame once, rounds 2-3 twice each (remaining + covered
-      // sides); ReuseExchange collapses what it can. 5 by design.
-      ("q300_greedy_coverage", 5),
+      // q300 (re-pinned round 14): the greedy k=3 rounds iterate over
+      // a per-invocation localCheckpoint of the (doc_id, h) element
+      // frame — the ONE corpus scan lives inside the eager checkpoint
+      // at construction, so the returned plan reads the checkpointed
+      // RDD and plans ZERO FileScans (r13's lazy form planned 5 full
+      // shingle pipelines, one per greedy consumer).
+      ("q300_greedy_coverage", 0),
       // q301: part + lineitem once each to the |brands|×4 cell
       // frame; pooling rides windows over it. q302/q303: one pass.
       ("q301_mantel_haenszel", 2), ("q302_capture_recapture", 1),
