@@ -70,13 +70,19 @@ object PartWindowProbe {
             case a: logical.Aggregate => a
             case g: logical.GlobalLimit => g
           }.isDefined
-          if (!aggBelow) {
-            val parts = w.partitionSpec.map(_.sql).mkString(", ")
-            val leaves = w.child.collectLeaves().map {
-              case r: logical.LogicalPlan => r.nodeName
-            }.mkString("+")
-            println(s"PARTWIN $name [$parts] over $leaves")
-          }
+          // agg-below windows print too (round 14): an aggregate
+          // bounds the SHUFFLE, not the window's sort task — a
+          // (group, value) count frame is still value-scale, and the
+          // q341 cumle funnel hid behind exactly this exemption.
+          // Adjudicate the AGGWIN rows by the aggregate's grouping
+          // keys: value/entity-keyed frames are funnels, bounded
+          // domains (calendar, vocab, |groups|) are fine.
+          val tag = if (aggBelow) "AGGWIN" else "PARTWIN"
+          val parts = w.partitionSpec.map(_.sql).mkString(", ")
+          val leaves = w.child.collectLeaves().map {
+            case r: logical.LogicalPlan => r.nodeName
+          }.mkString("+")
+          println(s"$tag $name [$parts] over $leaves")
         case _ =>
       }
     }

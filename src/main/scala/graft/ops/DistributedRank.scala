@@ -96,6 +96,41 @@ object DistributedRank {
     }.drop("_dr_bkt", "_dr_rn", "_dr_off_c", "_dr_c")
   }
 
+  /** Appends `outCol`: the EXCLUSIVE running max of `c` in `sortCols`
+    * order within each `partCols` group — the distributed form of
+    * `max(c).over(w.rowsBetween(unboundedPreceding, -1))` (q149's
+    * skyline probe), built the same way as [[withRank]]: local
+    * exclusive max per range bucket, per-bucket maxes collapse to the
+    * bounded bucket frame, exclusive prefix max over THAT broadcast
+    * back, combined with `greatest` (which skips nulls, so the
+    * group-first row stays NULL exactly like the empty window frame).
+    * Same total-order requirement as withRank.
+    */
+  def withExclMax(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      partCols: Seq[String],
+      c: Column,
+      outCol: String): DataFrame = {
+    val pc = partCols.map(col)
+    val ranged = df
+      .repartitionByRange((pc ++ sortCols): _*)
+      .withColumn("_dr_bkt", spark_partition_id())
+    val keys = partCols :+ "_dr_bkt"
+    val wLoc = Window.partitionBy(keys.map(col): _*).orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = ranged.withColumn("_dr_lmax", max(c).over(wLoc))
+    val wOff = Window.partitionBy(pc: _*).orderBy(col("_dr_bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy(keys.map(col): _*)
+      .agg(max(c).as("_dr_bmax"))
+      .withColumn("_dr_omax", max(col("_dr_bmax")).over(wOff))
+      .select((keys.map(col) :+ col("_dr_omax")): _*)
+    local.join(broadcast(offsets), keys)
+      .withColumn(outCol, greatest(col("_dr_lmax"), col("_dr_omax")))
+      .drop("_dr_bkt", "_dr_lmax", "_dr_omax")
+  }
+
   /** Spark/DuckDB `ntile(k)` from a 1-based rank and the group size —
     * exact integer arithmetic (integral DIV, never a double division:
     * the q101 exactness rule), byte-identical to the window function:

@@ -1698,12 +1698,20 @@ object Aggregates extends QueryModule {
       val o = Tables.orders(s, d)
         .select(col("o_orderpriority").as("g"), col("o_totalprice").as("v"))
       val pv = o.groupBy(col("g"), col("v")).agg(count(lit(1)).as("np"))
-      val grid = pv.select(col("v")).distinct()
-        .crossJoin(broadcast(pv.select(col("g")).distinct()))
-        .join(pv, Seq("g", "v"), "left")
-        .select(col("g"), col("v"), coalesce(col("np"), lit(0L)).as("np"))
-        .withColumn("cumle", sum(col("np")).over(
-          Window.partitionBy(col("g")).orderBy(col("v"))))
+      // per-group running count via DistributedRank, not a
+      // g-partitioned window (round 14): |priorities| = 5 partitions
+      // over the distinct-value grid funnel value-scale frames
+      // through 5 sort tasks — the q179 funnel class. run_np is the
+      // same inclusive prefix sum in exact longs.
+      val grid = graft.ops.DistributedRank.withRank(
+          pv.select(col("v")).distinct()
+            .crossJoin(broadcast(pv.select(col("g")).distinct()))
+            .join(pv, Seq("g", "v"), "left")
+            .select(col("g"), col("v"),
+              coalesce(col("np"), lit(0L)).as("np")),
+          Seq(col("v")), Seq("g"), sums = Seq("np" -> col("np")))
+        .withColumnRenamed("run_np", "cumle")
+        .select(col("g"), col("v"), col("np"), col("cumle"))
       val b = grid.select(col("g").as("gb"), col("v").as("vb"),
         col("np").as("npb"), col("cumle").as("cumleb"))
       val jt = grid.join(b, col("v") === col("vb") && col("g") < col("gb"))

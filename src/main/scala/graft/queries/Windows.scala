@@ -201,13 +201,17 @@ object Windows extends QueryModule {
     // deliberately runs the quadratic NOT EXISTS form, so the two
     // engines reach the frontier by independent algorithms.
     "q149_skyline" -> ((s, d) => {
-      val w = Window.partitionBy(col("p_brand"))
-        .orderBy(col("p_retailprice").asc, col("p_size").desc)
-        .rowsBetween(Window.unboundedPreceding, -1)
-      Tables.part(s, d)
-        .select(col("p_brand"), col("p_retailprice"), col("p_size"))
-        .distinct()
-        .withColumn("best_size_so_far", max(col("p_size")).over(w))
+      // skyline probe via DistributedRank.withExclMax, not a
+      // brand-partitioned window (round 14): 25 brands × part-scale
+      // frames through one sort task each is the q179 funnel class;
+      // the bucketed exclusive running max is value-identical
+      // (greatest skips nulls exactly like the empty leading frame).
+      graft.ops.DistributedRank.withExclMax(
+          Tables.part(s, d)
+            .select(col("p_brand"), col("p_retailprice"), col("p_size"))
+            .distinct(),
+          Seq(col("p_retailprice").asc, col("p_size").desc),
+          Seq("p_brand"), col("p_size"), "best_size_so_far")
         .filter(col("best_size_so_far").isNull
           || col("p_size") > col("best_size_so_far"))
         .select(col("p_brand"), col("p_retailprice"), col("p_size"))
@@ -283,20 +287,23 @@ object Windows extends QueryModule {
             * (lit(1).cast("decimal(12,2)")
               - col("l_discount").cast("decimal(12,2)")))
           .cast("decimal(18,2)").cast("double").as("revenue"))
-      val w = Window.partitionBy(col("c_nationkey"))
-        .orderBy(col("revenue").desc, col("c_custkey"))
-      val wAll = Window.partitionBy(col("c_nationkey"))
-      rev
-        .withColumn("cum_rev",
-          sum(col("revenue").cast("decimal(18,2)")).over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .withColumn("nation_rev", max(col("cum_rev")).over(wAll))
+      // cumulative revenue via DistributedRank, not a nation-
+      // partitioned window (round 14, the q179 funnel class: 25
+      // nations × customer-scale frames through one sort task each).
+      // run_rev is the same inclusive DECIMAL prefix sum — exact in
+      // any order — so the previous row's cumulative total is
+      // recovered as run_rev − revenue (exact decimal subtraction
+      // inverts exact accumulation; the "lag, not cum−rev" rule
+      // guards FLOATING folds only), and the partition total is the
+      // group total the helper already computes.
+      graft.ops.DistributedRank.withRank(rev,
+          Seq(col("revenue").desc, col("c_custkey")), Seq("c_nationkey"),
+          sums = Seq("rev" -> col("revenue").cast("decimal(18,2)")))
         .withColumn("cum_share",
-          col("cum_rev").cast("double") / col("nation_rev").cast("double"))
+          col("run_rev").cast("double") / col("tot_rev").cast("double"))
         .withColumn("in_top80",
-          coalesce(lag(col("cum_rev"), 1).over(w),
-            lit(0).cast("decimal(18,2)")) * lit(10) <
-            col("nation_rev") * lit(8))
+          (col("run_rev") - col("revenue").cast("decimal(18,2)"))
+            * lit(10) < col("tot_rev") * lit(8))
         .select(col("c_nationkey"), col("c_custkey"), col("revenue"),
           col("cum_share"), col("in_top80"))
         .orderBy(col("c_nationkey"), col("revenue").desc, col("c_custkey"))
@@ -329,9 +336,17 @@ object Windows extends QueryModule {
             * (lit(1).cast("decimal(12,2)")
               - col("l_discount").cast("decimal(12,2)")))
           .cast("decimal(18,2)") * 100).cast("long").as("cents"))
-      val w = Window.partitionBy(col("c_nationkey"))
-        .orderBy(col("cents"), col("c_custkey"))
-      rev.withColumn("rnk", row_number().over(w).cast("long"))
+      // rank via DistributedRank, not a nation-partitioned window
+      // (round 14): 25 nations × customer-scale frames put each
+      // nation's whole customer set through ONE sort task — the same
+      // funnel as the de-globalized q380 family, one level down
+      // (partitioned by a bounded key instead of unpartitioned). The
+      // range-bucket rank is byte-identical to row_number over the
+      // same (cents, custkey) total order.
+      graft.ops.DistributedRank.withRank(rev,
+          Seq(col("cents"), col("c_custkey")), Seq("c_nationkey"),
+          rkCol = "rnk", nCol = "n_in_nation")
+        .withColumn("rnk", col("rnk").cast("long"))
         .groupBy(col("c_nationkey"))
         .agg(count(lit(1)).as("n"),
           sum(col("cents")).as("s0"),

@@ -44,9 +44,17 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q138_table_checksum", // XOR fold is commutative/associative —
                            // invariance IS the operator's contract
     "q142_shard_manifest", // md5 routing + XOR manifest, disk round-trip
+    "q149_skyline",        // integer exclusive running max over a total
+                           // order (r14 DistributedRank.withExclMax —
+                           // bucket boundaries must not show)
+    "q156_pareto",         // exact DECIMAL prefix sums over a total
+                           // order (r14 withRank; lag recovered as
+                           // run − rev in exact decimal)
     "q158_ppjoin",         // prefix pigeonhole candidates are join
                            // semantics; verify is exact integer Jaccard
     "q169_ndcg",           // 1e-9-unit LONG DCG folds are order-free
+    "q179_gini",           // exact-cents ranks via r14 DistributedRank;
+                           // closed form divides exact longs once
     "q172_negative_pairs", // affine-hash partner draw — reproducibility
                            // across partitionings IS the contract
     // The TPC-H completion tier (q182-q196) is exact by construction:
