@@ -696,24 +696,38 @@ object Aggregates extends QueryModule {
       val spend = Tables.orders(s, d)
         .groupBy(col("o_custkey"))
         .agg(sum(col("o_totalprice").cast("decimal(12,2)")).as("spend"))
+      // per-invocation checkpoint (the q300 rationale): both rank maps
+      // and the join-back probe side consume base — lazily it would
+      // re-plan the customer⋈spend subtree three times.
       val base = Tables.customer(s, d)
         .join(spend, col("c_custkey") === col("o_custkey"), "left")
         .select(col("c_mktsegment").as("seg"), col("c_acctbal").as("x"),
           coalesce(col("spend"), lit(0).cast("decimal(22,2)")).as("y"))
-      val wSeg = Window.partitionBy(col("seg"))
-      def rank2(v: String): Column = {
-        val cv = count(lit(1))
-          .over(Window.partitionBy(col("seg"), col(v)))
-        val cum = count(lit(1))
-          .over(Window.partitionBy(col("seg")).orderBy(col(v))
-            .rangeBetween(Window.unboundedPreceding, Window.currentRow))
-        lit(2L) * (cum - cv) + cv + 1L
-      }
+        .localCheckpoint()
+      // doubled midranks via DistributedRank over the DEDUPED value
+      // frames, hash-joined back (round 14, the q283 recipe): the
+      // previous per-row range-frame windows put each segment's whole
+      // customer frame through one sort task (5 segments), and the
+      // y side (per-customer spend) has no bounded value domain. For
+      // value v with cnt rows and run = cumulative rows ≤ v, the
+      // doubled midrank 2·(run − cnt) + cnt + 1 is the same exact
+      // long the range-frame window produced per row; n rides the
+      // map's group total.
+      def rankMap(v: String, out: String) =
+        graft.ops.DistributedRank.withRank(
+            base.groupBy(col("seg"), col(v)).agg(count(lit(1)).as("cnt")),
+            Seq(col(v)), Seq("seg"), sums = Seq("cnt" -> col("cnt")))
+          .select(col("seg"), col(v),
+            (lit(2L) * (col("run_cnt") - col("cnt")) + col("cnt") + 1L)
+              .as(out),
+            col("tot_cnt").as(s"n_$out"))
       def dec(c: Column): Column = c.cast("decimal(19,0)")
       val ranked = base
-        .withColumn("n", count(lit(1)).over(wSeg))
-        .withColumn("dx", rank2("x") - (col("n") + 1L))
-        .withColumn("dy", rank2("y") - (col("n") + 1L))
+        .join(rankMap("x", "r2x"), Seq("seg", "x"))
+        .join(rankMap("y", "r2y"), Seq("seg", "y"))
+        .withColumn("n", col("n_r2x"))
+        .withColumn("dx", col("r2x") - (col("n") + 1L))
+        .withColumn("dy", col("r2y") - (col("n") + 1L))
       ranked.groupBy(col("seg"))
         .agg(max(col("n")).as("n_customers"),
           sum(dec(col("dx")) * dec(col("dy"))).as("sxy"),
@@ -1495,15 +1509,23 @@ object Aggregates extends QueryModule {
       val ords = Tables.orders(s, d)
         .select(col("o_orderpriority").as("prio"),
           col("o_totalprice").as("v"))
-      val vt = ords.groupBy(col("v")).agg(count(lit(1)).as("nv"))
-        .withColumn("cum_le", sum(col("nv")).over(Window.orderBy(col("v"))))
-        .withColumn("n_all", sum(col("nv")).over(Window.partitionBy()))
-      val pv = ords.groupBy(col("prio"), col("v"))
-        .agg(count(lit(1)).as("np"))
-        .withColumn("cump_le", sum(col("np")).over(
-          Window.partitionBy(col("prio")).orderBy(col("v"))))
-        .withColumn("n_p", sum(col("np")).over(
-          Window.partitionBy(col("prio"))))
+      // both prefix sums ride DistributedRank (round 14): the global
+      // cum_le window put the whole distinct-price frame through ONE
+      // task and the prio-partitioned one through 5 — o_totalprice's
+      // distinct-cents frame saturates only in the tens of millions
+      // (q341's rungs show it still growing at 100×), far past a
+      // single sort task's comfort. run/tot are the same exact longs.
+      val vt = graft.ops.DistributedRank.withRank(
+          ords.groupBy(col("v")).agg(count(lit(1)).as("nv")),
+          Seq(col("v")), Nil, sums = Seq("nv" -> col("nv")))
+        .select(col("v"), col("nv"), col("run_nv").as("cum_le"),
+          col("tot_nv").as("n_all"))
+      val pv = graft.ops.DistributedRank.withRank(
+          ords.groupBy(col("prio"), col("v"))
+            .agg(count(lit(1)).as("np")),
+          Seq(col("v")), Seq("prio"), sums = Seq("np" -> col("np")))
+        .select(col("prio"), col("v"), col("np"),
+          col("run_np").as("cump_le"), col("tot_np").as("n_p"))
       pv.join(vt, "v")
         .withColumn("b_lt",
           (col("cum_le") - col("nv")) - (col("cump_le") - col("np")))

@@ -447,9 +447,12 @@ class PlanShapeSpec extends AnyFunSuite {
       // q235/q238: the bounded broadcast frame (bucket distributions /
       // column totals) re-derives the corpus subtree feeding it — the
       // q228 two-subtree shape; a production pipeline persists the
-      // shared aggregate. q236 reads two DIFFERENT tables.
+      // shared aggregate. q236 (re-pinned round 14): the deduped-value
+      // rank maps and the join-back probe all read a per-invocation
+      // localCheckpoint of the customer⋈spend base — the two table
+      // scans live inside the eager checkpoint.
       ("q233_temperature_mix", 1), ("q234_bpe_pairs", 1),
-      ("q235_dsir_weights", 2), ("q236_spearman", 2),
+      ("q235_dsir_weights", 2), ("q236_spearman", 0),
       ("q237_cusum", 1), ("q238_cohens_kappa", 2),
       ("q239_logrank", 1),
       // q240's pairwise self-join rides ONE daily exchange (reused);
