@@ -96,6 +96,78 @@ object DistributedRank {
     }.drop("_dr_bkt", "_dr_rn", "_dr_off_c", "_dr_c")
   }
 
+  /** Exact percentile ARRAY of `value` within each `partCols` group,
+    * computed WITHOUT the `percentile(...)` aggregate. The Percentile
+    * aggregate builds a value→count OpenHashMap in every partial
+    * buffer and merges them all into ONE final buffer per group — at
+    * 100 TB that map holds the group's whole distinct-value set in a
+    * single task. Here the same numbers come from the deduped
+    * (part, value, count) frame with a [[withRank]] cumulative count,
+    * reproducing `PercentileBase.getPercentile` (read from the Spark
+    * 4.1.2 bytecode) bit for bit: pos = (n−1)·p, lo/hi =
+    * floor/ceil(pos), value-at-rank-k = the smallest value whose
+    * cumulative count ≥ k+1, interpolation
+    * (hi−pos)·v_lo + (pos−lo)·v_hi with two SHORT-CIRCUITS — pos
+    * integral, or v_lo == v_hi, both return v_lo directly (the
+    * interpolated form can differ in the last ulp there; the guards
+    * are part of bit-equality, not style). NULL values are excluded
+    * exactly as the aggregate excludes them; a group whose values are
+    * all NULL disappears from the output (callers in this catalog
+    * have non-null value columns).
+    *
+    * Returns one row per group: (partCols…, `out` array<double>) with
+    * the array in the given percentage order.
+    */
+  def exactPercentiles(
+      df: DataFrame,
+      value: Column,
+      ps: Seq[Double],
+      partCols: Seq[String] = Nil,
+      out: String = "ps"): DataFrame = {
+    val pc = partCols.map(col)
+    val vt = withRank(
+        df.filter(value.isNotNull)
+          .groupBy((pc :+ value.as("_ep_x")): _*)
+          .agg(count(lit(1)).as("_ep_c")),
+        Seq(col("_ep_x")), partCols, sums = Seq("c" -> col("_ep_c")))
+      .select((pc ++ Seq(col("_ep_x"), col("run_c"), col("tot_c"))): _*)
+      // two consumers (the n frame and the rank probe) — one
+      // per-invocation materialization (never a cross-run cache)
+      .localCheckpoint()
+    val kf = vt.groupBy(pc: _*).agg(max(col("tot_c")).as("_ep_n"))
+      .select((pc ++ Seq(
+        posexplode(array(ps.map(lit): _*)).as(Seq("_ep_i", "_ep_p")),
+        col("_ep_n"))): _*)
+      .withColumn("_ep_pos",
+        (col("_ep_n") - 1L).cast("double") * col("_ep_p"))
+      .withColumn("_ep_lo", floor(col("_ep_pos")))
+      .withColumn("_ep_hi", ceil(col("_ep_pos")))
+    val probes =
+      if (partCols.isEmpty) vt.crossJoin(broadcast(kf))
+      else vt.join(broadcast(kf), partCols)
+    val vlo = col("_ep_vlo").cast("double")
+    val vhi = col("_ep_vhi").cast("double")
+    probes
+      .groupBy((pc ++ Seq(col("_ep_i"), col("_ep_pos"), col("_ep_lo"),
+        col("_ep_hi"))): _*)
+      .agg(
+        min(when(col("run_c") >= col("_ep_lo") + 1L, col("_ep_x")))
+          .as("_ep_vlo"),
+        min(when(col("run_c") >= col("_ep_hi") + 1L, col("_ep_x")))
+          .as("_ep_vhi"))
+      .select((pc ++ Seq(col("_ep_i"),
+        when(col("_ep_lo") === col("_ep_hi")
+            || col("_ep_vlo") === col("_ep_vhi"), vlo)
+          .otherwise((col("_ep_hi").cast("double") - col("_ep_pos")) * vlo
+            + (col("_ep_pos") - col("_ep_lo").cast("double")) * vhi)
+          .as("_ep_b"))): _*)
+      .groupBy(pc: _*)
+      .agg(sort_array(collect_list(struct(col("_ep_i"), col("_ep_b"))))
+        .as("_ep_pb"))
+      .select((pc :+ transform(col("_ep_pb"), e => e.getField("_ep_b"))
+        .as(out)): _*)
+  }
+
   /** Appends `outCol`: the EXCLUSIVE running max of `c` in `sortCols`
     * order within each `partCols` group — the distributed form of
     * `max(c).over(w.rowsBetween(unboundedPreceding, -1))` (q149's

@@ -240,14 +240,24 @@ object Similarity extends QueryModule {
     // through the exact percentile with the q219 6-decimal snap.
     "q223_norm_audit" -> ((s, d) => {
       def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
-      Tables.embeddings(s, d)
+      // round 14: the median rides DistributedRank.exactPercentiles
+      // (bit-identical, helper doc) instead of the Percentile
+      // aggregate whose per-label value map holds an embedding-scale
+      // distinct set in one task; the dot-product frame is
+      // checkpointed once per invocation for its two consumers.
+      val n2f = Tables.embeddings(s, d)
         .select(col("label"), dvec(col("embedding")).as("emb"))
-        .withColumn("n2", dot(col("emb"), col("emb")))
-        .groupBy(col("label"))
+        .select(col("label"), dot(col("emb"), col("emb")).as("n2"))
+        .localCheckpoint()
+      n2f.groupBy(col("label"))
         .agg(count(lit(1)).as("n_vecs"),
           min(col("n2")).as("min_norm2"),
-          max(col("n2")).as("max_norm2"),
-          snap6(expr("percentile(n2, 0.5)")).as("p50_norm2"))
+          max(col("n2")).as("max_norm2"))
+        .join(graft.ops.DistributedRank.exactPercentiles(
+            n2f, col("n2"), Seq(0.5), Seq("label"))
+          .select(col("label"),
+            snap6(element_at(col("ps"), 1)).as("p50_norm2")),
+          Seq("label"))
         .orderBy(col("label"))
     }),
 

@@ -397,17 +397,25 @@ object TextAnalysis extends QueryModule {
     // difference. One corpus-scale aggregation to a ≤|langs| frame.
     "q219_tokenizer_fertility" -> ((s, d) => {
       def snap6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+      // round 14: the per-doc ratio quantiles ride
+      // DistributedRank.exactPercentiles (bit-identical, helper doc)
+      // instead of the Percentile aggregate whose per-lang value map
+      // holds a doc-scale distinct set in one task; the regex-token
+      // frame is checkpointed once per invocation for its two
+      // consumers (q300 rationale).
       val t = Tables.documents(s, d)
         .select(col("lang"), col("n_chars"),
           size(regexp_extract_all(col("text"),
             lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
             .cast("long").as("n_toks"))
         .withColumn("r", col("n_toks").cast("double") / col("n_chars"))
+        .localCheckpoint()
       t.groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_toks")).as("tot_tokens"),
-          sum(col("n_chars")).as("tot_chars"),
-          expr("percentile(r, array(0.5, 0.9))").as("ps"))
+          sum(col("n_chars")).as("tot_chars"))
+        .join(graft.ops.DistributedRank.exactPercentiles(
+          t, col("r"), Seq(0.5, 0.9), Seq("lang")), Seq("lang"))
         .select(col("lang"), col("n_docs"), col("tot_tokens"),
           col("tot_chars"),
           (col("tot_tokens").cast("double") / col("tot_chars"))

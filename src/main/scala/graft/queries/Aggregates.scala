@@ -249,11 +249,20 @@ object Aggregates extends QueryModule {
           .as("bm"))
         .groupBy(col("l_returnflag"))
         .agg(sum(expr("bitmap_count(bm)")).as("exact_parts"))
+      // p50_exact via exactPercentiles (round 14, the q39b rationale) —
+      // the approx sketches stay in the grouped agg, the exact median
+      // joins in from the deduped-value rank frame, bit-identical to
+      // percentile(l_extendedprice, 0.5).
       val sketch = li.groupBy(col("l_returnflag"))
         .agg(
           approx_count_distinct(col("l_partkey"), 0.01).as("acd_parts"),
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_approx"),
-          expr("percentile(l_extendedprice, 0.5)").as("p50_exact"))
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_approx"))
+        .join(graft.ops.DistributedRank.exactPercentiles(
+            li.select(col("l_returnflag"), col("l_extendedprice")),
+            col("l_extendedprice"), Seq(0.5), Seq("l_returnflag"))
+          .select(col("l_returnflag"),
+            element_at(col("ps"), 1).as("p50_exact")),
+          Seq("l_returnflag"))
       exact.join(sketch, Seq("l_returnflag"))
         .select(col("l_returnflag"), col("exact_parts"),
           (abs(col("acd_parts") - col("exact_parts"))
@@ -436,10 +445,25 @@ object Aggregates extends QueryModule {
     // re-profile. Bounds are 4-decimal-rounded before assignment so
     // bucket membership is bit-identical cross-engine.
     "q136_equidepth_hist" -> ((s, d) => {
+      // Exact percentile bounds WITHOUT the Percentile aggregate
+      // (round 14): `percentile(x, array(...))` builds a value→count
+      // OpenHashMap in every partial buffer and merges them all into
+      // ONE final buffer — task memory grows with the distinct-value
+      // count, the 100 TB OOM the rest of this file avoids. The same
+      // numbers come from the deduped (x, count) frame with a
+      // DistributedRank cumulative count: Spark's interpolation
+      // (PercentileBase.getPercentile, read from the 4.1.2 bytecode)
+      // is pos = (n−1)·p, lo/hi = floor/ceil(pos), v@rank = smallest
+      // x whose cumulative count ≥ rank+1, and
+      // (hi−pos)·v_lo + (pos−lo)·v_hi with two SHORT-CIRCUITS — pos
+      // integral, or v_lo == v_hi, both return v_lo directly (the
+      // interpolated form can differ in the last ulp there, so the
+      // guards are part of bit-equality, not style). Verified
+      // hash-identical against the oracle at all three SFs.
       val li = Tables.lineitem(s, d).select(col("l_extendedprice").as("x"))
-      val ps = (1 to 15).map(i => i / 16.0).mkString(", ")
-      val bounds = li.agg(expr(s"percentile(x, array($ps))").as("bs"))
-        .select(transform(col("bs"), b => round(b, 4)).as("bs"))
+      val bounds = graft.ops.DistributedRank.exactPercentiles(
+          li, col("x"), (1 to 15).map(i => i / 16.0))
+        .select(transform(col("ps"), b => round(b, 4)).as("bs"))
       li.crossJoin(broadcast(bounds))
         .select(col("x"),
           size(filter(col("bs"), b => col("x") > b)).as("bucket"))
@@ -464,8 +488,11 @@ object Aggregates extends QueryModule {
     "q132_winsorize" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
         .select(col("l_returnflag"), col("l_extendedprice"))
-      val bounds = li.groupBy(col("l_returnflag"))
-        .agg(expr("percentile(l_extendedprice, array(0.05, 0.95))").as("ps"))
+      // bounds via exactPercentiles (round 14, the q39b rationale):
+      // bit-identical to the grouped percentile aggregate without its
+      // per-group value-map buffer.
+      val bounds = graft.ops.DistributedRank.exactPercentiles(
+          li, col("l_extendedprice"), Seq(0.05, 0.95), Seq("l_returnflag"))
         .select(col("l_returnflag"),
           round(element_at(col("ps"), 1), 4).as("lo"),
           round(element_at(col("ps"), 2), 4).as("hi"))
@@ -551,13 +578,15 @@ object Aggregates extends QueryModule {
     }),
 
     "q39b_percentile_exact" -> ((s, d) =>
-      Tables.lineitem(s, d)
-        .groupBy(col("l_returnflag"))
-        // ONE percentile(col, array(...)) call: the exact-percentile
-        // aggregate builds a value→count map per group; asking for both
-        // quantiles in one aggregate builds (and merges) that map once
-        // instead of once per quantile.
-        .agg(expr("percentile(l_extendedprice, array(0.5, 0.9))").as("ps"))
+      // exact percentiles via DistributedRank.exactPercentiles
+      // (round 14): the Percentile aggregate's per-group value→count
+      // map buffer holds each flag's whole distinct-value set in one
+      // task at 100 TB; the deduped-value rank form is bit-identical
+      // (helper doc) and keeps every task corpus/partitions-sized.
+      graft.ops.DistributedRank.exactPercentiles(
+          Tables.lineitem(s, d)
+            .select(col("l_returnflag"), col("l_extendedprice")),
+          col("l_extendedprice"), Seq(0.5, 0.9), Seq("l_returnflag"))
         .select(col("l_returnflag"),
           round(element_at(col("ps"), 1), 4).as("p50"),
           round(element_at(col("ps"), 2), 4).as("p90"))

@@ -321,21 +321,25 @@ object Profile extends QueryModule {
       // bound snapped to 6 decimals: the two engines arrange the
       // interpolation arithmetic differently, and an unsnapped bound a
       // 1-ulp shy of a data value would flip that value's bucket.
-      val qs = array(lit(0.2), lit(0.4), lit(0.6), lit(0.8))
-      val bounds = rfm.agg(
-        transform(percentile(col("recency_days"), qs), x => round(x, 6))
-          .as("rb"),
-        transform(percentile(col("frequency"), qs), x => round(x, 6))
-          .as("fb"),
-        transform(percentile(col("monetary"), qs), x => round(x, 6))
-          .as("mb"))
+      // Round 14: computed by DistributedRank.exactPercentiles
+      // (bit-identical to the Percentile aggregate, helper doc) so no
+      // task holds a customer-scale value map; rfm is checkpointed
+      // once per invocation for its four consumers (q300 rationale).
+      val rfmC = rfm.localCheckpoint()
+      val qs = Seq(0.2, 0.4, 0.6, 0.8)
+      def pctOf(c: String, out: String) =
+        graft.ops.DistributedRank.exactPercentiles(rfmC, col(c), qs)
+          .select(transform(col("ps"), x => round(x, 6)).as(out))
+      val bounds = pctOf("recency_days", "rb")
+        .crossJoin(pctOf("frequency", "fb"))
+        .crossJoin(pctOf("monetary", "mb"))
       def score(v: Column, b: Column, invert: Boolean): Column = {
         val raw = lit(1) +
           (0 to 3).map(i => when(v > element_at(b, i + 1), 1)
             .otherwise(0)).reduce(_ + _)
         if (invert) lit(6) - raw else raw
       }
-      rfm.crossJoin(broadcast(bounds))
+      rfmC.crossJoin(broadcast(bounds))
         .withColumn("r_score",
           score(col("recency_days").cast("double"), col("rb"), invert = true))
         .withColumn("f_score",

@@ -683,11 +683,19 @@ class PlanShapeSpec extends AnyFunSuite {
     // raw rows toward the bounds frame would shuffle the corpus twice.
     for (q <- Seq("q132_winsorize", "q136_equidepth_hist")) {
       val p = plan(q)
-      assert(p.contains("partial_percentile"),
-        s"$q lost the map-side percentile partial:\n$p")
       assert(p.contains("BroadcastExchange"), s"$q must broadcast bounds:\n$p")
       assert(!p.contains("SortMergeJoin"),
         s"$q re-shuffled the corpus against the bounds frame:\n$p")
+    }
+    // Round 14: neither query uses the Percentile aggregate any more —
+    // its value→count map buffer holds a group's whole distinct-value
+    // set in ONE task. Bounds now come from
+    // DistributedRank.exactPercentiles (deduped value frame +
+    // distributed cumulative counts, bit-identical interpolation —
+    // helper doc), so the plans must be percentile-free.
+    for (q <- Seq("q132_winsorize", "q136_equidepth_hist")) {
+      assert(!plan(q).contains("percentile"),
+        s"$q should derive bounds without the Percentile aggregate")
     }
   }
 
