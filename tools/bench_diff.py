@@ -54,7 +54,7 @@ import re
 import sys
 
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-PINNED_CLEAN = os.path.join(HERE, "tools", "bench_r14c_local.json")
+PINNED_CLEAN = os.path.join(HERE, "tools", "bench_r14d_local.json")
 FALLBACK = os.path.join(HERE, "tools", "bench_r06_baseline.json")
 SANITY_FACTOR = 2.0   # refuse baselines slower than this x the pinned run
 AMBIENT_FACTOR = 2.0  # calib slower than this x clean => contaminated run
